@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-name normalization (SURVEY §2.3 P5/P6).
+  *
+  * The reference normalizes every output schema for its warehouse:
+  * whitespace / hyphens / quotes -> `_`, lowercased
+  * (reference: Audisto/audisto.py:162-164, Screaming Frog/sf_html_data.py:167-171).
+  * Pure driver-side string work + one cheap `toDF` — no shuffle, no job.
+  */
+object Names {
+  private val Unsafe = "[\\s\\-\"']+".r
+
+  def normalize(name: String): String =
+    Unsafe.replaceAllIn(name.trim, "_").toLowerCase
+
+  /** P5 bulk regex rename — safe for 100 TB: metadata-only plan rewrite. */
+  def normalizeAll(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(normalize): _*)
+
+  /** P6 explicit mapping rename (reference: Midoco/product_data.py:73-96). */
+  def renamed(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    df.withColumnsRenamed(mapping)
+
+  /** P1 keep-list projection (reference: audisto.py:140-145). */
+  def keep(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** P2 regex projection — keep columns whose name matches `re`
+    * (reference: sf_html_data.py:131,161). */
+  def keepMatching(df: DataFrame, re: String): DataFrame =
+    df.select(df.columns.filter(_.matches(re)).map(col): _*)
+
+  /** P3 drop-by-predicate (reference: sf_html_data.py:134-139). */
+  def dropMatching(df: DataFrame, re: String): DataFrame =
+    df.drop(df.columns.filter(_.matches(re)): _*)
+}
+
+/** URL decomposition + classification (SURVEY §2.9 C1-C3).
+  *
+  * All native Column expressions — codegen'd by Catalyst, zero UDFs, so the
+  * whole derivation stays inside WholeStageCodegen and never breaks a
+  * parquet-scan pushdown.
+  */
+object Urls {
+  /** C1: i-th path segment of a URL, null when the path is too short.
+    * `element_at` returns null out-of-range, which matches the reference's
+    * `len(x.split('/')) > i` guard (reference: sf_html_data.py:109-115).
+    * Segment 1 = scheme, 2 = "" (after //), 3 = host, 4+ = path parts. */
+  def segment(url: Column, i: Int): Column = {
+    val parts = split(url, "/")
+    // try_element_at: null out-of-range (ANSI-safe, matches the reference's
+    // len-guard); trailing-slash URLs produce a final "" segment -> absent.
+    nullif(try_element_at(parts, lit(i)), lit(""))
+  }
+
+  def host(url: Column): Column = segment(url, 3)
+
+  /** C1 block: root/directory/page_level1..4 derived columns
+    * (reference: sf_html_data.py:109-115, audisto.py:150-155). */
+  def withUrlLevels(df: DataFrame, srcCol: String): DataFrame = {
+    val u = col(srcCol)
+    df.withColumns(Map(
+      "root"        -> host(u),
+      "directory"   -> segment(u, 4),
+      "page_level1" -> segment(u, 5),
+      "page_level2" -> segment(u, 6),
+      "page_level3" -> segment(u, 7),
+      "page_level4" -> segment(u, 8)))
+  }
+
+  /** C2: Internal / Whitelabel / External regex classification
+    * (reference: sf_html_data.py:128-129,152; sf_inlink_bulk_data.py:80-81).
+    * Java regex supports the reference's negative lookahead verbatim. */
+  def websiteType(url: Column, internalRe: String, whitelabelRe: String): Column =
+    when(url.rlike(internalRe), "Internal")
+      .when(url.rlike(whitelabelRe), "Whitelabel")
+      .otherwise("External")
+
+  /** C3: doctype classification by file extension
+    * (reference: sf_html_data.py:130,148-149). */
+  def doctype(url: Column, extensions: Seq[String]): Column = {
+    val extRe = "(?i).*\\.(" + extensions.mkString("|") + ")([?#].*)?$"
+    when(url.rlike(extRe), "Picture").otherwise("HTML")
+  }
+}
+
+/** Date/time scalar ops (SURVEY §2.9 C4-C8). */
+object Dates {
+  /** C4: ISO-8601 'yyyy-MM-ddTHH:mm:ssZ' -> date (reference: audisto.py:83). */
+  def parseIsoDate(c: Column): Column =
+    to_date(to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  /** C5: German 'dd.MM.yyyy' -> date (reference: Midoco/product_data.py:60-61). */
+  def parseGermanDate(c: Column): Column = to_date(c, "dd.MM.yyyy")
+
+  /** C6: 'yyyy-MM-dd HH:mm:ss' timestamp string -> day string
+    * (reference: sf_html_data.py:143-144). */
+  def dayString(c: Column): Column =
+    date_format(to_timestamp(c, "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd")
+
+  /** C8: whole-day difference (reference: product_data.py:66 lead-time). */
+  def daysBetween(end: Column, start: Column): Column = datediff(end, start)
+}
+
+/** Casting / coercion ops (SURVEY §2.9 C9-C12). */
+object Casts {
+  /** C9: German locale decimal "1.234,56" -> 1234.56
+    * (reference: Midoco/product_data.py:63-64). */
+  def localeDecimal(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").try_cast("double")
+
+  /** C10: pd.to_numeric(errors='coerce').fillna(0) — junk -> 0
+    * (reference: product_data.py:67-71). Spark's cast nulls on junk,
+    * matching pandas coerce. */
+  def coerceLong(c: Column): Column = coalesce(c.try_cast("long"), lit(0L))
+
+  /** C11: fillna(0) + float cast — the reference's *intended* semantics
+    * (its inplace-assignment form is a bug, SURVEY §8 Q1)
+    * (reference: sf_html_data.py:153-160). */
+  def fillDouble(c: Column): Column = coalesce(c.try_cast("double"), lit(0.0))
+
+  /** C14/A2: skip-null concat with separator (reference: sf_html_data.py:120-124). */
+  def concatSkipNull(sep: String, cols: Seq[Column]): Column =
+    concat_ws(sep, cols: _*)
+
+  /** A1: horizontal string merge of chunked columns
+    * (reference: sf_html_data.py:134-136). */
+  def mergeChunkColumns(cols: Seq[Column]): Column =
+    concat(cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
+}
+
+/** Set operations (SURVEY §2.8 U1/U2). */
+object Unions {
+  /** Permissive row union over heterogeneous schemas — the intended
+    * semantics of the reference's pd.concat misuse (SURVEY §8 Q4)
+    * (reference: sf_images_data.py:149-150, sf_orphan_data.py:92). */
+  def unionPermissive(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale posture (100 TB): every variant is sub-quadratic — exact dedup is
+  * one hash-shuffle on a 32-byte key (not the full text); near-dup variants
+  * bucket first (LSH bands / simhash prefixes / cheap blocking keys) so the
+  * pairwise work happens only inside buckets. Nothing here collects to the
+  * driver.
+  */
+object Dedup {
+
+  /** Exact dedup via md5(text): one shuffle on the digest, keeps the
+    * smallest id per group. Shuffling a fixed-width digest instead of the
+    * raw document keeps shuffle bytes ~constant per row at any document
+    * size. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy("text_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint dedup: order/duplicate-insensitive token-bag key
+    * (Text.fingerprint) — catches shuffled/repeated-word near-copies with
+    * exact-dedup cost. */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(Text.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature columns minhash_0..minhash_{k-1} over word
+    * n-gram shingles. Row-local (higher-order fns over the shingle array,
+    * no explode, no shuffle). */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+                           numHashes: Int, shingleSize: Int): DataFrame = {
+    val sh = Text.shingles(col(textCol), shingleSize)
+    val withSh = df.withColumn("__shingles", sh)
+    val sigCols = (0 until numHashes).map(i =>
+      Text.minhash(col("__shingles"), i).as(s"minhash_$i"))
+    withSh.select(df.columns.map(col) ++ sigCols: _*).drop("__shingles")
+  }
+
+  /** MinHash-LSH candidate pairs: signature -> bands -> band-hash buckets
+    * -> self-join inside buckets. The only shuffle is on (band_idx,
+    * band_hash) — cardinality ~ docs x bands, each key tiny. Quadratic
+    * blow-up is confined to colliding buckets (the candidates we want). */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            numHashes: Int = 8, bands: Int = 4,
+                            shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+    val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
+    val banded = (0 until bands).map { b =>
+      val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
+      sig.select(col(idCol), lit(b).as("band_idx"),
+        md5(concat_ws("|", bandCols: _*)).as("band_hash"))
+    }.reduce(_ unionAll _)
+    val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share a
+    * blocking key (default: same lang + length band). Pairwise work only
+    * inside blocks — the 100 TB path swaps the blocking key for
+    * minhashCandidatePairs above. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, minJaccard: Double = 0.0,
+                        blockingKey: DataFrame => Column = d => lit(1)): DataFrame = {
+    val withKey = df
+      .withColumn("__block", blockingKey(df))
+      .withColumn("__sh", array_distinct(Text.shingles(col(textCol), n)))
+      .select(col(idCol), col("__block"), col("__sh"))
+    val a = withKey.select(col("__block"), col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val b = withKey.select(col("__block"), col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    a.join(b, Seq("__block"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(inter / uni, 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup: packed simhash + bucket on the top `prefixBits`
+    * bits; pairs within a bucket filtered by Hamming distance. One shuffle
+    * on a small int key. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   bits: Int = 32, prefixBits: Int = 8,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), Text.simhash(col(textCol), bits).as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), bits - prefixBits))
+    val a = sh.select(col("bucket"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = sh.select(col("bucket"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", Text.hammingDistance(col("sim_a"), col("sim_b"), bits))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Scale posture: brute-force cosine is the correctness baseline (a single
+  * scan, embarrassingly parallel, no shuffle until the final top-k, which
+  * Spark plans as TakeOrderedAndProject — per-partition heaps + driver
+  * merge of k rows, not a global sort). The sign-LSH variant buckets
+  * vectors first so candidate sets shrink ~2^planes-fold; at 100 TB you
+  * also pre-partition the corpus by bucket so probes touch few partitions.
+  */
+object Similarity {
+
+  /** Cosine similarity between two Array[Float]/Array[Double] columns as a
+    * native higher-order-function expression (codegen'd; no UDF). Doubles
+    * throughout with a fixed left-fold order => engine-portable results. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Brute-force top-k nearest neighbours of one query vector. */
+  def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,
+                     queryVec: Column, k: Int): DataFrame =
+    corpus
+      .withColumn("cosine_sim", round(cosine(col(embCol), queryVec), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .select(col(idCol), col("cosine_sim"))
+      .limit(k)
+
+  /** All-pairs top-k: for every query row (small side, broadcast), its k
+    * nearest corpus rows. Broadcast-join + window, no cartesian shuffle. */
+  def crossTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+                corpusId: String, queryId: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(
+      broadcast(queries.select(col(queryId), col(embCol).as("__qvec"))))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("cosine_sim", round(cosine(col(embCol), col("__qvec")), 6))
+    val w = Window.partitionBy(queryId).orderBy(col("cosine_sim").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine_sim"), col("rank"))
+  }
+
+  /** Sign-LSH bucket id: one bit per "hyperplane", where plane p's weight
+    * for dimension d is a deterministic +-1 derived from md5(p:d). Engine-
+    * portable (md5-hex nibble parity) and row-local. */
+  def signLshBucket(emb: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // dot(emb, plane_p) with plane_p[d] = +1 if first md5 nibble even else -1
+      val dotp = (0 until dim).map { d =>
+        val sign =
+          if (Integer.parseInt(md5Hex(s"$p:$d").substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+        element_at(emb, d + 1).cast("double") * lit(sign)
+      }.reduce(_ + _)
+      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** LSH-bucketed ANN: cosine only against corpus rows in the query's
+    * bucket. Recall < 1 by design; the scale path over brute force. */
+  def lshTopK(corpus: DataFrame, embCol: String, idCol: String,
+              queryVec: Column, dim: Int, planes: Int, k: Int): DataFrame = {
+    val bucketed = corpus.withColumn("__bucket", signLshBucket(col(embCol), dim, planes))
+    val qBucket = signLshBucket(queryVec, dim, planes)
+    bucketed.where(col("__bucket") === qBucket)
+      .withColumn("cosine_sim", round(cosine(col(embCol), queryVec), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .select(col(idCol), col("cosine_sim"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold inside LSH
+    * buckets (the embedding analogue of Dedup.simhashPairs). */
+  def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                            dim: Int, planes: Int, minCosine: Double): DataFrame = {
+    val b = df.withColumn("__bucket", signLshBucket(col(embCol), dim, planes))
+    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    l.join(r, Seq("__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("cosine_sim") >= minCosine)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+}

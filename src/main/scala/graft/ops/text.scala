@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north star:
+  * language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is a native Column expression tree (codegen'd,
+  * shuffle-free, row-local) — at 100 TB these run inside the scan stage and
+  * cost nothing beyond the read. Hashing is md5-hex so results are portable
+  * across engines (and hence DuckDB-oracle-checkable), unlike Spark's
+  * murmur3 `hash()`.
+  */
+object Text {
+
+  /** Whitespace tokenization, lowercased, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= lit(""))
+
+  /** Token count (whitespace) — `size` is -1 on null, so null-guard. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish token count: letter-runs, digit-runs and single punctuation
+    * each count as one token — a cheap proxy for subword tokenizers. */
+  val BpeIshRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeIshTokenCount(text: Column): Column =
+    when(text.isNull, lit(0)).otherwise(regexp_count(text, lit(BpeIshRe)))
+
+  /** English stopword set used by the quality / language heuristics. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+      "was", "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val re = "(?i)\\b(" + stopwords.mkString("|") + ")\\b"
+    when(text.isNull, lit(0)).otherwise(regexp_count(text, lit(re)))
+  }
+
+  /** Quality score in [0,1]: blend of length band, stopword presence,
+    * alpha ratio and token diversity. Deterministic double arithmetic with
+    * a fixed evaluation order (oracle-parity safe after round()). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(coalesce(text, lit(""))).cast("double")
+    val lengthOk = when(nTok.between(8, 4096), lit(1.0)).otherwise(lit(0.25))
+    val stopRatio = when(nTok > 0, stopwordCount(text).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val stopOk = when(stopRatio.between(0.05, 0.6), lit(1.0)).otherwise(lit(0.5))
+    val alphaRatio = when(nChar > 0,
+      regexp_count(text, lit("[A-Za-z]")).cast("double") / nChar).otherwise(lit(0.0))
+    val diversity = when(nTok > 0,
+      size(array_distinct(tokens(text))).cast("double") / nTok).otherwise(lit(0.0))
+    round(lengthOk * 0.3 + stopOk * 0.2 + alphaRatio * 0.3 + diversity * 0.2, 6)
+  }
+
+  /** n-gram heuristic language ID: CJK chars -> zh, else argmax of
+    * per-language stopword hits (ties broken by fixed language order). */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "una", "para"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "que", "pour", "dans", "une", "vous"))
+
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    // zh if any CJK char; else the first language (fixed order => ties are
+    // deterministic) whose stopword-hit count equals the max.
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(
+      when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))) {
+      case (acc, (l, s)) => acc.when(s === maxScore, lit(l))
+    }
+    chain.otherwise(lit("unknown"))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token bag — a
+    * word-order-insensitive exact-duplicate key (cheaper than rolling
+    * hashes and portable to the oracle). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Word n-gram shingles; documents shorter than n collapse to one
+    * whole-text shingle. Row-local (no explode needed by callers that
+    * aggregate with higher-order functions). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks)
+    when(cnt >= n,
+      transform(sequence(lit(1), cnt - n + 1),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash value for one seed: min over shingles of md5(seed:shingle).
+    * Hex-string min == unsigned-bytes min (lowercase hex is order-preserving),
+    * identical in any engine. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(array_distinct(shingleArr),
+      s => md5(concat(lit(seed + ":"), s))))
+
+  /** SimHash over `bits` bits (<=32): per token md5, take bit j of the
+    * first bits/4 hex chars; simhash bit j = sign of sum(+1/-1) over
+    * tokens; packed little-endian into an int. Row-local, no shuffle. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits % 4 == 0 && bits <= 32)
+    val hashes = transform(tokens(text), t => md5(t))
+    val packed = (0 until bits).map { j =>
+      val nibble = j / 4
+      val inNibble = 3 - (j % 4)
+      // value of hex char #nibble (0-based) of each token hash
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => {
+          val v = (instr(lit("0123456789abcdef"), substring(h, nibble + 1, 1)) - 1).cast("int")
+          val b = shiftright(v, inNibble).bitwiseAND(lit(1))
+          acc + (b * 2 - 1)
+        })
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    when(size(tokens(text)) === 0, lit(0L)).otherwise(packed)
+  }
+
+  /** Hamming distance between two packed simhash values (<=32 bits). */
+  def hammingDistance(a: Column, b: Column, bits: Int = 32): Column =
+    (0 until bits).map { j =>
+      shiftright(a.bitwiseXOR(b), j).bitwiseAND(lit(1L))
+    }.reduce(_ + _)
+}
