@@ -1,0 +1,371 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** North-star query pack: text analysis, deduplication and similarity
+  * search over the `documents` / `embeddings` fixtures — the LLM-data-
+  * pipeline operators the engine adds beyond the reference's ETL surface
+  * (BASELINE.json "north_star"; SURVEY.md §7 phase 5).
+  *
+  * Every query has a DuckDB oracle that replicates the computation exactly
+  * (same tokenization, same md5-based hashing, same double fold order), so
+  * the driver's cell-by-cell compare is meaningful, not rows-only. The
+  * gnarlier oracles (simhash bits, LSH hyperplanes) are *generated* from
+  * the same Scala constants the Spark expressions use.
+  */
+object NorthStar {
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------ DuckDB SQL
+  // fragments mirroring graft.ops.Text exactly
+
+  /** tokens: lowercase, whitespace-split, empty-filtered (Text.tokens). */
+  private def toksSql(e: String): String =
+    raw"""list_filter(string_split_regex(lower(trim($e)), '\s+'), x -> x <> '')"""
+
+  /** word n-gram shingles (Text.shingles). */
+  private def shinglesSql(toks: String, n: Int): String =
+    s"""CASE WHEN len($toks) >= $n
+       | THEN list_transform(generate_series(1, len($toks)-${n - 1}),
+       |        i -> array_to_string(($toks)[i:i+${n - 1}], ' '))
+       | ELSE [array_to_string($toks, ' ')] END""".stripMargin
+
+  private def stopRe(words: Seq[String]): String =
+    "(?i)\\b(" + words.mkString("|") + ")\\b"
+
+  /** stopword-hit count on lower(text) (Text.stopwordCount). */
+  private def stopCountSql(e: String, words: Seq[String]): String =
+    s"coalesce(len(regexp_extract_all(lower($e), '${stopRe(words)}')), 0)"
+
+  /** Exact double cosine with ascending-index fold (Similarity.cosine).
+    * list_sum over generate_series keeps DuckDB's accumulation order equal
+    * to Spark's aggregate() left fold. */
+  private def cosineSql(a: String, b: String, dim: Int): String =
+    s"""(list_sum(list_transform(generate_series(1,$dim),
+       |   i -> CAST(($a)[i] AS DOUBLE)*CAST(($b)[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(generate_series(1,$dim),
+       |      i -> CAST(($a)[i] AS DOUBLE)*CAST(($a)[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(generate_series(1,$dim),
+       |      i -> CAST(($b)[i] AS DOUBLE)*CAST(($b)[i] AS DOUBLE))))))""".stripMargin
+
+  /** 32-bit SimHash from a token-md5 list column `h` (Text.simhash). */
+  private def simhashSql(h: String, nCol: String): String = {
+    val terms = (0 until 32).map { j =>
+      val nib = j / 4 + 1 // 1-based hex char position
+      val inn = 3 - (j % 4)
+      s"""(CASE WHEN list_sum(list_transform($h,
+         |  x -> (((strpos('0123456789abcdef', x[$nib:$nib])-1) >> $inn) & 1)*2 - 1)) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"CASE WHEN $nCol = 0 THEN 0 ELSE $terms END"
+  }
+
+  /** Sign-LSH bucket id over `e` (Similarity.signLshBucket) — the +-1
+    * hyperplane weights come from Similarity.planeSign, so the SQL bakes in
+    * the identical plane matrix the Spark expression uses. */
+  private def lshBucketSql(e: String, dim: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dim)
+        .map(d => s"CAST(($e)[${d + 1}] AS DOUBLE)*(${Similarity.planeSign(p, d)})")
+        .mkString(" + ")
+      s"(CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Plain-Scala replica of signLshBucket for a literal query vector (same
+    * fold order => bit-identical to Catalyst's constant folding). */
+  private def lshBucketOf(v: IndexedSeq[Double], planes: Int): Long =
+    (0 until planes).map { p =>
+      val dot = v.indices.map(d => v(d) * Similarity.planeSign(p, d)).reduce(_ + _)
+      if (dot > 0) 1L << p else 0L
+    }.sum
+
+  /** Deterministic 64-dim literal query vector with exactly-representable
+    * components (n/4), shared by Spark lit() and the SQL literal. */
+  private val QueryVec: IndexedSeq[Double] =
+    (0 until 64).map(d => (d % 7 - 3) / 4.0)
+  private def queryVecCol: Column = array(QueryVec.map(lit): _*)
+  private def queryVecSql: String = QueryVec.mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text: token counting (whitespace + BPE-ish) and stopword stats
+    "q18_token_stats" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      d.groupBy("lang")
+        .agg(
+          sum(Text.tokenCount(col("text"))).as("sum_tokens"),
+          sum(Text.bpeIshTokenCount(col("text"))).as("sum_bpe_tokens"),
+          sum(Text.stopwordCount(col("text"))).as("sum_stopwords"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // Text: quality scoring (length/stopword/alpha/diversity blend)
+    "q19_quality_score" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Text: n-gram-heuristic language ID vs the labeled lang column
+    "q20_lang_id" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .groupBy(col("lang"), Text.langId(col("text")).as("lang_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_id")
+    }),
+
+    // Dedup: exact (md5 of text, one fixed-width-key shuffle)
+    "q21_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(rd(s, dir, "documents"), "text", "doc_id")
+        .orderBy("text_hash")
+    }),
+
+    // Dedup: token-bag fingerprint (order/duplicate-insensitive key)
+    "q22_fingerprint_dedup" -> ((s, dir) => {
+      Dedup.byFingerprint(rd(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fp")
+    }),
+
+    // Dedup: MinHash + LSH banding candidate pairs
+    "q23_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidatePairs(rd(s, dir, "documents"), "text", "doc_id",
+          numHashes = 8, bands = 4, shingleSize = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Dedup: exact n-gram Jaccard within blocks (lang blocking, one source)
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+          rd(s, dir, "documents").filter(col("source") === "src0"),
+          "text", "doc_id", n = 3, minJaccard = 0.0,
+          blockingKey = _ => col("lang"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Dedup: SimHash values + prefix bucket (the near-dup key itself)
+    "q25_simhash" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.simhash(col("text"), 32).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 28))
+        .orderBy("doc_id")
+    }),
+
+    // Dedup: SimHash bucketed pairs with Hamming filter
+    "q26_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(rd(s, dir, "documents"), "text", "doc_id",
+          bits = 32, prefixBits = 4, maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Similarity: per-query top-k over the corpus (broadcast + window)
+    "q27_cosine_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.crossTopK(emb, qs, "embedding", "vec_id", "qid", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // Similarity: brute-force ANN baseline against a literal query vector
+    "q28_ann_brute" -> ((s, dir) => {
+      Similarity.bruteForceTopK(rd(s, dir, "embeddings"),
+        "embedding", "vec_id", queryVecCol, 15)
+    }),
+
+    // Similarity: sign-LSH bucketed ANN (the scale path)
+    "q29_lsh_topk" -> ((s, dir) => {
+      Similarity.lshTopK(rd(s, dir, "embeddings"),
+        "embedding", "vec_id", queryVecCol, dim = 64, planes = 4, k = 10)
+    }),
+
+    // Similarity: embedding near-duplicate pairs inside LSH buckets
+    "q30_embedding_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(rd(s, dir, "embeddings"),
+          "embedding", "vec_id", dim = 64, planes = 4, minCosine = 0.15)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = {
+    val toks = toksSql("text")
+
+    Map(
+      "q18_token_stats" ->
+        s"""SELECT lang,
+           |  sum(coalesce(len($toks), 0)) AS sum_tokens,
+           |  sum(coalesce(len(regexp_extract_all(text,
+           |      '${Text.BpeIshRe}')), 0)) AS sum_bpe_tokens,
+           |  sum(${stopCountSql("text", Text.EnStopwords)}) AS sum_stopwords,
+           |  count(*) AS n_docs
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q19_quality_score" ->
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |    CAST(coalesce(len($toks), 0) AS DOUBLE) AS ntok,
+           |    CAST(len(coalesce(text, '')) AS DOUBLE) AS nchar,
+           |    CAST(${stopCountSql("text", Text.EnStopwords)} AS DOUBLE) AS nstop,
+           |    CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z]')), 0)
+           |      AS DOUBLE) AS nalpha,
+           |    CAST(coalesce(len(list_distinct($toks)), 0) AS DOUBLE) AS ndist
+           |  FROM documents)
+           |SELECT doc_id, round(
+           |    (CASE WHEN ntok BETWEEN 8 AND 4096 THEN 1.0 ELSE 0.25 END) * 0.3
+           |  + (CASE WHEN (CASE WHEN ntok > 0 THEN nstop/ntok ELSE 0.0 END)
+           |       BETWEEN 0.05 AND 0.6 THEN 1.0 ELSE 0.5 END) * 0.2
+           |  + (CASE WHEN nchar > 0 THEN nalpha/nchar ELSE 0.0 END) * 0.3
+           |  + (CASE WHEN ntok > 0 THEN ndist/ntok ELSE 0.0 END) * 0.2,
+           |  6) AS quality
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "q20_lang_id" -> {
+        val scores = Text.LangStopwords.map { case (l, ws) =>
+          l -> s"s_$l"
+        }
+        val scoreDefs = Text.LangStopwords.map { case (l, ws) =>
+          s"${stopCountSql("text", ws)} AS s_$l"
+        }.mkString(",\n    ")
+        val maxExpr = "greatest(" + scores.map(_._2).mkString(", ") + ")"
+        val chain = scores.map { case (l, sc) =>
+          s"WHEN $sc = $maxExpr THEN '$l'"
+        }.mkString("\n    ")
+        s"""WITH s AS (
+           |  SELECT lang,
+           |    $scoreDefs,
+           |    coalesce(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')), 0) AS n_cjk
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, CASE WHEN n_cjk > 0 THEN 'zh'
+           |    $chain
+           |    ELSE 'unknown' END AS lang_id
+           |  FROM s)
+           |SELECT lang, lang_id, count(*) AS n FROM c
+           |GROUP BY lang, lang_id ORDER BY lang, lang_id""".stripMargin
+      },
+
+      "q21_exact_dedup" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+          |  count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+      "q22_fingerprint_dedup" ->
+        s"""SELECT md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp,
+           |  min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+      "q23_minhash_pairs" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |sh AS (
+           |  SELECT doc_id, ${shinglesSql("t", 3)} AS s FROM toks),
+           |sig AS (
+           |  SELECT doc_id, list_transform(['0','1','2','3','4','5','6','7'],
+           |    k -> list_aggregate(list_transform(list_distinct(s),
+           |           x -> md5(k || ':' || x)), 'min')) AS m
+           |  FROM sh),
+           |banded AS (
+           |  SELECT doc_id, u.b AS band_idx,
+           |    md5(m[2*u.b+1] || '|' || m[2*u.b+2]) AS band_hash
+           |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM banded a JOIN banded b USING (band_idx, band_hash)
+           |WHERE a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q24_ngram_jaccard" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, $toks AS t FROM documents
+           |  WHERE source = 'src0'),
+           |f AS (
+           |  SELECT doc_id, lang,
+           |    list_distinct(${shinglesSql("t", 3)}) AS sh
+           |  FROM toks)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+           |    6) AS jaccard
+           |FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q25_simhash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |hs AS (
+           |  SELECT doc_id, list_transform(t, x -> md5(x)) AS h, len(t) AS n
+           |  FROM toks)
+           |SELECT doc_id,
+           |  (${simhashSql("h", "n")}) AS simhash,
+           |  ((${simhashSql("h", "n")}) >> 28) AS bucket
+           |FROM hs ORDER BY doc_id""".stripMargin,
+
+      "q26_simhash_pairs" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |hs AS (
+           |  SELECT doc_id, list_transform(t, x -> md5(x)) AS h, len(t) AS n
+           |  FROM toks),
+           |sv AS (
+           |  SELECT doc_id, (${simhashSql("h", "n")}) AS simhash FROM hs),
+           |b AS (
+           |  SELECT doc_id, simhash, simhash >> 28 AS bucket FROM sv)
+           |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           |  bit_count(xor(a.simhash, c.simhash)) AS hamming
+           |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 16
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q27_cosine_topk" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           |  WHERE vec_id < 3),
+           |c AS (
+           |  SELECT q.qid, e.vec_id,
+           |    round(${cosineSql("e.embedding", "q.qv", 64)}, 6) AS cosine_sim
+           |  FROM embeddings e CROSS JOIN q
+           |  WHERE e.vec_id <> q.qid),
+           |r AS (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS "rank"
+           |  FROM c)
+           |SELECT qid, vec_id, cosine_sim, "rank" FROM r WHERE "rank" <= 10
+           |ORDER BY qid, "rank"""".stripMargin,
+
+      "q28_ann_brute" ->
+        s"""SELECT vec_id,
+           |  round(${cosineSql("embedding", queryVecSql, 64)}, 6) AS cosine_sim
+           |FROM embeddings
+           |ORDER BY cosine_sim DESC, vec_id LIMIT 15""".stripMargin,
+
+      "q29_lsh_topk" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    (${lshBucketSql("embedding", 64, 4)}) AS bucket
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |  round(${cosineSql("embedding", queryVecSql, 64)}, 6) AS cosine_sim
+           |FROM b WHERE bucket = ${lshBucketOf(QueryVec, 4)}
+           |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "q30_embedding_neardup" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    (${lshBucketSql("embedding", 64, 4)}) AS bucket
+           |  FROM embeddings)
+           |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           |  round(${cosineSql("a.embedding", "c.embedding", 64)}, 6) AS cosine_sim
+           |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |WHERE round(${cosineSql("a.embedding", "c.embedding", 64)}, 6) >= 0.15
+           |ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+}

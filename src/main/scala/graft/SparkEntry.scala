@@ -32,7 +32,13 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ NorthStar.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ NorthStar.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A-ops/§2.6 + F-ops: scan -> filter -> groupBy -> agg -> sort (TPC-H Q1 shape)
     "q01_pricing_summary" -> ((s, dir) => {
@@ -239,7 +245,7 @@ object SparkEntry {
 
   // ----------------------------------------------------------- oracle SQL
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

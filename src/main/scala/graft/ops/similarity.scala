@@ -57,14 +57,17 @@ object Similarity {
     val bits = (0 until planes).map { p =>
       // dot(emb, plane_p) with plane_p[d] = +1 if first md5 nibble even else -1
       val dotp = (0 until dim).map { d =>
-        val sign =
-          if (Integer.parseInt(md5Hex(s"$p:$d").substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
-        element_at(emb, d + 1).cast("double") * lit(sign)
+        element_at(emb, d + 1).cast("double") * lit(planeSign(p, d))
       }.reduce(_ + _)
       when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** The deterministic +-1 weight of plane p, dimension d (shared with the
+    * oracle-SQL generator so both engines use the same hyperplanes). */
+  private[graft] def planeSign(p: Int, d: Int): Double =
+    if (Integer.parseInt(md5Hex(s"$p:$d").substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

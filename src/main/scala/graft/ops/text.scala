@@ -33,9 +33,12 @@ object Text {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
       "was", "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
+  /** Counted over lower(text) so (?i) never needs non-ASCII case folding —
+    * Java regex (?i) is ASCII-only while RE2's is full-Unicode; lowering
+    * first makes both engines agree on words like "für". */
   def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
     val re = "(?i)\\b(" + stopwords.mkString("|") + ")\\b"
-    when(text.isNull, lit(0)).otherwise(regexp_count(text, lit(re)))
+    when(text.isNull, lit(0)).otherwise(regexp_count(lower(text), lit(re)))
   }
 
   /** Quality score in [0,1]: blend of length band, stopword presence,
