@@ -15,7 +15,7 @@ import graft.ops._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
     // (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench).
@@ -33,10 +33,10 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ NorthStar.queries
+    coreQueries ++ NorthStar.queries ++ SqlSurface.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ NorthStar.oracleSql
+    coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

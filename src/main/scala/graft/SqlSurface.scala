@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+
+/** Tier-B SQL surface (SURVEY §2.5-2.8, §3 "Tier-B lifecycle"): the
+  * warehouse-side analytics the reference delegates to BigQuery —
+  * multi-way joins, cube/grouping-sets, set ops, pivot, window frames,
+  * as-of and range joins, percentiles, plus the raw `spark.sql` path over
+  * registered views.
+  */
+object SqlSurface {
+
+  import SparkEntry.t
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.6 cube (dashboard-distribution shape)
+    "q31_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // §2.6 GROUPING SETS via the raw spark.sql path over a temp view
+    "q32_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST,
+          |         o_orderpriority ASC NULLS FIRST, n""".stripMargin)
+    }),
+
+    // §2.8 EXCEPT (distinct set difference)
+    "q33_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        .except(o.filter(year(col("o_orderdate")) === 1998).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // §2.8 INTERSECT
+    "q34_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1998).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // §2.6 pivot (wide dashboard table)
+    "q35_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")
+    }),
+
+    // §2.7 running window frame (rowsBetween unbounded..current)
+    "q36_running_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // §2.5 as-of join (window-over-union, no range explosion)
+    "q37_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value", "event_id")
+      Joins.asOf(clicks, errors, Seq("user_id"), "ts", "ts",
+          valueCol = "value", tieBreak = "event_id", asCol = "last_error_value")
+        .select("event_id", "user_id", "last_error_value")
+        .orderBy("event_id")
+    }),
+
+    // §2.5 range join against a broadcast band dimension
+    "q38_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 150000.0), ("mid", 150000.0, 300000.0),
+        ("high", 300000.0, 450000.0), ("vip", 450000.0, 1.0e9))
+        .toDF("band", "lo", "hi")
+      Joins.bandJoin(t(s, dir, "orders"), bands, "o_totalprice", "lo", "hi")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("band")
+    }),
+
+    // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
+    "q39_sql_revenue_region" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n + "_v"))
+      s.sql(
+        """SELECT n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  count(*) AS n_items
+          |FROM customer_v, orders_v, lineitem_v, supplier_v, nation_v, region_v
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          |  AND r_name = 'ASIA'
+          |  AND o_orderdate >= DATE '1996-01-01'
+          |  AND o_orderdate < DATE '1997-01-01'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
+    // §2.6 exact percentiles (linear interpolation in both engines)
+    "q40_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2.3 P2/P3/P5: schema-normalization pipeline ops (metadata-only)
+    "q41_schema_normalize" -> ((s, dir) => {
+      val messy = t(s, dir, "customer").select(
+        col("c_custkey").as("C CustKey"), col("c_name").as("C-Name"),
+        col("c_acctbal").as("C Acct-Bal"), col("c_mktsegment").as("Tmp Segment"))
+      val normalized = Names.normalizeAll(messy) // -> c_custkey, c_name, ...
+      Names.dropMatching(Names.keepMatching(normalized, "^(c_|tmp_).*"), "^tmp_.*")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.9 C6 timestamp -> day string, daily-trend rollup shape
+    "q42_daily_counts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("day")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q31_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q32_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n""".stripMargin,
+
+    "q33_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q34_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q35_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q36_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q37_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |errs AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, e.value AS last_error_value
+        |FROM clicks c ASOF LEFT JOIN errs e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q38_band_join" ->
+      """SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN (VALUES
+        |    ('low', 0.0, 150000.0), ('mid', 150000.0, 300000.0),
+        |    ('high', 300000.0, 450000.0), ('vip', 450000.0, 1.0e9))
+        |  AS b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q39_sql_revenue_region" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q40_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q41_schema_normalize" ->
+      """SELECT c_custkey, c_name, c_acctbal AS c_acct_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q42_daily_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  )
+}

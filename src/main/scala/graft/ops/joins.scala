@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators beyond plain equi-joins (SURVEY §2.5).
+  *
+  * The reference delegates all joins to its warehouse SQL; the two shapes
+  * its snapshot/append-history data model implies but Spark lacks as
+  * built-ins are implemented here Spark-first:
+  *
+  *  - as-of join: window-over-union, NOT a custom physical operator
+  *    (SURVEY §2.5 "if added for snapshot alignment, implement as
+  *    window-over-union"). One shuffle on the key, no range explosion.
+  *  - range join against a small band table: broadcast nested-loop — the
+  *    dim side is tiny, so Catalyst's BroadcastNestedLoopJoin is exactly
+  *    the right physical plan at any fact-side scale.
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach `valueCol` from the latest
+    * right row with rightTs <= leftTs on the same key.
+    *
+    * Implementation: tag right rows side=0 and left rows side=1, union on
+    * (key, ts, side), then `last(value, ignoreNulls)` over a running window
+    * partitioned by key. Right rows at the exact same ts sort before left
+    * rows, giving <= semantics; `tieBreak` makes duplicate-ts right rows
+    * deterministic (highest tieBreak wins).
+    *
+    * Scale: one hash shuffle on `keys` (the window), zero joins — at 100 TB
+    * this beats a range self-join by orders of magnitude because no
+    * candidate pairs ever materialize.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, valueCol: String,
+           tieBreak: String, asCol: String = "asof_value"): DataFrame = {
+    val keptLeft = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__tb", lit(null).cast(right.schema(tieBreak).dataType))
+    val r = right.select(keys.map(col) ++ Seq(
+      col(rightTs).as("__ts"), lit(0).as("__side"),
+      col(valueCol).as("__v"), col(tieBreak).as("__tb")): _*)
+    val unioned = Unions.unionPermissive(l, r)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asCol, last("__v", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(keptLeft.map(col) :+ col(asCol): _*)
+  }
+
+  /** Range (theta) join of a fact table against a small band dimension:
+    * fact.valueCol in [lo, hi). Broadcasts the band table explicitly. */
+  def bandJoin(fact: DataFrame, bands: DataFrame, valueCol: String,
+               lo: String, hi: String): DataFrame =
+    fact.join(broadcast(bands),
+      col(valueCol) >= col(lo) && col(valueCol) < col(hi))
+}
