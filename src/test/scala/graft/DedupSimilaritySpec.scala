@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words about spark engines and parquet files"),
+    (5L, "dog lazy the over jumps fox brown quick the")  // reordered 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("keep_id") === 1L)
+    assert(r.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("fingerprint dedup also catches word-order shuffles") {
+    val r = Dedup.byFingerprint(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_copies") === 3L) // 1, 2, 5
+  }
+
+  test("minhash LSH surfaces the near-dup pair without all-pairs compare") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dups always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc out
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, unrelated low") {
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.5)
+    assert(j((1L, 4L)) === 0.0)
+  }
+
+  test("simhash pairs: exact dups at hamming 0; near dups close") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id",
+      bits = 32, prefixBits = 2, maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(1.0f, 0.0f, 0.0f, 0.0f))  // identical to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical = 1, orthogonal = 0, opposite = -1") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 0.0), Array(-1.0, 0.0))).toDF("a", "b")
+    val r = rows(df.select(round(Similarity.cosine(col("a"), col("b")), 9))).flatten
+    assert(r === Seq(1.0, 0.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks by similarity with id tiebreak") {
+    val q = array(Seq(1.0, 0.0, 0.0, 0.0).map(lit): _*)
+    val top = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(0L, 4L, 1L)) // ids 0,4 tie at cos=1, id asc
+  }
+
+  test("crossTopK excludes self and returns k per query") {
+    val qs = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val r = Similarity.crossTopK(vecs, qs, "embedding", "vec_id", "qid", 2)
+      .collect()
+    assert(r.length === 2)
+    assert(!r.exists(_.getAs[Long]("vec_id") == 0L))
+    assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(4L, 1L))
+  }
+
+  test("signLshBucket: identical vectors share a bucket, opposite do not") {
+    val b = vecs.select(col("vec_id"),
+      Similarity.signLshBucket(col("embedding"), 4, 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) === b(4L))
+    assert(b(0L) !== b(3L)) // all 8 plane signs flip
+  }
+
+  test("embeddingNearDupPairs finds the identical pair") {
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      dim = 4, planes = 2, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+}
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf: latest right row at-or-before left ts per key; null before any") {
+    val left = Seq((1L, 10, 100L), (1L, 25, 101L), (2L, 5, 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 10, 1.0, 900L), (1L, 20, 2.0, 901L), (2L, 7, 9.0, 902L))
+      .toDF("k", "ts", "v", "rid")
+    val r = Joins.asOf(left, right, Seq("k"), "ts", "ts", "v", "rid")
+      .orderBy("lid").collect()
+    // left(1,10): right at ts=10 qualifies (<=); left(1,25): latest is ts=20
+    assert(r.map(x => Option(x.getAs[Any]("asof_value"))).toSeq ===
+      Seq(Some(1.0), Some(2.0), None)) // (2,5) precedes right(2,7) -> null
+  }
+
+  test("asOf: duplicate right ts resolved by highest tieBreak") {
+    val left = Seq((1L, 10, 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 10, 1.0, 900L), (1L, 10, 2.0, 901L))
+      .toDF("k", "ts", "v", "rid")
+    val r = Joins.asOf(left, right, Seq("k"), "ts", "ts", "v", "rid").collect()
+    assert(r.head.getAs[Double]("asof_value") === 2.0)
+  }
+
+  test("bandJoin: lo inclusive, hi exclusive") {
+    val fact = Seq(0.0, 9.99, 10.0, 19.99, 20.0).toDF("v")
+    val bands = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0)).toDF("band", "lo", "hi")
+    val r = Joins.bandJoin(fact, bands, "v", "lo", "hi")
+      .groupBy("band").count().orderBy("band").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r === Seq(("a", 2L), ("b", 2L))) // 20.0 falls outside both
+  }
+}

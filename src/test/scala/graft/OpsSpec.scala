@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Unit tests for the core expression library (SURVEY §5.2). */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def levels(url: String): Seq[Any] = {
+    val df = Seq(url).toDF("u")
+    rows(Urls.withUrlLevels(df, "u").select(
+      "root", "directory", "page_level1", "page_level2")).head
+  }
+
+  test("full URL decomposes into host + path levels") {
+    assert(levels("https://www.x.de/a/b/c") === Seq("www.x.de", "a", "b", "c"))
+  }
+
+  test("short URL yields nulls beyond path length") {
+    assert(levels("https://www.x.de") === Seq("www.x.de", null, null, null))
+    assert(levels("https://www.x.de/a") === Seq("www.x.de", "a", null, null))
+  }
+
+  test("trailing slash does not fabricate a segment") {
+    assert(levels("https://www.x.de/a/") === Seq("www.x.de", "a", null, null))
+  }
+
+  test("null URL yields all-null levels") {
+    val df = strDf("u", Seq(None))
+    assert(rows(Urls.withUrlLevels(df, "u")
+      .select("root", "directory")).head === Seq(null, null))
+  }
+
+  test("websiteType: internal vs whitelabel (negative lookahead) vs external") {
+    val internal = "https?://www\\.x\\.de.*"
+    val wl = "https?://(?!www\\.)[a-zA-Z0-9-]+\\.x\\.de.*"
+    val df = Seq("https://www.x.de/p", "https://blog.x.de/p", "https://y.com/p")
+      .toDF("u")
+    assert(rows(df.select(Urls.websiteType(col("u"), internal, wl)))
+      .flatten === Seq("Internal", "Whitelabel", "External"))
+  }
+
+  test("doctype: extension match is case-insensitive and query-string-safe") {
+    val df = Seq("https://x.de/a.JPG", "https://x.de/a.png?x=1", "https://x.de/a")
+      .toDF("u")
+    assert(rows(df.select(Urls.doctype(col("u"), Seq("jpg", "png"))))
+      .flatten === Seq("Picture", "Picture", "HTML"))
+  }
+}
+
+class CastsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("localeDecimal parses German decimals, nulls junk") {
+    val df = Seq("1.234,56", "12,5", "1.000.000,00", "junk", "").toDF("p")
+    assert(rows(df.select(Casts.localeDecimal(col("p")))).flatten ===
+      Seq(1234.56, 12.5, 1000000.0, null, null))
+  }
+
+  test("coerceLong: junk -> 0, valid -> value (pd.to_numeric coerce+fillna)") {
+    val df = Seq("42", "x1", null).toDF("c")
+    assert(rows(df.select(Casts.coerceLong(col("c")))).flatten === Seq(42L, 0L, 0L))
+  }
+
+  test("fillDouble: null/junk -> 0.0 (intended semantics of quirk Q1)") {
+    val df = Seq("1.5", "nope", null).toDF("c")
+    assert(rows(df.select(Casts.fillDouble(col("c")))).flatten === Seq(1.5, 0.0, 0.0))
+  }
+
+  test("concatSkipNull skips nulls like the reference's notna() filter") {
+    val df = Seq((Some("a"), None: Option[String], Some("c"))).toDF("x", "y", "z")
+    assert(rows(df.select(Casts.concatSkipNull(", ",
+      Seq(col("x"), col("y"), col("z"))))).flatten === Seq("a, c"))
+  }
+
+  test("mergeChunkColumns treats null chunks as empty strings") {
+    val df = Seq((Some("a"), None: Option[String], Some("c"))).toDF("x", "y", "z")
+    assert(rows(df.select(Casts.mergeChunkColumns(
+      Seq(col("x"), col("y"), col("z"))))).flatten === Seq("ac"))
+  }
+}
+
+class NamesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize: whitespace/hyphen/quote -> _, lowercased") {
+    assert(Names.normalize("Status Code") === "status_code")
+    assert(Names.normalize("Meta-Description 1") === "meta_description_1")
+    assert(Names.normalize("""a"b'c""") === "a_b_c")
+  }
+
+  test("normalize is idempotent") {
+    val names = Seq("Crawl Depth", "Unique-Inlinks", "ok_name", "A  B-C")
+    names.foreach(n => assert(Names.normalize(Names.normalize(n)) === Names.normalize(n)))
+  }
+
+  test("keepMatching / dropMatching project by column-name regex") {
+    val df = Seq((1, 2, 3)).toDF("content_1", "content_2", "other")
+    assert(Names.keepMatching(df, "^content_.*").columns.toSeq ===
+      Seq("content_1", "content_2"))
+    assert(Names.dropMatching(df, "^content_.*").columns.toSeq === Seq("other"))
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[A](c: org.apache.spark.sql.Column, text: String): Any =
+    rows(Seq(text).toDF("t").select(c)).head.head
+
+  test("tokens lowercases, splits on runs of whitespace, drops empties") {
+    assert(one(Text.tokens(col("t")), "  Hello   WORLD  ") === Seq("hello", "world"))
+    assert(one(Text.tokenCount(col("t")), "a b  c") === 3)
+    assert(one(Text.tokenCount(col("t")), "   ") === 0)
+  }
+
+  test("tokenCount of null is 0") {
+    assert(rows(strDf("t", Seq(None)).select(Text.tokenCount(col("t"))))
+      .head.head === 0)
+  }
+
+  test("bpeIshTokenCount: letter runs, digit runs, single punct") {
+    assert(one(Text.bpeIshTokenCount(col("t")), "ab12cd, x!") === 6)
+  }
+
+  test("stopwordCount matches case-insensitively on word boundaries") {
+    assert(one(Text.stopwordCount(col("t")), "The cat and THE hat, band") === 3)
+  }
+
+  test("shingles: sliding word n-grams; short docs collapse to one") {
+    assert(one(Text.shingles(col("t"), 3), "a b c d") === Seq("a b c", "b c d"))
+    assert(one(Text.shingles(col("t"), 3), "a b") === Seq("a b"))
+  }
+
+  test("fingerprint is word-order and duplication insensitive") {
+    val df = Seq("b a a c", "c b a").toDF("t")
+    val fps = rows(df.select(Text.fingerprint(col("t")))).flatten
+    assert(fps.head === fps(1))
+  }
+
+  test("simhash: identical texts equal, hamming 0; empty text -> 0") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "").toDF("t")
+    val hs = rows(df.select(Text.simhash(col("t"), 32))).flatten
+    assert(hs.head === hs(1))
+    assert(hs(2) === 0L)
+    val hd = rows(Seq((hs.head.asInstanceOf[Long], hs(1).asInstanceOf[Long]))
+      .toDF("a", "b").select(Text.hammingDistance(col("a"), col("b"), 32)))
+      .head.head
+    assert(hd === 0L)
+  }
+
+  test("langId picks the stopword-heaviest language; CJK -> zh") {
+    val df = Seq(
+      "the cat sat on the mat and it was good",
+      "der hund und die katze sind nicht da",
+      "中文文本").toDF("t")
+    assert(rows(df.select(Text.langId(col("t")))).flatten === Seq("en", "de", "zh"))
+  }
+
+  test("qualityScore stays within [0,1]") {
+    val df = Seq("", "x", "the quick brown fox jumps over the lazy dog and runs")
+      .toDF("t")
+    rows(df.select(Text.qualityScore(col("t")))).flatten.foreach { v =>
+      val d = v.asInstanceOf[Double]
+      assert(d >= 0.0 && d <= 1.0)
+    }
+  }
+}
