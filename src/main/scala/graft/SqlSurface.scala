@@ -137,6 +137,44 @@ object SqlSurface {
         .orderBy("c_custkey")
     }),
 
+    // North-star multimodal: binary payload + stub-decoded typed metadata
+    // + aspect-preserving resize, all in the scan stage (payloads never
+    // shuffle — only derived metadata reaches the aggregation)
+    "q43_multimodal_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("kind", Multimodal.kindOf(col("doc_id")))
+      val m = d.withColumn("meta",
+          Multimodal.stubDecodeMeta(col("payload"), col("kind")))
+        .withColumn("resized", Multimodal.resizedDims(col("meta"), 320, 240))
+      m.groupBy("kind")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("meta.width")).as("sum_width"),
+          sum(col("meta.height")).as("sum_height"),
+          sum(col("resized.out_width")).as("sum_out_width"),
+          sum(col("resized.out_height")).as("sum_out_height"),
+          sum(col("meta.sample_rate")).as("sum_sample_rate"),
+          max(col("meta.duration_ms")).as("max_duration_ms"))
+        .orderBy("kind")
+    }),
+
+    // North-star multimodal: frame sampling over video clips
+    "q44_frame_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 2) // video rows
+        .withColumn("duration_ms", col("n_chars") * 10)
+        .withColumn("offsets",
+          Multimodal.frameOffsets(col("duration_ms"), 500))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(size(col("offsets"))).as("n_frames"),
+          sum(aggregate(col("offsets"), lit(0L), (a, v) => a + v))
+            .as("sum_offset_ms"))
+        .orderBy("lang")
+    }),
+
     // §2.9 C6 timestamp -> day string, daily-trend rollup shape
     "q42_daily_counts" -> ((s, dir) => {
       t(s, dir, "events")
@@ -233,6 +271,43 @@ object SqlSurface {
     "q42_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q43_multimodal_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |d AS (
+        |  SELECT kind,
+        |    (nb * 7) % 512 + 128 AS width,
+        |    (nb * 13) % 384 + 96 AS height,
+        |    CASE WHEN kind = 'audio' THEN (nb % 3) * 16000 + 16000 END
+        |      AS sample_rate,
+        |    nb * 10 AS duration_ms
+        |  FROM m),
+        |r AS (
+        |  SELECT *, least(floor(320 * 1000 / width),
+        |                  floor(240 * 1000 / height), 1000) AS scale_mil
+        |  FROM d)
+        |SELECT kind, count(*) AS n,
+        |  sum(width) AS sum_width, sum(height) AS sum_height,
+        |  sum(floor(width * scale_mil / 1000)) AS sum_out_width,
+        |  sum(floor(height * scale_mil / 1000)) AS sum_out_height,
+        |  sum(sample_rate) AS sum_sample_rate,
+        |  max(duration_ms) AS max_duration_ms
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q44_frame_sample" ->
+      """WITH v AS (
+        |  SELECT lang, n_chars * 10 AS duration_ms,
+        |    generate_series(0, n_chars * 10, 500) AS offsets
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT lang, count(*) AS n_clips,
+        |  sum(len(offsets)) AS n_frames,
+        |  sum(list_sum(offsets)) AS sum_offset_ms
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
