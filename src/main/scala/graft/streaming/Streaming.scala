@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming view of the engine (SURVEY §2.11).
+  *
+  * The reference's temporal model is cron-fired daily batch with
+  * append-history tables (K1) and replace-as-latest tables (K2/K3) — i.e.
+  * hand-rolled micro-batching. This module is the streaming-native
+  * re-expression over an `events`-shaped source (event_id, ts, user_id,
+  * event_type, value, props):
+  *
+  *  - watermarked tumbling-window aggregation (the daily-trend dashboards)
+  *  - in-stream dedup bounded by the watermark (exactly-once-ish ingest)
+  *  - arbitrary per-key state via mapGroupsWithState (running per-user
+  *    aggregates, the streaming analogue of append-history self-joins)
+  *  - foreachBatch dual sink = K3's append-history + replace-latest fanout
+  *
+  * Scale posture: state stores are per-key (user_id / window) and bounded
+  * by the watermark, so executors hold O(active keys), not O(history);
+  * sink files partition by day exactly like the batch K1 path.
+  */
+object Streaming {
+
+  /** Watermarked tumbling-window counts per event type (daily-trend shape;
+    * watermark bounds late data, which the reference never handled —
+    * its cron rerun just overwrote the day). */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** In-stream exact dedup on event_id, state bounded by the watermark. */
+  def dedupedStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * mapGroupsWithState — the custom-state extension point
+    * (KeyValueGroupedDataset) the prompt's §streaming calls for. */
+  def runningUserStats(events: Dataset[(Long, Double)]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+          val (n, s) = rows.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((cn, cs), (_, v)) => (cn + 1, cs + v)
+          }
+          val next = UserStat(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** K3 dual-sink fanout in streaming form: every micro-batch appends to a
+    * day-partitioned history table AND overwrites a small "latest state"
+    * table — exactly the reference's append+replace pair
+    * (sf_html_data.py:176-185), but incremental. */
+  def dualSink(counts: DataFrame, historyPath: String, latestPath: String,
+               checkpoint: String) =
+    counts.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.withColumn("day",
+          date_format(col("window_start"), "yyyy-MM-dd"))
+        b.persist()
+        // No-data batches (watermark advancement) must not clobber the
+        // latest-state table with an empty overwrite.
+        if (!b.isEmpty) {
+          b.write.mode("append").partitionBy("day").parquet(historyPath)
+          b.write.mode("overwrite").parquet(latestPath)
+        }
+        b.unpersist()
+        ()
+      }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  test("windowedCounts aggregates tumbling windows per event type") {
+    val in = MemoryStream[Ev]
+    val q = Streaming.windowedCounts(in.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      in.addData(
+        Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 2.0),
+        Ev(3, ts(15), 2, "error", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("wc")
+        .select("event_type", "n", "sum_value").orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq === Seq(("click", 2L, 3.0), ("error", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupedStream drops replayed event ids") {
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedupedStream(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(3, ts(3), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dd").count() === 3) // replayed id 1 dropped
+    } finally q.stop()
+  }
+
+  test("runningUserStats keeps per-user state across micro-batches") {
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.runningUserStats(in.toDS())
+      .writeStream.format("memory").queryName("us").outputMode("update").start()
+    try {
+      in.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+      q.processAllAvailable()
+      in.addData((1L, 3.0))
+      q.processAllAvailable()
+      // update mode emits one row per key per batch; latest row per key wins
+      val latest = spark.table("us").groupBy("user_id")
+        .agg(max("n_events").as("n"), max("sum_value").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest === Set((1L, 3L, 6.0), (2L, 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("dualSink: append-history plus replace-latest per micro-batch (K3)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = MemoryStream[Ev]
+    val counts = Streaming.windowedCounts(in.toDF(), "10 minutes", "1 hour")
+    val q = Streaming.dualSink(counts, s"$tmp/history", s"$tmp/latest",
+      s"$tmp/ckpt").start()
+    try {
+      in.addData(Ev(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(20), 1, "click", 2.0))
+      q.processAllAvailable()
+      val hist = spark.read.parquet(s"$tmp/history")
+      val latest = spark.read.parquet(s"$tmp/latest")
+      // history accumulates updates (>= 2 rows), latest has exactly the
+      // final state of the single open window
+      assert(hist.count() >= 2)
+      assert(latest.count() === 1)
+      assert(latest.select("n").head().getLong(0) === 2L)
+      assert(hist.columns.contains("day")) // day-partitioned like K1
+    } finally q.stop()
+  }
+}
