@@ -161,7 +161,7 @@ object NorthStar {
     // Dedup: SimHash bucketed pairs with Hamming filter
     "q26_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(rd(s, dir, "documents"), "text", "doc_id",
-          bits = 32, prefixBits = 4, maxHamming = 16)
+          bits = 32, prefixBits = 8, maxHamming = 10)
         .orderBy("id_a", "id_b")
     }),
 
@@ -317,11 +317,11 @@ object NorthStar {
            |sv AS (
            |  SELECT doc_id, (${simhashSql("h", "n")}) AS simhash FROM hs),
            |b AS (
-           |  SELECT doc_id, simhash, simhash >> 28 AS bucket FROM sv)
+           |  SELECT doc_id, simhash, simhash >> 24 AS bucket FROM sv)
            |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
            |  bit_count(xor(a.simhash, c.simhash)) AS hamming
            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
-           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 16
+           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 10
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q27_cosine_topk" ->

@@ -132,6 +132,20 @@ object Casts {
     concat(cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
 }
 
+/** Scale helpers. */
+object Scale {
+  /** Ensure at least the session's default parallelism for CPU-dense
+    * row-local stages (hashing, signatures, cosine). A small extract often
+    * lands in one parquet row group -> one scan partition -> the whole
+    * stage serializes on a single core no matter how many executors exist.
+    * At real scale inputs already exceed defaultParallelism and this is a
+    * no-op (no shuffle added). */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
+
 /** Set operations (SURVEY §2.8 U1/U2). */
 object Unions {
   /** Permissive row union over heterogeneous schemas — the intended

@@ -33,8 +33,9 @@ object Dedup {
   /** MinHash signature columns minhash_0..minhash_{k-1} over word
     * n-gram shingles. Row-local (higher-order fns over the shingle array,
     * no explode, no shuffle). */
-  def withMinhashSignature(df: DataFrame, textCol: String,
+  def withMinhashSignature(df0: DataFrame, textCol: String,
                            numHashes: Int, shingleSize: Int): DataFrame = {
+    val df = Scale.widen(df0)
     val sh = Text.shingles(col(textCol), shingleSize)
     val withSh = df.withColumn("__shingles", sh)
     val sigCols = (0 until numHashes).map(i =>
@@ -42,35 +43,48 @@ object Dedup {
     withSh.select(df.columns.map(col) ++ sigCols: _*).drop("__shingles")
   }
 
+  /** Expand sorted per-bucket id arrays into (id_a, id_b) pairs with
+    * id_a < id_b, entirely with array lambdas (no self-join, so the
+    * expensive upstream signature is evaluated exactly once per row). */
+  private[ops] def bucketPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
   /** MinHash-LSH candidate pairs: signature -> bands -> band-hash buckets
-    * -> self-join inside buckets. The only shuffle is on (band_idx,
-    * band_hash) — cardinality ~ docs x bands, each key tiny. Quadratic
-    * blow-up is confined to colliding buckets (the candidates we want). */
+    * -> in-bucket pair expansion. ONE shuffle on (band_idx, band_hash) and
+    * one signature evaluation per row (a naive self-join would recompute
+    * the md5 signatures on both sides). Quadratic blow-up is confined to
+    * colliding buckets (the candidates we want) — at 100 TB, band width
+    * controls bucket size, and a `size(ids) > cap` guard can drop
+    * degenerate buckets (all-identical boilerplate docs). */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 8, bands: Int = 4,
                             shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
-    val banded = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band_idx"),
-        md5(concat_ws("|", bandCols: _*)).as("band_hash"))
-    }.reduce(_ unionAll _)
-    val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", bandCols: _*)).as("band_hash"))
+    }
+    sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .groupBy("band.band_idx", "band.band_hash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * blocking key (default: same lang + length band). Pairwise work only
     * inside blocks — the 100 TB path swaps the blocking key for
     * minhashCandidatePairs above. */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+  def ngramJaccardPairs(df0: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, minJaccard: Double = 0.0,
                         blockingKey: DataFrame => Column = d => lit(1)): DataFrame = {
+    val df = Scale.widen(df0)
     val withKey = df
       .withColumn("__block", blockingKey(df))
       .withColumn("__sh", array_distinct(Text.shingles(col(textCol), n)))
@@ -88,18 +102,25 @@ object Dedup {
 
   /** SimHash near-dup: packed simhash + bucket on the top `prefixBits`
     * bits; pairs within a bucket filtered by Hamming distance. One shuffle
-    * on a small int key. */
+    * on a small int key, one simhash evaluation per row (the simhash
+    * expression is by far the dominant cost — a self-join would pay it
+    * twice). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    bits: Int = 32, prefixBits: Int = 8,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), Text.simhash(col(textCol), bits).as("simhash"))
+    val sh = Scale.widen(df)
+      .select(col(idCol), Text.simhash(col(textCol), bits).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), bits - prefixBits))
-    val a = sh.select(col("bucket"), col(idCol).as("id_a"), col("simhash").as("sim_a"))
-    val b = sh.select(col("bucket"), col(idCol).as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("hamming", Text.hammingDistance(col("sim_a"), col("sim_b"), bits))
+    val entries = sort_array(collect_list(struct(col(idCol).as("id"),
+      col("simhash").as("sim"))))
+    sh.groupBy("bucket").agg(entries.as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), y => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          Text.hammingDistance(x.getField("sim"), y.getField("sim"), bits)
+            .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 }

@@ -30,7 +30,7 @@ object Similarity {
   /** Brute-force top-k nearest neighbours of one query vector. */
   def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,
                      queryVec: Column, k: Int): DataFrame =
-    corpus
+    Scale.widen(corpus)
       .withColumn("cosine_sim", round(cosine(col(embCol), queryVec), 6))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .select(col(idCol), col("cosine_sim"))
@@ -40,7 +40,7 @@ object Similarity {
     * nearest corpus rows. Broadcast-join + window, no cartesian shuffle. */
   def crossTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
                 corpusId: String, queryId: String, k: Int): DataFrame = {
-    val joined = corpus.crossJoin(
+    val joined = Scale.widen(corpus).crossJoin(
       broadcast(queries.select(col(queryId), col(embCol).as("__qvec"))))
       .where(col(corpusId) =!= col(queryId))
       .withColumn("cosine_sim", round(cosine(col(embCol), col("__qvec")), 6))
@@ -55,10 +55,14 @@ object Similarity {
     * portable (md5-hex nibble parity) and row-local. */
   def signLshBucket(emb: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
-      // dot(emb, plane_p) with plane_p[d] = +1 if first md5 nibble even else -1
-      val dotp = (0 until dim).map { d =>
-        element_at(emb, d + 1).cast("double") * lit(planeSign(p, d))
-      }.reduce(_ + _)
+      // dot(emb, plane_p) with plane_p[d] = +1 if first md5 nibble even
+      // else -1. aggregate(zip_with(...)) folds in ascending index order,
+      // left-associated — bit-identical to an explicit term chain but with
+      // O(planes) codegen size instead of O(planes*dim).
+      val signs = array((0 until dim).map(d => lit(planeSign(p, d))): _*)
+      val dotp = aggregate(
+        zip_with(emb, signs, (v, sg) => v.cast("double") * sg),
+        lit(0.0), (acc, x) => acc + x)
       when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -77,7 +81,8 @@ object Similarity {
     * bucket. Recall < 1 by design; the scale path over brute force. */
   def lshTopK(corpus: DataFrame, embCol: String, idCol: String,
               queryVec: Column, dim: Int, planes: Int, k: Int): DataFrame = {
-    val bucketed = corpus.withColumn("__bucket", signLshBucket(col(embCol), dim, planes))
+    val bucketed = Scale.widen(corpus)
+      .withColumn("__bucket", signLshBucket(col(embCol), dim, planes))
     val qBucket = signLshBucket(queryVec, dim, planes)
     bucketed.where(col("__bucket") === qBucket)
       .withColumn("cosine_sim", round(cosine(col(embCol), queryVec), 6))
@@ -87,16 +92,24 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold inside LSH
-    * buckets (the embedding analogue of Dedup.simhashPairs). */
+    * buckets (the embedding analogue of Dedup.simhashPairs). Bucket ids
+    * are computed once per row, then pairs expand inside each collected
+    * bucket — no self-join, so the plane projections aren't paid twice;
+    * the only shuffle is the groupBy on the bucket id. */
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                             dim: Int, planes: Int, minCosine: Double): DataFrame = {
-    val b = df.withColumn("__bucket", signLshBucket(col(embCol), dim, planes))
-    val l = b.select(col("__bucket"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val r = b.select(col("__bucket"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    l.join(r, Seq("__bucket"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+    val b = Scale.widen(df).select(col(idCol), col(embCol),
+      signLshBucket(col(embCol), dim, planes).as("__bucket"))
+    val entries = sort_array(collect_list(struct(col(idCol).as("id"),
+      col(embCol).as("emb"))))
+    b.groupBy("__bucket").agg(entries.as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), y => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          round(cosine(x.getField("emb"), y.getField("emb")), 6)
+            .as("cosine_sim")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine_sim"))
       .where(col("cosine_sim") >= minCosine)
-      .select("id_a", "id_b", "cosine_sim")
   }
 }

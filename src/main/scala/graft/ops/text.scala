@@ -100,35 +100,45 @@ object Text {
 
   /** MinHash value for one seed: min over shingles of md5(seed:shingle).
     * Hex-string min == unsigned-bytes min (lowercase hex is order-preserving),
-    * identical in any engine. */
+    * identical in any engine. No array_distinct: duplicates cannot change a
+    * minimum, and distinct on a string array is O(n^2) — the single
+    * hottest cost in the LSH pipeline before it was dropped. */
   def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(array_distinct(shingleArr),
-      s => md5(concat(lit(seed + ":"), s))))
+    array_min(transform(shingleArr, s => md5(concat(lit(seed + ":"), s))))
 
-  /** SimHash over `bits` bits (<=32): per token md5, take bit j of the
-    * first bits/4 hex chars; simhash bit j = sign of sum(+1/-1) over
-    * tokens; packed little-endian into an int. Row-local, no shuffle. */
+  /** SimHash over `bits` bits (<=32): per token md5; bit j is derived from
+    * hex char j/4 (bit 3-(j%4) within the nibble); simhash bit j = sign of
+    * sum(+1/-1) over tokens; packed little-endian. Row-local, no shuffle.
+    *
+    * Implementation: the first bits/4 hex chars parse to one integer L via
+    * conv(), in which bit j of the definition above is (L >> (bits-1-j))&1
+    * — so the whole per-token contribution is one md5 + one conv + `bits`
+    * integer ops in a single fold, instead of `bits` separate
+    * substring/instr passes over the token list (~10x less work, same
+    * value bit-for-bit). */
   def simhash(text: Column, bits: Int = 32): Column = {
     require(bits % 4 == 0 && bits <= 32)
-    val hashes = transform(tokens(text), t => md5(t))
-    val packed = (0 until bits).map { j =>
-      val nibble = j / 4
-      val inNibble = 3 - (j % 4)
-      // value of hex char #nibble (0-based) of each token hash
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, h) => {
-          val v = (instr(lit("0123456789abcdef"), substring(h, nibble + 1, 1)) - 1).cast("int")
-          val b = shiftright(v, inNibble).bitwiseAND(lit(1))
-          acc + (b * 2 - 1)
-        })
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val hexChars = bits / 4
+    // one 32-bit (or fewer) integer per token holding all sign bits
+    val tokenBits = transform(tokens(text),
+      t => conv(substring(md5(t), 1, hexChars), 16, 10).cast("long"))
+    val shifts = sequence(lit(bits - 1), lit(0), lit(-1)) // j=0 -> bits-1
+    val counts = aggregate(tokenBits,
+      array_repeat(lit(0), bits),
+      (acc, l) => zip_with(acc, shifts,
+        (a, sft) => a + (call_function("shiftright", l, sft.cast("int"))
+          .bitwiseAND(lit(1L)).cast("int") * 2 - 1)))
+    val powers = transform(sequence(lit(0), lit(bits - 1)),
+      j => call_function("shiftleft", lit(1L), j.cast("int")))
+    val packed = aggregate(
+      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (a, v) => a + v)
     when(size(tokens(text)) === 0, lit(0L)).otherwise(packed)
   }
 
-  /** Hamming distance between two packed simhash values (<=32 bits). */
+  /** Hamming distance between two packed simhash values (<=32 bits):
+    * popcount of xor — one codegen'd instruction instead of a 32-term
+    * shift/mask chain. */
   def hammingDistance(a: Column, b: Column, bits: Int = 32): Column =
-    (0 until bits).map { j =>
-      shiftright(a.bitwiseXOR(b), j).bitwiseAND(lit(1L))
-    }.reduce(_ + _)
+    bit_count(a.bitwiseXOR(b)).cast("long")
 }
