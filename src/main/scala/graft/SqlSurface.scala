@@ -175,6 +175,35 @@ object SqlSurface {
         .orderBy("lang")
     }),
 
+    // North-star text: Flesch readability re-derivation per language
+    "q45_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          Text.fleschReadingEase(col("text")).as("flesch"))
+        .groupBy("lang")
+        .agg(round(avg("flesch"), 4).as("avg_flesch"),
+          round(min("flesch"), 4).as("min_flesch"),
+          round(max("flesch"), 4).as("max_flesch"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // §2.7 batch sessionization: gap > 30 min starts a new session
+    "q46_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        (unix_millis(col("ts")) -
+          unix_millis(lag("ts", 1).over(byUser))) > 30L * 60 * 1000, 1)
+        .otherwise(when(lag("ts", 1).over(byUser).isNull, 1).otherwise(0))
+      t(s, dir, "events")
+        .withColumn("new_session", newSession)
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // §2.9 C6 timestamp -> day string, daily-trend rollup shape
     "q42_daily_counts" -> ((s, dir) => {
       t(s, dir, "events")
@@ -272,6 +301,39 @@ object SqlSurface {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q45_readability" ->
+      raw"""WITH f AS (
+           |  SELECT lang,
+           |    CASE WHEN coalesce(len(list_filter(string_split_regex(
+           |           lower(trim(text)), '\s+'), x -> x <> '')), 0) = 0 THEN 0.0
+           |    ELSE 206.835
+           |      - 1.015 * (CAST(len(list_filter(string_split_regex(
+           |            lower(trim(text)), '\s+'), x -> x <> '')) AS DOUBLE)
+           |        / CAST(CASE WHEN trim(text) = '' THEN 0
+           |            ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           |            END AS DOUBLE))
+           |      - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+           |            '[aeiouy]+')) AS DOUBLE)
+           |        / CAST(len(list_filter(string_split_regex(
+           |            lower(trim(text)), '\s+'), x -> x <> '')) AS DOUBLE))
+           |    END AS flesch
+           |  FROM documents)
+           |SELECT lang, round(avg(flesch), 4) AS avg_flesch,
+           |  round(min(flesch), 4) AS min_flesch,
+           |  round(max(flesch), 4) AS max_flesch, count(*) AS n
+           |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q46_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q43_multimodal_meta" ->
       """WITH m AS (

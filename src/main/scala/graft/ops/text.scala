@@ -80,6 +80,31 @@ object Text {
     chain.otherwise(lit("unknown"))
   }
 
+  /** Sentence count: runs of [.!?], floored at 1 for non-empty text — the
+    * usual Flesch denominator convention. */
+  def sentenceCount(text: Column): Column =
+    when(text.isNull || trim(text) === "", lit(0))
+      .otherwise(greatest(regexp_count(text, lit("[.!?]+")), lit(1)))
+
+  /** Syllable estimate: vowel groups per word ([aeiouy]+, case-folded) —
+    * the standard cheap heuristic. */
+  def syllableCount(text: Column): Column =
+    when(text.isNull, lit(0))
+      .otherwise(regexp_count(lower(text), lit("[aeiouy]+")))
+
+  /** Flesch Reading Ease re-computation (the reference stores the
+    * crawler's pre-computed score, sf_html_data.py:131; this derives it
+    * from raw text): 206.835 - 1.015*(words/sentences)
+    * - 84.6*(syllables/words). 0 for empty text. */
+  def fleschReadingEase(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sents = sentenceCount(text).cast("double")
+    val sylls = syllableCount(text).cast("double")
+    when(words === 0, lit(0.0))
+      .otherwise(lit(206.835) - lit(1.015) * (words / sents)
+        - lit(84.6) * (sylls / words))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token bag — a
     * word-order-insensitive exact-duplicate key (cheaper than rolling
     * hashes and portable to the oracle). */

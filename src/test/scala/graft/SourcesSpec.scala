@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Paginated
+import graft.ops.Text
+
+class PaginatedSpec extends AnyFunSuite {
+
+  test("chunkSpecs: ceil paging with a short final chunk (C15)") {
+    val specs = Paginated.chunkSpecs(250, 100)
+    assert(specs.map(s => (s.offset, s.limit)) ===
+      Seq((0L, 100L), (100L, 100L), (200L, 50L)))
+    assert(Paginated.chunkSpecs(300, 100).length === 3)
+    assert(Paginated.chunkSpecs(0, 100).isEmpty)
+  }
+
+  test("statusGate alerts on non-200 and reports failure (V1)") {
+    var alerts = List.empty[String]
+    assert(Paginated.statusGate(200, "probe", m => alerts ::= m))
+    assert(!Paginated.statusGate(503, "probe", m => alerts ::= m))
+    assert(alerts === List("probe returned HTTP 503"))
+  }
+
+  test("fetchAll: retry then skip failing chunk, keep the rest (V3)") {
+    var alerts = List.empty[String]
+    var attempts = Map.empty[Int, Int].withDefaultValue(0)
+    val result = Paginated.fetchAll[Long](
+      total = 250, chunkSize = 100,
+      fetch = spec => {
+        attempts += spec.index -> (attempts(spec.index) + 1)
+        if (spec.index == 1) Left("boom")
+        else Right(spec.offset until (spec.offset + spec.limit))
+      },
+      alert = m => alerts ::= m,
+      retriesPerChunk = 2)
+    assert(result.rows.length === 150) // chunks 0 and 2
+    assert(result.skippedChunks.map(_.index) === Seq(1))
+    assert(attempts(1) === 3) // initial + 2 retries
+    assert(alerts.head.contains("chunk 1 failed"))
+  }
+
+  test("fetchAll: transient failure recovers within retry budget") {
+    var calls = 0
+    val result = Paginated.fetchAll[Int](
+      total = 100, chunkSize = 100,
+      fetch = _ => { calls += 1; if (calls < 2) Left("flaky") else Right(Seq(1, 2)) },
+      retriesPerChunk = 2)
+    assert(result.rows === Seq(1, 2))
+    assert(result.skippedChunks.isEmpty)
+  }
+}
+
+class ReadabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fleschReadingEase: simple text scores high, empty scores 0") {
+    val df = Seq(
+      "The cat sat. The dog ran.", // short words, short sentences -> high
+      "Extraordinarily sophisticated considerations notwithstanding.",
+      "").toDF("t")
+    val scores = rows(df.select(round(Text.fleschReadingEase(col("t")), 2)))
+      .flatten.map(_.asInstanceOf[Double])
+    assert(scores(0) > 90.0)
+    assert(scores(1) < scores(0)) // polysyllabic words lower the score
+    assert(scores(2) === 0.0)
+  }
+
+  test("sentence and syllable counts behave on edge cases") {
+    val df = Seq(("no terminal punctuation here", "why?! two sentences. three")).toDF("a", "b")
+    val r = rows(df.select(Text.sentenceCount(col("a")),
+      Text.sentenceCount(col("b")), Text.syllableCount(col("a")))).head
+    assert(r(0) === 1) // floored at 1
+    assert(r(1) === 2) // "?!" is one run, "." is another
+    assert(r(2) === 9) // no-o-ter-mi-nal-punc-tua-tion-here vowel groups
+  }
+}
