@@ -90,6 +90,26 @@ object NorthStar {
   private def queryVecCol: Column = array(QueryVec.map(lit): _*)
   private def queryVecSql: String = QueryVec.mkString("[", ", ", "]")
 
+  /** MinHash-LSH candidate-pair SQL (no ORDER BY) shared by q23 and q47. */
+  private def minhashPairsSql(toks: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${shinglesSql("t", 3)} AS s FROM toks),
+       |sig AS (
+       |  SELECT doc_id, list_transform(['0','1','2','3','4','5','6','7'],
+       |    k -> list_aggregate(list_transform(list_distinct(s),
+       |           x -> md5(k || ':' || x)), 'min')) AS m
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, u.b AS band_idx,
+       |    md5(m[2*u.b+1] || '|' || m[2*u.b+2]) AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b USING (band_idx, band_hash)
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,6 +183,17 @@ object NorthStar {
       Dedup.simhashPairs(rd(s, dir, "documents"), "text", "doc_id",
           bits = 32, prefixBits = 8, maxHamming = 10)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Dedup end-to-end: corpus minus MinHash-LSH near-dups (keep-first)
+    "q47_dedup_keep" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3)
+      Dedup.keepCanonical(docs, "doc_id", pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
     }),
 
     // Similarity: per-query top-k over the corpus (broadcast + window)
@@ -264,23 +295,16 @@ object NorthStar {
            |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
       "q23_minhash_pairs" ->
-        s"""WITH toks AS (
-           |  SELECT doc_id, $toks AS t FROM documents),
-           |sh AS (
-           |  SELECT doc_id, ${shinglesSql("t", 3)} AS s FROM toks),
-           |sig AS (
-           |  SELECT doc_id, list_transform(['0','1','2','3','4','5','6','7'],
-           |    k -> list_aggregate(list_transform(list_distinct(s),
-           |           x -> md5(k || ':' || x)), 'min')) AS m
-           |  FROM sh),
-           |banded AS (
-           |  SELECT doc_id, u.b AS band_idx,
-           |    md5(m[2*u.b+1] || '|' || m[2*u.b+2]) AS band_hash
-           |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u)
-           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |FROM banded a JOIN banded b USING (band_idx, band_hash)
-           |WHERE a.doc_id < b.doc_id
+        s"""${minhashPairsSql(toks)}
+           |SELECT id_a, id_b FROM pairs
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q47_dedup_keep" ->
+        s"""${minhashPairsSql(toks)}
+           |SELECT lang, count(*) AS n_kept, sum(n_chars) AS sum_chars
+           |FROM documents
+           |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q24_ngram_jaccard" ->
         s"""WITH toks AS (

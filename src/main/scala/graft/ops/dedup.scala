@@ -77,6 +77,16 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
+  /** End-to-end near-dedup: drop every document that is the LARGER id of
+    * any candidate pair (pairs always have id_a < id_b), keeping the
+    * smallest id of each duplicate cluster reachable by pairwise links.
+    * One left-anti join against the distinct drop-set — no iteration; for
+    * full connected-component canonicalization run this to a fixpoint or
+    * use an iterative min-label propagation, but the keep-first heuristic
+    * is the standard training-data dedup policy. */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * blocking key (default: same lang + length band). Pairwise work only
     * inside blocks — the 100 TB path swaps the blocking key for

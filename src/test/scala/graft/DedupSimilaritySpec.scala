@@ -46,6 +46,17 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) === 0.0)
   }
 
+  test("keepCanonical drops exactly the larger-id side of each pair") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3)
+    val dropped = pairs.collect().map(_.getLong(1)).toSet
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L) -- dropped)
+    assert(kept.contains(1L)) // smallest id always survives
+    assert(!kept.contains(2L)) // exact dup of 1 always dropped
+  }
+
   test("simhash pairs: exact dups at hamming 0; near dups close") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id",
       bits = 32, prefixBits = 2, maxHamming = 12)
