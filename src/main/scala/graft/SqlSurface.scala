@@ -137,6 +137,28 @@ object SqlSurface {
         .orderBy("c_custkey")
     }),
 
+    // §2.9 typed JSON extraction (from_json with schema, vs q10's path op)
+    "q48_json_struct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy("event_type")
+        .agg(min(col("p.k")).as("min_k"), max(col("p.k")).as("max_k"),
+          count(col("p.k")).as("n_with_k"))
+        .orderBy("event_type")
+    }),
+
+    // §2.6 approx_count_distinct (HLL). No DuckDB oracle — sketch values
+    // are engine-specific, so the driver records a rows-only check; the
+    // exact countDistinct column anchors the row count deterministically.
+    "q49_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type")
+    }),
+
     // North-star multimodal: binary payload + stub-decoded typed metadata
     // + aspect-preserving resize, all in the scan stage (payloads never
     // shuffle — only derived metadata reaches the aggregation)
@@ -334,6 +356,13 @@ object SqlSurface {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q48_json_struct" ->
+      """SELECT event_type,
+        |  min(CAST(props->>'$.k' AS INT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k,
+        |  count(CAST(props->>'$.k' AS INT)) AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q43_multimodal_meta" ->
       """WITH m AS (

@@ -51,6 +51,22 @@ class PaginatedSpec extends AnyFunSuite {
   }
 }
 
+class ChunkedSourceSpec extends SparkSpec {
+
+  test("DSv2 chunked source: one input partition per chunk, exact rows") {
+    val df = spark.read.format("graft.sources.chunked")
+      .option("total", "250").option("chunkSize", "100").load()
+    assert(df.rdd.getNumPartitions === 3) // ceil(250/100) chunks
+    assert(df.count() === 250)
+    assert(df.select("id").distinct().count() === 250)
+    val byChunk = df.groupBy("chunk").count().orderBy("chunk")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(byChunk === Seq((0, 100L), (1, 100L), (2, 50L)))
+    // filters/pruning compose like any scan
+    assert(df.filter(col("id") >= 200).count() === 50)
+  }
+}
+
 class ReadabilitySpec extends SparkSpec {
   import spark.implicits._
 
