@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.fastMd5
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -18,7 +19,7 @@ object Dedup {
     * raw document keeps shuffle bytes ~constant per row at any document
     * size. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(md5(col(textCol)).as("text_hash"), col(idCol))
+    df.select(fastMd5(col(textCol)).as("text_hash"), col(idCol))
       .groupBy("text_hash")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -66,7 +67,7 @@ object Dedup {
     val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), md5(concat_ws("|", bandCols: _*)).as("band_hash"))
+      struct(lit(b).as("band_idx"), fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
     }
     sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("band"))

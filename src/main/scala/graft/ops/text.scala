@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.fastMd5
 
 /** Text-analysis operators for training-data pipelines (north star:
   * language-ID, quality scoring, token counting, fingerprinting).
@@ -109,7 +110,7 @@ object Text {
     * word-order-insensitive exact-duplicate key (cheaper than rolling
     * hashes and portable to the oracle). */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+    fastMd5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
   /** Word n-gram shingles; documents shorter than n collapse to one
     * whole-text shingle. Row-local (no explode needed by callers that
@@ -129,7 +130,7 @@ object Text {
     * minimum, and distinct on a string array is O(n^2) — the single
     * hottest cost in the LSH pipeline before it was dropped. */
   def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(seed + ":"), s))))
+    array_min(transform(shingleArr, s => fastMd5(concat(lit(seed + ":"), s))))
 
   /** SimHash over `bits` bits (<=32): per token md5; bit j is derived from
     * hex char j/4 (bit 3-(j%4) within the nibble); simhash bit j = sign of
@@ -146,7 +147,7 @@ object Text {
     val hexChars = bits / 4
     // one 32-bit (or fewer) integer per token holding all sign bits
     val tokenBits = transform(tokens(text),
-      t => conv(substring(md5(t), 1, hexChars), 16, 10).cast("long"))
+      t => conv(substring(fastMd5(t), 1, hexChars), 16, 10).cast("long"))
     val shifts = sequence(lit(bits - 1), lit(0), lit(-1)) // j=0 -> bits-1
     val counts = aggregate(tokenBits,
       array_repeat(lit(0), bits),

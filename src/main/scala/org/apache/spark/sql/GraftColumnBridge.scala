@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's private[sql] Column <-> Expression
+  * converters, for registering graft's custom Catalyst expressions as
+  * user-facing Columns (the standard extension-library pattern; Spark 4
+  * routes Columns through ColumnNode, so plain `new Column(expr)` no
+  * longer exists). */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
