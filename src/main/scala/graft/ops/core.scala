@@ -144,6 +144,23 @@ object Scale {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Skew-safe equi-join: the large (possibly skewed) side gets a salt in
+    * [0, saltBuckets); the small side is replicated once per salt value,
+    * so one hot key spreads over `saltBuckets` reducers instead of
+    * hot-spotting a single task. Use when AQE's skew-join split isn't
+    * available (e.g. the hot key is known and pathological). The salt is
+    * derived from monotonically_increasing_id — deterministic within a
+    * run, irrelevant to the result (any spread is correct). */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBuckets: Int, how: String = "inner"): DataFrame = {
+    require(saltBuckets > 0)
+    val salted = large.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "__salt", how).drop("__salt")
+  }
 }
 
 /** Set operations (SURVEY §2.8 U1/U2). */

@@ -88,6 +88,46 @@ object Dedup {
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Resolve candidate pairs into duplicate clusters by iterative
+    * min-label propagation: every id starts as its own label; each round,
+    * a node adopts the smallest label among itself and its neighbors;
+    * stop at fixpoint (or maxIter). Returns (id, cluster_id) for every id
+    * that appears in a pair — cluster_id is the smallest id reachable via
+    * pair links, i.e. true connected components, unlike keepCanonical's
+    * one-hop heuristic.
+    *
+    * Scale: each round is one join + one agg on the (small) pair set, not
+    * the corpus; rounds needed = graph diameter, which for near-dup
+    * clusters is tiny (dup clusters are cliques or short chains). */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id"))
+        .agg(min("cluster_id").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
     * blocking key (default: same lang + length band). Pairwise work only
     * inside blocks — the 100 TB path swaps the blocking key for

@@ -49,6 +49,17 @@ object Pipelines {
   def replaceTable(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed warehouse table: co-locates and pre-sorts by the join key so
+    * repeated fact-to-fact joins on that key (pages x inlinks on address,
+    * snapshots across crawl_date) run with ZERO shuffle — both sides scan
+    * already-hash-partitioned buckets. The write pays one shuffle once;
+    * every downstream join amortizes it. */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(tableName)
+
   // ------------------------------------------------------------------ E1
 
   /** Audisto pages pipeline (reference: Audisto/audisto.py:136-167).

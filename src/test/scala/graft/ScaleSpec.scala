@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Scale}
+import graft.pipelines.Pipelines
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin matches plain join on a skewed key distribution") {
+    // 90% of fact rows share one key — the classic hot-key shape
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).agg(count(lit(1)), sum("v")).head()
+    val salted = Scale.saltedJoin(fact, dim, Seq("k"), saltBuckets = 8)
+      .agg(count(lit(1)), sum("v")).head()
+    assert(salted === plain)
+    // left join keeps unmatched fact rows exactly once
+    val plainLeft = fact.join(dim, Seq("k"), "left").count()
+    val saltedLeft = Scale.saltedJoin(fact, dim, Seq("k"), 8, "left").count()
+    assert(saltedLeft === plainLeft)
+  }
+
+  test("resolveClusters: min-label propagation finds connected components") {
+    // chain 1-2-3, pair 10-11, chain 20-21-22-23 (diameter 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("bucketed tables join without a shuffle on the bucketed key") {
+    Seq("bkt_pages", "bkt_links").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val a = (1 to 500).map(i => (i.toLong, s"page-$i")).toDF("key", "title")
+    val b = (1 to 500).flatMap(i => Seq((i.toLong, s"in-$i")))
+      .toDF("key", "anchor")
+    Pipelines.writeBucketed(a, "bkt_pages", "key", 4)
+    Pipelines.writeBucketed(b, "bkt_links", "key", 4)
+    // force a sort-merge join (tiny test tables would otherwise broadcast)
+    // to show the bucketed co-location removes the shuffle entirely
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_pages").join(spark.table("bkt_links"), "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join:\n$plan")
+      assert(joined.count() === 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+}
