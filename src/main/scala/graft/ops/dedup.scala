@@ -38,10 +38,19 @@ object Dedup {
                            numHashes: Int, shingleSize: Int): DataFrame = {
     val df = Scale.widen(df0)
     val sh = Text.shingles(col(textCol), shingleSize)
-    val withSh = df.withColumn("__shingles", sh)
+    // All seed-minima in ONE fold over the shingle array: acc[k] =
+    // min(md5(k:shingle)) so far. "g" sorts after every lowercase-hex
+    // digest, so it is a safe +infinity. Identical values to per-seed
+    // Text.minhash (min is order- and duplicate-insensitive), but one
+    // lambda of codegen instead of numHashes separate array passes.
+    val seeds = array((0 until numHashes).map(i => lit(s"$i:")): _*)
+    val sig = aggregate(sh, array_repeat(lit("g"), numHashes),
+      (acc, s) => zip_with(acc, seeds,
+        (m, seed) => least(m, graft.functions.GraftFunctions.fastMd5(concat(seed, s)))))
+    val withSig = df.withColumn("__sig", sig)
     val sigCols = (0 until numHashes).map(i =>
-      Text.minhash(col("__shingles"), i).as(s"minhash_$i"))
-    withSh.select(df.columns.map(col) ++ sigCols: _*).drop("__shingles")
+      element_at(col("__sig"), i + 1).as(s"minhash_$i"))
+    withSig.select(df.columns.map(col) ++ sigCols: _*).drop("__sig")
   }
 
   /** Expand sorted per-bucket id arrays into (id_a, id_b) pairs with
