@@ -217,6 +217,16 @@ object NorthStar {
         "embedding", "vec_id", queryVecCol, dim = 64, planes = 4, k = 10)
     }),
 
+    // Similarity: IVF-style ANN — deterministic coarse centroids (the
+    // first 16 vectors), probe the 2 best clusters for the query
+    "q50_ivf_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(emb, "embedding", "vec_id", centroids,
+        queryVecCol, nprobe = 2, k = 10)
+    }),
+
     // Similarity: embedding near-duplicate pairs inside LSH buckets
     "q30_embedding_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(rd(s, dir, "embeddings"),
@@ -378,6 +388,27 @@ object NorthStar {
            |SELECT vec_id,
            |  round(${cosineSql("embedding", queryVecSql, 64)}, 6) AS cosine_sim
            |FROM b WHERE bucket = ${lshBucketOf(QueryVec, 4)}
+           |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "q50_ivf_topk" ->
+        s"""WITH cent AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           |  WHERE vec_id < 16),
+           |assigned AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      ${cosineSql("e.embedding", "c.cvec", 64)} DESC, c.cid) AS rk
+           |  FROM embeddings e CROSS JOIN cent c),
+           |clustered AS (
+           |  SELECT vec_id, embedding, cid AS cluster FROM assigned WHERE rk = 1),
+           |probed AS (
+           |  SELECT cid AS cluster FROM (
+           |    SELECT cid, row_number() OVER (ORDER BY
+           |      ${cosineSql("cvec", queryVecSql, 64)} DESC, cid) AS rk
+           |    FROM cent) WHERE rk <= 2)
+           |SELECT vec_id, cluster,
+           |  round(${cosineSql("embedding", queryVecSql, 64)}, 6) AS cosine_sim
+           |FROM clustered JOIN probed USING (cluster)
            |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
 
       "q30_embedding_neardup" ->

@@ -91,6 +91,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: assign every corpus vector to its best coarse
+    * centroid (argmax cosine, ties by centroid id), then answer queries by
+    * probing only the `nprobe` centroids closest to the query — the
+    * classic inverted-file trade: recall for a corpus-scan factor of
+    * ~nprobe/nlist. Centroids arrive as a (cid, cvec) DataFrame — any
+    * picker works (k-means, sampled rows); a deterministic picker keeps
+    * results oracle-checkable.
+    *
+    * Scale: assignment is one broadcast cross-join against nlist tiny
+    * centroid rows computed in the scan stage; at 100 TB you'd persist the
+    * assignment partitioned by cluster id so probes touch only
+    * nprobe/nlist of the files. */
+  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
+              centroids: DataFrame, queryVec: Column,
+              nprobe: Int, k: Int): DataFrame = {
+    val cid = col("cid")
+    val byVec = Window.partitionBy(idCol)
+      .orderBy(col("__sim").desc, cid)
+    val assigned = Scale.widen(corpus)
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(embCol), col("cvec")))
+      .withColumn("__rk", row_number().over(byVec))
+      .where(col("__rk") === 1)
+      .select(col(idCol), col(embCol), cid.as("cluster"))
+    val probeWindow = Window.orderBy(col("__qsim").desc, cid)
+    val probed = centroids
+      .withColumn("__qsim", cosine(col("cvec"), queryVec))
+      .withColumn("__rk", row_number().over(probeWindow))
+      .where(col("__rk") <= nprobe)
+      .select(cid.as("cluster"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .withColumn("cosine_sim", round(cosine(col(embCol), queryVec), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .select(col(idCol), col("cluster"), col("cosine_sim"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold inside LSH
     * buckets (the embedding analogue of Dedup.simhashPairs). Bucket ids
     * are computed once per row, then pairs expand inside each collected

@@ -110,6 +110,20 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0L) !== b(3L)) // all 8 plane signs flip
   }
 
+  test("ivfTopK: probes only nearest clusters, finds the exact neighbor") {
+    import org.apache.spark.sql.DataFrame
+    val centroids: DataFrame = vecs.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = array(Seq(1.0, 0.05, 0.0, 0.0).map(lit): _*)
+    val r = Similarity.ivfTopK(vecs, "embedding", "vec_id", centroids, q,
+      nprobe = 1, k = 3).collect()
+    // query is ~x-axis -> probes centroid 0's cluster: {0, 1, 4} (3 is
+    // opposite, assigned to 0's cluster too but ranks below; 2 unprobed)
+    assert(r.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 3L, 4L)))
+    assert(r.head.getAs[Double]("cosine_sim") > 0.99) // exact-ish match on top
+    assert(!r.map(_.getLong(0)).contains(2L)) // orthogonal cluster not probed
+  }
+
   test("embeddingNearDupPairs finds the identical pair") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, "embedding", "vec_id",
       dim = 4, planes = 2, minCosine = 0.99)
