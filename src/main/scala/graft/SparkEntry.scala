@@ -203,7 +203,11 @@ object SparkEntry {
         .withColumn("german_str", german)
         .withColumn("parsed", Casts.localeDecimal(col("german_str")))
         .groupBy("l_returnflag")
-        .agg(round(sum("parsed"), 2).as("sum_parsed"), count(lit(1)).as("n"))
+        // sum in DECIMAL: double partial-sum order shifts the last cent at
+        // 1e13 magnitude (ulp ~2e-3), so rounded doubles diverge from the
+        // oracle at large SF; decimal aggregation is exact and associative
+        .agg(round(sum(col("parsed").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_parsed"), count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -371,8 +375,8 @@ object SparkEntry {
         |           lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0')) AS german_str
         |  FROM lineitem)
         |SELECT l_returnflag,
-        |  round(sum(CAST(replace(replace(german_str, '.', ''), ',', '.')
-        |    AS DOUBLE)), 2) AS sum_parsed,
+        |  round(CAST(sum(CAST(replace(replace(german_str, '.', ''), ',', '.')
+        |    AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_parsed,
         |  count(*) AS n
         |FROM g GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
