@@ -47,9 +47,12 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
+          // money sums aggregate in DECIMAL: double partial-sum order can
+          // shift rounded cents once totals reach ~1e10 (see q14)
+          round(sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double"), 2)
+            .as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,6)")).cast("double"), 2).as("sum_disc_price"),
           round(avg("l_quantity"), 6).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -72,8 +75,8 @@ object SparkEntry {
         .join(customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum("o_totalprice"), 2).as("revenue"),
-          count(lit(1)).as("n_orders"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2)
+          .as("revenue"), count(lit(1)).as("n_orders"))
         .orderBy("n_name")
     }),
 
@@ -112,7 +115,8 @@ object SparkEntry {
       t(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total_price"))
+          round(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2)
+            .as("total_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
@@ -254,8 +258,10 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |    AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
@@ -268,7 +274,9 @@ object SparkEntry {
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q03_revenue_by_nation" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |    AS revenue, count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -295,7 +303,8 @@ object SparkEntry {
 
     "q07_status_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |    AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,

@@ -94,7 +94,9 @@ object SqlSurface {
         .toDF("band", "lo", "hi")
       Joins.bandJoin(t(s, dir, "orders"), bands, "o_totalprice", "lo", "hi")
         .groupBy("band")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(28,6)")).cast("double"), 2)
+            .as("total"))
         .orderBy("band")
     }),
 
@@ -104,7 +106,8 @@ object SqlSurface {
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n + "_v"))
       s.sql(
         """SELECT n_name,
-          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+          |    AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
           |  count(*) AS n_items
           |FROM customer_v, orders_v, lineitem_v, supplier_v, nation_v, region_v
           |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -287,7 +290,9 @@ object SqlSurface {
         |ORDER BY event_id""".stripMargin,
 
     "q38_band_join" ->
-      """SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT band, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |    AS total
         |FROM orders JOIN (VALUES
         |    ('low', 0.0, 150000.0), ('mid', 150000.0, 300000.0),
         |    ('high', 300000.0, 450000.0), ('vip', 450000.0, 1.0e9))
@@ -297,7 +302,8 @@ object SqlSurface {
 
     "q39_sql_revenue_region" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue,
         |  count(*) AS n_items
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
