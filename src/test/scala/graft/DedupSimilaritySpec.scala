@@ -132,6 +132,36 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class AggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Aggregators
+  import graft.ops.Aggregators.{Scored, ScoredId}
+
+  test("TopK aggregator matches the window formulation exactly") {
+    // 3 groups x 50 candidates with score collisions to exercise tiebreaks
+    val scored = (for {
+      g <- 0L until 3L
+      i <- 0L until 50L
+    } yield Scored(g, i, (i % 7).toDouble)).toDS().repartition(4)
+
+    val agg = Aggregators.groupedTopK(scored, 5)
+      .collect().map { case (g, items) => g -> items }.toMap
+
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("group").orderBy(col("score").desc, col("id"))
+    val win = scored.toDF().withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5).orderBy("group", "rk")
+      .collect().groupBy(_.getLong(0)).map { case (g, rows) =>
+        g -> rows.toSeq.map(r => ScoredId(r.getLong(1), r.getDouble(2)))
+      }
+
+    assert(agg === win)
+    // deterministic tiebreak: equal scores resolve by ascending id
+    assert(agg(0L).map(_.id) === Seq(6L, 13L, 20L, 27L, 34L))
+  }
+}
+
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
 
