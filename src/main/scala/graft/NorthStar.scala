@@ -205,6 +205,29 @@ object NorthStar {
         .orderBy("qid", "rank")
     }),
 
+    // Similarity: same semantics as q27 but via the typed TopK Aggregator
+    // (k-bounded map-side combine instead of a window sort) — sharing
+    // q27's oracle proves the two formulations agree exactly
+    "q51_grouped_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("__qvec"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid").as("group"), col("vec_id").as("id"),
+          round(Similarity.cosine(col("embedding"), col("__qvec")), 6)
+            .as("score"))
+        .as[Aggregators.Scored]
+      Aggregators.groupedTopK(scored, 10)
+        .toDF("qid", "topk")
+        .select(col("qid"), posexplode(col("topk")))
+        .select(col("qid"), col("col.id").as("vec_id"),
+          col("col.score").as("cosine_sim"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("qid", "rank")
+    }),
+
     // Similarity: brute-force ANN baseline against a literal query vector
     "q28_ann_brute" -> ((s, dir) => {
       Similarity.bruteForceTopK(rd(s, dir, "embeddings"),
@@ -359,6 +382,22 @@ object NorthStar {
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q27_cosine_topk" ->
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           |  WHERE vec_id < 3),
+           |c AS (
+           |  SELECT q.qid, e.vec_id,
+           |    round(${cosineSql("e.embedding", "q.qv", 64)}, 6) AS cosine_sim
+           |  FROM embeddings e CROSS JOIN q
+           |  WHERE e.vec_id <> q.qid),
+           |r AS (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS "rank"
+           |  FROM c)
+           |SELECT qid, vec_id, cosine_sim, "rank" FROM r WHERE "rank" <= 10
+           |ORDER BY qid, "rank"""".stripMargin,
+
+      "q51_grouped_topk_agg" ->
         s"""WITH q AS (
            |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
            |  WHERE vec_id < 3),
