@@ -155,6 +155,11 @@ object Scale {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int, how: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    // right/full joins would emit each unmatched small-side row once per
+    // salt replica — semantically wrong, so refuse them
+    require(Set("inner", "left", "left_outer", "leftouter", "cross")
+      .contains(how.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got '$how'")
     val salted = large.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",

@@ -37,7 +37,9 @@ object Multimodal {
     * call of the same signature. Native expressions -> whole-stage codegen,
     * no UDF. */
   def stubDecodeMeta(payload: Column, kind: Column): Column = {
-    val n = octet_length(payload)
+    // long arithmetic: octet_length is int and n*13 overflows int for
+    // payloads over ~165 MB (real video blobs are routinely larger)
+    val n = octet_length(payload).cast("long")
     struct(
       (pmod(n * 7, lit(512)) + 128).cast("int").as("width"),
       (pmod(n * 13, lit(384)) + 96).cast("int").as("height"),

@@ -125,12 +125,16 @@ object Pipelines {
     val agentCols = raw.columns.filter(_.matches("^travelogic_agents.*"))
 
     val derived = Urls.withUrlLevels(raw, "Address")
-      // A1: horizontal merge of chunked CMS content columns
+      // A1: horizontal merge of chunked CMS content columns (an export
+      // with no content-* columns yields an empty content column, not an
+      // analysis error from zero-arg concat)
       .withColumn("content",
-        Casts.mergeChunkColumns(contentCols.toSeq.map(col)))
+        if (contentCols.isEmpty) lit("")
+        else Casts.mergeChunkColumns(contentCols.toSeq.map(col)))
       // A2: skip-null agent concat (quirk Q2 intent: applied to this frame)
       .withColumn("travelogic_agents",
-        Casts.concatSkipNull(", ", agentCols.toSeq.map(col)))
+        if (agentCols.isEmpty) lit("")
+        else Casts.concatSkipNull(", ", agentCols.toSeq.map(col)))
       // C6: timestamps -> day strings (cast first: inferSchema may have
       // already typed the column as timestamp; cast of a string is a no-op)
       .withColumn("Crawl Timestamp",
