@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ops._
 
 /** North-star query pack: text analysis, deduplication and similarity
@@ -185,6 +186,29 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Text: TF-IDF top terms per language (explode -> tf/df -> rank)
+    "q52_tfidf_terms" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val tok = docs.select(col("lang"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val tokDistinct = docs.select(col("doc_id"),
+        explode(array_distinct(Text.tokens(col("text")))).as("token"))
+      val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tokDistinct.groupBy("token")
+        .agg(countDistinct("doc_id").as("df"))
+      val total = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf", round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 4))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("lang", "token", "tfidf", "rank")
+        .orderBy("lang", "rank")
+    }),
+
     // Dedup end-to-end: corpus minus MinHash-LSH near-dups (keep-first)
     "q47_dedup_keep" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -331,6 +355,28 @@ object NorthStar {
         s"""${minhashPairsSql(toks)}
            |SELECT id_a, id_b FROM pairs
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q52_tfidf_terms" ->
+        s"""WITH tok AS (
+           |  SELECT lang, unnest($toks) AS token FROM documents),
+           |tokd AS (
+           |  SELECT doc_id, unnest(list_distinct($toks)) AS token
+           |  FROM documents),
+           |tf AS (SELECT lang, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (
+           |  SELECT token, count(DISTINCT doc_id) AS df FROM tokd GROUP BY 1),
+           |tot AS (SELECT count(*) AS n FROM documents),
+           |sc AS (
+           |  SELECT lang, token,
+           |    round(tf * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 4)
+           |      AS tfidf
+           |  FROM tf JOIN dfreq USING (token) CROSS JOIN tot),
+           |r AS (
+           |  SELECT *, row_number() OVER
+           |    (PARTITION BY lang ORDER BY tfidf DESC, token) AS "rank"
+           |  FROM sc)
+           |SELECT lang, token, tfidf, "rank" FROM r WHERE "rank" <= 5
+           |ORDER BY lang, "rank"""".stripMargin,
 
       "q47_dedup_keep" ->
         s"""${minhashPairsSql(toks)}
