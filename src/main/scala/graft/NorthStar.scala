@@ -186,6 +186,41 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Text: PII redaction (emails/URLs/digit runs injected
+    // deterministically so the oracle can rebuild the dirty text)
+    "q53_pii_redact" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://ex.com/p/"), col("doc_id"),
+            lit(" id 1234567890"))).otherwise(lit("")))
+      rd(s, dir, "documents")
+        .withColumn("dirty", dirty)
+        .withColumn("clean", Text.redactPii(col("dirty")))
+        .groupBy("lang")
+        .agg(
+          sum(Text.emailCount(col("dirty"))).as("n_emails"),
+          sum(length(col("dirty")) - length(col("clean"))).as("chars_removed"),
+          sum(when(col("clean").contains("<EMAIL>"), 1).otherwise(0))
+            .as("docs_with_email"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // Text: n-gram repetition ratio (boilerplate/spam quality signal)
+    "q54_repetition" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .withColumn("rep", Text.repetitionRatio(col("text"), 3))
+        .groupBy("lang")
+        .agg(round(avg("rep"), 6).as("avg_repetition"),
+          round(max("rep"), 6).as("max_repetition"),
+          sum(when(col("rep") > 0.2, 1).otherwise(0)).as("n_repetitive"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
     // Text: TF-IDF top terms per language (explode -> tf/df -> rank)
     "q52_tfidf_terms" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -355,6 +390,48 @@ object NorthStar {
         s"""${minhashPairsSql(toks)}
            |SELECT id_a, id_b FROM pairs
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q53_pii_redact" ->
+        s"""WITH d AS (
+           |  SELECT lang,
+           |    text
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id
+           |            || '@example.com now' ELSE '' END
+           |    || CASE WHEN doc_id % 7 = 0 THEN ' see https://ex.com/p/'
+           |            || doc_id || ' id 1234567890' ELSE '' END AS dirty
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, dirty,
+           |    regexp_replace(regexp_replace(regexp_replace(dirty,
+           |      '${Text.EmailRe}', '<EMAIL>', 'g'),
+           |      '${Text.UrlRe}', '<URL>', 'g'),
+           |      '${Text.LongDigitRe}', '<NUM>', 'g') AS clean
+           |  FROM d)
+           |SELECT lang,
+           |  sum(len(regexp_extract_all(dirty, '${Text.EmailRe}'))) AS n_emails,
+           |  sum(len(dirty) - len(clean)) AS chars_removed,
+           |  sum(CASE WHEN contains(clean, '<EMAIL>') THEN 1 ELSE 0 END)
+           |    AS docs_with_email,
+           |  count(*) AS n
+           |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q54_repetition" ->
+        s"""WITH toks AS (
+           |  SELECT lang, $toks AS t FROM documents),
+           |s AS (
+           |  SELECT lang, ${shinglesSql("t", 3)} AS sh FROM toks),
+           |r AS (
+           |  SELECT lang, CASE WHEN len(sh) > 0
+           |    THEN round((CAST(len(sh) AS DOUBLE)
+           |          - CAST(len(list_distinct(sh)) AS DOUBLE))
+           |         / CAST(len(sh) AS DOUBLE), 6)
+           |    ELSE 0.0 END AS rep
+           |  FROM s)
+           |SELECT lang, round(avg(rep), 6) AS avg_repetition,
+           |  round(max(rep), 6) AS max_repetition,
+           |  sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS n_repetitive,
+           |  count(*) AS n
+           |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q52_tfidf_terms" ->
         s"""WITH tok AS (

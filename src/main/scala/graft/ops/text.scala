@@ -106,6 +106,34 @@ object Text {
         - lit(84.6) * (sylls / words))
   }
 
+  /** PII/noise scrubbing patterns (training-data cleaning). Patterns are
+    * deliberately RE2-compatible (no backrefs/lookaround) so the same
+    * regex runs identically in Spark (Java) and any RE2 engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongDigitRe = "[0-9]{7,}"
+
+  /** Redact emails, URLs and long digit runs with typed placeholders. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      LongDigitRe, "<NUM>")
+
+  def emailCount(text: Column): Column =
+    when(text.isNull, lit(0)).otherwise(regexp_count(text, lit(EmailRe)))
+
+  /** n-gram repetition ratio in [0,1): fraction of shingles that are
+    * repeats of an earlier shingle — the standard boilerplate/spam signal
+    * (0 = all distinct, ->1 = the document loops). */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    val total = size(sh).cast("double")
+    val distinctN = size(array_distinct(sh)).cast("double")
+    when(total > 0, round((total - distinctN) / total, 6)).otherwise(lit(0.0))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token bag — a
     * word-order-insensitive exact-duplicate key (cheaper than rolling
     * hashes and portable to the oracle). */

@@ -158,6 +158,22 @@ class TextSpec extends SparkSpec {
     assert(rows(df.select(Text.langId(col("t")))).flatten === Seq("en", "de", "zh"))
   }
 
+  test("redactPii replaces emails, URLs and long digit runs globally") {
+    val df = Seq("mail a@b.com and c@d.org, see https://x.y/z?q=1 ref 12345678 ok 123")
+      .toDF("t")
+    val r = rows(df.select(Text.redactPii(col("t")))).head.head
+    assert(r === "mail <EMAIL> and <EMAIL>, see <URL> ref <NUM> ok 123")
+    assert(rows(df.select(Text.emailCount(col("t")))).head.head === 2)
+  }
+
+  test("repetitionRatio: distinct docs score 0, looping docs score high") {
+    val df = Seq("a b c d e f g h", "spam spam spam spam spam spam spam").toDF("t")
+    val r = rows(df.select(Text.repetitionRatio(col("t"), 3))).flatten
+      .map(_.asInstanceOf[Double])
+    assert(r(0) === 0.0)
+    assert(r(1) > 0.7) // 5 shingles, all "spam spam spam"
+  }
+
   test("qualityScore stays within [0,1]") {
     val df = Seq("", "x", "the quick brown fox jumps over the lazy dog and runs")
       .toDF("t")
