@@ -24,6 +24,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** File-based streaming source over an events-shaped parquet directory:
+    * the production entry point (readStream picks up files as they land —
+    * the streaming analogue of the reference's daily batch drop). Schema
+    * must be supplied explicitly (streaming reads don't infer). */
+  def eventsFileStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+
   /** Watermarked tumbling-window counts per event type (daily-trend shape;
     * watermark bounds late data, which the reference never handled —
     * its cron rerun just overwrote the day). */

@@ -61,6 +61,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream over events parquet matches the batch aggregation") {
+    // stream the real fixture through windowedCounts and compare against
+    // the identical batch computation — batch/stream parity
+    // file streams need a directory; stage the fixture into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = dir.toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def fixTs(df: org.apache.spark.sql.DataFrame) =
+      if (df.schema("ts").dataType.typeName == "long")
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    val batchDf = fixTs(spark.read.parquet(src))
+    val q = Streaming.windowedCounts(
+        fixTs(Streaming.eventsFileStream(spark, src)), "1 hour", "1 day")
+      .writeStream.format("memory").queryName("fsp").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fsp")
+        .groupBy("event_type").agg(sum("n").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = batchDf.groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("dualSink: append-history plus replace-latest per micro-batch (K3)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val in = MemoryStream[Ev]
