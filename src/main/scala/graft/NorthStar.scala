@@ -186,6 +186,16 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Pipeline: deterministic hash-based train/val/test split (stable
+    // across runs/engines — a document never changes split)
+    "q55_train_split" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .withColumn("split", Sampling.splitLabel(col("doc_id")))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+        .orderBy("lang", "split")
+    }),
+
     // Text: PII redaction (emails/URLs/digit runs injected
     // deterministically so the oracle can rebuild the dirty text)
     "q53_pii_redact" -> ((s, dir) => {
@@ -390,6 +400,23 @@ object NorthStar {
         s"""${minhashPairsSql(toks)}
            |SELECT id_a, id_b FROM pairs
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q55_train_split" ->
+        s"""WITH b AS (
+           |  SELECT lang, doc_id,
+           |    (strpos('0123456789abcdef',
+           |       md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 16
+           |    + (strpos('0123456789abcdef',
+           |       md5(CAST(doc_id AS VARCHAR))[2:2]) - 1) AS bucket
+           |  FROM documents),
+           |s AS (
+           |  SELECT lang, doc_id,
+           |    CASE WHEN bucket < 204 THEN 'train'
+           |         WHEN bucket < 230 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM b)
+           |SELECT lang, split, count(*) AS n, min(doc_id) AS min_doc
+           |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
       "q53_pii_redact" ->
         s"""WITH d AS (

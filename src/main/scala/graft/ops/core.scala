@@ -168,6 +168,25 @@ object Scale {
   }
 }
 
+/** Deterministic dataset splitting (training-data pipelines). */
+object Sampling {
+  import graft.functions.GraftFunctions.fastMd5
+
+  /** Split bucket in [0, 256) derived from md5 of the id — stable across
+    * runs, partitionings and engines (unlike rand() or murmur3 hash()),
+    * so a document keeps its split assignment forever even as the corpus
+    * grows. */
+  def splitBucket(id: Column): Column =
+    conv(substring(fastMd5(id.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** train/val/test label: bucket thresholds out of 256 (e.g. 204/230 ~
+    * 80/10/10). */
+  def splitLabel(id: Column, trainUpto: Int = 204, valUpto: Int = 230): Column = {
+    val b = splitBucket(id)
+    when(b < trainUpto, "train").when(b < valUpto, "val").otherwise("test")
+  }
+}
+
 /** Set operations (SURVEY §2.8 U1/U2). */
 object Unions {
   /** Permissive row union over heterogeneous schemas — the intended

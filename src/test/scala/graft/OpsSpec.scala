@@ -103,6 +103,26 @@ class NamesSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Sampling
+
+  test("splitLabel: deterministic, roughly 80/10/10, stable under growth") {
+    val ids = (0L until 2000L).toDF("id")
+    val counts = ids.select(Sampling.splitLabel(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 1450 && counts("train") < 1750) // ~79.7%
+    assert(counts("val") > 120 && counts("val") < 300)
+    assert(counts("test") > 120 && counts("test") < 300)
+    // stability: the same id maps to the same split in a different frame
+    val again = Seq(42L).toDF("id")
+      .select(Sampling.splitLabel(col("id"))).head().getString(0)
+    val first = ids.filter(col("id") === 42L)
+      .select(Sampling.splitLabel(col("id"))).head().getString(0)
+    assert(again === first)
+  }
+}
+
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
