@@ -229,6 +229,22 @@ object SqlSurface {
         .orderBy("user_id")
     }),
 
+    // §2.7/§2.11 native session_window operator (gap-based sessions) —
+    // the built-in behind streaming sessionization, exercised in batch;
+    // epoch-ms output keeps ns-vs-us parquet precision out of the compare
+    "q56_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     // §2.9 C6 timestamp -> day string, daily-trend rollup shape
     "q42_daily_counts" -> ((s, dir) => {
       t(s, dir, "events")
@@ -324,6 +340,25 @@ object SqlSurface {
     "q41_schema_normalize" ->
       """SELECT c_custkey, c_name, c_acctbal AS c_acct_bal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q56_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        |  epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     "q42_daily_counts" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
