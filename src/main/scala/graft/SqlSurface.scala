@@ -119,6 +119,21 @@ object SqlSurface {
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
     }),
 
+    // §2.6 statistical aggregates: stddev / variance / correlation
+    "q57_stats_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("days_old",
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+            .cast("double"))
+        .groupBy("o_orderstatus")
+        .agg(
+          round(stddev_samp("o_totalprice"), 2).as("price_stddev"),
+          round(var_samp("o_totalprice"), 0).as("price_var"),
+          round(corr(col("o_totalprice"), col("days_old")), 6).as("price_age_corr"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §2.6 exact percentiles (linear interpolation in both engines)
     "q40_percentiles" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -329,6 +344,19 @@ object SqlSurface {
         |  AND o_orderdate >= DATE '1996-01-01'
         |  AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q57_stats_agg" ->
+      """WITH d AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      DATE '2002-01-01') AS DOUBLE) AS days_old
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  round(stddev_samp(o_totalprice), 2) AS price_stddev,
+        |  round(var_samp(o_totalprice), 0) AS price_var,
+        |  round(corr(o_totalprice, days_old), 6) AS price_age_corr,
+        |  count(*) AS n
+        |FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q40_percentiles" ->
       """SELECT o_orderstatus,
