@@ -19,7 +19,7 @@ import graft.ops._
 object NorthStar {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Scale.widen(s.read.parquet(s"$dir/$name.parquet"))
 
   // ------------------------------------------------------------ DuckDB SQL
   // fragments mirroring graft.ops.Text exactly
@@ -35,12 +35,11 @@ object NorthStar {
        |        i -> array_to_string(($toks)[i:i+${n - 1}], ' '))
        | ELSE [array_to_string($toks, ' ')] END""".stripMargin
 
-  private def stopRe(words: Seq[String]): String =
-    "(?i)\\b(" + words.mkString("|") + ")\\b"
-
-  /** stopword-hit count on lower(text) (Text.stopwordCount). */
+  /** stopword-hit count on lower(text) (Text.stopwordCount) — the regex
+    * comes from the same Text.wordAltRe builder the Spark expression uses
+    * (\Q..\E quoting is honored by RE2 too). */
   private def stopCountSql(e: String, words: Seq[String]): String =
-    s"coalesce(len(regexp_extract_all(lower($e), '${stopRe(words)}')), 0)"
+    s"coalesce(len(regexp_extract_all(lower($e), '${Text.wordAltRe(words)}')), 0)"
 
   /** Exact double cosine with ascending-index fold (Similarity.cosine).
     * list_sum over generate_series keeps DuckDB's accumulation order equal
@@ -48,10 +47,10 @@ object NorthStar {
   private def cosineSql(a: String, b: String, dim: Int): String =
     s"""(list_sum(list_transform(generate_series(1,$dim),
        |   i -> CAST(($a)[i] AS DOUBLE)*CAST(($b)[i] AS DOUBLE)))
-       | / (sqrt(list_sum(list_transform(generate_series(1,$dim),
+       | / nullif(sqrt(list_sum(list_transform(generate_series(1,$dim),
        |      i -> CAST(($a)[i] AS DOUBLE)*CAST(($a)[i] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(generate_series(1,$dim),
-       |      i -> CAST(($b)[i] AS DOUBLE)*CAST(($b)[i] AS DOUBLE))))))""".stripMargin
+       |      i -> CAST(($b)[i] AS DOUBLE)*CAST(($b)[i] AS DOUBLE)))), 0.0))""".stripMargin
 
   /** 32-bit SimHash from a token-md5 list column `h` (Text.simhash). */
   private def simhashSql(h: String, nCol: String): String = {
@@ -370,7 +369,7 @@ object NorthStar {
         }.mkString(",\n    ")
         val maxExpr = "greatest(" + scores.map(_._2).mkString(", ") + ")"
         val chain = scores.map { case (l, sc) =>
-          s"WHEN $sc = $maxExpr THEN '$l'"
+          s"WHEN $maxExpr > 0 AND $sc = $maxExpr THEN '$l'"
         }.mkString("\n    ")
         s"""WITH s AS (
            |  SELECT lang,

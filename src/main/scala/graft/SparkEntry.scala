@@ -20,10 +20,15 @@ object SparkEntry {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
     // (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench).
     // Truncate ns -> us exactly like DuckDB does, so oracles agree.
-    if (name == "events" && df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val fixed =
+      if (name == "events" && df.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    // the fixture parquet is one row group -> one scan partition; widen so
+    // per-row compute uses every core (filters still push through the
+    // repartition to the scan; no-op when the input is already parallel)
+    Scale.widen(fixed)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

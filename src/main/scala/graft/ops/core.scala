@@ -80,9 +80,12 @@ object Urls {
       .otherwise("External")
 
   /** C3: doctype classification by file extension
-    * (reference: sf_html_data.py:130,148-149). */
+    * (reference: sf_html_data.py:130,148-149). Extensions are
+    * \Q..\E-quoted so a caller-supplied "c++" or "a|b" can't corrupt the
+    * alternation. */
   def doctype(url: Column, extensions: Seq[String]): Column = {
-    val extRe = "(?i).*\\.(" + extensions.mkString("|") + ")([?#].*)?$"
+    val extRe = "(?i).*\\.(" +
+      extensions.map(e => "\\Q" + e + "\\E").mkString("|") + ")([?#].*)?$"
     when(url.rlike(extRe), "Picture").otherwise("HTML")
   }
 }

@@ -36,20 +36,26 @@ object Joins {
            leftTs: String, rightTs: String, valueCol: String,
            tieBreak: String, asCol: String = "asof_value"): DataFrame = {
     val keptLeft = left.columns.toSeq
+    // The value rides in a one-field struct: the struct wrapper is non-null
+    // for every matched right row even when the VALUE itself is null, so
+    // last(ignoreNulls) attaches the latest right row faithfully instead of
+    // skipping null-valued rows and resurrecting a stale older value.
+    val vWrapType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__v", lit(null).cast(vWrapType))
       .withColumn("__tb", lit(null).cast(right.schema(tieBreak).dataType))
     val r = right.select(keys.map(col) ++ Seq(
       col(rightTs).as("__ts"), lit(0).as("__side"),
-      col(valueCol).as("__v"), col(tieBreak).as("__tb")): _*)
+      struct(col(valueCol).as("v")).as("__v"), col(tieBreak).as("__tb")): _*)
     val unioned = Unions.unionPermissive(l, r)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(asCol, last("__v", ignoreNulls = true).over(w))
+      .withColumn(asCol, last("__v", ignoreNulls = true).over(w).getField("v"))
       .filter(col("__side") === 1)
       .select(keptLeft.map(col) :+ col(asCol): _*)
   }

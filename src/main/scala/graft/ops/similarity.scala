@@ -24,7 +24,10 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     def norm(x: Column): Column =
       sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot(a, b) / (norm(a) * norm(b))
+    // nullif guard: a zero vector would otherwise yield NaN, and NaN sorts
+    // ABOVE every real similarity in desc order — a garbage vector would
+    // become everyone's #1 neighbor. Null instead (sorts last in Spark desc).
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
   }
 
   /** Brute-force top-k nearest neighbours of one query vector. */

@@ -34,13 +34,19 @@ object Text {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
       "was", "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
+  /** Word-boundary alternation over literal words, each \Q..\E-quoted so
+    * metacharacters in caller-supplied words ("c++", "a|b") can't corrupt
+    * the pattern. \Q..\E is honored by both Java regex and RE2, so the
+    * oracle-SQL generator reuses this builder verbatim. */
+  def wordAltRe(words: Seq[String]): String =
+    "(?i)\\b(" + words.map(w => "\\Q" + w + "\\E").mkString("|") + ")\\b"
+
   /** Counted over lower(text) so (?i) never needs non-ASCII case folding —
     * Java regex (?i) is ASCII-only while RE2's is full-Unicode; lowering
     * first makes both engines agree on words like "für". */
-  def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
-    val re = "(?i)\\b(" + stopwords.mkString("|") + ")\\b"
-    when(text.isNull, lit(0)).otherwise(regexp_count(lower(text), lit(re)))
-  }
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnStopwords): Column =
+    when(text.isNull, lit(0))
+      .otherwise(regexp_count(lower(text), lit(wordAltRe(stopwords))))
 
   /** Quality score in [0,1]: blend of length band, stopword presence,
     * alpha ratio and token diversity. Deterministic double arithmetic with
@@ -72,11 +78,13 @@ object Text {
       lang -> stopwordCount(text, words)
     }
     // zh if any CJK char; else the first language (fixed order => ties are
-    // deterministic) whose stopword-hit count equals the max.
+    // deterministic) whose stopword-hit count equals the max — but only
+    // when at least one stopword hit exists, otherwise every branch would
+    // match score 0 and "unknown" could never fire.
     val maxScore = greatest(scores.map(_._2): _*)
     val chain = scores.foldLeft(
       when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh"))) {
-      case (acc, (l, s)) => acc.when(s === maxScore, lit(l))
+      case (acc, (l, s)) => acc.when(maxScore > 0 && s === maxScore, lit(l))
     }
     chain.otherwise(lit("unknown"))
   }
@@ -187,7 +195,10 @@ object Text {
     val packed = aggregate(
       zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
       lit(0L), (a, v) => a + v)
-    when(size(tokens(text)) === 0, lit(0L)).otherwise(packed)
+    // null text must also land in the 0 branch: size(tokens(null)) is null
+    // (not 0), which would otherwise propagate a NULL simhash while the
+    // SQL oracle's CASE chain yields 0
+    when(text.isNull || size(tokens(text)) === 0, lit(0L)).otherwise(packed)
   }
 
   /** Hamming distance between two packed simhash values (<=32 bits):

@@ -156,13 +156,14 @@ object Pipelines {
     val html = Names.keepMatching(
       filled.filter(col("doctype") === "HTML"), HtmlKeepRe)
 
-    // K3 fork: content frame vs slim frame; cache so the scan+derivation
-    // runs once for both sinks (Catalyst does not reuse across actions)
+    // K3 fork: content frame vs slim frame. Caching belongs to the CALLER
+    // (persist before the multi-sink writes, unpersist after — see
+    // RunAll): caching here would pin the frame in executor memory with
+    // no unpersist hook, leaking across every subsequent pipeline.
     val renamed = Names.renamed(Names.normalizeAll(html),
       Map("size_(bytes)" -> "page_size"))
-    val cached = renamed.cache()
-    val slim = cached.drop("content")
-    val content = Names.keep(cached, Seq("address", "content", "doctype",
+    val slim = renamed.drop("content")
+    val content = Names.keep(renamed, Seq("address", "content", "doctype",
       "website_type", "root", "directory", "crawl_date"))
     (slim, content)
   }

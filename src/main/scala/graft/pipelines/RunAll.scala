@@ -35,12 +35,16 @@ object RunAll {
         runDate),
       s"$outDir/audisto_pages")
 
-    // E2 Screaming Frog HTML (K3: slim append + content append + content replace)
+    // E2 Screaming Frog HTML (K3: slim append + content append + content
+    // replace) — persist across the three sinks, release after
     val (slim, content) = Pipelines.sfHtml(
       Pipelines.readCsv(spark, in("internal_html.csv")), runDate, alert = alert)
-    Pipelines.appendDaily(slim, s"$outDir/html_slim")
-    Pipelines.appendDaily(content, s"$outDir/content_history")
-    Pipelines.replaceTable(content, s"$outDir/content_current")
+    slim.persist(); content.persist()
+    try {
+      Pipelines.appendDaily(slim, s"$outDir/html_slim")
+      Pipelines.appendDaily(content, s"$outDir/content_history")
+      Pipelines.replaceTable(content, s"$outDir/content_current")
+    } finally { slim.unpersist(); content.unpersist() }
 
     // E3 Midoco bookings (append)
     Pipelines.appendDaily(

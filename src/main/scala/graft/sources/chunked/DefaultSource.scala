@@ -32,9 +32,11 @@ class DefaultSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val total = Option(properties.get("total")).map(_.toLong).getOrElse(0L)
-    val chunkSize = Option(properties.get("chunksize")).map(_.toLong).getOrElse(100L)
-    new ChunkedTable(total, chunkSize)
+    // getTable receives a case-PRESERVING map (unlike inferSchema's
+    // CaseInsensitiveStringMap) — wrap it, or .option("chunkSize", ...)
+    // would silently fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ChunkedTable(opts.getLong("total", 0L), opts.getLong("chunkSize", 100L))
   }
 }
 

@@ -26,11 +26,14 @@ object Streaming {
 
   /** File-based streaming source over an events-shaped parquet directory:
     * the production entry point (readStream picks up files as they land —
-    * the streaming analogue of the reference's daily batch drop). Schema
-    * must be supplied explicitly (streaming reads don't infer). */
-  def eventsFileStream(spark: SparkSession, path: String): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(path)
+    * the streaming analogue of the reference's daily batch drop).
+    * Pass the schema explicitly in production — the inference fallback
+    * reads the directory eagerly and fails if the first drop hasn't
+    * landed yet. */
+  def eventsFileStream(spark: SparkSession, path: String,
+                       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val s = schema.getOrElse(spark.read.parquet(path).schema)
+    spark.readStream.schema(s).parquet(path)
   }
 
   /** Watermarked tumbling-window counts per event type (daily-trend shape;
@@ -69,18 +72,26 @@ object Streaming {
       }
   }
 
-  /** K3 dual-sink fanout in streaming form: every micro-batch appends to a
-    * day-partitioned history table AND overwrites a small "latest state"
-    * table — exactly the reference's append+replace pair
-    * (sf_html_data.py:176-185), but incremental. */
+  /** K3 dual-sink fanout in streaming form: every micro-batch appends a
+    * batch-stamped snapshot to a day-partitioned history table AND
+    * overwrites a small "latest state" table — the reference's
+    * append+replace pair (sf_html_data.py:176-185), incremental.
+    *
+    * Runs in Complete mode so each batch carries the FULL aggregation
+    * state: the latest-table overwrite can never drop windows that didn't
+    * change this batch (Update mode would), and history rows carry
+    * `batch_id` so consumers select one snapshot instead of summing
+    * across them — mirroring the reference's one-snapshot-per-run
+    * append-history. */
   def dualSink(counts: DataFrame, historyPath: String, latestPath: String,
                checkpoint: String) =
     counts.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(OutputMode.Complete())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.withColumn("day",
-          date_format(col("window_start"), "yyyy-MM-dd"))
+        val b = batch
+          .withColumn("day", date_format(col("window_start"), "yyyy-MM-dd"))
+          .withColumn("batch_id", lit(batchId))
         b.persist()
         // No-data batches (watermark advancement) must not clobber the
         // latest-state table with an empty overwrite.

@@ -177,6 +177,16 @@ class JoinsSpec extends SparkSpec {
       Seq(Some(1.0), Some(2.0), None)) // (2,5) precedes right(2,7) -> null
   }
 
+  test("asOf: a matched right row with null value yields null, not a stale value") {
+    val left = Seq((1L, 30, 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 10, Some(5.0), 900L), (1L, 20, None: Option[Double], 901L))
+      .toDF("k", "ts", "v", "rid")
+    val r = Joins.asOf(left, right, Seq("k"), "ts", "ts", "v", "rid").collect()
+    // latest right row (ts=20) matches; its value is genuinely null —
+    // must NOT resurrect the older ts=10 value
+    assert(r.head.isNullAt(r.head.fieldIndex("asof_value")))
+  }
+
   test("asOf: duplicate right ts resolved by highest tieBreak") {
     val left = Seq((1L, 10, 100L)).toDF("k", "ts", "lid")
     val right = Seq((1L, 10, 1.0, 900L), (1L, 10, 2.0, 901L))

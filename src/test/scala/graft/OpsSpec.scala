@@ -178,6 +178,12 @@ class TextSpec extends SparkSpec {
     assert(rows(df.select(Text.langId(col("t")))).flatten === Seq("en", "de", "zh"))
   }
 
+  test("langId: zero stopword signal -> unknown, never a default language") {
+    val df = Seq("xyzzy plugh qwerty", "Привет мир", "").toDF("t")
+    assert(rows(df.select(Text.langId(col("t")))).flatten ===
+      Seq("unknown", "unknown", "unknown"))
+  }
+
   test("redactPii replaces emails, URLs and long digit runs globally") {
     val df = Seq("mail a@b.com and c@d.org, see https://x.y/z?q=1 ref 12345678 ok 123")
       .toDF("t")

@@ -104,9 +104,10 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val hist = spark.read.parquet(s"$tmp/history")
       val latest = spark.read.parquet(s"$tmp/latest")
-      // history accumulates updates (>= 2 rows), latest has exactly the
-      // final state of the single open window
+      // history accumulates one batch-stamped snapshot per batch; latest
+      // holds the full final state of the single open window
       assert(hist.count() >= 2)
+      assert(hist.select("batch_id").distinct().count() >= 2)
       assert(latest.count() === 1)
       assert(latest.select("n").head().getLong(0) === 2L)
       assert(hist.columns.contains("day")) // day-partitioned like K1
