@@ -25,7 +25,7 @@ object Explain {
     df.explain("formatted")
     (1 to repeat).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = df.queryExecution.toRdd.count() // full evaluation, like Bench
       println(f"[explain] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -19,7 +19,8 @@ import graft.ops._
 object NorthStar {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
-    Scale.widen(s.read.parquet(s"$dir/$name.parquet"))
+    s.read.parquet(s"$dir/$name.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
 
   // ------------------------------------------------------------ DuckDB SQL
   // fragments mirroring graft.ops.Text exactly

@@ -25,10 +25,11 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType)
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else df
-    // the fixture parquet is one row group -> one scan partition; widen so
-    // per-row compute uses every core (filters still push through the
-    // repartition to the scan; no-op when the input is already parallel)
-    Scale.widen(fixed)
+    // the fixture parquet is one row group -> one scan partition; spread
+    // so per-row compute uses every core (filters still push through the
+    // repartition to the scan). Unconditional: probing the partition
+    // count first would compile a plan per table reference.
+    fixed.repartition(s.sparkContext.defaultParallelism)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
