@@ -186,6 +186,16 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Text: rolling (polynomial) document hash — order-sensitive
+    // fingerprint, dedup key for exact copies that preserves order
+    "q58_rolling_hash" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), Text.rollingHash(col("text")).as("rhash"))
+        .groupBy("rhash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("rhash")
+    }),
+
     // Pipeline: deterministic hash-based train/val/test split (stable
     // across runs/engines — a document never changes split)
     "q55_train_split" -> ((s, dir) => {
@@ -400,6 +410,25 @@ object NorthStar {
         s"""${minhashPairsSql(toks)}
            |SELECT id_a, id_b FROM pairs
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q58_rolling_hash" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_transform($toks,
+           |    x -> (strpos('0123456789abcdef', md5(x)[1:1]) - 1) * 16777216
+           |       + (strpos('0123456789abcdef', md5(x)[2:2]) - 1) * 1048576
+           |       + (strpos('0123456789abcdef', md5(x)[3:3]) - 1) * 65536
+           |       + (strpos('0123456789abcdef', md5(x)[4:4]) - 1) * 4096
+           |       + (strpos('0123456789abcdef', md5(x)[5:5]) - 1) * 256
+           |       + (strpos('0123456789abcdef', md5(x)[6:6]) - 1) * 16
+           |       + (strpos('0123456789abcdef', md5(x)[7:7]) - 1)) AS vals
+           |  FROM documents),
+           |h AS (
+           |  SELECT doc_id,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+           |      (acc, v) -> (acc * 1000003 + v) % 2147483647) AS rhash
+           |  FROM t)
+           |SELECT rhash, min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM h GROUP BY rhash ORDER BY rhash""".stripMargin,
 
       "q55_train_split" ->
         s"""WITH b AS (

@@ -148,6 +148,23 @@ object Text {
   def fingerprint(text: Column): Column =
     fastMd5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Rolling (polynomial / Rabin-Karp-style) document hash: fold tokens
+    * in ORDER as h = (h * B + tokenVal) mod M — order-sensitive, unlike
+    * [[fingerprint]]'s bag key, and incrementally updatable at 100 TB
+    * (append a token = one multiply-add). tokenVal is the token's md5
+    * 28-bit prefix; M = 2^31 - 1 keeps every intermediate below 2^52 so
+    * the arithmetic is exact in both long and double engines and never
+    * overflows an engine that checks (DuckDB errors on BIGINT overflow,
+    * Java wraps — staying small sidesteps the divergence). */
+  def rollingHash(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1
+    val B = 1000003L
+    val tokenVals = transform(tokens(text),
+      t => conv(substring(fastMd5(t), 1, 7), 16, 10).cast("long"))
+    when(text.isNull, lit(0L)).otherwise(
+      aggregate(tokenVals, lit(0L), (acc, v) => pmod(acc * B + v, lit(M))))
+  }
+
   /** Word n-gram shingles; documents shorter than n collapse to one
     * whole-text shingle. Row-local (no explode needed by callers that
     * aggregate with higher-order functions). */

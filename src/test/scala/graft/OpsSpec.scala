@@ -153,6 +153,16 @@ class TextSpec extends SparkSpec {
     assert(one(Text.shingles(col("t"), 3), "a b") === Seq("a b"))
   }
 
+  test("rollingHash is order-SENSITIVE and deterministic") {
+    val df = Seq("a b c", "c b a", "a b c", "").toDF("t")
+    val hs = rows(df.select(Text.rollingHash(col("t")))).flatten
+      .map(_.asInstanceOf[Long])
+    assert(hs(0) === hs(2)) // identical text, identical hash
+    assert(hs(0) !== hs(1)) // reordered tokens change the hash
+    assert(hs(3) === 0L)    // empty text folds to the seed
+    assert(hs.forall(h => h >= 0 && h < 2147483647L))
+  }
+
   test("fingerprint is word-order and duplication insensitive") {
     val df = Seq("b a a c", "c b a").toDF("t")
     val fps = rows(df.select(Text.fingerprint(col("t")))).flatten
