@@ -631,13 +631,18 @@ object NorthStar {
 
       "q30_embedding_neardup" ->
         s"""WITH b AS (
-           |  SELECT vec_id, embedding,
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)
+           |      / nullif(sqrt(list_sum(list_transform(embedding,
+           |          y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))), 0.0)) AS nemb,
            |    (${lshBucketSql("embedding", 64, 4)}) AS bucket
            |  FROM embeddings)
            |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           |  round(${cosineSql("a.embedding", "c.embedding", 64)}, 6) AS cosine_sim
+           |  round(list_sum(list_transform(generate_series(1,64),
+           |    i -> (a.nemb)[i]*(c.nemb)[i])), 6) AS cosine_sim
            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-           |WHERE round(${cosineSql("a.embedding", "c.embedding", 64)}, 6) >= 0.15
+           |WHERE round(list_sum(list_transform(generate_series(1,64),
+           |    i -> (a.nemb)[i]*(c.nemb)[i])), 6) >= 0.15
            |ORDER BY id_a, id_b""".stripMargin
     )
   }

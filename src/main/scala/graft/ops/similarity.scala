@@ -131,23 +131,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Unit-normalize a vector (doubles; zero vectors normalize to nulls so
+    * downstream cosines are null, matching cosine()'s nullif guard). */
+  def l2Normalize(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(v, x => x.cast("double") / nullif(n, lit(0.0)))
+  }
+
+  /** Dot product of two already-double vectors, ascending-index fold. */
+  private def dotD(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   /** Embedding near-duplicate pairs: cosine >= threshold inside LSH
     * buckets (the embedding analogue of Dedup.simhashPairs). Bucket ids
-    * are computed once per row, then pairs expand inside each collected
-    * bucket — no self-join, so the plane projections aren't paid twice;
-    * the only shuffle is the groupBy on the bucket id. */
+    * AND unit-normalized vectors are computed once per row, then pairs
+    * expand inside each collected bucket — no self-join, and each pair
+    * costs one dot product instead of a dot plus two norms (the pair set
+    * is ~bucketSize^2 larger than the row set, so per-pair work
+    * dominates). The only shuffle is the groupBy on the bucket id. */
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                             dim: Int, planes: Int, minCosine: Double): DataFrame = {
-    val b = Scale.widen(df).select(col(idCol), col(embCol),
+    val b = Scale.widen(df).select(col(idCol),
+      l2Normalize(col(embCol)).as("__nemb"),
       signLshBucket(col(embCol), dim, planes).as("__bucket"))
     val entries = sort_array(collect_list(struct(col(idCol).as("id"),
-      col(embCol).as("emb"))))
+      col("__nemb").as("emb"))))
     b.groupBy("__bucket").agg(entries.as("xs"))
       .where(size(col("xs")) > 1)
       .select(explode(flatten(transform(col("xs"), (x, i) =>
         transform(slice(col("xs"), i + 2, size(col("xs"))), y => struct(
           x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          round(cosine(x.getField("emb"), y.getField("emb")), 6)
+          round(dotD(x.getField("emb"), y.getField("emb")), 6)
             .as("cosine_sim")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine_sim"))
       .where(col("cosine_sim") >= minCosine)
