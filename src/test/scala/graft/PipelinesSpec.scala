@@ -30,6 +30,26 @@ class PipelinesSpec extends SparkSpec {
     assert(deep.getAs[String]("crawl_date") === runDate)
   }
 
+  test("E1 audisto golden: full output frame equals the expected table") {
+    val raw = spark.read.option("header", true)
+      .csv(res("audisto_pages_chunk_0.csv"), res("audisto_pages_chunk_1.csv"))
+    val out = Pipelines.audisto(raw, runDate)
+      .select("address", "page_rank", "chei_rank", "root", "directory",
+        "page_level1", "page_level2", "page_level3", "page_level4", "crawl_date")
+      .orderBy("address")
+      .collect().map(_.toSeq)
+    val expected = Seq(
+      Seq("https://blog.example.de/tipps/packliste", 0.21, 0.61,
+        "blog.example.de", "tipps", "packliste", null, null, null, runDate),
+      Seq("https://www.example.de/", 0.91, 0.12,
+        "www.example.de", null, null, null, null, null, runDate),
+      Seq("https://www.example.de/reisen/", 0.55, 0.33,
+        "www.example.de", "reisen", null, null, null, null, runDate),
+      Seq("https://www.example.de/reisen/spanien/mallorca", 0.41, 0.52,
+        "www.example.de", "reisen", "spanien", "mallorca", null, null, runDate))
+    assert(out.toSeq === expected)
+  }
+
   test("E2 sfHtml: gate passes, picture rows filtered, content merged, renamed") {
     var alerts = List.empty[String]
     val raw = Pipelines.readCsv(spark, res("internal_html.csv"))
