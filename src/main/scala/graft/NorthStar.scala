@@ -297,6 +297,9 @@ object NorthStar {
         .select(col("qid").as("group"), col("vec_id").as("id"),
           round(Similarity.cosine(col("embedding"), col("__qvec")), 6)
             .as("score"))
+        // cosine is null for zero-norm vectors; Scored.score is a
+        // primitive, so drop them (they'd rank below any real top-k hit)
+        .where(col("score").isNotNull)
         .as[Aggregators.Scored]
       Aggregators.groupedTopK(scored, 10)
         .toDF("qid", "topk")

@@ -20,7 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5HexExpression(child: Expression) extends UnaryExpression {
 
-  // input is guaranteed BinaryType by the fastMd5 builder's cast
+  // surface a wrong input type at ANALYSIS time, not as a Janino compile
+  // failure mid-job (ExpectsInputTypes is private[sql], so check manually)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_md5 requires BINARY input, got ${child.dataType.sql}")
+
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_md5"
 

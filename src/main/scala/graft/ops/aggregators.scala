@@ -25,8 +25,15 @@ object Aggregators {
     * O(k log k) on insert batches; swap for a bounded heap if k is large.
     */
   class TopK(k: Int) extends Aggregator[Scored, TopKBuf, Seq[ScoredId]] {
+    // java.lang.Double.compare semantics (NaN greater than everything)
+    // match Spark's desc sort, where NaN ranks FIRST — Scala's tuple
+    // sortBy(-score) would instead drop NaN rows to the bottom and
+    // diverge from the window formulation
     private def trim(items: Seq[ScoredId]): Seq[ScoredId] =
-      items.sortBy(s => (-s.score, s.id)).take(k)
+      items.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a.score, b.score)
+        if (c != 0) c > 0 else a.id < b.id
+      }.take(k)
 
     override def zero: TopKBuf = TopKBuf(Seq.empty)
     override def reduce(b: TopKBuf, a: Scored): TopKBuf =

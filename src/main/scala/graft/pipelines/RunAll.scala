@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   */
 object RunAll {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: runMain graft.pipelines.RunAll <inputDir> <warehouseDir> <runDate>")
     val Array(inputDir, outDir, runDate) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -36,15 +38,15 @@ object RunAll {
       s"$outDir/audisto_pages")
 
     // E2 Screaming Frog HTML (K3: slim append + content append + content
-    // replace) — persist across the three sinks, release after
+    // replace) — only `content` is written twice, so only it persists
     val (slim, content) = Pipelines.sfHtml(
       Pipelines.readCsv(spark, in("internal_html.csv")), runDate, alert = alert)
-    slim.persist(); content.persist()
+    content.persist()
     try {
       Pipelines.appendDaily(slim, s"$outDir/html_slim")
       Pipelines.appendDaily(content, s"$outDir/content_history")
       Pipelines.replaceTable(content, s"$outDir/content_current")
-    } finally { slim.unpersist(); content.unpersist() }
+    } finally { content.unpersist() }
 
     // E3 Midoco bookings (append)
     Pipelines.appendDaily(
@@ -65,10 +67,28 @@ object RunAll {
       Pipelines.backlinks(Pipelines.readCsv(spark, in("link_metrics_all.csv")),
         runDate),
       s"$outDir/backlinks")
+    // images: crawler image export ∪ picture rows from the RAW html export
+    // (sfHtml's outputs have already dropped Picture rows, so the picture
+    // side comes from the raw frame, like the reference's sf_images script)
+    val rawHtml = Pipelines.readCsv(spark, in("internal_html.csv"))
+    val htmlPictures = rawHtml
+      .filter(graft.ops.Urls.doctype(
+        org.apache.spark.sql.functions.col("Address"),
+        Pipelines.SiteConfig().pictureExts) === "Picture")
+      .select("Address", "Status Code", "Size (bytes)")
+    Pipelines.appendDaily(
+      Pipelines.images(
+        Pipelines.readCsv(spark, in("internal_images.csv")),
+        htmlPictures, runDate),
+      s"$outDir/images")
     Pipelines.replaceTable(
       Pipelines.hreflang(Pipelines.readCsv(spark,
         in("hreflang_missing_return_links.csv")), runDate),
       s"$outDir/hreflang_missing")
+    Pipelines.replaceTable(
+      Pipelines.hreflang(Pipelines.readCsv(spark,
+        in("hreflang_non200_hreflang_urls.csv")), runDate),
+      s"$outDir/hreflang_non200")
 
     println(s"[runall] wrote warehouse to $outDir (alerts: ${alerts.size})")
     spark.stop()

@@ -36,6 +36,8 @@ class DefaultSource extends TableProvider {
     // CaseInsensitiveStringMap) — wrap it, or .option("chunkSize", ...)
     // would silently fall back to the default
     val opts = new CaseInsensitiveStringMap(properties)
+    require(opts.containsKey("total"),
+      "graft.sources.chunked requires option 'total' (row count to page)")
     new ChunkedTable(opts.getLong("total", 0L), opts.getLong("chunkSize", 100L))
   }
 }
