@@ -23,6 +23,16 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_md5 is callable from raw SQL after extensions registration") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    val r = spark.sql(
+      "SELECT graft_md5('abc') AS f, md5(cast('abc' AS BINARY)) AS b").head()
+    assert(r.getString(0) === r.getString(1))
+    // the extensions class itself applies cleanly (spark.sql.extensions path)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
+
   test("fastMd5 propagates null") {
     val r = rows(strDf("s", Seq(None)).select(fastMd5(col("s"))))
     assert(r.head.head === null)
