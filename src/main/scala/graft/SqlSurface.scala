@@ -72,6 +72,22 @@ object SqlSurface {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // §2.7 remaining window family: ntile / percent_rank / dense_rank /
+    // first_value over partition frames
+    "q59_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("dense_rk", dense_rank().over(w))
+        .withColumn("top_order_in_status",
+          first("o_orderkey").over(w))
+        .select("o_orderkey", "o_orderstatus", "quartile", "pct_rank",
+          "dense_rk", "top_order_in_status")
+        .orderBy("o_orderkey")
+    }),
+
     // §2.5 as-of join (window-over-union, no range explosion)
     "q37_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -309,6 +325,17 @@ object SqlSurface {
         |    ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q59_window_family" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  dense_rank() OVER w AS dense_rk,
+        |  first_value(o_orderkey) OVER w AS top_order_in_status
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q37_asof_join" ->
       """WITH clicks AS (
