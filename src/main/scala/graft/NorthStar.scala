@@ -275,6 +275,22 @@ object NorthStar {
         .orderBy("lang")
     }),
 
+    // Array-function family over vector columns: element extremes, slices
+    // and sums per cluster label
+    "q60_array_ops" -> ((s, dir) => {
+      rd(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(
+          round(avg(array_min(col("embedding")).cast("double")), 6)
+            .as("avg_min_elem"),
+          round(avg(array_max(col("embedding")).cast("double")), 6)
+            .as("avg_max_elem"),
+          round(sum(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+            (a, v) => a + v.cast("double"))), 6).as("sum_head8"),
+          count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
+
     // Similarity: per-query top-k over the corpus (broadcast + window)
     "q27_cosine_topk" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -562,6 +578,17 @@ object NorthStar {
            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
            |WHERE bit_count(xor(a.simhash, c.simhash)) <= 10
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q60_array_ops" ->
+        """SELECT label,
+          |  round(avg(CAST(list_aggregate(embedding, 'min') AS DOUBLE)), 6)
+          |    AS avg_min_elem,
+          |  round(avg(CAST(list_aggregate(embedding, 'max') AS DOUBLE)), 6)
+          |    AS avg_max_elem,
+          |  round(sum(list_sum(list_transform(embedding[1:8],
+          |    x -> CAST(x AS DOUBLE)))), 6) AS sum_head8,
+          |  count(*) AS n
+          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
       "q27_cosine_topk" ->
         s"""WITH q AS (
