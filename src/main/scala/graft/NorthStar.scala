@@ -19,8 +19,7 @@ import graft.ops._
 object NorthStar {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+    SparkEntry.t(s, dir, name)
 
   // ------------------------------------------------------------ DuckDB SQL
   // fragments mirroring graft.ops.Text exactly
@@ -258,7 +257,7 @@ object NorthStar {
         .crossJoin(broadcast(total))
         .withColumn("tfidf", round(col("tf").cast("double") *
           log(col("n").cast("double") / col("df").cast("double")), 4))
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 5)
         .select("lang", "token", "tfidf", "rank")
         .orderBy("lang", "rank")
@@ -322,7 +321,7 @@ object NorthStar {
         .select(col("qid"), posexplode(col("topk")))
         .select(col("qid"), col("col.id").as("vec_id"),
           col("col.score").as("cosine_sim"),
-          (col("pos") + 1).cast("int").as("rank"))
+          (col("pos") + 1).cast("long").as("rank"))
         .orderBy("qid", "rank")
     }),
 
@@ -364,10 +363,11 @@ object NorthStar {
     Map(
       "q18_token_stats" ->
         s"""SELECT lang,
-           |  sum(coalesce(len($toks), 0)) AS sum_tokens,
-           |  sum(coalesce(len(regexp_extract_all(text,
-           |      '${Text.BpeIshRe}')), 0)) AS sum_bpe_tokens,
-           |  sum(${stopCountSql("text", Text.EnStopwords)}) AS sum_stopwords,
+           |  CAST(sum(coalesce(len($toks), 0)) AS BIGINT) AS sum_tokens,
+           |  CAST(sum(coalesce(len(regexp_extract_all(text,
+           |      '${Text.BpeIshRe}')), 0)) AS BIGINT) AS sum_bpe_tokens,
+           |  CAST(sum(${stopCountSql("text", Text.EnStopwords)}) AS BIGINT)
+           |    AS sum_stopwords,
            |  count(*) AS n_docs
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -483,10 +483,11 @@ object NorthStar {
            |      '${Text.LongDigitRe}', '<NUM>', 'g') AS clean
            |  FROM d)
            |SELECT lang,
-           |  sum(len(regexp_extract_all(dirty, '${Text.EmailRe}'))) AS n_emails,
-           |  sum(len(dirty) - len(clean)) AS chars_removed,
-           |  sum(CASE WHEN contains(clean, '<EMAIL>') THEN 1 ELSE 0 END)
-           |    AS docs_with_email,
+           |  CAST(sum(len(regexp_extract_all(dirty, '${Text.EmailRe}')))
+           |    AS BIGINT) AS n_emails,
+           |  CAST(sum(len(dirty) - len(clean)) AS BIGINT) AS chars_removed,
+           |  CAST(sum(CASE WHEN contains(clean, '<EMAIL>') THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS docs_with_email,
            |  count(*) AS n
            |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -504,7 +505,8 @@ object NorthStar {
            |  FROM s)
            |SELECT lang, round(avg(rep), 6) AS avg_repetition,
            |  round(max(rep), 6) AS max_repetition,
-           |  sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS n_repetitive,
+           |  CAST(sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_repetitive,
            |  count(*) AS n
            |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -532,7 +534,8 @@ object NorthStar {
 
       "q47_dedup_keep" ->
         s"""${minhashPairsSql(toks)}
-           |SELECT lang, count(*) AS n_kept, sum(n_chars) AS sum_chars
+           |SELECT lang, count(*) AS n_kept,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
            |FROM documents
            |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
            |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -574,7 +577,7 @@ object NorthStar {
            |b AS (
            |  SELECT doc_id, simhash, simhash >> 24 AS bucket FROM sv)
            |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-           |  bit_count(xor(a.simhash, c.simhash)) AS hamming
+           |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
            |WHERE bit_count(xor(a.simhash, c.simhash)) <= 10
            |ORDER BY id_a, id_b""".stripMargin,

@@ -25,11 +25,15 @@ object SparkEntry {
           org.apache.spark.sql.types.LongType)
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else df
-    // the fixture parquet is one row group -> one scan partition; spread
-    // so per-row compute uses every core (filters still push through the
-    // repartition to the scan). Unconditional: probing the partition
-    // count first would compile a plan per table reference.
-    fixed.repartition(s.sparkContext.defaultParallelism)
+    // The fixture parquet is one row group -> one scan partition, so the
+    // Verify/Bench harnesses opt in to a round-robin spread via
+    // spark.graft.widenReads (filters still push through the repartition
+    // to the scan). Library default is NO repartition: at real scale the
+    // scan is already split by maxPartitionBytes and an unconditional
+    // exchange would be a gratuitous full-table shuffle.
+    if (s.conf.get("spark.graft.widenReads", "false") == "true")
+      fixed.repartition(s.sparkContext.defaultParallelism)
+    else fixed
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -109,7 +113,7 @@ object SparkEntry {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("days_since_prev",
           datediff(col("o_orderdate"), lag("o_orderdate", 1).over(w)))
         .select("o_custkey", "o_orderkey", "rn", "days_since_prev")
@@ -189,10 +193,11 @@ object SparkEntry {
     "q13_date_ops" -> ((s, dir) => {
       t(s, dir, "orders")
         .withColumn("order_day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
-        .withColumn("order_year", year(col("o_orderdate")))
-        .withColumn("order_month", month(col("o_orderdate")))
+        .withColumn("order_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("order_month", month(col("o_orderdate")).cast("long"))
         .withColumn("days_to_ref",
-          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")))
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate"))
+            .cast("long"))
         .withColumn("iso_roundtrip", Dates.parseIsoDate(
           date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")))
         .withColumn("german_roundtrip", Dates.parseGermanDate(
@@ -329,7 +334,7 @@ object SparkEntry {
 
     "q10_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k, count(*) AS n
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q11_url_levels" ->
@@ -402,7 +407,7 @@ object SparkEntry {
         |         ELSE concat('x', l_returnflag) END AS mixed
         |  FROM lineitem)
         |SELECT l_linestatus,
-        |  sum(coalesce(TRY_CAST(mixed AS BIGINT), 0)) AS sum_coerced,
+        |  CAST(sum(coalesce(TRY_CAST(mixed AS BIGINT), 0)) AS BIGINT) AS sum_coerced,
         |  round(sum(coalesce(TRY_CAST(mixed AS DOUBLE), 0.0)), 2) AS sum_filled,
         |  count(*) AS n
         |FROM m GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
@@ -416,8 +421,8 @@ object SparkEntry {
 
     "q17_quality_gate" ->
       """SELECT
-        |  sum(CASE WHEN event_type = 'error' AND value > 180
-        |      THEN 1 ELSE 0 END) AS n_bad,
+        |  CAST(sum(CASE WHEN event_type = 'error' AND value > 180
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
         |  count(*) AS n_total
         |FROM events""".stripMargin
   )

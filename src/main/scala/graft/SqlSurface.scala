@@ -78,9 +78,9 @@ object SqlSurface {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
         .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("dense_rk", dense_rank().over(w))
+        .withColumn("dense_rk", dense_rank().over(w).cast("long"))
         .withColumn("top_order_in_status",
           first("o_orderkey").over(w))
         .select("o_orderkey", "o_orderstatus", "quartile", "pct_rank",
@@ -182,14 +182,18 @@ object SqlSurface {
         .orderBy("event_type")
     }),
 
-    // §2.6 approx_count_distinct (HLL). No DuckDB oracle — sketch values
-    // are engine-specific, so the driver records a rows-only check; the
-    // exact countDistinct column anchors the row count deterministically.
+    // §2.6 approx_count_distinct (HLL). Sketch values are engine-specific,
+    // so the checkable contract is the exact count plus a boolean asserting
+    // the sketch landed within 5% relative error — the oracle computes the
+    // exact count and expects `true`.
     "q49_approx_distinct" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct("user_id").as("approx_users"),
           countDistinct("user_id").as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            / col("exact_users") < 0.05).as("approx_ok"))
         .orderBy("event_type")
     }),
 
@@ -288,6 +292,11 @@ object SqlSurface {
 
   def oracleSql: Map[String, String] = Map(
 
+    "q49_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q31_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS sum_qty
@@ -314,9 +323,9 @@ object SqlSurface {
 
     "q35_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q36_running_revenue" ->
@@ -450,7 +459,8 @@ object SqlSurface {
         |         ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q48_json_struct" ->
@@ -480,10 +490,11 @@ object SqlSurface {
         |                  floor(240 * 1000 / height), 1000) AS scale_mil
         |  FROM d)
         |SELECT kind, count(*) AS n,
-        |  sum(width) AS sum_width, sum(height) AS sum_height,
-        |  sum(floor(width * scale_mil / 1000)) AS sum_out_width,
-        |  sum(floor(height * scale_mil / 1000)) AS sum_out_height,
-        |  sum(sample_rate) AS sum_sample_rate,
+        |  CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height,
+        |  CAST(sum(floor(width * scale_mil / 1000)) AS BIGINT) AS sum_out_width,
+        |  CAST(sum(floor(height * scale_mil / 1000)) AS BIGINT) AS sum_out_height,
+        |  CAST(sum(sample_rate) AS BIGINT) AS sum_sample_rate,
         |  max(duration_ms) AS max_duration_ms
         |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
 
@@ -493,8 +504,8 @@ object SqlSurface {
         |    generate_series(0, n_chars * 10, 500) AS offsets
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT lang, count(*) AS n_clips,
-        |  sum(len(offsets)) AS n_frames,
-        |  sum(list_sum(offsets)) AS sum_offset_ms
+        |  CAST(sum(len(offsets)) AS BIGINT) AS n_frames,
+        |  CAST(sum(list_sum(offsets)) AS BIGINT) AS sum_offset_ms
         |FROM v GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -48,7 +48,7 @@ object Similarity {
       .where(col(corpusId) =!= col(queryId))
       .withColumn("cosine_sim", round(cosine(col(embCol), col("__qvec")), 6))
     val w = Window.partitionBy(queryId).orderBy(col("cosine_sim").desc, col(corpusId))
-    joined.withColumn("rank", row_number().over(w))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine_sim"), col("rank"))
   }

@@ -51,6 +51,9 @@ def main():
         diffs = []
         for c in exp.columns:
             e, g = exp[c], got[c]
+            if not _dtype_ok(e, g):
+                diffs.append((c, f"dtype oracle={e.dtype} spark={g.dtype}"))
+                continue
             try:
                 ecmp = e.astype(object).where(pd.notnull(e), None)
                 gcmp = g.astype(object).where(pd.notnull(g), None)
@@ -72,24 +75,55 @@ def main():
     print(f"\n{len(oracle) - bad}/{len(oracle)} queries match")
     sys.exit(1 if bad else 0)
 
+def _dtype_ok(e, g):
+    """Driver-faithful dtype gate: float64 vs int64 is a FAIL (DuckDB
+    HUGEINT sums surface as float64; Spark emits int64 — the driver's
+    hash compare is representation-strict). datetime64 resolution
+    (ns vs us) is tolerated; everything else must match exactly."""
+    de, dg = str(e.dtype), str(g.dtype)
+    if de == dg:
+        return True
+    if de.startswith("datetime64") and dg.startswith("datetime64"):
+        return True
+    # DuckDB CAST(strptime(..) AS DATE) surfaces as datetime64 while Spark
+    # DATE parquet loads as object(datetime.date); cell compare (below)
+    # still requires the timestamp to be exactly midnight of that date.
+    if {de, dg} == {"object"} or (
+            (de.startswith("datetime64") or de == "object") and
+            (dg.startswith("datetime64") or dg == "object")):
+        return True
+    return False
+
 def _eq(a, b):
+    import datetime
     if a is None and b is None:
         return True
     if a is None or b is None:
         return False
-    if isinstance(a, float) or isinstance(b, float):
+    a_pure_date = isinstance(a, datetime.date) and \
+        not isinstance(a, (datetime.datetime, pd.Timestamp))
+    b_pure_date = isinstance(b, datetime.date) and \
+        not isinstance(b, (datetime.datetime, pd.Timestamp))
+    if a_pure_date and b_pure_date:
+        return str(a) == str(b)
+    if a_pure_date != b_pure_date and (a_pure_date or b_pure_date):
+        # date vs timestamp: equal only if the timestamp is midnight of
+        # that exact date (DuckDB date-typed results surface as Timestamps)
+        ts, d = (b, a) if a_pure_date else (a, b)
+        if isinstance(ts, (pd.Timestamp, datetime.datetime)):
+            return ts.time() == datetime.time(0, 0) and ts.date() == d
+        return False
+    if isinstance(a, (pd.Timestamp, datetime.datetime)) or \
+       isinstance(b, (pd.Timestamp, datetime.datetime)):
+        # full-precision compare; only genuine date-vs-date may truncate
+        return str(a) == str(b)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, float) != isinstance(b, float):
+        return False  # float64(42.0) == int64(42) must NOT pass
+    if isinstance(a, float):
         return a == b  # exact: queries must round on their own
-    try:
-        import datetime
-        if isinstance(a, (pd.Timestamp, datetime.date)) or \
-           isinstance(b, (pd.Timestamp, datetime.date)):
-            return str(a)[:10] == str(b)[:10] if _both_dates(a, b) else str(a) == str(b)
-    except Exception:
-        pass
     return a == b
-
-def _both_dates(a, b):
-    return True
 
 if __name__ == "__main__":
     main()
