@@ -61,16 +61,52 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** In-bucket pair expansion with a hard bound on per-row state.
+    *
+    * `rows` must carry a bucket column and an entry column (any orderable
+    * type — plain id or a struct whose first field is the id). Buckets of
+    * 2..maxBucket entries take the cheap path: one hash-shuffle, a sorted
+    * collect_list, and array-lambda expansion (the upstream signature is
+    * computed once per row, never per pair). Buckets LARGER than maxBucket
+    * — degenerate boilerplate keys at corpus scale — would otherwise
+    * materialize the whole bucket as one array row and OOM an executor,
+    * so they fall back to a bucket-equi self-join: identical pair set,
+    * bounded row width, quadratic work spread across tasks instead of
+    * concentrated in one aggregation buffer. Both branches share the
+    * bucket-keyed exchange (AQE ReuseExchange), and the window count that
+    * routes rows needs no second shuffle. */
+  private[ops] def boundedBucketPairs(rows: DataFrame, bucketCol: String,
+      entryCol: String, maxBucket: Int,
+      mkPair: (Column, Column) => Column): DataFrame = {
+    val byBucket = org.apache.spark.sql.expressions.Window.partitionBy(bucketCol)
+    val counted = rows.withColumn("__n", count(lit(1)).over(byBucket))
+    val small = counted
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .groupBy(bucketCol)
+      .agg(sort_array(collect_list(col(entryCol))).as("xs"))
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))),
+          y => mkPair(x, y))))).as("p"))
+    val big = counted.where(col("__n") > maxBucket)
+    val bigPairs = big
+      .select(col(bucketCol).as("__bka"), col(entryCol).as("__ea"))
+      .join(big.select(col(bucketCol).as("__bkb"), col(entryCol).as("__eb")),
+        col("__bka") === col("__bkb") && col("__ea") < col("__eb"))
+      .select(mkPair(col("__ea"), col("__eb")).as("p"))
+    small.unionByName(bigPairs)
+  }
+
   /** MinHash-LSH candidate pairs: signature -> bands -> band-hash buckets
-    * -> in-bucket pair expansion. ONE shuffle on (band_idx, band_hash) and
-    * one signature evaluation per row (a naive self-join would recompute
-    * the md5 signatures on both sides). Quadratic blow-up is confined to
-    * colliding buckets (the candidates we want) — at 100 TB, band width
-    * controls bucket size, and a `size(ids) > cap` guard can drop
-    * degenerate buckets (all-identical boilerplate docs). */
+    * -> in-bucket pair expansion. One bucket-keyed shuffle and one
+    * signature evaluation per row (a naive self-join would recompute the
+    * md5 signatures on both sides). Quadratic blow-up is confined to
+    * colliding buckets (the candidates we want); buckets above `maxBucket`
+    * (all-identical boilerplate at corpus scale) switch to join-based
+    * expansion so no single row ever holds a whole bucket. */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 8, bands: Int = 4,
-                            shingleSize: Int = 3): DataFrame = {
+                            shingleSize: Int = 3,
+                            maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
@@ -78,12 +114,11 @@ object Dedup {
       val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
     }
-    sig
+    val banded = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
-      .groupBy("band.band_idx", "band.band_hash")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("band").as("__bucket"), col(idCol).as("__e"))
+    boundedBucketPairs(banded, "__bucket", "__e", maxBucket,
+        (x, y) => struct(x.as("id_a"), y.as("id_b")))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
@@ -138,12 +173,13 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share a
-    * blocking key (default: same lang + length band). Pairwise work only
-    * inside blocks — the 100 TB path swaps the blocking key for
-    * minhashCandidatePairs above. */
+    * blocking key. The key is REQUIRED: pairwise work is quadratic inside
+    * each block, so an unkeyed call would be a full corpus cross-join —
+    * callers who really want that must say `_ => lit(1)` explicitly. The
+    * 100 TB path swaps the blocking key for minhashCandidatePairs above. */
   def ngramJaccardPairs(df0: DataFrame, textCol: String, idCol: String,
-                        n: Int = 3, minJaccard: Double = 0.0,
-                        blockingKey: DataFrame => Column = d => lit(1)): DataFrame = {
+                        n: Int, minJaccard: Double,
+                        blockingKey: DataFrame => Column): DataFrame = {
     val df = Scale.widen(df0)
     val withKey = df
       .withColumn("__block", blockingKey(df))
@@ -164,22 +200,21 @@ object Dedup {
     * bits; pairs within a bucket filtered by Hamming distance. One shuffle
     * on a small int key, one simhash evaluation per row (the simhash
     * expression is by far the dominant cost — a self-join would pay it
-    * twice). */
+    * twice). Size `prefixBits` so expected bucket size stays ~constant as
+    * the corpus grows (~log2(n / targetBucketSize)); `maxBucket` is the
+    * hard backstop — oversized buckets expand via self-join instead of a
+    * single whole-bucket array row. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    bits: Int = 32, prefixBits: Int = 8,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val sh = Scale.widen(df)
       .select(col(idCol), Text.simhash(col(textCol), bits).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), bits - prefixBits))
-    val entries = sort_array(collect_list(struct(col(idCol).as("id"),
-      col("simhash").as("sim"))))
-    sh.groupBy("bucket").agg(entries.as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, size(col("xs"))), y => struct(
-          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          Text.hammingDistance(x.getField("sim"), y.getField("sim"), bits)
-            .as("hamming")))))).as("p"))
+      .select(shiftright(col("simhash"), bits - prefixBits).as("__bucket"),
+        struct(col(idCol).as("id"), col("simhash").as("sim")).as("__e"))
+    boundedBucketPairs(sh, "__bucket", "__e", maxBucket, (x, y) => struct(
+        x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+        Text.hammingDistance(x.getField("sim"), y.getField("sim"), bits)
+          .as("hamming")))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
   }

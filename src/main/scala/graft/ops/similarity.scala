@@ -102,22 +102,39 @@ object Similarity {
     * picker works (k-means, sampled rows); a deterministic picker keeps
     * results oracle-checkable.
     *
-    * Scale: assignment is one broadcast cross-join against nlist tiny
-    * centroid rows computed in the scan stage; at 100 TB you'd persist the
-    * assignment partitioned by cluster id so probes touch only
+    * Scale: assignment is row-local — the nlist centroids are folded into
+    * ONE broadcast array row, and each corpus vector picks its argmax
+    * cosine (ties -> lowest cid) inside a single higher-order-function
+    * fold. Zero corpus shuffle (a crossJoin + row_number window would
+    * shuffle corpus×nlist rows through a sort). At 100 TB you'd persist
+    * the assignment partitioned by cluster id so probes touch only
     * nprobe/nlist of the files. */
   def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
               centroids: DataFrame, queryVec: Column,
               nprobe: Int, k: Int): DataFrame = {
     val cid = col("cid")
-    val byVec = Window.partitionBy(idCol)
-      .orderBy(col("__sim").desc, cid)
+    val cidType = centroids.schema("cid").dataType
+    // cid-sorted so a strictly-greater fold keeps the LOWEST cid on ties —
+    // same tie-break as row_number over (sim DESC, cid ASC)
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(cid, col("cvec")))).as("__cents"))
+    val noBest = struct(lit(null).cast("double").as("sim"),
+      lit(null).cast(cidType).as("cid"))
+    val best = aggregate(col("__cents"), noBest, (acc, c) => {
+      val s = cosine(col(embCol), c.getField("cvec"))
+      // null cosine (zero vector) never beats a real one; the first
+      // centroid seeds the fold so an all-null row still lands in the
+      // lowest-cid cluster, exactly like the window formulation
+      val take = acc.getField("cid").isNull ||
+        (acc.getField("sim").isNull && s.isNotNull) ||
+        (s.isNotNull && s > acc.getField("sim"))
+      when(take, struct(s.as("sim"), c.getField("cid").as("cid")))
+        .otherwise(acc)
+    })
     val assigned = Scale.widen(corpus)
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(embCol), col("cvec")))
-      .withColumn("__rk", row_number().over(byVec))
-      .where(col("__rk") === 1)
-      .select(col(idCol), col(embCol), cid.as("cluster"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("__best", best)
+      .select(col(idCol), col(embCol), col("__best.cid").as("cluster"))
     val probeWindow = Window.orderBy(col("__qsim").desc, cid)
     val probed = centroids
       .withColumn("__qsim", cosine(col("cvec"), queryVec))
@@ -151,19 +168,15 @@ object Similarity {
     * is ~bucketSize^2 larger than the row set, so per-pair work
     * dominates). The only shuffle is the groupBy on the bucket id. */
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
-                            dim: Int, planes: Int, minCosine: Double): DataFrame = {
-    val b = Scale.widen(df).select(col(idCol),
-      l2Normalize(col(embCol)).as("__nemb"),
-      signLshBucket(col(embCol), dim, planes).as("__bucket"))
-    val entries = sort_array(collect_list(struct(col(idCol).as("id"),
-      col("__nemb").as("emb"))))
-    b.groupBy("__bucket").agg(entries.as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, size(col("xs"))), y => struct(
-          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          round(dotD(x.getField("emb"), y.getField("emb")), 6)
-            .as("cosine_sim")))))).as("p"))
+                            dim: Int, planes: Int, minCosine: Double,
+                            maxBucket: Int = 4096): DataFrame = {
+    val b = Scale.widen(df).select(
+      signLshBucket(col(embCol), dim, planes).as("__bucket"),
+      struct(col(idCol).as("id"), l2Normalize(col(embCol)).as("emb")).as("__e"))
+    Dedup.boundedBucketPairs(b, "__bucket", "__e", maxBucket, (x, y) => struct(
+        x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+        round(dotD(x.getField("emb"), y.getField("emb")), 6)
+          .as("cosine_sim")))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine_sim"))
       .where(col("cosine_sim") >= minCosine)
   }

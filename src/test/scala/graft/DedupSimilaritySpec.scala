@@ -39,7 +39,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("ngram jaccard: exact dup = 1.0, near dup high, unrelated low") {
-    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3)
+    // no-blocking is an explicit opt-in (lit(1)) — fine for 5 docs,
+    // an O(n^2) cross-join at corpus scale
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+      minJaccard = 0.0, blockingKey = _ => lit(1))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(j((1L, 2L)) === 1.0)
     assert(j((1L, 3L)) > 0.5)
@@ -62,6 +65,25 @@ class DedupSpec extends SparkSpec {
       bits = 32, prefixBits = 2, maxHamming = 12)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs.get((1L, 2L)).contains(0L))
+  }
+
+  test("degenerate all-duplicates corpus: capped expansion = uncapped pair set") {
+    // 60 identical docs land in ONE bucket. With maxBucket=8 the bucket
+    // takes the join path (no whole-bucket array row); the pair set must
+    // be exactly C(60,2) and identical to the array-path result.
+    val dup = spark.range(60).selectExpr("id AS doc_id",
+      "'same boilerplate text repeated everywhere' AS text")
+    def run(cap: Int) = Dedup.simhashPairs(dup, "text", "doc_id",
+      bits = 32, prefixBits = 2, maxHamming = 32, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(8)
+    assert(capped.size === 60 * 59 / 2)
+    assert(capped === run(100000))
+
+    val mh = Dedup.minhashCandidatePairs(dup, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.size === 60 * 59 / 2)
   }
 }
 
