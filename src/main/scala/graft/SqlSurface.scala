@@ -116,6 +116,21 @@ object SqlSurface {
         .orderBy("band")
     }),
 
+    // §2.5 levenshtein-bounded fuzzy join (bookings ⋈ pages shape):
+    // nation names with one substituted character fuzzy-matched back to
+    // the dimension; "IRAX" legitimately hits both IRAN and IRAQ
+    "q61_fuzzy_join" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val typo = nation.select(col("n_nationkey").as("t_key"),
+        concat(substring(col("n_name"), 1, 3), lit("X"),
+          substring(col("n_name"), 5, 1000)).as("t_name"))
+      Joins.fuzzy(typo, nation.select("n_nationkey", "n_name"),
+          "t_name", "n_name", maxDist = 1)
+        .select(col("t_key"), col("t_name"), col("n_nationkey"), col("n_name"),
+          levenshtein(col("t_name"), col("n_name")).cast("long").as("dist"))
+        .orderBy("t_key", "n_nationkey")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -345,6 +360,19 @@ object SqlSurface {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q61_fuzzy_join" ->
+      """WITH typo AS (
+        |  SELECT n_nationkey AS t_key,
+        |    concat(substring(n_name, 1, 3), 'X', substring(n_name, 5))
+        |      AS t_name
+        |  FROM nation)
+        |SELECT t.t_key, t.t_name, n.n_nationkey, n.n_name,
+        |  CAST(levenshtein(lower(t.t_name), lower(n.n_name)) AS BIGINT)
+        |    AS dist
+        |FROM typo t JOIN nation n
+        |  ON levenshtein(lower(t.t_name), lower(n.n_name)) <= 1
+        |ORDER BY t_key, n_nationkey""".stripMargin,
 
     "q37_asof_join" ->
       """WITH clicks AS (

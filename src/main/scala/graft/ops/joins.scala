@@ -66,4 +66,21 @@ object Joins {
                lo: String, hi: String): DataFrame =
     fact.join(broadcast(bands),
       col(valueCol) >= col(lo) && col(valueCol) < col(hi))
+
+  /** Levenshtein-bounded fuzzy join of a fact table against a small
+    * dimension (SURVEY §2.5 bookings ⋈ pages on hotelort/land vs page
+    * levels, Midoco/product_data.py:73-96): rows match when
+    * edit_distance(factKey, dimKey) <= maxDist, case-insensitively.
+    *
+    * Scale: the dim side broadcasts (BroadcastNestedLoopJoin — correct
+    * for a theta join against a small side at any fact-side scale), and
+    * a |length difference| > maxDist pre-filter rejects most candidates
+    * before the O(|a|·|b|) edit-distance evaluation. For dim sides too
+    * big to broadcast, block first (e.g. on soundex/first letter) and
+    * equi-join the block key. */
+  def fuzzy(fact: DataFrame, dim: DataFrame, factKey: String,
+            dimKey: String, maxDist: Int): DataFrame =
+    fact.join(broadcast(dim),
+      abs(length(col(factKey)) - length(col(dimKey))) <= maxDist &&
+      levenshtein(lower(col(factKey)), lower(col(dimKey))) <= maxDist)
 }

@@ -62,6 +62,36 @@ object Pipelines {
 
   // ------------------------------------------------------------------ E1
 
+  /** S5: the Audisto crawl list arrives as a JSON array of
+    * `{id, timestamps: {started}}` records (reference:
+    * Audisto/audisto.py:61-82); read it as a table and project to
+    * (id, crawl_time) with the started-timestamp truncated to a date,
+    * exactly like the reference's `pd.to_datetime(...).dt.date`. */
+  def readCrawlList(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(col("id"),
+        to_date(to_timestamp(col("timestamps.started"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("crawl_time"))
+
+  /** E1 head stage: pick the crawl to extract — the newest crawl started
+    * on `runDate`. The reference indexes `.values[0]` on the filtered
+    * frame and throws IndexError when no crawl ran that day (quirk Q7);
+    * here the empty case fires the alert hook and returns None so the
+    * run degrades instead of crashing. The single-row collect is a
+    * genuine driver decision point (the id parameterizes the S4 chunk
+    * fetch), not a data-path collect. */
+  def selectCrawl(crawls: DataFrame, runDate: String,
+                  alert: Alert = noopAlert): Option[Long] = {
+    val hit = crawls
+      .filter(col("crawl_time") === lit(runDate).cast("date"))
+      .orderBy(col("id").desc)
+      .limit(1).collect()
+    if (hit.isEmpty) {
+      alert(s"audisto: crawl list has no crawl started on $runDate")
+      None
+    } else Some(hit.head.getAs[Long]("id"))
+  }
+
   /** Audisto pages pipeline (reference: Audisto/audisto.py:136-167).
     * Chunk CSVs are read as one datasource; repeated per-chunk header rows
     * are filtered (F3), ranks cast (C12), URL decomposed (C1), run date

@@ -30,12 +30,22 @@ object RunAll {
 
     def in(name: String) = s"$inputDir/$name"
 
-    // E1 Audisto (append-history)
-    Pipelines.appendDaily(
-      Pipelines.audisto(spark.read.option("header", true)
-        .csv(in("audisto_pages_chunk_0.csv"), in("audisto_pages_chunk_1.csv")),
-        runDate),
-      s"$outDir/audisto_pages")
+    // E1 Audisto: crawl-selection head stage gates the chunk read — no
+    // crawl started on runDate means no pages extract (alert, not crash)
+    val crawlListPath = in("audisto_crawls_list.json")
+    val crawlId =
+      if (new java.io.File(crawlListPath).exists())
+        Pipelines.selectCrawl(
+          Pipelines.readCrawlList(spark, crawlListPath), runDate, alert)
+      else Some(-1L) // no list delivered: legacy layout, extract anyway
+    crawlId.foreach { id =>
+      System.err.println(s"[runall] audisto crawl id $id")
+      Pipelines.appendDaily(
+        Pipelines.audisto(spark.read.option("header", true)
+          .csv(in("audisto_pages_chunk_0.csv"), in("audisto_pages_chunk_1.csv")),
+          runDate),
+        s"$outDir/audisto_pages")
+    }
 
     // E2 Screaming Frog HTML (K3: slim append + content append + content
     // replace) — only `content` is written twice, so only it persists

@@ -217,6 +217,16 @@ class JoinsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("asof_value") === 2.0)
   }
 
+  test("fuzzy join: bounded edit distance, case-insensitive, length prefilter") {
+    val bookings = Seq((1L, "Palma"), (2L, "palmma"), (3L, "Berlin"))
+      .toDF("bid", "hotelort")
+    val pages = Seq(("palma", 10L), ("munich", 11L)).toDF("slug", "page_id")
+    val r = Joins.fuzzy(bookings, pages, "hotelort", "slug", maxDist = 1)
+      .select("bid", "page_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // Palma: exact (case-folded); palmma: one insertion; Berlin: no match
+    assert(r === Set((1L, 10L), (2L, 10L)))
+  }
+
   test("bandJoin: lo inclusive, hi exclusive") {
     val fact = Seq(0.0, 9.99, 10.0, 19.99, 20.0).toDF("v")
     val bands = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0)).toDF("band", "lo", "hi")

@@ -12,6 +12,23 @@ class PipelinesSpec extends SparkSpec {
     getClass.getResource("/" + name).getPath
   private val runDate = "2024-05-01"
 
+  test("E1 head stage: crawl list JSON -> today's crawl id; empty day alerts") {
+    val crawls = Pipelines.readCrawlList(spark, res("audisto_crawls_list.json"))
+    assert(crawls.columns.toSeq === Seq("id", "crawl_time"))
+
+    // found: 2024-05-01 has exactly crawl 101
+    var alerts = List.empty[String]
+    val hit = Pipelines.selectCrawl(crawls, "2024-05-01", m => alerts ::= m)
+    assert(hit === Some(101L))
+    assert(alerts.isEmpty)
+
+    // absent: no crawl started 2024-05-02 -> None + alert (quirk Q7: the
+    // reference would IndexError on .values[0] here)
+    val miss = Pipelines.selectCrawl(crawls, "2024-05-02", m => alerts ::= m)
+    assert(miss === None)
+    assert(alerts.exists(_.contains("no crawl")))
+  }
+
   test("E1 audisto: chunk headers filtered, ranks cast, URL levels, renamed") {
     val raw = spark.read.option("header", true)
       .csv(res("audisto_pages_chunk_0.csv"), res("audisto_pages_chunk_1.csv"))
