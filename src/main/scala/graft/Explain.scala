@@ -23,11 +23,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to repeat).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.queryExecution.toRdd.count() // full evaluation, like Bench
+      // rebuild the DataFrame each run (like Bench): a reused df would
+      // skip whole stages via shuffle-output reuse and time ~nothing
+      val n = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
       println(f"[explain] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -53,14 +53,6 @@ object Dedup {
     withSig.select(df.columns.map(col) ++ sigCols: _*).drop("__sig")
   }
 
-  /** Expand sorted per-bucket id arrays into (id_a, id_b) pairs with
-    * id_a < id_b, entirely with array lambdas (no self-join, so the
-    * expensive upstream signature is evaluated exactly once per row). */
-  private[ops] def bucketPairs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-
   /** In-bucket pair expansion with a hard bound on per-row state.
     *
     * `rows` must carry a bucket column and an entry column (any orderable
@@ -91,7 +83,10 @@ object Dedup {
     val bigPairs = big
       .select(col(bucketCol).as("__bka"), col(entryCol).as("__ea"))
       .join(big.select(col(bucketCol).as("__bkb"), col(entryCol).as("__eb")),
-        col("__bka") === col("__bkb") && col("__ea") < col("__eb"))
+        // null-SAFE key equality: a null bucket (e.g. simhash of a null
+        // text) groups in the small path, so the join path must pair it
+        // too or capped vs uncapped results would diverge
+        col("__bka") <=> col("__bkb") && col("__ea") < col("__eb"))
       .select(mkPair(col("__ea"), col("__eb")).as("p"))
     small.unionByName(bigPairs)
   }

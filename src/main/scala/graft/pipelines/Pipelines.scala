@@ -70,8 +70,14 @@ object Pipelines {
   def readCrawlList(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", true).json(path)
       .select(col("id"),
-        to_date(to_timestamp(col("timestamps.started"),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'")).as("crawl_time"))
+        // the reference's exact format first; fall back to Spark's ISO-8601
+        // parsing so fractional seconds / +00:00 offsets don't silently
+        // null out the day's crawl (try_to_timestamp: a malformed row
+        // yields null rather than an ANSI runtime error)
+        to_date(coalesce(
+          try_to_timestamp(col("timestamps.started"),
+            lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+          col("timestamps.started").cast("timestamp"))).as("crawl_time"))
 
   /** E1 head stage: pick the crawl to extract — the newest crawl started
     * on `runDate`. The reference indexes `.values[0]` on the filtered

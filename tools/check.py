@@ -88,9 +88,8 @@ def _dtype_ok(e, g):
     # DuckDB CAST(strptime(..) AS DATE) surfaces as datetime64 while Spark
     # DATE parquet loads as object(datetime.date); cell compare (below)
     # still requires the timestamp to be exactly midnight of that date.
-    if {de, dg} == {"object"} or (
-            (de.startswith("datetime64") or de == "object") and
-            (dg.startswith("datetime64") or dg == "object")):
+    if (de.startswith("datetime64") or de == "object") and \
+       (dg.startswith("datetime64") or dg == "object"):
         return True
     return False
 
@@ -113,8 +112,13 @@ def _eq(a, b):
         if isinstance(ts, (pd.Timestamp, datetime.datetime)):
             return ts.time() == datetime.time(0, 0) and ts.date() == d
         return False
-    if isinstance(a, (pd.Timestamp, datetime.datetime)) or \
-       isinstance(b, (pd.Timestamp, datetime.datetime)):
+    a_ts = isinstance(a, (pd.Timestamp, datetime.datetime))
+    b_ts = isinstance(b, (pd.Timestamp, datetime.datetime))
+    if a_ts != b_ts:
+        # timestamp vs anything else (e.g. a formatted STRING) is a type
+        # mismatch — the driver's hash compare would fail it, so must we
+        return False
+    if a_ts and b_ts:
         # full-precision compare; only genuine date-vs-date may truncate
         return str(a) == str(b)
     if isinstance(a, bool) != isinstance(b, bool):
