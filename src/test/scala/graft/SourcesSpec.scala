@@ -5,6 +5,47 @@ import org.apache.spark.sql.functions._
 import graft.sources.Paginated
 import graft.ops.Text
 
+class WebhookSpec extends AnyFunSuite {
+  import graft.sources.Webhook
+
+  test("K4: posts the reference-shaped message card, returns HTTP status") {
+    val received = new java.util.concurrent.atomic.AtomicReference[String]()
+    val ctype = new java.util.concurrent.atomic.AtomicReference[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", exchange => {
+      received.set(new String(
+        exchange.getRequestBody.readAllBytes(), "UTF-8"))
+      ctype.set(exchange.getRequestHeaders.getFirst("Content-Type"))
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val status = Webhook(url).send("Issue raised", "line1\nline2 \"x\"")
+      assert(status === 200)
+      assert(ctype.get() === "application/json")
+      val body = received.get()
+      assert(body.contains("\"summary\":\"Issue raised\""))
+      assert(body.contains("\"activityTitle\":\"Issue raised\""))
+      assert(body.contains("\"activitySubtitle\":\"line1\\nline2 \\\"x\\\"\""))
+      assert(body.contains("\"themeColor\":\"000000\""))
+
+      // the Alert-hook adapter fires the same post
+      Webhook(url).alert("T")("content")
+      assert(received.get().contains("\"activitySubtitle\":\"content\""))
+    } finally server.stop(0)
+  }
+
+  test("K4: unreachable webhook returns -1, never throws (alert-and-continue)") {
+    // RFC 5737 TEST-NET address with a tight timeout: connection must fail
+    val w = Webhook("http://127.0.0.1:1/hook",
+      timeout = java.time.Duration.ofMillis(200))
+    assert(w.send("t", "c") === -1)
+  }
+}
+
 class PaginatedSpec extends AnyFunSuite {
 
   test("chunkSpecs: ceil paging with a short final chunk (C15)") {
