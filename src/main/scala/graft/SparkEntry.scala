@@ -15,7 +15,22 @@ import graft.ops._
   */
 object SparkEntry {
 
+  // Base-table DataFrames are memoized per (session, dir, table): a
+  // DataFrame is an immutable logical plan, so reuse is safe, and it
+  // skips re-listing files + re-reading parquet footers on every one of
+  // the 60+ registered queries (a real cost when Bench/Verify run the
+  // whole suite in one session).
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val widen = s.conf.get("spark.graft.widenReads", "false")
+    tableCache.computeIfAbsent((s, dir, name, widen),
+      _ => load(s, dir, name, widen == "true"))
+  }
+
+  private def load(s: SparkSession, dir: String, name: String,
+                   widen: Boolean): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
     // (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench).
@@ -31,8 +46,7 @@ object SparkEntry {
     // to the scan). Library default is NO repartition: at real scale the
     // scan is already split by maxPartitionBytes and an unconditional
     // exchange would be a gratuitous full-table shuffle.
-    if (s.conf.get("spark.graft.widenReads", "false") == "true")
-      fixed.repartition(s.sparkContext.defaultParallelism)
+    if (widen) fixed.repartition(s.sparkContext.defaultParallelism)
     else fixed
   }
 
