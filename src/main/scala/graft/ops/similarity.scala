@@ -120,16 +120,22 @@ object Similarity {
       .agg(sort_array(collect_list(struct(cid, col("cvec")))).as("__cents"))
     val noBest = struct(lit(null).cast("double").as("sim"),
       lit(null).cast(cidType).as("cid"))
-    val best = aggregate(col("__cents"), noBest, (acc, c) => {
-      val s = cosine(col(embCol), c.getField("cvec"))
+    // two stages so each cosine is evaluated exactly ONCE per centroid:
+    // materialize (sim, cid) per element first, then fold over cheap
+    // struct-field references — folding the raw centroids instead would
+    // let the CASE WHEN inline the cosine expression ~4x per comparison
+    val simArr = transform(col("__cents"), c =>
+      struct(cosine(col(embCol), c.getField("cvec")).as("sim"),
+        c.getField("cid").as("cid")))
+    val best = aggregate(simArr, noBest, (acc, e) => {
+      val s = e.getField("sim")
       // null cosine (zero vector) never beats a real one; the first
       // centroid seeds the fold so an all-null row still lands in the
       // lowest-cid cluster, exactly like the window formulation
       val take = acc.getField("cid").isNull ||
         (acc.getField("sim").isNull && s.isNotNull) ||
         (s.isNotNull && s > acc.getField("sim"))
-      when(take, struct(s.as("sim"), c.getField("cid").as("cid")))
-        .otherwise(acc)
+      when(take, e).otherwise(acc)
     })
     val assigned = Scale.widen(corpus)
       .crossJoin(broadcast(centArr))

@@ -33,6 +33,27 @@ class ScaleSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("ivfTopK assignment is row-local: no corpus shuffle, no window sort") {
+    import graft.ops.Similarity
+    // corpus already at defaultParallelism so Scale.widen is a no-op and
+    // any Exchange left in the plan would be one the operator itself added
+    val corpus = (0L until 200L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val centroids = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = array((0 until 8).map(i => lit(i.toDouble)): _*)
+    val df = Similarity.ivfTopK(corpus, "embedding", "vec_id", centroids,
+      q, nprobe = 2, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // corpus side: broadcast joins only, zero hash shuffles (the probe
+    // side may window-sort, but only over the nlist centroid rows)
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"corpus got shuffled:\n$plan")
+    assert(df.count() === 5)
+  }
+
   test("bucketed tables join without a shuffle on the bucketed key") {
     Seq("bkt_pages", "bkt_links").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
