@@ -91,24 +91,38 @@ object NorthStar {
   private def queryVecSql: String = QueryVec.mkString("[", ", ", "]")
 
   /** MinHash-LSH candidate-pair SQL (no ORDER BY) shared by q23 and q47. */
-  private def minhashPairsSql(toks: String): String =
+  /** Mirrors Dedup.withMinhashSignature + minhashCandidatePairs for
+    * numHashes=8, bands=4: 28-bit md5-prefix base hash, then per-seed
+    * universal-hash mixing with the SAME (a_i, b_i) literals the Spark
+    * expressions use (Text.minhashParams — generated, do not hand-edit). */
+  private def minhashPairsSql(toks: String): String = {
+    val m = Text.MinhashMod
+    val params = (0 until 8).map { i =>
+      val (a, b) = Text.minhashParams(i); s"[$a, $b]"
+    }.mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, $toks AS t FROM documents),
        |sh AS (
        |  SELECT doc_id, ${shinglesSql("t", 3)} AS s FROM toks),
-       |sig AS (
-       |  SELECT doc_id, list_transform(['0','1','2','3','4','5','6','7'],
-       |    k -> list_aggregate(list_transform(list_distinct(s),
-       |           x -> md5(k || ':' || x)), 'min')) AS m
+       |hv AS (
+       |  SELECT doc_id, list_transform(list_distinct(s),
+       |    x -> CAST('0x' || substring(md5(x), 1, 7) AS BIGINT)) AS hs
        |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, list_transform([$params],
+       |    p -> list_aggregate(list_transform(hs,
+       |           v -> (v * p[1] + p[2]) % $m), 'min')) AS m
+       |  FROM hv),
        |banded AS (
        |  SELECT doc_id, u.b AS band_idx,
-       |    md5(m[2*u.b+1] || '|' || m[2*u.b+2]) AS band_hash
+       |    md5(CAST(m[2*u.b+1] AS VARCHAR) || '|' ||
+       |        CAST(m[2*u.b+2] AS VARCHAR)) AS band_hash
        |  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) u),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b USING (band_idx, band_hash)
        |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
 
   // ---------------------------------------------------------------- queries
 

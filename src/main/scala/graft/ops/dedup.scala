@@ -33,20 +33,28 @@ object Dedup {
 
   /** MinHash signature columns minhash_0..minhash_{k-1} over word
     * n-gram shingles. Row-local (higher-order fns over the shingle array,
-    * no explode, no shuffle). */
+    * no explode, no shuffle).
+    *
+    * Cost shape: ONE md5 per shingle (Text.shingleHash materialized by a
+    * transform stage), then all seed-minima in one fold whose per-seed
+    * work is two integer ops — a md5-per-seed formulation pays numHashes
+    * x the digest cost, the dominant CPU of this pipeline at corpus
+    * scale. Identical values to per-seed Text.minhash (min is order- and
+    * duplicate-insensitive). MinhashMod is the fold's +infinity (every
+    * h_i < M). */
   def withMinhashSignature(df0: DataFrame, textCol: String,
                            numHashes: Int, shingleSize: Int): DataFrame = {
     val df = Scale.widen(df0)
-    val sh = Text.shingles(col(textCol), shingleSize)
-    // All seed-minima in ONE fold over the shingle array: acc[k] =
-    // min(md5(k:shingle)) so far. "g" sorts after every lowercase-hex
-    // digest, so it is a safe +infinity. Identical values to per-seed
-    // Text.minhash (min is order- and duplicate-insensitive), but one
-    // lambda of codegen instead of numHashes separate array passes.
-    val seeds = array((0 until numHashes).map(i => lit(s"$i:")): _*)
-    val sig = aggregate(sh, array_repeat(lit("g"), numHashes),
-      (acc, s) => zip_with(acc, seeds,
-        (m, seed) => least(m, graft.functions.GraftFunctions.fastMd5(concat(seed, s)))))
+    val hArr = transform(Text.shingles(col(textCol), shingleSize),
+      s => Text.shingleHash(s))
+    val params = array((0 until numHashes).map { i =>
+      val (a, b) = Text.minhashParams(i)
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val sig = aggregate(hArr, array_repeat(lit(Text.MinhashMod), numHashes),
+      (acc, hv) => zip_with(acc, params,
+        (m, p) => least(m,
+          (hv * p.getField("a") + p.getField("b")) % Text.MinhashMod)))
     val withSig = df.withColumn("__sig", sig)
     val sigCols = (0 until numHashes).map(i =>
       element_at(col("__sig"), i + 1).as(s"minhash_$i"))

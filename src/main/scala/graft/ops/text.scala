@@ -177,13 +177,40 @@ object Text {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash value for one seed: min over shingles of md5(seed:shingle).
-    * Hex-string min == unsigned-bytes min (lowercase hex is order-preserving),
-    * identical in any engine. No array_distinct: duplicates cannot change a
-    * minimum, and distinct on a string array is O(n^2) — the single
-    * hottest cost in the LSH pipeline before it was dropped. */
-  def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => fastMd5(concat(lit(seed + ":"), s))))
+  /** MinHash family: h_i(x) = (h(x) * a_i + b_i) mod M over
+    * h(x) = value of the first 7 hex digits of md5(x) (28 bits < M).
+    * ONE md5 per shingle regardless of how many seeds — the per-seed work
+    * is two integer ops — where a md5-per-seed formulation pays
+    * numHashes x the digest cost, the dominant CPU of the LSH pipeline at
+    * corpus scale. All operands stay < 2^59, so the arithmetic is exact
+    * in any engine with 64-bit integers (the DuckDB oracle generator
+    * receives the same (a_i, b_i) literals). */
+  val MinhashMod = 2147483647L // 2^31 - 1, prime
+
+  /** Deterministic mixing constants for seed i, derived from md5 so both
+    * engines can be handed identical literals; a_i in [1, M-1]. */
+  private[graft] def minhashParams(i: Int): (Long, Long) = {
+    def v(tag: String): Long =
+      java.lang.Long.parseLong(md5HexString(s"$tag:$i").substring(0, 7), 16)
+    (v("a") % (MinhashMod - 1) + 1, v("b") % MinhashMod)
+  }
+
+  private def md5HexString(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** 28-bit base hash of one shingle: md5 hex prefix parsed to a long. */
+  private[graft] def shingleHash(s: Column): Column =
+    conv(substring(fastMd5(s), 1, 7), 16, 10).cast("long")
+
+  /** MinHash value for one seed. No array_distinct: duplicates cannot
+    * change a minimum, and distinct on a string array is O(n^2) — the
+    * single hottest cost in the LSH pipeline before it was dropped. */
+  def minhash(shingleArr: Column, seed: Int): Column = {
+    val (a, b) = minhashParams(seed)
+    array_min(transform(shingleArr,
+      s => (shingleHash(s) * a + b) % MinhashMod))
+  }
 
   /** SimHash over `bits` bits (<=32): per token md5; bit j is derived from
     * hex char j/4 (bit 3-(j%4) within the nibble); simhash bit j = sign of
