@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.BinaryType
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.GraftMd5Descriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -35,9 +35,41 @@ object GraftExtensions {
       else Md5HexExpression(Cast(c, BinaryType))
     })
 
+  import org.apache.spark.sql.GraftColumnBridge.{column, deepExpression}
+  import org.apache.spark.sql.Column
+
+  /** Lift a Column-tree op into a SQL function builder: child expressions
+    * wrap as Columns, the ops-library function builds its (codegen'd,
+    * UDF-free) expression tree, and the result unwraps back to an
+    * Expression. The SQL surface and the DataFrame surface therefore
+    * share ONE implementation — they cannot drift. */
+  private def lift(name: String, arity: Int)(f: Seq[Column] => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(GraftExtensions.getClass.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == arity, s"$name takes exactly $arity argument(s)")
+      deepExpression(f(children.map(column)))
+    })
+
+  /** Every graft op exposed to the raw SQL path. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    GraftMd5Descriptor,
+    lift("graft_token_count", 1)(cs => graft.ops.Text.tokenCount(cs.head)),
+    lift("graft_bpe_token_count", 1)(cs => graft.ops.Text.bpeIshTokenCount(cs.head)),
+    lift("graft_quality_score", 1)(cs => graft.ops.Text.qualityScore(cs.head)),
+    lift("graft_lang_id", 1)(cs => graft.ops.Text.langId(cs.head)),
+    lift("graft_fingerprint", 1)(cs => graft.ops.Text.fingerprint(cs.head)),
+    lift("graft_rolling_hash", 1)(cs => graft.ops.Text.rollingHash(cs.head)),
+    lift("graft_simhash", 1)(cs => graft.ops.Text.simhash(cs.head)),
+    lift("graft_repetition_ratio", 1)(cs => graft.ops.Text.repetitionRatio(cs.head)),
+    lift("graft_cosine", 2)(cs => graft.ops.Similarity.cosine(cs(0), cs(1))))
+
   /** Register on a live session (the extensions conf only applies at
     * session construction). */
   def registerOn(spark: SparkSession): Unit =
-    org.apache.spark.sql.GraftColumnBridge.registerFunction(spark,
-      GraftMd5Descriptor._1, GraftMd5Descriptor._2, GraftMd5Descriptor._3)
+    descriptors.foreach { d =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(
+        spark, d._1, d._2, d._3)
+    }
 }

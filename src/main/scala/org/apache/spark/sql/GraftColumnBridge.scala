@@ -11,6 +11,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Fully ColumnNode-free expression tree. A Column built by composing
+    * API functions over bridged expressions interleaves ColumnNode and
+    * Expression layers; the DataFrame path converts them at plan
+    * construction, but a FunctionRegistry builder must hand the analyzer
+    * a pure Expression tree (the SQL analyzer has no node-conversion
+    * rule), so convert to a fixpoint here. */
+  def deepExpression(c: Column): Expression =
+    classic.GraftNodeConverter.deepConvert(expression(c))
+
   /** Register a function on a live session's registry (sessionState is
     * private[sql]; the extensions conf only applies at session build). */
   def registerFunction(spark: SparkSession,

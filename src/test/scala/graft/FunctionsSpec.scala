@@ -33,6 +33,30 @@ class FunctionsSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext)
   }
 
+  test("lifted SQL functions agree with the DataFrame ops they wrap") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    import graft.ops.{Similarity, Text}
+    val doc = "Der schnelle braune Fuchs springt. The quick brown fox!"
+    spark.createDataFrame(Seq(Tuple1(doc))).toDF("t")
+      .createOrReplaceTempView("lift_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_token_count(t), graft_bpe_token_count(t),
+        |  graft_quality_score(t), graft_lang_id(t), graft_fingerprint(t),
+        |  graft_rolling_hash(t), graft_simhash(t),
+        |  graft_repetition_ratio(t),
+        |  graft_cosine(array(1.0d, 0.0d), array(0.6d, 0.8d))
+        |FROM lift_docs""".stripMargin).head()
+    val viaDf = spark.table("lift_docs").select(
+      Text.tokenCount(col("t")), Text.bpeIshTokenCount(col("t")),
+      Text.qualityScore(col("t")), Text.langId(col("t")),
+      Text.fingerprint(col("t")), Text.rollingHash(col("t")),
+      Text.simhash(col("t")), Text.repetitionRatio(col("t")),
+      Similarity.cosine(array(lit(1.0), lit(0.0)),
+        array(lit(0.6), lit(0.8)))).head()
+    assert(viaSql.toSeq === viaDf.toSeq)
+    assert(viaSql.getDouble(8) === 0.6) // cosine sanity
+  }
+
   test("fastMd5 propagates null") {
     val r = rows(strDf("s", Seq(None)).select(fastMd5(col("s"))))
     assert(r.head.head === null)
