@@ -72,6 +72,56 @@ object Streaming {
       }
   }
 
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization via flatMapGroupsWithState — the streaming
+    * analogue of the batch sessionize queries (q46/q56): a session closes
+    * when `gapMs` passes with no event, emitted exactly once. Event-time
+    * timeout + the upstream watermark close idle sessions without waiting
+    * for the key's next event, and bound state to O(active users).
+    * Input rows are (user_id, event ts, value); timestamps ride as epoch
+    * millis in the emitted rows (encoder-simple, timezone-free). */
+  def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp, Double)],
+                       gapMs: Long = 1800000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.last, s.n, s.sum))
+          } else {
+            // within a micro-batch, order by event time so gap logic is
+            // deterministic regardless of arrival order inside the batch
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            val closed = scala.collection.mutable.Buffer.empty[SessionOut]
+            var cur = state.getOption
+            for ((_, ts, v) <- sorted) {
+              val t = ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += SessionOut(user, s.start, s.last, s.n, s.sum)
+                  Some(SessionState(t, t, 1L, v))
+                case Some(s) =>
+                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + v))
+                case None =>
+                  Some(SessionState(t, t, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** K3 dual-sink fanout in streaming form: every micro-batch appends a
     * batch-stamped snapshot to a day-partitioned history table AND
     * overwrites a small "latest state" table — the reference's

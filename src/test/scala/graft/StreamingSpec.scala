@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream closes a session once the gap passes (flatMapGroupsWithState)") {
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streaming.sessionizeStream(
+        in.toDS().toDF("user_id", "ts", "value")
+          .withWatermark("ts", "0 seconds")
+          .as[(Long, Timestamp, Double)],
+        gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      in.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 9.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // nothing closed yet
+      // user 1 returns 2 hours later -> gap logic closes user 1's first
+      // session (2 events); the batch also advances the watermark past
+      // user 2's timeout, so its idle session closes via EventTimeTimeout
+      // without another user-2 event
+      in.addData((1L, Timestamp.valueOf("2024-01-01 12:30:00"), 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess")
+        .select("user_id", "n_events", "sum_value").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(closed.toSeq === Seq((1L, 2L, 3.0), (2L, 1L, 9.0)))
+    } finally q.stop()
+  }
+
   test("file stream over events parquet matches the batch aggregation") {
     // stream the real fixture through windowedCounts and compare against
     // the identical batch computation — batch/stream parity
