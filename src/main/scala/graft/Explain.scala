@@ -19,6 +19,7 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.graft.widenReads",
         sys.env.getOrElse("SPARK_GRAFT_WIDEN", "true"))
+      .config("spark.graft.cacheTables", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

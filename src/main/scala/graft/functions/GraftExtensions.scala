@@ -48,7 +48,15 @@ object GraftExtensions {
     FunctionIdentifier(name),
     new ExpressionInfo(GraftExtensions.getClass.getName, name),
     (children: Seq[Expression]) => {
-      require(children.length == arity, s"$name takes exactly $arity argument(s)")
+      if (children.length != arity)
+        // the standard analysis error for bad arity, not a bare
+        // IllegalArgumentException the analyzer would surface as internal
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> arity.toString,
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
       deepExpression(f(children.map(column)))
     })
 

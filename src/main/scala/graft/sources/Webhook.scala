@@ -53,15 +53,7 @@ object Webhook {
     * themeColor + summary + one section carrying title and content. */
   private[sources] def messageCard(title: String, content: String,
                                    themeColor: String): String = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    import graft.Json.{quote => q}
     s"""{"themeColor":${q(themeColor)},"summary":${q(title)},""" +
       s""""sections":[{"activityTitle":${q(title)},""" +
       s""""activitySubtitle":${q(content)}}]}"""

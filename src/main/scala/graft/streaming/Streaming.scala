@@ -108,14 +108,25 @@ object Streaming {
                   closed += SessionOut(user, s.start, s.last, s.n, s.sum)
                   Some(SessionState(t, t, 1L, v))
                 case Some(s) =>
-                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + v))
+                  // min-merge the start too: a late-but-admitted event can
+                  // precede the session's first-seen event
+                  Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + v))
                 case None =>
                   Some(SessionState(t, t, 1L, v))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // a late-but-admitted event can put last+gap BEHIND the
+              // current watermark (rows are filtered with the previous
+              // batch's watermark, timeouts validate against this one) —
+              // clamping avoids GroupStateImpl's IllegalArgumentException
+              // killing the query; the session then times out immediately
+              // after this batch, which is the correct outcome for an
+              // already-expired session
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

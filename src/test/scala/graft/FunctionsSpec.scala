@@ -57,6 +57,14 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.getDouble(8) === 0.6) // cosine sanity
   }
 
+  test("wrong arity on a lifted SQL function raises a standard AnalysisException") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1.0d))").collect()
+    }
+    assert(e.getCondition === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+  }
+
   test("fastMd5 propagates null") {
     val r = rows(strDf("s", Seq(None)).select(fastMd5(col("s"))))
     assert(r.head.head === null)

@@ -39,7 +39,8 @@ class WebhookSpec extends AnyFunSuite {
   }
 
   test("K4: unreachable webhook returns -1, never throws (alert-and-continue)") {
-    // RFC 5737 TEST-NET address with a tight timeout: connection must fail
+    // loopback port 1: nothing listens there, so the connect is refused
+    // instantly with no network egress involved
     val w = Webhook("http://127.0.0.1:1/hook",
       timeout = java.time.Duration.ofMillis(200))
     assert(w.send("t", "c") === -1)
