@@ -134,6 +134,32 @@ object SqlSurface {
         .orderBy("t_key", "n_nationkey")
     }),
 
+    // §2.6 unpivot/melt — the inverse of q35's pivot: wide numeric
+    // columns to (metric, value) rows, the classic metrics-table reshape
+    "q62_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        // value joins the sort key: the fixture's (orderkey, linenumber)
+        // is not guaranteed unique, and the compare is row-order-strict
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    }),
+
+    // §2.9 generator family: posexplode with an ordinal position —
+    // leading tokens per document (lateral view shape)
+    "q63_posexplode" -> ((s, dir) => {
+      SparkEntry.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.ops.Text.tokens(col("text"))).as(Seq("pos", "token")))
+        .where(col("pos") < 3)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -369,6 +395,27 @@ object SqlSurface {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q62_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |    'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
+    "q63_posexplode" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tk[u.i] AS token
+        |FROM toks, unnest(generate_series(1, least(3, len(tk)))) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q61_fuzzy_join" ->
       """WITH typo AS (
