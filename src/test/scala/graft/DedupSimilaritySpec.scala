@@ -67,6 +67,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 2L)).contains(0L))
   }
 
+  test("boundedBucketPairs invariant: any cap yields the uncapped pair set") {
+    // random-ish corpus from a 5-word vocabulary: buckets of mixed sizes,
+    // so small caps route SOME buckets through the join path and others
+    // through the array path in the same run
+    import org.scalacheck.{Gen, rng}
+    val vocab = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    val docs = (0 until 40).map { i =>
+      (i.toLong, vocab.apply(Gen.Parameters.default, rng.Seed(42L + i))
+        .get.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.simhashPairs(docs, "text", "doc_id",
+      bits = 32, prefixBits = 2, maxHamming = 32, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = run(100000)
+    assert(uncapped.nonEmpty)
+    for (cap <- Seq(2, 3, 7))
+      assert(run(cap) === uncapped, s"cap=$cap diverged")
+  }
+
   test("degenerate all-duplicates corpus: capped expansion = uncapped pair set") {
     // 60 identical docs land in ONE bucket. With maxBucket=8 the bucket
     // takes the join path (no whole-bucket array row); the pair set must
