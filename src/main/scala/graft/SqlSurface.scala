@@ -160,6 +160,35 @@ object SqlSurface {
         .orderBy("doc_id", "pos")
     }),
 
+    // §2.11 batch form of the tumbling window operator (window() outside
+    // streaming — the daily-trend dashboard shape, epoch-aligned buckets)
+    "q64_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Calendar gap-fill: a generated date spine left-joined to daily
+    // counts so zero-activity days surface as rows (sequence + explode +
+    // broadcast-able 1-row bounds — the classic trend-report fix)
+    "q65_date_spine" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val bounds = orders.agg(
+        min(col("o_orderdate").cast("date")).as("d0"),
+        max(col("o_orderdate").cast("date")).as("d1"))
+      val spine = bounds.select(
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val daily = orders
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -395,6 +424,25 @@ object SqlSurface {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q64_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q65_date_spine" ->
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |spine AS (
+        |  SELECT CAST(u.d AS DATE) AS day
+        |  FROM b, unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS u(d)),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT s.day, coalesce(d.n_orders, 0) AS n_orders
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY s.day""".stripMargin,
 
     "q62_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
