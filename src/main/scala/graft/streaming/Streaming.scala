@@ -72,6 +72,22 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream interval join: each left event joins the
+    * right events of the same key from the preceding `within` interval
+    * (e.g. clicks correlated to the errors just before them). Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire right-side state — without the bound the
+    * state store would grow forever. Inner join => append output mode. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   watermark: String = "10 minutes",
+                   within: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.ts BETWEEN l.ts - INTERVAL $within AND l.ts"))
+  }
+
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
                         n_events: Long, sum_value: Double)

@@ -87,6 +87,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join bounded to the preceding window") {
+    val clicks = MemoryStream[Ev]
+    val errors = MemoryStream[Ev]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().select(col("user_id"), col("ts"),
+        col("event_id").as("click_id")),
+      errors.toDF().select(col("user_id"), col("ts"),
+        col("event_id").as("error_id")),
+      keyCol = "user_id", watermark = "10 minutes", within = "10 minutes")
+    val q = joined.select(col("click_id"), col("error_id"))
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      // an error <=10 min before a same-user click joins it; older or
+      // other-user errors never join
+      errors.addData(
+        Ev(100, ts(0), 1, "error", 1.0),   // 5 min before click 1
+        Ev(101, ts(30), 1, "error", 1.0),  // 5 min before click 2
+        Ev(102, ts(30), 2, "error", 1.0))  // other user
+      clicks.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(35), 1, "click", 1.0))
+      q.processAllAvailable()
+      val pairs = spark.table("ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 100L), (2L, 101L)))
+    } finally q.stop()
+  }
+
   test("file stream over events parquet matches the batch aggregation") {
     // stream the real fixture through windowedCounts and compare against
     // the identical batch computation — batch/stream parity
