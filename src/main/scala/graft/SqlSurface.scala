@@ -152,9 +152,9 @@ object SqlSurface {
     // §2.9 generator family: posexplode with an ordinal position —
     // leading tokens per document (lateral view shape)
     "q63_posexplode" -> ((s, dir) => {
-      SparkEntry.t(s, dir, "documents")
+      t(s, dir, "documents")
         .select(col("doc_id"),
-          posexplode(graft.ops.Text.tokens(col("text"))).as(Seq("pos", "token")))
+          posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
         .where(col("pos") < 3)
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
         .orderBy("doc_id", "pos")
@@ -458,8 +458,8 @@ object SqlSurface {
 
     "q63_posexplode" ->
       raw"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
-        |    '\s+'), x -> x <> '') AS tk
+        |  SELECT doc_id, coalesce(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> ''), []) AS tk
         |  FROM documents)
         |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tk[u.i] AS token
         |FROM toks, unnest(generate_series(1, least(3, len(tk)))) AS u(i)

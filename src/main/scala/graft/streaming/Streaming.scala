@@ -77,15 +77,23 @@ object Streaming {
     * (e.g. clicks correlated to the errors just before them). Both sides
     * carry watermarks and the join condition bounds event time on both
     * ends, so Spark can expire right-side state — without the bound the
-    * state store would grow forever. Inner join => append output mode. */
+    * state store would grow forever. Inner join => append output mode.
+    * Output: all left columns, plus the right side's columns minus its
+    * duplicate key and with its `ts` renamed `right_ts` — no ambiguous
+    * names survive, so downstream selects need no qualifier. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    watermark: String = "10 minutes",
                    within: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
+    val rightCols = right.columns.filterNot(_ == keyCol).map {
+      case "ts" => col("r.ts").as("right_ts")
+      case c => col(s"r.$c")
+    }
     l.join(r,
-      expr(s"l.$keyCol = r.$keyCol AND " +
-        s"r.ts BETWEEN l.ts - INTERVAL $within AND l.ts"))
+        expr(s"l.$keyCol = r.$keyCol AND " +
+          s"r.ts BETWEEN l.ts - INTERVAL $within AND l.ts"))
+      .select(col("l.*") +: rightCols.toSeq: _*)
   }
 
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
