@@ -189,6 +189,26 @@ object SqlSurface {
         .orderBy("day")
     }),
 
+    // §2.6 approximate percentiles (GK sketch). Sketch values are
+    // engine-specific, so the checkable contract mirrors q49: the exact
+    // percentile plus a boolean asserting the sketch landed within 1%
+    // relative error (the oracle computes the exact value and expects
+    // `true`). At accuracy=10000 the sketch is exact below 10k rows per
+    // group, so the bound is comfortably deterministic on the fixtures.
+    "q66_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("approx_p50"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_p50"))
+        .select(col("o_orderstatus"),
+          round(col("exact_p50"), 2).as("p50"),
+          (abs(col("approx_p50") - col("exact_p50"))
+            / col("exact_p50") < 0.01).as("approx_ok"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -424,6 +444,12 @@ object SqlSurface {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q66_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  true AS approx_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q64_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,

@@ -54,6 +54,17 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("fuzzy join plans as broadcast nested loop — no fact-side shuffle") {
+    import graft.ops.Joins
+    val fact = (1 to 500).map(i => (i.toLong, s"city-$i")).toDF("bid", "hotelort")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val dim = Seq(("city-7", 1L), ("ville-9", 2L)).toDF("slug", "page_id")
+    val plan = Joins.fuzzy(fact, dim, "hotelort", "slug", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("bucketed tables join without a shuffle on the bucketed key") {
     Seq("bkt_pages", "bkt_links").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
