@@ -209,6 +209,32 @@ object SqlSurface {
         .orderBy("o_orderstatus")
     }),
 
+    // §2.6 boolean aggregate family: every/any/count_if per group
+    "q67_bool_aggs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("every(o_totalprice > 1000)").as("all_over_1k"),
+          expr("any(o_totalprice > 400000)").as("some_over_400k"),
+          expr("count_if(o_totalprice > 200000)").as("n_over_200k"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2.9 string-function pack: split_part / instr / pads / repeat /
+    // reverse / translate — the cleanup toolkit a text ETL leans on
+    "q68_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          lpad(col("c_mktsegment"), 12, ".").as("seg_lpad"),
+          rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          repeat(lit("ab"), 3).as("abab"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"))
+        .orderBy("c_custkey")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -450,6 +476,25 @@ object SqlSurface {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  true AS approx_ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q67_bool_aggs" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS some_over_400k,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+        |    AS n_over_200k
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q68_string_funcs" ->
+      """SELECT c_custkey,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  lpad(c_mktsegment, 12, '.') AS seg_lpad,
+        |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  repeat('ab', 3) AS abab,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q64_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
