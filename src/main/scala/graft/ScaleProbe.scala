@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Empirical scale probe (dev tool, like Explain): replicates the
+  * documents fixture N× with perturbed ids/texts and injects a
+  * degenerate all-identical cluster, then times the dedup family.
+  * The point is evidence for the 100 TB posture claims: per-doc cost
+  * stays flat as the corpus grows, and a boilerplate cluster large
+  * enough to be a whole-bucket-in-one-row OOM under the round-1 design
+  * routes through the join path instead.
+  *
+  * Usage: runMain graft.ScaleProbe [replicas] [degenerateDocs] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.length > 0) args(0).toInt else 20
+    val degenerate = if (args.length > 1) args(1).toInt else 5000
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val n0 = base.count()
+    // replicate with distinct ids; tag each replica's text so replicas are
+    // near-dups of each other (same prefix, one marker token appended)
+    val replicated = base.crossJoin(
+        spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    val boiler = spark.range(degenerate)
+      .select((col("id") + lit(n0 * replicas * 10)).as("doc_id"),
+        lit("identical boilerplate navigation footer text repeated on every page").as("text"))
+    val corpus = replicated.unionByName(boiler)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    val total = corpus.count()
+    println(s"[probe] corpus: $total docs ($n0 base x $replicas + $degenerate degenerate)")
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-28s $rows%10d rows  $s%7.1f s  ${total / s}%9.0f docs/s")
+    }
+
+    time("exact dedup")(Dedup.exact(corpus, "text", "doc_id"))
+    time("fingerprint dedup")(Dedup.byFingerprint(corpus, "text", "doc_id"))
+    time("simhash pairs (capped)")(Dedup.simhashPairs(
+      corpus, "text", "doc_id", bits = 32, prefixBits = 12, maxHamming = 2,
+      maxBucket = 2000))
+    time("minhash LSH pairs (capped)")(Dedup.minhashCandidatePairs(
+      corpus, "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
+      maxBucket = 2000))
+    corpus.unpersist()
+    spark.stop()
+  }
+}
