@@ -62,6 +62,43 @@ object ScaleProbe {
       corpus, "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
       maxBucket = 2000))
     corpus.unpersist()
+
+    // ------------------------------------------------- similarity family
+    // replicate embeddings with a deterministic per-replica perturbation
+    // (replica r scales dimension (r mod dim) by 1 + r/1000 — near-dups
+    // of the base vector, distinct values)
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val e0 = embBase.count()
+    val vecs = embBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(i === pmod(col("rep"), size(col("embedding"))),
+            v * (lit(1.0) + col("rep") / 1000.0)).otherwise(v))
+          .as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    val vTotal = vecs.count()
+    println(s"[probe] vectors: $vTotal ($e0 base x $replicas)")
+    def timeV(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label%-28s $rows%10d rows  $s%7.1f s  ${vTotal / s}%9.0f vecs/s")
+    }
+    val q = array((0 until 64).map(d => lit(math.sin(d + 1))): _*)
+    timeV("brute-force topk")(Similarity.bruteForceTopK(
+      vecs, "embedding", "vec_id", q, 10))
+    timeV("sign-LSH topk (8 planes)")(Similarity.lshTopK(
+      vecs, "embedding", "vec_id", q, dim = 64, planes = 8, k = 10))
+    val cents = embBase.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    timeV("IVF topk (64 lists, probe 4)")(Similarity.ivfTopK(
+      vecs, "embedding", "vec_id", cents, q, nprobe = 4, k = 10))
+    timeV("embedding near-dup (capped)")(Similarity.embeddingNearDupPairs(
+      vecs, "embedding", "vec_id", dim = 64, planes = 10, minCosine = 0.999,
+      maxBucket = 2000))
+    vecs.unpersist()
     spark.stop()
   }
 }
