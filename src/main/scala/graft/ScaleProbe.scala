@@ -31,6 +31,10 @@ object ScaleProbe {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val n0 = base.count()
+    // collision-proof id spaces: replicated ids live in
+    // [0, (maxId+1)*replicas); boilerplate starts right above, whatever
+    // the base id distribution looks like
+    val maxId = base.agg(max("doc_id")).head().getLong(0)
     // replicate with distinct ids; tag each replica's text so replicas are
     // near-dups of each other (same prefix, one marker token appended)
     val replicated = base.crossJoin(
@@ -38,7 +42,7 @@ object ScaleProbe {
       .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
         concat(col("text"), lit(" rep"), col("rep")).as("text"))
     val boiler = spark.range(degenerate)
-      .select((col("id") + lit(n0 * replicas * 10)).as("doc_id"),
+      .select((col("id") + lit((maxId + 1) * replicas)).as("doc_id"),
         lit("identical boilerplate navigation footer text repeated on every page").as("text"))
     val corpus = replicated.unionByName(boiler)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -46,27 +50,29 @@ object ScaleProbe {
     val total = corpus.count()
     println(s"[probe] corpus: $total docs ($n0 base x $replicas + $degenerate degenerate)")
 
-    def time(label: String)(df: => DataFrame): Unit = {
+    def time(label: String, denom: Long, unit: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val rows = df.queryExecution.toRdd.count()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $label%-28s $rows%10d rows  $s%7.1f s  ${total / s}%9.0f docs/s")
+      println(f"[probe] $label%-28s $rows%10d rows  $s%7.1f s  ${denom / s}%9.0f $unit")
     }
 
-    time("exact dedup")(Dedup.exact(corpus, "text", "doc_id"))
-    time("fingerprint dedup")(Dedup.byFingerprint(corpus, "text", "doc_id"))
-    time("simhash pairs (capped)")(Dedup.simhashPairs(
+    time("exact dedup", total, "docs/s")(Dedup.exact(corpus, "text", "doc_id"))
+    time("fingerprint dedup", total, "docs/s")(
+      Dedup.byFingerprint(corpus, "text", "doc_id"))
+    time("simhash pairs (capped)", total, "docs/s")(Dedup.simhashPairs(
       corpus, "text", "doc_id", bits = 32, prefixBits = 12, maxHamming = 2,
       maxBucket = 2000))
-    time("minhash LSH pairs (capped)")(Dedup.minhashCandidatePairs(
-      corpus, "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
-      maxBucket = 2000))
+    time("minhash LSH pairs (capped)", total, "docs/s")(
+      Dedup.minhashCandidatePairs(
+        corpus, "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
+        maxBucket = 2000))
     corpus.unpersist()
 
     // ------------------------------------------------- similarity family
-    // replicate embeddings with a deterministic per-replica perturbation
-    // (replica r scales dimension (r mod dim) by 1 + r/1000 — near-dups
-    // of the base vector, distinct values)
+    // replicate embeddings with a deterministic per-replica perturbation:
+    // replica r scales dimension (r mod dim) by 1 + (r+1)/1000, so every
+    // replica (including r=0) differs from the base vector
     val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     val e0 = embBase.count()
@@ -74,30 +80,25 @@ object ScaleProbe {
       .select((col("vec_id") * replicas + col("rep")).as("vec_id"),
         transform(col("embedding"), (v, i) =>
           when(i === pmod(col("rep"), size(col("embedding"))),
-            v * (lit(1.0) + col("rep") / 1000.0)).otherwise(v))
+            v * (lit(1.0) + (col("rep") + 1) / 1000.0)).otherwise(v))
           .as("embedding"))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
     val vTotal = vecs.count()
     println(s"[probe] vectors: $vTotal ($e0 base x $replicas)")
-    def timeV(label: String)(df: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val rows = df.queryExecution.toRdd.count()
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $label%-28s $rows%10d rows  $s%7.1f s  ${vTotal / s}%9.0f vecs/s")
-    }
     val q = array((0 until 64).map(d => lit(math.sin(d + 1))): _*)
-    timeV("brute-force topk")(Similarity.bruteForceTopK(
+    time("brute-force topk", vTotal, "vecs/s")(Similarity.bruteForceTopK(
       vecs, "embedding", "vec_id", q, 10))
-    timeV("sign-LSH topk (8 planes)")(Similarity.lshTopK(
+    time("sign-LSH topk (8 planes)", vTotal, "vecs/s")(Similarity.lshTopK(
       vecs, "embedding", "vec_id", q, dim = 64, planes = 8, k = 10))
     val cents = embBase.filter(col("vec_id") < 64)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    timeV("IVF topk (64 lists, probe 4)")(Similarity.ivfTopK(
+    time("IVF topk (64 lists, probe 4)", vTotal, "vecs/s")(Similarity.ivfTopK(
       vecs, "embedding", "vec_id", cents, q, nprobe = 4, k = 10))
-    timeV("embedding near-dup (capped)")(Similarity.embeddingNearDupPairs(
-      vecs, "embedding", "vec_id", dim = 64, planes = 10, minCosine = 0.999,
-      maxBucket = 2000))
+    time("embedding near-dup (capped)", vTotal, "vecs/s")(
+      Similarity.embeddingNearDupPairs(
+        vecs, "embedding", "vec_id", dim = 64, planes = 10, minCosine = 0.999,
+        maxBucket = 2000))
     vecs.unpersist()
     spark.stop()
   }

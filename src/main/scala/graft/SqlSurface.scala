@@ -194,7 +194,9 @@ object SqlSurface {
     // percentile plus a boolean asserting the sketch landed within 1%
     // relative error (the oracle computes the exact value and expects
     // `true`). At accuracy=10000 the sketch is exact below 10k rows per
-    // group, so the bound is comfortably deterministic on the fixtures.
+    // group (sf0.001/sf0.01); at sf0.1 (~50k rows/group) the sketch has
+    // real error and the GK guarantee (~1/accuracy rank error) keeps it
+    // far inside the 1% value bound on this distribution.
     "q66_approx_percentile" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
@@ -209,13 +211,16 @@ object SqlSurface {
         .orderBy("o_orderstatus")
     }),
 
-    // §2.6 boolean aggregate family: every/any/count_if per group
+    // §2.6 boolean aggregate family: every/any/count_if per group.
+    // Thresholds chosen so the boolean cells are MIXED true/false at
+    // sf0.001 (per-group min/max straddle them) — constant-true cells
+    // could not catch a swapped or inverted aggregate.
     "q67_bool_aggs" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          expr("every(o_totalprice > 1000)").as("all_over_1k"),
-          expr("any(o_totalprice > 400000)").as("some_over_400k"),
+          expr("every(o_totalprice > 2000)").as("all_over_2k"),
+          expr("any(o_totalprice > 499500)").as("some_over_499500"),
           expr("count_if(o_totalprice > 200000)").as("n_over_200k"))
         .orderBy("o_orderstatus")
     }),
@@ -479,8 +484,8 @@ object SqlSurface {
 
     "q67_bool_aggs" ->
       """SELECT o_orderstatus,
-        |  bool_and(o_totalprice > 1000) AS all_over_1k,
-        |  bool_or(o_totalprice > 400000) AS some_over_400k,
+        |  bool_and(o_totalprice > 2000) AS all_over_2k,
+        |  bool_or(o_totalprice > 499500) AS some_over_499500,
         |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
         |    AS n_over_200k
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
