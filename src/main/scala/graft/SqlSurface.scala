@@ -240,6 +240,19 @@ object SqlSurface {
         .orderBy("c_custkey")
     }),
 
+    // §2.6 array_agg family: collect_set per group, flattened to a
+    // sorted joined string so the compare is cell-scalar (array cells
+    // are not comparable across the parquet/pandas/DuckDB boundary)
+    "q69_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          countDistinct("o_orderpriority").as("n_priorities"))
+        .orderBy("o_orderstatus")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -480,6 +493,13 @@ object SqlSurface {
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  true AS approx_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q69_array_agg" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |    AS priorities,
+        |  count(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q67_bool_aggs" ->
