@@ -253,6 +253,137 @@ object SqlSurface {
         .orderBy("o_orderstatus")
     }),
 
+    // §2.9/§2.6 term-frequency mode: most frequent token per document
+    // (explode → count → row_number, token-asc tie-break). The per-group
+    // "mode with deterministic ties" shape native mode() can't promise.
+    "q70_top_token" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("n").desc, col("token"))
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("doc_id", "token", "n")
+        .orderBy("doc_id")
+    }),
+
+    // Token-distribution Shannon entropy per document — a repetition /
+    // diversity quality signal. H = log2(N) − Σ n·log2(n)/N, computed
+    // from grouped token counts so no per-token probability column is
+    // materialized; the oracle is DuckDB's native entropy() aggregate.
+    "q71_token_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sum("n").as("total"),
+          sum(col("n") * log(2.0, col("n"))).as("s"))
+        .select(col("doc_id"),
+          round(log(2.0, col("total")) - col("s") / col("total"), 6)
+            .as("entropy"),
+          col("total").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.6 bitwise aggregate family over group keys
+    "q72_bit_aggs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("bit_and(o_orderkey)").as("k_and"),
+          expr("bit_or(o_orderkey)").as("k_or"),
+          expr("bit_xor(o_orderkey)").as("k_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2.9 math scalar pack: abs/sign/sqrt/ln/log10/exp/mod/ceil/floor.
+    // Integral results are cast to long on BOTH sides (Spark ceil(double)
+    // is LONG, DuckDB's is DOUBLE; DuckDB sign() is TINYINT).
+    "q73_math_funcs" -> ((s, dir) => {
+      val bal = col("c_acctbal")
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(abs(bal), 2).as("abs_bal"),
+          signum(bal).cast("long").as("sign_bal"),
+          round(sqrt(abs(bal)), 6).as("sqrt_bal"),
+          round(log(abs(bal) + 1), 6).as("ln_bal"),
+          round(log10(abs(bal) + 1), 6).as("log10_bal"),
+          round(exp(bal / 10000), 6).as("exp_scaled"),
+          (col("c_custkey") % 7).as("mod7"),
+          ceil(bal).as("ceil_bal"),
+          floor(bal).as("floor_bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.9 conditional scalar pack: greatest/least/nullif/coalesce/CASE
+    "q74_conditional_funcs" -> ((s, dir) => {
+      val bal = col("c_acctbal")
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(greatest(bal, lit(0.0)), 2).as("bal_clamped_lo"),
+          round(least(bal, lit(5000.0)), 2).as("bal_clamped_hi"),
+          nullif(col("c_mktsegment"), lit("AUTOMOBILE")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("AUTOMOBILE")),
+            lit("OTHER")).as("seg_filled"),
+          when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high")
+            .as("tier"))
+        .orderBy("c_custkey")
+    }),
+
+    // C4-C8 extension: second date pack — add_months (end-of-month
+    // clamped in both engines), last_day, quarter, dayofyear, month
+    // truncation (Spark trunc() keeps DATE; DuckDB date_trunc is cast)
+    "q75_date_funcs2" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          add_months(d, 3).as("plus3m"),
+          last_day(d).as("month_end"),
+          quarter(d).cast("long").as("qtr"),
+          dayofyear(d).cast("long").as("doy"),
+          trunc(d, "month").as("month_start"))
+        .orderBy("o_orderkey")
+    }),
+
+    // §2.5/§3 correlated scalar subquery via the raw SQL path (Catalyst
+    // decorrelates it to an aggregate + outer join; DuckDB runs the
+    // same text) — max is order-insensitive so no rounding is needed
+    "q76_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT c_custkey,
+          |  coalesce((SELECT max(o_totalprice) FROM orders_sq o
+          |            WHERE o.o_custkey = c.c_custkey), 0.0) AS max_price
+          |FROM customer_sq c ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // URL canonicalization dedup: scheme/case/www/tracking-param/slash
+    // variants of one page collapse to one canonical key (doc_id mod
+    // lcm(7,13)=91 aliases paths, so groups genuinely merge). The messy
+    // URL is synthesized from doc_id so the oracle can rebuild it.
+    "q77_url_canonical" -> ((s, dir) => {
+      val messy = concat(
+        when(col("doc_id") % 4 === 0, lit("HTTPS://WWW.Example.de/"))
+          .when(col("doc_id") % 4 === 1, lit("https://example.de/"))
+          .when(col("doc_id") % 4 === 2, lit("http://www.example.de/"))
+          .otherwise(lit("https://EXAMPLE.de/")),
+        lit("Dir"), (col("doc_id") % 7).cast("string"),
+        lit("/page"), (col("doc_id") % 13).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=x#frag"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .withColumn("canonical", Urls.canonicalize(messy))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("first_doc"))
+        .orderBy("canonical")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -501,6 +632,95 @@ object SqlSurface {
         |    AS priorities,
         |  count(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q70_top_token" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, unnest(coalesce(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> ''), [])) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, token, count(*) AS n FROM toks GROUP BY doc_id, token)
+        |SELECT doc_id, token, n FROM c
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY n DESC, token) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q71_token_entropy" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, unnest(coalesce(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> ''), [])) AS token
+        |  FROM documents)
+        |SELECT doc_id, round(entropy(token), 6) AS entropy,
+        |  count(*) AS n_tokens
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q72_bit_aggs" ->
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS k_and,
+        |  bit_or(o_orderkey) AS k_or,
+        |  bit_xor(o_orderkey) AS k_xor,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q73_math_funcs" ->
+      """SELECT c_custkey,
+        |  round(abs(c_acctbal), 2) AS abs_bal,
+        |  CAST(sign(c_acctbal) AS BIGINT) AS sign_bal,
+        |  round(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
+        |  round(ln(abs(c_acctbal) + 1), 6) AS ln_bal,
+        |  round(log10(abs(c_acctbal) + 1), 6) AS log10_bal,
+        |  round(exp(c_acctbal / 10000), 6) AS exp_scaled,
+        |  c_custkey % 7 AS mod7,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q74_conditional_funcs" ->
+      """SELECT c_custkey,
+        |  round(greatest(c_acctbal, 0.0), 2) AS bal_clamped_lo,
+        |  round(least(c_acctbal, 5000.0), 2) AS bal_clamped_hi,
+        |  nullif(c_mktsegment, 'AUTOMOBILE') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS seg_filled,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q75_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q76_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  coalesce((SELECT max(o_totalprice) FROM orders o
+        |            WHERE o.o_custkey = c.c_custkey), 0.0) AS max_price
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
+
+    "q77_url_canonical" ->
+      raw"""WITH u AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Example.de/'
+        |         WHEN doc_id % 4 = 1 THEN 'https://example.de/'
+        |         WHEN doc_id % 4 = 2 THEN 'http://www.example.de/'
+        |         ELSE 'https://EXAMPLE.de/' END,
+        |    'Dir', doc_id % 7, '/page', doc_id % 13,
+        |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x#frag'
+        |         ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(lower(trim(url)),
+        |    '[?#].*$$', ''), '^https?://', ''), '^www\.', ''), '/$$', '')
+        |    AS canonical
+        |  FROM u)
+        |SELECT canonical, count(*) AS n_variants, min(doc_id) AS first_doc
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
 
     "q67_bool_aggs" ->
       """SELECT o_orderstatus,

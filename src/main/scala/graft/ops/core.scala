@@ -79,6 +79,21 @@ object Urls {
       .when(url.rlike(whitelabelRe), "Whitelabel")
       .otherwise("External")
 
+  /** URL canonicalization for dedup keying: lowercase, strip
+    * query/fragment, scheme and a leading "www.", drop a trailing slash.
+    * Deduping a crawl on the canonical form collapses scheme/case/
+    * tracking-param variants of one page into one key (the reference
+    * dedups raw URL strings only; this is the scale-corpus upgrade).
+    * Patterns are anchored and alternation-free so they parse
+    * identically under Java regex and RE2-style engines. */
+  def canonicalize(url: Column): Column = {
+    val steps = Seq("[?#].*$" -> "", "^https?://" -> "", "^www\\." -> "",
+      "/$" -> "")
+    steps.foldLeft(lower(trim(url))) { case (c, (re, rep)) =>
+      regexp_replace(c, re, rep)
+    }
+  }
+
   /** C3: doctype classification by file extension
     * (reference: sf_html_data.py:130,148-149). Extensions are
     * \Q..\E-quoted so a caller-supplied "c++" or "a|b" can't corrupt the
