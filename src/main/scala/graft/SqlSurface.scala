@@ -253,38 +253,33 @@ object SqlSurface {
         .orderBy("o_orderstatus")
     }),
 
-    // §2.9/§2.6 term-frequency mode: most frequent token per document
-    // (explode → count → row_number, token-asc tie-break). The per-group
-    // "mode with deterministic ties" shape native mode() can't promise.
+    // §2.9/§2.6 term-frequency mode: most frequent token per document,
+    // ROW-LOCAL (sorted-array run-length fold — zero shuffle, where the
+    // naive explode → count → row_number shape shuffles the whole token
+    // stream twice). Ties are deterministic: count desc, token asc —
+    // what native mode() can't promise. Oracle keeps the relational
+    // formulation, proving the fold equals the group-count definition.
     "q70_top_token" -> ((s, dir) => {
-      val counts = t(s, dir, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token")
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("n").desc, col("token"))
-      counts.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select("doc_id", "token", "n")
+      t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), Text.topToken(col("toks")).as("tt"))
+        .select(col("doc_id"), col("tt.token").as("token"),
+          col("tt.n").as("n"))
         .orderBy("doc_id")
     }),
 
     // Token-distribution Shannon entropy per document — a repetition /
-    // diversity quality signal. H = log2(N) − Σ n·log2(n)/N, computed
-    // from grouped token counts so no per-token probability column is
-    // materialized; the oracle is DuckDB's native entropy() aggregate.
+    // diversity quality signal, ROW-LOCAL like q70 (one sort + one fold
+    // per document, inside the scan stage). The oracle is DuckDB's
+    // native entropy() aggregate over the exploded token stream.
     "q71_token_entropy" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
-        .groupBy("doc_id", "token")
-        .agg(count(lit(1)).as("n"))
-        .groupBy("doc_id")
-        .agg(sum("n").as("total"),
-          sum(col("n") * log(2.0, col("n"))).as("s"))
+        .withColumn("toks", Text.tokens(col("text")))
+        .where(size(col("toks")) > 0)
         .select(col("doc_id"),
-          round(log(2.0, col("total")) - col("s") / col("total"), 6)
-            .as("entropy"),
-          col("total").as("n_tokens"))
+          round(Text.tokenEntropy(col("toks")), 6).as("entropy"),
+          size(col("toks")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -382,6 +377,24 @@ object SqlSurface {
         .groupBy("canonical")
         .agg(count(lit(1)).as("n_variants"), min("doc_id").as("first_doc"))
         .orderBy("canonical")
+    }),
+
+    // §2.6 DataSketches HLL (hll_sketch_agg/hll_sketch_estimate) —
+    // mergeable sketches are THE 100 TB cardinality path (partial sketches
+    // union across executors; re-aggregatable across days unlike exact
+    // countDistinct). Sketch estimates are engine-specific, so the
+    // checkable contract is q49/q66's: exact value + a boolean asserting
+    // the estimate landed within 5% (lgK=12 standard error is ~1.6%).
+    "q78_hll_sketch" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"),
+          countDistinct("o_custkey").as("exact_custs"))
+        .select(col("o_orderstatus"), col("exact_custs"),
+          (abs(col("est") - col("exact_custs")) / col("exact_custs") < 0.05)
+            .as("approx_ok"))
+        .orderBy("o_orderstatus")
     }),
 
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
@@ -721,6 +734,12 @@ object SqlSurface {
         |  FROM u)
         |SELECT canonical, count(*) AS n_variants, min(doc_id) AS first_doc
         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    "q78_hll_sketch" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS exact_custs,
+        |  true AS approx_ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q67_bool_aggs" ->
       """SELECT o_orderstatus,

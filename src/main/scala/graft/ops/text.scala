@@ -142,6 +142,68 @@ object Text {
     when(total > 0, round((total - distinctN) / total, 6)).otherwise(lit(0.0))
   }
 
+  /** Most frequent token with deterministic ties, computed ROW-LOCALLY:
+    * sort the token array once, then fold run-lengths — no explode, no
+    * shuffle, so at corpus scale this runs inside the scan stage. The
+    * ascending sort makes the FIRST maximal run the tie-winner, which is
+    * exactly "count desc, token asc" determinism (a strictly-greater
+    * compare keeps the earliest = smallest token). Returns
+    * struct(token, n); null-token/empty arrays yield (null, 0).
+    *
+    * Takes the token ARRAY (not text) so callers materialize the
+    * tokenization once and share it across ops — re-tokenizing inside
+    * every op is the expression-duplication trap. */
+  def topToken(tokenArr: Column): Column = {
+    val sorted = array_sort(tokenArr)
+    // close the open run: promote it to best iff strictly longer
+    def closed(acc: Column) = {
+      val better = acc("run") > acc("n")
+      (when(better, acc("prev")).otherwise(acc("tok")),
+        when(better, acc("run")).otherwise(acc("n")))
+    }
+    val z = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(null).cast("string").as("tok"), lit(0L).as("n"))
+    aggregate(sorted, z,
+      (acc, x) => {
+        val (ct, cn) = closed(acc)
+        when(x === acc("prev"),
+          struct(acc("prev").as("prev"), (acc("run") + 1).as("run"),
+            acc("tok").as("tok"), acc("n").as("n")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            ct.as("tok"), cn.as("n")))
+      },
+      acc => {
+        val (ct, cn) = closed(acc)
+        struct(ct.as("token"), cn.as("n"))
+      })
+  }
+
+  /** Shannon entropy (base 2) of the token distribution, ROW-LOCAL like
+    * [[topToken]]: H = log2(N) − Σ n·log2(n)/N over run-lengths of the
+    * sorted array — the factored form needs no per-token probability and
+    * one fold computes Σ n·log2(n). 0.0 for empty input (H of the empty
+    * distribution by convention). The fold order is fixed (ascending
+    * tokens), so the double sum is reproducible run-to-run. */
+  def tokenEntropy(tokenArr: Column): Column = {
+    val n = size(tokenArr).cast("double")
+    def runTerm(run: Column) = {
+      val r = run.cast("double")
+      when(run > 1, r * log(2.0, r)).otherwise(lit(0.0))
+    }
+    val z = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0.0).as("s"))
+    val sum = aggregate(array_sort(tokenArr), z,
+      (acc, x) =>
+        when(x === acc("prev"),
+          struct(acc("prev").as("prev"), (acc("run") + 1).as("run"),
+            acc("s").as("s")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            (acc("s") + runTerm(acc("run"))).as("s"))),
+      acc => acc("s") + runTerm(acc("run")))
+    when(n > 0, log(2.0, n) - sum / n).otherwise(lit(0.0))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token bag — a
     * word-order-insensitive exact-duplicate key (cheaper than rolling
     * hashes and portable to the oracle). */

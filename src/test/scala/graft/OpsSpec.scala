@@ -218,4 +218,58 @@ class TextSpec extends SparkSpec {
       assert(d >= 0.0 && d <= 1.0)
     }
   }
+
+  test("topToken: run-length fold picks count-desc, token-asc winner") {
+    val df = Seq(
+      "b b a a c",   // tie a=2, b=2 -> asc tie-break picks a
+      "z z z y",     // clear winner regardless of sort position
+      "solo")
+      .toDF("t").select(Text.topToken(Text.tokens(col("t"))).as("tt"))
+      .select(col("tt.token"), col("tt.n"))
+    assert(rows(df) === Seq(Seq("a", 2L), Seq("z", 3L), Seq("solo", 1L)))
+  }
+
+  test("topToken of an empty token array is (null, 0)") {
+    val df = Seq("   ").toDF("t")
+      .select(Text.topToken(Text.tokens(col("t"))).as("tt"))
+      .select(col("tt.token"), col("tt.n"))
+    assert(rows(df) === Seq(Seq(null, 0L)))
+  }
+
+  test("tokenEntropy: 0 for uniform-single, log2(k) for k distinct, exact thirds") {
+    val df = Seq("a a a a", "a b c d", "a a b b c c", "").toDF("t")
+      .select(Text.tokenEntropy(Text.tokens(col("t"))).as("h"))
+    val hs = rows(df).flatten.map(_.asInstanceOf[Double])
+    assert(hs(0) === 0.0)              // one symbol -> zero entropy
+    assert(math.abs(hs(1) - 2.0) < 1e-12)  // 4 equiprobable -> log2(4)
+    assert(math.abs(hs(2) - math.log(3) / math.log(2)) < 1e-12)
+    assert(hs(3) === 0.0)              // empty -> 0 by convention
+  }
+}
+
+class UrlCanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalize collapses scheme/case/www/query/slash variants") {
+    val variants = Seq(
+      "HTTPS://WWW.Example.de/Dir/Page",
+      "http://example.de/dir/page",
+      "https://example.de/dir/page/",
+      "https://www.example.de/dir/page?utm_source=x#frag")
+    val out = rows(variants.toDF("u")
+      .select(Urls.canonicalize(col("u")))).flatten.distinct
+    assert(out === Seq("example.de/dir/page"))
+  }
+
+  test("canonicalize is idempotent") {
+    val df = Seq("https://www.example.de/a/b/?q=1", "example.de/a/b").toDF("u")
+    val once = rows(df.select(Urls.canonicalize(col("u"))))
+    val twice = rows(df.select(Urls.canonicalize(Urls.canonicalize(col("u")))))
+    assert(once === twice)
+  }
+
+  test("canonicalize preserves interior www and query-less paths") {
+    assert(rows(Seq("https://host.de/www.inner/x").toDF("u")
+      .select(Urls.canonicalize(col("u")))).head.head === "host.de/www.inner/x")
+  }
 }
