@@ -71,7 +71,15 @@ object GraftExtensions {
     lift("graft_rolling_hash", 1)(cs => graft.ops.Text.rollingHash(cs.head)),
     lift("graft_simhash", 1)(cs => graft.ops.Text.simhash(cs.head)),
     lift("graft_repetition_ratio", 1)(cs => graft.ops.Text.repetitionRatio(cs.head)),
-    lift("graft_cosine", 2)(cs => graft.ops.Similarity.cosine(cs(0), cs(1))))
+    lift("graft_cosine", 2)(cs => graft.ops.Similarity.cosine(cs(0), cs(1))),
+    lift("graft_canonical_url", 1)(cs => graft.ops.Urls.canonicalize(cs.head)),
+    lift("graft_redact_pii", 1)(cs => graft.ops.Text.redactPii(cs.head)),
+    lift("graft_flesch", 1)(cs => graft.ops.Text.fleschReadingEase(cs.head)),
+    // text-in (tokenizes internally): SQL callers pass the raw column
+    lift("graft_token_entropy", 1)(cs =>
+      graft.ops.Text.tokenEntropy(graft.ops.Text.tokens(cs.head))),
+    lift("graft_top_token", 1)(cs =>
+      graft.ops.Text.topToken(graft.ops.Text.tokens(cs.head))))
 
   /** Register on a live session (the extensions conf only applies at
     * session construction). */

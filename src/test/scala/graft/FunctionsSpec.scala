@@ -44,17 +44,26 @@ class FunctionsSpec extends SparkSpec {
         |  graft_quality_score(t), graft_lang_id(t), graft_fingerprint(t),
         |  graft_rolling_hash(t), graft_simhash(t),
         |  graft_repetition_ratio(t),
-        |  graft_cosine(array(1.0d, 0.0d), array(0.6d, 0.8d))
+        |  graft_cosine(array(1.0d, 0.0d), array(0.6d, 0.8d)),
+        |  graft_canonical_url('HTTPS://WWW.Example.de/A/?x=1'),
+        |  graft_redact_pii(t), graft_flesch(t),
+        |  graft_token_entropy(t), graft_top_token(t)
         |FROM lift_docs""".stripMargin).head()
+    import graft.ops.Urls
     val viaDf = spark.table("lift_docs").select(
       Text.tokenCount(col("t")), Text.bpeIshTokenCount(col("t")),
       Text.qualityScore(col("t")), Text.langId(col("t")),
       Text.fingerprint(col("t")), Text.rollingHash(col("t")),
       Text.simhash(col("t")), Text.repetitionRatio(col("t")),
       Similarity.cosine(array(lit(1.0), lit(0.0)),
-        array(lit(0.6), lit(0.8)))).head()
+        array(lit(0.6), lit(0.8))),
+      Urls.canonicalize(lit("HTTPS://WWW.Example.de/A/?x=1")),
+      Text.redactPii(col("t")), Text.fleschReadingEase(col("t")),
+      Text.tokenEntropy(Text.tokens(col("t"))),
+      Text.topToken(Text.tokens(col("t")))).head()
     assert(viaSql.toSeq === viaDf.toSeq)
     assert(viaSql.getDouble(8) === 0.6) // cosine sanity
+    assert(viaSql.getString(9) === "example.de/a")
   }
 
   test("wrong arity on a lifted SQL function raises a standard AnalysisException") {
