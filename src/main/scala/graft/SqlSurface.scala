@@ -397,6 +397,56 @@ object SqlSurface {
         .orderBy("o_orderstatus")
     }),
 
+    // §2.7 forward fill (gap-fill the last known reading): last(...,
+    // ignoreNulls) over an unbounded-preceding frame — the standard
+    // sensor/metrics repair. One key shuffle, state is one value per row.
+    "q79_forward_fill" -> ((s, dir) => {
+      val masked = when(col("event_id") % 3 =!= 0, lit(null))
+        .otherwise(round(col("value"), 2))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("v_masked", masked)
+        .withColumn("filled", last("v_masked", ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "filled")
+        .orderBy("event_id")
+    }),
+
+    // §2.9 map-typed columns: per-status priority→count map built with
+    // map_from_entries over sorted entries, probed with element_at /
+    // map_keys / a map_values fold. The ORACLE computes the same scalars
+    // relationally (conditional aggregation) — the map machinery is
+    // Spark-side, the contract stays cell-scalar.
+    "q80_map_ops" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_orderstatus")
+        .agg(map_from_entries(sort_array(
+          collect_list(struct(col("o_orderpriority"), col("n")))))
+          .as("prio_map"))
+        .select(col("o_orderstatus"),
+          coalesce(element_at(col("prio_map"), "1-URGENT"), lit(0L))
+            .as("urgent_n"),
+          size(col("prio_map")).cast("long").as("n_keys"),
+          array_join(map_keys(col("prio_map")), ",").as("keys"),
+          aggregate(map_values(col("prio_map")), lit(0L), _ + _).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // §2.9 regexp_extract_all: pull every long word per document (term
+    // mining / vocabulary extraction), row-local
+    "q81_regexp_extract_all" -> ((s, dir) => {
+      val words =
+        regexp_extract_all(lower(col("text")), lit("[a-z]{8,}"), lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(words, " ").as("long_words"),
+          size(words).cast("long").as("n_long"))
+        .orderBy("doc_id")
+    }),
+
     // §3 Tier-B: TPC-H-Q5-shaped multi-join via raw spark.sql
     "q39_sql_revenue_region" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -740,6 +790,37 @@ object SqlSurface {
         |  count(DISTINCT o_custkey) AS exact_custs,
         |  true AS approx_ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q79_forward_fill" ->
+      """WITH m AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 3 <> 0 THEN NULL
+        |         ELSE round(value, 2) END AS v_masked
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(v_masked IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "q80_map_ops" ->
+      """SELECT o_orderstatus,
+        |  CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN 1 END), 0) AS BIGINT) AS urgent_n,
+        |  count(DISTINCT o_orderpriority) AS n_keys,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |    AS keys,
+        |  count(*) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q81_regexp_extract_all" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(
+        |    regexp_extract_all(lower(text), '[a-z]{8,}'), ' '), '')
+        |    AS long_words,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]{8,}')) AS BIGINT)
+        |    AS n_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q67_bool_aggs" ->
       """SELECT o_orderstatus,

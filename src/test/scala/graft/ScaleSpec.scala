@@ -54,6 +54,28 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("row-local token analytics (topToken/tokenEntropy) never shuffle") {
+    import graft.ops.Text
+    val docs = (1L to 300L).map(i => (i, s"alpha beta beta doc$i gamma"))
+      .toDF("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val df = docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        Text.topToken(col("toks")).as("tt"),
+        Text.tokenEntropy(col("toks")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the only Exchange is the fixture's own round-robin repartition; the
+    // folds themselves must add no hash shuffle (and no window sort)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-doc fold got shuffled:\n$plan")
+    assert(!plan.contains("Window"), s"per-doc fold used a window:\n$plan")
+    val row = df.orderBy("doc_id").select(col("tt.token"), col("h")).head()
+    assert(row.getString(0) === "beta") // 2 betas beat the asc-earlier alpha
+    assert(row.getDouble(1) > 0.0)
+  }
+
   test("fuzzy join plans as broadcast nested loop — no fact-side shuffle") {
     import graft.ops.Joins
     val fact = (1 to 500).map(i => (i.toLong, s"city-$i")).toDF("bid", "hotelort")
