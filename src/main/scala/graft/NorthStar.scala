@@ -219,6 +219,28 @@ object NorthStar {
         .orderBy("lang", "split")
     }),
 
+    // Pipeline: train/test contamination detection — the eval-integrity
+    // check every training-data pipeline needs: which test documents
+    // share a content fingerprint (order/duplicate-insensitive token
+    // bag) with any train document? Composes the q55 split with the q22
+    // fingerprint; the train side is distinct-reduced BEFORE the join so
+    // the probe side broadcasts/joins against fingerprints, not rows.
+    "q82_contamination" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .withColumn("split", Sampling.splitLabel(col("doc_id")))
+        .withColumn("fp", Text.fingerprint(col("text")))
+      val trainFps = docs.filter(col("split") === "train")
+        .select("fp").distinct().withColumn("in_train", lit(1))
+      docs.filter(col("split") === "test")
+        .select("doc_id", "lang", "fp")
+        .join(trainFps, Seq("fp"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_test"),
+          sum(coalesce(col("in_train"), lit(0))).cast("long")
+            .as("n_contaminated"))
+        .orderBy("lang")
+    }),
+
     // Text: PII redaction (emails/URLs/digit runs injected
     // deterministically so the oracle can rebuild the dirty text)
     "q53_pii_redact" -> ((s, dir) => {
@@ -462,6 +484,28 @@ object NorthStar {
            |  FROM t)
            |SELECT rhash, min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM h GROUP BY rhash ORDER BY rhash""".stripMargin,
+
+      "q82_contamination" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, lang,
+           |    (strpos('0123456789abcdef',
+           |       md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 16
+           |    + (strpos('0123456789abcdef',
+           |       md5(CAST(doc_id AS VARCHAR))[2:2]) - 1) AS bucket,
+           |    md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fp
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, lang, fp,
+           |    CASE WHEN bucket < 204 THEN 'train'
+           |         WHEN bucket < 230 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM b),
+           |tr AS (SELECT DISTINCT fp FROM s WHERE split = 'train')
+           |SELECT lang, count(*) AS n_test,
+           |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM tr) THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_contaminated
+           |FROM s WHERE split = 'test'
+           |GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q55_train_split" ->
         s"""WITH b AS (
