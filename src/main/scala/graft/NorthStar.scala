@@ -241,6 +241,30 @@ object NorthStar {
         .orderBy("lang")
     }),
 
+    // Pipeline: n-gram novelty — what fraction of the test split's
+    // distinct 3-gram shingles already appear in train? The softer
+    // cousin of q82's whole-doc contamination (partial/boilerplate
+    // overlap), and the standard signal for data-mixing decisions.
+    // Distinct-reduce BOTH sides before the join: the join is over the
+    // shingle vocabulary, not the shingle stream.
+    "q83_ngram_novelty" -> ((s, dir) => {
+      val sh = rd(s, dir, "documents")
+        .withColumn("split", Sampling.splitLabel(col("doc_id")))
+        .select(col("lang"), col("split"),
+          explode(Text.shingles(col("text"), 3)).as("sh"))
+      val train = sh.filter(col("split") === "train")
+        .select("lang", "sh").distinct().withColumn("seen", lit(1))
+      sh.filter(col("split") === "test")
+        .select("lang", "sh").distinct()
+        .join(train, Seq("lang", "sh"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("seen"), lit(0))).cast("long").as("n_seen"),
+          round(sum(coalesce(col("seen"), lit(0))) / count(lit(1)), 6)
+            .as("seen_ratio"))
+        .orderBy("lang")
+    }),
+
     // Text: PII redaction (emails/URLs/digit runs injected
     // deterministically so the oracle can rebuild the dirty text)
     "q53_pii_redact" -> ((s, dir) => {
@@ -506,6 +530,32 @@ object NorthStar {
            |    AS BIGINT) AS n_contaminated
            |FROM s WHERE split = 'test'
            |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q83_ngram_novelty" ->
+        s"""WITH b AS (
+           |  SELECT lang, $toks AS t,
+           |    CASE WHEN (strpos('0123456789abcdef',
+           |           md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 16
+           |        + (strpos('0123456789abcdef',
+           |           md5(CAST(doc_id AS VARCHAR))[2:2]) - 1) < 204
+           |      THEN 'train'
+           |      WHEN (strpos('0123456789abcdef',
+           |           md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 16
+           |        + (strpos('0123456789abcdef',
+           |           md5(CAST(doc_id AS VARCHAR))[2:2]) - 1) < 230
+           |      THEN 'val' ELSE 'test' END AS split
+           |  FROM documents),
+           |sh AS (
+           |  SELECT lang, split, unnest(${shinglesSql("t", 3)}) AS sh FROM b),
+           |tr AS (SELECT DISTINCT lang, sh FROM sh WHERE split = 'train'),
+           |te AS (SELECT DISTINCT lang, sh FROM sh WHERE split = 'test')
+           |SELECT te.lang, count(*) AS n_shingles,
+           |  CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_seen,
+           |  round(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+           |    / count(*), 6) AS seen_ratio
+           |FROM te LEFT JOIN tr ON te.lang = tr.lang AND te.sh = tr.sh
+           |GROUP BY te.lang ORDER BY te.lang""".stripMargin,
 
       "q55_train_split" ->
         s"""WITH b AS (

@@ -52,6 +52,21 @@ object Streaming {
   def dedupedStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** In-stream NEAR-dup suppression: key the watermark-bounded dedup
+    * state on the row-local simhash of a text column instead of an exact
+    * id — boilerplate variants that hash to the same signature are
+    * dropped on arrival, the streaming analogue of the batch simhash
+    * dedup (ops/dedup.scala). State is one entry per distinct signature
+    * inside the watermark, not per document: at ingest scale the state
+    * store holds the (much smaller) signature vocabulary. */
+  def nearDupSuppressedStream(docs: DataFrame, textCol: String,
+                              tsCol: String = "ts",
+                              watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("simhash_key", graft.ops.Text.simhash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("simhash_key")
+
   case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Arbitrary stateful processing: running per-user totals via

@@ -44,6 +44,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("nearDupSuppressedStream drops same-simhash docs across batches") {
+    val in = MemoryStream[Doc]
+    val q = Streaming.nearDupSuppressedStream(in.toDF(), "text")
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      // identical token streams share a simhash even with different ids
+      in.addData(Doc(1, ts(1), "the quick brown fox"),
+        Doc(2, ts(2), "the quick brown fox"))
+      q.processAllAvailable()
+      in.addData(Doc(3, ts(3), "THE  Quick   BROWN fox"), // tokens equal too
+        Doc(4, ts(4), "an entirely different document body"))
+      q.processAllAvailable()
+      val kept = spark.table("nd").select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 4L)) // 2 and 3 suppressed as near-dups
+    } finally q.stop()
+  }
+
   test("runningUserStats keeps per-user state across micro-batches") {
     val in = MemoryStream[(Long, Double)]
     val q = Streaming.runningUserStats(in.toDS())
