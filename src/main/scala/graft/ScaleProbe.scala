@@ -57,6 +57,18 @@ object ScaleProbe {
       println(f"[probe] $label%-28s $rows%10d rows  $s%7.1f s  ${denom / s}%9.0f $unit")
     }
 
+    // row-local text family first: these must scale at scan speed (zero
+    // exchanges), so docs/s here is the per-core ceiling for the text path
+    time("text profile (row-local)", total, "docs/s") {
+      val toks = Text.tokens(col("text"))
+      corpus.select(col("doc_id"),
+        Text.qualityScore(col("text")).as("q"),
+        Text.langId(col("text")).as("lang"),
+        Text.simhash(col("text")).as("sh"),
+        Text.tokenEntropy(toks).as("h"),
+        Text.topToken(toks).as("tt"))
+    }
+
     time("exact dedup", total, "docs/s")(Dedup.exact(corpus, "text", "doc_id"))
     time("fingerprint dedup", total, "docs/s")(
       Dedup.byFingerprint(corpus, "text", "doc_id"))
