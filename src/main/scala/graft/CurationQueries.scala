@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+import graft.functions.GraftFunctions.fastMd5
+
+/** Corpus-curation query pack (q84+): the pretraining-mix stages layered
+  * on [[graft.ops.Curation]] — per-domain caps, stratified language
+  * sampling, quantile quality filtering, normalization, context-window
+  * chunking, PMI collocations, robust outlier stats and shard
+  * assignment. Every query has an exact DuckDB oracle (same md5 buckets,
+  * same fold order, same rounding).
+  */
+object CurationQueries {
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** DuckDB replica of Sampling.splitBucket: first md5 hex byte of the
+    * stringified id as an integer in [0, 256). */
+  private def bucketSql(id: String): String =
+    s"""((strpos('0123456789abcdef',
+       |    md5(CAST($id AS VARCHAR))[1:1]) - 1) * 16
+       |  + (strpos('0123456789abcdef',
+       |    md5(CAST($id AS VARCHAR))[2:2]) - 1))""".stripMargin
+
+  /** Tokens SQL mirroring Text.tokens (shared shape with NorthStar). */
+  private def toksSql(e: String): String =
+    raw"""list_filter(string_split_regex(lower(trim($e)), '\s+'), x -> x <> '')"""
+
+  /** Per-language sampling thresholds out of 256 for q85 (en is
+    * over-represented in the fixture, so it gets the deepest cut). */
+  private val SampleThresholds: Seq[(String, Int)] =
+    Seq("en" -> 64, "de" -> 128, "fr" -> 192, "es" -> 256)
+  private val SampleDefault = 32
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-domain cap: keep the 10 longest documents per source (ties by
+    // doc_id), then summarize what survived — the anti-boilerplate mix rule.
+    "q84_domain_cap" -> ((s, dir) => {
+      Curation.capPerKey(rd(s, dir, "documents"), Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_chars").as("chars_kept"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")
+    }),
+
+    // Deterministic stratified sampling by language: md5-bucket thresholds,
+    // single pass (conditional aggregation — the corpus is read once).
+    "q85_stratified_sample" -> ((s, dir) => {
+      val th = SampleThresholds.foldRight(lit(SampleDefault)) {
+        case ((lang, t), acc) => when(col("lang") === lang, lit(t)).otherwise(acc)
+      }
+      val keep = Sampling.splitBucket(col("doc_id")) < th
+      rd(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_sampled"),
+          min(when(keep, col("doc_id"))).as("first_kept"))
+        .orderBy("lang")
+    }),
+
+    // Quantile-threshold quality filter: drop the shortest quartile within
+    // each language; report the cutoff and what survived.
+    "q86_quantile_filter" -> ((s, dir) => {
+      Curation.quantileFilter(rd(s, dir, "documents"), "lang", "n_chars", 0.25)
+        .groupBy("lang")
+        .agg(round(min("cutoff"), 2).as("cutoff"),
+          count(lit(1)).as("n_kept"),
+          min("doc_id").as("first_kept"))
+        .orderBy("lang")
+    }),
+
+    // Normalization for dedup keying over a deliberately noisy input
+    // (mixed case, punctuation, ragged spacing around the fixture text).
+    "q87_normalize_text" -> ((s, dir) => {
+      val noisy = concat(lit("  ## "), upper(col("lang")), lit("!!  "),
+        col("text"), lit("  <END#"), col("doc_id").cast("string"), lit(">  "))
+      rd(s, dir, "documents")
+        .withColumn("norm", Curation.normalizeText(noisy))
+        .select(col("doc_id"),
+          substring(col("norm"), 1, 25).as("norm_head"),
+          length(col("norm")).cast("long").as("norm_len"),
+          fastMd5(col("norm")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Context-window chunking: 32-token chunks every 24 tokens (8-token
+    // overlap); only chunk digests leave the scan stage.
+    "q88_doc_chunks" -> ((s, dir) => {
+      Curation.chunkTokens(rd(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Collocation mining: top-25 adjacent-pair PMI over the corpus.
+    "q89_pmi_bigrams" -> ((s, dir) => {
+      Curation.pmiBigrams(rd(s, dir, "documents"), "text", minCount = 5)
+        .select(col("bigram"), col("n_pair"), round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(25)
+    }),
+
+    // Robust per-language outlier stats: z-score of document length against
+    // the language's mean/stddev; count the |z| > 2 tail.
+    "q90_zscore_outliers" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+      val z = (col("n_chars") - avg(col("n_chars")).over(w)) /
+        stddev_samp(col("n_chars")).over(w)
+      rd(s, dir, "documents")
+        .withColumn("z", z)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(round(abs(col("z")), 6) > 2, 1L).otherwise(0L))
+            .as("n_outliers"),
+          round(max(abs(col("z"))), 4).as("max_absz"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic shard assignment: 8 md5-keyed output shards with
+    // per-shard balance stats (the training-corpus writer's layout).
+    "q91_shard_assign" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .withColumn("shard", Curation.shard(col("doc_id"), 8).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    })
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q84_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+        |  min(doc_id) AS first_doc
+        |FROM r WHERE rk <= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q85_stratified_sample" -> {
+      val caseTh = SampleThresholds
+        .map { case (l, t) => s"WHEN lang = '$l' THEN $t" }
+        .mkString("CASE ", " ", s" ELSE $SampleDefault END")
+      s"""WITH b AS (
+         |  SELECT lang, doc_id,
+         |    ${bucketSql("doc_id")} < ($caseTh) AS keep
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  min(CASE WHEN keep THEN doc_id END) AS first_kept
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q86_quantile_filter" ->
+      """WITH c AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.25) AS cutoff
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, round(min(cutoff), 2) AS cutoff,
+        |  count(*) AS n_kept, min(doc_id) AS first_kept
+        |FROM documents JOIN c USING (lang)
+        |WHERE n_chars >= cutoff
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q87_normalize_text" ->
+      raw"""WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      lower(concat('  ## ', upper(lang), '!!  ', text, '  <END#',
+        |                   CAST(doc_id AS VARCHAR), '>  ')),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, substring(norm, 1, 25) AS norm_head,
+        |  CAST(length(norm) AS BIGINT) AS norm_len,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q88_doc_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |nz AS (SELECT * FROM toks WHERE len(t) > 0),
+         |st AS (
+         |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS i
+         |  FROM nz),
+         |ch AS (
+         |  SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_idx,
+         |    t[i + 1 : i + 32] AS chunk
+         |  FROM st)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q89_pmi_bigrams" -> {
+      val toks = toksSql("text")
+      val shingles2 =
+        s"""CASE WHEN len(t) >= 2
+           | THEN list_transform(generate_series(1, len(t) - 1),
+           |        i -> array_to_string(t[i : i + 1], ' '))
+           | ELSE [array_to_string(t, ' ')] END""".stripMargin
+      s"""WITH toks AS (SELECT $toks AS t FROM documents),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |unic AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+         |big AS (SELECT unnest($shingles2) AS bg FROM toks WHERE len(t) >= 2),
+         |bic AS (SELECT bg, count(*) AS n_pair FROM big GROUP BY bg),
+         |tw AS (SELECT CAST(sum(cw) AS DOUBLE) AS tw FROM unic),
+         |tb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS tb FROM bic),
+         |j AS (
+         |  SELECT bg, n_pair,
+         |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+         |  FROM bic WHERE n_pair >= 5)
+         |SELECT bg AS bigram, n_pair,
+         |  round(ln((CAST(n_pair AS DOUBLE) / tb) /
+         |    ((CAST(c1.cw AS DOUBLE) / tw) * (CAST(c2.cw AS DOUBLE) / tw))), 6)
+         |    AS pmi
+         |FROM j
+         |JOIN unic c1 ON j.w1 = c1.w
+         |JOIN unic c2 ON j.w2 = c2.w, tw, tb
+         |ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin
+    },
+
+    "q90_zscore_outliers" ->
+      """WITH z AS (
+        |  SELECT lang,
+        |    (n_chars - avg(n_chars) OVER (PARTITION BY lang)) /
+        |      stddev_samp(n_chars) OVER (PARTITION BY lang) AS z
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN round(abs(z), 6) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(max(abs(z)), 4) AS max_absz
+        |FROM z GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q91_shard_assign" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(${bucketSql("doc_id")} % 8 AS BIGINT) AS shard
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+  )
+}

@@ -62,10 +62,12 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ NorthStar.queries ++ SqlSurface.queries
+    coreQueries ++ NorthStar.queries ++ SqlSurface.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql
+    coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql ++
+      CurationQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

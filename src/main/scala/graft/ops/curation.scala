@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions.fastMd5
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * per-key caps, deterministic stratified sampling, quantile-threshold
+  * quality filtering, normalization for dedup keying, context-window
+  * chunking, collocation mining and shard assignment.
+  *
+  * These extend the reference's ETL surface (SURVEY §2) with the curation
+  * stages a pretraining pipeline runs between "documents scanned" and
+  * "tokens written": cap boilerplate-heavy domains, downsample
+  * over-represented languages, drop the bottom quality quantile, split
+  * into model-context chunks, and shard the output deterministically.
+  *
+  * Scale posture: everything here is either row-local (normalize, chunk,
+  * shard, sample — they run inside the scan stage) or a single
+  * key-shuffle (cap, quantile, PMI). Nothing collects to the driver and
+  * no operator is quadratic in the corpus.
+  */
+object Curation {
+
+  /** Keep at most `n` rows per key, preferring `ordering` (e.g. highest
+    * quality first) — the "max N documents per domain" rule that stops a
+    * single boilerplate-heavy site from dominating a pretraining mix.
+    *
+    * One hash-shuffle on `key`; the per-key work is a streaming
+    * row_number, so memory is O(1) per key. For a corpus where one key
+    * holds billions of rows, prefer a pre-filter with
+    * [[Aggregators.groupedTopK]] (k-bounded map-side combine) to bound
+    * the skewed partition before the window runs.
+    */
+  def capPerKey(df: DataFrame, key: Seq[String], ordering: Seq[Column],
+                n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = Window.partitionBy(key.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__cap_rk", row_number().over(w))
+      .filter(col("__cap_rk") <= n)
+      .drop("__cap_rk")
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its stable md5
+    * bucket (0..255, [[Sampling.splitBucket]]) falls below `threshold`
+    * (a per-row Column, e.g. a CASE over the language — 256 keeps
+    * everything, 64 keeps ~25%). md5-keyed so the decision is stable
+    * across runs, partitionings and engines — a document once sampled in
+    * stays in as the corpus grows, unlike rand()-based sampling.
+    * Row-local: runs inside the scan stage, no shuffle. */
+  def stratifiedSample(df: DataFrame, id: Column, threshold: Column): DataFrame =
+    df.filter(Sampling.splitBucket(id) < threshold)
+
+  /** Keep rows at or above the per-group `q`-quantile of `value` — the
+    * "drop the bottom quartile by quality score within each language"
+    * filter. Adds the group's threshold as column `cutoff`.
+    *
+    * `exact = true` uses `percentile` (full sort per group — fine up to
+    * millions of rows per group); at 100 TB pass `exact = false` for the
+    * GK-sketch `percentile_approx`, which aggregates in bounded memory.
+    * The cutoff table is one row per group, broadcast back — the corpus
+    * itself is never shuffled. */
+  def quantileFilter(df: DataFrame, group: String, value: String, q: Double,
+                     exact: Boolean = true): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    val agg = if (exact) expr(s"percentile($value, $q)")
+              else expr(s"percentile_approx($value, $q, 10000)")
+    val cuts = df.groupBy(group).agg(agg.as("cutoff"))
+    df.join(broadcast(cuts), Seq(group))
+      .filter(col(value) >= col("cutoff"))
+  }
+
+  /** Canonical text for dedup keying: lowercase, punctuation → space,
+    * whitespace collapsed, trimmed. Deliberately aggressive — two
+    * documents differing only in case, punctuation or spacing normalize
+    * to the same key (feed into [[Dedup.exact]]). Row-local. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Split each document into fixed-size overlapping token chunks —
+    * the context-window packing stage of a pretraining pipeline. Chunks
+    * start every `stride` tokens (overlap = chunkSize - stride) and the
+    * tail chunk may be short. Output: idCol, chunk_idx (0-based long),
+    * chunk_tokens (long), chunk_md5 (hex of the space-joined chunk).
+    *
+    * Row-local explode — the only row-count amplification is the
+    * intended ~len/stride chunks per document; payload text is dropped
+    * before any downstream shuffle (only the digest travels). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("__start") + 1, lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("chunk_tokens"),
+        fastMd5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+  }
+
+  /** Pointwise mutual information for adjacent token pairs over the
+    * corpus: pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with p from corpus
+    * counts — the standard collocation-mining statistic. Returns
+    * (bigram, n_pair, pmi) for pairs seen at least `minCount` times.
+    *
+    * Two explode+groupBy passes (unigrams, bigrams) — shuffle keys are
+    * single tokens/pairs, so partial aggregation collapses each
+    * partition to ~vocabulary size before the exchange. The totals are
+    * 1-row aggregates cross-joined back (broadcast), and the unigram
+    * table joins once per side of the pair. */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long = 5): DataFrame = {
+    val toks = df.select(Text.tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val biAll = toks.filter(size(col("t")) >= 2)
+      .select(explode(Text.shinglesOfTokens(col("t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_pair"))
+    val totW = uni.agg(sum("cw").cast("double").as("tw"))
+    val totB = biAll.agg(sum("n_pair").cast("double").as("tb"))
+    biAll.filter(col("n_pair") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totW)).crossJoin(broadcast(totB))
+      .select(col("bg").as("bigram"), col("n_pair"),
+        ((col("n_pair").cast("double") / col("tb")) /
+          ((col("c1").cast("double") / col("tw")) *
+           (col("c2").cast("double") / col("tw")))).as("__ratio"))
+      .select(col("bigram"), col("n_pair"), log(col("__ratio")).as("pmi"))
+  }
+
+  /** Deterministic shard id in [0, n) for writing a training corpus as n
+    * stable shards — md5-keyed ([[Sampling.splitBucket]]) so shard
+    * membership survives reruns and engine changes, unlike
+    * `pmod(hash(id), n)` whose murmur3 seed is Spark-private. Row-local. */
+  def shard(id: Column, n: Int): Column = {
+    require(n > 0 && n <= 256, s"shard count must be in [1,256], got $n")
+    Sampling.splitBucket(id) % n
+  }
+}

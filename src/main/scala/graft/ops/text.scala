@@ -230,8 +230,12 @@ object Text {
   /** Word n-gram shingles; documents shorter than n collapse to one
     * whole-text shingle. Row-local (no explode needed by callers that
     * aggregate with higher-order functions). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** Same, over an already-tokenized array column (avoids re-tokenizing
+    * when the caller needs both the tokens and the shingles). */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks)
     when(cnt >= n,
       transform(sequence(lit(1), cnt - n + 1),

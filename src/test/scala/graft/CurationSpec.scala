@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Sampling}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "aa", 100L), (2L, "aa", 90L), (3L, "aa", 80L), (4L, "aa", 80L),
+    (5L, "bb", 50L), (6L, "bb", 60L)
+  ).toDF("id", "key", "len")
+
+  test("capPerKey keeps at most n per key, highest-ordered first") {
+    val kept = Curation.capPerKey(docs, Seq("key"),
+      Seq(col("len").desc, col("id").asc), 2)
+    assert(rows(kept.select("id").orderBy("id")).flatten == Seq(1L, 2L, 5L, 6L))
+  }
+
+  test("capPerKey tie-break is deterministic (id asc within equal len)") {
+    val kept = Curation.capPerKey(docs, Seq("key"),
+      Seq(col("len").desc, col("id").asc), 3)
+    // len 80 tie between id 3 and 4 -> id 3 wins the third slot
+    assert(rows(kept.filter($"key" === "aa").select("id").orderBy("id"))
+      .flatten == Seq(1L, 2L, 3L))
+  }
+
+  test("stratifiedSample: 256 keeps all, 0 keeps none, subset in between") {
+    val d = (1L to 200L).toDF("id")
+    assert(Curation.stratifiedSample(d, $"id", lit(256)).count() == 200)
+    assert(Curation.stratifiedSample(d, $"id", lit(0)).count() == 0)
+    val half = Curation.stratifiedSample(d, $"id", lit(128))
+    val n = half.count()
+    assert(n > 0 && n < 200)
+    // stable: same rows regardless of partitioning
+    val re = Curation.stratifiedSample(d.repartition(7), $"id", lit(128))
+    assert(rows(half.orderBy("id")) == rows(re.orderBy("id")))
+  }
+
+  test("quantileFilter keeps rows at or above the per-group cutoff") {
+    val kept = Curation.quantileFilter(docs, "key", "len", 0.5)
+    val aa = kept.filter($"key" === "aa")
+    // p50 of (100,90,80,80) = 85 -> keeps 100 and 90
+    assert(rows(aa.select("id").orderBy("id")).flatten == Seq(1L, 2L))
+    assert(rows(aa.select("cutoff").distinct()).flatten == Seq(85.0))
+    // approx variant keeps a superset-or-equal at this tiny scale
+    val approx = Curation.quantileFilter(docs, "key", "len", 0.5, exact = false)
+    assert(approx.filter($"key" === "aa").count() >= 2)
+  }
+
+  test("normalizeText folds case, strips punctuation, collapses whitespace") {
+    val out = strDf("t", Seq(Some("  Hello,   WORLD!! (x=1)  "), Some(""),
+        Some("###"), None))
+      .select(Curation.normalizeText($"t").as("n"))
+    assert(rows(out).flatten == Seq("hello world x 1", "", "", null))
+  }
+
+  test("normalizeText is idempotent") {
+    val once = Curation.normalizeText($"t")
+    val twice = Curation.normalizeText(Curation.normalizeText($"t"))
+    val d = strDf("t", Seq(Some("A--b  C!"), Some("x"), Some("  ")))
+    assert(rows(d.select(once)) == rows(d.select(twice)))
+  }
+
+  test("chunkTokens boundaries: empty, exact window, one-past") {
+    def chunks(text: String) = rows(
+      Curation.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 4, stride = 3)
+        .select("chunk_idx", "chunk_tokens").orderBy("chunk_idx"))
+    assert(chunks("") == Seq())
+    assert(chunks("a b c d") == Seq(Seq(0L, 4L), Seq(1L, 1L))) // start 3 < 4
+    assert(chunks("a b c") == Seq(Seq(0L, 3L)))
+    assert(chunks("a b c d e") == Seq(Seq(0L, 4L), Seq(1L, 2L)))
+  }
+
+  test("chunkTokens consecutive full chunks overlap by chunkSize - stride") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = Curation.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", chunkSize = 4, stride = 3)
+    // starts 0,3,6,9 -> sizes 4,4,4,1
+    assert(rows(out.select("chunk_tokens").orderBy("chunk_idx")).flatten ==
+      Seq(4L, 4L, 4L, 1L))
+  }
+
+  test("pmiBigrams: collocated pair scores above independent pair") {
+    // "new york" always adjacent; "a"/"b" co-occur only incidentally
+    val corpus = Seq.fill(6)("new york a b") ++ Seq.fill(6)("b a new york")
+    val out = Curation.pmiBigrams(corpus.toDF("text"), "text", minCount = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("new york") > out("a b"))
+    // every adjacent occurrence counted: 12 of "new york"
+    val counts = Curation.pmiBigrams(corpus.toDF("text"), "text", minCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("new york") == 12L)
+  }
+
+  test("shard is deterministic, in range, and consistent with splitBucket") {
+    val d = (1L to 100L).toDF("id")
+    val out = d.select($"id", Curation.shard($"id", 8).as("s"),
+      (Sampling.splitBucket($"id") % 8).as("ref"))
+    assert(out.filter($"s" < 0 || $"s" >= 8).count() == 0)
+    assert(out.filter($"s" =!= $"ref").count() == 0)
+    // all 8 shards populated at n=100
+    assert(out.select("s").distinct().count() == 8)
+  }
+}
