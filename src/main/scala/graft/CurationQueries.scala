@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops._
@@ -135,6 +135,63 @@ object CurationQueries {
           min("doc_id").as("min_doc"),
           max("doc_id").as("max_doc"))
         .orderBy("shard")
+    }),
+
+    // Sequence packing: chunk the corpus (q88's stage), then cut each
+    // shard's chunk stream into ~128-token training sequences.
+    "q92_sequence_pack" -> ((s, dir) => {
+      val chunks = Curation.chunkTokens(rd(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .withColumn("shard", Curation.shard(col("doc_id"), 4).cast("long"))
+      Curation.packSequences(chunks, Seq("shard"),
+          Seq(col("doc_id"), col("chunk_idx")), "chunk_tokens", seqLen = 128)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("chunk_tokens").as("pack_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("shard", "pack_id")
+    }),
+
+    // Embedding-space QA: per-label, per-dimension distribution stats
+    // (the drift/collapse check before vectors feed the ANN index).
+    "q93_embedding_dims" -> ((s, dir) => {
+      rd(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("dim", (col("pos") + 1).cast("long"))
+        .withColumn("dv", col("v").cast("double"))
+        .groupBy("label", "dim")
+        .agg(round(avg("dv"), 6).as("avg_v"),
+          round(min("dv"), 6).as("min_v"),
+          round(max("dv"), 6).as("max_v"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    }),
+
+    // Mix rebalancing: downsample over-represented sources toward target
+    // weights (src0-4 weighted 4x the rest), md5-deterministic.
+    "q94_mix_rebalance" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val wOf = (c: Column) =>
+        when(c.isin("src0", "src1", "src2", "src3", "src4"), 2.0)
+          .otherwise(0.5)
+      val before = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+      val after = Curation.rebalanceMix(docs, "source", col("doc_id"), wOf)
+        .groupBy("source")
+        .agg(min("mix_threshold").as("th"), count(lit(1)).as("n_after"))
+      before.join(after, Seq("source"), "left")
+        .select(col("source"), col("n_before"), col("th"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("source")
+    }),
+
+    // Exactly-100 deterministic corpus sample (md5-ordered top-k — plans
+    // as TakeOrderedAndProject, no global sort).
+    "q95_fixed_sample" -> ((s, dir) => {
+      Curation.fixedSample(rd(s, dir, "documents"), col("doc_id"), 100)
+        .select(col("doc_id"), col("lang"),
+          fastMd5(col("doc_id").cast("string")).as("sort_key"))
+        .orderBy("sort_key", "doc_id")
     })
   )
 
@@ -255,6 +312,73 @@ object CurationQueries {
          |SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q92_sequence_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |nz AS (SELECT * FROM toks WHERE len(t) > 0),
+         |st AS (
+         |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS i
+         |  FROM nz),
+         |ch AS (
+         |  SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_idx,
+         |    CAST(len(t[i + 1 : i + 32]) AS BIGINT) AS chunk_tokens
+         |  FROM st),
+         |sh AS (
+         |  SELECT doc_id, chunk_idx, chunk_tokens,
+         |    CAST(${bucketSql("doc_id")} % 4 AS BIGINT) AS shard
+         |  FROM ch),
+         |pk AS (
+         |  SELECT shard, doc_id, chunk_idx, chunk_tokens,
+         |    coalesce(sum(chunk_tokens) OVER (
+         |      PARTITION BY shard ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM sh)
+         |SELECT shard, CAST(cum_before // 128 AS BIGINT) AS pack_id,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(chunk_tokens) AS BIGINT) AS pack_tokens,
+         |  min(doc_id) AS first_doc
+         |FROM pk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+
+    "q93_embedding_dims" ->
+      """WITH e AS (
+        |  SELECT label, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS dv
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  round(avg(dv), 6) AS avg_v,
+        |  round(min(dv), 6) AS min_v,
+        |  round(max(dv), 6) AS max_v,
+        |  count(*) AS n
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "q94_mix_rebalance" ->
+      s"""WITH w AS (
+         |  SELECT source,
+         |    CASE WHEN source IN ('src0','src1','src2','src3','src4')
+         |         THEN 2.0 ELSE 0.5 END AS wt,
+         |    count(*) AS n
+         |  FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT CAST(sum(n) AS DOUBLE) AS tot, sum(wt) AS wsum FROM w),
+         |th AS (
+         |  SELECT source, n,
+         |    CAST(least(256.0, floor(256.0 *
+         |      ((tot * wt / wsum) / CAST(n AS DOUBLE)))) AS BIGINT) AS th
+         |  FROM w, t),
+         |a AS (
+         |  SELECT source, count(*) AS n_after
+         |  FROM documents JOIN th USING (source)
+         |  WHERE ${bucketSql("doc_id")} < th
+         |  GROUP BY source)
+         |SELECT th.source, th.n AS n_before, th.th AS th,
+         |  coalesce(a.n_after, 0) AS n_after
+         |FROM th LEFT JOIN a USING (source) ORDER BY source""".stripMargin,
+
+    "q95_fixed_sample" ->
+      """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sort_key
+        |FROM documents ORDER BY sort_key, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -144,4 +144,62 @@ object Curation {
     require(n > 0 && n <= 256, s"shard count must be in [1,256], got $n")
     Sampling.splitBucket(id) % n
   }
+
+  /** Greedy contiguous sequence packing: assign ordered chunks to training
+    * sequences of ~`seqLen` tokens. A chunk lands in pack
+    * floor(tokens-before-it / seqLen), i.e. the stream of chunks is cut
+    * every seqLen tokens — the concat-then-chunk packing most pretraining
+    * recipes use (a pack may overshoot by at most one chunk; nothing is
+    * dropped). Adds `pack_id` (long).
+    *
+    * One shuffle on `partitionCols` (the shards pack independently — this
+    * is what makes the op scale: a global pack order would serialize the
+    * corpus through one partition); the running sum streams in sort
+    * order with O(1) state. */
+  def packSequences(chunks: DataFrame, partitionCols: Seq[String],
+                    orderCols: Seq[Column], tokensCol: String,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks.withColumn("pack_id",
+      floor(coalesce(sum(col(tokensCol)).over(w), lit(0L)) / lit(seqLen)))
+  }
+
+  /** Exactly-n deterministic sample: the n rows whose md5(id) sorts
+    * lowest — a fixed-size corpus sample that is stable across runs and
+    * engines (rand()-free) and recomputable by anyone holding the ids.
+    * Plans as TakeOrderedAndProject: each partition keeps its local
+    * top-n, only n rows per partition reach the driver-side merge — no
+    * global sort even at 100 TB. */
+  def fixedSample(df: DataFrame, id: Column, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    df.withColumn("__sort_key", fastMd5(id.cast("string")))
+      .orderBy(col("__sort_key"), id).limit(n)
+      .drop("__sort_key")
+  }
+
+  /** Rebalance a corpus toward per-key target weights: key k with weight
+    * w_k gets a deterministic keep-rate of min(1, (total * w_k / Σw) /
+    * n_k), quantized to an md5-bucket threshold out of 256 — downsamples
+    * over-represented sources toward the requested mix without ever
+    * upsampling. Returns the kept rows plus `mix_threshold`.
+    *
+    * Two passes over the corpus (count, then filter) but the first pass
+    * is a pure count aggregation and the per-key table is broadcast
+    * back — the corpus itself never shuffles. */
+  def rebalanceMix(df: DataFrame, keyCol: String, id: Column,
+                   weight: Column => Column): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum("__n").cast("double").as("__tot"),
+      sum(weight(col(keyCol))).as("__wsum"))
+    val th = counts.crossJoin(broadcast(tot))
+      .withColumn("mix_threshold",
+        least(lit(256L), floor(lit(256.0) *
+          ((col("__tot") * weight(col(keyCol)) / col("__wsum")) /
+            col("__n").cast("double")))))
+      .select(col(keyCol), col("mix_threshold"))
+    df.join(broadcast(th), Seq(keyCol))
+      .filter(Sampling.splitBucket(id) < col("mix_threshold"))
+  }
 }

@@ -94,6 +94,46 @@ class CurationSpec extends SparkSpec {
     assert(counts("new york") == 12L)
   }
 
+  test("packSequences cuts the ordered stream every seqLen tokens") {
+    val chunks = Seq((0L, 0L, 0L, 60L), (0L, 1L, 1L, 60L), (0L, 2L, 2L, 60L),
+      (0L, 3L, 3L, 60L), (1L, 10L, 0L, 100L), (1L, 11L, 0L, 50L))
+      .toDF("shard", "doc", "idx", "tok")
+    val out = Curation.packSequences(chunks, Seq("shard"),
+      Seq(col("doc"), col("idx")), "tok", seqLen = 128)
+    // shard 0: cum-before 0,60,120,180 -> packs 0,0,0,1
+    assert(rows(out.filter($"shard" === 0).select("pack_id").orderBy("doc"))
+      .flatten == Seq(0L, 0L, 0L, 1L))
+    // shard 1 packs independently: cum-before 0,100 -> packs 0,0
+    assert(rows(out.filter($"shard" === 1).select("pack_id").orderBy("doc"))
+      .flatten == Seq(0L, 0L))
+    // nothing dropped or duplicated
+    assert(out.count() == 6)
+  }
+
+  test("fixedSample returns exactly n rows, stable across partitioning") {
+    val d = (1L to 500L).toDF("id")
+    val s1 = Curation.fixedSample(d, $"id", 40)
+    assert(s1.count() == 40)
+    val s2 = Curation.fixedSample(d.repartition(13), $"id", 40)
+    assert(rows(s1.orderBy("id")) == rows(s2.orderBy("id")))
+    assert(!s1.columns.contains("__sort_key"))
+  }
+
+  test("rebalanceMix downsamples heavy keys toward the target weights") {
+    // key "big" has 300 rows, "small" 100; equal weights -> big should be
+    // cut to ~200 (the uniform target), small kept fully (never upsampled)
+    val d = ((1L to 300L).map(i => (i, "big")) ++
+      (301L to 400L).map(i => (i, "small"))).toDF("id", "key")
+    val out = Curation.rebalanceMix(d, "key", $"id", _ => lit(1.0))
+    val byKey = out.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("small") == 100)       // threshold 256 -> all kept
+    assert(byKey("big") < 300 && byKey("big") > 100) // ~2/3 of 256 bucket
+    // deterministic
+    val again = Curation.rebalanceMix(d.repartition(5), "key", $"id", _ => lit(1.0))
+    assert(rows(out.orderBy("id")) == rows(again.orderBy("id")))
+  }
+
   test("shard is deterministic, in range, and consistent with splitBucket") {
     val d = (1L to 100L).toDF("id")
     val out = d.select($"id", Curation.shard($"id", 8).as("s"),
