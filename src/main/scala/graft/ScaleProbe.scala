@@ -79,6 +79,24 @@ object ScaleProbe {
       Dedup.minhashCandidatePairs(
         corpus, "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
         maxBucket = 2000))
+
+    // ------------------------------------------------- curation family
+    // chunk+pack is the full context-window pipeline: tokenize, explode
+    // to ~len/stride chunks, one shard shuffle, running-sum pack ids
+    time("chunk 32/24 + pack 2048", total, "docs/s")(
+      Curation.packSequences(
+        Curation.chunkTokens(corpus, "doc_id", "text", 32, 24)
+          .withColumn("shard", Curation.shard(col("doc_id"), 256).cast("long")),
+        Seq("shard"), Seq(col("doc_id"), col("chunk_idx")),
+        "chunk_tokens", 2048))
+    // per-key cap on a synthetic 997-way key — exercises the map-side
+    // WindowGroupLimit pre-filter under many groups
+    time("cap 100 per key (997 keys)", total, "docs/s")(
+      Curation.capPerKey(
+        corpus.withColumn("src", pmod(col("doc_id"), lit(997))),
+        Seq("src"), Seq(length(col("text")).desc, col("doc_id").asc), 100))
+    time("pmi bigrams (min 100)", total, "docs/s")(
+      Curation.pmiBigrams(corpus, "text", minCount = 100))
     corpus.unpersist()
 
     // ------------------------------------------------- similarity family

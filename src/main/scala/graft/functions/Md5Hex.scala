@@ -79,4 +79,10 @@ object GraftFunctions {
   def fastMd5(c: Column): Column =
     GraftColumnBridge.column(
       Md5HexExpression(GraftColumnBridge.expression(c.cast("binary"))))
+
+  /** Cosine similarity of two float/double array columns (fused
+    * codegen'd loop; value-identical to the HOF formulation). */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -184,6 +184,23 @@ object Scale {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
+
+  /** Range-partitioned, internally-sorted parquet layout: every output
+    * file covers a disjoint key range and its rows are sorted, so
+    * parquet min/max stats prune at both the file and row-group level
+    * for key predicates, and downstream key-ordered consumers (as-of
+    * joins, windows, merge scans) read pre-clustered data. The range
+    * exchange samples the keys to build balanced bounds, so
+    * `nPartitions` also bounds the output file count — size it to
+    * ~targetBytes/file at the expected row width. */
+  def writeSortedByRange(df: DataFrame, path: String, keys: Seq[String],
+                         nPartitions: Int): Unit = {
+    require(keys.nonEmpty, "need at least one layout key")
+    require(nPartitions > 0, s"nPartitions must be positive, got $nPartitions")
+    df.repartitionByRange(nPartitions, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }
 
 /** Deterministic dataset splitting (training-data pipelines). */

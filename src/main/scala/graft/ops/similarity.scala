@@ -15,20 +15,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity between two Array[Float]/Array[Double] columns as a
-    * native higher-order-function expression (codegen'd; no UDF). Doubles
-    * throughout with a fixed left-fold order => engine-portable results. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column =
-      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    // nullif guard: a zero vector would otherwise yield NaN, and NaN sorts
-    // ABOVE every real similarity in desc order — a garbage vector would
-    // become everyone's #1 neighbor. Null instead (sorts last in Spark desc).
-    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
-  }
+  /** Cosine similarity between two Array[Float]/Array[Double] columns —
+    * a custom Catalyst expression fusing dot + both norms into one
+    * codegen'd primitive loop (`CosineSimExpression`). Doubles throughout
+    * with the same ascending fold order as the equivalent
+    * aggregate(zip_with(...)) tree, so results are engine-portable and
+    * bit-identical to the HOF formulation it replaced (which paid an
+    * interpreted closure call per element, per fold). Zero vectors yield
+    * null, not NaN — NaN sorts ABOVE every real similarity in desc order,
+    * so a garbage vector would become everyone's #1 neighbor. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Brute-force top-k nearest neighbours of one query vector. */
   def bruteForceTopK(corpus: DataFrame, embCol: String, idCol: String,

@@ -23,6 +23,48 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("cosine expression is bit-identical to the HOF fold it replaced") {
+    import org.apache.spark.sql.Column
+    import graft.ops.Similarity
+    // the round-1 higher-order-function formulation, kept here as the
+    // reference semantics for the fused codegen'd CosineSimExpression
+    def hofCosine(a: Column, b: Column): Column = {
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      def norm(x: Column): Column =
+        sqrt(aggregate(x, lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double")))
+      dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+    }
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    } :+ ((Array.fill(64)(0.0f), Array.fill(64)(1.0f))) // zero vector -> null
+    val df = vecs.toDF("a", "b")
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        val bad = df.select(
+            Similarity.cosine(col("a"), col("b")).as("fused"),
+            hofCosine(col("a"), col("b")).as("hof"))
+          // bit-exact: NOT a tolerance compare (null-safe equality)
+          .filter(!(col("fused") <=> col("hof"))).count()
+        assert(bad === 0, s"codegen=$codegen")
+      }
+    }
+    // unequal lengths and null elements degrade to null like the HOF tree
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    assert(edge.select(Similarity.cosine(col("a"), col("b"))).head().isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT cast(array(1.0, NULL) AS ARRAY<DOUBLE>) a, array(1.0d, 2.0d) b")
+    assert(withNullElem.select(Similarity.cosine(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("graft_md5 is callable from raw SQL after extensions registration") {
     graft.functions.GraftExtensions.registerOn(spark)
     val r = spark.sql(

@@ -114,4 +114,34 @@ class ScaleSpec extends SparkSpec {
       assert(joined.count() === 500)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("writeSortedByRange: disjoint per-file key ranges, sorted within") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-range-").toFile
+    val out = new java.io.File(dir, "sorted").getAbsolutePath
+    try {
+      val df = (1 to 2000).map(i => ((i * 7919) % 2003, s"v$i"))
+        .toDF("key", "v")
+      Scale.writeSortedByRange(df, out, Seq("key"), 4)
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      assert(files.length > 1, "expected multiple range files")
+      // each file internally sorted on key, and file ranges disjoint
+      val ranges = files.map { f =>
+        val keys = spark.read.parquet(f).select("key")
+          .collect().map(_.getInt(0)).toSeq
+        assert(keys == keys.sorted, s"file $f not sorted")
+        (keys.min, keys.max)
+      }
+      ranges.sortBy(_._1).toSeq.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) =>
+          assert(hi <= lo, s"overlapping file ranges: hi=$hi lo=$lo")
+        case _ =>
+      }
+      // nothing lost in the layout
+      assert(spark.read.parquet(out).count() === 2000)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
 }
