@@ -115,3 +115,83 @@ case class CosineSimExpression(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimExpression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen'd dot product of two float/double array columns — the fused
+  * sibling of [[CosineSimExpression]] for callers that pre-normalize
+  * (pair expansion dots unit vectors; sign-LSH dots against a ±1 plane).
+  * Same ascending fold and null semantics as
+  * `aggregate(zip_with(a, b, (p, q) => p * q), 0.0, _ + _)`: null if an
+  * input is null, lengths differ, or any element is null. */
+case class DotProductExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def elemOk(t: DataType): Boolean =
+    t == FloatType || t == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) if elemOk(lt) && elemOk(rt) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val dot = ctx.freshName("dot")
+      val getX = if (leftIsFloat) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n);
+         |double $dot = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $dot += $getX * $getY;
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpression =
+    copy(left = newLeft, right = newRight)
+}

@@ -85,4 +85,10 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimExpression(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Dot product of two float/double array columns (fused codegen'd
+    * loop; value-identical to the zip_with/aggregate fold). */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

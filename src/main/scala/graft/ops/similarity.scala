@@ -60,9 +60,7 @@ object Similarity {
       // left-associated — bit-identical to an explicit term chain but with
       // O(planes) codegen size instead of O(planes*dim).
       val signs = array((0 until dim).map(d => lit(planeSign(p, d))): _*)
-      val dotp = aggregate(
-        zip_with(emb, signs, (v, sg) => v.cast("double") * sg),
-        lit(0.0), (acc, x) => acc + x)
+      val dotp = graft.functions.GraftFunctions.dotProduct(emb, signs)
       when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -159,9 +157,10 @@ object Similarity {
     transform(v, x => x.cast("double") / nullif(n, lit(0.0)))
   }
 
-  /** Dot product of two already-double vectors, ascending-index fold. */
+  /** Dot product of two already-double vectors, ascending-index fold
+    * (fused codegen'd loop — the pair-expansion hot path). */
   private def dotD(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.dotProduct(x, y)
 
   /** Embedding near-duplicate pairs: cosine >= threshold inside LSH
     * buckets (the embedding analogue of Dedup.simhashPairs). Bucket ids
