@@ -192,6 +192,17 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"),
           fastMd5(col("doc_id").cast("string")).as("sort_key"))
         .orderBy("sort_key", "doc_id")
+    }),
+
+    // Time-series resampling: each user's irregular event values
+    // projected onto an epoch-aligned 6-hour grid with linear
+    // interpolation (window-over-union, no range join).
+    "q96_resample_linear" -> ((s, dir) => {
+      TimeSeries.resampleLinear(rd(s, dir, "events"),
+          "user_id", "ts", "value", stepSeconds = 21600)
+        .select(col("user_id"), col("grid_ts"),
+          round(col("interp"), 4).as("interp"))
+        .orderBy("user_id", "grid_ts")
     })
   )
 
@@ -379,6 +390,43 @@ object CurationQueries {
 
     "q95_fixed_sample" ->
       """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sort_key
-        |FROM documents ORDER BY sort_key, doc_id LIMIT 100""".stripMargin
+        |FROM documents ORDER BY sort_key, doc_id LIMIT 100""".stripMargin,
+
+    "q96_resample_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v,
+        |    0 AS is_grid
+        |  FROM events),
+        |sp AS (
+        |  SELECT user_id, (min(t) // 21600000000) * 21600000000 AS t0,
+        |    max(t) AS t1
+        |  FROM ev GROUP BY user_id),
+        |gr AS (
+        |  SELECT user_id, g.t AS t, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+        |  FROM sp, unnest(generate_series(t0, t1, 21600000000)) AS g(t)),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM gr),
+        |w AS (
+        |  SELECT user_id, t, is_grid,
+        |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+        |      OVER bw AS pt,
+        |    last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+        |      OVER bw AS pv,
+        |    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+        |      OVER fw AS nt,
+        |    first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+        |      OVER fw AS nv
+        |  FROM u
+        |  WINDOW
+        |    bw AS (PARTITION BY user_id ORDER BY t, is_grid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fw AS (PARTITION BY user_id ORDER BY t, is_grid
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, make_timestamp(t) AS grid_ts,
+        |  round(CASE WHEN pt = t THEN pv
+        |        ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) /
+        |                               CAST(nt - pt AS DOUBLE)) END, 4)
+        |    AS interp
+        |FROM w WHERE is_grid = 1
+        |ORDER BY user_id, grid_ts""".stripMargin
   )
 }
