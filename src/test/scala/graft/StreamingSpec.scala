@@ -184,4 +184,38 @@ class StreamingSpec extends SparkSpec {
       assert(hist.columns.contains("day")) // day-partitioned like K1
     } finally q.stop()
   }
+
+  test("curation ops run unchanged in a stream: quality gate + chunking") {
+    // the row-local curation stages (normalize, quality score, chunk)
+    // are plain expression trees, so the same code paths serve batch and
+    // readStream with no re-implementation — the unified-pipeline claim
+    import graft.ops.{Curation, Text}
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+      .withColumn("norm", Curation.normalizeText(col("text")))
+      .filter(Text.tokenCount(col("norm")) >= 3)
+    val chunks = Curation.chunkTokens(docs, "doc_id", "norm",
+      chunkSize = 4, stride = 3)
+    val q = chunks.writeStream.format("memory").queryName("cur_chunks")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "The QUICK brown fox, jumps over the lazy dog!!"), // 9 tokens
+        (2L, "too short"),                                      // filtered
+        (3L, "Alpha beta gamma delta"))                // starts 0,3 -> 2
+      q.processAllAvailable()
+      val out = spark.table("cur_chunks")
+      // doc 1: starts 0,3,6 -> 3 chunks; doc 2 dropped; doc 3: 2 chunks
+      assert(out.filter($"doc_id" === 1).count() === 3)
+      assert(out.filter($"doc_id" === 2).count() === 0)
+      assert(out.filter($"doc_id" === 3).count() === 2)
+      // chunk digests identical to the batch path on the same input
+      val batch = Curation.chunkTokens(
+        Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "norm"),
+        "doc_id", "norm", chunkSize = 4, stride = 3)
+      assert(rows(out.filter($"doc_id" === 3).select("chunk_md5")
+          .orderBy("chunk_md5")) ==
+        rows(batch.select("chunk_md5").orderBy("chunk_md5")))
+    } finally q.stop()
+  }
 }
