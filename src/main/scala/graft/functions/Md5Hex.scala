@@ -91,4 +91,18 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductExpression(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Packed SimHash of a token-array column (one digest per token +
+    * integer ops in a fused loop; exact replica of the HOF derivation). */
+  def simhashPacked(tokens: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimHashExpression(
+      GraftColumnBridge.expression(tokens), bits))
+
+  /** Full MinHash signature (all seed minima) of a shingle-array column
+    * in one fused pass — one digest per shingle, two integer ops per
+    * seed. */
+  def minhashSig(shingles: Column, as: Seq[Long], bs: Seq[Long],
+                 mod: Long): Column =
+    GraftColumnBridge.column(MinHashSigExpression(
+      GraftColumnBridge.expression(shingles), as, bs, mod))
 }

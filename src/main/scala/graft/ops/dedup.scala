@@ -45,16 +45,13 @@ object Dedup {
   def withMinhashSignature(df0: DataFrame, textCol: String,
                            numHashes: Int, shingleSize: Int): DataFrame = {
     val df = Scale.widen(df0)
-    val hArr = transform(Text.shingles(col(textCol), shingleSize),
-      s => Text.shingleHash(s))
-    val params = array((0 until numHashes).map { i =>
-      val (a, b) = Text.minhashParams(i)
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    val sig = aggregate(hArr, array_repeat(lit(Text.MinhashMod), numHashes),
-      (acc, hv) => zip_with(acc, params,
-        (m, p) => least(m,
-          (hv * p.getField("a") + p.getField("b")) % Text.MinhashMod)))
+    // fused custom expression: one digest per shingle, two integer ops
+    // per seed, all minima in one loop (the HOF aggregate/zip_with fold
+    // paid an interpreted closure per (shingle, seed) — see
+    // functions.MinHashSigExpression for the exact-identity argument)
+    val (as, bs) = (0 until numHashes).map(Text.minhashParams).unzip
+    val sig = graft.functions.GraftFunctions.minhashSig(
+      Text.shingles(col(textCol), shingleSize), as, bs, Text.MinhashMod)
     val withSig = df.withColumn("__sig", sig)
     val sigCols = (0 until numHashes).map(i =>
       element_at(col("__sig"), i + 1).as(s"minhash_$i"))

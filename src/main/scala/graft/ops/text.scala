@@ -290,21 +290,12 @@ object Text {
     * value bit-for-bit). */
   def simhash(text: Column, bits: Int = 32): Column = {
     require(bits % 4 == 0 && bits <= 32)
-    val hexChars = bits / 4
-    // one 32-bit (or fewer) integer per token holding all sign bits
-    val tokenBits = transform(tokens(text),
-      t => conv(substring(fastMd5(t), 1, hexChars), 16, 10).cast("long"))
-    val shifts = sequence(lit(bits - 1), lit(0), lit(-1)) // j=0 -> bits-1
-    val counts = aggregate(tokenBits,
-      array_repeat(lit(0), bits),
-      (acc, l) => zip_with(acc, shifts,
-        (a, sft) => a + (call_function("shiftright", l, sft.cast("int"))
-          .bitwiseAND(lit(1L)).cast("int") * 2 - 1)))
-    val powers = transform(sequence(lit(0), lit(bits - 1)),
-      j => call_function("shiftleft", lit(1L), j.cast("int")))
-    val packed = aggregate(
-      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L), (a, v) => a + v)
+    // fused custom expression: one digest per token + `bits` integer ops
+    // in a tight loop (the HOF formulation folded a bits-element
+    // accumulator array through an interpreted zip_with per token —
+    // see functions.SimHashExpression for the exact-identity argument)
+    val packed = graft.functions.GraftFunctions
+      .simhashPacked(tokens(text), bits)
     // null text must also land in the 0 branch: size(tokens(null)) is null
     // (not 0), which would otherwise propagate a NULL simhash while the
     // SQL oracle's CASE chain yields 0

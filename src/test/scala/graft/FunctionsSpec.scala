@@ -65,6 +65,74 @@ class FunctionsSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("simhash expression is bit-identical to the HOF fold it replaced") {
+    import org.apache.spark.sql.Column
+    import graft.ops.Text
+    // the round-1 higher-order-function formulation as reference semantics
+    def hofSimhash(text: Column, bits: Int): Column = {
+      val hexChars = bits / 4
+      val tokenBits = transform(Text.tokens(text),
+        t => conv(substring(fastMd5(t), 1, hexChars), 16, 10).cast("long"))
+      val shifts = sequence(lit(bits - 1), lit(0), lit(-1))
+      val counts = aggregate(tokenBits, array_repeat(lit(0), bits),
+        (acc, l) => zip_with(acc, shifts,
+          (a, sft) => a + (call_function("shiftright", l, sft.cast("int"))
+            .bitwiseAND(lit(1L)).cast("int") * 2 - 1)))
+      val powers = transform(sequence(lit(0), lit(bits - 1)),
+        j => call_function("shiftleft", lit(1L), j.cast("int")))
+      val packed = aggregate(
+        zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(lit(0L))),
+        lit(0L), (a, v) => a + v)
+      when(text.isNull || size(Text.tokens(text)) === 0, lit(0L))
+        .otherwise(packed)
+    }
+    val docs = (Seq("", "   ", "one", "a b c d e f g",
+      "The quick brown fox jumps over the lazy dog") ++
+      (0 until 100).map(i => s"synthetic doc $i with words ${i % 7}"))
+      .map(Option(_)) :+ (None: Option[String])
+    val df = docs.toDF("t")
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        Seq(16, 32).foreach { bits =>
+          val bad = df.select(Text.simhash(col("t"), bits).as("fused"),
+              hofSimhash(col("t"), bits).as("hof"))
+            .filter(!(col("fused") <=> col("hof"))).count()
+          assert(bad === 0, s"codegen=$codegen bits=$bits")
+        }
+      }
+    }
+  }
+
+  test("minhash signature expression matches the HOF fold it replaced") {
+    import org.apache.spark.sql.Column
+    import graft.ops.Text
+    val numHashes = 8
+    def hofSig(text: Column): Column = {
+      val hArr = transform(Text.shingles(text, 3), s => Text.shingleHash(s))
+      val params = array((0 until numHashes).map { i =>
+        val (a, b) = Text.minhashParams(i)
+        struct(lit(a).as("a"), lit(b).as("b"))
+      }: _*)
+      aggregate(hArr, array_repeat(lit(Text.MinhashMod), numHashes),
+        (acc, hv) => zip_with(acc, params,
+          (m, p) => least(m,
+            (hv * p.getField("a") + p.getField("b")) % Text.MinhashMod)))
+    }
+    val (as, bs) = (0 until numHashes).map(Text.minhashParams).unzip
+    def fusedSig(text: Column): Column =
+      graft.functions.GraftFunctions.minhashSig(
+        Text.shingles(text, 3), as, bs, Text.MinhashMod)
+    val docs = Seq("", "one", "a b", "a b c",
+      "the quick brown fox jumps over the lazy dog again and again") ++
+      (0 until 50).map(i => s"doc $i body text with shared phrases ${i % 5}")
+    val df = docs.toDF("t")
+    val bad = df.select(fusedSig(col("t")).as("f"), hofSig(col("t")).as("h"))
+      .filter(!(col("f") <=> col("h"))).count()
+    assert(bad === 0)
+  }
+
   test("graft_md5 is callable from raw SQL after extensions registration") {
     graft.functions.GraftExtensions.registerOn(spark)
     val r = spark.sql(
