@@ -203,6 +203,32 @@ object CurationQueries {
         .select(col("user_id"), col("grid_ts"),
           round(col("interp"), 4).as("interp"))
         .orderBy("user_id", "grid_ts")
+    }),
+
+    // Estimator QA: MinHash-estimated Jaccard (matching signature
+    // fraction) vs exact n-gram Jaccard for every LSH candidate pair —
+    // the recall/precision dial a dedup pipeline tunes bands against.
+    "q97_minhash_quality" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3)
+      val sig = Dedup.withMinhashSignature(docs, "text", 8, 3)
+        .select(col("doc_id"),
+          array((0 until 8).map(i => col(s"minhash_$i")): _*).as("m"),
+          array_distinct(Text.shingles(col("text"), 3)).as("ds"))
+      val a = sig.select(col("doc_id").as("id_a"), col("m").as("ma"),
+        col("ds").as("dsa"))
+      val b = sig.select(col("doc_id").as("id_b"), col("m").as("mb"),
+        col("ds").as("dsb"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(size(filter(zip_with(col("ma"), col("mb"),
+              (x, y) => x === y), p => p)).cast("double") / lit(8.0), 6)
+            .as("est_jaccard"),
+          round(size(array_intersect(col("dsa"), col("dsb"))).cast("double") /
+            size(array_union(col("dsa"), col("dsb"))).cast("double"), 6)
+            .as("exact_jaccard"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -427,6 +453,25 @@ object CurationQueries {
         |                               CAST(nt - pt AS DOUBLE)) END, 4)
         |    AS interp
         |FROM w WHERE is_grid = 1
-        |ORDER BY user_id, grid_ts""".stripMargin
+        |ORDER BY user_id, grid_ts""".stripMargin,
+
+    "q97_minhash_quality" ->
+      s"""${NorthStar.minhashPairsSql(NorthStar.toksSql("text"))},
+         |dsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |j AS (
+         |  SELECT p.id_a, p.id_b, sa.m AS ma, sb.m AS mb,
+         |    da.ds AS dsa, db.ds AS dsb
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.id_a
+         |  JOIN sig sb ON sb.doc_id = p.id_b
+         |  JOIN dsh da ON da.doc_id = p.id_a
+         |  JOIN dsh db ON db.doc_id = p.id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(len(list_filter(generate_series(1, 8),
+         |    i -> ma[i] = mb[i])) AS DOUBLE) / 8.0, 6) AS est_jaccard,
+         |  round(CAST(len(list_intersect(dsa, dsb)) AS DOUBLE) /
+         |        CAST(len(list_distinct(dsa || dsb)) AS DOUBLE), 6)
+         |    AS exact_jaccard
+         |FROM j ORDER BY id_a, id_b""".stripMargin
   )
 }

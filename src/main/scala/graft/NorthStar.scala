@@ -25,7 +25,7 @@ object NorthStar {
   // fragments mirroring graft.ops.Text exactly
 
   /** tokens: lowercase, whitespace-split, empty-filtered (Text.tokens). */
-  private def toksSql(e: String): String =
+  private[graft] def toksSql(e: String): String =
     raw"""list_filter(string_split_regex(lower(trim($e)), '\s+'), x -> x <> '')"""
 
   /** word n-gram shingles (Text.shingles). */
@@ -95,7 +95,7 @@ object NorthStar {
     * numHashes=8, bands=4: 28-bit md5-prefix base hash, then per-seed
     * universal-hash mixing with the SAME (a_i, b_i) literals the Spark
     * expressions use (Text.minhashParams — generated, do not hand-edit). */
-  private def minhashPairsSql(toks: String): String = {
+  private[graft] def minhashPairsSql(toks: String): String = {
     val m = Text.MinhashMod
     val params = (0 until 8).map { i =>
       val (a, b) = Text.minhashParams(i); s"[$a, $b]"

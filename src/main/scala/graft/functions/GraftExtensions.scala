@@ -79,7 +79,14 @@ object GraftExtensions {
     lift("graft_token_entropy", 1)(cs =>
       graft.ops.Text.tokenEntropy(graft.ops.Text.tokens(cs.head))),
     lift("graft_top_token", 1)(cs =>
-      graft.ops.Text.topToken(graft.ops.Text.tokens(cs.head))))
+      graft.ops.Text.topToken(graft.ops.Text.tokens(cs.head))),
+    lift("graft_normalize_text", 1)(cs =>
+      graft.ops.Curation.normalizeText(cs.head)),
+    lift("graft_dot", 2)(cs => GraftFunctions.dotProduct(cs(0), cs(1))),
+    // md5 bucket in [0,256): the primitive under split labels, stratified
+    // sampling and sharding — graft_split_bucket(id) % n is a shard id
+    lift("graft_split_bucket", 1)(cs =>
+      graft.ops.Sampling.splitBucket(cs.head)))
 
   /** Register on a live session (the extensions conf only applies at
     * session construction). */

@@ -105,6 +105,23 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("curation lifts: SQL surface matches the DataFrame ops") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    import graft.ops.{Curation, Sampling}
+    val r = spark.sql(
+      """SELECT graft_normalize_text('  Hey, YOU!! (x=1) '),
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |  graft_split_bucket(42)""".stripMargin).head()
+    val d = spark.range(1).select(
+      Curation.normalizeText(lit("  Hey, YOU!! (x=1) ")),
+      graft.functions.GraftFunctions.dotProduct(
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))),
+      Sampling.splitBucket(lit(42))).head()
+    assert(r === d)
+    assert(r.getString(0) === "hey you x 1")
+    assert(r.getDouble(1) === 11.0)
+  }
+
   test("minhash signature expression matches the HOF fold it replaced") {
     import org.apache.spark.sql.Column
     import graft.ops.Text
