@@ -51,4 +51,50 @@ object Aggregators {
     import scored.sparkSession.implicits._
     scored.groupByKey(_.group).agg(new TopK(k).toColumn.name("topk"))
   }
+
+  /** Count-Min Sketch frequency estimation: a mergeable sketch aggregator
+    * over a token stream, answering "how often does each probe key
+    * occur?" within eps·N overcount (never undercount) at the given
+    * confidence — the bounded-memory heavy-hitter tool for corpus-scale
+    * frequency questions where an exact groupBy on a 100 TB token stream
+    * would shuffle the whole vocabulary.
+    *
+    * Built on Spark's public `org.apache.spark.util.sketch.CountMinSketch`
+    * (the same structure `DataFrameStatFunctions.countMinSketch` fills,
+    * but as an `Aggregator` the sketch merges map-side across partitions
+    * and composes with typed groupBy instead of collecting per-column to
+    * the driver). Increments commute, and the seed is fixed, so estimates
+    * are identical under any partitioning. */
+  class Cms(probes: Seq[String], eps: Double = 0.001,
+            confidence: Double = 0.99, seed: Int = 42)
+      extends Aggregator[String, org.apache.spark.util.sketch.CountMinSketch, Seq[Long]] {
+    import org.apache.spark.util.sketch.CountMinSketch
+    override def zero: CountMinSketch = CountMinSketch.create(eps, confidence, seed)
+    override def reduce(b: CountMinSketch, a: String): CountMinSketch = {
+      if (a != null) b.add(a)
+      b
+    }
+    override def merge(b1: CountMinSketch, b2: CountMinSketch): CountMinSketch = {
+      b1.mergeInPlace(b2)
+      b1
+    }
+    override def finish(b: CountMinSketch): Seq[Long] =
+      probes.map(b.estimateCount)
+    override def bufferEncoder: Encoder[CountMinSketch] =
+      Encoders.kryo[CountMinSketch]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Corpus-wide estimated frequencies of `probes` over a token stream:
+    * one sketch per partition, merged to a single (probe, estimate) set.
+    * The only data movement is the sketches themselves. */
+  def cmsFrequencies(tokens: Dataset[String], probes: Seq[String],
+                     eps: Double = 0.001, confidence: Double = 0.99)
+      : Dataset[(String, Long)] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(_ => 0)
+      .agg(new Cms(probes, eps, confidence).toColumn.name("est"))
+      .flatMap { case (_, ests) => probes.zip(ests) }
+  }
 }

@@ -201,6 +201,28 @@ class AggregatorsSpec extends SparkSpec {
     // deterministic tiebreak: equal scores resolve by ascending id
     assert(agg(0L).map(_.id) === Seq(6L, 13L, 20L, 27L, 34L))
   }
+
+  test("Cms sketch: never undercounts, bounded overcount, partition-stable") {
+    // known frequencies: tok0 x 1000, tok1 x 500, tok2 x 10, absent x 0
+    val tokens = (Seq.fill(1000)("tok0") ++ Seq.fill(500)("tok1") ++
+      Seq.fill(10)("tok2") ++ (0 until 2000).map(i => s"noise$i")).toDS()
+    val probes = Seq("tok0", "tok1", "tok2", "absent")
+    val truth = Map("tok0" -> 1000L, "tok1" -> 500L, "tok2" -> 10L,
+      "absent" -> 0L)
+    val n = tokens.count()
+    val eps = 0.01
+    val est = Aggregators.cmsFrequencies(tokens.repartition(8), probes, eps)
+      .collect().toMap
+    probes.foreach { p =>
+      assert(est(p) >= truth(p), s"$p undercounted: ${est(p)} < ${truth(p)}")
+      assert(est(p) <= truth(p) + (eps * n).toLong + 1,
+        s"$p overcount beyond eps*N: ${est(p)} vs ${truth(p)}")
+    }
+    // commutativity + fixed seed: identical estimates under any partitioning
+    val est2 = Aggregators.cmsFrequencies(tokens.repartition(3), probes, eps)
+      .collect().toMap
+    assert(est === est2)
+  }
 }
 
 class JoinsSpec extends SparkSpec {
