@@ -99,6 +99,30 @@ object ScaleProbe {
       Curation.pmiBigrams(corpus, "text", minCount = 100))
     corpus.unpersist()
 
+    // ------------------------------------------------ time-series family
+    // replicate events across disjoint user-id spaces: same per-user
+    // density, replicas x more keys — the window partitions independently
+    // events.ts is TIMESTAMP(NANOS) parquet — read via the long path and
+    // truncate to micros exactly like SparkEntry.t
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val evBase = (if (evRaw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      evRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else evRaw).select("user_id", "ts", "value")
+    val ev0 = evBase.count()
+    val maxUser = evBase.agg(max("user_id")).head().getLong(0)
+    val events = evBase.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("user_id") + col("rep") * (maxUser + 1)).as("user_id"),
+        col("ts"), col("value"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    val eTotal = events.count()
+    println(s"[probe] events: $eTotal ($ev0 base x $replicas)")
+    time("resample 6h linear", eTotal, "events/s")(
+      TimeSeries.resampleLinear(events, "user_id", "ts", "value", 21600))
+    events.unpersist()
+
     // ------------------------------------------------- similarity family
     // replicate embeddings with a deterministic per-replica perturbation:
     // replica r scales dimension (r mod dim) by 1 + (r+1)/1000, so every

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Suite-wide physical-plan guards: every registered query is planned
+  * (not executed) against the smallest fixture and checked for
+  * plan-shape regressions that correctness tests cannot catch.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no registered query plans a non-broadcast cartesian product") {
+    // events.parquet is TIMESTAMP(NANOS): the shared test session must
+    // opt into the long-read path SparkEntry.t normalizes
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        // BroadcastNestedLoopJoin (band/fuzzy joins, 1-row totals) is a
+        // deliberate bounded pattern; CartesianProduct means both sides
+        // were too big to broadcast — a shuffle-explosion at scale
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian product: ${offenders.mkString(", ")}")
+  }
+
+  test("row-local text queries add no exchange beyond their aggregation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // q19/q20/q25 are scan -> row-local expressions (+ optional final
+    // sort); they must not hash-shuffle the corpus
+    Seq("q19_quality_score", "q20_lang_id", "q25_simhash").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(hashExchanges <= 1, // q20 aggregates; the rest sort only
+        s"$q: expected at most one hash exchange, plan:\n$plan")
+    }
+  }
+}
