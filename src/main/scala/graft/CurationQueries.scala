@@ -229,6 +229,25 @@ object CurationQueries {
             size(array_union(col("dsa"), col("dsb"))).cast("double"), 6)
             .as("exact_jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Stratified exact-n sampling: exactly 10 documents per language,
+    // md5-ordered — deterministic, and the rank-limit pushes map-side
+    // (WindowGroupLimit) so the shuffle carries <= 10 rows per key per task.
+    "q98_lang_sample" -> ((s, dir) => {
+      Curation.capPerKey(rd(s, dir, "documents"), Seq("lang"),
+          Seq(fastMd5(col("doc_id").cast("string")).asc, col("doc_id").asc), 10)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Duplicate-cluster resolution: LSH candidate pairs -> connected
+    // components by iterative min-label propagation, oracle-checked
+    // against a recursive-CTE transitive closure.
+    "q99_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidatePairs(rd(s, dir, "documents"),
+        "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3)
+      Dedup.resolveClusters(pairs).orderBy("id")
     })
   )
 
@@ -472,6 +491,29 @@ object CurationQueries {
          |  round(CAST(len(list_intersect(dsa, dsb)) AS DOUBLE) /
          |        CAST(len(list_distinct(dsa || dsb)) AS DOUBLE), 6)
          |    AS exact_jaccard
-         |FROM j ORDER BY id_a, id_b""".stripMargin
+         |FROM j ORDER BY id_a, id_b""".stripMargin,
+
+    "q98_lang_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "q99_dup_clusters" -> {
+      val base = NorthStar.minhashPairsSql(NorthStar.toksSql("text"))
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$base,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
+         |SELECT id, min(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin
+    }
   )
 }
