@@ -248,6 +248,26 @@ object CurationQueries {
       val pairs = Dedup.minhashCandidatePairs(rd(s, dir, "documents"),
         "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3)
       Dedup.resolveClusters(pairs).orderBy("id")
+    }),
+
+    // Perplexity-proxy quality scoring: per-document mean negative log
+    // likelihood under the corpus unigram LM — the cheap KenLM stand-in
+    // every pretraining quality filter starts from. Explode -> count ->
+    // join back -> per-doc mean; the unigram table is vocabulary-sized
+    // (broadcast at this scale, hash-join at web scale).
+    "q100_unigram_nll" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      val tot = uni.agg(sum("cw").cast("double").as("tot"))
+      toks.join(broadcast(uni), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(-log(col("cw").cast("double") / col("tot"))), 6)
+            .as("mean_nll"))
+        .orderBy("doc_id")
     })
   )
 
@@ -514,6 +534,16 @@ object CurationQueries {
          |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
          |SELECT id, min(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY id""".stripMargin
-    }
+    },
+
+    "q100_unigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${toksSql("text")}) AS w FROM documents),
+         |uni AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+         |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS tot FROM uni)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  round(avg(-ln(CAST(cw AS DOUBLE) / tot)), 6) AS mean_nll
+         |FROM toks JOIN uni USING (w), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
