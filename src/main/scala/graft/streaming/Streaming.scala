@@ -111,6 +111,17 @@ object Streaming {
       .select(col("l.*") +: rightCols.toSeq: _*)
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension table — the canonical "attach user/product attributes to
+    * the event stream" stage. The static side is planned per micro-batch
+    * (broadcast when small), needs NO watermark and holds NO state:
+    * unlike stream-stream joins this is stateless, so it composes with
+    * any output mode. Left join keeps events whose key has no dimension
+    * row yet (late dimension arrival must not drop facts). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left")
+
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
                         n_events: Long, sum_value: Double)

@@ -26,6 +26,23 @@ class PlanAuditSpec extends SparkSpec {
       s"queries planning a cartesian product: ${offenders.mkString(", ")}")
   }
 
+  test("filters and projections reach the parquet scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // q01: the shipdate predicate must appear in PushedFilters, not just
+    // in a post-scan Filter
+    val q01 = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q01.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q01 shipdate filter not pushed:\n$q01")
+    // q02 projects 3 of 9 orders columns: the scan schema must be pruned
+    val q02 = SparkEntry.queries("q02_topk_orders")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val readSchema = q02.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice")
+      && !readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"q02 scan not column-pruned: $readSchema")
+  }
+
   test("row-local text queries add no exchange beyond their aggregation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // q19/q20/q25 are scan -> row-local expressions (+ optional final

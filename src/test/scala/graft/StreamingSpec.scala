@@ -185,6 +185,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim: stream-static left join keeps unmatched events") {
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streaming.enrichWithDim(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts(1), 1, "click", 1.0),
+        Ev(2, ts(2), 2, "click", 2.0),
+        Ev(3, ts(3), 99, "click", 3.0)) // no dim row -> kept, tier null
+      q.processAllAvailable()
+      val out = spark.table("enriched").select("event_id", "tier")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out === Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("curation ops run unchanged in a stream: quality gate + chunking") {
     // the row-local curation stages (normalize, quality score, chunk)
     // are plain expression trees, so the same code paths serve batch and
