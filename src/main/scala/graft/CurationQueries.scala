@@ -250,6 +250,24 @@ object CurationQueries {
       Dedup.resolveClusters(pairs).orderBy("id")
     }),
 
+    // Bad-data quarantine: malformed JSON payloads (injected corruption)
+    // parse to null instead of failing the job, and the gate counts them
+    // per type — the quarantine-not-crash path of a production extract.
+    "q101_json_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val corrupted = when(col("event_id") % 7 === 0,
+        concat(lit("BAD{"), col("props"))).otherwise(col("props"))
+      rd(s, dir, "events")
+        .withColumn("k", from_json(corrupted,
+          StructType(Seq(StructField("k", LongType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("k")).as("n_valid"),
+          (count(lit(1)) - count(col("k"))).as("n_quarantined"),
+          sum("k").as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // Perplexity-proxy quality scoring: per-document mean negative log
     // likelihood under the corpus unigram LM — the cheap KenLM stand-in
     // every pretraining quality filter starts from. Explode -> count ->
@@ -535,6 +553,21 @@ object CurationQueries {
          |SELECT id, min(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY id""".stripMargin
     },
+
+    "q101_json_quarantine" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN concat('BAD{', props)
+        |         ELSE props END AS p
+        |  FROM events),
+        |v AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(p) THEN CAST(p->>'$.k' AS BIGINT) END AS k
+        |  FROM c)
+        |SELECT event_type, count(*) AS n_total, count(k) AS n_valid,
+        |  count(*) - count(k) AS n_quarantined,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q100_unigram_nll" ->
       s"""WITH toks AS (

@@ -131,6 +131,19 @@ object Pipelines {
     !bad
   }
 
+  /** Validation metrics that RIDE the sink's own pass (`df.observe` /
+    * CollectMetrics): total rows and gate-predicate hits accumulate while
+    * whatever action consumes the frame runs — at 100 TB, a separate
+    * `df.filter(bad).count()` gate would re-scan the input; this one is
+    * free. Read the `Observation` after the action completes and fire the
+    * alert from the metric (see PipelinesSpec). */
+  def observedGate(df: DataFrame, badPredicate: Column)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs, count(lit(1)).as("n_rows"),
+      sum(when(badPredicate, 1L).otherwise(0L)).as("n_bad")), obs)
+  }
+
   private val MetricCols = Seq("Sentence Count", "Average Words Per Sentence",
     "Flesch Reading Ease Score", "Text Ratio")
 

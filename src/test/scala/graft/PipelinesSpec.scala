@@ -185,4 +185,18 @@ class PipelinesSpec extends SparkSpec {
     assert(state.count() === 2) // replaced, not accumulated
     assert(rows(state.select("crawl_date").distinct()).flatten === Seq("2024-05-04"))
   }
+
+  test("observedGate: metrics ride the sink pass, no second scan") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, if (i % 10 == 0) 500 else 200))
+      .toDF("id", "status")
+    val (observed, obs) = Pipelines.observedGate(df, col("status") =!= 200)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-obs").toString
+    observed.write.mode("overwrite").parquet(s"$tmp/out") // the ONLY action
+    val m = obs.get
+    assert(m("n_rows") === 100L)
+    assert(m("n_bad") === 10L)
+    // the write itself was complete — gating happened without re-scanning
+    assert(spark.read.parquet(s"$tmp/out").count() === 100)
+  }
 }
