@@ -37,8 +37,13 @@ object TimeSeries {
                      valCol: String, stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"step must be positive, got $stepSeconds")
     val stepUs = stepSeconds * 1000000L
-    val events = df.select(col(keyCol), unix_micros(col(tsCol)).as("__t"),
-      col(valCol).cast("double").as("__v"), lit(0).as("__is_grid"))
+    // a null timestamp or value would desynchronize the carried
+    // (time, value) pair: ignoreNulls would skip one column's entry but
+    // not the other's, interpolating against mismatched endpoints — a
+    // half-null event is no event, drop it up front
+    val events = df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__t"),
+        col(valCol).cast("double").as("__v"), lit(0).as("__is_grid"))
     val grid = df.groupBy(keyCol)
       .agg(min(unix_micros(col(tsCol))).as("__t0"),
         max(unix_micros(col(tsCol))).as("__t1"))

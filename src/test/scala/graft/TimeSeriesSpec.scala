@@ -28,6 +28,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Seq(null, 75.0))
   }
 
+  test("resampleLinear drops half-null events instead of desyncing pairs") {
+    // the null-value event at 00:05 must not advance prev_t without
+    // advancing prev_v: interpolation sees only the two complete events
+    val df = Seq(
+      ("a", Some(ts("2024-01-01 00:00:00")), Some(10.0)),
+      ("a", Some(ts("2024-01-01 00:05:00")), None),
+      ("a", None, Some(999.0)),
+      ("a", Some(ts("2024-01-01 00:10:00")), Some(30.0)))
+      .toDF("k", "ts", "v")
+    val out = rows(TimeSeries.resampleLinear(df, "k", "ts", "v", 300)
+      .select("interp").orderBy("grid_ts")).flatten
+    assert(out == Seq(10.0, 20.0, 30.0))
+  }
+
   test("resampleLinear keys interpolate independently") {
     val df = Seq(("a", ts("2024-01-01 00:00:00"), 0.0),
       ("a", ts("2024-01-01 00:10:00"), 10.0),
