@@ -149,6 +149,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).cache()
+    var backing = labels // the cached frame `labels` projects from
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -156,15 +157,19 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id"))
         .agg(min("cluster_id").as("nmin"))
+      // carry the previous label through the projection so convergence is
+      // a filter over the cached frame, not another join per round
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          col("cluster_id").as("__prev"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev")).limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("__prev"))
+        .limit(1).count() > 0
+      backing.unpersist()
+      backing = next
+      labels = next.select("id", "cluster_id")
       converged = !changed
       iter += 1
     }
