@@ -63,11 +63,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ NorthStar.queries ++ SqlSurface.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql ++
-      CurationQueries.oracleSql
+      CurationQueries.oracleSql ++ WarehouseQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

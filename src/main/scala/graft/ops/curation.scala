@@ -145,6 +145,16 @@ object Curation {
     Sampling.splitBucket(id) % n
   }
 
+  /** Per-row weighted Bernoulli sampling, deterministic: keep a row iff
+    * its stable md5 bucket (0..255) falls below `weight` × 256, where
+    * `weight` is a per-row keep-probability in [0, 1] (values ≥ 1 always
+    * keep) — importance sampling by quality score without rand(): the
+    * decision is a pure function of the id, so it is stable across runs,
+    * partitionings and engines, and a row once kept stays kept as the
+    * corpus grows. Row-local: runs inside the scan stage, no shuffle. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column): DataFrame =
+    df.filter(Sampling.splitBucket(id) < weight * lit(256.0))
+
   /** Greedy contiguous sequence packing: assign ordered chunks to training
     * sequences of ~`seqLen` tokens. A chunk lands in pack
     * floor(tokens-before-it / seqLen), i.e. the stream of chunks is cut

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Warehouse maintenance operators: slowly-changing-dimension history
+  * (SCD Type 2) and CDC change-stream application (latest-wins upsert
+  * with delete tombstones) — the two table-maintenance patterns the
+  * reference runs as full-table rewrites (replace-latest, SURVEY §2.2
+  * K2) but that a warehouse needs in keyed, incremental form.
+  *
+  * Scale posture: both are one hash-shuffle on the business key followed
+  * by a streaming per-key window — no driver state, no iteration, and
+  * the change set (not the base table) dominates the shuffle for
+  * applyCdc when the base side is bucketed on the key.
+  */
+object Warehouse {
+
+  /** Build SCD Type-2 validity intervals from a change log: one row per
+    * change, `valid_from` = the change's own timestamp, `valid_to` = the
+    * NEXT change's timestamp for the same key (null while current), and
+    * `is_current` flagging the open interval.
+    *
+    * `ordering` must be a total order within a key (include a unique
+    * tie-break column after the timestamp) or interval boundaries are
+    * nondeterministic under ties.
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], ordering: Seq[Column],
+           validFromCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("valid_from", col(validFromCol))
+      .withColumn("valid_to", lead(col(validFromCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Apply a CDC change stream to a base snapshot: per key, the
+    * highest-`seq` change wins; a winning change whose `isDelete`
+    * predicate holds removes the key from the result; keys untouched by
+    * the stream keep their base row. Base and changes must share a
+    * schema (the base is a snapshot of the same record shape).
+    *
+    * Changes outrank base rows at equal `seq` (the stream is newer
+    * information than the snapshot it was captured against).
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               seqCols: Seq[String], isDelete: Column): DataFrame = {
+    val b = base.withColumn("__del", lit(false)).withColumn("__src", lit(0))
+    val c = changes.withColumn("__del", isDelete).withColumn("__src", lit(1))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col("__src") +: seqCols.map(col)).map(_.desc): _*)
+    b.unionByName(c)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && !col("__del"))
+      .drop("__rk", "__del", "__src")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Warehouse}
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def changeLog = Seq(
+    (1L, ts("2024-01-01 00:00:00"), "bronze"),
+    (1L, ts("2024-03-01 00:00:00"), "silver"),
+    (1L, ts("2024-06-01 00:00:00"), "gold"),
+    (2L, ts("2024-02-01 00:00:00"), "bronze")
+  ).toDF("cust", "at", "tier")
+
+  test("scd2 chains intervals per key and flags the open one") {
+    val out = rows(Warehouse.scd2(changeLog, Seq("cust"),
+        Seq(col("at").asc), "at")
+      .select("cust", "tier", "valid_to", "is_current")
+      .orderBy("cust", "valid_from"))
+    assert(out == Seq(
+      Seq(1L, "bronze", ts("2024-03-01 00:00:00"), false),
+      Seq(1L, "silver", ts("2024-06-01 00:00:00"), false),
+      Seq(1L, "gold", null, true),
+      Seq(2L, "bronze", null, true)))
+  }
+
+  test("scd2 tie-break ordering makes boundaries deterministic") {
+    val tied = Seq((1L, ts("2024-01-01 00:00:00"), 10L, "a"),
+      (1L, ts("2024-01-01 00:00:00"), 20L, "b")).toDF("k", "at", "seq", "v")
+    val out = rows(Warehouse.scd2(tied, Seq("k"),
+        Seq(col("at").asc, col("seq").asc), "at")
+      .select("v", "is_current").orderBy("seq"))
+    // same timestamp: seq decides which row is the open interval
+    assert(out == Seq(Seq("a", false), Seq("b", true)))
+  }
+
+  private def base = Seq(
+    (1L, 1L, "keep-me", 100.0),
+    (2L, 2L, "stale", 50.0),
+    (3L, 3L, "to-delete", 75.0)
+  ).toDF("k", "seq", "v", "x")
+
+  private def changes = Seq(
+    (2L, 5L, "updated", 60.0),   // newer seq -> replaces base row
+    (2L, 4L, "older-change", 55.0), // loses to seq=5 within the stream
+    (3L, 9L, "DEL", 0.0),        // tombstone -> key 3 drops out
+    (4L, 7L, "inserted", 20.0)   // new key -> appears
+  ).toDF("k", "seq", "v", "x")
+
+  test("applyCdc: latest change wins, tombstones delete, base survives untouched keys") {
+    val out = rows(Warehouse.applyCdc(base, changes, Seq("k"), Seq("seq"),
+      col("v") === "DEL").select("k", "v").orderBy("k"))
+    assert(out == Seq(Seq(1L, "keep-me"), Seq(2L, "updated"),
+      Seq(4L, "inserted")))
+  }
+
+  test("applyCdc: a change at the base row's own seq still wins (stream is newer)") {
+    val tied = Seq((1L, 1L, "from-stream", 0.0)).toDF("k", "seq", "v", "x")
+    val out = rows(Warehouse.applyCdc(base, tied, Seq("k"), Seq("seq"),
+      lit(false)).filter($"k" === 1L).select("v"))
+    assert(out == Seq(Seq("from-stream")))
+  }
+
+  test("weightedSample keeps everything at weight>=1 and nothing at weight 0") {
+    val docs = (1L to 50L).toDF("id")
+    assert(Curation.weightedSample(docs, col("id"), lit(1.0)).count() == 50)
+    assert(Curation.weightedSample(docs, col("id"), lit(1.5)).count() == 50)
+    assert(Curation.weightedSample(docs, col("id"), lit(0.0)).count() == 0)
+  }
+
+  test("weightedSample decision is a pure function of the id (partition-stable)") {
+    val docs = (1L to 200L).toDF("id")
+    val w = col("id") / lit(300.0)
+    val a = rows(Curation.weightedSample(docs, col("id"), w).orderBy("id")).flatten
+    val b = rows(Curation.weightedSample(docs.repartition(7), col("id"), w)
+      .orderBy("id")).flatten
+    assert(a == b && a.nonEmpty && a.size < 200)
+  }
+}
