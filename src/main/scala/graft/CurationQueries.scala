@@ -286,8 +286,71 @@ object CurationQueries {
           round(avg(-log(col("cw").cast("double") / col("tot"))), 6)
             .as("mean_nll"))
         .orderBy("doc_id")
+    }),
+
+    // Link-graph authority: PageRank (3 fixed iterations) over the
+    // user-journey transition graph (consecutive props.k values per
+    // user) — the domain-authority signal web-corpus curation weights
+    // quality by. Edges cached: the lazy 3-iteration plan references
+    // them 2·iters+2 times.
+    "q106_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val edges = rd(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("k").as("dst"), lag(col("k"), 1).over(w).as("src"))
+        .where(col("src").isNotNull)
+        .select("src", "dst").distinct().cache()
+      Graph.pageRank(edges, iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
+    // Domain blocklist: suffix-match anti-join against a broadcast
+    // blocklist (one entry covers a domain and its subdomains) — the
+    // corpus never shuffles. Domain synthesized as in q11 (testdata has
+    // no URL column) so the oracle can rebuild it.
+    "q107_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rd(s, dir, "documents")
+        .withColumn("domain", concat(col("source"), lit(".example.de")))
+      val bl = BlockedSuffixes.toDF("suffix")
+      Curation.blocklistFilter(docs, col("domain"), bl, "suffix")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+        .orderBy("lang")
+    }),
+
+    // Bigram-LM quality score: per-doc mean negative log of the corpus
+    // bigram transition probability c(w1,w2)/c(w1·) — the next step up
+    // from q100's unigram LM; boilerplate scores low, odd token
+    // sequences score high. Bigram extraction is row-local (transform
+    // over the token array, no self-join); count tables are small
+    // relative to the corpus and AQE broadcasts them.
+    "q108_bigram_nll" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      val big = toks.where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+      big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(col("cb").cast("double") / col("cu").cast("double"))), 6)
+            .as("mean_nll"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Blocklist for q107 — suffix semantics: "3.example.de" blocks src3
+    * AND src13 (subdomain-style match), "src1.example.de" blocks only
+    * src1 (src11 does not end with it). */
+  private val BlockedSuffixes =
+    Seq("3.example.de", "7.example.de", "src1.example.de")
 
   // ----------------------------------------------------------- oracle SQL
 

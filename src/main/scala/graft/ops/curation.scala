@@ -145,6 +145,17 @@ object Curation {
     Sampling.splitBucket(id) % n
   }
 
+  /** Drop rows whose `domain` ends with any blocklisted suffix — the
+    * domain-blocklist filter every web-corpus pipeline runs (spam/adult/
+    * SEO-farm lists). Suffix semantics so one entry covers a domain and
+    * all its subdomains. The blocklist is broadcast (it is thousands of
+    * rows against billions); the plan is a broadcast nested-loop
+    * left-anti join, so the corpus never shuffles. */
+  def blocklistFilter(df: DataFrame, domain: Column,
+                      blocklist: DataFrame, suffixCol: String): DataFrame =
+    df.join(broadcast(blocklist),
+      domain.endsWith(blocklist(suffixCol)), "left_anti")
+
   /** Per-row weighted Bernoulli sampling, deterministic: keep a row iff
     * its stable md5 bucket (0..255) falls below `weight` × 256, where
     * `weight` is a per-row keep-probability in [0, 1] (values ≥ 1 always
