@@ -38,15 +38,26 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the metric must survive log interleaving: persist it to a file
-    // (bench.json in cwd, or $SPARK_GRAFT_BENCH_OUT) AND print it after
-    // spark.stop() so it is the last line this main emits.
+    // the metric must survive log interleaving AND a bounded tail capture
+    // (the harness keeps only the last ~2000 chars of stdout, and sbt
+    // appends a "[success]" banner after us): persist the full JSON to a
+    // file, print it once early, then print a COMPACT line last — query
+    // keys truncated to their unique qNNN prefix, times rounded to ms —
+    // sized to fit the tail window together with the banner.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist $outPath: $e") }
+    val compactQs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      s"\"" + short + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${
+      BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    },"unit":"sec","queries":$compactQs,"sf":"$sfDir"}"""
     spark.stop()
     println(json)
+    println(compact)
   }
 }

@@ -640,6 +640,63 @@ object CurationQueries {
          |SELECT doc_id, count(*) AS n_tok,
          |  round(avg(-ln(CAST(cw AS DOUBLE) / tot)), 6) AS mean_nll
          |FROM toks JOIN uni USING (w), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Graph.pageRank's fixed-point recurrence unrolled to 3 iterations of
+    // join+agg CTEs — same formulation (no dangling-mass redistribution),
+    // so the two engines agree to round(…, 6).
+    "q106_pagerank" ->
+      """WITH lagk AS (
+        |  SELECT CAST(props->>'$.k' AS BIGINT) AS dst,
+        |    lag(CAST(props->>'$.k' AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
+        |  FROM events),
+        |edges AS (SELECT DISTINCT src, dst FROM lagk WHERE src IS NOT NULL),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |       JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c1.c, 0.0) AS rank
+        |       FROM nodes n LEFT JOIN c1 USING (node), nn),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |       JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c2.c, 0.0) AS rank
+        |       FROM nodes n LEFT JOIN c2 USING (node), nn),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS c
+        |       FROM edges e JOIN deg d ON e.src = d.src
+        |       JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c3.c, 0.0) AS rank
+        |       FROM nodes n LEFT JOIN c3 USING (node), nn)
+        |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    "q107_domain_blocklist" -> {
+      val vals = BlockedSuffixes.map(s => s"('$s')").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT *, source || '.example.de' AS domain FROM documents),
+         |bl(suffix) AS (SELECT * FROM (VALUES $vals)),
+         |kept AS (SELECT * FROM d WHERE NOT EXISTS
+         |  (SELECT 1 FROM bl WHERE ends_with(d.domain, bl.suffix)))
+         |SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q108_bigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+         |cu AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln(CAST(cb.cb AS DOUBLE) / cu.cu)), 6) AS mean_nll
+         |FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
