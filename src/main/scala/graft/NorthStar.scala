@@ -44,7 +44,7 @@ object NorthStar {
   /** Exact double cosine with ascending-index fold (Similarity.cosine).
     * list_sum over generate_series keeps DuckDB's accumulation order equal
     * to Spark's aggregate() left fold. */
-  private def cosineSql(a: String, b: String, dim: Int): String =
+  private[graft] def cosineSql(a: String, b: String, dim: Int): String =
     s"""(list_sum(list_transform(generate_series(1,$dim),
        |   i -> CAST(($a)[i] AS DOUBLE)*CAST(($b)[i] AS DOUBLE)))
        | / nullif(sqrt(list_sum(list_transform(generate_series(1,$dim),

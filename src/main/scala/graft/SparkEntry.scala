@@ -63,11 +63,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ NorthStar.queries ++ SqlSurface.queries ++
-      CurationQueries.queries ++ WarehouseQueries.queries
+      CurationQueries.queries ++ WarehouseQueries.queries ++
+      MiningQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql ++
-      CurationQueries.oracleSql ++ WarehouseQueries.oracleSql
+      CurationQueries.oracleSql ++ WarehouseQueries.oracleSql ++
+      MiningQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -223,4 +223,47 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Sub-document exact dedup (the paragraph-dedup of CCNet/Gopher,
+    * over fixed-size token chunks since the corpus has no paragraph
+    * markers): cut each document into non-overlapping `chunkTokens`-token
+    * chunks, keep only the FIRST occurrence of each distinct chunk
+    * corpus-wide (first = lowest (doc id, chunk_idx)), and rebuild each
+    * document from its surviving chunks in order. Returns per document:
+    * (idCol, n_chunks, n_kept, rebuilt_len, rebuilt_md5) — rebuilt text
+    * is the space-joined surviving chunks ("" when everything was a
+    * repeat). Documents with no tokens are dropped (nothing to chunk).
+    *
+    * Scale: the first-occurrence choice is a row_number window keyed on
+    * the chunk HASH — fixed-width shuffle key, values are one chunk per
+    * row, never a per-hash array; the rebuild groups by document id,
+    * whose fan-in is bounded by tokens/chunkTokens per doc. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    val ch = df
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1,
+          lit(chunkTokens))).as(Seq("__ci", "__s")),
+        col("__toks"))
+      .select(col(idCol), col("__ci").cast("long").as("__ci"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__s") + 1, lit(chunkTokens)))
+          .as("__txt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fastMd5(col("__txt"))).orderBy(col(idCol), col("__ci"))
+    ch.withColumn("__first", row_number().over(w) === 1)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__first"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN __first " +
+            "THEN struct(__ci, __txt) END)), p -> p.__txt)"), " ")
+          .as("__rebuilt"))
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        length(col("__rebuilt")).cast("long").as("rebuilt_len"),
+        fastMd5(col("__rebuilt")).as("rebuilt_md5"))
+  }
 }

@@ -31,11 +31,15 @@ object Graph {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1,10] (fixed-depth lazy plan), got $iterations")
     val edges = edges0.select("src", "dst").distinct()
+    // nodes and deg are referenced by every iteration of the unrolled
+    // plan (nodes ~2x per iteration via the left join and the N scalar);
+    // both are node-cardinality tables — orders of magnitude smaller than
+    // the edge list — so pin them rather than re-shuffling edges each time
     val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .unionAll(edges.select(col("dst").as("node"))).distinct().cache()
     val nn = nodes.agg(count(lit(1)).cast("double").as("__n"))
     val deg = edges.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("__outdeg"))
+      .agg(count(lit(1)).cast("double").as("__outdeg")).cache()
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
     for (_ <- 1 to iterations) {
