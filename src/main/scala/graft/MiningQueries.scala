@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, Dedup}
+import graft.ops.{Clustering, Dedup, Scale}
 
 /** Embedding-mining and rolling-feature queries (q109+): spherical
   * k-means, SemDeDup, sub-document chunk dedup, trailing time-range
@@ -21,6 +21,7 @@ object MiningQueries {
   private val Iters = 2
   private val Tau = 0.3
   private val SevenDaysUs = 7L * 24 * 3600 * 1000000
+  private val DayUs = 24L * 3600 * 1000000
 
   // ---------------------------------------------------------------- queries
 
@@ -80,6 +81,62 @@ object MiningQueries {
           round(min(col("value")), 4).as("lo"),
           round(max(col("value")), 4).as("hi"))
         .orderBy("event_type", "bucket")
+    }),
+
+    // Bloom-prefiltered join: lineitem rows are probed against a sketch
+    // of the selected orders' keys inside the scan stage, so the shuffle
+    // only carries (probable) matches; the exact join then removes false
+    // positives — result provably equals the plain join the oracle runs.
+    "q114_bloom_join" -> ((s, dir) => {
+      val sel = rd(s, dir, "orders").where(col("o_totalprice") > 200000)
+      Scale.bloomPrefilteredJoin(rd(s, dir, "lineitem"), sel,
+          "l_orderkey", "o_orderkey", expectedItems = 50000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Ordered conversion funnel view -> click -> purchase: each stage's
+    // entry time is the first qualifying event strictly AFTER the
+    // previous stage was reached; stage = deepest stage reached.
+    "q115_funnel" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      ev.select("user_id").distinct()
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L).otherwise(0L).as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // Retention cohorts: cohort = calendar day of the user's first
+    // event; one row per (cohort day, day offset) with the count of
+    // users active on that offset day (daily granularity — the fixture
+    // spans 30 days, so weekly cohorts would collapse to one row).
+    "q116_retention" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("aw"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min("aw").as("cw"))
+      ev.join(first, "user_id")
+        .groupBy(col("cw").cast("date").as("cohort_day"),
+          ((unix_micros(col("aw")) - unix_micros(col("cw"))) /
+            DayUs).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -168,6 +225,46 @@ object MiningQueries {
         |  CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n,
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM events GROUP BY event_type, bucket
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // the bloom prefilter is exact-join-equivalent by construction, so
+    // the oracle is simply the plain join
+    "q114_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 200000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q115_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q116_retention" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS aw FROM events),
+         |first AS (SELECT user_id, min(aw) AS cw FROM act GROUP BY user_id)
+         |SELECT CAST(cw AS DATE) AS cohort_day,
+         |  (epoch_us(aw) - epoch_us(cw)) // $DayUs AS day_offset,
+         |  count(*) AS n_active
+         |FROM act JOIN first USING (user_id)
+         |GROUP BY cohort_day, day_offset
+         |ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

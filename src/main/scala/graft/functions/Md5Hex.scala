@@ -98,6 +98,17 @@ object GraftFunctions {
     GraftColumnBridge.column(SimHashExpression(
       GraftColumnBridge.expression(tokens), bits))
 
+  /** Bloom-filter membership probe of a pre-built sketch against a long
+    * key column (codegen'd; the sketch ships as bytes, inflates once per
+    * executor). Probe half of Scale.bloomPrefilteredJoin. */
+  def bloomMightContain(bloom: org.apache.spark.util.sketch.BloomFilter,
+                        key: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    GraftColumnBridge.column(BloomMightContainExpression(
+      bos.toByteArray, GraftColumnBridge.expression(key)))
+  }
+
   /** Full MinHash signature (all seed minima) of a shingle-array column
     * in one fused pass — one digest per shingle, two integer ops per
     * seed. */

@@ -163,6 +163,26 @@ object Scale {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Bloom-prefiltered equi-join on a long key: build a Bloom sketch of
+    * the small side's keys (distributed treeAggregate, KB-scale result),
+    * probe it row-locally on the big side INSIDE the scan stage, then
+    * exact-join. The join removes the sketch's false positives, so the
+    * result is identical to `big.join(small, ...)` — but the big side's
+    * shuffle only carries rows whose key might match (~selectivity + fpp
+    * fraction), which is the difference between shuffling 100 TB and
+    * shuffling the join's actual contribution. Use when the small side is
+    * too big to broadcast but far smaller than the big side. Note the
+    * sketch build is an eager job at plan-construction time. */
+  def bloomPrefilteredJoin(big: DataFrame, small: DataFrame,
+                           bigKey: String, smallKey: String,
+                           expectedItems: Long, fpp: Double = 0.03,
+                           how: String = "inner"): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    big.where(graft.functions.GraftFunctions.bloomMightContain(
+        bloom, col(bigKey)))
+      .join(small, col(bigKey) === col(smallKey), how)
+  }
+
   /** Skew-safe equi-join: the large (possibly skewed) side gets a salt in
     * [0, saltBuckets); the small side is replicated once per salt value,
     * so one hot key spreads over `saltBuckets` reducers instead of

@@ -22,6 +22,23 @@ class ScaleSpec extends SparkSpec {
     assert(saltedLeft === plainLeft)
   }
 
+  test("bloomPrefilteredJoin matches the plain join and prunes the big side") {
+    val big = (1L to 5000L).map(k => (k, k * 2)).toDF("bk", "x")
+    val small = (1L to 5000L).filter(_ % 100 == 0).map(k => (k, s"d$k"))
+      .toDF("sk", "name")
+    val plain = big.join(small, col("bk") === col("sk"))
+      .agg(count(lit(1)), sum("x")).head()
+    val pre = Scale.bloomPrefilteredJoin(big, small, "bk", "sk",
+      expectedItems = 100, fpp = 0.01)
+    assert(pre.agg(count(lit(1)), sum("x")).head() === plain)
+    // the probe itself must discard ~99% of the big side pre-shuffle:
+    // re-apply just the sketch filter and check the surviving fraction
+    val bloom = small.stat.bloomFilter("sk", 100, 0.01)
+    val kept = big.where(graft.functions.GraftFunctions
+      .bloomMightContain(bloom, col("bk"))).count()
+    assert(kept >= 50 && kept < 500, s"bloom kept $kept of 5000")
+  }
+
   test("resolveClusters: min-label propagation finds connected components") {
     // chain 1-2-3, pair 10-11, chain 20-21-22-23 (diameter 3)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
