@@ -143,4 +143,17 @@ class CurationSpec extends SparkSpec {
     // all 8 shards populated at n=100
     assert(out.select("s").distinct().count() == 8)
   }
+
+  test("blocklistFilter drops suffix matches including subdomains") {
+    val d = Seq(
+      (1L, "a.bad.example"),     // subdomain of a blocked suffix
+      (2L, "bad.example"),       // exact blocked domain
+      (3L, "notbad.example"),    // ends with "bad.example" -> suffix-blocked
+      (4L, "good.example")
+    ).toDF("id", "domain")
+    val bl = Seq("bad.example").toDF("suffix")
+    val kept = Curation.blocklistFilter(d, $"domain", bl, "suffix")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L))
+  }
 }
