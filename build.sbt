@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep machine-readable output (graft.Bench's final JSON line) as the
+// literal last stdout line: suppress sbt's "[success] Total time: …"
+// banner, which otherwise trails every `sbt run` invocation.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
