@@ -15,6 +15,9 @@ run / fork := true
 // literal last stdout line: suppress sbt's "[success] Total time: …"
 // banner, which otherwise trails every `sbt run` invocation.
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by a task — exempt it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,12 +64,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ NorthStar.queries ++ SqlSurface.queries ++
       CurationQueries.queries ++ WarehouseQueries.queries ++
-      MiningQueries.queries
+      MiningQueries.queries ++ QualityQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql ++
       CurationQueries.oracleSql ++ WarehouseQueries.oracleSql ++
-      MiningQueries.oracleSql
+      MiningQueries.oracleSql ++ QualityQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -205,6 +205,22 @@ object Scale {
     salted.join(replicated, keys :+ "__salt", how).drop("__salt")
   }
 
+  /** Skew-safe exact distinct count per key, decomposed into two
+    * bounded-reducer stages: (1) distinct over (key, value) — the
+    * shuffle spreads a hot key across reducers by value, so no single
+    * task owns the hot key's whole value set; (2) count per key over the
+    * already-distinct pairs. Result is identical to
+    * `groupBy(keys).agg(countDistinct(value))`, but stage 2's per-key
+    * state is a counter instead of a hash set — the difference between
+    * O(distinct values) and O(1) memory on a key with billions of
+    * distinct values. Spark plans countDistinct as a similar expansion,
+    * but keyed aggregation buffers still hold per-key sets map-side;
+    * this form never materializes a set anywhere. */
+  def twoPhaseDistinctCount(df: DataFrame, keys: Seq[String], value: String,
+                            as: String = "n_distinct"): DataFrame =
+    df.select((keys :+ value).map(col): _*).distinct()
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+
   /** Range-partitioned, internally-sorted parquet layout: every output
     * file covers a disjoint key range and its rows are sorted, so
     * parquet min/max stats prune at both the file and row-group level

@@ -104,6 +104,51 @@ object Curation {
         fastMd5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
   }
 
+  /** Gopher-style document quality statistics (Rae et al. 2021,
+    * MassiveText filters, adapted thresholds): word count, mean word
+    * length, symbol-to-word ratio (# and ellipses), bullet-start and
+    * ellipsis-end line fractions, alphabetic-word fraction, stopword
+    * hits, plus the combined `pass` verdict. Takes the text and a line
+    * array (see [[Text.tokenLines]] for sources without line structure).
+    * Returns one struct; entirely row-local — at corpus scale this runs
+    * inside the scan stage, no shuffle.
+    *
+    * Thresholds are constructor-level constants of the rule, not of the
+    * engine: minWords relaxed from Gopher's 50 so short-document corpora
+    * retain a meaningful pass mix. */
+  def gopherStats(text: Column, linesArr: Column,
+                  minWords: Int = 30, maxWords: Int = 100000): Column = {
+    val toks = Text.tokens(text)
+    val nw = size(toks)
+    val nwD = nw.cast("double")
+    val mwl = when(nw > 0,
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / nwD)
+      .otherwise(lit(0.0))
+    val symbols = Text.charClassCount(text, "#") +
+      when(text.isNull, lit(0L))
+        .otherwise(regexp_count(text, lit("(\\.\\.\\.|…)")).cast("long"))
+    val symbolRatio = when(nw > 0, symbols.cast("double") / nwD)
+      .otherwise(lit(0.0))
+    val nLines = size(linesArr)
+    def lineFrac(re: String) = when(nLines > 0,
+      size(filter(linesArr, l => l.rlike(re))).cast("double") /
+        nLines.cast("double")).otherwise(lit(0.0))
+    val bulletFrac = lineFrac("^[-*•]")
+    val ellipsisFrac = lineFrac("(\\.\\.\\.|…)$")
+    val alphaFrac = when(nw > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nwD)
+      .otherwise(lit(0.0))
+    val stops = Text.stopwordCount(text).cast("long")
+    val pass = nw.between(minWords, maxWords) && mwl.between(3.0, 10.0) &&
+      symbolRatio <= 0.1 && bulletFrac <= 0.3 && ellipsisFrac <= 0.2 &&
+      alphaFrac >= 0.8 && stops >= 2
+    struct(
+      nw.cast("long").as("n_words"), mwl.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      stops.as("stop_hits"), pass.as("pass"))
+  }
+
   /** Pointwise mutual information for adjacent token pairs over the
     * corpus: pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with p from corpus
     * counts — the standard collocation-mining statistic. Returns

@@ -162,6 +162,30 @@ object Similarity {
   private def dotD(x: Column, y: Column): Column =
     graft.functions.GraftFunctions.dotProduct(x, y)
 
+  /** Symmetric int8 scalar quantization of an embedding — the 4×
+    * compression a 100 TB vector corpus applies before ANN serving.
+    * scale = max|x| / 127; each element rounds to the nearest step
+    * (floor(x/scale + 0.5), engine-portable — round() half-even vs
+    * half-up differs across engines) and clamps to [-127, 127].
+    * Returns struct(scale, q) with q still numeric (the storage cast to
+    * TINYINT is the writer's concern). Row-local, no shuffle. */
+  def quantizeInt8(v: Column): Column = {
+    val xd = transform(v, x => x.cast("double"))
+    val scale = aggregate(xd, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    // Spark's greatest/least SKIP nulls (unlike strict null propagation),
+    // so clamp only a non-null step — a zero vector (scale 0 -> step
+    // null) must quantize to nulls, not to a spurious ±127.
+    val q = transform(xd, { x =>
+      val step = floor(x / nullif(scale, lit(0.0)) + 0.5)
+      when(step.isNotNull, greatest(lit(-127.0), least(lit(127.0), step)))
+    })
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Dequantize [[quantizeInt8]] output back to doubles. */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"), q => q * quant.getField("scale"))
+
   /** Embedding near-duplicate pairs: cosine >= threshold inside LSH
     * buckets (the embedding analogue of Dedup.simhashPairs). Bucket ids
     * AND unit-normalized vectors are computed once per row, then pairs

@@ -204,6 +204,74 @@ object Text {
     when(n > 0, log(2.0, n) - sum / n).otherwise(lit(0.0))
   }
 
+  /** Re-chunk a token array into pseudo-lines of `width` tokens (space-
+    * joined). Gives line-level signals (duplication, bullet ratios) a
+    * deterministic line structure when the source text has none — and is
+    * the display-side inverse of [[graft.ops.Curation.chunkTokens]].
+    * Row-local. */
+  def tokenLines(toks: Column, width: Int): Column = {
+    require(width > 0, s"line width must be positive, got $width")
+    // sequence(1, 0) counts DOWN in Spark — guard the empty case instead
+    // of relying on an empty range.
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(1), ceil(size(toks).cast("double") / width).cast("int")),
+        i => array_join(slice(toks, (i - lit(1)) * width + lit(1), lit(width)),
+          " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Line-duplication profile over a line array — the Gopher/MassiveText
+    * boilerplate repetition signals: struct(n_lines, dup_line_frac,
+    * dup_char_frac) where dup_line_frac is the fraction of lines that
+    * repeat an earlier identical line and dup_char_frac the fraction of
+    * line characters inside those repeats. Row-local: one array_distinct
+    * + two length folds, no explode, so at corpus scale it rides the
+    * scan stage. */
+  def lineDupStats(linesArr: Column): Column = {
+    val chars = (a: Column) =>
+      aggregate(a, lit(0L), (acc, l) => acc + length(l))
+    val n = size(linesArr)
+    val d = array_distinct(linesArr)
+    val total = chars(linesArr).cast("double")
+    struct(
+      n.cast("long").as("n_lines"),
+      when(n > 0, (n - size(d)).cast("double") / n.cast("double"))
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(total > 0, (chars(linesArr) - chars(d)).cast("double") / total)
+        .otherwise(lit(0.0)).as("dup_char_frac"))
+  }
+
+  /** Count of characters matching a single-char regex class (e.g.
+    * "[A-Za-z]") — length-difference against the class stripped out, so
+    * it stays inside codegen (no regexp_extract_all array). */
+  def charClassCount(text: Column, classRe: String): Column =
+    when(text.isNull, lit(0L)).otherwise(
+      (length(text) - length(regexp_replace(text, classRe, ""))).cast("long"))
+
+  /** Character-script profile — struct of latin / digit / whitespace /
+    * ASCII-punctuation / non-ASCII fractions plus the U+FFFD replacement-
+    * character count, the standard mojibake / encoding-damage detector a
+    * web-scale ingest runs before language ID. Row-local. */
+  def scriptProfile(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val total = length(t).cast("double")
+    val latin = charClassCount(t, "[A-Za-z]")
+    val digit = charClassCount(t, "[0-9]")
+    val space = charClassCount(t, "\\s")
+    val nonAscii = charClassCount(t, "[^\\x00-\\x7F]")
+    val punct = length(t) - latin - digit - space - nonAscii
+    def frac(c: Column) = when(total > 0, c.cast("double") / total)
+      .otherwise(lit(0.0))
+    struct(
+      length(t).cast("long").as("n_chars"),
+      frac(latin).as("latin_frac"), frac(digit).as("digit_frac"),
+      frac(space).as("space_frac"), frac(punct).as("punct_frac"),
+      frac(nonAscii).as("non_ascii_frac"),
+      (length(t) - length(regexp_replace(t, "�", ""))).cast("long")
+        .as("n_replacement"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token bag — a
     * word-order-insensitive exact-duplicate key (cheaper than rolling
     * hashes and portable to the oracle). */

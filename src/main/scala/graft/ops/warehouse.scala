@@ -34,6 +34,31 @@ object Warehouse {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Incremental maintenance of a count/sum aggregate table: merge the
+    * standing aggregate with a freshly-aggregated delta batch so the
+    * result equals a full recompute over base ∪ delta — the
+    * materialized-view refresh that lets a 100 TB warehouse update a
+    * daily rollup by scanning only the new day. Works for any
+    * commutative-monoid measures (counts, sums; avg = merged sum/count
+    * downstream). Both inputs are already key-grained, so the merge is
+    * a key-shuffle over aggregate rows, never over raw data.
+    *
+    * `measures` are summed with null treated as the monoid zero via a
+    * full outer join on `keys` (a key present in only one side keeps its
+    * values).
+    */
+  def mergeAggDelta(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                    measures: Seq[String]): DataFrame = {
+    val d = measures.foldLeft(delta) { (df, m) =>
+      df.withColumnRenamed(m, s"__d_$m")
+    }
+    measures.foldLeft(base.join(d, keys, "full_outer")) { (df, m) =>
+      df.withColumn(m,
+        coalesce(col(m), lit(0)) + coalesce(col(s"__d_$m"), lit(0)))
+        .drop(s"__d_$m")
+    }
+  }
+
   /** Apply a CDC change stream to a base snapshot: per key, the
     * highest-`seq` change wins; a winning change whose `isDelete`
     * predicate holds removes the key from the result; keys untouched by
