@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming view of the engine (SURVEY §2.11).
   *
@@ -181,6 +181,56 @@ object Streaming {
             closed.iterator
           }
       }
+  }
+
+  case class KeyedDoc(key: String, doc_id: Long)
+
+  /** [[capPerKeyStream]]'s processor: one ValueState[Long] counter per
+    * key holding how many rows have been emitted. State is a counter —
+    * O(1) per key regardless of how many documents a hot domain sends —
+    * and an optional TTL lets a long-running ingest forget cold domains.
+    */
+  class PerKeyCapProcessor(n: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedDoc, KeyedDoc] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedDoc],
+                                 timerValues: TimerValues): Iterator[KeyedDoc] = {
+      val already = if (seen.exists()) seen.get() else 0L
+      val room = math.max(0L, n - already)
+      // rows.take would leave the emit count unknown until the sink pulls
+      // the iterator — materialize the (≤ n) kept rows so state updates
+      // inside this call, as the processor contract requires
+      val kept = rows.take(if (room > Int.MaxValue) Int.MaxValue
+        else room.toInt).toSeq
+      if (kept.nonEmpty) seen.update(already + kept.size)
+      kept.iterator
+    }
+  }
+
+  /** Streaming per-key document cap via transformWithState (the Spark 4
+    * arbitrary-state API): emit only the first `n` documents per key —
+    * the incremental form of [[graft.ops.Curation.capPerKey]]'s
+    * "max N documents per domain" rule, enforced at ingest instead of by
+    * a later batch sweep. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`), which is also the right
+    * choice at scale: state lives off-heap/on-disk per executor.
+    *
+    * Semantics note: "first n" is arrival order within each key, which
+    * across partitions is nondeterministic like any streaming race —
+    * the cap itself (never more than n per key) is exact. */
+  def capPerKeyStream(docs: Dataset[KeyedDoc], n: Int,
+                      ttl: TTLConfig = TTLConfig.NONE): Dataset[KeyedDoc] = {
+    import docs.sparkSession.implicits._
+    require(n > 0, s"cap must be positive, got $n")
+    docs.groupByKey(_.key)
+      .transformWithState(new PerKeyCapProcessor(n, ttl),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** K3 dual-sink fanout in streaming form: every micro-batch appends a

@@ -236,4 +236,38 @@ class StreamingSpec extends SparkSpec {
         rows(batch.select("chunk_md5").orderBy("chunk_md5")))
     } finally q.stop()
   }
+
+  test("capPerKeyStream caps per key across micro-batches (transformWithState)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streaming.KeyedDoc]
+    val q = Streaming.capPerKeyStream(in.toDS(), n = 2)
+      .writeStream.format("memory").queryName("cap_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(Streaming.KeyedDoc("a.de", 1), Streaming.KeyedDoc("a.de", 2),
+        Streaming.KeyedDoc("b.de", 10))
+      q.processAllAvailable()
+      // a.de is at its cap; later batches must not emit more of it
+      in.addData(Streaming.KeyedDoc("a.de", 3), Streaming.KeyedDoc("b.de", 11),
+        Streaming.KeyedDoc("b.de", 12), Streaming.KeyedDoc("c.de", 20))
+      q.processAllAvailable()
+      val out = spark.table("cap_stream")
+      assert(rows(out.filter($"key" === "a.de").select("doc_id")
+        .orderBy("doc_id")).flatten == Seq(1L, 2L))
+      assert(out.filter($"key" === "b.de").count() === 2) // 10 + one of 11/12
+      assert(rows(out.filter($"key" === "c.de").select("doc_id"))
+        .flatten == Seq(20L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
