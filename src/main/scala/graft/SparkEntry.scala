@@ -64,12 +64,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ NorthStar.queries ++ SqlSurface.queries ++
       CurationQueries.queries ++ WarehouseQueries.queries ++
-      MiningQueries.queries ++ QualityQueries.queries
+      MiningQueries.queries ++ QualityQueries.queries ++
+      AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql ++
       CurationQueries.oracleSql ++ WarehouseQueries.oracleSql ++
-      MiningQueries.oracleSql ++ QualityQueries.oracleSql
+      MiningQueries.oracleSql ++ QualityQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -94,6 +94,30 @@ object Urls {
     }
   }
 
+  /** URL shape features for spam/quality scoring: host, top-level
+    * domain, subdomain dot-depth, path depth, digit ratio in the host
+    * and a query-string flag — the row-local feature block a crawl
+    * curation pass feeds into domain-level filters (deep digit-heavy
+    * subdomains and parameterized URLs correlate with spam/dup farms).
+    * Runs inside the scan stage; every piece is plain string/regex
+    * arithmetic so the oracle can mirror it exactly. */
+  def features(url: Column): Column = {
+    val h = coalesce(host(url), lit(""))
+    val base = regexp_replace(url, "[?#].*$", "")
+    val pathSegs = filter(slice(split(base, "/"), 4, 1024), p => p =!= lit(""))
+    val hostLen = length(h)
+    val digits = hostLen - length(regexp_replace(h, "[0-9]", ""))
+    struct(
+      h.as("host"),
+      regexp_extract(h, "([^.]*)$", 1).as("tld"),
+      (hostLen - length(regexp_replace(h, "\\.", ""))).cast("long")
+        .as("subdomain_dots"),
+      size(pathSegs).cast("long").as("path_depth"),
+      when(hostLen > 0, digits.cast("double") / hostLen.cast("double"))
+        .otherwise(lit(0.0)).as("host_digit_ratio"),
+      url.contains("?").as("has_query"))
+  }
+
   /** C3: doctype classification by file extension
     * (reference: sf_html_data.py:130,148-149). Extensions are
     * \Q..\E-quoted so a caller-supplied "c++" or "a|b" can't corrupt the

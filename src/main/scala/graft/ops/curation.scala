@@ -71,6 +71,29 @@ object Curation {
       .filter(col(value) >= col("cutoff"))
   }
 
+  /** Winsorize `value` per group: clamp to the group's [lo, hi]
+    * quantiles — robust feature normalization that tames outliers
+    * without dropping rows (the keep-everything sibling of
+    * [[quantileFilter]]). Adds `lo_cut`, `hi_cut` and `<value>_w`.
+    * Same shape as quantileFilter: cutoffs are one row per group,
+    * broadcast back; the corpus never shuffles. `exact = false` uses
+    * the GK sketch for bounded-memory aggregation at 100 TB. */
+  def winsorize(df: DataFrame, group: String, value: String,
+                lo: Double, hi: Double, exact: Boolean = true): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    def pct(q: Double) =
+      if (exact) expr(s"percentile($value, $q)")
+      else expr(s"percentile_approx($value, $q, 10000)")
+    val cuts = df.groupBy(group)
+      .agg(pct(lo).as("lo_cut"), pct(hi).as("hi_cut"))
+    df.join(broadcast(cuts), Seq(group))
+      .withColumn(s"${value}_w",
+        when(col(value).cast("double") < col("lo_cut"), col("lo_cut"))
+          .when(col(value).cast("double") > col("hi_cut"), col("hi_cut"))
+          .otherwise(col(value).cast("double")))
+  }
+
   /** Canonical text for dedup keying: lowercase, punctuation → space,
     * whitespace collapsed, trimmed. Deliberately aggressive — two
     * documents differing only in case, punctuation or spacing normalize

@@ -55,4 +55,21 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node in/out degree over an edge list (`src`, `dst`; duplicate
+    * edges collapsed) — the first profile run over any link graph
+    * (degree distributions spot crawler traps and spam farms before
+    * PageRank spends iterations on them). Two keyed counts over the
+    * edge list, outer-merged on the node id; nodes missing a side get
+    * degree 0. */
+  def degrees(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select("src", "dst").distinct()
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling and constraint-validation operators — the "is this
+  * table what the pipeline believes it is" gates a warehouse runs before
+  * publishing (the engine-level generalization of the reference's V2
+  * crawl-sanity checks, SURVEY §2.10).
+  *
+  * Scale posture: `profile` is a single full-scan aggregation (the
+  * multi-distinct rewrite expands rows ×columns — use approx mode at
+  * 100 TB for one pass with HLL sketches instead); the constraint checks
+  * are anti-joins / keyed counts that never collect data to the driver.
+  */
+object Profiling {
+
+  /** Long-form per-column profile: (col_name, n_rows, n_null,
+    * n_distinct) for each requested column, computed in ONE aggregation
+    * over the table and exploded to rows. `exact = false` swaps the
+    * exact distinct counts for `approx_count_distinct` (HLL, 2% rsd) —
+    * at 100 TB exact multi-column distinct expands the scan ×columns,
+    * while sketches keep it one pass. n_distinct excludes nulls (SQL
+    * COUNT DISTINCT semantics). */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__dist_$c"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"))
+    }
+    row.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** Keys appearing more than once — the primary-key uniqueness check.
+    * Returns (keys..., n) per violating key; one key-shuffle with
+    * map-side partial counts. */
+  def dupKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Child rows whose key has no parent — the referential-integrity
+    * check, as a left anti join (broadcast when the parent's key set is
+    * small; never wider than the child scan). */
+  def fkOrphans(child: DataFrame, parent: DataFrame,
+                childKey: String, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)).distinct(),
+      child(childKey) === col(parentKey), "left_anti")
+
+  /** Reduce named check DataFrames (each row = one violation) to a
+    * (check_name, n_violations) summary — the shape an alerting gate
+    * consumes. Checks aggregate independently; the union is over
+    * single-row counts. */
+  def violationCounts(checks: Seq[(String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    checks.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }.reduce(_.unionByName(_))
+  }
+}

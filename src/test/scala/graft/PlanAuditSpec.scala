@@ -47,7 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // q19/q20/q25 are scan -> row-local expressions (+ optional final
     // sort); they must not hash-shuffle the corpus
-    Seq("q19_quality_score", "q20_lang_id", "q25_simhash").foreach { q =>
+    Seq("q19_quality_score", "q20_lang_id", "q25_simhash",
+        "q117_gopher_quality", "q118_line_dedup", "q119_script_profile",
+        "q120_quantize_int8").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
       val hashExchanges = "Exchange hashpartitioning".r

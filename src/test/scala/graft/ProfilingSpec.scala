@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Graph, Profiling, Urls}
+
+/** Unit coverage for the profiling / analytics ops behind q123-q129. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile reports rows, nulls and distincts per column") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "v")
+    val out = rows(Profiling.profile(df, Seq("id", "v")).orderBy("col_name"))
+    assert(out == Seq(Seq("id", 3L, 0L, 3L), Seq("v", 3L, 1L, 1L)))
+  }
+
+  test("profile approx mode stays within HLL tolerance") {
+    val df = (1L to 1000L).toDF("id")
+    val Seq(Seq(_, _, _, d)) =
+      rows(Profiling.profile(df, Seq("id"), exact = false))
+    val est = d.asInstanceOf[Long]
+    assert(math.abs(est - 1000L) <= 100L) // 2% rsd sketch, 3-sigma-ish
+  }
+
+  test("dupKeys and fkOrphans find exactly the violations") {
+    val child = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 99L))
+      .toDF("id", "parent_id")
+    assert(rows(Profiling.dupKeys(child, Seq("id"))) == Seq(Seq(2L, 2L)))
+    val parent = Seq(10L, 11L).toDF("pid")
+    val orphans = Profiling.fkOrphans(child, parent, "parent_id", "pid")
+    assert(rows(orphans.select("id", "parent_id")) == Seq(Seq(3L, 99L)))
+  }
+
+  test("violationCounts unions named single-row counts") {
+    val a = Seq(1, 2).toDF("x")
+    val out = Profiling.violationCounts(Seq(
+      "some" -> a.filter($"x" > 1), "none" -> a.filter($"x" > 9)))
+    assert(rows(out.orderBy("check_name")) ==
+      Seq(Seq("none", 0L), Seq("some", 1L)))
+  }
+
+  test("Urls.features extracts host shape and query flag") {
+    val df = Seq("https://cdn7.example.de/a/b/c?x=1",
+        "http://example.de/", "not a url").toDF("u")
+      .select(Urls.features(col("u")).as("f"))
+      .select("f.host", "f.tld", "f.subdomain_dots", "f.path_depth",
+        "f.host_digit_ratio", "f.has_query")
+    val out = rows(df)
+    assert(out(0) == Seq("cdn7.example.de", "de", 2L, 3L, 1.0 / 15, true))
+    assert(out(1) == Seq("example.de", "de", 1L, 0L, 0.0, false))
+    // malformed input degrades to empty host, never throws
+    assert(out(2).head == "" && out(2)(5) == false)
+  }
+
+  test("Graph.degrees zero-fills nodes missing a side") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)).toDF("src", "dst")
+    val out = rows(Graph.degrees(edges).orderBy("node"))
+    // dup edge 1->2 collapses; node 3 has no out-edges, node 1 no in
+    assert(out == Seq(Seq(1L, 2L, 0L), Seq(2L, 1L, 1L), Seq(3L, 0L, 2L)))
+  }
+
+  test("winsorize clamps to per-group quantile cutoffs and keeps all rows") {
+    val df = (Seq.tabulate(21)(i => ("g", i.toLong)) :+ (("h", 1000L)))
+      .toDF("grp", "v")
+    val out = Curation.winsorize(df, "grp", "v", 0.05, 0.95)
+    assert(out.count() == 22) // nothing dropped
+    val g = out.filter($"grp" === "g")
+    // p05 of 0..20 = 1, p95 = 19 -> 0 clamps up, 20 clamps down
+    assert(rows(g.filter($"v" === 0L).select("v_w")).head == Seq(1.0))
+    assert(rows(g.filter($"v" === 20L).select("v_w")).head == Seq(19.0))
+    assert(rows(g.filter($"v" === 10L).select("v_w")).head == Seq(10.0))
+    // single-row group: both cutoffs equal the value, identity clamp
+    assert(rows(out.filter($"grp" === "h").select("v_w")).head == Seq(1000.0))
+  }
+}
