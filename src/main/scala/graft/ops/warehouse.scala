@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -16,6 +16,47 @@ import org.apache.spark.sql.expressions.Window
   * applyCdc when the base side is bucketed on the key.
   */
 object Warehouse {
+
+  /** Compact a parquet table's small files: rewrite to
+    * ceil(totalBytes / targetFileBytes) files (at least 1). The
+    * small-files problem is the canonical warehouse-maintenance chore —
+    * a streaming or per-batch writer leaves thousands of KB-scale files
+    * whose open/footer overhead then dominates every scan. Uses
+    * coalesce (no shuffle) since compaction only merges; pass
+    * `shuffle = true` to rebalance skewed file sizes at the cost of one
+    * exchange. Reads and rewrites via a temp directory so the table is
+    * never half-overwritten on failure; the swap is a directory rename.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long, shuffle: Boolean = false): Int = {
+    require(targetFileBytes > 0)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val compacted = if (shuffle) df.repartition(nFiles) else df.coalesce(nFiles)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.compact.tmp")
+    compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    nFiles
+  }
+
+  /** Write a corpus as deterministically-sharded JSON-Lines — the
+    * interchange format LLM training stacks ingest. Shard membership is
+    * md5-stable ([[Curation.shard]]), so reruns and engine changes
+    * produce identical shard contents; `partitionBy` writes each shard
+    * as its own directory in one pass. */
+  def writeJsonlShards(df: DataFrame, idCol: String, path: String,
+                       nShards: Int): Unit = {
+    require(nShards > 0 && nShards <= 256, s"nShards in [1,256], got $nShards")
+    df.withColumn("shard", Curation.shard(col(idCol), nShards))
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(path)
+  }
 
   /** Build SCD Type-2 validity intervals from a change log: one row per
     * change, `valid_from` = the change's own timestamp, `valid_to` = the

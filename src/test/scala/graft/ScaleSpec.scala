@@ -161,4 +161,26 @@ class ScaleSpec extends SparkSpec {
       new Directory(dir).deleteRecursively()
     }
   }
+
+  test("join strategy hints steer the planner without changing results") {
+    import spark.implicits._
+    // the dimension side is large enough that relying on auto-broadcast
+    // would be a size-estimate gamble; hints make the choice explicit
+    val facts = (1L to 5000L).map(i => (i % 97, i)).toDF("k", "v")
+    val dim = (0L until 97L).map(i => (i, s"d$i")).toDF("k", "name")
+    val expected = rows(facts.join(dim, "k").groupBy("name")
+      .agg(sum("v").as("s")).orderBy("name"))
+    Seq("broadcast", "shuffle_hash", "merge").foreach { h =>
+      val joined = facts.join(dim.hint(h), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      val marker = h match {
+        case "broadcast" => "BroadcastHashJoin"
+        case "shuffle_hash" => "ShuffledHashJoin"
+        case "merge" => "SortMergeJoin"
+      }
+      assert(plan.contains(marker), s"hint $h did not plan $marker:\n$plan")
+      assert(rows(joined.groupBy("name").agg(sum("v").as("s"))
+        .orderBy("name")) == expected, s"hint $h changed results")
+    }
+  }
 }

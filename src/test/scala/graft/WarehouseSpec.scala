@@ -80,4 +80,42 @@ class WarehouseSpec extends SparkSpec {
       .orderBy("id")).flatten
     assert(a == b && a.nonEmpty && a.size < 200)
   }
+
+  test("compact merges small files to the target count, rows intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val path = s"$tmp/t"
+    (1L to 1000L).toDF("id").repartition(20)
+      .write.parquet(path) // 20 small files
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 20)
+    val total = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the table -> 2 output files
+    val n = Warehouse.compact(spark, path, targetFileBytes = total / 2 + 1)
+    assert(n == 2 && parquetFiles == 2)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000 &&
+      rows(back.agg(sum("id"))).head.head == 500500L)
+  }
+
+  test("writeJsonlShards: stable shard membership, jsonl round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = (1L to 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    Warehouse.writeJsonlShards(docs, "doc_id", s"$tmp/corpus", nShards = 4)
+    val back = spark.read.json(s"$tmp/corpus")
+    assert(back.count() == 300)
+    assert(back.select("shard").distinct().count() == 4)
+    // shard dirs exist on disk as partition directories
+    val dirs = new java.io.File(s"$tmp/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard="))
+    assert(dirs.length == 4)
+    // membership is md5-stable: rewriting a shuffled input produces the
+    // same doc->shard mapping
+    Warehouse.writeJsonlShards(docs.repartition(7), "doc_id",
+      s"$tmp/corpus2", nShards = 4)
+    val again = spark.read.json(s"$tmp/corpus2")
+    assert(rows(back.select("doc_id", "shard").orderBy("doc_id")) ==
+      rows(again.select("doc_id", "shard").orderBy("doc_id")))
+  }
 }
