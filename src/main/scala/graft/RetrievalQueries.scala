@@ -1,0 +1,386 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Graph, Profiling, Retrieval, TimeSeries}
+
+/** Retrieval / graph / robust-stats queries (q130+): BM25 term scoring,
+  * DSIR importance weights, MAD outliers, the second window-function
+  * family, triangle counting, neighborhood Jaccard, exact-substring
+  * duplication windows, EWMA, distribution moments, temperature-scaled
+  * mix weights and LISTAGG. Registered through SparkEntry; every entry
+  * has a DuckDB oracle.
+  */
+object RetrievalQueries {
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Tokens SQL mirroring Text.tokens (same shape as NorthStar's). */
+  private def toksSql(e: String): String =
+    raw"""list_filter(string_split_regex(lower(trim($e)), '\s+'), x -> x <> '')"""
+
+  /** DuckDB replica of Sampling.splitBucket (first md5 hex byte). */
+  private def bucketSql(id: String): String =
+    s"""((strpos('0123456789abcdef', md5($id)[1:1]) - 1) * 16
+       |  + (strpos('0123456789abcdef', md5($id)[2:2]) - 1))""".stripMargin
+
+  /** Event-order link edges (same derivation as q106/q126). */
+  private def eventEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    rd(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .select(col("k").as("dst"), lag(col("k"), 1).over(w).as("src"))
+      .where(col("src").isNotNull)
+      .select("src", "dst")
+  }
+
+  private val EdgesSql =
+    """lagk AS (
+      |  SELECT CAST(props->>'$.k' AS BIGINT) AS dst,
+      |    lag(CAST(props->>'$.k' AS BIGINT)) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
+      |  FROM events),
+      |edges AS (SELECT DISTINCT src, dst FROM lagk WHERE src IS NOT NULL),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM edges WHERE src <> dst)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Okapi BM25 (doc, term) relevance — top 25 scores across the
+    // corpus. Retrieval-style relevance over the same tf/df/dl tables a
+    // contamination probe uses.
+    "q130_bm25" -> ((s, dir) => {
+      Retrieval.bm25(rd(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc, col("term").asc)
+        .limit(25)
+    }),
+
+    // DSIR importance weights: log-likelihood ratio of each document's
+    // hashed-token features under the target (lang = 'en') vs the raw
+    // corpus LM. Resampling by these weights is the DSIR data-selection
+    // rule.
+    "q131_dsir_weights" -> ((s, dir) => {
+      Retrieval.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 64)
+        .select(col("doc_id"), col("n_toks"),
+          round(col("dsir_weight"), 6).as("dsir_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // Robust per-language length outliers: median/MAD profile — the
+    // quality-filter cousin of q90's mean/stddev z-scores that heavy
+    // tails cannot drag.
+    "q132_mad_outliers" -> ((s, dir) => {
+      Profiling.madOutliers(rd(s, dir, "documents"), "lang", "n_chars")
+        .select(col("lang"), col("n"), round(col("med"), 4).as("med"),
+          round(col("mad"), 4).as("mad"), col("n_outliers"))
+        .orderBy("lang")
+    }),
+
+    // Window family 2: cume_dist, nth_value over an explicit full
+    // frame, and lead with a non-null default — per-customer order
+    // rankings.
+    "q133_window_family2" -> ((s, dir) => {
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      rd(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(cume_dist().over(byPrice), 6).as("cd"),
+        nth_value(col("o_totalprice"), 2).over(
+          byPrice.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).as("second_price"),
+        lead(col("o_orderdate"), 1, java.sql.Date.valueOf("1900-01-01"))
+          .over(byDate).as("next_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Exact triangle count over the event link graph via degree-ordered
+    // orientation (the wedge join is bounded by arboricity, not max
+    // degree — the "last reducer" never melts).
+    "q134_triangles" -> ((s, dir) => {
+      Graph.triangleStats(eventEdges(s, dir))
+    }),
+
+    // Neighborhood Jaccard similarity: node pairs whose link profiles
+    // overlap most (candidate pairs only via shared neighbors).
+    "q135_neighbor_jaccard" -> ((s, dir) => {
+      Graph.neighborJaccard(eventEdges(s, dir))
+        .select(col("node_a"), col("node_b"), col("n_common"),
+          col("deg_a"), col("deg_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("node_a").asc, col("node_b").asc)
+        .limit(25)
+    }),
+
+    // Cross-document exact-substring duplication: 40-char windows
+    // fingerprint-sampled by content (digest mod 20 — MOSS-style, so
+    // shared runs select identically in both docs regardless of
+    // alignment), flagged when the same window appears in ≥ 2 docs.
+    "q136_substring_dups" -> ((s, dir) => {
+      Dedup.substringDupWindows(rd(s, dir, "documents"), "doc_id", "text",
+          windowChars = 40, sampleMod = 20)
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Final EWMA of event values per user (closed-form weights — one
+    // ranked window + one keyed sum, no sequential state).
+    "q137_ewma" -> ((s, dir) => {
+      TimeSeries.ewma(
+          rd(s, dir, "events")
+            .where(col("ts").isNotNull && col("value").isNotNull),
+          "user_id", Seq(col("ts").asc, col("event_id").asc),
+          "value", alpha = 0.2)
+        .select(col("user_id"), col("n_obs"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // Distribution moments per language: skewness/kurtosis of document
+    // length plus covariance of length vs token count — the oracle
+    // recomputes Spark's exact formulas (√n·m₃/m₂^1.5, n·m₄/m₂²−3)
+    // from central-moment sums.
+    "q138_moments" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("lang"), col("n_chars").cast("double").as("x"),
+          graft.ops.Text.tokenCount(col("text")).cast("double").as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(skewness(col("x")), 6).as("skew"),
+          round(kurtosis(col("x")), 6).as("kurt"),
+          round(covar_pop(col("x"), col("y")), 4).as("cov_pop"),
+          round(covar_samp(col("x"), col("y")), 4).as("cov_samp"))
+        .orderBy("lang")
+    }),
+
+    // Temperature-scaled source mixing (the mC4/T5 α-sampling rule,
+    // α = 0.3): flattened sampling weights and per-source target counts
+    // for a 10k-document mix.
+    "q139_temperature_mix" -> ((s, dir) => {
+      Retrieval.temperatureMix(rd(s, dir, "documents"), "source",
+          alpha = 0.3, sampleSize = 10000L)
+        .select(col("source"), col("n_docs"),
+          round(col("p_raw"), 6).as("p_raw"),
+          round(col("p_temp"), 6).as("p_temp"), col("n_target"))
+        .orderBy("source")
+    }),
+
+    // LISTAGG ... WITHIN GROUP — ordered string aggregation through the
+    // raw SQL surface (Spark 4 syntax; DuckDB's string_agg is the same
+    // aggregate).
+    "q140_listagg" -> ((s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("orders_la")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  listagg(DISTINCT o_orderstatus, ',')
+          |    WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+          |  count(*) AS n
+          |FROM orders_la
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q130_bm25" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl)
+        |SELECT doc_id, term, tf, df,
+        |  round(ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
+        |      (CAST(df AS DOUBLE) + 0.5)) *
+        |    ((CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS bm25
+        |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats
+        |ORDER BY bm25 DESC, doc_id ASC, term ASC LIMIT 25""".stripMargin,
+
+    "q131_dsir_weights" ->
+      s"""WITH raw AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    unnest(${toksSql("text")}) AS tok
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, is_target,
+        |    ${bucketSql("tok")} % 64 AS bucket
+        |  FROM raw),
+        |counts AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(count(*) AS BIGINT) AS cr
+        |  FROM toks GROUP BY bucket),
+        |totals AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |                  CAST(sum(cr) AS BIGINT) AS tr FROM counts),
+        |lm AS (SELECT bucket,
+        |    ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)) AS log_ratio
+        |  FROM counts, totals)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  round(sum(log_ratio), 6) AS dsir_weight
+        |FROM toks JOIN lm USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q132_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |dev AS (
+        |  SELECT d.lang, abs(CAST(n_chars AS DOUBLE) - med) AS dv
+        |  FROM documents d JOIN med USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(dv, 0.5) AS mad
+        |        FROM dev GROUP BY lang),
+        |outl AS (
+        |  SELECT dev.lang,
+        |    CAST(sum(CASE WHEN dv > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_outliers
+        |  FROM dev JOIN mad USING (lang) GROUP BY dev.lang)
+        |SELECT m.lang, m.n, round(m.med, 4) AS med, round(a.mad, 4) AS mad,
+        |  o.n_outliers
+        |FROM med m JOIN mad a ON m.lang = a.lang
+        |JOIN outl o ON o.lang = m.lang
+        |ORDER BY m.lang""".stripMargin,
+
+    "q133_window_family2" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC), 6) AS cd,
+        |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_price,
+        |  lead(o_orderdate, 1, DATE '1900-01-01') OVER
+        |    (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q134_triangles" ->
+      s"""WITH $EdgesSql,
+        |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und)
+        |SELECT
+        |  CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM und e1
+        |        JOIN und e2 ON e2.a = e1.b
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+        |    AS n_triangles""".stripMargin,
+
+    "q135_neighbor_jaccard" ->
+      s"""WITH $EdgesSql,
+        |adj AS (SELECT a AS node, b AS nb FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY node),
+        |common AS (
+        |  SELECT x.node AS node_a, y.node AS node_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+        |  GROUP BY 1, 2)
+        |SELECT node_a, node_b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(da.deg + db.deg - n_common AS DOUBLE), 6) AS jaccard
+        |FROM common
+        |JOIN deg da ON da.node = node_a
+        |JOIN deg db ON db.node = node_b
+        |ORDER BY jaccard DESC, node_a ASC, node_b ASC LIMIT 25""".stripMargin,
+
+    "q136_substring_dups" ->
+      """WITH wins AS (
+        |  SELECT doc_id, unnest(list_filter(list_transform(
+        |      generate_series(1, greatest(len(text) - 39, 1), 1),
+        |      p -> md5(substr(text, p, 40))),
+        |    h -> ((strpos('0123456789abcdef', h[1:1]) - 1) * 256
+        |        + (strpos('0123456789abcdef', h[2:2]) - 1) * 16
+        |        + (strpos('0123456789abcdef', h[3:3]) - 1)) % 20 = 0))
+        |    AS h
+        |  FROM documents),
+        |duph AS (
+        |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |                 FROM wins GROUP BY h) WHERE nd >= 2),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN h IN (SELECT h FROM duph) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup_windows
+        |  FROM wins GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows,
+        |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+        |  round(CASE WHEN coalesce(n_windows, 0) > 0
+        |    THEN CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q137_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |  round(sum(value * CASE WHEN rn = 1 THEN power(0.8, n - 1)
+        |    ELSE 0.2 * power(0.8, n - rn) END), 6) AS ewma
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q138_moments" ->
+      s"""WITH s AS (
+        |  SELECT lang, CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(len(${toksSql("text")}) AS DOUBLE) AS y
+        |  FROM documents),
+        |m AS (SELECT lang, avg(x) AS mx, avg(y) AS my,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM s GROUP BY lang),
+        |cent AS (
+        |  SELECT s.lang, n,
+        |    sum((x - mx) * (x - mx)) AS m2,
+        |    sum((x - mx) * (x - mx) * (x - mx)) AS m3,
+        |    sum((x - mx) * (x - mx) * (x - mx) * (x - mx)) AS m4,
+        |    sum((x - mx) * (y - my)) AS cxy
+        |  FROM s JOIN m USING (lang) GROUP BY s.lang, n)
+        |SELECT lang, n,
+        |  round(sqrt(CAST(n AS DOUBLE)) * m3 / power(m2, 1.5), 6) AS skew,
+        |  round(CAST(n AS DOUBLE) * m4 / (m2 * m2) - 3.0, 6) AS kurt,
+        |  round(cxy / CAST(n AS DOUBLE), 4) AS cov_pop,
+        |  round(cxy / CAST(n - 1 AS DOUBLE), 4) AS cov_samp
+        |FROM cent ORDER BY lang""".stripMargin,
+
+    "q139_temperature_mix" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total FROM n),
+        |p AS (SELECT source, n_docs,
+        |    CAST(n_docs AS DOUBLE) / n_total AS p_raw,
+        |    power(CAST(n_docs AS DOUBLE) / n_total, 0.3) AS p_pow
+        |  FROM n, tot),
+        |z AS (SELECT sum(p_pow) AS z FROM p)
+        |SELECT source, n_docs, round(p_raw, 6) AS p_raw,
+        |  round(p_pow / z, 6) AS p_temp,
+        |  CAST(floor(p_pow / z * 10000.0) AS BIGINT) AS n_target
+        |FROM p, z ORDER BY source""".stripMargin,
+
+    "q140_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -266,4 +266,60 @@ object Dedup {
         length(col("__rebuilt")).cast("long").as("rebuilt_len"),
         fastMd5(col("__rebuilt")).as("rebuilt_md5"))
   }
+
+  /** Cross-document exact-substring duplication profile — a
+    * fingerprint-sampled approximation of suffix-array substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), selected the way MOSS selects k-grams (Schleimer
+    * et al. 2003): hash the `windowChars`-wide window at EVERY
+    * position, keep the ~1/`sampleMod` whose digest ≡ 0 (mod
+    * `sampleMod`), and flag kept windows whose text occurs in ≥ 2
+    * distinct documents. Selection is content-defined, so a verbatim
+    * run shared by two documents selects the SAME windows in both
+    * regardless of byte alignment — the property positional stride
+    * sampling lacks.
+    *
+    * Output: one row per input document — doc_id (named `idCol`),
+    * n_windows (selected), n_dup_windows, dup_frac (0.0 when nothing
+    * was selected).
+    *
+    * Scale: window hashing is row-local (`sequence` + `transform` +
+    * `filter` inside the scan stage — only selected 32-hex digests and
+    * the doc id leave the row, ~1/sampleMod of positions); the
+    * duplicated-digest set is one keyed count flowing back through a
+    * semi-join on the digest. Nothing is quadratic in documents and no
+    * bucket is ever collected into a single row. The md5-per-position
+    * cost is inherent to substring fingerprinting (swap in a cheaper
+    * rolling hash expression if the corpus outgrows it — same plan
+    * shape). */
+  def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
+                          windowChars: Int = 40, sampleMod: Int = 20): DataFrame = {
+    require(windowChars > 0 && sampleMod > 0,
+      s"windowChars and sampleMod must be > 0, got $windowChars/$sampleMod")
+    // first 3 hex digits of the digest as an int in [0, 4096) — the
+    // engine-portable selector (DuckDB replays the same arithmetic)
+    val wins = df.select(col(idCol),
+        expr(s"filter(transform(sequence(1, greatest(char_length($textCol)" +
+          s" - ${windowChars - 1}, 1), 1), p -> md5(substr($textCol, p, " +
+          s"$windowChars))), h -> cast(conv(substr(h, 1, 3), 16, 10) " +
+          s"as int) % $sampleMod = 0)").as("__hs"))
+      .select(col(idCol), explode(col("__hs")).as("__h"))
+    val dupHashes = wins.select(col(idCol), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= 2)
+      .select("__h")
+    val flagged = wins.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+    df.select(col(idCol))
+      .join(wins.groupBy(idCol).agg(count(lit(1)).as("n_windows")),
+        Seq(idCol), "left")
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

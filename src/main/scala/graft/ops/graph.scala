@@ -72,4 +72,89 @@ object Graph {
       .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Undirected, de-duplicated, self-loop-free edge set with `a < b`
+    * canonical orientation (shared by triangle counting and
+    * neighborhood similarity). */
+  private def undirected(edges0: DataFrame): DataFrame =
+    edges0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+
+  /** Exact global triangle count (undirected; duplicate edges and
+    * self-loops ignored). Returns one row: (n_nodes, n_edges,
+    * n_triangles).
+    *
+    * Uses the degree-ordered orientation (Schank & Wagner 2005;
+    * MapReduce form in Suri & Vassilvitskii 2011 "Counting Triangles
+    * and the Curse of the Last Reducer"): orient every edge from the
+    * lower-(degree, id) endpoint to the higher, so each vertex's
+    * out-degree is O(√m) on any graph and the wedge join never
+    * explodes on celebrity nodes — counting is two equi-joins whose
+    * fan-out is bounded by arboricity, not by max degree. Each
+    * triangle is counted exactly once (its least-ordered vertex forms
+    * the wedge).
+    */
+  def triangleStats(edges0: DataFrame): DataFrame = {
+    val und = undirected(edges0)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient u -> v when (deg(u), u) < (deg(v), v)
+    val dirEdges = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+    val wedges = dirEdges.select(col("u"), col("v").as("w1"))
+      .join(dirEdges.select(col("u"), col("v").as("w2")),
+        Seq("u"))
+      .where(col("w1") < col("w2"))
+    // close the wedge with the (canonical-order) undirected edge set
+    val tri = wedges.join(und,
+      wedges("w1") === und("a") && wedges("w2") === und("b"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  /** Neighborhood Jaccard similarity for node pairs that share at least
+    * one neighbor (undirected): |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. The
+    * standard "are these two domains near-duplicates of each
+    * other's link profile" signal. Returns (node_a, node_b, n_common,
+    * deg_a, deg_b, jaccard).
+    *
+    * Scale: candidate pairs are generated only through shared
+    * neighbors (one self-join keyed on the neighbor id, the same
+    * bounded-fan-out shape as LSH bucket expansion) — never all pairs;
+    * hub neighbors dominate cost, so callers curating web-scale graphs
+    * should pre-drop nodes above a degree cap (they carry no dedup
+    * signal).
+    */
+  def neighborJaccard(edges0: DataFrame): DataFrame = {
+    val und = undirected(edges0)
+    // adjacency in both directions: (node, neighbor)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("node").as("node_a"), col("nb"))
+      .join(adj.select(col("node").as("node_b"), col("nb")), Seq("nb"))
+      .where(col("node_a") < col("node_b"))
+      .groupBy("node_a", "node_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("node").as("node_a"), col("deg").as("deg_a")),
+        "node_a")
+      .join(deg.select(col("node").as("node_b"), col("deg").as("deg_b")),
+        "node_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+      .select("node_a", "node_b", "n_common", "deg_a", "deg_b", "jaccard")
+  }
 }

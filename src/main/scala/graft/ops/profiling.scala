@@ -65,4 +65,33 @@ object Profiling {
         .select(lit(name).as("check_name"), col("n_violations"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Robust per-group outlier profile via median absolute deviation:
+    * an observation is an outlier when |x − median| > k·1.4826·MAD
+    * (1.4826 scales MAD to σ under normality — the standard robust
+    * z-score). Unlike mean/stddev z-scores (q90), a few extreme values
+    * cannot drag the threshold itself.
+    *
+    * Output per group: n, med, mad, n_outliers.
+    *
+    * Scale: two keyed aggregations (median, then MAD over deviations)
+    * plus one broadcast-sized join of group stats back onto the data —
+    * the group-stats tables are group-cardinality, never row-
+    * cardinality. Exact `percentile` holds per-group value multisets;
+    * for 100 TB groups swap in `percentile_approx` (same shape). */
+  def madOutliers(df: DataFrame, group: String, value: String,
+                  k: Double = 3.0): DataFrame = {
+    val x = col(value).cast("double")
+    val med = df.groupBy(group)
+      .agg(percentile(x, lit(0.5)).as("med"), count(lit(1)).as("n"))
+    val dev = df.join(med.hint("broadcast"), group)
+      .withColumn("__dev", abs(x - col("med")))
+    val mad = dev.groupBy(group)
+      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    dev.join(mad.hint("broadcast"), group)
+      .groupBy(col(group), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("__dev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col(group), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
 }

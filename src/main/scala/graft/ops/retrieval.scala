@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval / data-selection scoring over a document corpus: BM25 term
+  * relevance and DSIR-style importance weights. Both are the standard
+  * "which documents matter" primitives of a training-data pipeline —
+  * BM25 for retrieval-style relevance and contamination probes, DSIR
+  * (Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling") for matching a raw corpus to a target distribution with
+  * hashed n-gram features.
+  */
+object Retrieval {
+
+  /** Okapi BM25 score for every (document, term) pair.
+    *
+    * Output columns: `doc_id`, `term`, `tf`, `df`, `bm25`.
+    *
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the "plus one" variant
+    * that never goes negative; score = idf · tf·(k1+1) / (tf + k1·(1 −
+    * b + b·dl/avgdl)).
+    *
+    * Scale: one shuffle keyed by (doc, term) for tf, one keyed by term
+    * for df (both map-side combined); N and avgdl are single-row aggs
+    * broadcast back; the df table is vocabulary-sized and joins onto
+    * the tf table without touching the corpus again. Nothing holds a
+    * per-group set and no stage is quadratic.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    tf.join(dl, "doc_id")
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", idf *
+        ((col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+      .select("doc_id", "term", "tf", "df", "bm25")
+  }
+
+  /** DSIR importance weight per document: the log-likelihood ratio of
+    * the document's hashed token features under the target vs the raw
+    * language model.
+    *
+    * Features are md5-bucketed tokens (`buckets` cells, engine-stable —
+    * same construction as [[Sampling.splitBucket]]); both feature LMs
+    * are Laplace-smoothed unigram models over bucket counts. weight(d)
+    * = Σ_tokens ln p̂_target(bucket) − ln p̂_raw(bucket); resampling
+    * keeps the top-weight documents.
+    *
+    * Output: one row per document — `doc_id`, `n_toks`, `dsir_weight`.
+    *
+    * Scale: the feature LMs are `buckets` rows (constant) and broadcast
+    * onto the token stream, which then aggregates once keyed by doc —
+    * one corpus shuffle total; the target/raw counts are map-side
+    * combined into constant-size tables.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", pmod(Sampling.splitBucket(col("tok")), lit(buckets)))
+    // constant-size (buckets rows) feature tables; Laplace +1 smoothing
+    val counts = toks.groupBy("bucket").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lm = counts.crossJoin(totals).select(col("bucket"),
+      (log((col("ct") + lit(1L)).cast("double") /
+          (col("tt") + lit(buckets.toLong)).cast("double")) -
+        log((col("cr") + lit(1L)).cast("double") /
+          (col("tr") + lit(buckets.toLong)).cast("double"))).as("log_ratio"))
+    toks.join(broadcast(lm), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("log_ratio").as("dsir_weight"))
+  }
+
+  /** Temperature-scaled source mixing weights (the mC4/T5 α-sampling
+    * rule): p_temp(s) ∝ p_raw(s)^α, α in (0, 1] flattens the source
+    * distribution so low-resource sources are up-weighted relative to
+    * their raw share. Returns one row per source: `n_docs`, `p_raw`,
+    * `p_temp`, and `n_target` = floor(p_temp · sampleSize).
+    *
+    * Scale: one map-side-combined count per source; everything after is
+    * arithmetic over a sources-cardinality table.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, alpha: Double,
+                     sampleSize: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val n = df.groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+    val tot = n.agg(sum("n_docs").cast("double").as("n_total"))
+    val p = n.crossJoin(broadcast(tot))
+      .withColumn("p_raw", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("p_pow", pow(col("p_raw"), lit(alpha)))
+    val z = p.agg(sum("p_pow").as("z"))
+    p.crossJoin(broadcast(z))
+      .withColumn("p_temp", col("p_pow") / col("z"))
+      .withColumn("n_target",
+        floor(col("p_temp") * lit(sampleSize.toDouble)).cast("long"))
+      .select(col(sourceCol), col("n_docs"), col("p_raw"), col("p_temp"),
+        col("n_target"))
+  }
+}

@@ -76,4 +76,34 @@ object TimeSeries {
               (col("__nt") - col("__pt")).cast("double")))
           .as("interp"))
   }
+
+  /** Final exponentially-weighted moving average per key:
+    * s₁ = x₁; sₜ = α·xₜ + (1−α)·sₜ₋₁, returned at the last observation.
+    *
+    * Closed form (engine-portable, no recursion): s_T = (1−α)^(T−1)·x₁
+    * + Σ_{t=2..T} α·(1−α)^(T−t)·xₜ — each row's weight depends only on
+    * its position from the end, so the whole thing is one ranked window
+    * plus one keyed sum (no sequential scan, no UDAF state).
+    *
+    * Output: keyCol, n_obs, ewma.
+    *
+    * Scale: one shuffle keyed by `keyCol` shared by the window and the
+    * aggregation; weights for old observations underflow to 0 harmlessly
+    * ((1−α)^k ≈ 1e−46 at k=1000, α=0.1), so unbounded histories neither
+    * overflow nor need truncation. */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+           valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
+      .withColumn("__w",
+        when(col("__rn") === 1, pow(lit(1.0 - alpha), col("__n") - 1))
+          .otherwise(lit(alpha) * pow(lit(1.0 - alpha), col("__n") - col("__rn"))))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col(valCol).cast("double") * col("__w")).as("ewma"))
+  }
 }

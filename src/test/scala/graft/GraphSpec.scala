@@ -26,4 +26,44 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r(1L) - 0.5) < 1e-12)
     assert(math.abs(r(2L) - 0.5) < 1e-12)
   }
+
+  test("triangleStats: K4 has 4 triangles; direction/dups/loops ignored") {
+    // complete graph on {1,2,3,4} with noisy input: reversed duplicates
+    // and a self-loop must not change the count
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)
+    val edges = (k4 :+ ((2L, 2L))).toDF("src", "dst")
+    val r = Graph.triangleStats(edges).collect().head
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 6L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("triangleStats: path graph has none; one closing edge adds one") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleStats(path).collect().head
+      .getAs[Long]("n_triangles") === 0L)
+    val closed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Graph.triangleStats(closed).collect().head
+      .getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("neighborJaccard: twins share everything, strangers nothing") {
+    // 1 and 2 both link to {10, 11}; 3 links to 10 only
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.neighborJaccard(edges)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("jaccard"))
+      .toMap
+    assert(math.abs(r((1L, 2L)) - 1.0) < 1e-12)
+    // 1 vs 3: common {10}, union {10, 11} => 0.5
+    assert(math.abs(r((1L, 3L)) - 0.5) < 1e-12)
+    // 10 and 11 share neighbors {1, 2}; 10 also has 3 => 2/3
+    assert(math.abs(r((10L, 11L)) - (2.0 / 3.0)) < 1e-12)
+    // pairs with no shared neighbor are absent, not zero
+    assert(!r.contains((1L, 10L)))
+  }
 }
