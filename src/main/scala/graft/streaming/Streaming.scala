@@ -52,6 +52,19 @@ object Streaming {
   def dedupedStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** In-stream dedup where the duplicate's OWN timestamp may lag the
+    * original past the watermark: `dropDuplicatesWithinWatermark` keys
+    * state on event_id alone and expires an entry only when the
+    * watermark passes the FIRST-seen event time plus the delay, so a
+    * replay carrying a fresher timestamp (at-least-once sources
+    * re-stamping on retry) is still dropped. State stays
+    * watermark-bounded — one entry per id within the delay, the exact
+    * contract Spark added the operator for. */
+  def dedupedWithinWatermarkStream(events: DataFrame,
+                                   watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** In-stream NEAR-dup suppression: key the watermark-bounded dedup
     * state on the row-local simhash of a text column instead of an exact
     * id — boilerplate variants that hash to the same signature are

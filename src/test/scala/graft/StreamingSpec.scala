@@ -270,4 +270,48 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedupedWithinWatermark drops a replay re-stamped with a fresh ts") {
+    // at-least-once sources often RE-STAMP the duplicate on retry: the
+    // replay of id 1 arrives with a newer event time. Plain watermark
+    // dedup keyed on (id) still holds state, but this operator's
+    // contract is explicit about it — the duplicate must be dropped.
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedupedWithinWatermarkStream(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("ddww").outputMode("append")
+      .start()
+    try {
+      in.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(8), 1, "click", 1.0), // replay, fresher ts
+        Ev(3, ts(9), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("ddww").count() === 3)
+      assert(spark.table("ddww").select("event_id").as[Long].collect()
+        .toSet === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains the backlog then stops on its own") {
+    // batch-drain mode: process everything that exists, checkpoint,
+    // terminate — the scheduled-ingest shape (cron-like catch-up runs)
+    // without leaving a continuous query running
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = dir.toString
+    val q = Streaming.eventsFileStream(spark, src)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000)) // self-terminates after the drain
+    val streamed = spark.table("avnow")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(src).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
 }
