@@ -147,6 +147,133 @@ object AnalyticsQueries {
           round(col("hi_cut"), 4).as("hi_cut"),
           round(col("n_chars_w"), 4).as("n_chars_w"))
         .orderBy("doc_id")
+    }),
+
+    // Out-of-vocabulary rate per document against the corpus top-1000
+    // vocabulary — the tokenizer-coverage signal (vocab is a 1000-row
+    // broadcast; the token stream aggregates once, keyed by doc).
+    "q141_oov_rate" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text")))
+          .as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(1000)
+        .select(col("tok"), lit(true).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov").cast("double") /
+          col("n_toks").cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Heaps'-law fit: ln(distinct tokens) ~ ln(total tokens) across
+    // documents — vocabulary-growth exponent β (~0.4-0.6 for natural
+    // text; flat β flags templated corpora).
+    "q142_heaps_fit" -> ((s, dir) => {
+      val per = rd(s, dir, "documents")
+        .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text")))
+          .as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_total"), countDistinct("tok").as("n_distinct"))
+      per.agg(
+        round(regr_slope(log(col("n_distinct")), log(col("n_total"))), 6)
+          .as("heaps_beta"),
+        round(regr_intercept(log(col("n_distinct")), log(col("n_total"))), 6)
+          .as("heaps_lnk"),
+        round(regr_r2(log(col("n_distinct")), log(col("n_total"))), 6)
+          .as("heaps_r2"),
+        count(lit(1)).as("n_docs"))
+    }),
+
+    // Source-distribution balance: Shannon entropy, effective class
+    // count exp(H) and Gini impurity — the "is the mix degenerate"
+    // gate before sampling (source-cardinality arithmetic only).
+    "q143_class_balance" -> ((s, dir) => {
+      val n = rd(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val tot = n.agg(sum("n").cast("double").as("t"))
+      val p = n.crossJoin(broadcast(tot))
+        .select((col("n").cast("double") / col("t")).as("p"))
+      p.agg(count(lit(1)).as("n_classes"),
+        round(-sum(col("p") * log(col("p"))), 6).as("entropy"),
+        round(exp(-sum(col("p") * log(col("p")))), 6).as("eff_classes"),
+        round(lit(1.0) - sum(col("p") * col("p")), 6).as("gini"))
+    }),
+
+    // Event-type co-occurrence within a ±30-minute window per user,
+    // with lift vs independence. The self-join is blocked on (user,
+    // 30-min time bucket) with one side replicated to its 3 neighbor
+    // buckets — comparisons are bounded per bucket, never per user
+    // history (the 100 TB shape); the band filter then exacts the
+    // window.
+    "q144_cooccurrence" -> ((s, dir) => {
+      val bandUs = 1800L * 1000000L
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+      val left = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("event_type").as("type_a"), col("t").as("ta"),
+        floor(col("t") / bandUs).as("bk"))
+      val right = ev.select(col("user_id"), col("event_id").as("id_b"),
+          col("event_type").as("type_b"), col("t").as("tb"),
+          explode(array(floor(col("t") / bandUs) - 1, floor(col("t") / bandUs),
+            floor(col("t") / bandUs) + 1)).as("bk"))
+      val pairs = left.join(right, Seq("user_id", "bk"))
+        .where(col("type_a") < col("type_b") &&
+          abs(col("ta") - col("tb")) <= bandUs)
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_pairs"))
+      val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val all = ev.agg(count(lit(1)).as("n_events"))
+      pairs
+        .join(broadcast(totals.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(totals.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .crossJoin(broadcast(all))
+        .select(col("type_a"), col("type_b"), col("n_pairs"),
+          round((col("n_pairs").cast("double") * col("n_events").cast("double"))
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("lift"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    // First-touch / last-touch purchase attribution: each purchase is
+    // credited to the user's first-ever and most-recent preceding
+    // click/view/signup (IGNORE NULLS window frames — one keyed
+    // shuffle, no self-join).
+    "q145_attribution" -> ((s, dir) => {
+      val touch = when(col("event_type").isin("click", "view", "signup"),
+        col("event_type"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      rd(s, dir, "events")
+        .withColumn("first_touch",
+          first(touch, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("last_touch",
+          last(touch, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("event_type") === "purchase")
+        .groupBy(
+          coalesce(col("first_touch"), lit("none")).as("first_touch"),
+          coalesce(col("last_touch"), lit("none")).as("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 4).as("revenue"))
+        .orderBy("first_touch", "last_touch")
+    }),
+
+    // Fixed-width document-length histogram (500-char bins) per
+    // language — one map-side-combined count; the grouping key is
+    // arithmetic, so the histogram never materializes per-row state.
+    "q146_length_histogram" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .groupBy(col("lang"), floor(col("n_chars") / 500L).as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), (col("bin") * 500).cast("long").as("bin_lo"),
+          ((col("bin") + 1) * 500).cast("long").as("bin_hi"), col("n"))
+        .orderBy("lang", "bin_lo")
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -267,5 +394,98 @@ object AnalyticsQueries {
         |             WHEN CAST(n_chars AS DOUBLE) > hi_cut THEN hi_cut
         |             ELSE CAST(n_chars AS DOUBLE) END, 4) AS n_chars_w
         |FROM documents d JOIN cuts USING (lang)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q141_oov_rate" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |                   ORDER BY n DESC, tok ASC LIMIT 1000))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1
+        |    END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0
+        |    ELSE 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q142_heaps_fit" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total,
+        |               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        |        FROM toks GROUP BY doc_id)
+        |SELECT round(regr_slope(ln(n_distinct), ln(n_total)), 6)
+        |    AS heaps_beta,
+        |  round(regr_intercept(ln(n_distinct), ln(n_total)), 6) AS heaps_lnk,
+        |  round(regr_r2(ln(n_distinct), ln(n_total)), 6) AS heaps_r2,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM per""".stripMargin,
+
+    "q143_class_balance" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents
+        |           GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM n),
+        |p AS (SELECT CAST(n AS DOUBLE) / t AS p FROM n, tot)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  round(-sum(p * ln(p)), 6) AS entropy,
+        |  round(exp(-sum(p * ln(p))), 6) AS eff_classes,
+        |  round(1.0 - sum(p * p), 6) AS gini
+        |FROM p""".stripMargin,
+
+    "q144_cooccurrence" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |    AND abs(a.t - b.t) <= 1800000000
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |           FROM ev GROUP BY 1),
+        |alln AS (SELECT CAST(count(*) AS BIGINT) AS n_events FROM ev)
+        |SELECT type_a, type_b, n_pairs,
+        |  round((CAST(n_pairs AS DOUBLE) * CAST(n_events AS DOUBLE)) /
+        |    (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE)), 6) AS lift
+        |FROM pairs
+        |JOIN totals ta ON ta.event_type = type_a
+        |JOIN totals tb ON tb.event_type = type_b
+        |CROSS JOIN alln
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q145_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_type END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type IN ('click','view','signup')
+        |        THEN event_type END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events)
+        |SELECT coalesce(first_touch, 'none') AS first_touch,
+        |  coalesce(last_touch, 'none') AS last_touch,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value), 4) AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
+
+    "q146_length_histogram" ->
+      """SELECT lang,
+        |  CAST((n_chars // 500) * 500 AS BIGINT) AS bin_lo,
+        |  CAST((n_chars // 500 + 1) * 500 AS BIGINT) AS bin_hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents
+        |GROUP BY 1, 2, 3 ORDER BY lang, bin_lo""".stripMargin)
 }
