@@ -175,6 +175,25 @@ object RetrievalQueries {
         .orderBy("source")
     }),
 
+    // Spark 4 VARIANT ingestion of semi-structured JSON: parse once to
+    // the binary variant encoding, then typed path extraction
+    // (variant_get), inferred schema (schema_of_variant) and missing-
+    // path behavior (try_variant_get -> null) — the open-schema
+    // alternative to from_json's fixed struct. At scale the parse
+    // happens inside the scan stage and only extracted scalars reach
+    // the aggregation.
+    "q147_variant" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(variant_get(col("v"), "$.k", "long")).as("sum_k"),
+          min(schema_of_variant(col("v"))).as("props_schema"),
+          sum(when(try_variant_get(col("v"), "$.missing", "string")
+            .isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("event_type")
+    }),
+
     // LISTAGG ... WITHIN GROUP — ordered string aggregation through the
     // raw SQL surface (Spark 4 syntax; DuckDB's string_agg is the same
     // aggregate).
@@ -375,6 +394,14 @@ object RetrievalQueries {
         |  round(p_pow / z, 6) AS p_temp,
         |  CAST(floor(p_pow / z * 10000.0) AS BIGINT) AS n_target
         |FROM p, z ORDER BY source""".stripMargin,
+
+    "q147_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  'OBJECT<k: BIGINT>' AS props_schema,
+        |  CAST(count(*) AS BIGINT) AS n_missing
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q140_listagg" ->
       """SELECT o_orderpriority,

@@ -133,19 +133,33 @@ object Graph {
     *
     * Scale: candidate pairs are generated only through shared
     * neighbors (one self-join keyed on the neighbor id, the same
-    * bounded-fan-out shape as LSH bucket expansion) — never all pairs;
-    * hub neighbors dominate cost, so callers curating web-scale graphs
-    * should pre-drop nodes above a degree cap (they carry no dedup
-    * signal).
+    * bounded-fan-out shape as LSH bucket expansion) — never all pairs.
+    * A neighbor of degree d generates d² candidate rows, so hub
+    * neighbors dominate cost while carrying no similarity signal
+    * (everyone links the homepage); `maxHubDegree` drops neighbors
+    * above the cap from CANDIDATE GENERATION only — degrees still
+    * count them, so the capped score undercounts shared hubs and is a
+    * conservative LOWER BOUND on the true Jaccard (never an
+    * overcount), and the join's per-key fan-out is bounded by the cap
+    * (the LSH bucket-cap discipline applied to wedges).
     */
-  def neighborJaccard(edges0: DataFrame): DataFrame = {
+  def neighborJaccard(edges0: DataFrame,
+                      maxHubDegree: Option[Int] = None): DataFrame = {
     val und = undirected(edges0)
     // adjacency in both directions: (node, neighbor)
     val adj = und.select(col("a").as("node"), col("b").as("nb"))
       .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
-    val common = adj.select(col("node").as("node_a"), col("nb"))
-      .join(adj.select(col("node").as("node_b"), col("nb")), Seq("nb"))
+    val gen = maxHubDegree match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxHubDegree must be >= 1, got $cap")
+        adj.join(deg.select(col("node").as("nb"), col("deg").as("__nbdeg")),
+            "nb")
+          .where(col("__nbdeg") <= cap).drop("__nbdeg")
+      case None => adj
+    }
+    val common = gen.select(col("node").as("node_a"), col("nb"))
+      .join(gen.select(col("node").as("node_b"), col("nb")), Seq("nb"))
       .where(col("node_a") < col("node_b"))
       .groupBy("node_a", "node_b").agg(count(lit(1)).as("n_common"))
     common

@@ -66,4 +66,30 @@ class GraphSpec extends SparkSpec {
     // pairs with no shared neighbor are absent, not zero
     assert(!r.contains((1L, 10L)))
   }
+
+  test("neighborJaccard: hub cap bounds fan-out, scores lower-bound truth") {
+    // hub 99 is linked by everyone; 1 and 2 also share private neighbor
+    // 10. Capping below the hub's degree removes hub-generated wedges:
+    // (1,2) survives via 10 with a conservative score, pairs connected
+    // ONLY through the hub disappear.
+    val edges = (Seq((1L, 10L), (2L, 10L)) ++
+      Seq(1L, 2L, 3L, 4L).map(n => (n, 99L))).toDF("src", "dst")
+    val capped = Graph.neighborJaccard(edges, maxHubDegree = Some(3))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("jaccard"))
+      .toMap
+    // deg(1)={10,99}=2, deg(2)=2, common counted via 10 only => 1;
+    // union = 2+2-1 = 3 — but TRUE common is 2 ({10,99}), so the capped
+    // score undercounts common, never overcounts: 1/3
+    assert(math.abs(capped((1L, 2L)) - (1.0 / 3.0)) < 1e-12)
+    // (3,4) share only the hub: pruned entirely
+    assert(!capped.contains((3L, 4L)))
+    // uncapped: (3,4) present, (1,2) counts both shared neighbors
+    val full = Graph.neighborJaccard(edges)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("jaccard"))
+      .toMap
+    assert(full.contains((3L, 4L)))
+    assert(math.abs(full((1L, 2L)) - 1.0) < 1e-12)
+  }
 }
