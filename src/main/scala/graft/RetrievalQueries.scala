@@ -175,6 +175,39 @@ object RetrievalQueries {
         .orderBy("source")
     }),
 
+    // Keyword retrieval: top-10 documents for the query
+    // {join, filter, vector} by summed BM25 — the end-to-end use of
+    // q130's scoring.
+    "q148_bm25_search" -> ((s, dir) => {
+      Retrieval.bm25Search(rd(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "filter", "vector"))
+        .select(col("doc_id"), col("n_matched"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    // Canonical selection over near-dup clusters: resolve LSH candidate
+    // pairs to connected components (q99's op), then keep the longest
+    // member per cluster (ties by id) — the "which copy survives"
+    // decision of a production dedup, made deterministic.
+    "q149_cluster_canonical" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3)
+      val clusters = Dedup.resolveClusters(pairs)
+      val members = clusters.join(docs.select(col("doc_id").as("id"),
+        col("n_chars")), "id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("id").asc)
+      members.withColumn("rk", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rk") === 1, col("id"))).as("kept_doc"),
+          min(when(col("rk") === 1, col("n_chars"))).as("kept_chars"))
+        .orderBy("cluster_id")
+    }),
+
     // Spark 4 VARIANT ingestion of semi-structured JSON: parse once to
     // the binary variant encoding, then typed path extraction
     // (variant_get), inferred schema (schema_of_variant) and missing-
@@ -210,27 +243,68 @@ object RetrievalQueries {
 
   // ------------------------------------------------------------- oracle SQL
 
+  /** Shared BM25 CTE body (q130 scores it raw, q148 sums it per doc). */
+  private def bm25Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |       FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |                 avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
+      |        (CAST(df AS DOUBLE) + 0.5)) *
+      |      ((CAST(tf AS DOUBLE) * 2.2) /
+      |        (CAST(tf AS DOUBLE) + 1.2 *
+      |          (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS sc
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q130_bm25" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-        |       FROM tf GROUP BY 1),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |       FROM tf GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |                 avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl)
-        |SELECT doc_id, term, tf, df,
-        |  round(ln(1.0 + (n_docs - CAST(df AS DOUBLE) + 0.5) /
-        |      (CAST(df AS DOUBLE) + 0.5)) *
-        |    ((CAST(tf AS DOUBLE) * 2.2) /
-        |      (CAST(tf AS DOUBLE) + 1.2 *
-        |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS bm25
-        |FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats
+      s"""$bm25Sql
+        |SELECT doc_id, term, tf, df, round(sc, 6) AS bm25
+        |FROM scored
         |ORDER BY bm25 DESC, doc_id ASC, term ASC LIMIT 25""".stripMargin,
+
+    "q148_bm25_search" ->
+      s"""$bm25Sql
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |  round(sum(sc), 6) AS score
+        |FROM scored WHERE term IN ('join', 'filter', 'vector')
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    "q149_cluster_canonical" -> {
+      val base = NorthStar.minhashPairsSql(NorthStar.toksSql("text"))
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")
+      s"""$base,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        |clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |members AS (
+        |  SELECT c.cluster_id, c.id, d.n_chars
+        |  FROM clusters c JOIN documents d ON d.doc_id = c.id),
+        |ranked AS (
+        |  SELECT cluster_id, id, n_chars, row_number() OVER
+        |    (PARTITION BY cluster_id ORDER BY n_chars DESC, id ASC) AS rk
+        |  FROM members)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(min(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS kept_doc,
+        |  CAST(min(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+        |    AS kept_chars
+        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
 
     "q131_dsir_weights" ->
       s"""WITH raw AS (

@@ -88,6 +88,26 @@ object Retrieval {
       .agg(count(lit(1)).as("n_toks"), sum("log_ratio").as("dsir_weight"))
   }
 
+  /** Keyword search over the corpus: per-document BM25 score for a
+    * bag-of-terms query (sum of the matched terms' BM25 contributions)
+    * plus the matched-term count. Standard retrieval ranking — and the
+    * probe a contamination/attribution pipeline runs against a
+    * benchmark query set.
+    *
+    * Scale: [[bm25]]'s keyed aggregations filtered to the query terms
+    * BEFORE the doc-grain shuffle, so only matching (doc, term) rows
+    * move; the query term set is a literal in the plan.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    bm25(docs, idCol, textCol, k1, b)
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("bm25").as("score"))
+  }
+
   /** Temperature-scaled source mixing weights (the mC4/T5 α-sampling
     * rule): p_temp(s) ∝ p_raw(s)^α, α in (0, 1] flattens the source
     * distribution so low-resource sources are up-weighted relative to

@@ -33,6 +33,22 @@ class RetrievalSpec extends SparkSpec {
     assert(scores.forall(_ > 0.0))
   }
 
+  test("bm25Search: sums matched terms only, docs without a match drop") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple durian"),
+      (3L, "elderberry fig")).toDF("doc_id", "text")
+    val r = Retrieval.bm25Search(docs, "doc_id", "text",
+        Seq("apple", "cherry"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    assert(r(1L)._1 === 2L) // apple + cherry
+    assert(r(2L)._1 === 1L) // apple only
+    assert(!r.contains(3L)) // no query term
+    // doc 1 matches the rarer cherry too: total score must exceed doc 2
+    assert(r(1L)._2 > r(2L)._2)
+  }
+
   // ----------------------------------------------------------------- DSIR
 
   test("dsirWeights: target-like docs weigh above raw-like docs") {
