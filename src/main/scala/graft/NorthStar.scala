@@ -412,6 +412,27 @@ object NorthStar {
       Similarity.embeddingNearDupPairs(rd(s, dir, "embeddings"),
           "embedding", "vec_id", dim = 64, planes = 4, minCosine = 0.15)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ANN recall QA: recall@10 of the sign-LSH bucket path against the
+    // brute-force ground truth — the approximation-quality gate every
+    // production ANN deployment runs before trusting the fast path
+    // (q97's estimator-QA pattern, applied to vectors). Both top-10
+    // lists are deterministic (cosine desc, id tiebreak); the overlap
+    // is one semi-join on the two 10-row results.
+    "q150_ann_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id",
+        queryVecCol, 10).select(col("vec_id"))
+      val lsh = Similarity.lshTopK(emb, "embedding", "vec_id",
+        queryVecCol, dim = 64, planes = 4, k = 10).select(col("vec_id"))
+      val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nOverlap = lsh.join(brute, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      nLsh.crossJoin(nOverlap)
+        .select(col("n_lsh"), lit(10L).as("n_brute"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / lit(10.0), 6)
+            .as("recall_at_10"))
     })
   )
 
@@ -748,6 +769,26 @@ object NorthStar {
            |  round(${cosineSql("embedding", queryVecSql, 64)}, 6) AS cosine_sim
            |FROM b WHERE bucket = ${lshBucketOf(QueryVec, 4)}
            |ORDER BY cosine_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+      "q150_ann_recall" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    (${lshBucketSql("embedding", 64, 4)}) AS bucket
+           |  FROM embeddings),
+           |lsh AS (
+           |  SELECT vec_id FROM b WHERE bucket = ${lshBucketOf(QueryVec, 4)}
+           |  ORDER BY ${cosineSql("embedding", queryVecSql, 64)} DESC, vec_id
+           |  LIMIT 10),
+           |brute AS (
+           |  SELECT vec_id FROM embeddings
+           |  ORDER BY ${cosineSql("embedding", queryVecSql, 64)} DESC, vec_id
+           |  LIMIT 10),
+           |o AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+           |      FROM lsh JOIN brute USING (vec_id))
+           |SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           |  CAST(10 AS BIGINT) AS n_brute, n_overlap,
+           |  round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall_at_10
+           |FROM o""".stripMargin,
 
       "q50_ivf_topk" ->
         s"""WITH cent AS (

@@ -79,6 +79,15 @@ object ScaleProbe {
       Dedup.minhashCandidatePairs(
         corpus, "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
         maxBucket = 2000))
+    // substring fingerprinting both ways: md5-per-position (the
+    // oracle-checkable mode) vs the codegen'd O(n) Rabin-Karp
+    // expression — the measured justification for the fast path
+    time("substring dups (md5)", total, "docs/s")(
+      Dedup.substringDupWindows(corpus, "doc_id", "text",
+        windowChars = 40, sampleMod = 20))
+    time("substring dups (rolling)", total, "docs/s")(
+      Dedup.substringDupWindows(corpus, "doc_id", "text",
+        windowChars = 40, sampleMod = 20, rollingHash = true))
 
     // ------------------------------------------------- curation family
     // chunk+pack is the full context-window pipeline: tokenize, explode

@@ -116,4 +116,12 @@ object GraftFunctions {
                  mod: Long): Column =
     GraftColumnBridge.column(MinHashSigExpression(
       GraftColumnBridge.expression(shingles), as, bs, mod))
+
+  /** Content-defined substring fingerprints of a string column in one
+    * O(n) Rabin-Karp pass (the fast path of substring dup profiling —
+    * one multiply-add per char vs one md5 per position). */
+  def rollingFingerprints(text: Column, windowChars: Int,
+                          sampleMod: Int): Column =
+    GraftColumnBridge.column(RollingFingerprintExpression(
+      GraftColumnBridge.expression(text), windowChars, sampleMod))
 }

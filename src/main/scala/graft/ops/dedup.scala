@@ -288,21 +288,32 @@ object Dedup {
     * the doc id leave the row, ~1/sampleMod of positions); the
     * duplicated-digest set is one keyed count flowing back through a
     * semi-join on the digest. Nothing is quadratic in documents and no
-    * bucket is ever collected into a single row. The md5-per-position
-    * cost is inherent to substring fingerprinting (swap in a cheaper
-    * rolling hash expression if the corpus outgrows it — same plan
-    * shape). */
+    * bucket is ever collected into a single row.
+    *
+    * Two fingerprint modes, same plan shape and same selection
+    * semantics: `rollingHash = false` (default) md5s every window —
+    * engine-portable, so DuckDB can replay it cell-exactly (the q136
+    * oracle path); `rollingHash = true` uses the codegen'd Rabin-Karp
+    * expression ([[graft.functions.RollingFingerprintExpression]]) —
+    * one multiply-add per character instead of one md5 per position,
+    * the mode a 100 TB corpus runs. */
   def substringDupWindows(df: DataFrame, idCol: String, textCol: String,
-                          windowChars: Int = 40, sampleMod: Int = 20): DataFrame = {
+                          windowChars: Int = 40, sampleMod: Int = 20,
+                          rollingHash: Boolean = false): DataFrame = {
     require(windowChars > 0 && sampleMod > 0,
       s"windowChars and sampleMod must be > 0, got $windowChars/$sampleMod")
-    // first 3 hex digits of the digest as an int in [0, 4096) — the
-    // engine-portable selector (DuckDB replays the same arithmetic)
-    val wins = df.select(col(idCol),
+    // md5 mode: first 3 hex digits of the digest as an int in [0, 4096)
+    // — the engine-portable selector (DuckDB replays the arithmetic)
+    val fingerprints =
+      if (rollingHash)
+        graft.functions.GraftFunctions.rollingFingerprints(
+          col(textCol), windowChars, sampleMod)
+      else
         expr(s"filter(transform(sequence(1, greatest(char_length($textCol)" +
           s" - ${windowChars - 1}, 1), 1), p -> md5(substr($textCol, p, " +
           s"$windowChars))), h -> cast(conv(substr(h, 1, 3), 16, 10) " +
-          s"as int) % $sampleMod = 0)").as("__hs"))
+          s"as int) % $sampleMod = 0)")
+    val wins = df.select(col(idCol), fingerprints.as("__hs"))
       .select(col(idCol), explode(col("__hs")).as("__h"))
     val dupHashes = wins.select(col(idCol), col("__h")).distinct()
       .groupBy("__h").agg(count(lit(1)).as("__docs"))

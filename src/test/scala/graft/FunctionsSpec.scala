@@ -206,6 +206,46 @@ class FunctionsSpec extends SparkSpec {
     assert(r.head.head === null)
   }
 
+  test("rollingFingerprints: identical interpreted and codegen'd") {
+    import graft.functions.GraftFunctions.rollingFingerprints
+    val df = (Seq("", "a", "tiny", "the quick brown fox jumps over") ++
+      (0 until 50).map(i => s"document $i with some shared boilerplate " +
+        "tail that is long enough to roll through")).toDF("s")
+    val codegen = df.select(rollingFingerprints(col("s"), 20, 3).as("f"))
+      .collect().map(_.getSeq[Long](0))
+    withSqlConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = df.select(rollingFingerprints(col("s"), 20, 3).as("f"))
+        .collect().map(_.getSeq[Long](0))
+      codegen.zip(interp).foreach { case (c, i) => assert(c === i) }
+    }
+  }
+
+  test("rollingFingerprints: sampleMod=1 keeps every window position") {
+    import graft.functions.GraftFunctions.rollingFingerprints
+    val df = Seq("abcdefgh", "abc", "").toDF("s")
+    val n = df.select(length(col("s")).as("len"),
+        size(rollingFingerprints(col("s"), 5, 1)).as("k"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(n(8) === 4) // positions 0..3
+    assert(n(3) === 1) // whole-string window
+    assert(n(0) === 1) // empty window
+  }
+
+  test("rollingFingerprints: shared runs fingerprint identically at any offset") {
+    import graft.functions.GraftFunctions.rollingFingerprints
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyz"
+    val df = Seq(s"X$shared", s"YYYYYYY$shared").toDF("s")
+    val sets = df.select(rollingFingerprints(col("s"), 10, 2).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    // every selected window fully inside `shared` appears in both docs
+    val common = sets(0) intersect sets(1)
+    assert(common.nonEmpty)
+    // windows fully inside shared: 36-10+1 = 27 positions, ~half selected;
+    // non-shared windows are at most windowChars-1 per doc
+    assert(common.size >= 8)
+  }
+
   private def withSqlConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

@@ -168,6 +168,24 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r(1L)._2 - r(2L)._2) <= 14) // < windowChars
   }
 
+  test("substringDupWindows: rolling-hash mode agrees with md5 mode") {
+    // at sampleMod=1 both modes keep every window and dup detection is
+    // exact window equality — counts must coincide exactly
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, s"unique preamble one $shared trailing text a"),
+      (2L, s"different lead-in xx $shared other ending b"),
+      (3L, "totally unrelated content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    def counts(rolling: Boolean) =
+      Dedup.substringDupWindows(docs, "doc_id", "text",
+          windowChars = 20, sampleMod = 1, rollingHash = rolling)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getAs[Long]("n_windows"), x.getAs[Long]("n_dup_windows"))))
+        .toMap
+    assert(counts(rolling = true) === counts(rolling = false))
+  }
+
   test("substringDupWindows: short docs, whole-text window, empty-safe") {
     val docs = Seq((1L, "tiny"), (2L, "tiny"), (3L, "other"), (4L, ""))
       .toDF("doc_id", "text")
