@@ -109,7 +109,7 @@ object WarehouseQueries {
          |  WHERE o_orderdate >= TIMESTAMP '$CdcCutoff'),
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY o_custkey
-         |    ORDER BY src DESC, o_orderdate DESC, o_orderkey DESC) AS rn
+         |    ORDER BY o_orderdate DESC, o_orderkey DESC, src DESC) AS rn
          |  FROM (SELECT * FROM b UNION ALL SELECT * FROM c))
          |SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
          |  o_orderdate

@@ -113,8 +113,11 @@ object Warehouse {
                seqCols: Seq[String], isDelete: Column): DataFrame = {
     val b = base.withColumn("__del", lit(false)).withColumn("__src", lit(0))
     val c = changes.withColumn("__del", isDelete).withColumn("__src", lit(1))
+    // latest-wins is sequence-first: a replayed change CAPTURED BEFORE
+    // the snapshot (lower seq) must not override the newer base row; the
+    // stream outranks the base only at equal seq (__src breaks the tie)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col("__src") +: seqCols.map(col)).map(_.desc): _*)
+      .orderBy((seqCols.map(col) :+ col("__src")).map(_.desc): _*)
     b.unionByName(c)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1 && !col("__del"))

@@ -276,4 +276,44 @@ object Streaming {
         b.unpersist()
         ()
       }
+
+  /** Maintain an upsert table from a change stream: each micro-batch is
+    * merged into the parquet table at `tablePath` with
+    * [[graft.ops.Warehouse.applyCdc]] (sequence-first latest-wins,
+    * delete tombstones honored), written to a temp directory and
+    * swapped in by rename — the table is never half-overwritten, and a
+    * crashed batch replays idempotently (applyCdc of the same changes
+    * is a fixpoint). This is the streaming completion of q103's batch
+    * CDC: the same merge code runs in both.
+    *
+    * At warehouse scale the swap target would be a transactional table
+    * format; the merge SHAPE (per-key window over base ∪ changes) is
+    * what carries — one shuffle keyed by the upsert key per batch. */
+  def cdcSink(changes: DataFrame, tablePath: String, checkpoint: String,
+              keyCols: Seq[String], seqCols: Seq[String],
+              isDelete: org.apache.spark.sql.Column) =
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val hPath = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = hPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val base =
+            if (fs.exists(hPath)) spark.read.parquet(tablePath)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema)
+          val merged = graft.ops.Warehouse.applyCdc(
+            base, batch, keyCols, seqCols, isDelete)
+          val tmp = new org.apache.hadoop.fs.Path(
+            hPath.getParent, s".${hPath.getName}.cdc.tmp")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(hPath, true)
+          fs.rename(tmp, hPath)
+        }
+        ()
+      }
 }

@@ -292,6 +292,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class Cdc(k: Long, seq: Long, v: String)
+
+  test("cdcSink maintains an upsert table across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val in = MemoryStream[Cdc]
+    val q = Streaming.cdcSink(in.toDF(), s"$tmp/table", s"$tmp/ckpt",
+      Seq("k"), Seq("seq"), col("v") === "DEL").start()
+    try {
+      in.addData(Cdc(1, 1, "a"), Cdc(2, 1, "b"))
+      q.processAllAvailable()
+      // batch 2: update k=1, delete k=2, insert k=3, and a STALE replay
+      // of k=3 that must lose to the same-batch newer row
+      in.addData(Cdc(1, 2, "a2"), Cdc(2, 2, "DEL"), Cdc(3, 2, "c"),
+        Cdc(3, 1, "stale"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/table")
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+        .toMap
+      assert(out === Map(1L -> "a2", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     // batch-drain mode: process everything that exists, checkpoint,
     // terminate — the scheduled-ingest shape (cron-like catch-up runs)

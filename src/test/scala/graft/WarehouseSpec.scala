@@ -65,6 +65,17 @@ class WarehouseSpec extends SparkSpec {
     assert(out == Seq(Seq("from-stream")))
   }
 
+  test("applyCdc: a STALE replayed change (lower seq) cannot override") {
+    // base k=1 is at seq=1; a replay captured before the snapshot
+    // carries seq=0 — latest-wins is sequence-first, so the base row
+    // survives (absolute stream precedence would corrupt the table on
+    // any at-least-once replay of an old changelog segment)
+    val stale = Seq((1L, 0L, "stale-replay", 0.0)).toDF("k", "seq", "v", "x")
+    val out = rows(Warehouse.applyCdc(base, stale, Seq("k"), Seq("seq"),
+      lit(false)).filter($"k" === 1L).select("v"))
+    assert(out == Seq(Seq("keep-me")))
+  }
+
   test("weightedSample keeps everything at weight>=1 and nothing at weight 0") {
     val docs = (1L to 50L).toDF("id")
     assert(Curation.weightedSample(docs, col("id"), lit(1.0)).count() == 50)
