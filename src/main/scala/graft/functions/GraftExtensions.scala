@@ -60,6 +60,33 @@ object GraftExtensions {
       deepExpression(f(children.map(column)))
     })
 
+  /** graft_rolling_fingerprints(text, windowChars, sampleMod): the O(n)
+    * content-defined substring fingerprints (window/mod must be integer
+    * literals — they parameterize the generated code). Defined BEFORE
+    * `descriptors`, which captures it at object init. */
+  val RollingFingerprintsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_rolling_fingerprints"),
+    new ExpressionInfo(classOf[RollingFingerprintExpression].getName,
+      "graft_rolling_fingerprints"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+            "functionName" -> "`graft_rolling_fingerprints`",
+            "expectedNum" -> "3",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      def intArg(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          "SEED_EXPRESSION_IS_UNFOLDABLE", Map(
+            "seedExpr" -> other.sql, "exprWithSeed" ->
+              s"graft_rolling_fingerprints($name must be an integer literal)"))
+      }
+      RollingFingerprintExpression(children.head,
+        intArg(children(1), "windowChars"), intArg(children(2), "sampleMod"))
+    })
+
   /** Every graft op exposed to the raw SQL path. */
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     GraftMd5Descriptor,
@@ -86,7 +113,8 @@ object GraftExtensions {
     // md5 bucket in [0,256): the primitive under split labels, stratified
     // sampling and sharding — graft_split_bucket(id) % n is a shard id
     lift("graft_split_bucket", 1)(cs =>
-      graft.ops.Sampling.splitBucket(cs.head)))
+      graft.ops.Sampling.splitBucket(cs.head)),
+    RollingFingerprintsDescriptor)
 
   /** Register on a live session (the extensions conf only applies at
     * session construction). */

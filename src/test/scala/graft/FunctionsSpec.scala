@@ -150,6 +150,24 @@ class FunctionsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("graft_rolling_fingerprints: SQL surface matches the DataFrame op") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    import graft.functions.GraftFunctions.rollingFingerprints
+    val doc = "the quick brown fox jumps over the lazy dog again and again"
+    val viaSql = spark.sql(
+      s"SELECT graft_rolling_fingerprints('$doc', 10, 2) AS f")
+      .head().getSeq[Long](0)
+    val viaDf = spark.range(1)
+      .select(rollingFingerprints(lit(doc), 10, 2).as("f"))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaDf && viaSql.nonEmpty)
+    // non-literal window arg is an analysis error, not a codegen crash
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_rolling_fingerprints('x', 1 + 1, 2)")
+    }
+    assert(e.getCondition == "SEED_EXPRESSION_IS_UNFOLDABLE")
+  }
+
   test("graft_md5 is callable from raw SQL after extensions registration") {
     graft.functions.GraftExtensions.registerOn(spark)
     val r = spark.sql(
