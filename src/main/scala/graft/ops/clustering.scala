@@ -79,25 +79,32 @@ object Clustering {
     * policy of Dedup.keepCanonical applied in embedding space. Returns
     * (idCol, cluster_id, kept).
     *
-    * Scale: the pairwise pass is quadratic only WITHIN a cluster (the
-    * self-join shuffles on cluster_id), which is the SemDeDup design
-    * point — k scales with corpus size to keep clusters bounded; a
-    * production run would also cap per-cluster membership before the
-    * join (cf. Dedup.boundedBucketPairs).
+    * Scale: the pairwise pass is quadratic only WITHIN a cluster, which
+    * is the SemDeDup design point — k scales with corpus size to keep
+    * clusters bounded. The expansion goes through
+    * [[Dedup.boundedBucketPairs]] keyed on cluster_id: clusters up to
+    * `maxCluster` members expand via one sorted collect_list row;
+    * clusters LARGER than that (k chosen too small, or a boilerplate
+    * corpus collapsing into one cluster) switch to a cluster-equi
+    * self-join — identical pair set, bounded row width, no single
+    * aggregation buffer ever holds a mega-cluster's (id, vector) array.
     */
   def semDedup(emb: DataFrame, embCol: String, idCol: String,
-               k: Int, iters: Int, tau: Double): DataFrame = {
+               k: Int, iters: Int, tau: Double,
+               maxCluster: Int = 1024): DataFrame = {
     val asg = kmeansAssign(emb, embCol, idCol, k, iters)
       .join(emb.select(col(idCol).cast("long").as(idCol),
         col(embCol).as("__v")), Seq(idCol))
-    val a = asg.select(col("cluster_id"), col(idCol).as("__ida"),
-      col("__v").as("__va"))
-    val b = asg.select(col("cluster_id"), col(idCol).as("__idb"),
-      col("__v").as("__vb"))
-    val drops = a.join(b, Seq("cluster_id"))
-      .where(col("__idb") < col("__ida") &&
-        Similarity.cosine(col("__va"), col("__vb")) > tau)
-      .select(col("__ida").as(idCol)).distinct()
+    // entry struct leads with the id so the pair expansion's ordering
+    // (and the id_a < id_b orientation) is by id, matching keep-first
+    val entries = asg.select(col("cluster_id").as("__bucket"),
+      struct(col(idCol).as("id"), col("__v").as("v")).as("__e"))
+    val drops = Dedup.boundedBucketPairs(entries, "__bucket", "__e",
+        maxCluster, (x, y) => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          Similarity.cosine(x.getField("v"), y.getField("v")).as("cos")))
+      .where(col("p.cos") > tau)
+      .select(col("p.id_b").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
     asg.join(drops, Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"),

@@ -59,6 +59,23 @@ class ClusteringSpec extends SparkSpec {
     assert(r(20L))
   }
 
+  test("semDedup mega-cluster: capped expansion = uncapped kept set") {
+    // k=1 collapses the whole corpus into one cluster — the degenerate
+    // boilerplate shape. A maxCluster far below the membership must
+    // route the pairwise pass through the join fallback and still
+    // produce exactly the uncapped kept/dropped assignment.
+    val many = (0 until 40).map { i =>
+      val ang = (i % 4) * (math.Pi / 2) + (i / 4) * 0.001
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(cap: Int) = Clustering.semDedup(many, "embedding", "vec_id",
+        k = 1, iters = 1, tau = 0.99, maxCluster = cap)
+      .collect().map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    val uncapped = run(100000)
+    assert(uncapped.values.count(identity) < 40)   // something was dropped
+    assert(run(4) === uncapped)
+  }
+
   test("chunkDedup removes repeated chunks corpus-wide, keeps first") {
     val docs = Seq(
       (1L, "a b c d"),   // chunks (k=2): "a b", "c d"
