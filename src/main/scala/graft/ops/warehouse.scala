@@ -17,6 +17,39 @@ import org.apache.spark.sql.expressions.Window
   */
 object Warehouse {
 
+  private type HPath = org.apache.hadoop.fs.Path
+  private type HFs = org.apache.hadoop.fs.FileSystem
+
+  /** Swap `tmp` into `target` without a delete-first window: the old
+    * table is renamed aside to `backup`, the new one renamed in, then
+    * the backup dropped. A reader can race only the two metadata-op
+    * renames (not a recursive delete of the whole table, the previous
+    * design's window), and every crash point leaves a COMPLETE table
+    * recoverable by [[restoreFromBackup]]: before the first rename
+    * nothing moved; between the renames the backup holds the old table;
+    * after the second the target holds the new one. A missing `tmp`
+    * means "the new state is empty" — the target is removed. */
+  private[graft] def atomicSwap(fs: HFs, target: HPath, tmp: HPath,
+                                backup: HPath): Unit = {
+    fs.delete(backup, true) // stale backup from a crashed PREVIOUS swap
+    if (fs.exists(target)) fs.rename(target, backup)
+    if (fs.exists(tmp)) fs.rename(tmp, target)
+    fs.delete(backup, true)
+  }
+
+  /** Crash recovery for [[atomicSwap]]: if `target` is missing but a
+    * backup exists, the writer died between the two renames — the
+    * backup is the last complete table, so restore it (the interrupted
+    * write's tmp may be partial and is never trusted). If `target`
+    * exists, any leftover backup is from after the swap completed and
+    * is dropped. Returns true when a restore happened. */
+  private[graft] def restoreFromBackup(fs: HFs, target: HPath,
+                                       backup: HPath): Boolean =
+    if (fs.exists(backup)) {
+      if (!fs.exists(target)) { fs.rename(backup, target); true }
+      else { fs.delete(backup, true); false }
+    } else false
+
   /** Compact a parquet table's small files: rewrite to
     * ceil(totalBytes / targetFileBytes) files (at least 1). The
     * small-files problem is the canonical warehouse-maintenance chore —
@@ -24,14 +57,19 @@ object Warehouse {
     * whose open/footer overhead then dominates every scan. Uses
     * coalesce (no shuffle) since compaction only merges; pass
     * `shuffle = true` to rebalance skewed file sizes at the cost of one
-    * exchange. Reads and rewrites via a temp directory so the table is
-    * never half-overwritten on failure; the swap is a directory rename.
-    */
+    * exchange. Rewrites via a temp directory swapped in by
+    * [[atomicSwap]], so a reader never observes a half-written OR
+    * absent table beyond the two-rename window, and a crashed run is
+    * healed on the next call (or by any caller running
+    * [[restoreFromBackup]]). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long, shuffle: Boolean = false): Int = {
     require(targetFileBytes > 0)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.compact.old")
+    restoreFromBackup(fs, hPath, backup)
     val totalBytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -40,8 +78,7 @@ object Warehouse {
     val tmp = new org.apache.hadoop.fs.Path(
       hPath.getParent, s".${hPath.getName}.compact.tmp")
     compacted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    atomicSwap(fs, hPath, tmp, backup)
     nFiles
   }
 
@@ -109,6 +146,101 @@ object Warehouse {
     * Changes outrank base rows at equal `seq` (the stream is newer
     * information than the snapshot it was captured against).
     */
+  /** Key-hash bucket column for a bucketed CDC table: which
+    * `__kb=<n>` partition a row's key lives in. Must be computed the
+    * same way on every batch, so `nBuckets` is part of the table's
+    * layout contract and must not change over its lifetime. */
+  private def keyBucket(keyCols: Seq[String], nBuckets: Int): Column =
+    pmod(hash(keyCols.map(col): _*), lit(nBuckets)).cast("int")
+
+  /** Read a table maintained by [[mergeCdcBucketed]] without its
+    * internal `__kb` layout column. */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path).drop("__kb")
+
+  /** Partition-scoped CDC merge: maintain a parquet table laid out as
+    * `path/__kb=<hash(key) mod nBuckets>/` and, per change batch,
+    * rewrite ONLY the buckets containing the batch's keys. This is the
+    * merge a 100 TB base table needs — per-batch I/O is
+    * O(touched buckets), not O(table): with a well-sized `nBuckets` a
+    * batch touching k distinct keys reads and rewrites at most k
+    * buckets (~k/nBuckets of the table), while untouched buckets'
+    * files are never opened, so readers, caches, and incremental
+    * backups see them byte-identical.
+    *
+    * Merge semantics per bucket are exactly [[applyCdc]] (sequence-
+    * first latest-wins, delete tombstones) — the same code runs here
+    * and in the batch q103 path. Each touched bucket is swapped in via
+    * [[atomicSwap]] with its backup parked under `path/.cdc.backup/`,
+    * and every call begins by healing any crashed predecessor
+    * (restore swapped-out buckets, drop the partial tmp), so a crash
+    * at ANY point leaves a table that a checkpoint-replayed batch
+    * re-merges to the correct state (applyCdc of the same changes is a
+    * fixpoint). Dot-prefixed work dirs are invisible to parquet
+    * readers of `path`.
+    *
+    * Returns the touched bucket ids (empty when `changes` is empty).
+    * A bucket whose merge result is empty (every key deleted) has its
+    * partition directory removed. */
+  def mergeCdcBucketed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, changes: DataFrame,
+                       keyCols: Seq[String], seqCols: Seq[String],
+                       isDelete: Column, nBuckets: Int = 64): Seq[Int] = {
+    require(nBuckets > 0 && nBuckets <= 65536,
+      s"nBuckets in [1,65536], got $nBuckets")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(hPath, ".cdc.tmp")
+    val backupRoot = new org.apache.hadoop.fs.Path(hPath, ".cdc.backup")
+    // heal a crashed predecessor: restore any bucket that was renamed
+    // aside but never replaced, then drop backups/tmp wholesale
+    if (fs.exists(backupRoot)) {
+      fs.listStatus(backupRoot).foreach { st =>
+        restoreFromBackup(fs,
+          new org.apache.hadoop.fs.Path(hPath, st.getPath.getName),
+          st.getPath)
+      }
+      fs.delete(backupRoot, true)
+    }
+    fs.delete(tmpRoot, true)
+
+    val bucket = keyBucket(keyCols, nBuckets)
+    val ch = changes.persist()
+    try {
+      val touched = ch.select(bucket.as("__kb")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched.isEmpty) return Nil
+      val existing = touched
+        .map(b => new org.apache.hadoop.fs.Path(hPath, s"__kb=$b"))
+        .filter(fs.exists)
+      // leaf dirs read as independent roots with the change schema, so
+      // no partition discovery runs and __kb never enters the merge
+      val base =
+        if (existing.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            changes.schema)
+        else spark.read.schema(changes.schema)
+          .parquet(existing.map(_.toString): _*)
+      val merged = applyCdc(base, ch, keyCols, seqCols, isDelete)
+      merged.withColumn("__kb", bucket)
+        .repartition(col("__kb")) // one writer wave per bucket, not per task
+        .write.mode(SaveMode.Overwrite).partitionBy("__kb")
+        .parquet(tmpRoot.toString)
+      fs.mkdirs(backupRoot)
+      touched.foreach { b =>
+        atomicSwap(fs,
+          new org.apache.hadoop.fs.Path(hPath, s"__kb=$b"),
+          new org.apache.hadoop.fs.Path(tmpRoot, s"__kb=$b"),
+          new org.apache.hadoop.fs.Path(backupRoot, s"__kb=$b"))
+      }
+      fs.delete(backupRoot, true)
+      fs.delete(tmpRoot, true)
+      touched
+    } finally ch.unpersist()
+  }
+
   def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
                seqCols: Seq[String], isDelete: Column): DataFrame = {
     val b = base.withColumn("__del", lit(false)).withColumn("__src", lit(0))

@@ -278,41 +278,34 @@ object Streaming {
       }
 
   /** Maintain an upsert table from a change stream: each micro-batch is
-    * merged into the parquet table at `tablePath` with
-    * [[graft.ops.Warehouse.applyCdc]] (sequence-first latest-wins,
-    * delete tombstones honored), written to a temp directory and
-    * swapped in by rename — the table is never half-overwritten, and a
-    * crashed batch replays idempotently (applyCdc of the same changes
-    * is a fixpoint). This is the streaming completion of q103's batch
-    * CDC: the same merge code runs in both.
+    * merged into the key-hash-bucketed parquet table at `tablePath`
+    * with [[graft.ops.Warehouse.mergeCdcBucketed]] — sequence-first
+    * latest-wins with delete tombstones (the applyCdc semantics of the
+    * batch q103 path; the same merge code runs in both), but
+    * PARTITION-SCOPED: only the `__kb` buckets containing the batch's
+    * keys are read and rewritten, so per-batch I/O is O(touched
+    * buckets), never O(table) — a 100 TB base table absorbs a small
+    * batch by rewriting a few buckets while every other partition's
+    * files stay byte-identical. Each bucket swap is
+    * rename-aside/rename-in (no delete-first window), and merge start
+    * heals any crashed predecessor before touching data, so a crashed
+    * batch replays idempotently off the checkpoint (applyCdc of the
+    * same changes is a fixpoint).
     *
-    * At warehouse scale the swap target would be a transactional table
-    * format; the merge SHAPE (per-key window over base ∪ changes) is
-    * what carries — one shuffle keyed by the upsert key per batch. */
+    * Consumers read the table with plain `spark.read.parquet` (the
+    * `__kb` layout column rides along as a partition column) or
+    * [[graft.ops.Warehouse.readBucketed]] to drop it. `nBuckets` is
+    * part of the table layout and must not change across restarts. */
   def cdcSink(changes: DataFrame, tablePath: String, checkpoint: String,
               keyCols: Seq[String], seqCols: Seq[String],
-              isDelete: org.apache.spark.sql.Column) =
+              isDelete: org.apache.spark.sql.Column, nBuckets: Int = 64) =
     changes.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val hPath = new org.apache.hadoop.fs.Path(tablePath)
-          val fs = hPath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          val base =
-            if (fs.exists(hPath)) spark.read.parquet(tablePath)
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              batch.schema)
-          val merged = graft.ops.Warehouse.applyCdc(
-            base, batch, keyCols, seqCols, isDelete)
-          val tmp = new org.apache.hadoop.fs.Path(
-            hPath.getParent, s".${hPath.getName}.cdc.tmp")
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(hPath, true)
-          fs.rename(tmp, hPath)
+          graft.ops.Warehouse.mergeCdcBucketed(batch.sparkSession,
+            tablePath, batch, keyCols, seqCols, isDelete, nBuckets)
         }
         ()
       }

@@ -298,19 +298,41 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cdc").toString
     val in = MemoryStream[Cdc]
     val q = Streaming.cdcSink(in.toDF(), s"$tmp/table", s"$tmp/ckpt",
-      Seq("k"), Seq("seq"), col("v") === "DEL").start()
+      Seq("k"), Seq("seq"), col("v") === "DEL", nBuckets = 16).start()
     try {
-      in.addData(Cdc(1, 1, "a"), Cdc(2, 1, "b"))
+      // batch 1: spread keys over several buckets so batch 2 provably
+      // leaves some of them alone
+      in.addData((1L to 12L).map(k => Cdc(k, 1, s"v$k")): _*)
       q.processAllAvailable()
-      // batch 2: update k=1, delete k=2, insert k=3, and a STALE replay
-      // of k=3 that must lose to the same-batch newer row
-      in.addData(Cdc(1, 2, "a2"), Cdc(2, 2, "DEL"), Cdc(3, 2, "c"),
-        Cdc(3, 1, "stale"))
+      def fileStates = new java.io.File(s"$tmp/table").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__kb="))
+        .flatMap(d => d.listFiles().map(f =>
+          (f.getPath, f.length(), f.lastModified()))).toSet
+      val before = fileStates
+      // batch 2: update k=1, delete k=2, insert k=30, and a STALE
+      // replay of k=30 that must lose to the same-batch newer row
+      in.addData(Cdc(1, 2, "a2"), Cdc(2, 2, "DEL"), Cdc(30, 2, "c"),
+        Cdc(30, 1, "stale"))
       q.processAllAvailable()
       val out = spark.read.parquet(s"$tmp/table")
         .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
         .toMap
-      assert(out === Map(1L -> "a2", 3L -> "c"))
+      val expected = (3L to 12L).map(k => k -> s"v$k").toMap ++
+        Map(1L -> "a2", 30L -> "c")
+      assert(out === expected)
+      // partition-scoped merge: every file in a bucket NOT containing
+      // k∈{1,2,30} is byte-identical (same path, length, mtime) —
+      // batch 2 never opened or rewrote it
+      val touched = Seq(1L, 2L, 30L).toDF("k")
+        .select(pmod(hash(col("k")), lit(16)).cast("int"))
+        .collect().map(_.getInt(0)).toSet
+      val untouchedBefore = before.filterNot { case (p, _, _) =>
+        touched.exists(b => p.contains(s"__kb=$b/")) }
+      assert(untouchedBefore.nonEmpty, "fixture never exercised the claim")
+      assert(untouchedBefore.subsetOf(fileStates))
+      // readBucketed hides the layout column
+      assert(!graft.ops.Warehouse.readBucketed(spark, s"$tmp/table")
+        .columns.contains("__kb"))
     } finally q.stop()
   }
 

@@ -92,6 +92,60 @@ class WarehouseSpec extends SparkSpec {
     assert(a == b && a.nonEmpty && a.size < 200)
   }
 
+  test("mergeCdcBucketed equals whole-table applyCdc, rewrites only touched buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mcb").toString
+    val path = s"$tmp/t"
+    val seed = (1L to 20L).map(k => (k, 1L, s"v$k")).toDF("k", "seq", "v")
+    Warehouse.mergeCdcBucketed(spark, path, seed,
+      Seq("k"), Seq("seq"), col("v") === "DEL", nBuckets = 8)
+    def files = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__kb="))
+      .flatMap(d => d.listFiles().map(f =>
+        (f.getPath, f.length(), f.lastModified()))).toSet
+    val before = files
+    val delta = Seq((1L, 2L, "x"), (2L, 2L, "DEL"), (40L, 2L, "new"))
+      .toDF("k", "seq", "v")
+    val touched = Warehouse.mergeCdcBucketed(spark, path, delta,
+      Seq("k"), Seq("seq"), col("v") === "DEL", nBuckets = 8)
+    // result == one-shot applyCdc over the full base
+    val got = rows(Warehouse.readBucketed(spark, path).orderBy("k"))
+    val want = rows(Warehouse.applyCdc(seed, delta, Seq("k"), Seq("seq"),
+      col("v") === "DEL").orderBy("k"))
+    assert(got == want)
+    // buckets outside the touched set were never rewritten
+    val untouched = before.filterNot { case (p, _, _) =>
+      touched.exists(b => p.contains(s"__kb=$b/")) }
+    assert(untouched.nonEmpty && untouched.subsetOf(files))
+    // no work dirs left behind
+    assert(!new java.io.File(s"$path/.cdc.tmp").exists())
+    assert(!new java.io.File(s"$path/.cdc.backup").exists())
+  }
+
+  test("mergeCdcBucketed heals a crash between the swap renames") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mcb2").toString
+    val path = s"$tmp/t"
+    val seed = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "seq", "v")
+    Warehouse.mergeCdcBucketed(spark, path, seed,
+      Seq("k"), Seq("seq"), col("v") === "DEL", nBuckets = 4)
+    // simulate a writer dying between rename-aside and rename-in:
+    // one bucket sits in .cdc.backup with its target missing
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__kb="))
+    assert(dirs.nonEmpty)
+    val victim = dirs.head
+    val backupRoot = new java.io.File(s"$path/.cdc.backup")
+    backupRoot.mkdirs()
+    assert(victim.renameTo(new java.io.File(backupRoot, victim.getName)))
+    // the checkpoint-replayed batch merges against the HEALED table
+    val replay = Seq((1L, 2L, "a2")).toDF("k", "seq", "v")
+    Warehouse.mergeCdcBucketed(spark, path, replay,
+      Seq("k"), Seq("seq"), col("v") === "DEL", nBuckets = 4)
+    val out = Warehouse.readBucketed(spark, path)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(out === Map(1L -> "a2", 2L -> "b"))
+    assert(!backupRoot.exists())
+  }
+
   test("compact merges small files to the target count, rows intact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val path = s"$tmp/t"
