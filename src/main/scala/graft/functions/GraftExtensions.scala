@@ -78,10 +78,11 @@ object GraftExtensions {
             "docroot" -> "https://spark.apache.org/docs/latest"))
       def intArg(e: Expression, name: String): Int = e match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new org.apache.spark.sql.AnalysisException(
-          "SEED_EXPRESSION_IS_UNFOLDABLE", Map(
-            "seedExpr" -> other.sql, "exprWithSeed" ->
-              s"graft_rolling_fingerprints($name must be an integer literal)"))
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT", Map(
+            "funcName" -> "`graft_rolling_fingerprints`",
+            "paramName" -> s"`$name`",
+            "paramType" -> "\"INT\""))
       }
       RollingFingerprintExpression(children.head,
         intArg(children(1), "windowChars"), intArg(children(2), "sampleMod"))

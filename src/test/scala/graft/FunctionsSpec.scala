@@ -165,7 +165,9 @@ class FunctionsSpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_rolling_fingerprints('x', 1 + 1, 2)")
     }
-    assert(e.getCondition == "SEED_EXPRESSION_IS_UNFOLDABLE")
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT")
+    assert(e.getMessage.contains("graft_rolling_fingerprints") &&
+      e.getMessage.contains("windowChars"))
   }
 
   test("graft_md5 is callable from raw SQL after extensions registration") {
