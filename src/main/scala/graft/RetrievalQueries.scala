@@ -133,6 +133,20 @@ object RetrievalQueries {
         .orderBy("doc_id")
     }),
 
+    // The rolling-hash FAST MODE of q136 — the mode a 100 TB corpus
+    // actually runs (one multiply-add per character instead of one md5
+    // per position). The oracle replays the Rabin-Karp + splitmix64
+    // integer arithmetic in DuckDB (64-bit wraparound simulated in
+    // HUGEINT), so the codegen'd expression is cell-checked end-to-end,
+    // not just spec-checked against the md5 mode.
+    "q151_substring_dups_rolling" -> ((s, dir) => {
+      Dedup.substringDupWindows(rd(s, dir, "documents"), "doc_id", "text",
+          windowChars = 40, sampleMod = 20, rollingHash = true)
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Final EWMA of event values per user (closed-form weights — one
     // ranked window + one keyed sum, no sequential state).
     "q137_ewma" -> ((s, dir) => {
@@ -421,6 +435,50 @@ object RetrievalQueries {
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // DuckDB replay of RollingFingerprintExpression: the Rabin-Karp
+    // window hash (base 1000003 mod 2^64) and splitmix64 finalizer in
+    // HUGEINT, with 64-bit wraparound via explicit `% 2^64` and each
+    // 64x64 multiply split at 32 bits so no intermediate exceeds the
+    // signed-128 range. DuckDB parses `a % b * c` left-to-right like
+    // Spark, but every step is fully parenthesized anyway.
+    "q151_substring_dups_rolling" ->
+      """WITH wins AS (
+        |  SELECT doc_id, unnest(
+        |    list_filter(list_transform(list_transform(list_transform(
+        |      list_transform(
+        |        list_transform(generate_series(1, greatest(len(text) - 39, 1), 1),
+        |          p -> list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |                 list_transform(generate_series(p, least(p + 39, len(text)), 1),
+        |                   i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))),
+        |                 (acc, c) -> ((acc * 1000003) + c) % 18446744073709551616)),
+        |        h0 -> (h0 + 11400714819323198485) % 18446744073709551616),
+        |      h1 -> (((((xor(CAST(h1 AS HUGEINT), CAST(h1 // 1073741824 AS HUGEINT))) % 4294967296) * 484763065)
+        |        + ((((((xor(CAST(h1 AS HUGEINT), CAST(h1 // 1073741824 AS HUGEINT))) % 4294967296) * 3210233709)
+        |          + (((xor(CAST(h1 AS HUGEINT), CAST(h1 // 1073741824 AS HUGEINT))) // 4294967296) * 484763065))
+        |          % 4294967296) * 4294967296)) % 18446744073709551616)),
+        |      h2 -> (((((xor(CAST(h2 AS HUGEINT), CAST(h2 // 134217728 AS HUGEINT))) % 4294967296) * 321982955)
+        |        + ((((((xor(CAST(h2 AS HUGEINT), CAST(h2 // 134217728 AS HUGEINT))) % 4294967296) * 2496678331)
+        |          + (((xor(CAST(h2 AS HUGEINT), CAST(h2 // 134217728 AS HUGEINT))) // 4294967296) * 321982955))
+        |          % 4294967296) * 4294967296)) % 18446744073709551616)),
+        |      h3 -> xor(CAST(h3 AS HUGEINT), CAST(h3 // 2147483648 AS HUGEINT))),
+        |      m -> (m % 20) = 0)) AS h
+        |  FROM documents),
+        |duph AS (
+        |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |                 FROM wins GROUP BY h) WHERE nd >= 2),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN h IN (SELECT h FROM duph) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dup_windows
+        |  FROM wins GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows,
+        |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+        |  round(CASE WHEN coalesce(n_windows, 0) > 0
+        |    THEN CAST(n_dup_windows AS DOUBLE) / CAST(n_windows AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q137_ewma" ->
       """WITH r AS (
         |  SELECT user_id, value,
@@ -469,11 +527,17 @@ object RetrievalQueries {
         |  CAST(floor(p_pow / z * 10000.0) AS BIGINT) AS n_target
         |FROM p, z ORDER BY source""".stripMargin,
 
+    // props_schema stays a literal: DuckDB has no schema_of_variant, and
+    // the events fixture's props column is uniformly {"k": int} (the
+    // rows_match/hash gate would flag a fixture drift through the other
+    // columns). n_missing IS derived: count of rows whose '$.missing'
+    // path extracts to NULL, the same predicate the Spark side evaluates.
     "q147_variant" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  'OBJECT<k: BIGINT>' AS props_schema,
-        |  CAST(count(*) AS BIGINT) AS n_missing
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing')
+        |    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
