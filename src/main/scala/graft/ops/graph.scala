@@ -18,32 +18,42 @@ object Graph {
     * scores, not a normalized distribution) — this keeps the recurrence
     * a pure join+agg, reproducible in any SQL engine.
     *
-    * Scale: each iteration is one equi-join of the edge list with the
-    * (much smaller) rank table plus a sum per dst — the edge list never
-    * materializes per-iteration state beyond the N-row rank table, and
-    * AQE broadcasts the rank side when N is small. Iterations are fixed
-    * (no convergence action), so the whole computation is one lazy plan;
-    * callers should cache `edges` if it is derived from an expensive
-    * upstream (the plan references it 2·iterations + 2 times).
+    * Scale: each iteration is one equi-join of the cached edge+outdeg
+    * table with the (much smaller) rank table plus a sum per dst, and
+    * the rank table is localCheckpoint'ed (eagerly materialized,
+    * lineage truncated) between iterations — iteration t's job reads
+    * the materialized ranks of t−1 instead of replaying the whole
+    * unrolled recurrence from the source scan, which is what made the
+    * cold path pay iterations× the edge-scan cost. Pinning the edge
+    * table is the standard iterative-graph trade (GraphX does the
+    * same); DataFrame cache spills to disk, so it holds at edge lists
+    * past memory. localCheckpoint blocks live in executor storage: on
+    * a cluster where executor loss mid-computation must be survivable,
+    * swap for a reliable `checkpoint` directory — the recurrence and
+    * per-iteration plan shape are unchanged.
     */
   def pageRank(edges0: DataFrame, iterations: Int,
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
-      s"iterations must be in [1,10] (fixed-depth lazy plan), got $iterations")
+      s"iterations must be in [1,10], got $iterations")
     val edges = edges0.select("src", "dst").distinct()
-    // nodes and deg are referenced by every iteration of the unrolled
-    // plan (nodes ~2x per iteration via the left join and the N scalar);
-    // both are node-cardinality tables — orders of magnitude smaller than
-    // the edge list — so pin them rather than re-shuffling edges each time
+    // nodes is referenced by every iteration (left join + N scalar);
+    // node-cardinality, so pin it rather than re-shuffling edges
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct().cache()
     val nn = nodes.agg(count(lit(1)).cast("double").as("__n"))
-    val deg = edges.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("__outdeg")).cache()
+    // one edge-grain table carrying the out-degree, computed and
+    // cached once — each iteration joins ranks against it instead of
+    // re-deriving edges ⋈ deg per round (rank/outdeg stays a division
+    // so the arithmetic is bit-identical to the SQL-replay oracle)
+    val contribEdges = edges
+      .join(edges.groupBy("src")
+        .agg(count(lit(1)).cast("double").as("__outdeg")), "src")
+      .cache()
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
     for (_ <- 1 to iterations) {
-      val contrib = edges.join(deg, "src")
+      val contrib = contribEdges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("__outdeg")).as("__c"))
@@ -52,6 +62,7 @@ object Graph {
         .select(col("node"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }
