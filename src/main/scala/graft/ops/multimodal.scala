@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * Spark-side plumbing is real — binary columns, typed metadata structs,
   * partition-batched decode via `mapPartitions` over a `Dataset[T]` (the
   * Scala analogue of a vectorized Python `mapInPandas` decode stage), and
-  * codegen'd native expressions for everything metadata-shaped. The DECODE
-  * ITSELF IS A STUB: the container ships no image/audio codecs, so
-  * `stubDecode*` derive deterministic fake values from the payload bytes.
-  * Swapping in a real codec changes only the function body, not the
-  * pipeline shape, schema, or partitioning.
+  * codegen'd native expressions for everything metadata-shaped. IMAGE
+  * decode and resize are REAL (JDK `javax.imageio`: PNG/JPEG/GIF/BMP —
+  * [[decodeImagePartitions]] / [[resizeImagePartitions]]), with the
+  * deterministic `stubDecode*` byte-arithmetic kept both as the fallback
+  * for unrecognized codecs and as the oracle-checkable surface (a SQL
+  * engine can replay arithmetic, not a PNG parser). AUDIO/VIDEO decode
+  * remains a stub — no codec in the JDK; swapping one in changes only
+  * the function body, not the pipeline shape, schema, or partitioning.
   *
   * Scale posture (100 TB of media): payloads never shuffle — metadata is
   * derived in the scan stage and payloads are dropped before any
@@ -83,6 +86,120 @@ object Multimodal {
   /** Decoded record produced by the partition-batched decode stage. */
   case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
                           width: Int, height: Int, checksum: Long)
+
+  /** Image metadata from the REAL decode path ([[decodeImagePartitions]]):
+    * `decoded` says whether a JDK codec recognized the payload; stub
+    * fallbacks carry `format = "unknown"` and the deterministic
+    * byte-arithmetic dims of [[stubDecodeMeta]]. */
+  case class DecodedImage(media_id: Long, n_bytes: Long, decoded: Boolean,
+                          format: String, width: Int, height: Int)
+
+  /** Output of the real resize stage: a re-encoded PNG payload plus its
+    * dimensions ([[resizeImagePartitions]]); rows a codec could not
+    * decode pass through with `decoded = false` and a null payload. */
+  case class ResizedImage(media_id: Long, decoded: Boolean,
+                          out_width: Int, out_height: Int,
+                          png: Array[Byte])
+
+  /** Header-only image probe via the JDK's ImageIO plugin registry
+    * (PNG/JPEG/GIF/BMP/WBMP ship with the JDK — no external codec):
+    * format name and dimensions come from the image HEADER
+    * (`reader.getWidth(0)`), never a full pixel decode — the right
+    * shape for metadata extraction over 100 TB of media, where
+    * decoding pixels to learn a width would be ~1000× the I/O. */
+  def readImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Partition-batched REAL image decode: metadata via [[readImageHeader]]
+    * for any payload a JDK codec recognizes, with the [[stubDecodeMeta]]
+    * byte-arithmetic as the documented fallback for unknown codecs
+    * (`decoded = false`, `format = "unknown"`) so heterogeneous corpora
+    * flow through without a lossy filter. Same batch shape as
+    * [[decodePartitions]]: one iterator per partition, payloads never
+    * shuffle, ImageIO's disk cache disabled (decode stays in-memory). */
+  def decodeImagePartitions(df: DataFrame, idCol: String,
+                            payloadCol: String): Dataset[DecodedImage] = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        readImageHeader(bytes) match {
+          case Some((fmt, w, h)) =>
+            DecodedImage(r.getLong(idIdx), n, decoded = true, fmt, w, h)
+          case None =>
+            DecodedImage(r.getLong(idIdx), n, decoded = false, "unknown",
+              width = ((n * 7) % 512 + 128).toInt,  // stubDecodeMeta arithmetic
+              height = ((n * 13) % 384 + 96).toInt)
+        }
+      }
+    }(Encoders.product[DecodedImage])
+  }
+
+  /** Partition-batched REAL resize: full decode (this one reads pixels —
+    * it must), aspect-preserving downscale into maxW × maxH using the
+    * SAME floored-millis integer arithmetic as [[resizedDims]] (the two
+    * paths agree on output dims by construction), smooth-scaled draw,
+    * PNG re-encode. Never upscales. Undecodable payloads pass through
+    * with `decoded = false` and a null png. */
+  def resizeImagePartitions(df: DataFrame, idCol: String,
+                            payloadCol: String, maxW: Int,
+                            maxH: Int): Dataset[ResizedImage] = {
+    require(maxW > 0 && maxH > 0, s"bad target $maxW x $maxH")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          try {
+            if (bytes == null || bytes.isEmpty) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) ResizedImage(id, decoded = false, 0, 0, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          // resizedDims' exact arithmetic: floored 1/1000ths, no upscale
+          val scaleMil = math.min(1000L,
+            math.min(maxW * 1000L / w, maxH * 1000L / h))
+          val ow = math.max(1, (w * scaleMil / 1000L).toInt)
+          val oh = math.max(1, (h * scaleMil / 1000L).toInt)
+          val out = new java.awt.image.BufferedImage(ow, oh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedImage(id, decoded = true, ow, oh, bos.toByteArray)
+        }
+      }
+    }(Encoders.product[ResizedImage])
+  }
 
   /** Partition-batched decode over (id, kind, payload) rows — the Scala
     * analogue of a `mapInPandas` decode: one iterator per partition, so a

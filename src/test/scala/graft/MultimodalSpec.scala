@@ -65,6 +65,61 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).checksum === crc.getValue)
   }
 
+  // deterministic synthetic images, generated in-test (no binary
+  // fixture in the repo): a wxh gradient encoded by the JDK itself
+  private def syntheticImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 31 + y * 17) % 256) << 8)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("decodeImagePartitions: REAL png/jpeg header decode, stub fallback") {
+    val rows = Seq(
+      (10L, syntheticImage(64, 48, "png")),
+      (11L, syntheticImage(120, 30, "jpg")),
+      (12L, "not an image at all".getBytes("UTF-8")) // unknown codec
+    ).toDF("media_id", "payload")
+    val out = Multimodal.decodeImagePartitions(rows, "media_id", "payload")
+      .collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).format === "png" &&
+      out(0).width === 64 && out(0).height === 48)
+    assert(out(1).decoded && out(1).format.startsWith("jp") &&
+      out(1).width === 120 && out(1).height === 30)
+    // fallback row: stubDecodeMeta arithmetic on n=19 bytes
+    assert(!out(2).decoded && out(2).format === "unknown" &&
+      out(2).width === ((19L * 7) % 512 + 128).toInt &&
+      out(2).height === ((19L * 13) % 384 + 96).toInt)
+  }
+
+  test("resizeImagePartitions: real downscale, dims match resizedDims") {
+    val rows = Seq(
+      (20L, syntheticImage(640, 480, "png")),
+      (21L, syntheticImage(100, 50, "png")),   // under the cap: untouched
+      (22L, Array[Byte](1, 2, 3))              // undecodable
+    ).toDF("media_id", "payload")
+    val out = Multimodal.resizeImagePartitions(rows, "media_id", "payload",
+        maxW = 320, maxH = 240)
+      .collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).out_width === 320 &&
+      out(0).out_height === 240)
+    assert(out(1).decoded && out(1).out_width === 100 &&
+      out(1).out_height === 50) // never upscale
+    assert(!out(2).decoded && out(2).png == null)
+    // the resized payload is a real PNG that decodes to the claimed dims
+    val hdr = Multimodal.readImageHeader(out(0).png)
+    assert(hdr === Some(("png", 320, 240)))
+    // and the integer arithmetic agrees with the column-expression path
+    val dims = Seq((640, 480)).toDF("width", "height")
+      .select(Multimodal.resizedDims(
+        struct(col("width"), col("height")), 320, 240).as("r"))
+      .select("r.out_width", "r.out_height").collect().head
+    assert((dims.getInt(0), dims.getInt(1)) === (320, 240))
+  }
+
   test("stubEmbedding yields a fixed-dim deterministic vector in [0,1)") {
     val e = media.select(Multimodal.stubEmbedding(col("payload"), 8).as("e"))
     val vecs = e.collect().map(_.getSeq[Double](0))
