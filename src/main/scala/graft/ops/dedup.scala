@@ -102,14 +102,46 @@ object Dedup {
     * md5 signatures on both sides). Quadratic blow-up is confined to
     * colliding buckets (the candidates we want); buckets above `maxBucket`
     * (all-identical boilerplate at corpus scale) switch to join-based
-    * expansion so no single row ever holds a whole bucket. */
+    * expansion so no single row ever holds a whole bucket.
+    *
+    * EXACT-DUPLICATE texts are factored out before the band phase: one
+    * md5-keyed aggregation picks a lowest-id representative per distinct
+    * text, bands run over representatives only, and pairs expand back
+    * through the groups afterwards. The candidate-pair SET is provably
+    * unchanged — identical texts have identical signatures, so (a)
+    * within-group pairs always collide in every band and are emitted
+    * directly from the group (via the same bounded expansion), and (b) a
+    * cross-group pair is a candidate iff its representatives collide,
+    * so rep pairs expand to member pairs by two equi-joins. What changes
+    * is the work: a corpus-scale boilerplate cluster used to push its
+    * quadratic pair set through EVERY band and the global distinct
+    * (bands × C(n,2) shuffled rows); now it is one group whose single
+    * representative emits no band pairs at all, its pair set generated
+    * once, and the distinct shrinks to representative pairs. Web-crawl
+    * corpora are 30-50% exact dups — this is the batch form of
+    * exact-before-near dedup ordering, fused into the operator. */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 8, bands: Int = 4,
                             shingleSize: Int = 3,
                             maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
+    // ---- exact-group factoring: (id, text-hash) plus one representative
+    // row per distinct text (identical texts make first() deterministic);
+    // null texts take a sentinel key (no md5 is 5 chars long) so they
+    // form one ordinary group instead of null-key rows that equi-joins
+    // would silently drop
+    val keyed = Scale.widen(df)
+      .select(col(idCol), col(textCol),
+        coalesce(fastMd5(col(textCol)), lit(":null")).as("__th"))
+    val grp = keyed.groupBy("__th")
+      .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as("__rtxt"))
+    val members = keyed.select(col("__th"), col(idCol))
+      .join(grp.select("__th", "__rep"), Seq("__th"))
+      .select(col("__rep"), col(idCol).as("__m"))
+    val reps = grp.select(col("__rep").as(idCol), col("__rtxt").as(textCol))
+    // ---- band phase over representatives only
+    val sig = withMinhashSignature(reps, textCol, numHashes, shingleSize)
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
@@ -117,9 +149,26 @@ object Dedup {
     val banded = sig
       .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
       .select(col("band").as("__bucket"), col(idCol).as("__e"))
-    boundedBucketPairs(banded, "__bucket", "__e", maxBucket,
+    val repPairs = boundedBucketPairs(banded, "__bucket", "__e", maxBucket,
         (x, y) => struct(x.as("id_a"), y.as("id_b")))
       .select(col("p.id_a"), col("p.id_b")).distinct()
+    // ---- expansion: groups are disjoint and rep pairs distinct, so the
+    // union below is duplicate-free WITHOUT a member-level distinct —
+    // within-group pairs live inside one group, cross-group pairs span
+    // two different groups, and each is generated exactly once
+    val within = boundedBucketPairs(
+        keyed.select(col("__th").as("__bucket"), col(idCol).as("__e")),
+        "__bucket", "__e", maxBucket,
+        (x, y) => struct(x.as("id_a"), y.as("id_b")))
+      .select(col("p.id_a"), col("p.id_b"))
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__m").as("__ma")),
+        Seq("id_a"))
+      .join(members.select(col("__rep").as("id_b"), col("__m").as("__mb")),
+        Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"))
+    within.unionByName(cross)
   }
 
   /** End-to-end near-dedup: drop every document that is the LARGER id of
