@@ -29,18 +29,65 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(Text.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val (terms, globals) = bm25Stats(docs, idCol, textCol)
+    bm25Against(docs, idCol, textCol, terms, globals, k1, b)
+  }
+
+  /** Corpus-level BM25 statistics, factored out of [[bm25]] so they can
+    * be maintained INCREMENTALLY (both measures are additive over
+    * disjoint document sets, so [[Warehouse.mergeAggDelta]] folds a new
+    * batch in without rescanning the corpus — the streaming path,
+    * [[graft.streaming.Streaming.termStatsSink]]).
+    *
+    * Returns (terms, globals): `terms` = one row per distinct term with
+    * its document frequency `df`; `globals` = one row keyed `k = 1`
+    * with `n_docs` and `total_dl` (sum of document token lengths —
+    * kept as a LONG sum, not a running average, precisely because sums
+    * merge and averages don't; avgdl is derived at scoring time).
+    *
+    * Scale: one (doc, term)-keyed shuffle then a term-keyed one, both
+    * map-side combined; globals is a single-row agg. */
+  def bm25Stats(docs: DataFrame, idCol: String,
+                textCol: String): (DataFrame, DataFrame) = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val terms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val globals = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      .select(lit(1).as("k"), col("n_docs"), col("total_dl"))
+    (terms, globals)
+  }
+
+  /** Okapi BM25 of `docs` scored against EXTERNAL corpus statistics —
+    * the shape of [[bm25Stats]]'s return. The docs being scored need
+    * not be the corpus the statistics describe: score a query batch
+    * against a standing index, or a full corpus against statistics a
+    * stream maintained. `bm25(docs) == bm25Against(docs, bm25Stats(docs))`
+    * exactly (dl sums are integers, so avgdl = total_dl/n_docs is the
+    * same double the one-pass avg produces). Terms of `docs` absent
+    * from `terms` are dropped (df unknown — in the self-scoring case
+    * the set difference is empty).
+    *
+    * Scale: tf/dl are per-scored-doc (one keyed shuffle); the terms
+    * table joins by term without touching the corpus again; globals is
+    * one broadcast row. */
+  def bm25Against(docs: DataFrame, idCol: String, textCol: String,
+                  terms: DataFrame, globals: DataFrame,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"))
+    val stats = globals.select(
+      col("n_docs").cast("double").as("n_docs"),
+      (col("total_dl").cast("double") / col("n_docs").cast("double"))
+        .as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
     tf.join(dl, "doc_id")
-      .join(df, "term")
+      .join(terms, "term")
       .crossJoin(broadcast(stats))
       .withColumn("bm25", idf *
         ((col("tf").cast("double") * lit(k1 + 1.0)) /
@@ -104,6 +151,22 @@ object Retrieval {
     require(terms.nonEmpty, "need at least one query term")
     bm25(docs, idCol, textCol, k1, b)
       .where(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("bm25").as("score"))
+  }
+
+  /** [[bm25Search]] against an external stats store (the
+    * [[bm25Stats]] shape — e.g. one a stream maintains via
+    * [[graft.streaming.Streaming.termStatsSink]]): rank `docs` for a
+    * bag-of-terms query using the standing corpus statistics, without
+    * rescanning the corpus that produced them. */
+  def bm25SearchAgainst(docs: DataFrame, idCol: String, textCol: String,
+                        termStats: DataFrame, globals: DataFrame,
+                        queryTerms: Seq[String], k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    bm25Against(docs, idCol, textCol, termStats, globals, k1, b)
+      .where(col("term").isin(queryTerms: _*))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matched"), sum("bm25").as("score"))
   }

@@ -309,4 +309,97 @@ object Streaming {
         }
         ()
       }
+
+  /** Incrementally-maintained BM25 term statistics over a document
+    * stream — the corpus-refresh story for [[graft.ops.Retrieval]]:
+    * as documents land, fold each micro-batch's
+    * [[graft.ops.Retrieval.bm25Stats]] delta into a standing stats
+    * store with [[graft.ops.Warehouse.mergeAggDelta]], so
+    * `bm25Against(anything, readTermStats(statsDir))` always scores
+    * against the corpus seen so far WITHOUT ever rescanning it. Both
+    * measures (per-term document frequency; corpus doc count and
+    * total token length) are additive over disjoint document sets, so
+    * the merged store equals a batch `bm25Stats` over everything
+    * streamed — exactly, not approximately — provided each document
+    * arrives once (an append-only corpus feed; re-upserts of a doc_id
+    * would double-count, which is a property of df itself, not of
+    * this sink).
+    *
+    * Exactly-once across failures: the store directory (`terms/`
+    * parquet, `globals/` parquet, `_batch` high-water mark) is
+    * replaced WHOLESALE per micro-batch via
+    * [[graft.ops.Warehouse.atomicSwap]] — merge reads the old store,
+    * writes the complete next state to a tmp dir, and swaps. A crash
+    * anywhere leaves either the old store (the checkpoint replays the
+    * batch and the merge reruns) or the new one (the replayed batch
+    * id ≤ `_batch` and is skipped) — never a half-merged state, the
+    * failure mode a two-table in-place update would have.
+    *
+    * Scale: per batch this shuffles the BATCH (tf/df aggs) and
+    * rewrites the stats store, which is vocabulary-sized — O(distinct
+    * terms), independent of corpus size; the 100 TB corpus itself is
+    * never re-read. */
+  def termStatsSink(docs: DataFrame, idCol: String, textCol: String,
+                    statsDir: String, checkpoint: String) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeTermStatsBatch(batch, idCol, textCol, statsDir, batchId)
+        ()
+      }
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  private[graft] def mergeTermStatsBatch(batch: DataFrame, idCol: String,
+      textCol: String, statsDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new HPath(statsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new HPath(dir.getParent, s".${dir.getName}.stats.old")
+    val tmp = new HPath(dir.getParent, s".${dir.getName}.stats.tmp")
+    graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
+    fs.delete(tmp, true)
+    val markFile = new HPath(dir, "_batch")
+    val mark: Long =
+      if (fs.exists(markFile)) {
+        val in = fs.open(markFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else -1L
+    if (batchId <= mark) return // checkpoint replay of a merged batch
+    val (dTerms, dGlobals) =
+      graft.ops.Retrieval.bm25Stats(batch, idCol, textCol)
+    val (terms, globals) =
+      if (fs.exists(new HPath(dir, "terms")))
+        (graft.ops.Warehouse.mergeAggDelta(
+            spark.read.parquet(s"$statsDir/terms"), dTerms,
+            Seq("term"), Seq("df")),
+          graft.ops.Warehouse.mergeAggDelta(
+            spark.read.parquet(s"$statsDir/globals"), dGlobals,
+            Seq("k"), Seq("n_docs", "total_dl")))
+      else (dTerms, dGlobals)
+    terms.write.parquet(s"$tmp/terms")
+    globals.coalesce(1).write.parquet(s"$tmp/globals")
+    val out = fs.create(new HPath(tmp, "_batch"), true)
+    try out.write(batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+  }
+
+  /** Read a [[termStatsSink]] store as the (terms, globals) pair
+    * [[graft.ops.Retrieval.bm25Against]] consumes, healing a crashed
+    * swap first (the same recovery the next merge would run). */
+  def readTermStats(spark: SparkSession,
+                    statsDir: String): (DataFrame, DataFrame) = {
+    val dir = new HPath(statsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Warehouse.restoreFromBackup(fs, dir,
+      new HPath(dir.getParent, s".${dir.getName}.stats.old"))
+    (spark.read.parquet(s"$statsDir/terms"),
+      spark.read.parquet(s"$statsDir/globals"))
+  }
 }

@@ -336,6 +336,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("termStatsSink maintains BM25 stats equal to a batch recompute") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.termStatsSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$tmp/stats", s"$tmp/ckpt").start()
+    try {
+      // three disjoint micro-batches covering the whole fixture
+      val all = docs.as[(Long, String)].collect()
+      all.grouped((all.length + 2) / 3).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val (mTerms, mGlobals) = Streaming.readTermStats(spark, s"$tmp/stats")
+      // merged store == batch stats over the union, cell-exactly
+      val (bTerms, bGlobals) = graft.ops.Retrieval.bm25Stats(
+        docs, "doc_id", "text")
+      assert(mTerms.count() === bTerms.count())
+      assert(mTerms.unionAll(bTerms).distinct().count() === bTerms.count())
+      assert(mGlobals.drop("k").collect().toSeq ===
+        bGlobals.drop("k").collect().toSeq)
+      // scoring any docs against the maintained store == batch bm25
+      val viaStore = graft.ops.Retrieval.bm25Against(
+        docs, "doc_id", "text", mTerms, mGlobals)
+      val viaBatch = graft.ops.Retrieval.bm25(docs, "doc_id", "text")
+      assert(viaStore.count() === viaBatch.count())
+      assert(viaStore.unionAll(viaBatch).distinct().count() ===
+        viaBatch.count())
+      // search composes the same way
+      val hits = graft.ops.Retrieval.bm25SearchAgainst(docs, "doc_id",
+        "text", mTerms, mGlobals, Seq("the", "data"))
+      assert(hits.count() > 0)
+      // a checkpoint-replayed (already-merged) batch id is a no-op:
+      // the _batch high-water mark rejects it, so nothing double-counts
+      val statsBefore = mGlobals.collect().toSeq
+      Streaming.mergeTermStatsBatch(
+        docs.limit(5), "doc_id", "text", s"$tmp/stats", batchId = 0L)
+      val (_, gAfter) = Streaming.readTermStats(spark, s"$tmp/stats")
+      assert(gAfter.collect().toSeq === statsBefore)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     // batch-drain mode: process everything that exists, checkpoint,
     // terminate — the scheduled-ingest shape (cron-like catch-up runs)
