@@ -114,18 +114,56 @@ object Retrieval {
     * combined into constant-size tables.
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, buckets: Int = 64): DataFrame = {
+                  isTarget: Column, buckets: Int = 64): DataFrame =
+    dsirWeightsAgainst(docs, idCol, textCol,
+      dsirCounts(docs, idCol, textCol, isTarget, buckets), buckets)
+
+  /** The DSIR feature-LM count table, factored out of [[dsirWeights]]:
+    * one row per md5 feature bucket with `ct` (target-document token
+    * count) and `cr` (all-document token count). Both are additive over
+    * disjoint document sets, so a stream maintains this table with
+    * [[Warehouse.mergeAggDelta]]
+    * ([[graft.streaming.Streaming.dsirStatsSink]]) and the merged
+    * result equals a batch recompute over everything streamed. */
+  def dsirCounts(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 64): DataFrame = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
-    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+    docs.select(isTarget.as("is_target"),
         explode(Text.tokens(col(textCol))).as("tok"))
       .withColumn("bucket", pmod(Sampling.splitBucket(col("tok")), lit(buckets)))
-    // constant-size (buckets rows) feature tables; Laplace +1 smoothing
-    val counts = toks.groupBy("bucket").agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+      .groupBy("bucket").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+  }
+
+  /** DSIR importance weights for `docs` scored against an EXTERNAL
+    * count table (the [[dsirCounts]] shape). The docs being scored
+    * need not be the corpus the counts came from — score fresh
+    * documents against the LM a stream maintained.
+    * `dsirWeights(docs, t) == dsirWeightsAgainst(docs, dsirCounts(docs,
+    * t))` exactly. `buckets` must match the value the counts were
+    * built with (it is the Laplace smoothing denominator). */
+  def dsirWeightsAgainst(docs: DataFrame, idCol: String, textCol: String,
+                         counts: DataFrame, buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", pmod(Sampling.splitBucket(col("tok")), lit(buckets)))
+    // constant-size (exactly `buckets` rows) LM; Laplace +1 smoothing.
+    // Densified over the full bucket spine so a scored token landing in
+    // a bucket the corpus never produced still gets its smoothed
+    // log-ratio instead of silently dropping out of the inner join —
+    // only reachable when scoring docs foreign to the count table (in
+    // the self-scoring [[dsirWeights]] case absent buckets have no
+    // tokens to score, so this changes nothing).
     val totals = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val lm = counts.crossJoin(totals).select(col("bucket"),
+    val dense = docs.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+    val lm = dense.crossJoin(totals).select(col("bucket"),
       (log((col("ct") + lit(1L)).cast("double") /
           (col("tt") + lit(buckets.toLong)).cast("double")) -
         log((col("cr") + lit(1L)).cast("double") /

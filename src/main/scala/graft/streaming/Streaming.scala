@@ -352,9 +352,24 @@ object Streaming {
 
   private type HPath = org.apache.hadoop.fs.Path
 
-  private[graft] def mergeTermStatsBatch(batch: DataFrame, idCol: String,
-      textCol: String, statsDir: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  /** One sub-table of an incrementally-maintained stats store:
+    * `name/` parquet under the store dir, merged per batch with
+    * [[graft.ops.Warehouse.mergeAggDelta]] on `keys` over `measures`. */
+  private[graft] case class StorePart(name: String, keys: Seq[String],
+                                      measures: Seq[String])
+
+  /** Fold one micro-batch's delta tables into a stats store, replacing
+    * the store directory WHOLESALE via
+    * [[graft.ops.Warehouse.atomicSwap]] with a `_batch` high-water
+    * mark — the shared exactly-once machinery of [[termStatsSink]] and
+    * [[dsirStatsSink]]. A crash leaves either the old store (the
+    * checkpoint replays the batch; the merge reruns) or the new one
+    * (the replayed id ≤ `_batch` and is skipped); a half-merged state
+    * is unrepresentable because the whole store swaps in one rename. */
+  private[graft] def mergeStoreBatch(statsDir: String, batchId: Long,
+      deltas: Seq[(StorePart, DataFrame)]): Unit = {
+    require(deltas.nonEmpty)
+    val spark = deltas.head._2.sparkSession
     val dir = new HPath(statsDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val backup = new HPath(dir.getParent, s".${dir.getName}.stats.old")
@@ -370,24 +385,30 @@ object Streaming {
         finally in.close()
       } else -1L
     if (batchId <= mark) return // checkpoint replay of a merged batch
-    val (dTerms, dGlobals) =
-      graft.ops.Retrieval.bm25Stats(batch, idCol, textCol)
-    val (terms, globals) =
-      if (fs.exists(new HPath(dir, "terms")))
-        (graft.ops.Warehouse.mergeAggDelta(
-            spark.read.parquet(s"$statsDir/terms"), dTerms,
-            Seq("term"), Seq("df")),
+    deltas.foreach { case (part, delta) =>
+      val merged =
+        if (fs.exists(new HPath(dir, part.name)))
           graft.ops.Warehouse.mergeAggDelta(
-            spark.read.parquet(s"$statsDir/globals"), dGlobals,
-            Seq("k"), Seq("n_docs", "total_dl")))
-      else (dTerms, dGlobals)
-    terms.write.parquet(s"$tmp/terms")
-    globals.coalesce(1).write.parquet(s"$tmp/globals")
+            spark.read.parquet(s"$statsDir/${part.name}"), delta,
+            part.keys, part.measures)
+        else delta
+      merged.write.parquet(s"$tmp/${part.name}")
+    }
     val out = fs.create(new HPath(tmp, "_batch"), true)
     try out.write(batchId.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+  }
+
+  private[graft] def mergeTermStatsBatch(batch: DataFrame, idCol: String,
+      textCol: String, statsDir: String, batchId: Long): Unit = {
+    val (dTerms, dGlobals) =
+      graft.ops.Retrieval.bm25Stats(batch, idCol, textCol)
+    mergeStoreBatch(statsDir, batchId, Seq(
+      StorePart("terms", Seq("term"), Seq("df")) -> dTerms,
+      StorePart("globals", Seq("k"), Seq("n_docs", "total_dl"))
+        -> dGlobals.coalesce(1)))
   }
 
   /** Read a [[termStatsSink]] store as the (terms, globals) pair
@@ -401,5 +422,46 @@ object Streaming {
       new HPath(dir.getParent, s".${dir.getName}.stats.old"))
     (spark.read.parquet(s"$statsDir/terms"),
       spark.read.parquet(s"$statsDir/globals"))
+  }
+
+  /** Incrementally-maintained DSIR feature-LM counts over a document
+    * stream — [[termStatsSink]]'s machinery applied to
+    * [[graft.ops.Retrieval.dsirCounts]]: per micro-batch, fold the
+    * batch's per-bucket (target, raw) token counts into a standing
+    * `lm/` table, so `dsirWeightsAgainst(anything,
+    * readDsirCounts(statsDir))` scores against the corpus streamed so
+    * far without rescanning it. Same additivity argument (counts over
+    * disjoint document sets sum), same append-only-feed precondition,
+    * and the same wholesale-swap exactly-once guarantee via
+    * [[mergeStoreBatch]]. The store is at most `buckets` rows — the
+    * per-batch rewrite is constant-size regardless of corpus scale.
+    *
+    * `isTarget` must be computable from the batch's own columns (e.g.
+    * a source label), and `buckets` must match the value used when
+    * scoring. */
+  def dsirStatsSink(docs: DataFrame, idCol: String, textCol: String,
+                    isTarget: org.apache.spark.sql.Column, statsDir: String,
+                    checkpoint: String, buckets: Int = 64) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("lm", Seq("bucket"), Seq("ct", "cr")) ->
+              graft.ops.Retrieval.dsirCounts(
+                batch, idCol, textCol, isTarget, buckets)))
+        ()
+      }
+
+  /** Read a [[dsirStatsSink]] store as the count table
+    * [[graft.ops.Retrieval.dsirWeightsAgainst]] consumes, healing a
+    * crashed swap first. */
+  def readDsirCounts(spark: SparkSession, statsDir: String): DataFrame = {
+    val dir = new HPath(statsDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Warehouse.restoreFromBackup(fs, dir,
+      new HPath(dir.getParent, s".${dir.getName}.stats.old"))
+    spark.read.parquet(s"$statsDir/lm")
   }
 }

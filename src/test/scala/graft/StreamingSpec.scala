@@ -379,6 +379,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirStatsSink maintains a feature LM equal to a batch recompute") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val isTarget = pmod(col("doc_id"), lit(7)) === 0
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.dsirStatsSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      isTarget, s"$tmp/stats", s"$tmp/ckpt", buckets = 64).start()
+    try {
+      val all = docs.as[(Long, String)].collect()
+      all.grouped((all.length + 2) / 3).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val mCounts = Streaming.readDsirCounts(spark, s"$tmp/stats")
+      val bCounts = graft.ops.Retrieval.dsirCounts(
+        docs, "doc_id", "text", isTarget, 64)
+      assert(mCounts.count() === bCounts.count())
+      assert(mCounts.unionAll(bCounts).distinct().count() === bCounts.count())
+      // scoring against the maintained LM == the one-shot batch path
+      val viaStore = graft.ops.Retrieval.dsirWeightsAgainst(
+        docs, "doc_id", "text", mCounts, 64)
+      val viaBatch = graft.ops.Retrieval.dsirWeights(
+        docs, "doc_id", "text", isTarget, 64)
+      assert(viaStore.count() === viaBatch.count())
+      assert(viaStore.unionAll(viaBatch).distinct().count() ===
+        viaBatch.count())
+      // a foreign doc whose tokens miss corpus buckets still scores
+      // (densified LM, smoothed log-ratio), rather than losing tokens
+      val foreign = Seq((9999L, "zzqx wvzk qqqj")).toDF("doc_id", "text")
+      val fScored = graft.ops.Retrieval.dsirWeightsAgainst(
+        foreign, "doc_id", "text", mCounts, 64).collect()
+      assert(fScored.length === 1 && fScored.head.getAs[Long]("n_toks") === 3L)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     // batch-drain mode: process everything that exists, checkpoint,
     // terminate — the scheduled-ingest shape (cron-like catch-up runs)
