@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Graph, Profiling, Retrieval, TimeSeries}
+import graft.ops.{Dedup, Graph, Profiling, Retrieval, Text, TimeSeries}
 
 /** Retrieval / graph / robust-stats queries (q130+): BM25 term scoring,
   * DSIR importance weights, MAD outliers, the second window-function
@@ -47,6 +47,15 @@ object RetrievalQueries {
       |edges AS (SELECT DISTINCT src, dst FROM lagk WHERE src IS NOT NULL),
       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       |        FROM edges WHERE src <> dst)""".stripMargin
+
+  /** Fixture weight vector for the q152 hashed linear classifier: 64
+    * exact binary fractions (k/32, |k| ≤ 16) so every partial sum is
+    * exact and summation order can never change the double — the
+    * property that makes the classifier oracle-checkable cell-exactly.
+    * A real deployment pastes trained weights here. */
+  private[graft] val ClfWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37 + 11) % 33 - 16) / 32.0)
+  private[graft] val ClfBias = 0.125
 
   // ---------------------------------------------------------------- queries
 
@@ -144,6 +153,21 @@ object RetrievalQueries {
           windowChars = 40, sampleMod = 20, rollingHash = true)
         .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
           round(col("dup_frac"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // fastText-style hashed linear quality classifier: sigmoid(bias +
+    // Σ_token w[md5-bucket(token)]), scored row-locally inside the scan
+    // stage — the CCNet/RefinedWeb quality-filter shape with a
+    // paste-your-trained-weights model.
+    "q152_quality_classifier" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_toks"),
+          round(Text.hashedLinearScore(col("text"), ClfWeights, ClfBias), 6)
+            .as("score"))
+        .withColumn("keep", col("score") >= 0.5)
         .orderBy("doc_id")
     }),
 
@@ -344,6 +368,27 @@ object RetrievalQueries {
         |  round(sum(log_ratio), 6) AS dsir_weight
         |FROM toks JOIN lm USING (bucket)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q152_quality_classifier" -> {
+      val wList = ClfWeights.mkString("[", ", ", "]")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(${toksSql("text")}) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    ($wList::DOUBLE[])[(${bucketSql("tok")} % 64) + 1] AS wt
+        |  FROM toks),
+        |z AS (SELECT doc_id, sum(wt) AS sw, count(*) AS n
+        |      FROM contrib GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(z.n, 0) AS BIGINT) AS n_toks,
+        |  round(1.0 / (1.0 + exp(-($ClfBias + coalesce(z.sw, 0)))), 6)
+        |    AS score,
+        |  round(1.0 / (1.0 + exp(-($ClfBias + coalesce(z.sw, 0)))), 6)
+        |    >= 0.5 AS keep
+        |FROM documents d LEFT JOIN z USING (doc_id)
+        |WHERE d.text IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q132_mad_outliers" ->
       """WITH med AS (

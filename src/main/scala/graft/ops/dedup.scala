@@ -104,49 +104,56 @@ object Dedup {
     * (all-identical boilerplate at corpus scale) switch to join-based
     * expansion so no single row ever holds a whole bucket.
     *
-    * EXACT-DUPLICATE texts are factored out before the band phase: one
-    * md5-keyed aggregation picks a lowest-id representative per distinct
-    * text, bands run over representatives only, and pairs expand back
-    * through the groups afterwards. The candidate-pair SET is provably
-    * unchanged — identical texts have identical signatures, so (a)
-    * within-group pairs always collide in every band and are emitted
-    * directly from the group (via the same bounded expansion), and (b) a
-    * cross-group pair is a candidate iff its representatives collide,
-    * so rep pairs expand to member pairs by two equi-joins. What changes
-    * is the work: a corpus-scale boilerplate cluster used to push its
-    * quadratic pair set through EVERY band and the global distinct
-    * (bands × C(n,2) shuffled rows); now it is one group whose single
-    * representative emits no band pairs at all, its pair set generated
-    * once, and the distinct shrinks to representative pairs. Web-crawl
-    * corpora are 30-50% exact dups — this is the batch form of
-    * exact-before-near dedup ordering, fused into the operator. */
+    * EXACT-DUPLICATE texts are factored out before the band phase:
+    * rows group on md5(text), a window picks the lowest-id
+    * representative per group, bands run over representatives only,
+    * and pairs expand back through the groups afterwards. The
+    * candidate-pair SET is provably unchanged — identical texts have
+    * identical signatures, so (a) within-group pairs always collide in
+    * every band and are emitted directly from the group (via the same
+    * bounded expansion), and (b) a cross-group pair is a candidate iff
+    * its representatives collide, so rep pairs expand to member pairs
+    * by two equi-joins. What changes is the work: a corpus-scale
+    * boilerplate cluster used to push its quadratic pair set through
+    * EVERY band and the global distinct (bands × C(n,2) shuffled
+    * rows); now it is one group whose single representative emits no
+    * band pairs at all, its pair set generated once, and the distinct
+    * shrinks to representative pairs. Web-crawl corpora are 30-50%
+    * exact dups — this is the batch form of exact-before-near dedup
+    * ordering, fused into the operator.
+    *
+    * Shuffle-bytes note: signatures are computed row-locally on EVERY
+    * row before the grouping (duplicate rows pay their shingle hashing
+    * in the scan stage), so the group shuffle moves only (id, digest,
+    * numHashes ints) per row — never the text. The alternative
+    * (signature only on representatives) needs a representative TEXT
+    * per group to survive a shuffle, i.e. moves ~distinct-fraction ×
+    * corpus bytes; at document sizes ≫ ~100 B the fixed-width shuffle
+    * is far cheaper, and the extra hashing is row-local CPU that
+    * scales with cores, not network. */
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 8, bands: Int = 4,
                             shingleSize: Int = 3,
                             maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    // ---- exact-group factoring: (id, text-hash) plus one representative
-    // row per distinct text (identical texts make first() deterministic);
     // null texts take a sentinel key (no md5 is 5 chars long) so they
     // form one ordinary group instead of null-key rows that equi-joins
     // would silently drop
-    val keyed = Scale.widen(df)
-      .select(col(idCol), col(textCol),
-        coalesce(fastMd5(col(textCol)), lit(":null")).as("__th"))
-    val grp = keyed.groupBy("__th")
-      .agg(min(col(idCol)).as("__rep"), first(col(textCol)).as("__rtxt"))
-    val members = keyed.select(col("__th"), col(idCol))
-      .join(grp.select("__th", "__rep"), Seq("__th"))
-      .select(col("__rep"), col(idCol).as("__m"))
-    val reps = grp.select(col("__rep").as(idCol), col("__rtxt").as(textCol))
-    // ---- band phase over representatives only
-    val sig = withMinhashSignature(reps, textCol, numHashes, shingleSize)
+    val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
+      .withColumn("__th", coalesce(fastMd5(col(textCol)), lit(":null")))
+    val sigCols = (0 until numHashes).map(i => col(s"minhash_$i"))
+    // fixed-width projection BEFORE the window: id + digest + signature
+    val tagged = sig
+      .select(col(idCol) +: col("__th") +: sigCols: _*)
+      .withColumn("__rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__th")))
+    // ---- band phase over one representative per distinct text
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
       struct(lit(b).as("band_idx"), fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
     }
-    val banded = sig
+    val banded = tagged.where(col(idCol) === col("__rep"))
       .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
       .select(col("band").as("__bucket"), col(idCol).as("__e"))
     val repPairs = boundedBucketPairs(banded, "__bucket", "__e", maxBucket,
@@ -156,8 +163,9 @@ object Dedup {
     // union below is duplicate-free WITHOUT a member-level distinct —
     // within-group pairs live inside one group, cross-group pairs span
     // two different groups, and each is generated exactly once
+    val members = tagged.select(col("__rep"), col(idCol).as("__m"))
     val within = boundedBucketPairs(
-        keyed.select(col("__th").as("__bucket"), col(idCol).as("__e")),
+        tagged.select(col("__th").as("__bucket"), col(idCol).as("__e")),
         "__bucket", "__e", maxBucket,
         (x, y) => struct(x.as("id_a"), y.as("id_b")))
       .select(col("p.id_a"), col("p.id_b"))
@@ -193,9 +201,16 @@ object Dedup {
     * the corpus; rounds needed = graph diameter, which for near-dup
     * clusters is tiny (dup clusters are cliques or short chains). */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint, not cache: the candidate-pair pipeline upstream
+    // (LSH banding, group factoring) is a BIG plan, and caching only
+    // short-circuits execution — every propagation round would still
+    // re-analyze and re-optimize a plan embedding the whole pipeline,
+    // driver time that grows as rounds × plan size. Checkpointing makes
+    // the edge set a leaf (same trick as Graph.pageRank), so per-round
+    // plans stay constant-size no matter how pairs were produced.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).cache()
     var backing = labels // the cached frame `labels` projects from

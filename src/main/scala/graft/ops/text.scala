@@ -65,6 +65,29 @@ object Text {
     round(lengthOk * 0.3 + stopOk * 0.2 + alphaRatio * 0.3 + diversity * 0.2, 6)
   }
 
+  /** Hashed-feature linear classifier inference (the fastText-style
+    * quality filter of CCNet/RefinedWeb-shaped pipelines): score =
+    * sigmoid(bias + Σ_token weights[md5-bucket(token)]). The model is
+    * a plain weight vector — train it anywhere, paste the weights —
+    * and inference is a row-local fold over the token array: zero
+    * shuffles, the corpus is scored inside the scan stage. Feature
+    * hashing is [[Sampling.splitBucket]] (md5, engine-portable), so an
+    * external engine reproduces scores exactly.
+    *
+    * Weight-vector length = bucket count. Exactness note for oracle
+    * parity: weights that are exact binary fractions (k/2^n) make the
+    * fold's partial sums exact, so summation order can never produce a
+    * different double. */
+  def hashedLinearScore(text: Column, weights: Seq[Double],
+                        bias: Double): Column = {
+    require(weights.nonEmpty, "need at least one weight")
+    val w = array(weights.map(lit): _*)
+    val z = lit(bias) + aggregate(tokens(text), lit(0.0), (acc, t) =>
+      acc + element_at(w,
+        pmod(Sampling.splitBucket(t), lit(weights.length)) + 1))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** n-gram heuristic language ID: CJK chars -> zh, else argmax of
     * per-language stopword hits (ties broken by fixed language order). */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

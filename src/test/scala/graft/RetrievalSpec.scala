@@ -197,4 +197,28 @@ class RetrievalSpec extends SparkSpec {
     assert(r(3L) === ((1L, 0L)))
     assert(r.contains(4L)) // empty text still yields a row
   }
+
+  test("hashedLinearScore = sigmoid(bias + per-token bucket weights)") {
+    val w = (0 until 64).map(i => i / 64.0)
+    // replicate Sampling.splitBucket (first md5 hex byte) on the JVM
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 2), 16) % 64
+    }
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val df = Seq((1L, "alpha beta BETA"), (2L, ""))
+      .toDF("id", "text")
+      .unionByName(Seq(3L).toDF("id").withColumn("text",
+        lit(null).cast("string")))
+    val out = df.select(col("id"),
+        graft.ops.Text.hashedLinearScore(col("text"), w, 0.125).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // tokens lowercase, so BETA and beta share a bucket
+    assert(out(1L) === Some(sigmoid(
+      0.125 + w(bucket("alpha")) + 2 * w(bucket("beta")))))
+    assert(out(2L) === Some(sigmoid(0.125))) // no tokens -> bias only
+    assert(out(3L) === None) // null text stays null, not silently 0
+  }
 }
