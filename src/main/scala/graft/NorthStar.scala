@@ -29,7 +29,7 @@ object NorthStar {
     raw"""list_filter(string_split_regex(lower(trim($e)), '\s+'), x -> x <> '')"""
 
   /** word n-gram shingles (Text.shingles). */
-  private def shinglesSql(toks: String, n: Int): String =
+  private[graft] def shinglesSql(toks: String, n: Int): String =
     s"""CASE WHEN len($toks) >= $n
        | THEN list_transform(generate_series(1, len($toks)-${n - 1}),
        |        i -> array_to_string(($toks)[i:i+${n - 1}], ' '))

@@ -282,7 +282,7 @@ object RetrievalQueries {
   // ------------------------------------------------------------- oracle SQL
 
   /** Shared BM25 CTE body (q130 scores it raw, q148 sums it per doc). */
-  private def bm25Sql: String =
+  private[graft] def bm25Sql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

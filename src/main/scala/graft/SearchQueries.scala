@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Retrieval, Similarity, Text}
+
+/** Search / corpus-hygiene queries (q153+): benchmark decontamination,
+  * random-projection dimensionality reduction, bottom-k sketch set
+  * similarity between corpus slices, and hybrid lexical⊕vector
+  * retrieval via reciprocal-rank fusion. Registered through SparkEntry
+  * alongside the other query families; every entry has a DuckDB oracle.
+  */
+object SearchQueries {
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Decontamination n-gram width (real runs use 13; the fixture docs
+    * are short, so 5 keeps a measurable overlap signal at sf0.01). */
+  private val DecontamN = 5
+  private val SketchK = 16
+  private val RrfDepth = 20
+  private val RrfK0 = 60
+  private val QueryTerms = Seq("join", "filter", "vector")
+
+  /** Deterministic 64-dim query vector with exactly-representable
+    * components (n/8) — shared by the Spark literal and the SQL text so
+    * both engines score the identical query. */
+  private val QueryVec: IndexedSeq[Double] =
+    (0 until 64).map(d => ((d * 5) % 17 - 8) / 8.0)
+  private def queryVecCol: Column = array(QueryVec.map(lit): _*)
+  private def queryVecSql: String = QueryVec.mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: docs with doc_id % 13 = 0 stand in for
+    // the held-out eval set; every remaining training doc is scored for
+    // word-5-gram overlap against it (the GPT-3/Llama overlap check).
+    "q153_decontaminate" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").where(col("text").isNotNull)
+      Dedup.ngramContamination(
+          docs.where(col("doc_id") % 13 =!= 0),
+          docs.where(col("doc_id") % 13 === 0),
+          "text", "doc_id", n = DecontamN)
+        .orderBy("doc_id")
+    }),
+
+    // Johnson-Lindenstrauss sign-matrix projection 64 → 8 dims: the
+    // cheap width-reduction pass ahead of ANN/clustering at scale. One
+    // column per output component so the oracle compares cell-exactly.
+    "q154_random_projection" -> ((s, dir) => {
+      val proj = Similarity.randomProject(col("embedding"), 64, 8)
+      rd(s, dir, "embeddings")
+        .select(col("vec_id") +: (0 until 8).map(j =>
+          round(element_at(proj, j + 1), 6).as(s"p$j")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // Bottom-k (KMV) sketch Jaccard between per-source token
+    // vocabularies: fixed-size mergeable summaries instead of the
+    // vocabulary sets themselves.
+    "q155_sketch_jaccard" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val sk = Dedup.bottomKSketches(toks, "source", "tok", SketchK)
+      Dedup.sketchJaccardPairs(sk, "source", SketchK)
+        .where(col("key_a").isin("src0", "src1", "src2"))
+        .orderBy("key_a", "key_b")
+    }),
+
+    // Hybrid retrieval: BM25 over the query terms ⊕ cosine against the
+    // query vector, fused by reciprocal rank — no score calibration,
+    // exactly the two top-`RrfDepth` rank lists meet.
+    "q156_hybrid_rrf" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val lex = Retrieval.bm25Search(docs, "doc_id", "text", QueryTerms)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+      val sem = rd(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.cosine(col("embedding"), queryVecCol), 6)
+            .as("score"))
+      Retrieval.rrfFuse(lex, sem, "doc_id", "score", RrfDepth, RrfK0)
+        .orderBy(col("rrf_score").desc, col("doc_id").asc)
+        .limit(15)
+    })
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private def toksSql(e: String): String = NorthStar.toksSql(e)
+
+  /** ±1 sign-matrix row p as a DuckDB literal — the identical
+    * Similarity.planeSign matrix the Spark expression derives. */
+  private def signRowSql(p: Int, dim: Int): String =
+    (0 until dim).map(d => Similarity.planeSign(p, d)).mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q153_decontaminate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, ${toksSql("text")} AS t FROM documents
+        |  WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(${NorthStar.shinglesSql("t", DecontamN)}) AS g
+        |  FROM toks),
+        |bench AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 13 = 0),
+        |corp AS (SELECT doc_id, g FROM sh WHERE doc_id % 13 <> 0),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM corp),
+        |h AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM ex
+        |  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.g) AS BIGINT) AS n_ngrams,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(c.g), 6)
+        |    AS hit_frac,
+        |  coalesce(h.n_hit, 0) >= 1 AS contaminated
+        |FROM corp c LEFT JOIN h USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "q154_random_projection" -> {
+      val comps = (0 until 8).map { j =>
+        val terms = (0 until 64)
+          .map(d => s"CAST((embedding)[${d + 1}] AS DOUBLE)*" +
+            s"(${Similarity.planeSign(j, d)})")
+          .mkString(" + ")
+        s"round($terms, 6) AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+        |  $comps
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+
+    "q155_sketch_jaccard" ->
+      s"""WITH toks AS (
+        |  SELECT source, unnest(${toksSql("text")}) AS tok FROM documents
+        |  WHERE text IS NOT NULL),
+        |dh AS (SELECT DISTINCT source, md5(tok) AS h FROM toks),
+        |rk AS (SELECT source, h, row_number() OVER
+        |         (PARTITION BY source ORDER BY h) AS rk FROM dh),
+        |sk AS (SELECT source, list_sort(list(h)) AS s
+        |       FROM rk WHERE rk <= $SketchK GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS key_a, b.source AS key_b,
+        |    (list_sort(list_distinct(list_concat(a.s, b.s))))[1:$SketchK]
+        |      AS uk,
+        |    list_intersect(a.s, b.s) AS ib
+        |  FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT key_a, key_b,
+        |  CAST(len(list_intersect(uk, ib)) AS BIGINT) AS n_shared,
+        |  round(CAST(len(list_intersect(uk, ib)) AS DOUBLE)
+        |    / len(uk), 6) AS jaccard_est
+        |FROM p WHERE key_a IN ('src0', 'src1', 'src2')
+        |ORDER BY key_a, key_b""".stripMargin,
+
+    "q156_hybrid_rrf" -> {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""${RetrievalQueries.bm25Sql},
+        |lex AS (
+        |  SELECT doc_id, round(sum(sc), 6) AS score FROM scored
+        |  WHERE term IN ($termList) GROUP BY doc_id),
+        |lexr AS (
+        |  SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+        |  FROM lex ORDER BY score DESC, doc_id LIMIT $RrfDepth),
+        |sem AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(${NorthStar.cosineSql("embedding", queryVecSql, 64)}, 6)
+        |      AS score
+        |  FROM embeddings),
+        |semr AS (
+        |  SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_b
+        |  FROM sem ORDER BY score DESC, doc_id LIMIT $RrfDepth)
+        |SELECT coalesce(l.doc_id, r.doc_id) AS doc_id, rank_a, rank_b,
+        |  round(coalesce(1.0 / ($RrfK0 + rank_a), 0)
+        |      + coalesce(1.0 / ($RrfK0 + rank_b), 0), 6) AS rrf_score
+        |FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin
+    }
+  )
+}

@@ -65,13 +65,15 @@ object SparkEntry {
     coreQueries ++ NorthStar.queries ++ SqlSurface.queries ++
       CurationQueries.queries ++ WarehouseQueries.queries ++
       MiningQueries.queries ++ QualityQueries.queries ++
-      AnalyticsQueries.queries ++ RetrievalQueries.queries
+      AnalyticsQueries.queries ++ RetrievalQueries.queries ++
+      SearchQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql ++
       CurationQueries.oracleSql ++ WarehouseQueries.oracleSql ++
       MiningQueries.oracleSql ++ QualityQueries.oracleSql ++
-      AnalyticsQueries.oracleSql ++ RetrievalQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ RetrievalQueries.oracleSql ++
+      SearchQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

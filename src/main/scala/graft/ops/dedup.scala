@@ -397,4 +397,97 @@ object Dedup {
             col("n_windows").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Benchmark decontamination: flag training documents sharing word
+    * n-grams with an evaluation set (the GPT-3 appendix-C / Llama
+    * overlap procedure — a training corpus must not contain the
+    * benchmarks it will be judged on).
+    *
+    * Output: one row per corpus document — `n_ngrams` (distinct
+    * n-grams in the doc), `n_hit` (how many of those appear ANYWHERE
+    * in the benchmark set), `hit_frac`, and `contaminated`
+    * (n_hit ≥ minHits).
+    *
+    * Scale (100 TB corpus, benchmark ≪ corpus — the real shape:
+    * benchmarks are a few thousand documents): the benchmark n-gram
+    * set is distinct-ed to 32-byte digests and BROADCAST, so the
+    * corpus-side explode joins with zero corpus shuffle (broadcast
+    * hash join inside the scan stage); only surviving hits — corpus
+    * rows that actually collide with the benchmark, normally a tiny
+    * fraction — reach the doc-grain count shuffle, and the final
+    * doc-grain join moves two longs per document. N-grams cross the
+    * join as md5 digests, never as strings. */
+  def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, n: Int,
+                         minHits: Long = 1L): DataFrame = {
+    val shs = array_distinct(Text.shingles(col(textCol), n))
+    val benchGrams = benchmark
+      .select(explode(shs).as("__g")).select(fastMd5(col("__g")).as("__h"))
+      .distinct()
+    val docGrams = Scale.widen(corpus)
+      .select(col(idCol), shs.as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("n_ngrams"), col("__sh"))
+    val hits = docGrams
+      .select(col(idCol), explode(col("__sh")).as("__g"))
+      .select(col(idCol), fastMd5(col("__g")).as("__h"))
+      .join(broadcast(benchGrams), Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
+    docGrams.drop("__sh")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams").cast("long").as("n_ngrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_frac",
+        round(col("n_hit").cast("double") / col("n_ngrams"), 6))
+      .withColumn("contaminated", col("n_hit") >= minHits)
+  }
+
+  /** Bottom-k sketch of the distinct-token set per key: the k smallest
+    * md5(token) digests, one fixed-size mergeable summary per corpus
+    * slice. Jaccard between any two slices is then estimated from the
+    * sketches alone ([[sketchJaccardPairs]]) — set similarity between
+    * 100 TB corpus slices without ever materializing the sets, the
+    * KMV/bottom-k estimator (Broder; Bar-Yossef et al.).
+    *
+    * Scale: distinct (key, digest) is one hash shuffle of fixed-width
+    * rows; the rank ≤ k filter compiles to WindowGroupLimit, which
+    * keeps a bounded per-partition heap BEFORE the shuffle — no
+    * executor ever holds a slice's full vocabulary. Output is k rows
+    * per key. */
+  def bottomKSketches(df: DataFrame, keyCol: String, tokenCol: String,
+                      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("__h")
+    df.select(col(keyCol), fastMd5(col(tokenCol)).as("__h"))
+      .distinct()
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col(keyCol), col("__h").as("token_hash"), col("__rk").as("rk"))
+  }
+
+  /** Pairwise Jaccard estimates from [[bottomKSketches]] output: for
+    * each key pair, the bottom-k of the UNION of both sketches is a
+    * uniform sample of the union, so |sample ∩ A ∩ B| / k estimates
+    * |A∩B| / |A∪B|. Exact (not an estimate) whenever a slice's
+    * vocabulary fits inside its sketch.
+    *
+    * Scale: operates on sketches only — #keys × k rows — so the
+    * pairwise join is over a frame that is tiny regardless of corpus
+    * size; Spark broadcasts it. */
+  def sketchJaccardPairs(sketches: DataFrame, keyCol: String,
+                         k: Int): DataFrame = {
+    val packed = sketches.groupBy(keyCol)
+      .agg(sort_array(collect_list("token_hash")).as("__sk"))
+    val a = packed.select(col(keyCol).as("key_a"), col("__sk").as("__ska"))
+    val b = packed.select(col(keyCol).as("key_b"), col("__sk").as("__skb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .withColumn("__union_k",
+        slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))
+      .withColumn("__both", array_intersect(col("__ska"), col("__skb")))
+      .select(col("key_a"), col("key_b"),
+        size(array_intersect(col("__union_k"), col("__both")))
+          .cast("long").as("n_shared"),
+        round(size(array_intersect(col("__union_k"), col("__both")))
+          .cast("double") / least(size(col("__union_k")), lit(k)), 6)
+          .as("jaccard_est"))
+  }
 }

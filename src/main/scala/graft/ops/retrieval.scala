@@ -209,6 +209,40 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matched"), sum("bm25").as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    * retrieval lists — the standard hybrid-search combiner (lexical
+    * BM25 ⊕ embedding cosine) that needs no score calibration because
+    * it consumes only RANKS: fused(d) = Σ_lists 1/(k0 + rank_list(d)),
+    * a document absent from a list contributing 0 from it.
+    *
+    * Inputs are (id, score) frames; ranks are assigned here by score
+    * descending with id ascending as the deterministic tie-break, each
+    * list truncated to its top `depth` before fusion (RRF is defined
+    * over top-k lists; truncation also bounds the join inputs).
+    *
+    * Scale: truncation happens FIRST via orderBy+limit — Spark plans
+    * that as TakeOrderedAndProject (per-partition top-k heaps, no
+    * global sort) — so the single-partition ranking window and the
+    * fusion join only ever see ≤ depth rows, however large the scored
+    * corpus behind each list. The expensive parts (BM25, ANN) stay in
+    * their own operators with their own scale posture. */
+  def rrfFuse(listA: DataFrame, listB: DataFrame, idCol: String,
+              scoreCol: String, depth: Int, k0: Int = 60): DataFrame = {
+    def ranked(df: DataFrame, rankName: String): DataFrame = {
+      val top = df.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).desc, col(idCol).asc).limit(depth)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      top.withColumn(rankName, row_number().over(w).cast("long"))
+        .drop(scoreCol)
+    }
+    ranked(listA, "rank_a")
+      .join(ranked(listB, "rank_b"), Seq(idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0)), 6))
+  }
+
   /** Temperature-scaled source mixing weights (the mC4/T5 α-sampling
     * rule): p_temp(s) ∝ p_raw(s)^α, α in (0, 1] flattens the source
     * distribution so low-resource sources are up-weighted relative to

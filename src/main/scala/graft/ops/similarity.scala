@@ -66,6 +66,25 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Random-projection (Johnson-Lindenstrauss / Achlioptas sign-matrix)
+    * dimensionality reduction: out[j] = Σ_d emb[d] · s(j,d) with the
+    * same deterministic ±1 matrix as [[signLshBucket]] ([[planeSign]]).
+    * Pairwise distances are preserved in expectation, so the projected
+    * vectors feed ANN / clustering at a fraction of the width — the
+    * standard cheap pre-step before brute-force cosine at 100 TB
+    * (corpus bytes and per-pair dot cost both shrink by dim/outDim).
+    *
+    * Row-local and shuffle-free; the matrix is derived, not stored, so
+    * any engine (and the DuckDB oracle) regenerates it from md5 alone.
+    * Each output component is one fused codegen'd dot product. */
+  def randomProject(emb: Column, dim: Int, outDim: Int): Column = {
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(d => lit(planeSign(j, d))): _*)
+      graft.functions.GraftFunctions.dotProduct(emb, signs)
+    }
+    array(comps: _*)
+  }
+
   /** The deterministic +-1 weight of plane p, dimension d (shared with the
     * oracle-SQL generator so both engines use the same hyperplanes). */
   private[graft] def planeSign(p: Int, d: Int): Double =

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Retrieval, Similarity}
+
+/** Specs for the search / corpus-hygiene pack: decontamination,
+  * bottom-k sketches, random projection, reciprocal-rank fusion. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- ngramContamination
+
+  test("ngramContamination flags docs sharing n-grams with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 3-gram
+      (2L, "entirely unrelated content about spark plans"),
+      (3L, "quick brown fox news tonight")                 // shares "quick brown fox"
+    ).toDF("id", "text")
+    val bench = Seq(
+      (100L, "a quick brown fox appears in the benchmark")
+    ).toDF("id", "text")
+    val out = Dedup.ngramContamination(corpus, bench, "text", "id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 1: 7 distinct 3-grams, exactly "the quick brown"? no — bench
+    // has "a quick brown","quick brown fox","brown fox appears",... only
+    // "quick brown fox" is shared.
+    assert(out(1L)._1 === 7)
+    assert(out(1L)._2 === 1 && out(1L)._3)
+    assert(out(2L)._2 === 0 && !out(2L)._3)
+    assert(out(3L)._2 === 1 && out(3L)._3)
+  }
+
+  test("ngramContamination: docs shorter than n use the whole-text shingle") {
+    val corpus = Seq((1L, "tiny doc"), (2L, "other words")).toDF("id", "text")
+    val bench = Seq((9L, "tiny doc")).toDF("id", "text")
+    val out = Dedup.ngramContamination(corpus, bench, "text", "id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 1) // whole-text shingle collides
+    assert(out(2L) === 0)
+  }
+
+  // ---------------------------------------------------- bottom-k sketch
+
+  test("bottomKSketches keeps the k smallest distinct token digests") {
+    val df = Seq.tabulate(40)(i => ("k1", s"tok$i")) ++
+      Seq.tabulate(40)(i => ("k1", s"tok$i")) // duplicates collapse
+    val sk = Dedup.bottomKSketches(df.toDF("key", "tok"), "key", "tok", 5)
+      .collect()
+    assert(sk.length === 5)
+    val hs = sk.map(_.getString(1)).toSeq
+    assert(hs === hs.sorted) // the 5 smallest, in order via rk
+  }
+
+  test("sketchJaccard is exact when vocabularies fit inside the sketch") {
+    // A = {a,b,c,d}, B = {c,d,e,f}: J = 2/6
+    val toks = Seq("a", "b", "c", "d").map(("A", _)) ++
+      Seq("c", "d", "e", "f").map(("B", _))
+    val sk = Dedup.bottomKSketches(toks.toDF("key", "tok"), "key", "tok", 16)
+    val r = Dedup.sketchJaccardPairs(sk, "key", 16).collect().head
+    assert(r.getString(0) === "A" && r.getString(1) === "B")
+    assert(r.getLong(2) === 2)
+    assert(math.abs(r.getDouble(3) - 2.0 / 6.0) < 1e-6)
+  }
+
+  test("sketchJaccard: disjoint and identical vocabularies") {
+    val toks = Seq("a", "b").map(("A", _)) ++ Seq("a", "b").map(("B", _)) ++
+      Seq("x", "y").map(("C", _))
+    val sk = Dedup.bottomKSketches(toks.toDF("key", "tok"), "key", "tok", 8)
+    val m = Dedup.sketchJaccardPairs(sk, "key", 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m(("A", "B")) === 1.0)
+    assert(m(("A", "C")) === 0.0)
+    assert(m(("B", "C")) === 0.0)
+  }
+
+  // -------------------------------------------------- random projection
+
+  test("randomProject applies the deterministic sign matrix") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq(Tuple1(v)).toDF("emb")
+    val out = df.select(Similarity.randomProject(col("emb"), 8, 3).as("p"))
+      .collect().head.getSeq[Double](0)
+    val expected = (0 until 3).map { j =>
+      (0 until 8).map(d => v(d).toDouble * Similarity.planeSign(j, d)).sum
+    }
+    assert(out.length === 3)
+    out.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("randomProject approximately preserves relative distances") {
+    // JL with ±1 signs: E[||proj||²] = outDim · ||v||²; parallel vectors
+    // stay parallel exactly.
+    val v = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = v.map(_ * 2.0f)
+    val df = Seq((1L, v), (2L, v2)).toDF("id", "emb")
+    val out = df.select(col("id"),
+        Similarity.randomProject(col("emb"), 16, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    out(1L).zip(out(2L)).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 1e-6)
+    }
+  }
+
+  // --------------------------------------------------------------- RRF
+
+  test("rrfFuse combines ranks; docs missing from one list contribute 0") {
+    val lex = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val sem = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "score")
+    val out = Retrieval.rrfFuse(lex, sem, "id", "score", depth = 10, k0 = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getDouble(3)))).toMap
+    def rrf(r: Long) = 1.0 / (60 + r)
+    assert(out(1L)._1 === Some(1L) && out(1L)._2 === None)
+    assert(math.abs(out(1L)._3 - rrf(1)) < 1e-6)
+    assert(out(2L)._1 === Some(2L) && out(2L)._2 === Some(1L))
+    assert(math.abs(out(2L)._3 - (rrf(2) + rrf(1))) < 1e-6)
+    assert(out(4L)._1 === None && out(4L)._2 === Some(2L))
+    // doc 2 (in both lists) outranks everything
+    val best = out.maxBy(_._2._3)._1
+    assert(best === 2L)
+  }
+
+  test("rrfFuse truncates each list to depth before fusing") {
+    val lex = (1L to 50L).map(i => (i, 100.0 - i)).toDF("id", "score")
+    val sem = Seq((49L, 0.5)).toDF("id", "score")
+    val out = Retrieval.rrfFuse(lex, sem, "id", "score", depth = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    // lex ranks 11..50 are cut; 49 survives only via the sem list
+    assert(out === ((1L to 10L).toSet + 49L))
+  }
+}
