@@ -20,6 +20,9 @@ object SearchQueries {
     * are short, so 5 keeps a measurable overlap signal at sf0.01). */
   private val DecontamN = 5
   private val SketchK = 16
+  /** doc_id split between the "already ingested" store half and the
+    * "newly arriving" batch half of the incremental-dedup queries. */
+  private val SplitId = 250
   private val RrfDepth = 20
   private val RrfK0 = 60
   private val QueryTerms = Seq("join", "filter", "vector")
@@ -69,6 +72,31 @@ object SearchQueries {
       Dedup.sketchJaccardPairs(sk, "source", SketchK)
         .where(col("key_a").isin("src0", "src1", "src2"))
         .orderBy("key_a", "key_b")
+    }),
+
+    // Incremental dedup probe: docs with doc_id < 250 stand in for the
+    // already-ingested corpus (banded into a standing minhash index);
+    // the rest arrive as a new batch whose band rows join against the
+    // index — history is never re-banded.
+    "q157_incremental_dedup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val index = Dedup.minhashIndex(
+        docs.where(col("doc_id") < SplitId), "text", "doc_id")
+      Dedup.pairsAgainstIndex(
+          docs.where(col("doc_id") >= SplitId), "text", "doc_id", index)
+        .orderBy("id_store", "id_new")
+    }),
+
+    // Admission gate over the same split: batch docs colliding with no
+    // standing band bucket and no earlier same-batch doc survive.
+    "q158_dedup_admission" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val index = Dedup.minhashIndex(
+        docs.where(col("doc_id") < SplitId), "text", "doc_id")
+      Dedup.admitAgainstIndex(
+          docs.where(col("doc_id") >= SplitId), "text", "doc_id", index)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     }),
 
     // Hybrid retrieval: BM25 over the query terms ⊕ cosine against the
@@ -156,6 +184,36 @@ object SearchQueries {
         |    / len(uk), 6) AS jaccard_est
         |FROM p WHERE key_a IN ('src0', 'src1', 'src2')
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q157_incremental_dedup" ->
+      s"""${NorthStar.minhashPairsSql(toksSql("text"))},
+        |cx AS (
+        |  SELECT DISTINCT a.doc_id AS id_store, b.doc_id AS id_new
+        |  FROM banded a JOIN banded b USING (band_idx, band_hash)
+        |  WHERE a.doc_id < $SplitId AND b.doc_id >= $SplitId),
+        |th AS (SELECT doc_id, coalesce(md5(text), ':null') AS h
+        |       FROM documents)
+        |SELECT p.id_store, p.id_new, (ta.h = tb.h) AS exact
+        |FROM cx p
+        |JOIN th ta ON ta.doc_id = p.id_store
+        |JOIN th tb ON tb.doc_id = p.id_new
+        |ORDER BY id_store, id_new""".stripMargin,
+
+    "q158_dedup_admission" ->
+      s"""${NorthStar.minhashPairsSql(toksSql("text"))},
+        |hit AS (
+        |  SELECT DISTINCT b.doc_id FROM banded a
+        |  JOIN banded b USING (band_idx, band_hash)
+        |  WHERE a.doc_id < $SplitId AND b.doc_id >= $SplitId),
+        |inbatch AS (
+        |  SELECT DISTINCT b.doc_id FROM banded a
+        |  JOIN banded b USING (band_idx, band_hash)
+        |  WHERE a.doc_id >= $SplitId AND b.doc_id > a.doc_id)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id >= $SplitId
+        |  AND doc_id NOT IN (SELECT doc_id FROM hit)
+        |  AND doc_id NOT IN (SELECT doc_id FROM inbatch)
+        |ORDER BY doc_id""".stripMargin,
 
     "q156_hybrid_rrf" -> {
       val termList = QueryTerms.map(t => s"'$t'").mkString(", ")

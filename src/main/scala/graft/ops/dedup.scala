@@ -441,6 +441,96 @@ object Dedup {
       .withColumn("contaminated", col("n_hit") >= minHits)
   }
 
+  /** Banded LSH signature rows for a document frame: one row per (doc,
+    * band) with the band's bucket hash plus the exact-text digest —
+    * `(id, text_hash, band_idx, band_hash)`, the fixed-width,
+    * append-only shape a STANDING dedup index persists. Row-local
+    * (signature + banding computed inside the scan); nothing shuffles
+    * here — layout is the writer's choice (bucket by `band_hash` via
+    * [[graft.pipelines.Pipelines.writeBucketed]] for a co-located
+    * probe join at 100 TB). */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 8, bands: Int = 4,
+                   shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+    val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (0 until rowsPerBand)
+        .map(r => col(s"minhash_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"),
+        fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
+    }
+    sig.select(col(idCol).as("id"),
+        coalesce(fastMd5(col(textCol)), lit(":null")).as("text_hash"),
+        explode(array(bandStructs: _*)).as("__b"))
+      .select(col("id"), col("text_hash"),
+        col("__b.band_idx").as("band_idx"),
+        col("__b.band_hash").as("band_hash"))
+  }
+
+  /** Candidate near-dup pairs between a NEW batch and a standing
+    * [[minhashIndex]] — the INCREMENTAL dedup probe of a continuously
+    * ingested corpus: never re-band history, just join the batch's
+    * band rows against the index. Returns distinct `(id_store,
+    * id_new, exact)` pairs, `exact` = identical text digest (exact
+    * duplicates collide in every band, so the band join already
+    * catches them — the flag only classifies).
+    *
+    * Scale: the batch side is one micro-batch; the index side is
+    * corpus-sized but joined on `(band_idx, band_hash)` — bucket the
+    * index on disk by `band_hash` and the probe is a co-located join
+    * that never shuffles history. Audit shape: a boilerplate batch
+    * doc can match many store rows (the pair set is the point of this
+    * variant); admission gating should use [[admitAgainstIndex]],
+    * whose anti-join needs no pair materialization at all. */
+  def pairsAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+                        index: DataFrame, numHashes: Int = 8,
+                        bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val probe = minhashIndex(Scale.widen(batch), textCol, idCol,
+      numHashes, bands, shingleSize)
+    probe.alias("n")
+      .join(index.alias("s"), Seq("band_idx", "band_hash"))
+      .select(col("s.id").as("id_store"), col("n.id").as("id_new"),
+        (col("s.text_hash") === col("n.text_hash")).as("exact"))
+      .distinct()
+  }
+
+  /** Admission gate for a new batch against a standing
+    * [[minhashIndex]]: keep only documents that collide with NO index
+    * band bucket and with no earlier (lower-id) same-batch document.
+    * Returns the admitted subset of `batch`, unchanged columns.
+    *
+    * Scale: the store check is a LEFT ANTI join on the band key —
+    * existence semantics, so a boilerplate bucket with millions of
+    * store rows costs one probe hit, never a pair expansion. The
+    * in-batch pass joins the batch's own band rows (micro-batch-sized)
+    * the same way. */
+  def admitAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
+                        index: DataFrame, numHashes: Int = 8,
+                        bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val probe = minhashIndex(Scale.widen(batch), textCol, idCol,
+      numHashes, bands, shingleSize)
+    // a doc is suppressed if ANY of its bands hits the store: semi-join
+    // finds the hit docs, anti-join against that set admits the rest
+    val hitByStore = probe
+      .join(index, Seq("band_idx", "band_hash"), "left_semi")
+      .select(col("id")).distinct()
+    val admittedVsStore = probe.select("id").distinct()
+      .join(hitByStore, Seq("id"), "left_anti")
+    // in-batch: drop docs sharing a band bucket with a lower-id batch doc
+    val earlier = probe.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"))
+    val dupInBatch = probe.join(earlier,
+        probe("band_idx") === earlier("band_idx") &&
+          probe("band_hash") === earlier("band_hash") &&
+          probe("id") > col("id_b"))
+      .select(col("id")).distinct()
+    val admitted = admittedVsStore.join(dupInBatch, Seq("id"), "left_anti")
+    batch.join(admitted.withColumnRenamed("id", idCol), Seq(idCol),
+      "left_semi")
+  }
+
   /** Bottom-k sketch of the distinct-token set per key: the k smallest
     * md5(token) digests, one fixed-size mergeable summary per corpus
     * slice. Jaccard between any two slices is then estimated from the

@@ -454,6 +454,70 @@ object Streaming {
         ()
       }
 
+  /** Continuously-ingested corpus dedup against an UNBOUNDED
+    * persistent history — the complement of
+    * [[nearDupSuppressedStream]]'s watermark-bounded state-store
+    * variant: each micro-batch is admission-gated against a standing
+    * [[graft.ops.Dedup.minhashIndex]] of everything ever admitted
+    * (`admitAgainstIndex`: anti-join on the band key, plus in-batch
+    * lowest-id-wins), and the admitted documents' band rows are
+    * appended to the index.
+    *
+    * Exactly-once WITHOUT rewriting the store: the index is
+    * append-only, so each batch writes its admitted rows to a
+    * deterministic `batch=<id>/` subdirectory (overwrite mode). On
+    * replay the standing index is read EXCLUDING the current batch id
+    * — any partial leftover from a crash is deleted first, the
+    * admission decision replays against exactly the pre-crash state,
+    * and the subdirectory is rewritten with identical content.
+    * Per-batch I/O is O(admitted batch rows), never O(index) — the
+    * property the wholesale-swap stats stores (vocabulary-sized) don't
+    * need but a corpus-sized index does.
+    *
+    * The admitted corpus is recovered from the index itself: distinct
+    * `(id, batch)` — or compose with a payload sink keyed on the
+    * admitted ids. */
+  def dedupIndexSink(docs: DataFrame, textCol: String, idCol: String,
+                     indexDir: String, checkpoint: String,
+                     numHashes: Int = 8, bands: Int = 4,
+                     shingleSize: Int = 3) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeDedupIndexBatch(batch, textCol, idCol, indexDir, batchId,
+            numHashes, bands, shingleSize)
+        ()
+      }
+
+  private[graft] def mergeDedupIndexBatch(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, batchId: Long,
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val dir = new HPath(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed attempt may have left a partial subdir for THIS batch;
+    // remove it so the root read only sees complete prior batches
+    fs.delete(new HPath(dir, s"batch=$batchId"), true)
+    val hasPrior = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))
+    val standing =
+      if (hasPrior) spark.read.parquet(indexDir).drop("batch")
+      else graft.ops.Dedup.minhashIndex(batch.limit(0), textCol, idCol,
+        numHashes, bands, shingleSize)
+    val admitted = graft.ops.Dedup.admitAgainstIndex(batch, textCol, idCol,
+      standing, numHashes, bands, shingleSize)
+    graft.ops.Dedup.minhashIndex(admitted, textCol, idCol,
+        numHashes, bands, shingleSize)
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+  }
+
+  /** Read a [[dedupIndexSink]] index: every admitted document's band
+    * rows plus the `batch` partition column it arrived in. */
+  def readDedupIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+
   /** Read a [[dsirStatsSink]] store as the count table
     * [[graft.ops.Retrieval.dsirWeightsAgainst]] consumes, healing a
     * crashed swap first. */

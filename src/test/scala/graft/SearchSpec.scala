@@ -103,6 +103,37 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------- incremental dedup
+
+  test("pairsAgainstIndex finds store collisions and classifies exact") {
+    val store = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different store content here")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+      (11L, "unrelated fresh arrival text")).toDF("id", "text")
+    val idx = Dedup.minhashIndex(store, "text", "id")
+    val pairs = Dedup.pairsAgainstIndex(batch, "text", "id", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(pairs.contains((1L, 10L, true)))
+    assert(!pairs.exists(_._2 == 11L))
+  }
+
+  test("admitAgainstIndex: store hit and in-batch lowest-id both suppress") {
+    val store = Seq((1L, "the quick brown fox jumps over fences daily"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over fences daily"), // hits store
+      (11L, "novel content one two three four five six"),
+      (12L, "novel content one two three four five six"),   // loses to 11
+      (13L, "another singleton that collides with nothing"))
+      .toDF("id", "text")
+    val idx = Dedup.minhashIndex(store, "text", "id")
+    val adm = Dedup.admitAgainstIndex(batch, "text", "id", idx)
+      .select("id").as[Long].collect().toSet
+    assert(adm === Set(11L, 13L))
+  }
+
   // --------------------------------------------------------------- RRF
 
   test("rrfFuse combines ranks; docs missing from one list contribute 0") {

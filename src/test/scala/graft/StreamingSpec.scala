@@ -415,6 +415,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIndexSink gates each batch against the full admitted history") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dix").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.dedupIndexSink(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      s"$tmp/index", s"$tmp/ckpt").start()
+    try {
+      val all = docs.as[(Long, String)].collect()
+      val batches = all.grouped((all.length + 2) / 3).toSeq
+      batches.foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val index = Streaming.readDedupIndex(spark, s"$tmp/index")
+      val admitted = index.select("id").distinct()
+        .as[Long].collect().toSet
+      // expected: replay the same batches through the BATCH ops,
+      // maintaining the index by hand
+      var expIndex = graft.ops.Dedup.minhashIndex(
+        docs.limit(0), "text", "doc_id")
+      var expected = Set.empty[Long]
+      batches.foreach { g =>
+        val b = g.toIndexedSeq.toDF("doc_id", "text")
+        val adm = graft.ops.Dedup.admitAgainstIndex(
+          b, "text", "doc_id", expIndex)
+        expected ++= adm.select("doc_id").as[Long].collect()
+        expIndex = expIndex.unionAll(
+          graft.ops.Dedup.minhashIndex(adm, "text", "doc_id"))
+      }
+      assert(admitted === expected)
+      assert(admitted.size < all.length, "fixture held no duplicates")
+      // the admitted corpus is candidate-pair-free: every later
+      // near-copy was turned away at the gate
+      val texts = docs.where(col("doc_id").isin(admitted.toSeq: _*))
+      assert(graft.ops.Dedup.minhashCandidatePairs(
+        texts, "text", "doc_id").count() === 0L)
+      // a crash-replay of an already-written batch id is a no-op: the
+      // standing index excludes that id, so the decision replays
+      // identically and the subdir is rewritten with the same rows
+      val before = index.orderBy("id", "band_idx")
+        .collect().toSeq
+      Streaming.mergeDedupIndexBatch(
+        batches.head.toIndexedSeq.toDF("doc_id", "text"),
+        "text", "doc_id", s"$tmp/index", batchId = 0L)
+      val after = Streaming.readDedupIndex(spark, s"$tmp/index")
+        .orderBy("id", "band_idx").collect().toSeq
+      assert(after === before)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     // batch-drain mode: process everything that exists, checkpoint,
     // terminate — the scheduled-ingest shape (cron-like catch-up runs)
