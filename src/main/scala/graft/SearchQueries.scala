@@ -27,6 +27,16 @@ object SearchQueries {
   private val RrfK0 = 60
   private val QueryTerms = Seq("join", "filter", "vector")
 
+  /** Subword vocabulary for the q159 greedy tokenizer — a curated
+    * piece set (common English affixes/stems plus a few single chars);
+    * a real deployment pastes its trained merge vocabulary here. */
+  private[graft] val WpVocab: Seq[String] = Seq(
+    "the", "and", "ing", "tion", "ment", "able", "ness", "ful", "est",
+    "ed", "er", "es", "ly", "re", "un", "pre", "pro", "con", "com",
+    "data", "base", "work", "time", "over", "under", "out", "in", "on",
+    "at", "an", "or", "al", "de", "is", "of", "to",
+    "s", "e", "d", "a", "t", "o", "n")
+
   /** Deterministic 64-dim query vector with exactly-representable
     * components (n/8) — shared by the Spark literal and the SQL text so
     * both engines score the identical query. */
@@ -96,6 +106,24 @@ object SearchQueries {
       Dedup.admitAgainstIndex(
           docs.where(col("doc_id") >= SplitId), "text", "doc_id", index)
         .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Real subword tokenization: greedy longest-match segmentation
+    // against a pasted piece vocabulary (the WordPiece/BPE inference
+    // rule) — true token counts for budget/packing decisions, with the
+    // full segmentation string compared against the oracle's
+    // recursive-CTE replay.
+    "q159_wordpiece" -> ((s, dir) => {
+      val pieces = Text.greedyPieces(col("text"), WpVocab)
+      rd(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(filter(pieces, p =>
+            !array_contains(array(WpVocab.map(lit): _*), p)))
+            .cast("long").as("n_unk"),
+          array_join(pieces, " ").as("segmented"))
         .orderBy("doc_id")
     }),
 
@@ -214,6 +242,44 @@ object SearchQueries {
         |  AND doc_id NOT IN (SELECT doc_id FROM hit)
         |  AND doc_id NOT IN (SELECT doc_id FROM inbatch)
         |ORDER BY doc_id""".stripMargin,
+
+    "q159_wordpiece" -> {
+      val vlist = WpVocab.map(v => s"'$v'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE words AS (
+        |  SELECT doc_id, u.w, u.wid FROM (
+        |    SELECT doc_id, unnest(${toksSql("text")}) AS w,
+        |      generate_subscripts(${toksSql("text")}, 1) AS wid
+        |    FROM documents WHERE text IS NOT NULL) u),
+        |rec(doc_id, wid, pos, piece_no, piece) AS (
+        |  SELECT doc_id, wid, 1, 0, CAST(NULL AS VARCHAR) FROM words
+        |  UNION ALL
+        |  SELECT r.doc_id, r.wid,
+        |    r.pos + coalesce(list_max(list_transform(
+        |      list_filter($vlist,
+        |        v -> starts_with(substr(w.w, r.pos), v)),
+        |      v -> strlen(v))), 1),
+        |    r.piece_no + 1,
+        |    substr(w.w, r.pos, coalesce(list_max(list_transform(
+        |      list_filter($vlist,
+        |        v -> starts_with(substr(w.w, r.pos), v)),
+        |      v -> strlen(v))), 1))
+        |  FROM rec r JOIN words w ON w.doc_id = r.doc_id AND w.wid = r.wid
+        |  WHERE r.pos <= strlen(w.w) AND r.piece_no < 16),
+        |p AS (SELECT doc_id, wid, piece_no, piece FROM rec
+        |      WHERE piece IS NOT NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+        |    CAST(sum(CASE WHEN list_contains($vlist, piece)
+        |             THEN 0 ELSE 1 END) AS BIGINT) AS n_unk,
+        |    string_agg(piece, ' ' ORDER BY wid, piece_no) AS segmented
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_pieces, 0) AS n_pieces,
+        |  coalesce(a.n_unk, 0) AS n_unk,
+        |  coalesce(a.segmented, '') AS segmented
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.text IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q156_hybrid_rrf" -> {
       val termList = QueryTerms.map(t => s"'$t'").mkString(", ")

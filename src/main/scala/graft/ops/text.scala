@@ -88,6 +88,46 @@ object Text {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Greedy longest-match subword segmentation (the WordPiece/BPE
+    * inference rule) against a pasted vocabulary: each whitespace token
+    * is consumed left-to-right, at every position taking the LONGEST
+    * vocabulary piece that prefixes the remainder, falling back to a
+    * single character when nothing matches (that character then counts
+    * as unknown unless it is itself a piece). Returns the flattened
+    * piece array for the document — real token counts for budgeting /
+    * packing, where [[bpeIshTokenCount]] is only a proxy.
+    *
+    * Row-local and shuffle-free: the fold is a fixed
+    * `maxPiecesPerWord`-step aggregate per word (truncating pathological
+    * words, mirrored exactly by the oracle's recursion cap), each step
+    * one codegen'd filter over the vocabulary array — O(steps · |V|)
+    * string prefix tests per word. Fine for the curated-vocabulary
+    * sizes this signature targets; a full 30k-entry production vocab
+    * wants the same fold behind a trie-backed custom expression, the
+    * [[graft.functions.RollingFingerprintExpression]] pattern. */
+  def greedyPieces(text: Column, vocab: Seq[String],
+                   maxPiecesPerWord: Int = 16): Column = {
+    require(vocab.nonEmpty, "need a non-empty vocabulary")
+    val vocabArr = array(vocab.map(lit): _*)
+    val segmented = transform(tokens(text), w => {
+      val folded = aggregate(
+        sequence(lit(1), lit(maxPiecesPerWord)),
+        struct(w.as("rest"), lit(Array.empty[String]).as("pieces")),
+        (acc, _) => {
+          val rest = acc.getField("rest")
+          val pieces = acc.getField("pieces")
+          val best = array_max(transform(
+            filter(vocabArr, v => rest.startsWith(v)), v => length(v)))
+          val take = coalesce(best, lit(1))
+          when(length(rest) === 0, acc).otherwise(struct(
+            rest.substr(take + 1, length(rest)).as("rest"),
+            concat(pieces, array(rest.substr(lit(1), take))).as("pieces")))
+        })
+      folded.getField("pieces")
+    })
+    flatten(segmented)
+  }
+
   /** n-gram heuristic language ID: CJK chars -> zh, else argmax of
     * per-language stopword hits (ties broken by fixed language order). */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Retrieval, Similarity}
+import graft.ops.{Dedup, Retrieval, Similarity, Text}
 
 /** Specs for the search / corpus-hygiene pack: decontamination,
   * bottom-k sketches, random projection, reciprocal-rank fusion. */
@@ -101,6 +101,37 @@ class SearchSpec extends SparkSpec {
     out(1L).zip(out(2L)).foreach { case (a, b) =>
       assert(math.abs(b - 2 * a) < 1e-6)
     }
+  }
+
+  // ------------------------------------------------------ greedyPieces
+
+  test("greedyPieces segments greedily with single-char fallback") {
+    val vocab = Seq("he", "llo", "spark", "ing", "the", "s")
+    val df = Seq((1L, "hello sparking the zq")).toDF("id", "text")
+    val out = df.select(Text.greedyPieces(col("text"), vocab).as("p"))
+      .collect().head.getSeq[String](0)
+    // "zq": no piece matches -> per-char fallback
+    assert(out === Seq("he", "llo", "spark", "ing", "the", "z", "q"))
+  }
+
+  test("greedyPieces: longest match wins over shorter prefixes") {
+    val vocab = Seq("a", "ab", "abc", "d")
+    val out = Seq(Tuple1("abcd")).toDF("text")
+      .select(Text.greedyPieces(col("text"), vocab).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("abc", "d"))
+  }
+
+  test("greedyPieces truncates at maxPiecesPerWord; empty text is empty") {
+    val vocab = Seq("x")
+    val out = Seq(Tuple1("xxxxxx")).toDF("text")
+      .select(Text.greedyPieces(col("text"), vocab, maxPiecesPerWord = 4)
+        .as("p")).collect().head.getSeq[String](0)
+    assert(out === Seq("x", "x", "x", "x"))
+    val empty = Seq(Tuple1("   ")).toDF("text")
+      .select(Text.greedyPieces(col("text"), vocab).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(empty.isEmpty)
   }
 
   // ----------------------------------------------- incremental dedup
