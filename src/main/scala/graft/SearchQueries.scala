@@ -37,6 +37,39 @@ object SearchQueries {
     "at", "an", "or", "al", "de", "is", "of", "to",
     "s", "e", "d", "a", "t", "o", "n")
 
+  /** Fixed power-iteration count for the PCA queries — parity with the
+    * oracle needs identical recurrences, not convergence. */
+  private val PcaIters = 8
+  private val Dim = 64
+
+  /** Shared oracle-SQL prefix for q160/q161: gram matrix from the
+    * embeddings (1-based indices), uniform unit start vector, and
+    * `PcaIters` unrolled normalize-multiply steps — the exact
+    * recurrence `Similarity.topPrincipalComponent` runs on the driver. */
+  private def pcaSqlPrefix: String = {
+    // every CTE MATERIALIZED: the chain references g and each v_k
+    // multiple times, and inlining would re-expand the whole prefix
+    // per reference — 2^iters blowup
+    val steps = (1 to PcaIters).map { k =>
+      val pv = s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (SELECT g.i, sum(g.val * $pv.vi) AS wi
+        |       FROM g JOIN $pv ON g.j = $pv.i GROUP BY g.i),
+        |n$k AS MATERIALIZED (SELECT sqrt(sum(wi*wi)) AS s FROM w$k),
+        |v$k AS MATERIALIZED (SELECT i, wi / s AS vi FROM w$k, n$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ea AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS vi
+      |  FROM embeddings),
+      |g AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j, sum(a.vi * b.vi) AS val
+      |  FROM ea a JOIN ea b USING (vec_id) GROUP BY 1, 2),
+      |v0 AS MATERIALIZED (SELECT DISTINCT i, 1.0 / sqrt(${Dim}.0) AS vi
+      |                    FROM g),
+      |$steps""".stripMargin
+  }
+
   /** Deterministic 64-dim query vector with exactly-representable
     * components (n/8) — shared by the Spark literal and the SQL text so
     * both engines score the identical query. */
@@ -125,6 +158,32 @@ object SearchQueries {
             .cast("long").as("n_unk"),
           array_join(pieces, " ").as("segmented"))
         .orderBy("doc_id")
+    }),
+
+    // PCA: top principal direction of the embedding corpus — one
+    // distributed gram aggregation (corpus touched once), then a
+    // fixed deterministic power iteration on the driver's d×d matrix.
+    "q160_pca_top_component" -> ((s, dir) => {
+      import s.implicits._
+      val (e, lam) = Similarity.topPrincipalComponent(
+        rd(s, dir, "embeddings"), "embedding", Dim, PcaIters)
+      e.toSeq.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("dim_i", "e1")
+        .select(col("dim_i"), round(col("e1"), 6).as("e1"),
+          round(lit(lam), 6).as("lambda"))
+        .orderBy("dim_i")
+    }),
+
+    // Projection of every embedding onto that component — the actual
+    // 64 → 1 reduction a whitening/variance-analysis pass consumes.
+    "q161_pca_project" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val (e, _) = Similarity.topPrincipalComponent(
+        emb, "embedding", Dim, PcaIters)
+      emb.select(col("vec_id"),
+          round(graft.functions.GraftFunctions.dotProduct(
+            col("embedding"), array(e.toSeq.map(lit): _*)), 6).as("pc1"))
+        .orderBy("vec_id")
     }),
 
     // Hybrid retrieval: BM25 over the query terms ⊕ cosine against the
@@ -242,6 +301,26 @@ object SearchQueries {
         |  AND doc_id NOT IN (SELECT doc_id FROM hit)
         |  AND doc_id NOT IN (SELECT doc_id FROM inbatch)
         |ORDER BY doc_id""".stripMargin,
+
+    "q160_pca_top_component" -> {
+      val vf = s"v$PcaIters"
+      s"""$pcaSqlPrefix,
+        |wf AS (SELECT g.i, sum(g.val * $vf.vi) AS wi
+        |       FROM g JOIN $vf ON g.j = $vf.i GROUP BY g.i),
+        |lam AS (SELECT sum($vf.vi * wf.wi) AS l
+        |        FROM $vf JOIN wf ON $vf.i = wf.i)
+        |SELECT CAST($vf.i - 1 AS BIGINT) AS dim_i, round($vf.vi, 6) AS e1,
+        |  round(lam.l, 6) AS lambda
+        |FROM $vf, lam ORDER BY dim_i""".stripMargin
+    },
+
+    "q161_pca_project" -> {
+      val vf = s"v$PcaIters"
+      s"""$pcaSqlPrefix
+        |SELECT ea.vec_id, round(sum(ea.vi * $vf.vi), 6) AS pc1
+        |FROM ea JOIN $vf USING (i)
+        |GROUP BY ea.vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "q159_wordpiece" -> {
       val vlist = WpVocab.map(v => s"'$v'").mkString("[", ", ", "]")

@@ -66,6 +66,52 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Distributed d×d gram matrix Σ v·vᵀ of an embedding column, as
+    * (i, j, val) rows. The (i, j) explode looks quadratic but is
+    * scale-correct: partial aggregation collapses every partition to
+    * ≤ d² groups before the shuffle, so shuffle bytes are O(d² ×
+    * partitions) — independent of corpus size — and the d² multiplies
+    * per vector are the gram computation itself, not overhead. */
+  def gram(df: DataFrame, embCol: String): DataFrame =
+    df.select(col(embCol).as("__v"))
+      .select(posexplode(col("__v")).as(Seq("i", "__vi")), col("__v"))
+      .select(col("i"), col("__vi").cast("double").as("__vi"),
+        posexplode(col("__v")).as(Seq("j", "__vj")))
+      .groupBy("i", "j")
+      .agg(sum(col("__vi") * col("__vj").cast("double")).as("val"))
+
+  /** Top principal direction of the embedding corpus (about the
+    * origin): `iters` fixed power-iteration steps on the collected
+    * [[gram]] matrix, started from the uniform unit vector — fully
+    * deterministic, no convergence test, so an external engine
+    * replays the identical recurrence step for step. The corpus is
+    * touched ONCE (the gram aggregation); iteration happens on the
+    * d×d matrix on the driver, which is the right side of the
+    * driver/cluster split at any corpus scale (d² doubles vs 100 TB).
+    * Returns (eigenvector, Rayleigh quotient λ̂). */
+  def topPrincipalComponent(df: DataFrame, embCol: String, dim: Int,
+                            iters: Int): (Array[Double], Double) = {
+    val g = Array.ofDim[Double](dim, dim)
+    gram(df, embCol).collect().foreach { r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+    }
+    val gv = Array.tabulate(dim) { i =>
+      (0 until dim).map(j => g(i)(j) * v(j)).sum
+    }
+    (v, v.zip(gv).map { case (a, b) => a * b }.sum)
+  }
+
   /** Random-projection (Johnson-Lindenstrauss / Achlioptas sign-matrix)
     * dimensionality reduction: out[j] = Σ_d emb[d] · s(j,d) with the
     * same deterministic ±1 matrix as [[signLshBucket]] ([[planeSign]]).

@@ -165,6 +165,33 @@ class SearchSpec extends SparkSpec {
     assert(adm === Set(11L, 13L))
   }
 
+  // --------------------------------------------------------------- PCA
+
+  test("gram matrix is symmetric and matches a hand computation") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 4.0f)))
+      .toDF("emb")
+    val g = Similarity.gram(df, "emb").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(g((0, 0)) === 10.0) // 1 + 9
+    assert(g((1, 1)) === 20.0) // 4 + 16
+    assert(g((0, 1)) === 14.0) // 2 + 12
+    assert(g((0, 1)) === g((1, 0)))
+  }
+
+  test("topPrincipalComponent recovers a dominant axis") {
+    // vectors clustered along (3,4)/5 with a tiny orthogonal wiggle
+    val base = Array(0.6f, 0.8f)
+    val df = Seq(
+      Tuple1(base.map(_ * 2f)), Tuple1(base.map(_ * -3f)),
+      Tuple1(Array(0.61f, 0.79f)), Tuple1(Array(-0.8f * 0.01f, 0.6f * 0.01f))
+    ).toDF("emb")
+    val (e, lam) = Similarity.topPrincipalComponent(df, "emb", 2, 20)
+    val alignment = math.abs(e(0) * 0.6 + e(1) * 0.8)
+    assert(alignment > 0.999)
+    assert(lam > 0)
+    assert(math.abs(e.map(x => x * x).sum - 1.0) < 1e-12) // unit norm
+  }
+
   // --------------------------------------------------------------- RRF
 
   test("rrfFuse combines ranks; docs missing from one list contribute 0") {
