@@ -154,24 +154,13 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: assign every corpus vector to its best coarse
-    * centroid (argmax cosine, ties by centroid id), then answer queries by
-    * probing only the `nprobe` centroids closest to the query — the
-    * classic inverted-file trade: recall for a corpus-scan factor of
-    * ~nprobe/nlist. Centroids arrive as a (cid, cvec) DataFrame — any
-    * picker works (k-means, sampled rows); a deterministic picker keeps
-    * results oracle-checkable.
-    *
-    * Scale: assignment is row-local — the nlist centroids are folded into
-    * ONE broadcast array row, and each corpus vector picks its argmax
-    * cosine (ties -> lowest cid) inside a single higher-order-function
-    * fold. Zero corpus shuffle (a crossJoin + row_number window would
-    * shuffle corpus×nlist rows through a sort). At 100 TB you'd persist
-    * the assignment partitioned by cluster id so probes touch only
-    * nprobe/nlist of the files. */
-  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
-              centroids: DataFrame, queryVec: Column,
-              nprobe: Int, k: Int): DataFrame = {
+  /** Row-local coarse-centroid assignment (the IVF build step, shared
+    * with the streaming vector-index sink): every corpus vector gets
+    * the argmax-cosine centroid id (ties → lowest cid) via one fold
+    * over a single broadcast centroid-array row — zero corpus shuffle.
+    * Returns the corpus columns plus `cluster`. */
+  def assignToCentroids(corpus: DataFrame, embCol: String, idCol: String,
+                        centroids: DataFrame): DataFrame = {
     val cid = col("cid")
     val cidType = centroids.schema("cid").dataType
     // cid-sorted so a strictly-greater fold keeps the LOWEST cid on ties —
@@ -197,10 +186,31 @@ object Similarity {
         (s.isNotNull && s > acc.getField("sim"))
       when(take, e).otherwise(acc)
     })
-    val assigned = Scale.widen(corpus)
+    Scale.widen(corpus)
       .crossJoin(broadcast(centArr))
       .withColumn("__best", best)
       .select(col(idCol), col(embCol), col("__best.cid").as("cluster"))
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its best coarse
+    * centroid ([[assignToCentroids]]), then answer queries by probing
+    * only the `nprobe` centroids closest to the query — the classic
+    * inverted-file trade: recall for a corpus-scan factor of
+    * ~nprobe/nlist. Centroids arrive as a (cid, cvec) DataFrame — any
+    * picker works (k-means, sampled rows); a deterministic picker keeps
+    * results oracle-checkable.
+    *
+    * Scale: assignment is row-local — zero corpus shuffle (a crossJoin
+    * + row_number window would shuffle corpus×nlist rows through a
+    * sort). At 100 TB you'd persist the assignment partitioned by
+    * cluster id so probes touch only nprobe/nlist of the files —
+    * exactly what [[graft.streaming.Streaming.vectorIndexSink]]
+    * maintains incrementally. */
+  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
+              centroids: DataFrame, queryVec: Column,
+              nprobe: Int, k: Int): DataFrame = {
+    val cid = col("cid")
+    val assigned = assignToCentroids(corpus, embCol, idCol, centroids)
     val probeWindow = Window.orderBy(col("__qsim").desc, cid)
     val probed = centroids
       .withColumn("__qsim", cosine(col("cvec"), queryVec))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -517,6 +517,61 @@ object Streaming {
     * rows plus the `batch` partition column it arrived in. */
   def readDedupIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir)
+
+  /** Streaming IVF vector-index maintenance — the vector-database
+    * ingestion path: each micro-batch of (id, embedding) rows is
+    * assigned its coarse centroid row-locally
+    * ([[graft.ops.Similarity.assignToCentroids]] — broadcast centroid
+    * array, zero batch shuffle beyond the partitioned write) and
+    * appended under `batch=<id>/cluster=<cid>/`, so the on-disk layout
+    * IS the inverted file: a query that probes `nprobe` centroids
+    * reads only those `cluster=` directories (partition pruning),
+    * touching ~nprobe/nlist of the corpus bytes no matter how much
+    * history has accumulated.
+    *
+    * Exactly-once by the same discipline as [[dedupIndexSink]]:
+    * deterministic per-batch paths, overwrite on replay — and unlike a
+    * monolithic index rebuild, per-batch I/O is O(batch). Centroids
+    * are FIXED for the life of the index (re-centering rewrites it;
+    * that is an offline compaction, not a streaming concern). */
+  def vectorIndexSink(vectors: DataFrame, embCol: String, idCol: String,
+                      centroids: DataFrame, indexDir: String,
+                      checkpoint: String) =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.assignToCentroids(
+              batch, embCol, idCol, centroids)
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$indexDir/batch=$batchId")
+        ()
+      }
+
+  /** Query a [[vectorIndexSink]] index: cosine top-k against the
+    * query vector over the `nprobe` best centroids' partitions only —
+    * the `cluster IN (...)` filter is a partition-directory prune, so
+    * the scan never opens the other clusters' files. */
+  def ivfSearchIndex(spark: SparkSession, indexDir: String,
+                     centroids: DataFrame, queryVec: Column,
+                     nprobe: Int, k: Int, idCol: String = "id",
+                     embCol: String = "emb"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeWindow = Window.orderBy(col("__qsim").desc, col("cid"))
+    val probed = centroids
+      .withColumn("__qsim", graft.ops.Similarity.cosine(col("cvec"), queryVec))
+      .withColumn("__rk", row_number().over(probeWindow))
+      .where(col("__rk") <= nprobe)
+      .select(col("cid")).collect().map(_.get(0))
+    spark.read.parquet(indexDir)
+      .where(col("cluster").isin(probed.toSeq: _*))
+      .withColumn("cosine_sim",
+        round(graft.ops.Similarity.cosine(col(embCol), queryVec), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .select(col(idCol), col("cluster"), col("cosine_sim"))
+      .limit(k)
+  }
 
   /** Read a [[dsirStatsSink]] store as the count table
     * [[graft.ops.Retrieval.dsirWeightsAgainst]] consumes, healing a

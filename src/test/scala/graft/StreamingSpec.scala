@@ -466,6 +466,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vectorIndexSink builds a partition-pruned IVF index across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vix").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val qv = {
+      val v = emb.where(col("vec_id") === 11L)
+        .select("embedding").as[Array[Float]].collect().head
+      array(v.toIndexedSeq.map(lit): _*)
+    }
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.vectorIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      centroids, s"$tmp/index", s"$tmp/ckpt").start()
+    try {
+      val all = emb.as[(Long, Array[Float])].collect()
+      all.grouped((all.length + 1) / 2).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = Streaming.ivfSearchIndex(spark, s"$tmp/index", centroids,
+        qv, nprobe = 3, k = 10, idCol = "vec_id", embCol = "embedding")
+      val expected = graft.ops.Similarity.ivfTopK(emb, "embedding",
+        "vec_id", centroids, qv, nprobe = 3, k = 10)
+      assert(got.collect().toSeq.map(_.toSeq) ===
+        expected.collect().toSeq.map(_.toSeq))
+      // the cluster IN (...) predicate is a PARTITION filter — pruned
+      // at the directory level, not evaluated per row post-scan
+      val planStr = got.queryExecution.executedPlan.toString
+      val pf = planStr.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("cluster"),
+        s"cluster predicate did not become a partition filter:\n$planStr")
+      val allClusters = spark.read.parquet(s"$tmp/index")
+        .select("cluster").distinct().count()
+      assert(allClusters > 3, "fixture landed in too few clusters")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     // batch-drain mode: process everything that exists, checkpoint,
     // terminate — the scheduled-ingest shape (cron-like catch-up runs)
