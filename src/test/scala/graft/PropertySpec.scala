@@ -72,6 +72,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("greedyPieces concatenation reconstructs every tokenized word") {
+    // lossless segmentation: joining a word's pieces with '' must give
+    // back the word exactly, for ANY text and ANY vocabulary — greedy
+    // choice changes the cut points, never the characters
+    val vocab = Seq("ab", "ba", "a", "cc", "abc", "x")
+    val gen: Gen[String] = Gen.listOfN(6,
+      Gen.oneOf(Gen.alphaLowerStr.map(_.take(8)), Gen.const("abcba"),
+        Gen.const("ccc"), Gen.const(""))).map(_.mkString(" "))
+    val texts = samples(gen, 200)
+    val df = texts.toDF("text")
+    val got = df.select(
+        concat_ws("", Text.greedyPieces(col("text"), vocab)).as("joined"),
+        concat_ws("", Text.tokens(col("text"))).as("chars"))
+      .collect()
+    got.foreach { r => assert(r.getString(0) === r.getString(1)) }
+  }
+
+  test("sketchJaccard estimates lie in [0,1] and are exact under small vocab") {
+    val gen: Gen[(String, String)] = for {
+      k <- Gen.oneOf("A", "B", "C")
+      t <- Gen.oneOf("v", "w", "x", "y", "z", "q")
+    } yield (k, t)
+    val toks = samples(gen, 400)
+    val sk = Dedup.bottomKSketches(toks.toDF("key", "tok"), "key", "tok", 16)
+    val pairs = Dedup.sketchJaccardPairs(sk, "key", 16).collect()
+    // vocab (6 tokens) fits in k=16 -> estimates are EXACT Jaccards
+    val sets = toks.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    pairs.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val est = r.getDouble(3)
+      assert(est >= 0.0 && est <= 1.0)
+      val exact = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      assert(math.abs(est - exact) < 1e-6, s"pair ($a,$b)")
+    }
+  }
+
   test("minhash signature is permutation-invariant under shingle-set equality") {
     // same shingle SET -> same minhash for every seed
     val doc = Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))
