@@ -88,6 +88,28 @@ object ScaleProbe {
     time("substring dups (rolling)", total, "docs/s")(
       Dedup.substringDupWindows(corpus, "doc_id", "text",
         windowChars = 40, sampleMod = 20, rollingHash = true))
+    // incremental ingestion: 90% of the corpus is the standing banded
+    // index, the other 10% arrives as a batch and is admission-gated —
+    // per-batch cost must track BATCH size, with the store side one
+    // fixed-width join probe
+    time("incremental admit (10% batch)", total / 10, "batch docs/s") {
+      val store = corpus.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = corpus.where(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.admitAgainstIndex(batch, "text", "doc_id",
+        Dedup.minhashIndex(store, "text", "doc_id"))
+    }
+    // decontamination: 1% of docs stand in for the benchmark set;
+    // broadcast-semi-join inside the scan, so docs/s ~ text family
+    time("decontaminate (1% bench)", total, "docs/s")(
+      Dedup.ngramContamination(
+        corpus.where(pmod(col("doc_id"), lit(100)) =!= 0),
+        corpus.where(pmod(col("doc_id"), lit(100)) === 0),
+        "text", "doc_id", n = 8))
+    // greedy subword segmentation: row-local bounded fold per word
+    time("wordpiece segment", total, "docs/s")(
+      corpus.select(col("doc_id"),
+        size(Text.greedyPieces(col("text"), SearchQueries.WpVocab))
+          .as("n_pieces")))
 
     // ------------------------------------------------- curation family
     // chunk+pack is the full context-window pipeline: tokenize, explode

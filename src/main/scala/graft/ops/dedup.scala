@@ -410,13 +410,12 @@ object Dedup {
     *
     * Scale (100 TB corpus, benchmark ≪ corpus — the real shape:
     * benchmarks are a few thousand documents): the benchmark n-gram
-    * set is distinct-ed to 32-byte digests and BROADCAST, so the
-    * corpus-side explode joins with zero corpus shuffle (broadcast
-    * hash join inside the scan stage); only surviving hits — corpus
-    * rows that actually collide with the benchmark, normally a tiny
-    * fraction — reach the doc-grain count shuffle, and the final
-    * doc-grain join moves two longs per document. N-grams cross the
-    * join as md5 digests, never as strings. */
+    * set is distinct-ed to 32-byte digests and BROADCAST, so the whole
+    * corpus side is ONE pass: explode the per-doc distinct grams,
+    * broadcast-hash-join the benchmark digests inside the scan stage
+    * (zero corpus shuffle), and aggregate gram count + hit count in
+    * the same doc-grain shuffle. N-grams cross the join as md5
+    * digests, never as strings. */
   def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String, n: Int,
                          minHits: Long = 1L): DataFrame = {
@@ -424,18 +423,14 @@ object Dedup {
     val benchGrams = benchmark
       .select(explode(shs).as("__g")).select(fastMd5(col("__g")).as("__h"))
       .distinct()
-    val docGrams = Scale.widen(corpus)
-      .select(col(idCol), shs.as("__sh"))
-      .select(col(idCol), size(col("__sh")).as("n_ngrams"), col("__sh"))
-    val hits = docGrams
-      .select(col(idCol), explode(col("__sh")).as("__g"))
+      .withColumn("__hit", lit(1))
+    Scale.widen(corpus)
+      .select(col(idCol), explode_outer(shs).as("__g"))
       .select(col(idCol), fastMd5(col("__g")).as("__h"))
-      .join(broadcast(benchGrams), Seq("__h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
-    docGrams.drop("__sh")
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams").cast("long").as("n_ngrams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .join(broadcast(benchGrams), Seq("__h"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__h")).as("n_ngrams"),
+        count(col("__hit")).as("n_hit"))
       .withColumn("hit_frac",
         round(col("n_hit").cast("double") / col("n_ngrams"), 6))
       .withColumn("contaminated", col("n_hit") >= minHits)
