@@ -52,6 +52,49 @@ object Aggregators {
     scored.groupByKey(_.group).agg(new TopK(k).toColumn.name("topk"))
   }
 
+  /** Mergeable gram-matrix aggregator: buffer = the flattened d×d
+    * matrix, reduce folds one v·vᵀ outer product in a tight JVM loop,
+    * merge adds buffers element-wise. Versus the (i,j)-explode +
+    * groupBy formulation this moves the d² work out of Catalyst row
+    * fan-out (d² ROWS per vector through the partial aggregate)
+    * into d² double ops per vector — the difference that matters once
+    * d reaches real embedding widths (1024² = 1M rows per vector vs
+    * one array update). Exploits symmetry: only the upper triangle is
+    * accumulated, then mirrored in finish. */
+  class Gram(dim: Int)
+      extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](dim * dim)
+    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      val a = v.toArray
+      var i = 0
+      while (i < dim) {
+        val vi = a(i).toDouble
+        var j = i
+        while (j < dim) { b(i * dim + j) += vi * a(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Double]): Seq[Double] = {
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < i) { b(i * dim + j) = b(j * dim + i); j += 1 }
+        i += 1
+      }
+      b.toSeq
+    }
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Count-Min Sketch frequency estimation: a mergeable sketch aggregator
     * over a token stream, answering "how often does each probe key
     * occur?" within eps·N overcount (never undercount) at the given

@@ -170,7 +170,7 @@ class SearchSpec extends SparkSpec {
   test("gram matrix is symmetric and matches a hand computation") {
     val df = Seq(Tuple1(Array(1.0f, 2.0f)), Tuple1(Array(3.0f, 4.0f)))
       .toDF("emb")
-    val g = Similarity.gram(df, "emb").collect()
+    val g = Similarity.gram(df, "emb", 2).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(g((0, 0)) === 10.0) // 1 + 9
     assert(g((1, 1)) === 20.0) // 4 + 16
