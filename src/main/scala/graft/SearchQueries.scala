@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Retrieval, Similarity, Text}
+import graft.ops.{Dedup, Learning, Retrieval, Similarity, Text}
 
 /** Search / corpus-hygiene queries (q153+): benchmark decontamination,
   * random-projection dimensionality reduction, bottom-k sketch set
@@ -41,6 +41,11 @@ object SearchQueries {
     * oracle needs identical recurrences, not convergence. */
   private val PcaIters = 8
   private val Dim = 64
+
+  /** Hyperparameters of the q162 in-engine linear-model fit. */
+  private val LrnBuckets = 64
+  private val LrnLr = 0.5
+  private val LrnIters = 3
 
   /** Shared oracle-SQL prefix for q160/q161: gram matrix from the
     * embeddings (1-based indices), uniform unit start vector, and
@@ -160,6 +165,26 @@ object SearchQueries {
         .orderBy("doc_id")
     }),
 
+    // In-engine model fitting: batch gradient descent for the
+    // hashed-feature linear quality model (the training side of q152's
+    // scorer), expressed as per-iteration aggregations over a cached
+    // feature table with driver-held weights. Label: is the doc
+    // English?
+    "q162_train_linear" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rd(s, dir, "documents").where(col("text").isNotNull)
+      val feats = Learning.hashedFeatures(docs, "doc_id", "text",
+        LrnBuckets)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Learning.trainLinear(feats, labels, LrnBuckets, LrnLr,
+        LrnIters)
+      w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }
+        .toDF("bucket", "w")
+        .select(col("bucket"), round(col("w"), 6).as("w"))
+        .orderBy("bucket")
+    }),
+
     // PCA: top principal direction of the embedding corpus — one
     // distributed gram aggregation (corpus touched once), then a
     // fixed deterministic power iteration on the driver's d×d matrix.
@@ -206,6 +231,11 @@ object SearchQueries {
   // ---------------------------------------------------------- oracle SQL
 
   private def toksSql(e: String): String = NorthStar.toksSql(e)
+
+  /** DuckDB replica of Sampling.splitBucket (first md5 hex byte pair). */
+  private def bucketSql(e: String): String =
+    s"""((strpos('0123456789abcdef', md5($e)[1:1]) - 1) * 16
+       |  + (strpos('0123456789abcdef', md5($e)[2:2]) - 1))""".stripMargin
 
   /** ±1 sign-matrix row p as a DuckDB literal — the identical
     * Similarity.planeSign matrix the Spark expression derives. */
@@ -301,6 +331,41 @@ object SearchQueries {
         |  AND doc_id NOT IN (SELECT doc_id FROM hit)
         |  AND doc_id NOT IN (SELECT doc_id FROM inbatch)
         |ORDER BY doc_id""".stripMargin,
+
+    "q162_train_linear" -> {
+      val steps = (1 to LrnIters).map { k =>
+        val pw = s"w${k - 1}"
+        s"""m$k AS MATERIALIZED (
+          |  SELECT f.doc_id, sum(f.cnt * p.w) AS m
+          |  FROM f JOIN $pw p USING (bucket) GROUP BY f.doc_id),
+          |r$k AS MATERIALIZED (
+          |  SELECT l.doc_id, l.y - coalesce(m$k.m, 0.0) AS r
+          |  FROM l LEFT JOIN m$k USING (doc_id)),
+          |g$k AS MATERIALIZED (
+          |  SELECT f.bucket, sum(f.cnt * r$k.r) / (SELECT nd FROM n) AS g
+          |  FROM f JOIN r$k USING (doc_id) GROUP BY f.bucket),
+          |w$k AS MATERIALIZED (
+          |  SELECT p.bucket, p.w + $LrnLr * coalesce(g$k.g, 0.0) AS w
+          |  FROM $pw p LEFT JOIN g$k USING (bucket))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS MATERIALIZED (
+        |  SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt FROM (
+        |    SELECT doc_id, (${bucketSql("tok")}) % $LrnBuckets AS bucket
+        |    FROM (
+        |      SELECT doc_id, unnest(${toksSql("text")}) AS tok
+        |      FROM documents WHERE text IS NOT NULL))
+        |  GROUP BY doc_id, bucket),
+        |l AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nd FROM l),
+        |w0 AS MATERIALIZED (
+        |  SELECT unnest(generate_series(0, ${LrnBuckets - 1})) AS bucket,
+        |    0.0 AS w),
+        |$steps
+        |SELECT CAST(bucket AS BIGINT) AS bucket, round(w, 6) AS w
+        |FROM w$LrnIters ORDER BY bucket""".stripMargin
+    },
 
     "q160_pca_top_component" -> {
       val vf = s"v$PcaIters"

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Retrieval, Similarity, Text}
+import graft.ops.{Dedup, Learning, Retrieval, Similarity, Text}
 
 /** Specs for the search / corpus-hygiene pack: decontamination,
   * bottom-k sketches, random projection, reciprocal-rank fusion. */
@@ -163,6 +163,31 @@ class SearchSpec extends SparkSpec {
     val adm = Dedup.admitAgainstIndex(batch, "text", "id", idx)
       .select("id").as[Long].collect().toSet
     assert(adm === Set(11L, 13L))
+  }
+
+  // ---------------------------------------------------------- training
+
+  test("trainLinear replays the exact GD recurrence (binary fractions)") {
+    // one indicative bucket per class: every update is an exact binary
+    // fraction, so the recurrence is checkable to the last bit
+    val feats = Seq((1L, 0, 1.0), (2L, 1, 1.0)).toDF("doc_id", "bucket", "cnt")
+    val labels = Seq((1L, 1.0), (2L, 0.0)).toDF("doc_id", "y")
+    val w = Learning.trainLinear(feats, labels, buckets = 2, lr = 0.5,
+      iters = 3)
+    // w0: 0 -> .5*(1/2)= .25 -> +.5*(.75/2)= .4375 -> +.5*(.5625/2)
+    assert(w(0) === 0.578125)
+    assert(w(1) === 0.0)
+    val before = Learning.mse(feats, labels, Array(0.0, 0.0))
+    val after = Learning.mse(feats, labels, w)
+    assert(after < before)
+  }
+
+  test("hashedFeatures counts tokens per md5 bucket") {
+    val docs = Seq((1L, "alpha alpha beta")).toDF("id", "text")
+    val f = Learning.hashedFeatures(docs, "id", "text", 64).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(f.values.sum === 3.0)
+    assert(f.values.toSeq.sorted === Seq(1.0, 2.0)) // alpha=2, beta=1
   }
 
   // --------------------------------------------------------------- PCA
