@@ -401,14 +401,14 @@ object SearchQueries {
         |    r.pos + coalesce(list_max(list_transform(
         |      list_filter($vlist,
         |        v -> starts_with(substr(w.w, r.pos), v)),
-        |      v -> strlen(v))), 1),
+        |      v -> length(v))), 1),
         |    r.piece_no + 1,
         |    substr(w.w, r.pos, coalesce(list_max(list_transform(
         |      list_filter($vlist,
         |        v -> starts_with(substr(w.w, r.pos), v)),
-        |      v -> strlen(v))), 1))
+        |      v -> length(v))), 1))
         |  FROM rec r JOIN words w ON w.doc_id = r.doc_id AND w.wid = r.wid
-        |  WHERE r.pos <= strlen(w.w) AND r.piece_no < 16),
+        |  WHERE r.pos <= length(w.w) AND r.piece_no < 16),
         |p AS (SELECT doc_id, wid, piece_no, piece FROM rec
         |      WHERE piece IS NOT NULL),
         |agg AS (

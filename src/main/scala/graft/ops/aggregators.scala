@@ -66,6 +66,9 @@ object Aggregators {
     override def zero: Array[Double] = new Array[Double](dim * dim)
     override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
       val a = v.toArray
+      require(a.length == dim,
+        s"Gram(dim=$dim) fed a ${a.length}-wide vector — a mismatched " +
+          "dim would silently truncate or crash mid-aggregation")
       var i = 0
       while (i < dim) {
         val vi = a(i).toDouble

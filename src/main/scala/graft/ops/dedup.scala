@@ -504,8 +504,11 @@ object Dedup {
   def admitAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
                         index: DataFrame, numHashes: Int = 8,
                         bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    // checkpointed: the banded signatures feed three joins below plus
+    // the final semi-join — without materialization each branch would
+    // re-run the dominant row-local shingle hashing over the batch
     val probe = minhashIndex(Scale.widen(batch), textCol, idCol,
-      numHashes, bands, shingleSize)
+      numHashes, bands, shingleSize).localCheckpoint()
     // a doc is suppressed if ANY of its bands hits the store: semi-join
     // finds the hit docs, anti-join against that set admits the rest
     val hitByStore = probe

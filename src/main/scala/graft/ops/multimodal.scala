@@ -33,6 +33,14 @@ object Multimodal {
       .when(pmod(id, lit(3)) === 1, "audio")
       .otherwise("video")
 
+  /** The stub fallback's byte-length → (width, height) arithmetic —
+    * ONE definition shared by the column expression
+    * ([[stubDecodeMeta]]) and the JVM-side typed decode fallback, so
+    * the documented "fallback equals stub" invariant cannot drift. */
+  private[graft] def stubDims(payloadBytes: Long): (Int, Int) =
+    (((payloadBytes * 7) % 512 + 128).toInt,
+      ((payloadBytes * 13) % 384 + 96).toInt)
+
   /** STUB decode: typed metadata derived from payload bytes only (no real
     * codec in this environment). width/height/sample-rate/duration are
     * deterministic functions of byte length, so the stage is testable and
@@ -145,9 +153,9 @@ object Multimodal {
           case Some((fmt, w, h)) =>
             DecodedImage(r.getLong(idIdx), n, decoded = true, fmt, w, h)
           case None =>
+            val (w, h) = stubDims(n)
             DecodedImage(r.getLong(idIdx), n, decoded = false, "unknown",
-              width = ((n * 7) % 512 + 128).toInt,  // stubDecodeMeta arithmetic
-              height = ((n * 13) % 384 + 96).toInt)
+              width = w, height = h)
         }
       }
     }(Encoders.product[DecodedImage])
@@ -218,10 +226,10 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         crc.reset(); crc.update(bytes)
         val n = bytes.length.toLong
+        val (w, h) = stubDims(n) // STUB: real codec here
         DecodedMedia(
           r.getLong(idIdx), r.getString(kindIdx), n,
-          width = ((n * 7) % 512 + 128).toInt,   // STUB: real codec here
-          height = ((n * 13) % 384 + 96).toInt,  // STUB
+          width = w, height = h,
           checksum = crc.getValue)
       }
     }(Encoders.product[DecodedMedia])

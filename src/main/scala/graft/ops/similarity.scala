@@ -211,17 +211,26 @@ object Similarity {
     * cluster id so probes touch only nprobe/nlist of the files —
     * exactly what [[graft.streaming.Streaming.vectorIndexSink]]
     * maintains incrementally. */
-  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
-              centroids: DataFrame, queryVec: Column,
-              nprobe: Int, k: Int): DataFrame = {
-    val cid = col("cid")
-    val assigned = assignToCentroids(corpus, embCol, idCol, centroids)
-    val probeWindow = Window.orderBy(col("__qsim").desc, cid)
-    val probed = centroids
+  /** The `nprobe` centroid ids nearest the query (cosine desc, cid
+    * tie-break) as a one-column `cluster` frame — the probe-selection
+    * rule shared by [[ivfTopK]] and the streaming index query
+    * ([[graft.streaming.Streaming.ivfSearchIndex]]), factored out so
+    * the two can never diverge. */
+  def probedCentroids(centroids: DataFrame, queryVec: Column,
+                      nprobe: Int): DataFrame = {
+    val probeWindow = Window.orderBy(col("__qsim").desc, col("cid"))
+    centroids
       .withColumn("__qsim", cosine(col("cvec"), queryVec))
       .withColumn("__rk", row_number().over(probeWindow))
       .where(col("__rk") <= nprobe)
-      .select(cid.as("cluster"))
+      .select(col("cid").as("cluster"))
+  }
+
+  def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
+              centroids: DataFrame, queryVec: Column,
+              nprobe: Int, k: Int): DataFrame = {
+    val assigned = assignToCentroids(corpus, embCol, idCol, centroids)
+    val probed = probedCentroids(centroids, queryVec, nprobe)
     assigned.join(broadcast(probed), Seq("cluster"))
       .withColumn("cosine_sim", round(cosine(col(embCol), queryVec), 6))
       .orderBy(col("cosine_sim").desc, col(idCol))

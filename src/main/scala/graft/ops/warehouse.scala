@@ -204,6 +204,7 @@ object Warehouse {
       fs.delete(backupRoot, true)
     }
     fs.delete(tmpRoot, true)
+    migrateFlatIfNeeded(spark, fs, hPath, changes.schema, keyCols, nBuckets)
 
     val bucket = keyBucket(keyCols, nBuckets)
     val ch = changes.persist()
@@ -239,6 +240,59 @@ object Warehouse {
       fs.delete(tmpRoot, true)
       touched
     } finally ch.unpersist()
+  }
+
+  /** One-time layout migration for [[mergeCdcBucketed]]: a table
+    * previously maintained as FLAT part files (the pre-bucketed
+    * whole-table merge, or any plain parquet write) would otherwise be
+    * invisible to the bucket-scoped reads — the merge would silently
+    * treat the base as empty AND later leave a root that mixes flat
+    * files with `__kb=` dirs (a partition-discovery error for
+    * readers). Detect root-level data files, rewrite them into the
+    * bucketed layout, and only then let the merge proceed.
+    *
+    * Crash-safe and idempotent without an O(table) window: the flat
+    * files stay readable until the very end — base = root flat files ∪
+    * any `.cdc.migrated/` leftovers, derived `__kb=` dirs from an
+    * interrupted attempt are discarded and re-derived, flat files are
+    * renamed into `.cdc.migrated/` only after every bucket is in
+    * place, and the marker dir is dropped last. A crash at ANY point
+    * re-runs the migration from the identical logical base. */
+  private def migrateFlatIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      fs: HFs, hPath: HPath, schema: org.apache.spark.sql.types.StructType,
+      keyCols: Seq[String], nBuckets: Int): Unit = {
+    if (!fs.exists(hPath)) return
+    val migratedRoot = new HPath(hPath, ".cdc.migrated")
+    def isData(p: HPath): Boolean = {
+      val n = p.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
+    val flat = fs.listStatus(hPath).toSeq
+      .filter(st => st.isFile && isData(st.getPath)).map(_.getPath)
+    val parked =
+      if (fs.exists(migratedRoot))
+        fs.listStatus(migratedRoot).toSeq.filter(_.isFile).map(_.getPath)
+      else Nil
+    if (flat.isEmpty && parked.isEmpty) return
+    // derived bucket dirs from a crashed attempt are re-derivable from
+    // the still-present flat files — drop and rebuild
+    fs.listStatus(hPath).filter(_.getPath.getName.startsWith("__kb="))
+      .foreach(st => fs.delete(st.getPath, true))
+    val tmp = new HPath(hPath, ".cdc.migrate.tmp")
+    fs.delete(tmp, true)
+    spark.read.schema(schema).parquet((flat ++ parked).map(_.toString): _*)
+      .withColumn("__kb", keyBucket(keyCols, nBuckets))
+      .repartition(col("__kb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__kb")
+      .parquet(tmp.toString)
+    fs.listStatus(tmp).filter(_.getPath.getName.startsWith("__kb="))
+      .foreach { st =>
+        fs.rename(st.getPath, new HPath(hPath, st.getPath.getName))
+      }
+    fs.delete(tmp, true)
+    fs.mkdirs(migratedRoot)
+    flat.foreach(p => fs.rename(p, new HPath(migratedRoot, p.getName)))
+    fs.delete(migratedRoot, true)
   }
 
   def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],

@@ -33,6 +33,23 @@ object Fetchers {
 
   final case class RemoteFile(name: String, sizeBytes: Long)
 
+  /** Local filename for a server-supplied name: strip any directory
+    * components so a hostile listing ("../../etc/passwd", "a/b.csv",
+    * "C:\\x") can never resolve outside the destination directory —
+    * remote names are DATA, not paths. */
+  private[graft] def safeLocalName(name: String): String = {
+    val base = name.replace('\\', '/').split('/').lastOption.getOrElse("")
+    val cleaned = if (base.isEmpty || base == "." || base == "..") "" else base
+    if (cleaned.isEmpty) "unnamed" else cleaned
+  }
+
+  /** Percent-encode one URL PATH segment. URLEncoder alone produces
+    * form encoding, where a space becomes '+' — a server decoding only
+    * %xx would look up a literally-plus-named file; '+' must ride as
+    * %20 in a path. */
+  private[graft] def pathSegment(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
   /** A remote folder of downloadable files (S6). */
   trait FolderFetcher {
 
@@ -79,17 +96,20 @@ object Fetchers {
         new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty).map {
           line =>
             line.split('\t') match {
-              case Array(n, sz) => RemoteFile(n, sz.toLong)
+              case Array(n, sz) =>
+                // never-throws contract: a non-numeric size is a
+                // malformed listing line, not an exception
+                RemoteFile(n, sz.toLongOption.getOrElse(-1L))
               case _ => RemoteFile(line, -1L)
             }
         }.toSeq
       }
 
     override def download(name: String, destDir: Path): Either[String, Path] =
-      get(s"$baseUrl/" + java.net.URLEncoder.encode(name, "UTF-8"))
+      get(s"$baseUrl/" + Fetchers.pathSegment(name))
         .map { bytes =>
           Files.createDirectories(destDir)
-          Files.write(destDir.resolve(name), bytes)
+          Files.write(destDir.resolve(Fetchers.safeLocalName(name)), bytes)
         }
   }
 
@@ -136,7 +156,8 @@ object Fetchers {
                   case Left(err) =>
                     alert(s"attachment $fn of $uid failed: $err"); None
                   case Right(bytes) =>
-                    Some(Files.write(destDir.resolve(fn), bytes))
+                    Some(Files.write(
+                      destDir.resolve(Fetchers.safeLocalName(fn)), bytes))
                 }
               }
             }
@@ -172,7 +193,7 @@ object Fetchers {
     override def attachment(uid: String,
                             filename: String): Either[String, Array[Byte]] =
       get(s"$baseUrl/message/$uid/attachment/" +
-        java.net.URLEncoder.encode(filename, "UTF-8"))
+        Fetchers.pathSegment(filename))
 
     override def markSeen(uid: String): Unit =
       try {

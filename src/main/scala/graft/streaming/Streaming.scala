@@ -411,17 +411,29 @@ object Streaming {
         -> dGlobals.coalesce(1)))
   }
 
-  /** Read a [[termStatsSink]] store as the (terms, globals) pair
-    * [[graft.ops.Retrieval.bm25Against]] consumes, healing a crashed
-    * swap first (the same recovery the next merge would run). */
-  def readTermStats(spark: SparkSession,
-                    statsDir: String): (DataFrame, DataFrame) = {
+  /** The readable root of a swap-maintained store WITHOUT mutating
+    * anything: the store dir if present, else the backup left by a
+    * crashed [[graft.ops.Warehouse.atomicSwap]]. Reads must not run
+    * the rename-based heal themselves — a reader racing a LIVE
+    * writer's swap (backup renamed aside, new dir not yet in) would
+    * "heal" the old state back into place and make the writer's final
+    * rename silently fail, losing the merged batch. The writer heals
+    * on its next merge; readers just pick the surviving side. */
+  private def readableStoreDir(spark: SparkSession, statsDir: String): String = {
     val dir = new HPath(statsDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.ops.Warehouse.restoreFromBackup(fs, dir,
-      new HPath(dir.getParent, s".${dir.getName}.stats.old"))
-    (spark.read.parquet(s"$statsDir/terms"),
-      spark.read.parquet(s"$statsDir/globals"))
+    val backup = new HPath(dir.getParent, s".${dir.getName}.stats.old")
+    if (!fs.exists(dir) && fs.exists(backup)) backup.toString else statsDir
+  }
+
+  /** Read a [[termStatsSink]] store as the (terms, globals) pair
+    * [[graft.ops.Retrieval.bm25Against]] consumes. Side-effect-free
+    * (see [[readableStoreDir]]). */
+  def readTermStats(spark: SparkSession,
+                    statsDir: String): (DataFrame, DataFrame) = {
+    val root = readableStoreDir(spark, statsDir)
+    (spark.read.parquet(s"$root/terms"),
+      spark.read.parquet(s"$root/globals"))
   }
 
   /** Incrementally-maintained DSIR feature-LM counts over a document
@@ -557,13 +569,9 @@ object Streaming {
                      centroids: DataFrame, queryVec: Column,
                      nprobe: Int, k: Int, idCol: String = "id",
                      embCol: String = "emb"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val probeWindow = Window.orderBy(col("__qsim").desc, col("cid"))
-    val probed = centroids
-      .withColumn("__qsim", graft.ops.Similarity.cosine(col("cvec"), queryVec))
-      .withColumn("__rk", row_number().over(probeWindow))
-      .where(col("__rk") <= nprobe)
-      .select(col("cid")).collect().map(_.get(0))
+    val probed = graft.ops.Similarity
+      .probedCentroids(centroids, queryVec, nprobe)
+      .collect().map(_.get(0))
     spark.read.parquet(indexDir)
       .where(col("cluster").isin(probed.toSeq: _*))
       .withColumn("cosine_sim",
@@ -574,13 +582,8 @@ object Streaming {
   }
 
   /** Read a [[dsirStatsSink]] store as the count table
-    * [[graft.ops.Retrieval.dsirWeightsAgainst]] consumes, healing a
-    * crashed swap first. */
-  def readDsirCounts(spark: SparkSession, statsDir: String): DataFrame = {
-    val dir = new HPath(statsDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.ops.Warehouse.restoreFromBackup(fs, dir,
-      new HPath(dir.getParent, s".${dir.getName}.stats.old"))
-    spark.read.parquet(s"$statsDir/lm")
-  }
+    * [[graft.ops.Retrieval.dsirWeightsAgainst]] consumes.
+    * Side-effect-free (see [[readableStoreDir]]). */
+  def readDsirCounts(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/lm")
 }

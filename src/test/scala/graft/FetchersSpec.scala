@@ -40,6 +40,29 @@ class FetchersSpec extends SparkSpec {
     exchange.close()
   }
 
+  test("remote filenames are sanitized and path-encoded") {
+    // a hostile listing name can never escape the destination dir
+    assert(Fetchers.safeLocalName("../../etc/passwd") === "passwd")
+    assert(Fetchers.safeLocalName("..\\..\\x.csv") === "x.csv")
+    assert(Fetchers.safeLocalName("a/b/c.csv") === "c.csv")
+    assert(Fetchers.safeLocalName("..") === "unnamed")
+    assert(Fetchers.safeLocalName("") === "unnamed")
+    assert(Fetchers.safeLocalName("plain.csv") === "plain.csv")
+    // spaces ride as %20 in a path segment, not form-encoded '+'
+    assert(Fetchers.pathSegment("my report.csv") === "my%20report.csv")
+    assert(Fetchers.pathSegment("a+b.csv") === "a%2Bb.csv")
+  }
+
+  test("a non-numeric size field degrades to -1 instead of throwing") {
+    withServer("/" -> bytesHandler(200,
+        () => "report.csv\tN/A\nok.csv\t10\n".getBytes("UTF-8"))) { base =>
+      val listing = HttpFolderFetcher(base).list()
+      assert(listing === Right(Seq(
+        Fetchers.RemoteFile("report.csv", -1L),
+        Fetchers.RemoteFile("ok.csv", 10L))))
+    }
+  }
+
   test("S6 folder fetch drives E2 end-to-end (list, find by name, download)") {
     val csv = res("internal_html.csv")
     withServer(

@@ -121,6 +121,28 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/.cdc.backup").exists())
   }
 
+  test("mergeCdcBucketed migrates a pre-existing FLAT table in place") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mcb3").toString
+    val path = s"$tmp/t"
+    // a table maintained by the old whole-table merge: plain part files
+    val flatBase = Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"))
+      .toDF("k", "seq", "v")
+    flatBase.write.parquet(path)
+    val delta = Seq((2L, 2L, "b2"), (4L, 2L, "d")).toDF("k", "seq", "v")
+    Warehouse.mergeCdcBucketed(spark, path, delta,
+      Seq("k"), Seq("seq"), col("v") === "DEL", nBuckets = 4)
+    // the flat rows took part in the merge (latest-wins held against
+    // them) and the root is now purely bucketed
+    val out = Warehouse.readBucketed(spark, path)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(out === Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    val rootFiles = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    assert(rootFiles.isEmpty)
+    assert(!new java.io.File(s"$path/.cdc.migrated").exists())
+  }
+
   test("mergeCdcBucketed heals a crash between the swap renames") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mcb2").toString
     val path = s"$tmp/t"
