@@ -379,6 +379,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stats-store reads survive a mid-swap crash state WITHOUT mutating it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ts2").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(10)
+    Streaming.mergeTermStatsBatch(docs, "doc_id", "text",
+      s"$tmp/stats", batchId = 0L)
+    // simulate a writer dying between atomicSwap's renames: the store
+    // dir is parked as the backup, the new dir never arrived
+    val dir = new java.io.File(s"$tmp/stats")
+    val backup = new java.io.File(s"$tmp/.stats.stats.old")
+    assert(dir.renameTo(backup))
+    val (terms, globals) = Streaming.readTermStats(spark, s"$tmp/stats")
+    assert(terms.count() > 0 && globals.count() === 1) // backup side read
+    // the read healed NOTHING — a live writer's pending rename must
+    // not find its destination occupied
+    assert(backup.exists() && !dir.exists())
+    // the writer's own next merge heals and proceeds
+    Streaming.mergeTermStatsBatch(docs, "doc_id", "text",
+      s"$tmp/stats", batchId = 1L)
+    assert(dir.exists() && !backup.exists())
+    val (t2, _) = Streaming.readTermStats(spark, s"$tmp/stats")
+    assert(t2.count() > 0)
+  }
+
   test("dsirStatsSink maintains a feature LM equal to a batch recompute") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
