@@ -51,18 +51,24 @@ object SearchQueries {
     * embeddings (1-based indices), uniform unit start vector, and
     * `PcaIters` unrolled normalize-multiply steps — the exact
     * recurrence `Similarity.topPrincipalComponent` runs on the driver. */
-  private def pcaSqlPrefix: String = {
+  /** The `PcaIters` unrolled normalize-multiply steps over gram CTE
+    * `g`, CTE names prefixed with `p` — shared by the single-component
+    * prefix and q163's post-deflation second pass. */
+  private def powerStepsSql(g: String, p: String): String =
+    (1 to PcaIters).map { k =>
+      val pv = s"${p}v${k - 1}"
+      s"""${p}w$k AS MATERIALIZED (SELECT $g.i, sum($g.val * $pv.vi) AS wi
+        |       FROM $g JOIN $pv ON $g.j = $pv.i GROUP BY $g.i),
+        |${p}n$k AS MATERIALIZED (SELECT sqrt(sum(wi*wi)) AS s
+        |        FROM ${p}w$k),
+        |${p}v$k AS MATERIALIZED (SELECT i, wi / s AS vi
+        |        FROM ${p}w$k, ${p}n$k)""".stripMargin
+    }.mkString(",\n")
+
+  private def pcaSqlPrefix: String =
     // every CTE MATERIALIZED: the chain references g and each v_k
     // multiple times, and inlining would re-expand the whole prefix
     // per reference — 2^iters blowup
-    val steps = (1 to PcaIters).map { k =>
-      val pv = s"v${k - 1}"
-      s"""w$k AS MATERIALIZED (SELECT g.i, sum(g.val * $pv.vi) AS wi
-        |       FROM g JOIN $pv ON g.j = $pv.i GROUP BY g.i),
-        |n$k AS MATERIALIZED (SELECT sqrt(sum(wi*wi)) AS s FROM w$k),
-        |v$k AS MATERIALIZED (SELECT i, wi / s AS vi FROM w$k, n$k)"""
-        .stripMargin
-    }.mkString(",\n")
     s"""WITH ea AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |    CAST(unnest(embedding) AS DOUBLE) AS vi
@@ -72,8 +78,7 @@ object SearchQueries {
       |  FROM ea a JOIN ea b USING (vec_id) GROUP BY 1, 2),
       |v0 AS MATERIALIZED (SELECT DISTINCT i, 1.0 / sqrt(${Dim}.0) AS vi
       |                    FROM g),
-      |$steps""".stripMargin
-  }
+      |${powerStepsSql("g", "")}""".stripMargin
 
   /** Deterministic 64-dim query vector with exactly-representable
     * components (n/8) — shared by the Spark literal and the SQL text so
@@ -197,6 +202,21 @@ object SearchQueries {
         .select(col("dim_i"), round(col("e1"), 6).as("e1"),
           round(lit(lam), 6).as("lambda"))
         .orderBy("dim_i")
+    }),
+
+    // Top-2 principal directions via Hotelling deflation — subtract
+    // λ1·v1·v1ᵀ from the gram and power-iterate again; the corpus is
+    // still touched once (one gram aggregation feeds both components).
+    "q163_pca_top2" -> ((s, dir) => {
+      import s.implicits._
+      val comps = Similarity.topPrincipalComponents(
+        rd(s, dir, "embeddings"), "embedding", Dim, PcaIters, k = 2)
+      comps.zipWithIndex.flatMap { case ((e, lam), c) =>
+        e.toSeq.zipWithIndex.map { case (x, i) => (c + 1, i.toLong, x, lam) }
+      }.toDF("component", "dim_i", "e", "lambda")
+        .select(col("component"), col("dim_i"),
+          round(col("e"), 6).as("e"), round(col("lambda"), 6).as("lambda"))
+        .orderBy("component", "dim_i")
     }),
 
     // Projection of every embedding onto that component — the actual
@@ -377,6 +397,32 @@ object SearchQueries {
         |SELECT CAST($vf.i - 1 AS BIGINT) AS dim_i, round($vf.vi, 6) AS e1,
         |  round(lam.l, 6) AS lambda
         |FROM $vf, lam ORDER BY dim_i""".stripMargin
+    },
+
+    "q163_pca_top2" -> {
+      val vf = s"v$PcaIters"
+      val bvf = s"bv$PcaIters"
+      s"""$pcaSqlPrefix,
+        |wf AS MATERIALIZED (SELECT g.i, sum(g.val * $vf.vi) AS wi
+        |      FROM g JOIN $vf ON g.j = $vf.i GROUP BY g.i),
+        |lam AS MATERIALIZED (SELECT sum($vf.vi * wf.wi) AS l
+        |      FROM $vf JOIN wf ON $vf.i = wf.i),
+        |g2 AS MATERIALIZED (
+        |  SELECT g.i, g.j, g.val - (SELECT l FROM lam) * a.vi * b.vi AS val
+        |  FROM g JOIN $vf a ON a.i = g.i JOIN $vf b ON b.i = g.j),
+        |bv0 AS MATERIALIZED (SELECT DISTINCT i, 1.0 / sqrt(${Dim}.0) AS vi
+        |                     FROM g2),
+        |${powerStepsSql("g2", "b")},
+        |bwf AS MATERIALIZED (SELECT g2.i, sum(g2.val * $bvf.vi) AS wi
+        |      FROM g2 JOIN $bvf ON g2.j = $bvf.i GROUP BY g2.i),
+        |blam AS MATERIALIZED (SELECT sum($bvf.vi * bwf.wi) AS l
+        |      FROM $bvf JOIN bwf ON $bvf.i = bwf.i)
+        |SELECT 1 AS component, CAST($vf.i - 1 AS BIGINT) AS dim_i,
+        |  round($vf.vi, 6) AS e, round(lam.l, 6) AS lambda FROM $vf, lam
+        |UNION ALL
+        |SELECT 2, CAST($bvf.i - 1 AS BIGINT), round($bvf.vi, 6),
+        |  round(blam.l, 6) FROM $bvf, blam
+        |ORDER BY component, dim_i""".stripMargin
     },
 
     "q161_pca_project" -> {

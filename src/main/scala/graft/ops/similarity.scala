@@ -95,11 +95,39 @@ object Similarity {
     * driver/cluster split at any corpus scale (d² doubles vs 100 TB).
     * Returns (eigenvector, Rayleigh quotient λ̂). */
   def topPrincipalComponent(df: DataFrame, embCol: String, dim: Int,
-                            iters: Int): (Array[Double], Double) = {
+                            iters: Int): (Array[Double], Double) =
+    topPrincipalComponents(df, embCol, dim, iters, k = 1).head
+
+  /** Top-k principal directions via Hotelling deflation: after each
+    * converged-enough direction (v, λ), subtract λ·v·vᵀ from the gram
+    * and power-iterate again — all on the driver's d×d matrix, the
+    * corpus still touched exactly once. Same determinism contract as
+    * [[topPrincipalComponent]]: fixed starts, fixed step counts, so
+    * every (component, recurrence) replays externally. */
+  def topPrincipalComponents(df: DataFrame, embCol: String, dim: Int,
+      iters: Int, k: Int): Seq[(Array[Double], Double)] = {
+    require(k >= 1 && k <= dim, s"k in [1,$dim], got $k")
     val g = Array.ofDim[Double](dim, dim)
     gram(df, embCol, dim).collect().foreach { r =>
       g(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
     }
+    (1 to k).map { _ =>
+      val (v, lam) = powerIterate(g, dim, iters)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { g(i)(j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (v, lam)
+    }
+  }
+
+  /** `iters` power-iteration steps from the uniform unit vector, plus
+    * the Rayleigh quotient — the single-component recurrence shared by
+    * the PCA entry points and replayed by the SQL oracle. */
+  private def powerIterate(g: Array[Array[Double]],
+                           dim: Int, iters: Int): (Array[Double], Double) = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 0 until iters) {
       val w = Array.tabulate(dim) { i =>

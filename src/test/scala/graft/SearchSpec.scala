@@ -217,6 +217,22 @@ class SearchSpec extends SparkSpec {
     assert(math.abs(e.map(x => x * x).sum - 1.0) < 1e-12) // unit norm
   }
 
+  test("topPrincipalComponents: deflation yields orthogonal components") {
+    // two clearly separated variance directions
+    val df = Seq(
+      Tuple1(Array(10f, 0f, 0f)), Tuple1(Array(-9f, 0f, 0f)),
+      Tuple1(Array(0f, 3f, 0f)), Tuple1(Array(0f, -3.1f, 0f)),
+      Tuple1(Array(0f, 0f, 0.5f))).toDF("emb")
+    val comps = Similarity.topPrincipalComponents(df, "emb", 3, 30, k = 2)
+    val (e1, l1) = comps(0)
+    val (e2, l2) = comps(1)
+    assert(math.abs(e1(0)) > 0.999) // x-axis dominates
+    assert(math.abs(e2(1)) > 0.999) // y-axis second
+    assert(l1 > l2 && l2 > 0)
+    val dot = e1.zip(e2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6)
+  }
+
   // --------------------------------------------------------------- RRF
 
   test("rrfFuse combines ranks; docs missing from one list contribute 0") {
