@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Learning, Retrieval, Similarity, Text}
+import graft.ops.{Dedup, Learning, Retrieval, Similarity, Text, Warehouse}
 
 /** Search / corpus-hygiene queries (q153+): benchmark decontamination,
   * random-projection dimensionality reduction, bottom-k sketch set
@@ -168,6 +168,29 @@ object SearchQueries {
             .cast("long").as("n_unk"),
           array_join(pieces, " ").as("segmented"))
         .orderBy("doc_id")
+    }),
+
+    // Snapshot diff between two table versions: v2 deterministically
+    // removes keys (mod 97), bumps prices (mod 13) and adds remapped
+    // rows (mod 101) — the diff reports status counts plus which
+    // columns changed, the regression gate between corpus refreshes.
+    "q164_snapshot_diff" -> ((s, dir) => {
+      val v1 = rd(s, dir, "orders")
+      val v2 = v1.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.where(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      val d = Warehouse.snapshotDiff(v1, v2, Seq("o_orderkey"))
+      val statusCounts = d.groupBy("status")
+        .agg(count(lit(1)).as("n")).withColumn("detail", lit("*"))
+      val colCounts = d
+        .select(col("status"), explode(col("changed_cols")).as("detail"))
+        .groupBy("status", "detail").agg(count(lit(1)).as("n"))
+      statusCounts.select("status", "detail", "n")
+        .unionByName(colCounts.select("status", "detail", "n"))
+        .orderBy("status", "detail")
     }),
 
     // In-engine model fitting: batch gradient descent for the
@@ -351,6 +374,44 @@ object SearchQueries {
         |  AND doc_id NOT IN (SELECT doc_id FROM hit)
         |  AND doc_id NOT IN (SELECT doc_id FROM inbatch)
         |ORDER BY doc_id""".stripMargin,
+
+    "q164_snapshot_diff" -> {
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val chg = cols.map(c =>
+        s"CASE WHEN a.$c IS DISTINCT FROM b.$c THEN '$c' END")
+        .mkString("[", ", ", "]")
+      val anyChg = cols.map(c => s"(a.$c IS DISTINCT FROM b.$c)")
+        .mkString(" OR ")
+      s"""WITH v2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN $anyChg THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE list_filter($chg, x -> x IS NOT NULL) END AS chg
+        |  FROM orders a FULL OUTER JOIN v2 b
+        |    ON a.o_orderkey = b.o_orderkey),
+        |s AS (SELECT status, '*' AS detail, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY status),
+        |c AS (SELECT status, unnest(chg) AS detail FROM d),
+        |cc AS (SELECT status, detail, CAST(count(*) AS BIGINT) AS n
+        |       FROM c GROUP BY 1, 2)
+        |SELECT * FROM s UNION ALL SELECT * FROM cc
+        |ORDER BY status, detail""".stripMargin
+    },
 
     "q162_train_linear" -> {
       val steps = (1 to LrnIters).map { k =>

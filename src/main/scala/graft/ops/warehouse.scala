@@ -295,6 +295,45 @@ object Warehouse {
     fs.delete(migratedRoot, true)
   }
 
+  /** Snapshot diff — the data-diff between two versions of a keyed
+    * table (regression gate between corpus refreshes, CDC
+    * reconciliation audit, "what changed since yesterday"): one row
+    * per key present in either side with `status` ∈ added / removed /
+    * changed / unchanged and `changed_cols` = the non-key columns
+    * whose values differ (null-safe compare, so null→value and
+    * value→null both count as changes).
+    *
+    * Scale: ONE full-outer key-shuffle join; comparisons are row-local
+    * expressions on the joined row. Co-locate the two snapshots
+    * (bucketed writes on the key) and even that shuffle disappears.
+    * Column set is taken from `a` and must match `b` — diffing across
+    * schema changes is a different operation. */
+  def snapshotDiff(a: DataFrame, b: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    require(valCols.nonEmpty, "need at least one non-key column")
+    require(b.columns.sorted.sameElements(a.columns.sorted),
+      s"schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val al = a.select(keyCols.map(col) ++
+      valCols.map(c => col(c).as(s"__a_$c")) :+ lit(true).as("__in_a"): _*)
+    val bl = b.select(keyCols.map(col) ++
+      valCols.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+    val j = al.join(bl, keyCols, "full_outer")
+    val changed = valCols.map(c =>
+      when(!(col(s"__a_$c") <=> col(s"__b_$c")), lit(c)))
+    j.select(keyCols.map(col) :+
+        when(col("__in_a").isNull, lit("added"))
+          .when(col("__in_b").isNull, lit("removed"))
+          .when(coalesce(changed: _*).isNotNull, lit("changed"))
+          .otherwise(lit("unchanged")).as("status") :+
+        // only meaningful for 'changed' — on added/removed every column
+        // trivially differs from the absent side
+        when(col("__in_a").isNull || col("__in_b").isNull,
+            array().cast("array<string>"))
+          .otherwise(filter(array(changed: _*), x => x.isNotNull))
+          .as("changed_cols"): _*)
+  }
+
   def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
                seqCols: Seq[String], isDelete: Column): DataFrame = {
     val b = base.withColumn("__del", lit(false)).withColumn("__src", lit(0))

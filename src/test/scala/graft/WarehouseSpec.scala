@@ -121,6 +121,30 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/.cdc.backup").exists())
   }
 
+  test("snapshotDiff classifies added/removed/changed with column detail") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "x")
+    val v2 = Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0))
+      .toDF("k", "s", "x")
+    val d = Warehouse.snapshotDiff(v1, v2, Seq("k")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[String](2).toSet)))
+      .toMap
+    assert(d(1L) === (("unchanged", Set.empty[String])))
+    assert(d(2L) === (("changed", Set("s", "x"))))
+    assert(d(3L) === (("removed", Set.empty[String])))
+    assert(d(4L) === (("added", Set.empty[String])))
+  }
+
+  test("snapshotDiff: null-to-value transitions count as changes") {
+    val v1 = Seq((1L, Option.empty[String]), (2L, Some("y")))
+      .toDF("k", "s")
+    val v2 = Seq((1L, Some("now-set")), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val d = Warehouse.snapshotDiff(v1, v2, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("mergeCdcBucketed migrates a pre-existing FLAT table in place") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mcb3").toString
     val path = s"$tmp/t"
