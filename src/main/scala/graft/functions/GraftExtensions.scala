@@ -88,6 +88,77 @@ object GraftExtensions {
         intArg(children(1), "windowChars"), intArg(children(2), "sampleMod"))
     })
 
+  /** Evaluate a foldable array argument to a Scala Seq, or raise the
+    * standard non-foldable analysis error — model parameters (a
+    * tokenizer vocabulary, a weight vector) must be literals because
+    * they parameterize the generated expression tree. */
+  private def foldableArray[T](e: Expression, fn: String, param: String,
+      elemType: org.apache.spark.sql.types.DataType,
+      conv: Any => T): Seq[T] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(t, _) => t == elemType
+      case _ => false
+    })
+    if (!ok)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT", Map(
+          "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+          "paramType" -> s""""ARRAY<$elemType>""""))
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(elemType).toSeq.map(conv)
+  }
+
+  /** graft_wordpiece(text, vocabArray): greedy longest-match subword
+    * segmentation — vocab must be an array literal (it parameterizes
+    * the generated fold). */
+  val WordpieceDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_wordpiece"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "graft_wordpiece"),
+    (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+            "functionName" -> "`graft_wordpiece`",
+            "expectedNum" -> "2",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      val vocab = foldableArray[String](children(1), "graft_wordpiece",
+        "vocab", org.apache.spark.sql.types.StringType, _.toString)
+      deepExpression(
+        graft.ops.Text.greedyPieces(column(children.head), vocab))
+    })
+
+  /** graft_linear_score(text, weightsArray, bias): hashed-feature
+    * linear-model inference (q152's scorer) — weights and bias must be
+    * literals. */
+  val LinearScoreDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_linear_score"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "graft_linear_score"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+            "functionName" -> "`graft_linear_score`",
+            "expectedNum" -> "3",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      val w = foldableArray[Double](children(1), "graft_linear_score",
+        "weights", org.apache.spark.sql.types.DoubleType,
+        _.asInstanceOf[Double])
+      val bias = (if (children(2).foldable)
+          Option(Cast(children(2),
+            org.apache.spark.sql.types.DoubleType).eval(null))
+        else None) match {
+        case Some(d: java.lang.Double) => d.doubleValue
+        case _ => throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT", Map(
+            "funcName" -> "`graft_linear_score`",
+            "paramName" -> "`bias`", "paramType" -> "\"DOUBLE\""))
+      }
+      deepExpression(graft.ops.Text.hashedLinearScore(
+        column(children.head), w, bias))
+    })
+
   /** Every graft op exposed to the raw SQL path. */
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     GraftMd5Descriptor,
@@ -115,7 +186,9 @@ object GraftExtensions {
     // sampling and sharding — graft_split_bucket(id) % n is a shard id
     lift("graft_split_bucket", 1)(cs =>
       graft.ops.Sampling.splitBucket(cs.head)),
-    RollingFingerprintsDescriptor)
+    RollingFingerprintsDescriptor,
+    WordpieceDescriptor,
+    LinearScoreDescriptor)
 
   /** Register on a live session (the extensions conf only applies at
     * session construction). */

@@ -122,6 +122,34 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) === 11.0)
   }
 
+  test("graft_wordpiece / graft_linear_score: SQL matches the DataFrame ops") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    import graft.ops.Text
+    val doc = "hello sparking the zq"
+    val viaSql = spark.sql(
+      s"""SELECT graft_wordpiece('$doc',
+         |         array('he', 'llo', 'spark', 'ing', 'the', 's')) AS p,
+         |  graft_linear_score('alpha beta beta',
+         |    array(CAST(0.25 AS DOUBLE), CAST(-0.5 AS DOUBLE)),
+         |    CAST(0.125 AS DOUBLE)) AS sc""".stripMargin).head()
+    val viaDf = spark.range(1).select(
+      Text.greedyPieces(lit(doc),
+        Seq("he", "llo", "spark", "ing", "the", "s")).as("p"),
+      Text.hashedLinearScore(lit("alpha beta beta"),
+        Seq(0.25, -0.5), 0.125).as("sc")).head()
+    assert(viaSql === viaDf)
+    assert(viaSql.getSeq[String](0) ===
+      Seq("he", "llo", "spark", "ing", "the", "z", "q"))
+    // non-literal model parameters are rejected with the standard error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).toDF("i").createOrReplaceTempView("t_wp")
+      spark.sql(
+        "SELECT graft_wordpiece('x', array(CAST(i AS STRING))) FROM t_wp")
+        .collect()
+    }
+    assert(e.getCondition === "NON_FOLDABLE_ARGUMENT")
+  }
+
   test("minhash signature expression matches the HOF fold it replaced") {
     import org.apache.spark.sql.Column
     import graft.ops.Text
