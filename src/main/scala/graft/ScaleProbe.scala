@@ -98,6 +98,27 @@ object ScaleProbe {
       Dedup.admitAgainstIndex(batch, "text", "doc_id",
         Dedup.minhashIndex(store, "text", "doc_id"))
     }
+    // streaming admission against an ON-DISK bucketed index: feed the
+    // corpus through mergeDedupIndexBatch in equal slices (sliced by
+    // BASE doc so each batch is mostly novel and the index genuinely
+    // grows) and report per-batch wall time — the bh= partition prune
+    // plus the broadcast-streamed index join must keep it ~flat while
+    // the standing index grows ~linearly
+    locally {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-dixprobe").toString
+      val nb = 8
+      (0 until nb).foreach { i =>
+        val b = corpus.where(
+          pmod(floor(col("doc_id") / replicas), lit(nb)) === i)
+        val t0 = System.nanoTime()
+        graft.streaming.Streaming.mergeDedupIndexBatch(
+          b, "text", "doc_id", s"$tmp/index", i.toLong)
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] dedup-index merge batch $i%2d " +
+          f"(standing ~ $i/$nb of corpus)   $s%7.1f s")
+      }
+    }
     // decontamination: 1% of docs stand in for the benchmark set;
     // broadcast-semi-join inside the scan, so docs/s ~ text family
     time("decontaminate (1% bench)", total, "docs/s")(

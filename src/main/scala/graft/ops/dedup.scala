@@ -496,11 +496,15 @@ object Dedup {
     * band bucket and with no earlier (lower-id) same-batch document.
     * Returns the admitted subset of `batch`, unchanged columns.
     *
-    * Scale: the store check is a LEFT ANTI join on the band key —
-    * existence semantics, so a boilerplate bucket with millions of
-    * store rows costs one probe hit, never a pair expansion. The
-    * in-batch pass joins the batch's own band rows (micro-batch-sized)
-    * the same way. */
+    * Scale: the index side is corpus-scale, the batch micro-batch-
+    * sized, so the store check broadcasts the BATCH's distinct band
+    * keys and streams the index through a BroadcastHashJoin — the
+    * standing index is scanned but never shuffled or sorted (zero
+    * Exchange on the index subtree; StreamingSpec asserts this on the
+    * physical plan). Existence semantics throughout: a boilerplate
+    * bucket with millions of store rows collapses map-side to one
+    * surviving band key, never a pair expansion. The in-batch pass
+    * joins the batch's own band rows the same way. */
   def admitAgainstIndex(batch: DataFrame, textCol: String, idCol: String,
                         index: DataFrame, numHashes: Int = 8,
                         bands: Int = 4, shingleSize: Int = 3): DataFrame = {
@@ -509,21 +513,43 @@ object Dedup {
     // re-run the dominant row-local shingle hashing over the batch
     val probe = minhashIndex(Scale.widen(batch), textCol, idCol,
       numHashes, bands, shingleSize).localCheckpoint()
-    // a doc is suppressed if ANY of its bands hits the store: semi-join
-    // finds the hit docs, anti-join against that set admits the rest
+    admitProbed(batch, idCol, probe, index)
+  }
+
+  /** [[admitAgainstIndex]] with the batch's band rows already computed
+    * (and materialized) by the caller — the streaming sink derives the
+    * touched-bucket prune set from the same probe frame, so the
+    * signature work runs once per micro-batch. */
+  private[graft] def admitProbed(batch: DataFrame, idCol: String,
+                                 probe: DataFrame,
+                                 index: DataFrame): DataFrame = {
+    // a doc is suppressed if ANY of its bands hits the store. Join
+    // order is chosen so the corpus-scale index is the STREAMED side
+    // of a broadcast join: broadcast the batch's distinct band keys,
+    // semi-join the index against them (output ≤ matching index rows,
+    // collapsed map-side by the distinct), then mark the batch docs
+    // whose bands survived. No Exchange ever touches the index.
+    val probeKeys = probe.select("band_idx", "band_hash").distinct()
+    val hitKeys = index
+      .join(broadcast(probeKeys), Seq("band_idx", "band_hash"), "left_semi")
+      .select("band_idx", "band_hash").distinct()
     val hitByStore = probe
-      .join(index, Seq("band_idx", "band_hash"), "left_semi")
+      .join(broadcast(hitKeys), Seq("band_idx", "band_hash"), "left_semi")
       .select(col("id")).distinct()
     val admittedVsStore = probe.select("id").distinct()
       .join(hitByStore, Seq("id"), "left_anti")
-    // in-batch: drop docs sharing a band bucket with a lower-id batch doc
-    val earlier = probe.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"))
-    val dupInBatch = probe.join(earlier,
-        probe("band_idx") === earlier("band_idx") &&
-          probe("band_hash") === earlier("band_hash") &&
-          probe("id") > col("id_b"))
-      .select(col("id")).distinct()
+    // in-batch: drop docs sharing a band bucket with a lower-id batch
+    // doc. Explicit aliases on both sides — resolving via dataset-id
+    // disambiguation on a self-joined checkpoint is one refactor away
+    // from a trivially-true predicate.
+    val later = probe.select(col("band_idx").as("bi_a"),
+      col("band_hash").as("bh_a"), col("id").as("id_a"))
+    val earlier = probe.select(col("band_idx").as("bi_b"),
+      col("band_hash").as("bh_b"), col("id").as("id_b"))
+    val dupInBatch = later.join(earlier,
+        col("bi_a") === col("bi_b") && col("bh_a") === col("bh_b") &&
+          col("id_a") > col("id_b"))
+      .select(col("id_a").as("id")).distinct()
     val admitted = admittedVsStore.join(dupInBatch, Seq("id"), "left_anti")
     batch.join(admitted.withColumnRenamed("id", idCol), Seq(idCol),
       "left_semi")

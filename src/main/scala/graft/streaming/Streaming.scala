@@ -503,6 +503,14 @@ object Streaming {
         ()
       }
 
+  /** Number of `bh=` hash buckets each batch directory is partitioned
+    * into, and the bucketing function — MUST match between write and
+    * probe (both live here; the value is a layout constant of the
+    * index, not a tunable per call). */
+  private[graft] val DedupIndexBuckets = 64
+  private[graft] def dedupIndexBucket(bandHash: Column): Column =
+    pmod(crc32(bandHash), lit(DedupIndexBuckets)).cast("int")
+
   private[graft] def mergeDedupIndexBatch(batch: DataFrame, textCol: String,
       idCol: String, indexDir: String, batchId: Long,
       numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3): Unit = {
@@ -514,19 +522,36 @@ object Streaming {
     fs.delete(new HPath(dir, s"batch=$batchId"), true)
     val hasPrior = fs.exists(dir) &&
       fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))
+    // band the batch ONCE; the same frame feeds the touched-bucket
+    // prune, the admission joins, and (filtered to admitted ids) the
+    // index write
+    val probe = graft.ops.Dedup.minhashIndex(batch, textCol, idCol,
+      numHashes, bands, shingleSize).localCheckpoint()
     val standing =
-      if (hasPrior) spark.read.parquet(indexDir).drop("batch")
-      else graft.ops.Dedup.minhashIndex(batch.limit(0), textCol, idCol,
+      if (hasPrior) {
+        // partition-pruned read: only the bh= buckets this batch's
+        // band hashes land in are listed/scanned — per-batch read I/O
+        // is O(touched buckets), not O(index), and admitProbed never
+        // shuffles what it reads
+        val touched = probe
+          .select(dedupIndexBucket(col("band_hash")).as("bh"))
+          .distinct().collect().map(_.getInt(0))
+        spark.read.parquet(indexDir)
+          .where(col("bh").isin(touched.toSeq: _*))
+          .drop("batch", "bh")
+      } else graft.ops.Dedup.minhashIndex(batch.limit(0), textCol, idCol,
         numHashes, bands, shingleSize)
-    val admitted = graft.ops.Dedup.admitAgainstIndex(batch, textCol, idCol,
-      standing, numHashes, bands, shingleSize)
-    graft.ops.Dedup.minhashIndex(admitted, textCol, idCol,
-        numHashes, bands, shingleSize)
-      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    val admitted = graft.ops.Dedup.admitProbed(batch, idCol, probe, standing)
+    probe.join(
+        admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .withColumn("bh", dedupIndexBucket(col("band_hash")))
+      .write.mode("overwrite").partitionBy("bh")
+      .parquet(s"$indexDir/batch=$batchId")
   }
 
   /** Read a [[dedupIndexSink]] index: every admitted document's band
-    * rows plus the `batch` partition column it arrived in. */
+    * rows plus the `batch` and `bh` (band-hash bucket) partition
+    * columns of the `batch=<id>/bh=<k>/` layout it is stored in. */
   def readDedupIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir)
 

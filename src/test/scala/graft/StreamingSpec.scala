@@ -490,6 +490,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup admission never shuffles the standing index (plan) and " +
+       "prunes to touched bh buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pix").toString
+    val indexDir = s"$tmp/index"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val all = docs.as[(Long, String)].collect()
+    val (seed, batch2) = all.splitAt(all.length / 2)
+    Streaming.mergeDedupIndexBatch(
+      seed.toIndexedSeq.toDF("doc_id", "text"), "text", "doc_id",
+      indexDir, batchId = 0L)
+    // the bucketed batch=0/bh=k layout is on disk
+    val bhDirs = new java.io.File(s"$indexDir/batch=0").listFiles()
+      .filter(_.getName.startsWith("bh=")).map(_.getName).toSet
+    assert(bhDirs.nonEmpty && bhDirs.subsetOf(
+      (0 until 64).map(k => s"bh=$k").toSet))
+    // replicate the sink's admission read path and audit the plan
+    val batch = batch2.toIndexedSeq.toDF("doc_id", "text")
+    val probe = graft.ops.Dedup.minhashIndex(batch, "text", "doc_id")
+      .localCheckpoint()
+    val touched = probe
+      .select(Streaming.dedupIndexBucket(col("band_hash")).as("bh"))
+      .distinct().collect().map(_.getInt(0))
+    val standing = spark.read.parquet(indexDir)
+      .where(col("bh").isin(touched.toSeq: _*)).drop("batch", "bh")
+    val adm = graft.ops.Dedup.admitProbed(batch, "doc_id", probe, standing)
+    def indexScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("graft-pix")) => s
+    }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = adm.queryExecution.executedPlan
+      val scans = indexScans(plan)
+      assert(scans.nonEmpty, "standing index is scanned by admission")
+      // the scan is partition-pruned to the touched buckets
+      assert(scans.forall(_.metadata.get("PartitionFilters")
+        .exists(_.contains("bh"))), s"bh prune missing:\n$plan")
+      // and the index streams straight into a BroadcastHashJoin: on
+      // the path from the index scan up to the first broadcast join
+      // (which collapses it to batch-key cardinality) there is NO
+      // Exchange and no Sort — corpus-scale bytes never shuffle;
+      // everything above the join is batch-sized by construction
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def pathToIndexScan(p: SparkPlan): Option[List[SparkPlan]] =
+        if (indexScans(p).nonEmpty && p.children.isEmpty)
+          Some(List(p))
+        else p.children.view.flatMap(pathToIndexScan).headOption
+          .map(p :: _)
+      val path = pathToIndexScan(plan)
+        .getOrElse(fail("no path to index scan"))
+      val belowJoin = path.reverse
+        .takeWhile(!_.isInstanceOf[BroadcastHashJoinExec])
+      assert(path.reverse.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"index side not consumed by a broadcast join:\n$plan")
+      assert(!belowJoin.exists(n => n.isInstanceOf[ShuffleExchangeLike] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        s"standing index crosses an Exchange/Sort before the join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // and the pruned-path decision matches the unpruned batch op
+    val expect = graft.ops.Dedup.admitAgainstIndex(batch, "text", "doc_id",
+        spark.read.parquet(indexDir).drop("batch", "bh"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(adm.select("doc_id").as[Long].collect().toSet === expect)
+  }
+
   test("vectorIndexSink builds a partition-pruned IVF index across batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-vix").toString
     val emb = spark.read
