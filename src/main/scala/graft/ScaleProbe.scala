@@ -117,6 +117,14 @@ object ScaleProbe {
         val s = (System.nanoTime() - t0) / 1e9
         println(f"[probe] dedup-index merge batch $i%2d " +
           f"(standing ~ $i/$nb of corpus)   $s%7.1f s")
+        if (i == nb / 2 - 1) {
+          // mid-run maintenance: collapse the per-batch dirs; later
+          // merges then list/open one compacted tree + their own dirs
+          val c0 = System.nanoTime()
+          graft.streaming.Streaming.compactDedupIndex(spark, s"$tmp/index")
+          println(f"[probe] dedup-index compaction " +
+            f"after batch $i%2d          ${(System.nanoTime() - c0) / 1e9}%7.1f s")
+        }
       }
     }
     // decontamination: 1% of docs stand in for the benchmark set;

@@ -611,4 +611,92 @@ object Streaming {
     * Side-effect-free (see [[readableStoreDir]]). */
   def readDsirCounts(spark: SparkSession, statsDir: String): DataFrame =
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/lm")
+
+  // ------------------------------------------------ index maintenance
+
+  /** Swap a freshly-written `<indexDir>.compact.tmp` tree into place
+    * with [[graft.ops.Warehouse.atomicSwap]] discipline (heal first,
+    * backup-rename window, crash-recoverable). */
+  private def swapInCompacted(spark: SparkSession, indexDir: String)(
+      write: (String, org.apache.hadoop.fs.FileSystem) => Unit): Unit = {
+    val dir = new HPath(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new HPath(dir.getParent, s".${dir.getName}.compact.old")
+    val tmp = new HPath(dir.getParent, s".${dir.getName}.compact.tmp")
+    graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
+    fs.delete(tmp, true)
+    write(tmp.toString, fs)
+    graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+  }
+
+  /** Offline compaction for a [[dedupIndexSink]] index: merge every
+    * accumulated `batch=<id>/` directory into a single `batch=-1/`
+    * tree — same `bh=` bucket partitioning, ~one file per bucket,
+    * rows sorted by `band_hash` within each so parquet row-group
+    * min/max stats prune point probes. Without this the per-batch
+    * directories accumulate forever and file listing/opening comes to
+    * dominate every admission probe (the sinks' docstrings defer
+    * exactly this chore here).
+    *
+    * Safe against readers via the [[graft.ops.Warehouse.atomicSwap]]
+    * rename discipline, and against the stream via the batch-id space:
+    * `-1` is below any micro-batch id, so a replaying batch never
+    * deletes the compacted tree and admission/probe results are
+    * IDENTICAL before and after (StreamingSpec asserts cell-exact
+    * parity). Run it while the stream is stopped — compaction and a
+    * concurrent merge racing the same root is the one unsupported
+    * interleaving. */
+  def compactDedupIndex(spark: SparkSession, indexDir: String): Unit =
+    swapInCompacted(spark, indexDir) { (tmp, _) =>
+      spark.read.parquet(indexDir).drop("batch")
+        .repartition(DedupIndexBuckets, col("bh"))
+        .sortWithinPartitions("bh", "band_hash")
+        .write.mode("overwrite").partitionBy("bh")
+        .parquet(s"$tmp/batch=-1")
+    }
+
+  /** Offline compaction (and optional re-centering) for a
+    * [[vectorIndexSink]] index: merge the `batch=<id>/cluster=<cid>/`
+    * directories into `batch=-1/cluster=<cid>/`, one coalesced file
+    * set per cluster. With `recenter = true` it additionally runs one
+    * Lloyd update — each centroid moves to the element-wise mean of
+    * its accumulated members, every vector is re-assigned row-locally
+    * against the moved centroids, and the NEW `(cid, cvec)` frame is
+    * returned (materialized before the swap); pass it to subsequent
+    * [[vectorIndexSink]] / [[ivfSearchIndex]] calls. Without
+    * re-centering the input centroids are returned unchanged and the
+    * on-disk assignment is preserved byte-for-byte (search parity
+    * asserted in StreamingSpec). Same stopped-stream contract as
+    * [[compactDedupIndex]]. */
+  def compactVectorIndex(spark: SparkSession, indexDir: String,
+                         centroids: DataFrame, recenter: Boolean = false,
+                         idCol: String = "id",
+                         embCol: String = "emb"): DataFrame = {
+    val all = spark.read.parquet(indexDir).drop("batch")
+    val newCents =
+      if (!recenter) centroids
+      else {
+        // one Lloyd update over the accumulated members: mean per
+        // (cluster, dimension) then repack — an n×d-row shuffle, the
+        // right cost center for an offline maintenance op
+        all.select(col("cluster").as("cid"),
+            posexplode(col(embCol)).as(Seq("__p", "__v")))
+          .groupBy("cid", "__p").agg(avg("__v").as("__m"))
+          .groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("__p"), col("__m")))),
+            e => e.getField("__m").cast("float")).as("cvec"))
+          .localCheckpoint() // materialize BEFORE the swap moves paths
+      }
+    val rows =
+      if (recenter) graft.ops.Similarity.assignToCentroids(
+        all.drop("cluster"), embCol, idCol, newCents)
+      else all
+    swapInCompacted(spark, indexDir) { (tmp, _) =>
+      rows.repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$tmp/batch=-1")
+    }
+    newCents
+  }
 }

@@ -559,6 +559,96 @@ class StreamingSpec extends SparkSpec {
     assert(adm.select("doc_id").as[Long].collect().toSet === expect)
   }
 
+  test("compactDedupIndex: identical admission/probe pre/post, fewer files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdx").toString
+    val indexDir = s"$tmp/index"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val all = docs.as[(Long, String)].collect()
+    val slices = all.grouped((all.length + 3) / 4).toSeq
+    slices.init.zipWithIndex.foreach { case (g, i) =>
+      Streaming.mergeDedupIndexBatch(g.toIndexedSeq.toDF("doc_id", "text"),
+        "text", "doc_id", indexDir, i.toLong)
+    }
+    val probeBatch = slices.last.toIndexedSeq.toDF("doc_id", "text")
+    def files(): Int = {
+      val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(indexDir))
+      try fs.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally fs.close()
+    }
+    def admitted(): Set[Long] = graft.ops.Dedup.admitAgainstIndex(
+        probeBatch, "text", "doc_id",
+        Streaming.readDedupIndex(spark, indexDir).drop("batch", "bh"))
+      .select("doc_id").as[Long].collect().toSet
+    def indexed(): Set[(Long, Int, String)] =
+      Streaming.readDedupIndex(spark, indexDir)
+        .select("id", "band_idx", "band_hash")
+        .as[(Long, Int, String)].collect().toSet
+    val (admBefore, idxBefore, filesBefore) = (admitted(), indexed(), files())
+    Streaming.compactDedupIndex(spark, indexDir)
+    assert(indexed() === idxBefore)
+    assert(admitted() === admBefore)
+    assert(files() < filesBefore,
+      s"compaction did not collapse files: ${files()} vs $filesBefore")
+    // only the compacted batch=-1 tree remains, and the sink can keep
+    // appending to it afterwards: a new batch id lands alongside
+    assert(new java.io.File(indexDir).listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+    Streaming.mergeDedupIndexBatch(probeBatch, "text", "doc_id",
+      indexDir, 97L)
+    assert(Streaming.readDedupIndex(spark, indexDir)
+      .select("id").as[Long].collect().toSet ===
+      idxBefore.map(_._1) ++ admBefore)
+  }
+
+  test("compactVectorIndex: search parity without recenter; recenter " +
+       "returns usable centroids") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cvx").toString
+    val indexDir = s"$tmp/index"
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    emb.as[(Long, Array[Float])].collect().grouped(200).zipWithIndex
+      .foreach { case (g, i) =>
+        graft.ops.Similarity.assignToCentroids(
+            g.toIndexedSeq.toDF("vec_id", "embedding"),
+            "embedding", "vec_id", centroids)
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$indexDir/batch=$i")
+      }
+    val qv = {
+      val v = emb.where(col("vec_id") === 11L)
+        .select("embedding").as[Array[Float]].collect().head
+      array(v.toIndexedSeq.map(lit): _*)
+    }
+    def search() = Streaming.ivfSearchIndex(spark, indexDir, centroids,
+        qv, nprobe = 3, k = 5, idCol = "vec_id", embCol = "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val before = search()
+    val sameCents = Streaming.compactVectorIndex(spark, indexDir, centroids,
+      recenter = false, idCol = "vec_id", embCol = "embedding")
+    assert(search() === before)
+    assert(sameCents eq centroids)
+    assert(new java.io.File(indexDir).listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+    // re-centering: every vector survives, centroids move to member
+    // means, and the returned frame drives the search
+    val newCents = Streaming.compactVectorIndex(spark, indexDir, centroids,
+      recenter = true, idCol = "vec_id", embCol = "embedding")
+    assert(newCents.count() > 0 && newCents.columns.toSet ===
+      Set("cid", "cvec"))
+    val n = spark.read.parquet(indexDir).count()
+    assert(n === emb.count())
+    val after = Streaming.ivfSearchIndex(spark, indexDir, newCents,
+        qv, nprobe = 3, k = 5, idCol = "vec_id", embCol = "embedding")
+      .collect()
+    assert(after.length === 5)
+    // the query vector IS corpus vector 11 — any sane index finds it
+    assert(after.map(_.getLong(0)).contains(11L))
+  }
+
   test("vectorIndexSink builds a partition-pruned IVF index across batches") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-vix").toString
     val emb = spark.read
