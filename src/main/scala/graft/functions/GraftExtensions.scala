@@ -95,16 +95,23 @@ object GraftExtensions {
   private def foldableArray[T](e: Expression, fn: String, param: String,
       elemType: org.apache.spark.sql.types.DataType,
       conv: Any => T): Seq[T] = {
-    val ok = e.foldable && (e.dataType match {
-      case org.apache.spark.sql.types.ArrayType(t, _) => t == elemType
-      case _ => false
-    })
-    if (!ok)
-      throw new org.apache.spark.sql.AnalysisException(
-        "NON_FOLDABLE_ARGUMENT", Map(
-          "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
-          "paramType" -> s""""ARRAY<$elemType>""""))
-    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // a foldable array of the wrong element type (array(0.25, -0.5) is
+    // DECIMAL in SQL) is coerced via Cast, mirroring how the scalar
+    // args are handled — NON_FOLDABLE_ARGUMENT is reserved for
+    // genuinely non-foldable / non-array inputs
+    val coerced = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(t, n) if e.foldable =>
+        if (t == elemType) e
+        else org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.ArrayType(elemType, n))
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT", Map(
+            "funcName" -> s"`$fn`", "paramName" -> s"`$param`",
+            "paramType" -> s""""ARRAY<$elemType>""""))
+    }
+    coerced.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toObjectArray(elemType).toSeq.map(conv)
   }
 

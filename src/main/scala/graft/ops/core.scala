@@ -187,6 +187,20 @@ object Scale {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Release the executor storage behind a `localCheckpoint`'ed frame.
+    * `Dataset.unpersist` only uncaches CacheManager entries, but a
+    * local checkpoint's blocks are RDD-level persisted partitions
+    * referenced by the `LogicalRDD` leaf — without this, every
+    * checkpointed iteration frame (pageRank ranks, resolveClusters
+    * edges, trainLinear features) pins executor storage until GC
+    * happens to collect it. No-op-safe on non-checkpointed frames. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   /** Bloom-prefiltered equi-join on a long key: build a Bloom sketch of
     * the small side's keys (distributed treeAggregate, KB-scale result),
     * probe it row-locally on the big side INSIDE the scan stage, then

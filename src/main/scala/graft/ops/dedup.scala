@@ -137,11 +137,15 @@ object Dedup {
                             maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    // null texts take a sentinel key (no md5 is 5 chars long) so they
-    // form one ordinary group instead of null-key rows that equi-joins
-    // would silently drop
-    val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
-      .withColumn("__th", coalesce(fastMd5(col(textCol)), lit(":null")))
+    // NULL-text docs have an undefined minhash — they produce no band
+    // rows and no pairs, the same semantics as a SQL replay where a
+    // null token list poisons the signature to NULL and a NULL
+    // band_hash never equi-joins. (Short/empty NON-null texts are
+    // fine: the shingle fallback is the whole text, identically on
+    // both engines.) Filtering also keeps __th non-null below.
+    val sig = withMinhashSignature(df.where(col(textCol).isNotNull),
+        textCol, numHashes, shingleSize)
+      .withColumn("__th", fastMd5(col(textCol)))
     val sigCols = (0 until numHashes).map(i => col(s"minhash_$i"))
     // fixed-width projection BEFORE the window: id + digest + signature
     val tagged = sig
@@ -237,7 +241,7 @@ object Dedup {
       converged = !changed
       iter += 1
     }
-    edges.unpersist()
+    Scale.releaseLocalCheckpoint(edges)
     labels
   }
 
@@ -449,7 +453,11 @@ object Dedup {
                    shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val sig = withMinhashSignature(df, textCol, numHashes, shingleSize)
+    // same NULL-text contract as [[minhashCandidatePairs]]: docs whose
+    // minhash is undefined are simply absent from the index, so they
+    // never collide with (or suppress) anything
+    val sig = withMinhashSignature(df.where(col(textCol).isNotNull),
+      textCol, numHashes, shingleSize)
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand)
         .map(r => col(s"minhash_${b * rowsPerBand + r}"))
@@ -457,7 +465,7 @@ object Dedup {
         fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
     }
     sig.select(col(idCol).as("id"),
-        coalesce(fastMd5(col(textCol)), lit(":null")).as("text_hash"),
+        fastMd5(col(textCol)).as("text_hash"),
         explode(array(bandStructs: _*)).as("__b"))
       .select(col("id"), col("text_hash"),
         col("__b.band_idx").as("band_idx"),
@@ -536,8 +544,6 @@ object Dedup {
     val hitByStore = probe
       .join(broadcast(hitKeys), Seq("band_idx", "band_hash"), "left_semi")
       .select(col("id")).distinct()
-    val admittedVsStore = probe.select("id").distinct()
-      .join(hitByStore, Seq("id"), "left_anti")
     // in-batch: drop docs sharing a band bucket with a lower-id batch
     // doc. Explicit aliases on both sides — resolving via dataset-id
     // disambiguation on a self-joined checkpoint is one refactor away
@@ -550,9 +556,13 @@ object Dedup {
         col("bi_a") === col("bi_b") && col("bh_a") === col("bh_b") &&
           col("id_a") > col("id_b"))
       .select(col("id_a").as("id")).distinct()
-    val admitted = admittedVsStore.join(dupInBatch, Seq("id"), "left_anti")
-    batch.join(admitted.withColumnRenamed("id", idCol), Seq(idCol),
-      "left_semi")
+    // admission is batch MINUS suppressed (not probe minus suppressed):
+    // a NULL-text doc has no band rows at all — its minhash is
+    // undefined, it collides with nothing, and it is ADMITTED,
+    // matching the SQL semantics where its NULL band_hash never joins
+    val suppressed = hitByStore.unionByName(dupInBatch).distinct()
+      .withColumnRenamed("id", idCol)
+    batch.join(suppressed, Seq(idCol), "left_anti")
   }
 
   /** Bottom-k sketch of the distinct-token set per key: the k smallest

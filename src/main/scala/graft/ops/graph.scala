@@ -57,13 +57,22 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("__outdeg")).as("__c"))
+      val prev = ranks
       ranks = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(nn))
         .select(col("node"),
           (lit(1.0 - damping) / col("__n") +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
         .localCheckpoint()
+      // iteration t's checkpoint blocks are dead once t+1 is
+      // materialized — release them so a long-lived session doesn't
+      // accumulate one rank snapshot per iteration per call
+      Scale.releaseLocalCheckpoint(prev)
     }
+    // the returned ranks frame is already materialized; the pinned
+    // helper tables only served the iterations
+    nodes.unpersist()
+    contribEdges.unpersist()
     ranks
   }
 

@@ -65,6 +65,9 @@ object Learning {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       w = Array.tabulate(buckets)(b => w(b) + lr * grad.getOrElse(b, 0.0))
     }
+    // the weights are driver-side now — the checkpointed feature
+    // blocks have no further reader
+    Scale.releaseLocalCheckpoint(feats)
     w
   }
 

@@ -119,6 +119,10 @@ object Multimodal {
     if (bytes == null || bytes.isEmpty) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    // createImageInputStream returns null when no stream SPI is
+    // registered — without this guard the finally's close() would NPE
+    // and break the never-throws contract
+    if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None

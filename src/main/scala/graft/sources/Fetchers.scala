@@ -135,10 +135,17 @@ object Fetchers {
     def markSeen(uid: String): Unit
 
     /** The reference's whole extract loop (`product_data.py:40-55`):
-      * search, mark each hit seen, save every attachment into
-      * `destDir`; a failing attachment is alerted and skipped (the
+      * search, save every attachment into `destDir`, then mark the hit
+      * seen; a failing attachment is alerted and skipped (the
       * reference's bare `except: print`), a failing search is alerted
-      * and yields nothing. Returns saved paths in message order. */
+      * and yields nothing. Returns saved paths in message order.
+      *
+      * \Seen is stored only AFTER every attachment of the message
+      * saved successfully — a transient fetch failure leaves the
+      * message unseen so an unseen-scoped re-run retries it instead of
+      * permanently skipping. Local names are uid-prefixed
+      * (`<uid>-<name>`) so same-named attachments across messages
+      * never silently overwrite each other. */
     def downloadAttachments(q: MailQuery, destDir: Path,
                             alert: Alert = _ => ()): Seq[Path] =
       search(q) match {
@@ -147,19 +154,21 @@ object Fetchers {
         case Right(uids) =>
           Files.createDirectories(destDir)
           uids.flatMap { uid =>
-            markSeen(uid)
             attachments(uid) match {
               case Left(err) =>
                 alert(s"message $uid attachment list failed: $err"); Seq.empty
-              case Right(names) => names.flatMap { fn =>
-                attachment(uid, fn) match {
-                  case Left(err) =>
-                    alert(s"attachment $fn of $uid failed: $err"); None
-                  case Right(bytes) =>
-                    Some(Files.write(
-                      destDir.resolve(Fetchers.safeLocalName(fn)), bytes))
+              case Right(names) =>
+                val saved = names.flatMap { fn =>
+                  attachment(uid, fn) match {
+                    case Left(err) =>
+                      alert(s"attachment $fn of $uid failed: $err"); None
+                    case Right(bytes) =>
+                      Some(Files.write(destDir.resolve(
+                        s"$uid-${Fetchers.safeLocalName(fn)}"), bytes))
+                  }
                 }
-              }
+                if (saved.length == names.length) markSeen(uid)
+                saved
             }
           }
       }

@@ -129,7 +129,7 @@ class FetchersSpec extends SparkSpec {
         MailQuery("reports@example.de", java.time.LocalDate.parse(runDate)),
         dest, m => alerts ::= m)
       assert(alerts.isEmpty && saved.map(_.getFileName.toString) ===
-        Seq("midoco_report.csv"))
+        Seq("42-midoco_report.csv"))
       assert(seen.get() === "POST") // the reference's mark_seen
       // the full E3 pipeline over the fetched attachment (;/latin-1)
       val raw = Pipelines.readCsvLatin1(spark, saved.head.toString)
@@ -154,6 +154,7 @@ class FetchersSpec extends SparkSpec {
   }
 
   test("S7 one bad attachment is skipped, the rest land (retry-skip posture)") {
+    val seenCalled = new java.util.concurrent.atomic.AtomicBoolean(false)
     withServer(
       "/mail/search" -> bytesHandler(200, () => "7\n".getBytes("UTF-8")),
       "/mail/message/7/attachments" -> bytesHandler(200,
@@ -162,14 +163,20 @@ class FetchersSpec extends SparkSpec {
         bytesHandler(200, () => "a;b\n1;2\n".getBytes("UTF-8")),
       "/mail/message/7/attachment/bad.csv" ->
         bytesHandler(500, () => Array.empty[Byte]),
-      "/mail/message/7/seen" -> bytesHandler(204, () => Array.empty[Byte])
+      "/mail/message/7/seen" -> (exchange => {
+        seenCalled.set(true)
+        exchange.sendResponseHeaders(204, -1); exchange.close()
+      })
     ) { base =>
       var alerts = List.empty[String]
       val saved = HttpMailbox(s"$base/mail").downloadAttachments(
         MailQuery("x@y.z", java.time.LocalDate.parse(runDate)),
         Files.createTempDirectory("graft-mail3"), m => alerts ::= m)
-      assert(saved.map(_.getFileName.toString) === Seq("good.csv"))
+      assert(saved.map(_.getFileName.toString) === Seq("7-good.csv"))
       assert(alerts.exists(a => a.contains("bad.csv") && a.contains("HTTP 500")))
+      // a partially-failed message stays UNSEEN so a later unseen-scoped
+      // run retries it instead of permanently skipping
+      assert(!seenCalled.get())
     }
   }
 }

@@ -130,8 +130,7 @@ class FunctionsSpec extends SparkSpec {
       s"""SELECT graft_wordpiece('$doc',
          |         array('he', 'llo', 'spark', 'ing', 'the', 's')) AS p,
          |  graft_linear_score('alpha beta beta',
-         |    array(CAST(0.25 AS DOUBLE), CAST(-0.5 AS DOUBLE)),
-         |    CAST(0.125 AS DOUBLE)) AS sc""".stripMargin).head()
+         |    array(0.25, -0.5), 0.125) AS sc""".stripMargin).head()
     val viaDf = spark.range(1).select(
       Text.greedyPieces(lit(doc),
         Seq("he", "llo", "spark", "ing", "the", "s")).as("p"),

@@ -165,6 +165,36 @@ class SearchSpec extends SparkSpec {
     assert(adm === Set(11L, 13L))
   }
 
+  test("null-text docs never band, always admit; short texts still dedup") {
+    // two NULL-text docs straddling the store/batch split: their
+    // minhash is undefined, so — like the SQL replay where their
+    // band_hash is NULL and never equi-joins — they produce NO index
+    // rows, NO pairs, and are always admitted. Short non-null texts
+    // take the whole-text shingle fallback on both engines and dedup
+    // normally.
+    val store = Seq((1L, null: String), (2L, "tiny"),
+      (3L, "real store document with plenty of words here"))
+      .toDF("id", "text")
+    val batch = Seq((10L, null: String), (11L, "tiny"),
+      (12L, "real store document with plenty of words here"))
+      .toDF("id", "text")
+    val idx = Dedup.minhashIndex(store, "text", "id")
+    assert(idx.where(col("id") === 1L).count() === 0)
+    assert(idx.where(col("id") === 2L).count() > 0)
+    val pairs = Dedup.pairsAgainstIndex(batch, "text", "id", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2L, 11L), (3L, 12L)))
+    val adm = Dedup.admitAgainstIndex(batch, "text", "id", idx)
+      .select("id").as[Long].collect().toSet
+    assert(adm === Set(10L))
+    // same contract in the batch pair op: the nulls pair with nothing,
+    // including each other
+    val selfPairs = Dedup.minhashCandidatePairs(
+        store.unionByName(batch), "text", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(selfPairs === Set((2L, 11L), (3L, 12L)))
+  }
+
   // ---------------------------------------------------------- training
 
   test("trainLinear replays the exact GD recurrence (binary fractions)") {
