@@ -291,7 +291,10 @@ object NorthStar {
     // Text: n-gram repetition ratio (boilerplate/spam quality signal)
     "q54_repetition" -> ((s, dir) => {
       rd(s, dir, "documents")
-        .withColumn("rep", Text.repetitionRatio(col("text"), 3))
+        // shingles projected once; the ratio references the array three
+        // times and lambda-bearing expressions don't CSE
+        .withColumn("__sh", Text.shingles(col("text"), 3))
+        .withColumn("rep", Text.repetitionRatioOfShingles(col("__sh")))
         .groupBy("lang")
         .agg(round(avg("rep"), 6).as("avg_repetition"),
           round(max("rep"), 6).as("max_repetition"),

@@ -41,9 +41,16 @@ object QualityQueries {
     // Gopher-style quality rule pack: word/line shape statistics plus
     // the combined pass verdict, all row-local.
     "q117_gopher_quality" -> ((s, dir) => {
-      val g = Curation.gopherStats(col("text"),
-        decoratedLines(Text.tokens(col("text")), LineW))
+      // tokens and lines are projected ONCE as named columns: the stat
+      // struct references each array many times, and lambda-bearing
+      // expressions don't CSE — inline they'd re-split the text per
+      // reference (measured ~2× the whole query)
+      val g = Curation.gopherStatsOfTokens(col("text"), col("__toks"),
+        col("__lines"))
       rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          Text.tokens(col("text")).as("__toks"))
+        .withColumn("__lines", decoratedLines(col("__toks"), LineW))
         .select(col("doc_id"), g.as("g"))
         .select(col("doc_id"),
           col("g.n_words").as("n_words"),
@@ -61,9 +68,12 @@ object QualityQueries {
     // fractions) over 2-token pseudo-lines — the Gopher repetition
     // signals at line granularity (q54 covers n-gram granularity).
     "q118_line_dedup" -> ((s, dir) => {
-      val st = Text.lineDupStats(
-        Text.tokenLines(Text.tokens(col("text")), DupW))
+      // same projection discipline as q117: the line array feeds five
+      // references inside the stat struct
+      val st = Text.lineDupStats(col("__lines"))
       rd(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.tokenLines(Text.tokens(col("text")), DupW).as("__lines"))
         .select(col("doc_id"), st.as("st"))
         .select(col("doc_id"),
           col("st.n_lines").as("n_lines"),

@@ -152,7 +152,9 @@ object Casts {
   /** C9: German locale decimal "1.234,56" -> 1234.56
     * (reference: Midoco/product_data.py:63-64). */
   def localeDecimal(c: Column): Column =
-    regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").try_cast("double")
+    // translate maps ',' -> '.' and DELETES '.' (no replacement char) —
+    // one codegen'd char pass instead of two regex engines
+    translate(c, ",.", ".").try_cast("double")
 
   /** C10: pd.to_numeric(errors='coerce').fillna(0) — junk -> 0
     * (reference: product_data.py:67-71). Spark's cast nulls on junk,

@@ -140,8 +140,22 @@ object Curation {
     * engine: minWords relaxed from Gopher's 50 so short-document corpora
     * retain a meaningful pass mix. */
   def gopherStats(text: Column, linesArr: Column,
-                  minWords: Int = 30, maxWords: Int = 100000): Column = {
-    val toks = Text.tokens(text)
+                  minWords: Int = 30, maxWords: Int = 100000): Column =
+    gopherStatsOfTokens(text, Text.tokens(text), linesArr,
+      minWords, maxWords)
+
+  /** [[gopherStats]] with the token array supplied by the caller.
+    * Pass a PROJECTED column (`.withColumn("__toks", Text.tokens(...))`
+    * in a separate select), not the raw `Text.tokens(text)` expression:
+    * the token array is referenced ~10× inside the struct, lambda-
+    * bearing expressions are exempt from codegen common-subexpression
+    * elimination, and CollapseProject keeps a multiply-referenced
+    * expensive alias in its own project — so the projection is what
+    * makes the tokenization run once per row instead of once per
+    * reference. */
+  def gopherStatsOfTokens(text: Column, toks: Column, linesArr: Column,
+                          minWords: Int = 30,
+                          maxWords: Int = 100000): Column = {
     val nw = size(toks)
     val nwD = nw.cast("double")
     val mwl = when(nw > 0,

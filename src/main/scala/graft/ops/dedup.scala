@@ -104,7 +104,8 @@ object Dedup {
     * (all-identical boilerplate at corpus scale) switch to join-based
     * expansion so no single row ever holds a whole bucket.
     *
-    * EXACT-DUPLICATE texts are factored out before the band phase:
+    * EXACT-DUPLICATE texts are factored out before the band phase
+    * (when `factorExactGroups` allows — see the gate note in the body):
     * rows group on md5(text), a window picks the lowest-id
     * representative per group, bands run over representatives only,
     * and pairs expand back through the groups afterwards. The
@@ -134,7 +135,9 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             numHashes: Int = 8, bands: Int = 4,
                             shingleSize: Int = 3,
-                            maxBucket: Int = 4096): DataFrame = {
+                            maxBucket: Int = 4096,
+                            factorExactGroups: Option[Boolean] = None
+                           ): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     // NULL-text docs have an undefined minhash — they produce no band
@@ -143,20 +146,54 @@ object Dedup {
     // band_hash never equi-joins. (Short/empty NON-null texts are
     // fine: the shingle fallback is the whole text, identically on
     // both engines.) Filtering also keeps __th non-null below.
-    val sig = withMinhashSignature(df.where(col(textCol).isNotNull),
-        textCol, numHashes, shingleSize)
+    val base = df.where(col(textCol).isNotNull)
+    // exact-group factoring is a big win at web-crawl dup rates
+    // (30-50 % exact copies, boilerplate cliques) but a ~2× tax on an
+    // already-deduped corpus: the rep-selection window plus the
+    // within/cross expansion joins run whether or not any group has 2
+    // members. Callers who know their dup profile pass the hint;
+    // `None` decides with one cheap digest pass (md5 + a group count —
+    // no shingling, no bands). The decision signal is the number of
+    // exact-dup PAIRS Σ C(|g|,2) — precisely the per-band quadratic
+    // row count factoring would avoid — so a corpus of scattered
+    // 2-member groups stays unfactored (2× band rows ≠ blow-up) while
+    // one 10⁴-member boilerplate clique (10⁸ pairs × bands) flips the
+    // gate no matter how low the overall dup RATE is. The probe reads
+    // the text column once more, so at full corpus scale prefer the
+    // explicit hint.
+    val factor = factorExactGroups.getOrElse {
+      val g = base
+        .groupBy(fastMd5(col(textCol)).as("__g"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n") * (col("__n") - 1) / 2).as("dup_pairs"),
+          sum(col("__n")).as("n")).head()
+      !g.isNullAt(0) && g.getDouble(0) > 0.05 * g.getLong(1)
+    }
+    val sig = withMinhashSignature(base, textCol, numHashes, shingleSize)
       .withColumn("__th", fastMd5(col(textCol)))
     val sigCols = (0 until numHashes).map(i => col(s"minhash_$i"))
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_idx"), fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
+    }
+    if (!factor) {
+      // all texts distinct: band every row directly — identical pair
+      // set to the factored path (every group is its own singleton
+      // representative; `within` is empty and `cross` degenerates to
+      // the rep pairs), minus the window and expansion machinery
+      val banded = sig
+        .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+        .select(col("band").as("__bucket"), col(idCol).as("__e"))
+      return boundedBucketPairs(banded, "__bucket", "__e", maxBucket,
+          (x, y) => struct(x.as("id_a"), y.as("id_b")))
+        .select(col("p.id_a"), col("p.id_b")).distinct()
+    }
     // fixed-width projection BEFORE the window: id + digest + signature
     val tagged = sig
       .select(col(idCol) +: col("__th") +: sigCols: _*)
       .withColumn("__rep", min(col(idCol)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__th")))
     // ---- band phase over one representative per distinct text
-    val bandStructs = (0 until bands).map { b =>
-      val bandCols = (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_idx"), fastMd5(concat_ws("|", bandCols: _*)).as("band_hash"))
-    }
     val banded = tagged.where(col(idCol) === col("__rep"))
       .select(col(idCol), explode(array(bandStructs: _*)).as("band"))
       .select(col("band").as("__bucket"), col(idCol).as("__e"))

@@ -198,8 +198,15 @@ object Text {
   /** n-gram repetition ratio in [0,1): fraction of shingles that are
     * repeats of an earlier shingle — the standard boilerplate/spam signal
     * (0 = all distinct, ->1 = the document loops). */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val sh = shingles(text, n)
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    repetitionRatioOfShingles(shingles(text, n))
+
+  /** [[repetitionRatio]] over an already-computed shingle array. The
+    * array is referenced three times below — project it as a named
+    * column first (lambda-bearing expressions are exempt from codegen
+    * CSE, so an inline `shingles(text, n)` argument would re-tokenize
+    * the text once per reference). */
+  def repetitionRatioOfShingles(sh: Column): Column = {
     val total = size(sh).cast("double")
     val distinctN = size(array_distinct(sh)).cast("double")
     when(total > 0, round((total - distinctN) / total, 6)).otherwise(lit(0.0))
