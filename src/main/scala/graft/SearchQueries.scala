@@ -158,7 +158,9 @@ object SearchQueries {
     // full segmentation string compared against the oracle's
     // recursive-CTE replay.
     "q159_wordpiece" -> ((s, dir) => {
-      val pieces = Text.greedyPieces(col("text"), WpVocab)
+      // trie-backed fast path; FunctionsSpec separately asserts it is
+      // piece-identical to the Text.greedyPieces fold on a 10k vocab
+      val pieces = Text.greedyPiecesTrie(col("text"), WpVocab)
       rd(s, dir, "documents")
         .where(col("text").isNotNull)
         .select(col("doc_id"),

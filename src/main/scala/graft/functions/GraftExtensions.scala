@@ -117,7 +117,7 @@ object GraftExtensions {
 
   /** graft_wordpiece(text, vocabArray): greedy longest-match subword
     * segmentation — vocab must be an array literal (it parameterizes
-    * the generated fold). */
+    * the trie the expression builds once per instance). */
   val WordpieceDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_wordpiece"),
     new ExpressionInfo(GraftExtensions.getClass.getName, "graft_wordpiece"),
@@ -132,7 +132,7 @@ object GraftExtensions {
       val vocab = foldableArray[String](children(1), "graft_wordpiece",
         "vocab", org.apache.spark.sql.types.StringType, _.toString)
       deepExpression(
-        graft.ops.Text.greedyPieces(column(children.head), vocab))
+        graft.ops.Text.greedyPiecesTrie(column(children.head), vocab))
     })
 
   /** graft_linear_score(text, weightsArray, bias): hashed-feature

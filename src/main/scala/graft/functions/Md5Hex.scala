@@ -124,4 +124,13 @@ object GraftFunctions {
                           sampleMod: Int): Column =
     GraftColumnBridge.column(RollingFingerprintExpression(
       GraftColumnBridge.expression(text), windowChars, sampleMod))
+
+  /** Greedy longest-match subword segmentation of a word-array column
+    * via a code-point trie (O(piece length) per position instead of
+    * O(|V|) prefix tests — the production-vocabulary path of
+    * `Text.greedyPieces`). */
+  def greedySegment(words: Column, vocab: Seq[String],
+                    maxPiecesPerWord: Int): Column =
+    GraftColumnBridge.column(GreedySegmentExpression(
+      GraftColumnBridge.expression(words), vocab, maxPiecesPerWord))
 }

@@ -128,6 +128,19 @@ object Text {
     flatten(segmented)
   }
 
+  /** [[greedyPieces]] behind a code-point trie
+    * ([[graft.functions.GreedySegmentExpression]]): identical output
+    * (FunctionsSpec asserts parity on a 10k-piece vocabulary; q159's
+    * DuckDB oracle replays the same rule), but the per-position cost is
+    * O(matched piece length) instead of O(|V|) prefix tests — the path
+    * a production 30k-entry vocabulary runs. Tokenization is shared
+    * with the fold formulation (the expression consumes
+    * [[tokens]]' output array), so the two differ only in the scan. */
+  def greedyPiecesTrie(text: Column, vocab: Seq[String],
+                       maxPiecesPerWord: Int = 16): Column =
+    graft.functions.GraftFunctions.greedySegment(
+      tokens(text), vocab, maxPiecesPerWord)
+
   /** n-gram heuristic language ID: CJK chars -> zh, else argmax of
     * per-language stopword hits (ties broken by fixed language order). */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(

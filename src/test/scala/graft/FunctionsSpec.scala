@@ -293,13 +293,4 @@ class FunctionsSpec extends SparkSpec {
     assert(common.size >= 8)
   }
 
-  private def withSqlConf(pairs: (String, String)*)(f: => Unit): Unit = {
-    val conf = spark.conf
-    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
-    pairs.foreach { case (k, v) => conf.set(k, v) }
-    try f finally olds.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.unset(k)
-    }
-  }
 }

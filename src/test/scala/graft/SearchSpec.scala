@@ -122,6 +122,72 @@ class SearchSpec extends SparkSpec {
     assert(out === Seq("abc", "d"))
   }
 
+  test("greedyPiecesTrie is piece-identical to the fold formulation") {
+    val vocab = Seq("he", "llo", "spark", "ing", "the", "s", "a", "ab",
+      "abc", "x", "für", "fü", "naï", "中", "中文", "😀")
+    val texts = Seq(
+      "hello sparking the zq", "abcd abcabc", "xxxxxx xxxxxxxxxxxxxxxxxxxx",
+      "für naïve 中文中文 😀😀q mixed", "", "   ",
+      "ß upper ẞ", "longwordwithnopieces")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        val bad = df.filter(
+          Text.greedyPiecesTrie(col("text"), vocab, maxPiecesPerWord = 5)
+            =!= Text.greedyPieces(col("text"), vocab, maxPiecesPerWord = 5))
+          .count()
+        assert(bad === 0)
+      }
+    }
+  }
+
+  test("greedyPiecesTrie: 10k-piece vocabulary matches an independent replay") {
+    // exactly 10,000 distinct pieces: all strings over "abcdef" in
+    // length order (every length-1..5 string, then 670 length-6) — the
+    // production-vocab scale the fold formulation cannot touch
+    val alphabet = "abcdef"
+    val vocab = Iterator.iterate(Seq("")) { prev =>
+      prev.flatMap(p => alphabet.map(c => p + c))
+    }.drop(1).flatten.take(10000).toSeq
+    assert(vocab.size === 10000 && vocab.distinct.size === 10000)
+    val vs = vocab.toSet
+    // independent Scala replay of the greedy rule (longest prefix in
+    // vocab, 1-char fallback, 16-piece cap per word)
+    def ref(text: String): Seq[String] =
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var pos = 0
+        var steps = 0
+        while (pos < w.length && steps < 16) {
+          val end = (w.length to (pos + 1) by -1)
+            .find(e => vs.contains(w.substring(pos, e))).getOrElse(pos + 1)
+          out += w.substring(pos, end)
+          pos = end
+          steps += 1
+        }
+        out.toSeq
+      }
+    // 'z' never appears in any piece -> exercises the fallback; word
+    // lengths up to 40 exercise the 16-piece cap
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 80).map { _ =>
+      (0 until 8).map { _ =>
+        val len = 1 + rnd.nextInt(40)
+        (0 until len).map(_ => "abcdefz"(rnd.nextInt(7))).mkString
+      }.mkString(" ")
+    }
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), Text.greedyPiecesTrie(col("text"), vocab).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === ref(t), s"doc $i diverged")
+    }
+  }
+
   test("greedyPieces truncates at maxPiecesPerWord; empty text is empty") {
     val vocab = Seq("x")
     val out = Seq(Tuple1("xxxxxx")).toDF("text")
