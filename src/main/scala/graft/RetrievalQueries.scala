@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Graph, Profiling, Retrieval, Text, TimeSeries}
+import graft.ops.{Dedup, Graph, Learning, Profiling, Retrieval, Text, TimeSeries}
 
 /** Retrieval / graph / robust-stats queries (q130+): BM25 term scoring,
   * DSIR importance weights, MAD outliers, the second window-function
@@ -161,12 +161,22 @@ object RetrievalQueries {
     // stage — the CCNet/RefinedWeb quality-filter shape with a
     // paste-your-trained-weights model.
     "q152_quality_classifier" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .where(col("text").isNotNull)
-        .select(col("doc_id"),
-          Text.tokenCount(col("text")).cast("long").as("n_toks"),
-          round(Text.hashedLinearScore(col("text"), ClfWeights, ClfBias), 6)
-            .as("score"))
+      val docs = rd(s, dir, "documents").where(col("text").isNotNull)
+      // broadcast-join application path: hashed features once, weights
+      // as a TABLE (Learning.applyLinear) — the form that composes
+      // with q162's trained weights at production bucket counts;
+      // Text.hashedLinearScore stays the row-local curated-vector API
+      // (SearchSpec asserts the two paths score identically)
+      val feats = Learning.hashedFeatures(docs, "doc_id", "text",
+        ClfWeights.length)
+      val scored = Learning.applyLinear(feats,
+        Learning.weightsDf(s, ClfWeights), ClfBias)
+      docs.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_toks"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          round(coalesce(col("score"),
+            lit(1.0 / (1.0 + math.exp(-ClfBias)))), 6).as("score"))
         .withColumn("keep", col("score") >= 0.5)
         .orderBy("doc_id")
     }),

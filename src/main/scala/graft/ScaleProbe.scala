@@ -134,11 +134,42 @@ object ScaleProbe {
         corpus.where(pmod(col("doc_id"), lit(100)) =!= 0),
         corpus.where(pmod(col("doc_id"), lit(100)) === 0),
         "text", "doc_id", n = 8))
-    // greedy subword segmentation: row-local bounded fold per word
-    time("wordpiece segment", total, "docs/s")(
+    // greedy subword segmentation: fold (O(|V|) per position) vs the
+    // trie expression (O(piece length)) on the same curated vocab, plus
+    // the trie at a 10k-piece production-scale vocab the fold can't touch
+    time("wordpiece segment (fold)", total, "docs/s")(
       corpus.select(col("doc_id"),
         size(Text.greedyPieces(col("text"), SearchQueries.WpVocab))
           .as("n_pieces")))
+    time("wordpiece segment (trie)", total, "docs/s")(
+      corpus.select(col("doc_id"),
+        size(Text.greedyPiecesTrie(col("text"), SearchQueries.WpVocab))
+          .as("n_pieces")))
+    val bigVocab = Iterator.iterate(Seq("")) { prev =>
+      prev.flatMap(p => "etaoinshrdlu".map(c => p + c))
+    }.drop(1).flatten.take(10000).toSeq
+    time("wordpiece trie (10k vocab)", total, "docs/s")(
+      corpus.select(col("doc_id"),
+        size(Text.greedyPiecesTrie(col("text"), bigVocab))
+          .as("n_pieces")))
+
+    // hashed-feature classifier at a production bucket count: the
+    // broadcast-join weight table (262,144 rows, a few MB) — the
+    // literal-array form cannot express this width at all
+    val lrnBuckets = 1 << 18
+    val bigW = spark.range(lrnBuckets)
+      .select(col("id").cast("int").as("bucket"),
+        (sin(col("id").cast("double")) / 4.0).as("w"))
+    time("applyLinear (262k buckets)", total, "docs/s")(
+      Learning.applyLinear(
+        Learning.hashedFeatures(corpus, "doc_id", "text", lrnBuckets),
+        bigW, 0.125))
+    time("trainLinearDist 1 iter (262k)", total, "docs/s")(
+      Learning.trainLinearDist(
+        Learning.hashedFeatures(corpus, "doc_id", "text", lrnBuckets),
+        corpus.select(col("doc_id"),
+          (col("doc_id") % 2).cast("double").as("y")),
+        lrnBuckets, 0.5, 1))
 
     // ------------------------------------------------- curation family
     // chunk+pack is the full context-window pipeline: tokenize, explode

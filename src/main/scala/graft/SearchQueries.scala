@@ -201,17 +201,18 @@ object SearchQueries {
     // feature table with driver-held weights. Label: is the doc
     // English?
     "q162_train_linear" -> ((s, dir) => {
-      import s.implicits._
       val docs = rd(s, dir, "documents").where(col("text").isNotNull)
       val feats = Learning.hashedFeatures(docs, "doc_id", "text",
         LrnBuckets)
       val labels = docs.select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Learning.trainLinear(feats, labels, LrnBuckets, LrnLr,
-        LrnIters)
-      w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }
-        .toDF("bucket", "w")
-        .select(col("bucket"), round(col("w"), 6).as("w"))
+      // distributed-weights path (broadcast join per iteration, no
+      // literal array): the form that survives production bucket
+      // counts; the array-returning trainLinear stays the demo API
+      Learning.trainLinearDist(feats, labels, LrnBuckets, LrnLr,
+          LrnIters)
+        .select(col("bucket").cast("long").as("bucket"),
+          round(col("w"), 6).as("w"))
         .orderBy("bucket")
     }),
 

@@ -71,6 +71,72 @@ object Learning {
     w
   }
 
+  /** Weight TABLE (bucket, w) from a driver-side array — the bridge
+    * from curated/demo weight vectors into the broadcast-join
+    * application path. */
+  def weightsDf(spark: org.apache.spark.sql.SparkSession,
+                w: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    w.zipWithIndex.map { case (wv, b) => (b, wv) }.toDF("bucket", "w")
+  }
+
+  /** Scale-safe inference: sigmoid(bias + Σ_bucket cnt·w) per doc, with
+    * the weights as a TABLE joined broadcast on `bucket` — no literal
+    * array in the plan, so a 2^18-bucket production weight table costs
+    * one broadcast (a few MB) instead of a plan-size blow-up. Value-
+    * identical to [[Text.hashedLinearScore]] over the same bucketing
+    * (the sigmoid of the same sum; q152 is oracle-checked through this
+    * path). Docs with no feature rows are absent from the result —
+    * left-join from the corpus side and coalesce to sigmoid(bias) when
+    * token-less docs must score too. */
+  def applyLinear(features: DataFrame, weights: DataFrame,
+                  bias: Double): DataFrame =
+    features.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg((lit(bias) + sum(col("cnt") * col("w"))).as("__z"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("__z")))).as("score"))
+
+  /** [[trainLinear]] with the weights kept DISTRIBUTED as a (bucket, w)
+    * frame across iterations — the production-bucket-count path. Each
+    * iteration: margins via a broadcast weight join + one doc-grain
+    * shuffle, gradient via one bucket-grain shuffle (map-side
+    * combined), weight update via a bucket-grain left join,
+    * localCheckpoint to pin the new weights and truncate lineage. The
+    * driver never holds the weights, so 2^18+ buckets cost a few MB of
+    * broadcast per iteration instead of a literal-array plan — the
+    * arithmetic (zero init, w ← w + lr·Σ cnt·resid / n) is step-for-
+    * step the array version's, and q162 is oracle-checked through this
+    * path. */
+  def trainLinearDist(features: DataFrame, labels: DataFrame,
+                      buckets: Int, lr: Double, iters: Int): DataFrame = {
+    val spark = features.sparkSession
+    val feats = features.localCheckpoint()
+    val n = labels.count().toDouble
+    var w = spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"), lit(0.0).as("w"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val margins = feats.join(broadcast(w), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("w")).as("__m"))
+      val resid = labels.join(margins, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("y") - coalesce(col("__m"), lit(0.0))).as("__r"))
+      val grad = feats.join(resid, Seq("doc_id"))
+        .groupBy("bucket")
+        .agg((sum(col("cnt") * col("__r")) / n).as("__g"))
+      val prev = w
+      w = w.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w") + lit(lr) * coalesce(col("__g"), lit(0.0))).as("w"))
+        .localCheckpoint()
+      Scale.releaseLocalCheckpoint(prev)
+    }
+    Scale.releaseLocalCheckpoint(feats)
+    w
+  }
+
   /** Mean squared error of a weight vector over the same frames —
     * the train-loss gauge a fit loop reports. */
   def mse(features: DataFrame, labels: DataFrame,

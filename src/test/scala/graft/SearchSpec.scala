@@ -278,6 +278,34 @@ class SearchSpec extends SparkSpec {
     assert(after < before)
   }
 
+  test("trainLinearDist matches the array recurrence bit-for-bit") {
+    val feats = Seq((1L, 0, 1.0), (2L, 1, 1.0)).toDF("doc_id", "bucket", "cnt")
+    val labels = Seq((1L, 1.0), (2L, 0.0)).toDF("doc_id", "y")
+    val wArr = Learning.trainLinear(feats, labels, buckets = 2, lr = 0.5,
+      iters = 3)
+    val wDf = Learning.trainLinearDist(feats, labels, buckets = 2,
+        lr = 0.5, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(wDf(0) === wArr(0) && wDf(1) === wArr(1))
+  }
+
+  test("applyLinear scores identically to the row-local scorer") {
+    // exact binary-fraction weights: summation order cannot move the
+    // double, so the broadcast-join path must equal the fold exactly
+    val weights = (0 until 16).map(i => ((i * 5 + 3) % 9 - 4) / 8.0)
+    val bias = 0.25
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, "one two"),
+      (3L, "alpha alpha alpha alpha")).toDF("doc_id", "text")
+    val viaJoin = Learning.applyLinear(
+        Learning.hashedFeatures(docs, "doc_id", "text", weights.length),
+        Learning.weightsDf(spark, weights), bias)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaFold = docs.select(col("doc_id"),
+        Text.hashedLinearScore(col("text"), weights, bias).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaJoin === viaFold)
+  }
+
   test("hashedFeatures counts tokens per md5 bucket") {
     val docs = Seq((1L, "alpha alpha beta")).toDF("id", "text")
     val f = Learning.hashedFeatures(docs, "id", "text", 64).collect()
