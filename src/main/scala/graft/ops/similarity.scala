@@ -245,21 +245,61 @@ object Similarity {
     * ([[graft.streaming.Streaming.ivfSearchIndex]]), factored out so
     * the two can never diverge. */
   def probedCentroids(centroids: DataFrame, queryVec: Column,
-                      nprobe: Int): DataFrame = {
-    val probeWindow = Window.orderBy(col("__qsim").desc, col("cid"))
+                      nprobe: Int): DataFrame =
+    probedCentroidsAdaptive(centroids, queryVec, nprobe,
+      widenMargin = -1.0)
+
+  /** Probe-selection diagnostics: every centroid's query similarity,
+    * rank (cosine desc, cid tie-break) and MARGIN — the best
+    * similarity minus this centroid's. A small margin at rank >
+    * nprobe is the "query falls between clusters" signal: the
+    * unprobed centroid is nearly as close as the best one, so its
+    * members plausibly hold true neighbors the fixed-nprobe probe
+    * would miss. The frame is nlist rows — driver/broadcast-sized by
+    * construction. */
+  def centroidMargins(centroids: DataFrame, queryVec: Column): DataFrame = {
+    val ranked = Window.orderBy(col("qsim").desc, col("cluster"))
+    val all = Window.partitionBy(lit(1))
     centroids
-      .withColumn("__qsim", cosine(col("cvec"), queryVec))
-      .withColumn("__rk", row_number().over(probeWindow))
-      .where(col("__rk") <= nprobe)
-      .select(col("cid").as("cluster"))
+      .select(col("cid").as("cluster"),
+        cosine(col("cvec"), queryVec).as("qsim"))
+      .withColumn("rank", row_number().over(ranked))
+      .withColumn("margin", max(col("qsim")).over(all) - col("qsim"))
   }
+
+  /** [[probedCentroids]] with boundary-query widening: besides the
+    * top-`nprobe` centroids, any centroid whose [[centroidMargins]]
+    * margin is ≤ `widenMargin` is probed too — so a query equidistant
+    * from two clusters reads both even at nprobe = 1, recovering the
+    * recall a fixed probe count loses at cluster boundaries (negative
+    * `widenMargin` disables widening and reproduces the fixed rule
+    * exactly). The extra cost is bounded by how many centroids sit
+    * within the margin — for a well-spread codebook that is the
+    * boundary case only. */
+  def probedCentroidsAdaptive(centroids: DataFrame, queryVec: Column,
+                              nprobe: Int,
+                              widenMargin: Double): DataFrame =
+    centroidMargins(centroids, queryVec)
+      .where(col("rank") <= nprobe || col("margin") <= widenMargin)
+      .select(col("cluster"))
 
   def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
               centroids: DataFrame, queryVec: Column,
-              nprobe: Int, k: Int): DataFrame = {
+              nprobe: Int, k: Int,
+              widenMargin: Double = -1.0): DataFrame = {
     val assigned = assignToCentroids(corpus, embCol, idCol, centroids)
-    val probed = probedCentroids(centroids, queryVec, nprobe)
-    assigned.join(broadcast(probed), Seq("cluster"))
+    // probed ids are collected (≤ nlist rows, driver-sized by
+    // construction) and applied as an isin filter rather than a join:
+    // centroids routinely derive from the corpus frame, and a
+    // using-column self-join there can silently resolve the probe key
+    // against the corpus's SAME-exprId id column (kept rows become
+    // "id ∈ probed cluster ids" — wrong results, no error); the
+    // literal filter has no second lineage to mis-resolve against,
+    // and is what the partitioned on-disk variant
+    // (Streaming.ivfSearchIndex) does anyway
+    val probed = probedCentroidsAdaptive(centroids, queryVec, nprobe,
+      widenMargin).collect().map(_.get(0))
+    assigned.where(col("cluster").isin(probed.toSeq: _*))
       .withColumn("cosine_sim", round(cosine(col(embCol), queryVec), 6))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .select(col(idCol), col("cluster"), col("cosine_sim"))

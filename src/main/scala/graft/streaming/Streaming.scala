@@ -593,9 +593,13 @@ object Streaming {
   def ivfSearchIndex(spark: SparkSession, indexDir: String,
                      centroids: DataFrame, queryVec: Column,
                      nprobe: Int, k: Int, idCol: String = "id",
-                     embCol: String = "emb"): DataFrame = {
+                     embCol: String = "emb",
+                     widenMargin: Double = -1.0): DataFrame = {
+    // widenMargin ≥ 0 probes every centroid within that cosine margin
+    // of the best even beyond nprobe (boundary-query recall recovery,
+    // Similarity.probedCentroidsAdaptive); negative = fixed nprobe
     val probed = graft.ops.Similarity
-      .probedCentroids(centroids, queryVec, nprobe)
+      .probedCentroidsAdaptive(centroids, queryVec, nprobe, widenMargin)
       .collect().map(_.get(0))
     spark.read.parquet(indexDir)
       .where(col("cluster").isin(probed.toSeq: _*))
@@ -604,6 +608,40 @@ object Streaming {
       .orderBy(col("cosine_sim").desc, col(idCol))
       .select(col(idCol), col("cluster"), col("cosine_sim"))
       .limit(k)
+  }
+
+  /** Recall@k gate for a [[vectorIndexSink]] index: mean over the
+    * query vectors of |IVF top-k ∩ brute-force top-k| / k, both sides
+    * computed over the SAME accumulated index tree (so the gate
+    * measures probe-selection loss, not ingestion lag). Run it after
+    * every [[compactVectorIndex]] — compaction is the natural
+    * maintenance point, and after a re-centering it is the check that
+    * the moved centroids still route queries to the right inverted
+    * lists (StreamingSpec asserts a floor per compaction state).
+    * Cost: one full-tree scan per query vector for the brute side —
+    * an offline-maintenance price, not a serving-path one; sample the
+    * query set accordingly. */
+  def ivfIndexRecall(spark: SparkSession, indexDir: String,
+                     centroids: DataFrame, queryVecs: Seq[Column],
+                     nprobe: Int, k: Int, idCol: String = "id",
+                     embCol: String = "emb",
+                     widenMargin: Double = -1.0): Double = {
+    require(queryVecs.nonEmpty, "need at least one query vector")
+    val all = spark.read.parquet(indexDir)
+    val recalls = queryVecs.map { qv =>
+      val ivf = ivfSearchIndex(spark, indexDir, centroids, qv, nprobe,
+          k, idCol, embCol, widenMargin)
+        .select(idCol).collect().map(_.get(0)).toSet
+      val brute = all
+        .withColumn("__sim",
+          round(graft.ops.Similarity.cosine(col(embCol), qv), 6))
+        .orderBy(col("__sim").desc, col(idCol))
+        .limit(k)
+        .select(idCol).collect().map(_.get(0))
+      if (brute.isEmpty) 1.0
+      else brute.count(ivf.contains).toDouble / brute.length
+    }
+    recalls.sum / recalls.size
   }
 
   /** Read a [[dsirStatsSink]] store as the count table

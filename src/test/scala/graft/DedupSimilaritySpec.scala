@@ -165,6 +165,42 @@ class SimilaritySpec extends SparkSpec {
     assert(!r.map(_.getLong(0)).contains(2L)) // orthogonal cluster not probed
   }
 
+  test("adaptive probing widens at cluster boundaries and recovers recall") {
+    import org.apache.spark.sql.DataFrame
+    val centroids: DataFrame = vecs.filter(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // query just off 45° between the two centroids (slightly toward
+    // y): nprobe=1 probes the y cluster {2, 3}, but the TRUE top-2
+    // {1, 2} straddles both clusters — the boundary case a fixed
+    // probe count gets wrong
+    val q = array(Seq(1.0, 1.05, 0.0, 0.0).map(lit): _*)
+    val fixed = Similarity.probedCentroidsAdaptive(centroids, q,
+        nprobe = 1, widenMargin = -1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(fixed.size === 1)
+    val widened = Similarity.probedCentroidsAdaptive(centroids, q,
+        nprobe = 1, widenMargin = 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(widened === Set(0L, 2L),
+      "equidistant centroids must both be probed under widening")
+    // margins expose the signal: rank-2 centroid within ~0 of best
+    val m = Similarity.centroidMargins(centroids, q)
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        r.getAs[Double]("margin")).toMap
+    assert(m.values.forall(_ < 0.05))
+    // true top-2 {1, 2} straddles the clusters — with nprobe=1 only
+    // the y side is reachable, so recall@2 is capped at 1/2;
+    // widening recovers both sides
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      q, 2).collect().map(_.getLong(0)).toSet
+    def ivfIds(widen: Double) =
+      Similarity.ivfTopK(vecs, "embedding", "vec_id", centroids, q,
+          nprobe = 1, k = 2, widenMargin = widen)
+        .collect().map(_.getLong(0)).toSet
+    assert(ivfIds(-1.0).intersect(brute).size < brute.size)
+    assert(ivfIds(0.05) === brute)
+  }
+
   test("embeddingNearDupPairs finds the identical pair") {
     val pairs = Similarity.embeddingNearDupPairs(vecs, "embedding", "vec_id",
       dim = 4, planes = 2, minCosine = 0.99)

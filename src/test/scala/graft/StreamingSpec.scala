@@ -627,10 +627,25 @@ class StreamingSpec extends SparkSpec {
         qv, nprobe = 3, k = 5, idCol = "vec_id", embCol = "embedding")
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     val before = search()
+    // per-compaction quality gate: recall@5 of the pruned probe vs
+    // brute force over the same tree, for three member queries
+    val gateQs = Seq(11L, 42L, 77L).map { id =>
+      val v = emb.where(col("vec_id") === id)
+        .select("embedding").as[Array[Float]].collect().head
+      array(v.toIndexedSeq.map(lit): _*)
+    }
+    def recall(cents: org.apache.spark.sql.DataFrame) =
+      Streaming.ivfIndexRecall(spark, indexDir, cents, gateQs,
+        nprobe = 3, k = 5, idCol = "vec_id", embCol = "embedding")
+    val recallBefore = recall(centroids)
+    assert(recallBefore >= 0.6,
+      s"pre-compaction recall floor violated: $recallBefore")
     val sameCents = Streaming.compactVectorIndex(spark, indexDir, centroids,
       recenter = false, idCol = "vec_id", embCol = "embedding")
     assert(search() === before)
     assert(sameCents eq centroids)
+    // compaction preserves probe results exactly -> recall identical
+    assert(recall(centroids) === recallBefore)
     assert(new java.io.File(indexDir).listFiles()
       .count(_.getName.startsWith("batch=")) === 1)
     // re-centering: every vector survives, centroids move to member
@@ -647,6 +662,20 @@ class StreamingSpec extends SparkSpec {
     assert(after.length === 5)
     // the query vector IS corpus vector 11 — any sane index finds it
     assert(after.map(_.getLong(0)).contains(11L))
+    // the gate after a RE-CENTERING compaction: moved centroids must
+    // still route the member queries to their true neighbors
+    val recallAfter = Streaming.ivfIndexRecall(spark, indexDir, newCents,
+      gateQs, nprobe = 3, k = 5, idCol = "vec_id", embCol = "embedding")
+    info(s"post-recenter recall@5: $recallAfter")
+    assert(recallAfter >= 0.5,
+      s"post-recenter recall floor violated: $recallAfter")
+    // boundary widening can only add probed clusters -> recall is
+    // monotone in widenMargin
+    val recallWide = Streaming.ivfIndexRecall(spark, indexDir, newCents,
+      gateQs, nprobe = 3, k = 5, idCol = "vec_id", embCol = "embedding",
+      widenMargin = 0.05)
+    info(s"widened (margin 0.05) recall@5: $recallWide")
+    assert(recallWide >= recallAfter)
   }
 
   test("vectorIndexSink builds a partition-pruned IVF index across batches") {
