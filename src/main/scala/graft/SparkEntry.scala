@@ -66,14 +66,14 @@ object SparkEntry {
       CurationQueries.queries ++ WarehouseQueries.queries ++
       MiningQueries.queries ++ QualityQueries.queries ++
       AnalyticsQueries.queries ++ RetrievalQueries.queries ++
-      SearchQueries.queries
+      SearchQueries.queries ++ TokenizerQueries.queries
 
   def oracleSql: Map[String, String] =
     coreOracleSql ++ NorthStar.oracleSql ++ SqlSurface.oracleSql ++
       CurationQueries.oracleSql ++ WarehouseQueries.oracleSql ++
       MiningQueries.oracleSql ++ QualityQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ RetrievalQueries.oracleSql ++
-      SearchQueries.oracleSql
+      SearchQueries.oracleSql ++ TokenizerQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+
+/** Tokenizer-training queries: in-engine BPE merge learning (q165) and
+  * encoding under the learned merges (q166). Registered through
+  * SparkEntry; the DuckDB oracles replay the full training loop — word
+  * histogram, per-iteration weighted pair counts, argmax adoption and
+  * the packed-string merge pass — as an unrolled MATERIALIZED-CTE
+  * chain, then (q166) re-encode every document with the same rules.
+  */
+object TokenizerQueries {
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.t(s, dir, name)
+
+  /** Merge count for the oracle-checked queries: enough to exercise
+    * multi-char merge chaining (later merges consume earlier merged
+    * symbols), small enough that the unrolled SQL stays readable. */
+  private val NumMerges = 6
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Learn the BPE merge table from the documents corpus: the
+    // training side of subword tokenization (q159 is inference).
+    // Trains on the word histogram — corpus touched once.
+    "q165_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = rd(s, dir, "documents").where(col("text").isNotNull)
+      Bpe.trainBpe(docs, "text", NumMerges)
+        .toDF()
+        .select(col("merge_idx"), col("left").as("lhs"),
+          col("right").as("rhs"), col("merged"), col("pair_count"))
+        .orderBy("merge_idx")
+    }),
+
+    // Encode every document with the learned merges (BPE inference:
+    // merges apply in adoption order) — real piece counts plus the
+    // full segmentation string, both oracle-compared.
+    "q166_bpe_encode" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").where(col("text").isNotNull)
+      val rules = Bpe.trainBpe(docs, "text", NumMerges)
+      docs
+        .withColumn("__p", Bpe.encode(col("text"), rules))
+        .select(col("doc_id"),
+          size(col("__p")).cast("long").as("n_pieces"),
+          array_join(col("__p"), " ").as("segmented"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** Tokens SQL mirroring Text.tokens (same shape as the other query
+    * families' generators). */
+  private def toksSql(e: String): String =
+    raw"""list_filter(string_split_regex(lower(trim($e)), '\s+'), x -> x <> '')"""
+
+  /** Shared training CTE chain: word histogram `h`, packed initial
+    * states `v0`, then per merge k: weighted pair counts `p_k` over
+    * `v_(k-1)`, argmax `m_k`, merged states `v_k`. The packed form
+    * ("##a##b##c##") makes one merge pass a plain `replace` of
+    * '#a##b#' with '#ab#' — identical left-to-right non-overlapping
+    * semantics in DuckDB and Spark, no regex. */
+  private def trainSql: String = {
+    val steps = (1 to NumMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT h.cnt, h.syms[i] AS a, h.syms[i + 1] AS b
+         |    FROM (SELECT cnt,
+         |            list_filter(string_split(st, '##'), x -> x <> '') AS syms
+         |          FROM v${k - 1}) h,
+         |         UNNEST(range(1, len(h.syms))) AS u(i))
+         |  GROUP BY a, b),
+         |m$k AS MATERIALIZED (
+         |  SELECT a, b, c FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    replace(st,
+         |      '#' || (SELECT a FROM m$k) || '##' || (SELECT b FROM m$k) || '#',
+         |      '#' || (SELECT a FROM m$k) || (SELECT b FROM m$k) || '#') AS st
+         |  FROM v${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(${toksSql("text")}) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    '##' || regexp_replace(word, '(.)', '\\1##', 'g') AS st
+       |  FROM h),
+       |$steps""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q165_bpe_train" -> {
+      val rows = (1 to NumMerges).map { k =>
+        s"SELECT $k AS merge_idx, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM m$k"
+      }.mkString("\n  UNION ALL ")
+      s"""$trainSql
+         |SELECT * FROM (
+         |  $rows)
+         |ORDER BY merge_idx""".stripMargin
+    },
+
+    "q166_bpe_encode" -> {
+      // the merge rules cross-join in as plain columns (one row each)
+      // so the per-token lambda can reference them; ENC folds the
+      // packed state through the merges in adoption order, and the
+      // piece string of a packed state is trim-#s + '##'->' '
+      val ruleCols = (1 to NumMerges).map { k =>
+        s"r$k AS (SELECT a AS a$k, b AS b$k FROM m$k)"
+      }.mkString(",\n")
+      val enc = (1 to NumMerges).foldLeft(
+        raw"'##' || regexp_replace(tok, '(.)', '\1##', 'g')") { (e, k) =>
+        s"replace($e, '#' || a$k || '##' || b$k || '#', '#' || a$k || b$k || '#')"
+      }
+      s"""$trainSql,
+         |$ruleCols
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(segmented, ' '), x -> x <> ''))
+         |    AS BIGINT) AS n_pieces,
+         |  segmented
+         |FROM (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(${toksSql("text")}, tok ->
+         |      CASE WHEN regexp_matches(tok, '^[a-z0-9]+$$')
+         |        THEN replace(trim($enc, '#'), '##', ' ')
+         |        ELSE tok END), ' ') AS segmented
+         |  FROM documents
+         |    CROSS JOIN ${(1 to NumMerges).map(k => s"r$k").mkString(" CROSS JOIN ")}
+         |  WHERE text IS NOT NULL)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -101,22 +101,31 @@ object Learning {
     * frame across iterations — the production-bucket-count path. Each
     * iteration: margins via a broadcast weight join + one doc-grain
     * shuffle, gradient via one bucket-grain shuffle (map-side
-    * combined), weight update via a bucket-grain left join,
-    * localCheckpoint to pin the new weights and truncate lineage. The
-    * driver never holds the weights, so 2^18+ buckets cost a few MB of
+    * combined), weight update via a bucket-grain left join. The driver
+    * never holds the weights, so 2^18+ buckets cost a few MB of
     * broadcast per iteration instead of a literal-array plan — the
     * arithmetic (zero init, w ← w + lr·Σ cnt·resid / n) is step-for-
     * step the array version's, and q162 is oracle-checked through this
-    * path. */
+    * path.
+    *
+    * Every `ckptEvery` iterations the weights are EAGERLY
+    * localCheckpoint-ed (and only then is the prior pinned frame
+    * released — releasing an unmaterialized checkpoint a later plan
+    * depends on would lose its blocks). Default 1: each iteration is a
+    * small plan over materialized leaves, which measures faster than
+    * letting Catalyst re-optimize an iters-deep nested plan (the
+    * ckptEvery > 1 setting trades job-launch overhead against plan
+    * growth for very high iteration counts). */
   def trainLinearDist(features: DataFrame, labels: DataFrame,
-                      buckets: Int, lr: Double, iters: Int): DataFrame = {
+                      buckets: Int, lr: Double, iters: Int,
+                      ckptEvery: Int = 1): DataFrame = {
     val spark = features.sparkSession
     val feats = features.localCheckpoint()
     val n = labels.count().toDouble
     var w = spark.range(buckets)
       .select(col("id").cast("int").as("bucket"), lit(0.0).as("w"))
-      .localCheckpoint()
-    for (_ <- 0 until iters) {
+    var pinned: Option[DataFrame] = None
+    for (i <- 0 until iters) {
       val margins = feats.join(broadcast(w), Seq("bucket"))
         .groupBy("doc_id")
         .agg(sum(col("cnt") * col("w")).as("__m"))
@@ -126,12 +135,15 @@ object Learning {
       val grad = feats.join(resid, Seq("doc_id"))
         .groupBy("bucket")
         .agg((sum(col("cnt") * col("__r")) / n).as("__g"))
-      val prev = w
       w = w.join(grad, Seq("bucket"), "left")
         .select(col("bucket"),
           (col("w") + lit(lr) * coalesce(col("__g"), lit(0.0))).as("w"))
-        .localCheckpoint()
-      Scale.releaseLocalCheckpoint(prev)
+      val last = i == iters - 1
+      if (last || (i + 1) % ckptEvery == 0) {
+        w = w.localCheckpoint() // eager: materialized before releases
+        pinned.foreach(Scale.releaseLocalCheckpoint)
+        pinned = if (last) None else Some(w)
+      }
     }
     Scale.releaseLocalCheckpoint(feats)
     w

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainBpe learns the expected merges on a hand-checkable corpus") {
+    // "aa" appears 3x in "aaaa"-heavy words: pair (a,a) dominates,
+    // then (aa,aa) chains onto the first merge's output
+    val docs = Seq(
+      (1L, "aaaa aaaa ab"),
+      (2L, "aaaa cd")).toDF("doc_id", "text")
+    val rules = Bpe.trainBpe(docs, "text", 3)
+    // pair counts over {aaaa:3, ab:1, cd:1}: (a,a) = 3 words x 3
+    // positions = 9 -> merge 1 = aa; then each aaaa is [aa,aa]:
+    // (aa,aa) = 3 -> merge 2 = aaaa; remaining pairs (a,b) and (c,d)
+    // tie at 1 -> lexicographic tie-break picks (a,b)
+    assert(rules.map(r => (r.left, r.right, r.merged)) === Seq(
+      ("a", "a", "aa"), ("aa", "aa", "aaaa"), ("a", "b", "ab")))
+    assert(rules.map(_.pair_count) === Seq(9L, 3L, 1L))
+  }
+
+  test("merge pass is greedy left-to-right non-overlapping") {
+    // [a,a,a] under (a,a) must become [aa,a] — not [a,aa] and not a
+    // double-merge; the packed-replace formulation guarantees it
+    val df = Seq(Tuple1("aaa bbbb")).toDF("text")
+    val rules = Seq(Bpe.MergeRule(1, "a", "a", "aa", 0L),
+      Bpe.MergeRule(2, "b", "b", "bb", 0L))
+    val out = df.select(Bpe.encode(col("text"), rules).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("aa", "a", "bb", "bb"))
+  }
+
+  test("encode applies merges in adoption order, not longest-match") {
+    // rules: (a,b)->ab then (ab,c)->abc. Greedy longest-match against
+    // the vocab {ab, abc} would also give abc — but order matters when
+    // an EARLIER merge consumes what a later one needs: with (b,c)
+    // adopted first, "abc" becomes [a, bc] even though ab is a rule
+    val df = Seq(Tuple1("abc")).toDF("text")
+    val orderA = Seq(Bpe.MergeRule(1, "a", "b", "ab", 0L),
+      Bpe.MergeRule(2, "ab", "c", "abc", 0L))
+    val orderB = Seq(Bpe.MergeRule(1, "b", "c", "bc", 0L),
+      Bpe.MergeRule(2, "a", "b", "ab", 0L))
+    def enc(rules: Seq[Bpe.MergeRule]) =
+      df.select(Bpe.encode(col("text"), rules).as("p"))
+        .collect().head.getSeq[String](0)
+    assert(enc(orderA) === Seq("abc"))
+    assert(enc(orderB) === Seq("a", "bc"))
+  }
+
+  test("encode passes non-alphanumeric tokens through unsegmented") {
+    val df = Seq(Tuple1("aa für c++")).toDF("text")
+    val rules = Seq(Bpe.MergeRule(1, "a", "a", "aa", 0L))
+    val out = df.select(Bpe.encode(col("text"), rules).as("p"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("aa", "für", "c++"))
+  }
+
+  test("wordHistogram filters to [a-z0-9]+ and lowercases") {
+    val docs = Seq((1L, "The THE c++ data9 für")).toDF("doc_id", "text")
+    val h = Bpe.wordHistogram(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h === Map("the" -> 2L, "data9" -> 1L))
+  }
+
+  test("empty and null texts encode to empty piece arrays") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val rules = Seq(Bpe.MergeRule(1, "a", "a", "aa", 0L))
+    val out = df.select(size(Bpe.encode(col("text"), rules)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(out === Seq(0, 0))
+  }
+}

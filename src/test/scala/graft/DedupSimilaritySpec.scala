@@ -22,6 +22,18 @@ class DedupSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_copies") === 2L)
   }
 
+  test("minhash factoring gate: both paths emit the identical pair set") {
+    def pairs(factor: Boolean) =
+      Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+          numHashes = 8, bands = 4, shingleSize = 3,
+          factorExactGroups = Some(factor))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val factored = pairs(true)
+    val direct = pairs(false)
+    assert(factored === direct)
+    assert(factored.contains((1L, 2L))) // the exact-dup pair survives both
+  }
+
   test("fingerprint dedup also catches word-order shuffles") {
     val r = Dedup.byFingerprint(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()
