@@ -43,8 +43,10 @@ object TokenizerQueries {
     "q166_bpe_encode" -> ((s, dir) => {
       val docs = rd(s, dir, "documents").where(col("text").isNotNull)
       val rules = Bpe.trainBpe(docs, "text", NumMerges)
+      // rank-map expression path; BpeSpec separately asserts it is
+      // piece-identical to the replace-chain Bpe.encode
       docs
-        .withColumn("__p", Bpe.encode(col("text"), rules))
+        .withColumn("__p", Bpe.encodeFast(col("text"), rules))
         .select(col("doc_id"),
           size(col("__p")).cast("long").as("n_pieces"),
           array_join(col("__p"), " ").as("segmented"))

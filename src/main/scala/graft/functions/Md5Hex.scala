@@ -133,4 +133,11 @@ object GraftFunctions {
                     maxPiecesPerWord: Int): Column =
     GraftColumnBridge.column(GreedySegmentExpression(
       GraftColumnBridge.expression(words), vocab, maxPiecesPerWord))
+
+  /** BPE encoding of a word-array column under a learned merge table
+    * shipped as a rank map (classic min-rank merge loop — zero plan
+    * growth in the rule count, the production path of `Bpe.encode`). */
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(BpeEncodeExpression(
+      GraftColumnBridge.expression(words), merges))
 }

@@ -124,4 +124,17 @@ object Bpe {
     })
     flatten(pieces)
   }
+
+  /** [[encode]] behind [[graft.functions.BpeEncodeExpression]]: the
+    * rules ship once as a rank map instead of one `replace` per rule
+    * folded into the plan, so a production 30k-merge table costs
+    * nothing in plan size (the replace chain is exact but grows
+    * linearly and stops being expressible long before that).
+    * Piece-identical to [[encode]] on tables [[trainBpe]] produces —
+    * symbol creation is monotone over adoption order, so the min-rank
+    * loop and the sequential chain agree (BpeSpec asserts parity;
+    * q166's DuckDB oracle checks this path cross-engine). */
+  def encodeFast(text: Column, rules: Seq[MergeRule]): Column =
+    graft.functions.GraftFunctions.bpeEncode(Text.tokens(text),
+      rules.map(r => (r.left, r.right)))
 }

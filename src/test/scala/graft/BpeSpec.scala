@@ -65,6 +65,45 @@ class BpeSpec extends SparkSpec {
     assert(h === Map("the" -> 2L, "data9" -> 1L))
   }
 
+  test("encodeFast (rank-map expression) is piece-identical to the replace chain") {
+    // a trained table (the validity condition the min-rank loop's
+    // equivalence rests on) over a corpus with chained merges
+    val corpus = Seq(
+      (1L, "aaaa aaaa aaab the the then there"),
+      (2L, "data data base database for c++")).toDF("doc_id", "text")
+    val rules = Bpe.trainBpe(corpus, "text", 12)
+    assert(rules.size === 12)
+    val probe = corpus.unionByName(Seq(
+      (3L, "unseen aaaathe dataaaa"),          // fresh combinations
+      (4L, "für 中文 x"), (5L, "   "), (6L, "aab")).toDF("doc_id", "text"))
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        val bad = probe.filter(
+          Bpe.encodeFast(col("text"), rules)
+            =!= Bpe.encode(col("text"), rules)).count()
+        assert(bad === 0)
+      }
+    }
+  }
+
+  test("encodeFast plan size is independent of the rule count") {
+    // 6 rules vs 120 rules: the replace chain grows per rule, the
+    // rank-map expression does not — its plan string stays put
+    val corpus = Seq((1L, ("ab " * 40) + ("abc " * 20) + "abcd abcde"))
+      .toDF("doc_id", "text")
+    val few = Bpe.trainBpe(corpus, "text", 3)
+    val wide = (0 until 120).map { i =>
+      Bpe.MergeRule(i + 1, s"x${i % 10}", s"y${i / 10}", s"x${i % 10}y${i / 10}", 0L)
+    }
+    def planLen(rules: Seq[Bpe.MergeRule]) =
+      corpus.select(Bpe.encodeFast(col("text"), rules).as("p"))
+        .queryExecution.optimizedPlan.toString.length
+    val ratio = planLen(wide).toDouble / planLen(few)
+    assert(ratio < 1.5, s"plan grew with rule count: ratio $ratio")
+  }
+
   test("empty and null texts encode to empty piece arrays") {
     val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
     val rules = Seq(Bpe.MergeRule(1, "a", "a", "aa", 0L))
