@@ -84,8 +84,18 @@ object Bpe {
     * over the checkpointed histogram — re-evaluated per iteration at
     * vocabulary scale, never corpus scale. */
   def trainBpe(docs: DataFrame, textCol: String,
-               numMerges: Int): Seq[MergeRule] = {
-    val hist = wordHistogram(docs, textCol).localCheckpoint()
+               numMerges: Int): Seq[MergeRule] =
+    trainBpeOnHistogram(wordHistogram(docs, textCol), numMerges)
+
+  /** [[trainBpe]] over an already-built (word, cnt) histogram — the
+    * entry point for incrementally-maintained histograms
+    * ([[graft.streaming.Streaming.wordHistSink]] folds per-batch
+    * histograms into a standing store; counts are additive, so
+    * re-training from the store equals training from the full corpus
+    * without rescanning it). */
+  def trainBpeOnHistogram(histogram: DataFrame,
+                          numMerges: Int): Seq[MergeRule] = {
+    val hist = histogram.localCheckpoint()
     var state: Column = initialState(col("word"))
     val rules = Seq.newBuilder[MergeRule]
     var k = 1

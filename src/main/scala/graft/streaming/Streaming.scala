@@ -650,6 +650,35 @@ object Streaming {
   def readDsirCounts(spark: SparkSession, statsDir: String): DataFrame =
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/lm")
 
+  /** Incrementally-maintained word histogram over a document stream —
+    * the tokenizer-training member of the stats-store family
+    * ([[termStatsSink]]'s exactly-once machinery applied to
+    * [[graft.ops.Bpe.wordHistogram]]): per micro-batch, fold the
+    * batch's (word, cnt) counts into a standing `hist/` table. Counts
+    * are additive, so `Bpe.trainBpeOnHistogram(readWordHistogram(...))`
+    * re-learns the merge table from the corpus streamed SO FAR without
+    * rescanning it — the periodic tokenizer-refresh step of a
+    * continuously-ingested training corpus (run it at the same
+    * maintenance point as index compaction). */
+  def wordHistSink(docs: DataFrame, textCol: String, statsDir: String,
+                   checkpoint: String) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("hist", Seq("word"), Seq("cnt")) ->
+              graft.ops.Bpe.wordHistogram(batch, textCol)))
+        ()
+      }
+
+  /** Read a [[wordHistSink]] store as the (word, cnt) frame
+    * [[graft.ops.Bpe.trainBpeOnHistogram]] consumes. Side-effect-free
+    * (see [[readableStoreDir]]). */
+  def readWordHistogram(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/hist")
+
   // ------------------------------------------------ index maintenance
 
   /** Swap a freshly-written `<indexDir>.compact.tmp` tree into place

@@ -336,6 +336,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wordHistSink: streamed histogram re-trains the exact batch BPE table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-whist").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("text").isNotNull)
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.wordHistSink(
+      in.toDF().toDF("doc_id", "text"), "text",
+      s"$tmp/stats", s"$tmp/ckpt").start()
+    try {
+      val all = docs.as[(Long, String)].collect()
+      all.grouped((all.length + 2) / 3).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // merged store == batch histogram over the union, cell-exactly
+      val streamed = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      val batch = graft.ops.Bpe.wordHistogram(docs, "text")
+      assert(streamed.count() === batch.count())
+      assert(streamed.unionAll(batch).distinct().count() === batch.count())
+      // tokenizer refresh: training from the store == training from
+      // the full corpus, rule for rule (incl. counts)
+      val fromStore = graft.ops.Bpe.trainBpeOnHistogram(streamed, 5)
+      val fromCorpus = graft.ops.Bpe.trainBpe(docs, "text", 5)
+      assert(fromStore === fromCorpus)
+    } finally q.stop()
+  }
+
   test("termStatsSink maintains BM25 stats equal to a batch recompute") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
