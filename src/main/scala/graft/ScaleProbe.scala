@@ -153,6 +153,16 @@ object ScaleProbe {
         size(Text.greedyPiecesTrie(col("text"), bigVocab))
           .as("n_pieces")))
 
+    // BPE: train on the word histogram (vocabulary-scale iterations),
+    // then encode the full corpus through the rank-map expression
+    val bt0 = System.nanoTime()
+    val bpeRules = Bpe.trainBpe(corpus, "text", 12)
+    println(f"[probe] bpe train (12 merges)  " +
+      f"       ${bpeRules.size}%10d rules ${(System.nanoTime() - bt0) / 1e9}%7.1f s")
+    time("bpe encode (rank map)", total, "docs/s")(
+      corpus.select(col("doc_id"),
+        size(Bpe.encodeFast(col("text"), bpeRules)).as("n_pieces")))
+
     // hashed-feature classifier at a production bucket count: the
     // broadcast-join weight table (262,144 rows, a few MB) — the
     // literal-array form cannot express this width at all

@@ -135,6 +135,32 @@ object GraftExtensions {
         graft.ops.Text.greedyPiecesTrie(column(children.head), vocab))
     })
 
+  /** graft_bpe_encode(text, lhsArray, rhsArray): BPE encoding under a
+    * learned merge table (rank = array position; the two arrays must
+    * be literal and same-length — the SQL lift of
+    * `Bpe.encodeFast`/[[BpeEncodeExpression]]). */
+  val BpeEncodeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bpe_encode"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "graft_bpe_encode"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+            "functionName" -> "`graft_bpe_encode`",
+            "expectedNum" -> "3",
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      val lhs = foldableArray[String](children(1), "graft_bpe_encode",
+        "lhs", org.apache.spark.sql.types.StringType, _.toString)
+      val rhs = foldableArray[String](children(2), "graft_bpe_encode",
+        "rhs", org.apache.spark.sql.types.StringType, _.toString)
+      require(lhs.length == rhs.length,
+        s"graft_bpe_encode: lhs (${lhs.length}) and rhs (${rhs.length}) " +
+          "merge arrays must be the same length")
+      deepExpression(graft.functions.GraftFunctions.bpeEncode(
+        graft.ops.Text.tokens(column(children.head)), lhs.zip(rhs)))
+    })
+
   /** graft_linear_score(text, weightsArray, bias): hashed-feature
     * linear-model inference (q152's scorer) — weights and bias must be
     * literals. */
@@ -195,6 +221,7 @@ object GraftExtensions {
       graft.ops.Sampling.splitBucket(cs.head)),
     RollingFingerprintsDescriptor,
     WordpieceDescriptor,
+    BpeEncodeDescriptor,
     LinearScoreDescriptor)
 
   /** Register on a live session (the extensions conf only applies at

@@ -145,6 +145,7 @@ object Bpe {
     * loop and the sequential chain agree (BpeSpec asserts parity;
     * q166's DuckDB oracle checks this path cross-engine). */
   def encodeFast(text: Column, rules: Seq[MergeRule]): Column =
-    graft.functions.GraftFunctions.bpeEncode(Text.tokens(text),
+    if (rules.isEmpty) encode(text, rules) // no merges: plain char split
+    else graft.functions.GraftFunctions.bpeEncode(Text.tokens(text),
       rules.map(r => (r.left, r.right)))
 }

@@ -104,6 +104,15 @@ class BpeSpec extends SparkSpec {
     assert(ratio < 1.5, s"plan grew with rule count: ratio $ratio")
   }
 
+  test("empty rule table: both paths fall back to per-char pieces") {
+    val df = Seq(Tuple1("abc de")).toDF("text")
+    def out(c: org.apache.spark.sql.Column) =
+      df.select(c.as("p")).collect().head.getSeq[String](0)
+    val expected = Seq("a", "b", "c", "d", "e")
+    assert(out(Bpe.encode(col("text"), Nil)) === expected)
+    assert(out(Bpe.encodeFast(col("text"), Nil)) === expected)
+  }
+
   test("empty and null texts encode to empty piece arrays") {
     val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
     val rules = Seq(Bpe.MergeRule(1, "a", "a", "aa", 0L))

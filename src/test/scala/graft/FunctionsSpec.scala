@@ -149,6 +149,30 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getCondition === "NON_FOLDABLE_ARGUMENT")
   }
 
+  test("graft_bpe_encode: SQL matches the DataFrame op") {
+    graft.functions.GraftExtensions.registerOn(spark)
+    import graft.ops.Bpe
+    val doc = "aaa abab c++"
+    val rules = Seq(Bpe.MergeRule(1, "a", "a", "aa", 0L),
+      Bpe.MergeRule(2, "a", "b", "ab", 0L),
+      Bpe.MergeRule(3, "ab", "ab", "abab", 0L))
+    val viaSql = spark.sql(
+      s"""SELECT graft_bpe_encode('$doc',
+         |  array('a', 'a', 'ab'), array('a', 'b', 'ab')) AS p""".stripMargin)
+      .head().getSeq[String](0)
+    val viaDf = spark.range(1)
+      .select(Bpe.encodeFast(lit(doc), rules).as("p"))
+      .head().getSeq[String](0)
+    assert(viaSql === viaDf)
+    assert(viaSql === Seq("aa", "a", "abab", "c++"))
+    // mismatched rule arrays are rejected at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode('x', array('a'), array('b', 'c'))")
+        .collect()
+    }
+    assert(e.getMessage.contains("same length"))
+  }
+
   test("minhash signature expression matches the HOF fold it replaced") {
     import org.apache.spark.sql.Column
     import graft.ops.Text
