@@ -42,6 +42,48 @@ object Profiling {
   /** Keys appearing more than once — the primary-key uniqueness check.
     * Returns (keys..., n) per violating key; one key-shuffle with
     * map-side partial counts. */
+  /** Population-stability index of `valueCol` between a base and a
+    * current snapshot — the drift gate a training-data warehouse runs
+    * between corpus refreshes (PSI > 0.1 = investigate, > 0.25 =
+    * retrain is the standard reading). Values bucket into `nBuckets`
+    * fixed-width bins over [lo, hi) (edges FIXED, not quantile-fitted,
+    * so the statistic is deterministic and engine-portable; clamp
+    * out-of-range values to the edge bins), proportions floor at
+    * `eps` so empty bins contribute finitely, and
+    * PSI = Σ (p_cur − p_base) · ln(p_cur / p_base).
+    *
+    * Scale: one aggregation per side (map-side combined into ≤
+    * nBuckets groups), a bucket-grain full-outer join of two
+    * nBuckets-row frames, one sum. Nulls are excluded (they are a
+    * COUNT drift, visible in [[profile]], not a distribution drift). */
+  def psi(base: DataFrame, current: DataFrame, valueCol: Column,
+          lo: Double, hi: Double, nBuckets: Int = 10,
+          eps: Double = 1e-6): DataFrame = {
+    require(nBuckets >= 2 && hi > lo)
+    def bucketed(df: DataFrame, cntName: String): DataFrame = {
+      val b = least(greatest(
+        floor((valueCol.cast("double") - lit(lo))
+          / lit((hi - lo) / nBuckets)).cast("int"), lit(0)),
+        lit(nBuckets - 1))
+      df.where(valueCol.isNotNull)
+        .groupBy(b.as("bucket"))
+        .agg(count(lit(1)).as(cntName))
+    }
+    val joined = bucketed(base, "n_base")
+      .join(bucketed(current, "n_cur"), Seq("bucket"), "full_outer")
+    val totals = joined.agg(
+      sum(coalesce(col("n_base"), lit(0L))).as("tb"),
+      sum(coalesce(col("n_cur"), lit(0L))).as("tc"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        greatest(coalesce(col("n_base"), lit(0L)) / col("tb"), lit(eps))
+          .as("pb"),
+        greatest(coalesce(col("n_cur"), lit(0L)) / col("tc"), lit(eps))
+          .as("pc"))
+      .agg(sum((col("pc") - col("pb")) * log(col("pc") / col("pb")))
+        .as("psi"))
+  }
+
   def dupKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
