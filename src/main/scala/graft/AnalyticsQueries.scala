@@ -136,6 +136,18 @@ object AnalyticsQueries {
         .orderBy("check_name")
     }),
 
+    // Distribution-drift gate between two corpus snapshots: PSI of
+    // document length, English vs non-English docs standing in for
+    // base vs refreshed corpus. Two bucket-grain aggregations, a
+    // 10-row join, one sum — the corpus is scanned once per side.
+    "q167_psi" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      Profiling.psi(d.where(col("lang") === "en"),
+          d.where(col("lang") =!= "en"), col("n_chars"),
+          lo = 0.0, hi = 600.0, nBuckets = 10)
+        .select(round(col("psi"), 6).as("psi"))
+    }),
+
     // Winsorized document length per language: clamp n_chars to the
     // language's [p05, p95] band (cutoffs broadcast back; corpus
     // unshuffled).
@@ -487,5 +499,25 @@ object AnalyticsQueries {
         |  CAST((n_chars // 500 + 1) * 500 AS BIGINT) AS bin_hi,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents
-        |GROUP BY 1, 2, 3 ORDER BY lang, bin_lo""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY lang, bin_lo""".stripMargin,
+
+    "q167_psi" ->
+      """WITH bb AS (
+        |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 60.0)
+        |      AS INT), 0), 9) AS bucket, count(*) AS n_base
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |cb AS (
+        |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 60.0)
+        |      AS INT), 0), 9) AS bucket, count(*) AS n_cur
+        |  FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(bb.n_base, 0) AS n_base,
+        |         coalesce(cb.n_cur, 0) AS n_cur
+        |  FROM bb FULL OUTER JOIN cb ON bb.bucket = cb.bucket),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+        |SELECT round(sum((pc - pb) * ln(pc / pb)), 6) AS psi
+        |FROM (SELECT greatest(n_base / tb, 1e-6) AS pb,
+        |             greatest(n_cur / tc, 1e-6) AS pc FROM j, t) z""".stripMargin)
 }

@@ -210,6 +210,10 @@ object ScaleProbe {
     val evBase = (if (evRaw.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType)
       evRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (evRaw.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      evRaw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else evRaw).select("user_id", "ts", "value")
     val ev0 = evBase.count()
     val maxUser = evBase.agg(max("user_id")).head().getLong(0)

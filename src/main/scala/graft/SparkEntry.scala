@@ -37,13 +37,22 @@ object SparkEntry {
   private def load(s: SparkSession, dir: String, name: String,
                    widen: Boolean): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
-    // (spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench).
-    // Truncate ns -> us exactly like DuckDB does, so oracles agree.
+    // events.ts fixture type has varied across driver generations:
+    // TIMESTAMP(NANOS) (Spark reads as long under
+    // spark.sql.legacy.parquet.nanosAsLong=true — truncate ns -> us
+    // exactly like DuckDB does) or plain timestamp[us] without
+    // isAdjustedToUTC (Spark reads as TIMESTAMP_NTZ — reinterpret as
+    // session-local TIMESTAMP, exact under the UTC session timezone the
+    // harness pins). Either way downstream sees TimestampType, so
+    // unix_micros()/session_window() keep resolving and oracles agree.
     val fixed =
       if (name == "events" && df.schema("ts").dataType ==
           org.apache.spark.sql.types.LongType)
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else if (name == "events" && df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType)
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       else df
     // The fixture parquet is one row group -> one scan partition, so the
     // Verify/Bench harnesses opt in to a round-robin spread via

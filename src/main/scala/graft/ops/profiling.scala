@@ -39,9 +39,6 @@ object Profiling {
     row.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
-  /** Keys appearing more than once — the primary-key uniqueness check.
-    * Returns (keys..., n) per violating key; one key-shuffle with
-    * map-side partial counts. */
   /** Population-stability index of `valueCol` between a base and a
     * current snapshot — the drift gate a training-data warehouse runs
     * between corpus refreshes (PSI > 0.1 = investigate, > 0.25 =
@@ -84,6 +81,9 @@ object Profiling {
         .as("psi"))
   }
 
+  /** Keys appearing more than once — the primary-key uniqueness check.
+    * Returns (keys..., n) per violating key; one key-shuffle with
+    * map-side partial counts. */
   def dupKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)

@@ -31,6 +31,29 @@ class ProfilingSpec extends SparkSpec {
     assert(rows(orphans.select("id", "parent_id")) == Seq(Seq(3L, 99L)))
   }
 
+  test("psi is ~0 for identical distributions and grows with drift") {
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val same = rows(Profiling.psi(base, base, col("v"), 0.0, 100.0))
+      .head.head.asInstanceOf[Double]
+    assert(math.abs(same) < 1e-12)
+    // shift the whole distribution up by half the range: heavy drift
+    val shifted = (1 to 100).map(_ + 50.0).toDF("v")
+    val drift = rows(Profiling.psi(base, shifted, col("v"), 0.0, 100.0))
+      .head.head.asInstanceOf[Double]
+    assert(drift > 0.25, s"expected retrain-grade drift, got $drift")
+    // out-of-range values clamp to edge bins rather than vanish:
+    // totals still cover every row, so proportions sum to 1 per side
+    val wild = Seq(-500.0, 1e6).toDF("v")
+    val clamped = rows(Profiling.psi(wild, wild, col("v"), 0.0, 100.0))
+      .head.head.asInstanceOf[Double]
+    assert(math.abs(clamped) < 1e-12)
+    // nulls are excluded, not bucketed
+    val withNull = Seq(Some(10.0), None).toDF("v")
+    val nn = rows(Profiling.psi(withNull, withNull, col("v"), 0.0, 100.0))
+      .head.head.asInstanceOf[Double]
+    assert(math.abs(nn) < 1e-12)
+  }
+
   test("violationCounts unions named single-row counts") {
     val a = Seq(1, 2).toDF("x")
     val out = Profiling.violationCounts(Seq(

@@ -145,6 +145,9 @@ class StreamingSpec extends SparkSpec {
     def fixTs(df: org.apache.spark.sql.DataFrame) =
       if (df.schema("ts").dataType.typeName == "long")
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else if (df.schema("ts").dataType.typeName == "timestamp_ntz")
+        // watermarks require TIMESTAMP; NTZ -> LTZ is exact under UTC
+        df.withColumn("ts", col("ts").cast("timestamp"))
       else df
     val batchDf = fixTs(spark.read.parquet(src))
     val q = Streaming.windowedCounts(
