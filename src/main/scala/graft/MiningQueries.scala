@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, Dedup, Scale}
+import graft.ops.{Clustering, Dedup, Quantize, Scale}
 
 /** Embedding-mining and rolling-feature queries (q109+): spherical
   * k-means, SemDeDup, sub-document chunk dedup, trailing time-range
@@ -20,6 +20,9 @@ object MiningQueries {
   private val K = 8
   private val Iters = 2
   private val Tau = 0.3
+  private val PqM = 4     // PQ subspaces (Dim/PqM = 16 dims each)
+  private val PqK = 8     // codes per subspace
+  private val AdcK = 5    // ADC neighbours returned per query
   private val SevenDaysUs = 7L * 24 * 3600 * 1000000
   private val DayUs = 24L * 3600 * 1000000
 
@@ -137,6 +140,52 @@ object MiningQueries {
             DayUs).cast("long").as("day_offset"))
         .agg(count(lit(1)).as("n_active"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Product-quantization codebook: per-subspace deterministic L2
+    // k-means (4 subspaces x 16 dims, 8 codes, 2 assignment passes) —
+    // the training half of the IVF-PQ layout a billion-vector ANN
+    // deployment runs. One row per centroid component.
+    "q168_pq_codebook" -> ((s, dir) => {
+      Quantize.pqCodebook(rd(s, dir, "embeddings"), "embedding",
+          "vec_id", m = PqM, k = PqK, iters = Iters, dim = Dim)
+        .select(col("subspace").cast("long").as("subspace"),
+          col("code").cast("long").as("code"),
+          posexplode(col("cvec")).as(Seq("component", "value")))
+        .select(col("subspace"), col("code"),
+          col("component").cast("long").as("component"), col("value"))
+        .orderBy("subspace", "code", "component")
+    }),
+
+    // PQ encoding: each vector compressed to its 4 per-subspace codes
+    // plus total squared reconstruction error — 256 raw float bytes
+    // become 4 small ints, the compressed index PQ persists at scale.
+    "q169_pq_encode" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cb = Quantize.pqCodebook(emb, "embedding", "vec_id",
+        m = PqM, k = PqK, iters = Iters, dim = Dim)
+      Quantize.pqEncode(emb, cb, "embedding", "vec_id", PqM, Dim)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).cast("long").as("code_0"),
+          element_at(col("codes"), 2).cast("long").as("code_1"),
+          element_at(col("codes"), 3).cast("long").as("code_2"),
+          element_at(col("codes"), 4).cast("long").as("code_3"),
+          col("recon_err"))
+        .orderBy("vec_id")
+    }),
+
+    // PQ asymmetric-distance top-k: 3 query vectors score the encoded
+    // corpus through a broadcast m x k distance table — corpus vectors
+    // are never decompressed, no corpus-side shuffle before the
+    // (query, id) partial sum.
+    "q170_pq_adc" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cb = Quantize.pqCodebook(emb, "embedding", "vec_id",
+        m = PqM, k = PqK, iters = Iters, dim = Dim)
+      val qs = emb.orderBy("vec_id").limit(3)
+      Quantize.pqAdcTopK(emb, qs, cb, "embedding", "vec_id", "vec_id",
+          m = PqM, dim = Dim, k = AdcK)
+        .orderBy("qid", "adc_dist", "vec_id")
     })
   )
 
@@ -165,6 +214,48 @@ object MiningQueries {
        |         SELECT *, row_number() OVER
        |           (PARTITION BY id ORDER BY cos DESC, cid) AS rk FROM a2p)
        |       WHERE rk = 1)""".stripMargin
+  }
+
+  /** Squared L2 over 1-based list slices — the PQ distance. Element
+    * order is the same left fold Spark's `aggregate` runs. */
+  private def l2Sql(a: String, b: String, dim: Int): String =
+    s"""list_sum(list_transform(generate_series(1, $dim),
+       |  i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))""".stripMargin
+
+  /** Quantize.pqCodebook/pqEncode unrolled as CTEs: subvectors `sub`,
+    * seed codebook c0, pass-1 assignment a1, refreshed codebook c1
+    * (components rounded to 6 dp, exactly as the Spark side does),
+    * final assignment a2(id, m, code, d). Shared by q168-q170. */
+  private def pqSql: String = {
+    val sub = Dim / PqM
+    def l2(a: String, b: String) = l2Sql(a, b, sub)
+    s"""base AS (SELECT vec_id AS id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sub AS (SELECT id, m, v[m*$sub+1 : m*$sub+$sub] AS sv
+       |        FROM base CROSS JOIN
+       |          (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) ms),
+       |sd AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS code
+       |       FROM (SELECT id FROM base ORDER BY id LIMIT $PqK)),
+       |c0 AS (SELECT s.m, sd.code, s.sv AS cvec
+       |       FROM sub s JOIN sd ON s.id = sd.id),
+       |a1 AS (SELECT id, m, sv, code, d FROM (
+       |         SELECT s.id, s.m, s.sv, c.code,
+       |           ${l2("s.sv", "c.cvec")} AS d,
+       |           row_number() OVER (PARTITION BY s.id, s.m
+       |             ORDER BY ${l2("s.sv", "c.cvec")}, c.code) AS rk
+       |         FROM sub s JOIN c0 c ON s.m = c.m) WHERE rk = 1),
+       |m1 AS (SELECT a.m, a.code, g.i, round(avg(a.sv[g.i]), 6) AS mu
+       |       FROM a1 a, unnest(generate_series(1, $sub)) AS g(i)
+       |       GROUP BY a.m, a.code, g.i),
+       |c1 AS (SELECT m, code, list(mu ORDER BY i) AS cvec
+       |       FROM m1 GROUP BY m, code),
+       |a2 AS (SELECT id, m, sv, code, d FROM (
+       |         SELECT s.id, s.m, s.sv, c.code,
+       |           ${l2("s.sv", "c.cvec")} AS d,
+       |           row_number() OVER (PARTITION BY s.id, s.m
+       |             ORDER BY ${l2("s.sv", "c.cvec")}, c.code) AS rk
+       |         FROM sub s JOIN c1 c ON s.m = c.m) WHERE rk = 1)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -265,6 +356,36 @@ object MiningQueries {
          |  count(*) AS n_active
          |FROM act JOIN first USING (user_id)
          |GROUP BY cohort_day, day_offset
-         |ORDER BY cohort_day, day_offset""".stripMargin
+         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q168_pq_codebook" ->
+      s"""WITH $pqSql
+         |SELECT m AS subspace, code, i - 1 AS component, mu AS value
+         |FROM m1 ORDER BY subspace, code, component""".stripMargin,
+
+    "q169_pq_encode" ->
+      s"""WITH $pqSql
+         |SELECT id AS vec_id,
+         |  max(CASE WHEN m = 0 THEN code END) AS code_0,
+         |  max(CASE WHEN m = 1 THEN code END) AS code_1,
+         |  max(CASE WHEN m = 2 THEN code END) AS code_2,
+         |  max(CASE WHEN m = 3 THEN code END) AS code_3,
+         |  round(sum(d), 6) AS recon_err
+         |FROM a2 GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "q170_pq_adc" ->
+      s"""WITH $pqSql,
+         |qs AS (SELECT id FROM base ORDER BY id LIMIT 3),
+         |dt AS (SELECT s.id AS qid, s.m, c.code,
+         |         ${l2Sql("s.sv", "c.cvec", Dim / PqM)} AS dq
+         |       FROM sub s JOIN qs ON s.id = qs.id
+         |       JOIN c1 c ON s.m = c.m),
+         |sc AS (SELECT dt.qid, a.id, round(sum(dt.dq), 6) AS adc_dist
+         |       FROM a2 a JOIN dt ON a.m = dt.m AND a.code = dt.code
+         |       WHERE a.id <> dt.qid GROUP BY dt.qid, a.id)
+         |SELECT qid, id AS vec_id, adc_dist FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY adc_dist, id) AS rk FROM sc) z
+         |WHERE rk <= $AdcK ORDER BY qid, adc_dist, vec_id""".stripMargin
   )
 }
