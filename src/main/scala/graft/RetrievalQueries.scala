@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Graph, Learning, Profiling, Retrieval, Text, TimeSeries}
+import graft.ops.{Dedup, Graph, Learning, Profiling, Retrieval, Sketch, Text, TimeSeries}
 
 /** Retrieval / graph / robust-stats queries (q130+): BM25 term scoring,
   * DSIR importance weights, MAD outliers, the second window-function
@@ -14,6 +14,9 @@ import graft.ops.{Dedup, Graph, Learning, Profiling, Retrieval, Text, TimeSeries
   * has a DuckDB oracle.
   */
 object RetrievalQueries {
+
+  /** Count-min-sketch hash rows for q171. */
+  private val CmsD = 4
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.t(s, dir, name)
@@ -287,6 +290,22 @@ object RetrievalQueries {
           |  count(*) AS n
           |FROM orders_la
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Count-min-sketch frequency estimation: the d=4 x 256-cell sketch
+    // is built with one map-side-combined groupBy (no vocabulary-sized
+    // state ever shuffles), then the exact top-20 tokens are estimated
+    // back out of it — n_cms >= n_exact by construction, equality
+    // whenever no heavier token collides in all 4 rows.
+    "q171_cms_top_tokens" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val cms = Sketch.cmsBuild(toks, "tok", d = CmsD)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+      top.join(Sketch.cmsEstimate(cms, top, "tok", d = CmsD), "tok")
+        .select(col("tok"), col("n_exact"), col("n_cms"))
+        .orderBy(col("n_exact").desc, col("tok").asc)
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -602,5 +621,26 @@ object RetrievalQueries {
         |    AS statuses,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM orders
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q171_cms_top_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |rr AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r),
+         |cells AS (
+         |  SELECT r, ${bucketSql("r || ':' || tok")} AS b,
+         |    count(*) AS cnt
+         |  FROM toks CROSS JOIN rr GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok
+         |  ORDER BY n_exact DESC, tok LIMIT 20),
+         |est AS (
+         |  SELECT t.tok, min(coalesce(c.cnt, 0)) AS n_cms
+         |  FROM top t CROSS JOIN rr
+         |  LEFT JOIN cells c
+         |    ON c.r = rr.r AND c.b = ${bucketSql("rr.r || ':' || t.tok")}
+         |  GROUP BY t.tok)
+         |SELECT t.tok, t.n_exact, e.n_cms
+         |FROM top t JOIN est e USING (tok)
+         |ORDER BY n_exact DESC, tok""".stripMargin)
 }
