@@ -343,6 +343,40 @@ object CurationQueries {
           round(avg(-log(col("cb").cast("double") / col("cu").cast("double"))), 6)
             .as("mean_nll"))
         .orderBy("doc_id")
+    }),
+
+    // Interpolated Kneser-Ney bigram NLL — the smoothed upgrade of
+    // q108: P(w2|w1) = max(c12-D,0)/c1 + D·fanout(w1)/c1 ·
+    // continuation(w2)/|bigram types|, D = 0.75. Every count table
+    // derives from the one bigram groupBy; the per-row probability is
+    // assembled through broadcast-sized joins (vocabulary-scale, not
+    // corpus-scale) and the singleton type count enters as a broadcast
+    // 1-row cross join.
+    "q172_kn_bigram_nll" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      val big = toks.where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val fan = cb.groupBy("w1").agg(count(lit(1)).as("fan"))
+      val pc = cb.groupBy("w2").agg(count(lit(1)).as("nprec"))
+      val types = cb.agg(count(lit(1)).as("ntypes"))
+      val d = lit(0.75)
+      val p = greatest(col("cb").cast("double") - d, lit(0.0)) /
+          col("cu") +
+        d * col("fan") / col("cu") *
+          (col("nprec").cast("double") / col("ntypes"))
+      big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .join(fan, Seq("w1")).join(pc, Seq("w2"))
+        .crossJoin(broadcast(types))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(p)), 6).as("mean_kn_nll"))
+        .orderBy("doc_id")
     })
   )
 
@@ -697,6 +731,28 @@ object CurationQueries {
          |SELECT doc_id, count(*) AS n_bigrams,
          |  round(avg(-ln(CAST(cb.cb AS DOUBLE) / cu.cu)), 6) AS mean_nll
          |FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q172_kn_bigram_nll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM toks WHERE len(t) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+         |cu AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+         |fan AS (SELECT w1, count(*) AS fan FROM cb GROUP BY w1),
+         |pc AS (SELECT w2, count(*) AS nprec FROM cb GROUP BY w2),
+         |types AS (SELECT count(*) AS ntypes FROM cb)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln(
+         |    greatest(CAST(cb.cb AS DOUBLE) - 0.75, 0.0) / cu.cu
+         |    + 0.75 * fan.fan / cu.cu *
+         |      (CAST(pc.nprec AS DOUBLE) / types.ntypes))), 6)
+         |    AS mean_kn_nll
+         |FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+         |  JOIN fan USING (w1) JOIN pc USING (w2), types
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
