@@ -57,17 +57,32 @@ object Profiling {
           lo: Double, hi: Double, nBuckets: Int = 10,
           eps: Double = 1e-6): DataFrame = {
     require(nBuckets >= 2 && hi > lo)
-    def bucketed(df: DataFrame, cntName: String): DataFrame = {
-      val b = least(greatest(
-        floor((valueCol.cast("double") - lit(lo))
-          / lit((hi - lo) / nBuckets)).cast("int"), lit(0)),
-        lit(nBuckets - 1))
+    def bucketed(df: DataFrame): DataFrame =
       df.where(valueCol.isNotNull)
-        .groupBy(b.as("bucket"))
-        .agg(count(lit(1)).as(cntName))
-    }
-    val joined = bucketed(base, "n_base")
-      .join(bucketed(current, "n_cur"), Seq("bucket"), "full_outer")
+        .groupBy(psiBucket(valueCol, lo, hi, nBuckets).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    psiOfHists(bucketed(base), bucketed(current), eps)
+  }
+
+  /** The fixed-width [lo, hi) bin of a value, out-of-range clamped to
+    * the edge bins — the bucketing [[psi]] and the streaming drift
+    * sink share, so a histogram accumulated incrementally is
+    * cell-identical to one computed batch. */
+  def psiBucket(valueCol: Column, lo: Double, hi: Double,
+                nBuckets: Int): Column =
+    least(greatest(
+      floor((valueCol.cast("double") - lit(lo))
+        / lit((hi - lo) / nBuckets)).cast("int"), lit(0)),
+      lit(nBuckets - 1))
+
+  /** PSI from two pre-bucketed (bucket, n) histograms — nBuckets-row
+    * inputs, so every step after the full-outer bucket join is
+    * constant-size. */
+  def psiOfHists(base: DataFrame, current: DataFrame,
+                 eps: Double = 1e-6): DataFrame = {
+    val joined = base.select(col("bucket"), col("n").as("n_base"))
+      .join(current.select(col("bucket"), col("n").as("n_cur")),
+        Seq("bucket"), "full_outer")
     val totals = joined.agg(
       sum(coalesce(col("n_base"), lit(0L))).as("tb"),
       sum(coalesce(col("n_cur"), lit(0L))).as("tc"))

@@ -679,6 +679,46 @@ object Streaming {
   def readWordHistogram(spark: SparkSession, statsDir: String): DataFrame =
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/hist")
 
+  /** Stream-maintained distribution-drift monitor: fold each
+    * micro-batch's values into a standing fixed-bin histogram
+    * ([[graft.ops.Profiling.psiBucket]] bins, so the accumulated
+    * histogram is cell-identical to batch-bucketing everything
+    * streamed so far), under [[termStatsSink]]'s exactly-once
+    * machinery. [[streamPsi]] then scores the store against a pinned
+    * base histogram — the continuous version of the
+    * [[graft.ops.Profiling.psi]] corpus-refresh gate: per batch the
+    * store merge touches ≤ nBuckets rows, and the PSI read is
+    * constant-size, no matter how much history has streamed. */
+  def driftHistSink(rows: DataFrame, valueCol: String, statsDir: String,
+                    checkpoint: String, lo: Double, hi: Double,
+                    nBuckets: Int = 10) =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("hist", Seq("bucket"), Seq("n")) ->
+              batch.where(col(valueCol).isNotNull)
+                .groupBy(graft.ops.Profiling.psiBucket(col(valueCol),
+                  lo, hi, nBuckets).as("bucket"))
+                .agg(count(lit(1)).as("n"))))
+        ()
+      }
+
+  /** Read a [[driftHistSink]] store as its (bucket, n) histogram.
+    * Side-effect-free (see [[readableStoreDir]]). */
+  def readDriftHist(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/hist")
+
+  /** PSI of the streamed-so-far distribution against a pinned base
+    * (bucket, n) histogram — one row, [[graft.ops.Profiling]]'s
+    * retrain thresholds apply (> 0.1 investigate, > 0.25 retrain). */
+  def streamPsi(spark: SparkSession, statsDir: String,
+                baseHist: DataFrame, eps: Double = 1e-6): DataFrame =
+    graft.ops.Profiling.psiOfHists(baseHist,
+      readDriftHist(spark, statsDir), eps)
+
   // ------------------------------------------------ index maintenance
 
   /** Swap a freshly-written `<indexDir>.compact.tmp` tree into place

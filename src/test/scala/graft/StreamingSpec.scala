@@ -365,6 +365,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftHistSink accumulates the exact batch histogram and PSI") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("double").as("v"))
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.driftHistSink(
+      in.toDF().toDF("doc_id", "v"), "v",
+      s"$tmp/stats", s"$tmp/ckpt", lo = 0.0, hi = 600.0).start()
+    try {
+      val all = docs.as[(Long, Double)].collect()
+      all.grouped((all.length + 2) / 3).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // accumulated store == bucketing the full corpus batch, cell-exact
+      val streamed = Streaming.readDriftHist(spark, s"$tmp/stats")
+      val batch = docs
+        .groupBy(graft.ops.Profiling.psiBucket(col("v"), 0.0, 600.0, 10)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.unionAll(batch).distinct().count() === batch.count())
+      // streamPsi(store, base) == Profiling.psi(base, corpus) exactly
+      val base = docs.where(col("doc_id") % 2 === 0)
+      val baseHist = base
+        .groupBy(graft.ops.Profiling.psiBucket(col("v"), 0.0, 600.0, 10)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val got = Streaming.streamPsi(spark, s"$tmp/stats", baseHist)
+        .head().getDouble(0)
+      val want = graft.ops.Profiling.psi(base, docs, col("v"), 0.0, 600.0)
+        .head().getDouble(0)
+      assert(math.abs(got - want) < 1e-12)
+      // the even-id half against the whole corpus barely drifts
+      assert(math.abs(got) < 0.1)
+    } finally q.stop()
+  }
+
   test("termStatsSink maintains BM25 stats equal to a batch recompute") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
