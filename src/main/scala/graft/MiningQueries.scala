@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Clustering, Dedup, Quantize, Scale}
+import graft.ops.{Clustering, Dedup, Quantize, Scale, Similarity}
 
 /** Embedding-mining and rolling-feature queries (q109+): spherical
   * k-means, SemDeDup, sub-document chunk dedup, trailing time-range
@@ -186,6 +186,54 @@ object MiningQueries {
       Quantize.pqAdcTopK(emb, qs, cb, "embedding", "vec_id", "vec_id",
           m = PqM, dim = Dim, k = AdcK)
         .orderBy("qid", "adc_dist", "vec_id")
+    }),
+
+    // Cluster-capped sampling: semantic rebalance keeping at most 30
+    // most-representative vectors per k-means cluster (highest cosine
+    // to centroid, id tie-break) — q84's domain cap applied in
+    // embedding space, the anti-boilerplate mixing step SemDeDup-style
+    // curation runs after clustering. The rank limit is a
+    // WindowGroupLimit: partial top-30 per cluster before the shuffle.
+    "q173_cluster_cap" -> ((s, dir) => {
+      val asg = Clustering.kmeansAssign(rd(s, dir, "embeddings"),
+        "embedding", "vec_id", k = K, iters = Iters)
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(round(col("cosine_sim"), 6).desc, col("vec_id").asc)
+      asg.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 30)
+        .select(col("vec_id"), col("cluster_id"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("cluster_id", "rk")
+    }),
+
+    // IVF-PQ end to end: coarse inverted-file probe (q50's first-16
+    // centroids, nprobe=2) prunes the corpus, then PQ asymmetric
+    // distances (q168's codebook) rank ONLY the probed candidates —
+    // the production billion-vector layout: corpus scan factor
+    // ~nprobe/nlist, candidate scoring via m table lookups instead of
+    // a 64-dim dot product, raw vectors never touched at query time.
+    "q174_ivf_pq" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.assignToCentroids(emb, "embedding",
+        "vec_id", cents)
+      // collected probe ids (≤ nlist rows) as a literal filter — the
+      // same self-join-hazard avoidance as Similarity.ivfTopK
+      val probed = Similarity.probedCentroids(cents,
+        NorthStar.queryVecCol, nprobe = 2).collect().map(_.get(0))
+      val cand = emb.join(
+        assigned.where(col("cluster").isin(probed.toSeq: _*))
+          .select(col("vec_id"), col("cluster")), "vec_id")
+      val cb = Quantize.pqCodebook(emb, "embedding", "vec_id",
+        m = PqM, k = PqK, iters = Iters, dim = Dim)
+      val qdf = s.range(1).select(lit(-1L).as("qid"),
+        NorthStar.queryVecCol.as("embedding"))
+      Quantize.pqAdcTopK(cand, qdf, cb, "embedding", "vec_id", "qid",
+          m = PqM, dim = Dim, k = 10)
+        .join(cand.select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
     })
   )
 
@@ -386,6 +434,49 @@ object MiningQueries {
          |SELECT qid, id AS vec_id, adc_dist FROM (
          |  SELECT *, row_number() OVER
          |    (PARTITION BY qid ORDER BY adc_dist, id) AS rk FROM sc) z
-         |WHERE rk <= $AdcK ORDER BY qid, adc_dist, vec_id""".stripMargin
+         |WHERE rk <= $AdcK ORDER BY qid, adc_dist, vec_id""".stripMargin,
+
+    "q173_cluster_cap" ->
+      s"""WITH $kmeansSql
+         |SELECT vec_id, cluster_id, rk FROM (
+         |  SELECT id AS vec_id, cid AS cluster_id,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY round(cos, 6) DESC, id) AS rk
+         |  FROM a2) z
+         |WHERE rk <= 30 ORDER BY cluster_id, rk""".stripMargin,
+
+    "q174_ivf_pq" -> {
+      val sub = Dim / PqM
+      s"""WITH $pqSql,
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec
+         |         FROM embeddings WHERE vec_id < 16),
+         |asgn AS (SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${NorthStar.cosineSql("e.embedding", "c.cvec", Dim)} DESC,
+         |      c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN cent c),
+         |clustered AS (SELECT vec_id, cid AS cluster FROM asgn
+         |              WHERE rk = 1),
+         |probed AS (SELECT cid AS cluster FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY
+         |      ${NorthStar.cosineSql("cvec", NorthStar.queryVecSql, Dim)}
+         |        DESC, cid) AS rk
+         |    FROM cent) zz WHERE rk <= 2),
+         |qv AS (SELECT CAST(${NorthStar.queryVecSql} AS DOUBLE[]) AS v),
+         |qsub AS (SELECT m, v[m*$sub+1 : m*$sub+$sub] AS sv
+         |         FROM qv CROSS JOIN
+         |           (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) ms),
+         |dt AS (SELECT q.m, c.code, ${l2Sql("q.sv", "c.cvec", sub)} AS dq
+         |       FROM qsub q JOIN c1 c ON q.m = c.m),
+         |sc AS (SELECT a.id, round(sum(dt.dq), 6) AS adc_dist
+         |       FROM a2 a
+         |       JOIN clustered cl ON cl.vec_id = a.id
+         |       JOIN probed p ON cl.cluster = p.cluster
+         |       JOIN dt ON a.m = dt.m AND a.code = dt.code
+         |       GROUP BY a.id)
+         |SELECT sc.id AS vec_id, cl.cluster, sc.adc_dist
+         |FROM sc JOIN clustered cl ON cl.vec_id = sc.id
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    }
   )
 }

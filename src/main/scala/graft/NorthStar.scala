@@ -87,8 +87,8 @@ object NorthStar {
     * components (n/4), shared by Spark lit() and the SQL literal. */
   private val QueryVec: IndexedSeq[Double] =
     (0 until 64).map(d => (d % 7 - 3) / 4.0)
-  private def queryVecCol: Column = array(QueryVec.map(lit): _*)
-  private def queryVecSql: String = QueryVec.mkString("[", ", ", "]")
+  private[graft] def queryVecCol: Column = array(QueryVec.map(lit): _*)
+  private[graft] def queryVecSql: String = QueryVec.mkString("[", ", ", "]")
 
   /** MinHash-LSH candidate-pair SQL (no ORDER BY) shared by q23 and q47. */
   /** Mirrors Dedup.withMinhashSignature + minhashCandidatePairs for
