@@ -258,6 +258,22 @@ object ScaleProbe {
       Similarity.embeddingNearDupPairs(
         vecs, "embedding", "vec_id", dim = 64, planes = 10, minCosine = 0.999,
         maxBucket = 2000))
+
+    // PQ at replicated scale: codebook (16 codes), full-corpus encode,
+    // ADC scoring from a 3-query distance table — the parts whose cost
+    // must stay linear in the corpus with constant-size sketch state
+    val pqCb = Quantize.pqCodebook(vecs, "embedding", "vec_id",
+      m = 4, k = 16, iters = 2, dim = 64)
+    time("pq codebook (4x16, 2 passes)", vTotal, "vecs/s")(pqCb)
+    val cbCached = pqCb.cache()
+    cbCached.count()
+    time("pq encode", vTotal, "vecs/s")(Quantize.pqEncode(
+      vecs, cbCached, "embedding", "vec_id", m = 4, dim = 64))
+    val pqQs = embBase.orderBy("vec_id").limit(3)
+    time("pq ADC topk (3 queries)", vTotal, "vecs/s")(Quantize.pqAdcTopK(
+      vecs, pqQs, cbCached, "embedding", "vec_id", "vec_id",
+      m = 4, dim = 64, k = 10))
+    cbCached.unpersist()
     vecs.unpersist()
     spark.stop()
   }
