@@ -719,6 +719,32 @@ object Streaming {
     graft.ops.Profiling.psiOfHists(baseHist,
       readDriftHist(spark, statsDir), eps)
 
+  /** Stream-maintained count-min sketch over a token stream
+    * ([[graft.ops.Sketch]]): each micro-batch's d×256 cell delta folds
+    * additively into the standing grid — CMS cells are pure counts, so
+    * the accumulated sketch is cell-identical to batch-building over
+    * everything streamed so far. Per batch the merge touches ≤ d×256
+    * rows no matter the vocabulary or history — the constant-state
+    * frequency monitor of a continuously-ingested corpus. */
+  def cmsSink(toks: DataFrame, tokenCol: String, statsDir: String,
+              checkpoint: String, d: Int = 4) =
+    toks.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("cells", Seq("sketch_row", "bucket"), Seq("cnt")) ->
+              graft.ops.Sketch.cmsBuild(batch, tokenCol, d)))
+        ()
+      }
+
+  /** Read a [[cmsSink]] store as the (sketch_row, bucket, cnt) frame
+    * [[graft.ops.Sketch.cmsEstimate]] consumes. Side-effect-free (see
+    * [[readableStoreDir]]). */
+  def readCms(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/cells")
+
   // ------------------------------------------------ index maintenance
 
   /** Swap a freshly-written `<indexDir>.compact.tmp` tree into place

@@ -402,6 +402,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsSink accumulates the exact batch sketch and estimates match") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.ops.Text.tokens(col("text"))).as("tok"))
+    val in = MemoryStream[String]
+    val q = Streaming.cmsSink(in.toDF().toDF("tok"), "tok",
+      s"$tmp/stats", s"$tmp/ckpt", d = 4).start()
+    try {
+      val all = toks.as[String].collect()
+      all.grouped((all.length + 2) / 3).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // accumulated cells == batch-building over the union, cell-exact
+      val streamed = Streaming.readCms(spark, s"$tmp/stats")
+      val batch = graft.ops.Sketch.cmsBuild(toks, "tok", d = 4)
+      assert(streamed.count() === batch.count())
+      assert(streamed.unionAll(batch).distinct().count() === batch.count())
+      // estimates from the streamed sketch bound exact counts
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(5)
+      val est = graft.ops.Sketch.cmsEstimate(streamed, top, "tok", d = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      top.collect().foreach { r =>
+        assert(est(r.getString(0)) >= r.getLong(1))
+      }
+    } finally q.stop()
+  }
+
   test("termStatsSink maintains BM25 stats equal to a batch recompute") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bm25").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
