@@ -139,18 +139,32 @@ object Quantize {
     */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
                 embCol: String, idCol: String, qidCol: String,
-                m: Int, dim: Int, k: Int): DataFrame = {
-    val codes = pqEncode(corpus, codebook, embCol, idCol, m, dim)
-      .select(col(idCol).as("__id"),
-        posexplode(col("codes")).as(Seq("__m", "__code")))
+                m: Int, dim: Int, k: Int): DataFrame =
+    adcTopKOverCodes(pqEncode(corpus, codebook, embCol, idCol, m, dim),
+      queries, codebook, embCol, idCol, qidCol, m, dim, k,
+      excludeSelf = true)
+
+  /** [[pqAdcTopK]] over ALREADY-ENCODED vectors — the serving path of
+    * a persisted PQ index (e.g.
+    * [[graft.streaming.Streaming.pqIndexSink]]), where codes were
+    * computed at ingest and raw vectors are not stored at all. `codes`
+    * is (idCol, codes: array<int>); `excludeSelf` drops rows whose id
+    * equals the query id (corpus-as-queries dedup mode). */
+  def adcTopKOverCodes(codes: DataFrame, queries: DataFrame,
+                       codebook: DataFrame, embCol: String, idCol: String,
+                       qidCol: String, m: Int, dim: Int, k: Int,
+                       excludeSelf: Boolean = false): DataFrame = {
+    val codesLong = codes.select(col(idCol).as("__id"),
+      posexplode(col("codes")).as(Seq("__m", "__code")))
     val dtable = subvectors(queries, embCol, qidCol, m, dim)
       .withColumnRenamed("__id", "__qid")
       .join(broadcast(codebook.select(col("subspace").as("__m"),
         col("code").as("__code"), col("cvec").as("__cvec"))), "__m")
       .select(col("__qid"), col("__m"), col("__code"),
         l2sq(col("__sv"), col("__cvec")).as("__dq"))
-    val scored = codes.join(broadcast(dtable), Seq("__m", "__code"))
-      .where(col("__id") =!= col("__qid"))
+    val joined = codesLong.join(broadcast(dtable), Seq("__m", "__code"))
+    val scored = (if (excludeSelf) joined.where(col("__id") =!= col("__qid"))
+      else joined)
       .groupBy(col("__qid"), col("__id"))
       .agg(round(sum(col("__dq")), 6).as("adc_dist"))
     scored

@@ -586,6 +586,62 @@ object Streaming {
         ()
       }
 
+  /** The PQ variant of [[vectorIndexSink]]: per micro-batch, assign
+    * vectors to their coarse centroid AND encode them against a fixed
+    * PQ codebook, persisting `batch=<id>/cluster=<cid>/` rows of
+    * (id, codes, recon_err) — the streaming IVF-PQ index. The raw
+    * vector is NOT stored: the index holds m small ints per vector, so
+    * at 10^9 vectors the inverted lists are ~m bytes/vector instead of
+    * 4·dim. Coarse centroids and codebook are pinned for the index
+    * lifetime (same contract as [[vectorIndexSink]]'s centroids);
+    * re-training either is a compaction-time rebuild.
+    * Exactly-once by path determinism, like [[vectorIndexSink]]. */
+  def pqIndexSink(vectors: DataFrame, embCol: String, idCol: String,
+                  centroids: DataFrame, codebook: DataFrame,
+                  m: Int, dim: Int,
+                  indexDir: String, checkpoint: String) =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val assigned = graft.ops.Similarity.assignToCentroids(
+            batch, embCol, idCol, centroids)
+          val codes = graft.ops.Quantize.pqEncode(
+            batch, codebook, embCol, idCol, m, dim)
+          assigned.select(col(idCol), col("cluster"))
+            .join(codes, idCol) // batch-scale both sides
+            .write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$indexDir/batch=$batchId")
+        }
+        ()
+      }
+
+  /** Query a [[pqIndexSink]] index: probe the `nprobe` best coarse
+    * centroids' partition directories (same prune as
+    * [[ivfSearchIndex]]), then rank ONLY those inverted lists by PQ
+    * asymmetric distance — m broadcast table lookups per candidate,
+    * raw vectors never read because they were never stored. Returns
+    * (idCol, cluster, adc_dist), k rows. */
+  def ivfPqSearchIndex(spark: SparkSession, indexDir: String,
+                       centroids: DataFrame, codebook: DataFrame,
+                       queryVec: Column, nprobe: Int, k: Int,
+                       m: Int, dim: Int, idCol: String = "id",
+                       widenMargin: Double = -1.0): DataFrame = {
+    val probed = graft.ops.Similarity
+      .probedCentroidsAdaptive(centroids, queryVec, nprobe, widenMargin)
+      .collect().map(_.get(0))
+    val lists = spark.read.parquet(indexDir)
+      .where(col("cluster").isin(probed.toSeq: _*))
+    val qdf = spark.range(1).select(lit(0L).as("__q"),
+      queryVec.as("__qv"))
+    graft.ops.Quantize.adcTopKOverCodes(
+        lists.select(col(idCol), col("codes")), qdf, codebook,
+        "__qv", idCol, "__q", m, dim, k)
+      .join(lists.select(col(idCol), col("cluster")), idCol)
+      .select(col(idCol), col("cluster"), col("adc_dist"))
+  }
+
   /** Query a [[vectorIndexSink]] index: cosine top-k against the
     * query vector over the `nprobe` best centroids' partitions only —
     * the `cluster IN (...)` filter is a partition-directory prune, so

@@ -812,6 +812,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pqIndexSink: streamed IVF-PQ index matches the batch computation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqix").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val codebook = graft.ops.Quantize.pqCodebook(emb, "embedding",
+      "vec_id", m = 4, k = 8, iters = 2, dim = 64).cache()
+    codebook.count()
+    val qv = {
+      val v = emb.where(col("vec_id") === 11L)
+        .select("embedding").as[Array[Float]].collect().head
+      array(v.toIndexedSeq.map(lit): _*)
+    }
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.pqIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      centroids, codebook, m = 4, dim = 64,
+      s"$tmp/index", s"$tmp/ckpt").start()
+    try {
+      val all = emb.as[(Long, Array[Float])].collect()
+      all.grouped((all.length + 1) / 2).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = Streaming.ivfPqSearchIndex(spark, s"$tmp/index",
+        centroids, codebook, qv, nprobe = 3, k = 10, m = 4, dim = 64,
+        idCol = "vec_id")
+      // batch equivalent over the SAME vectors: assign, prune to the
+      // probed clusters, ADC-rank the pre-encoded candidates
+      val assigned = graft.ops.Similarity.assignToCentroids(
+        emb, "embedding", "vec_id", centroids)
+      val probed = graft.ops.Similarity.probedCentroids(centroids, qv, 3)
+        .collect().map(_.get(0))
+      val candCodes = graft.ops.Quantize.pqEncode(emb, codebook,
+          "embedding", "vec_id", m = 4, dim = 64)
+        .join(assigned.where(col("cluster").isin(probed.toSeq: _*))
+          .select("vec_id", "cluster"), "vec_id")
+      val qdf = spark.range(1).select(lit(0L).as("__q"), qv.as("__qv"))
+      val expected = graft.ops.Quantize.adcTopKOverCodes(
+          candCodes.select(col("vec_id"), col("codes")), qdf, codebook,
+          "__qv", "vec_id", "__q", m = 4, dim = 64, k = 10)
+        .join(candCodes.select("vec_id", "cluster"), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("adc_dist"))
+      assert(got.orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+        === expected.orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq))
+      // the index stores codes, never raw vectors
+      val cols = spark.read.parquet(s"$tmp/index").columns.toSet
+      assert(cols.contains("codes") && !cols.contains("embedding"))
+      // probe prune happens at the partition-directory level
+      val planStr = got.queryExecution.executedPlan.toString
+      val pf = planStr.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("cluster"),
+        s"cluster predicate did not become a partition filter:\n$planStr")
+    } finally { q.stop(); codebook.unpersist() }
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     // batch-drain mode: process everything that exists, checkpoint,
     // terminate — the scheduled-ingest shape (cron-like catch-up runs)
