@@ -595,7 +595,12 @@ object Streaming {
     * 4·dim. Coarse centroids and codebook are pinned for the index
     * lifetime (same contract as [[vectorIndexSink]]'s centroids);
     * re-training either is a compaction-time rebuild.
-    * Exactly-once by path determinism, like [[vectorIndexSink]]. */
+    * Exactly-once by path determinism, like [[vectorIndexSink]].
+    * [[compactVectorIndex]] with `recenter = false` compacts this
+    * index unchanged (it is layout-, not schema-, bound); re-centering
+    * is impossible here by design — raw vectors are not stored — so a
+    * centroid refresh means re-encoding from source, which is the
+    * honest cost of the codes-only footprint. */
   def pqIndexSink(vectors: DataFrame, embCol: String, idCol: String,
                   centroids: DataFrame, codebook: DataFrame,
                   m: Int, dim: Int,

@@ -867,6 +867,18 @@ class StreamingSpec extends SparkSpec {
         .find(_.contains("PartitionFilters")).getOrElse("")
       assert(pf.contains("cluster"),
         s"cluster predicate did not become a partition filter:\n$planStr")
+      // compaction (layout-bound, schema-agnostic) collapses the
+      // batch dirs and leaves search results identical
+      val before = got.collect().toSeq.map(_.toSeq)
+      Streaming.compactVectorIndex(spark, s"$tmp/index", centroids,
+        recenter = false, idCol = "vec_id", embCol = "embedding")
+      val after = Streaming.ivfPqSearchIndex(spark, s"$tmp/index",
+        centroids, codebook, qv, nprobe = 3, k = 10, m = 4, dim = 64,
+        idCol = "vec_id").collect().toSeq.map(_.toSeq)
+      assert(after.sortBy(_.toString) === before.sortBy(_.toString))
+      val batchDirs = new java.io.File(s"$tmp/index").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      assert(batchDirs.map(_.getName).toSeq === Seq("batch=-1"))
     } finally { q.stop(); codebook.unpersist() }
   }
 
