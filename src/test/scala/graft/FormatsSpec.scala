@@ -67,4 +67,33 @@ class FormatsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
     assert(back.toSeq === Seq((1L, "alpha"), (2L, "beta")))
   }
+
+  test("XML source (built-in, Spark 4) round-trips rows by rowTag") {
+    val dir = Files.createTempDirectory("graft-xml").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    src.write.mode("overwrite").format("xml")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .save(s"$dir/nations")
+    val back = spark.read.format("xml").option("rowTag", "nation")
+      .load(s"$dir/nations")
+      .select(src.columns.map(col): _*) // column order, not inferred order
+    assert(back.count() === src.count())
+    val a = back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    val b = src.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("from_xml parses embedded XML strings against a schema") {
+    val xml = Seq(
+      (1L, "<doc><lang>en</lang><n>42</n></doc>"),
+      (2L, "<doc><lang>de</lang><n>7</n></doc>")).toDF("id", "payload")
+    val parsed = xml.select(col("id"),
+        from_xml(col("payload"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "lang STRING, n BIGINT")).as("p"))
+      .select(col("id"), col("p.lang"), col("p.n"))
+      .orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(parsed === Seq(Seq(1L, "en", 42L), Seq(2L, "de", 7L)))
+  }
 }
