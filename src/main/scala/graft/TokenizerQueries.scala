@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Bpe
+import graft.ops.{Bpe, UnigramLm}
 
 /** Tokenizer-training queries: in-engine BPE merge learning (q165) and
   * encoding under the learned merges (q166). Registered through
@@ -21,6 +21,15 @@ object TokenizerQueries {
     * multi-char merge chaining (later merges consume earlier merged
     * symbols), small enough that the unrolled SQL stays readable. */
   private val NumMerges = 6
+
+  /** q175 unigram-LM training bounds: head-of-histogram vocabulary,
+    * word-truncation length, max piece length, top-piece count. The
+    * word length bound also caps the oracle's path enumeration
+    * (compositions of 12 into parts ≤ 4 = 1705 paths/word). */
+  private val UniWords = 500
+  private val UniWordLen = 12
+  private val UniPieceLen = 4
+  private val UniPieces = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -51,6 +60,20 @@ object TokenizerQueries {
           size(col("__p")).cast("long").as("n_pieces"),
           array_join(col("__p"), " ").as("segmented"))
         .orderBy("doc_id")
+    }),
+
+    // Unigram-LM (SentencePiece-style) tokenizer training, hard-EM:
+    // frequency-scored candidate pieces, Viterbi segmentation of the
+    // head word histogram, usage-renormalized probabilities. Closes
+    // the tokenizer family (BPE train/encode, WordPiece inference,
+    // unigram train). Oracle enumerates every segmentation of every
+    // head word via a recursive CTE and argmaxes with the same
+    // (logp desc, path asc) total order the DP fold uses.
+    "q175_unigram_lm" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").where(col("text").isNotNull)
+      UnigramLm.trainUnigram(Bpe.wordHistogram(docs, "text"),
+        vocabWords = UniWords, maxWordLen = UniWordLen,
+        maxPieceLen = UniPieceLen, topPieces = UniPieces)
     })
   )
 
@@ -139,6 +162,65 @@ object TokenizerQueries {
          |    CROSS JOIN ${(1 to NumMerges).map(k => s"r$k").mkString(" CROSS JOIN ")}
          |  WHERE text IS NOT NULL)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q175_unigram_lm" ->
+      s"""WITH RECURSIVE h AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(${toksSql("text")}) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+         |  GROUP BY word),
+         |tw AS (
+         |  SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, 1, $UniWordLen) AS word, cnt FROM (
+         |      SELECT word, cnt FROM h
+         |      ORDER BY cnt DESC, word LIMIT $UniWords))
+         |  GROUP BY word),
+         |occ AS (
+         |  SELECT t.cnt, substr(t.word, ue.e - ul.l + 1, ul.l) AS piece
+         |  FROM tw t,
+         |       UNNEST(range(1, len(t.word) + 1)) AS ue(e),
+         |       UNNEST(range(1, least($UniPieceLen, ue.e) + 1)) AS ul(l)),
+         |freq AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+         |         FROM occ GROUP BY piece),
+         |ps AS (SELECT DISTINCT piece, freq FROM (
+         |  SELECT piece, freq FROM
+         |    (SELECT piece, freq FROM freq
+         |     ORDER BY freq DESC, piece LIMIT $UniPieces)
+         |  UNION ALL
+         |  SELECT piece, freq FROM freq WHERE len(piece) = 1)),
+         |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS totf FROM ps),
+         |plog AS (SELECT piece, ln(freq / totf) AS lp FROM ps, tot),
+         |cand AS (
+         |  SELECT c.word, c.e, c.l, c.piece, p.lp FROM (
+         |    SELECT t.word, ue.e AS e, ul.l AS l,
+         |           substr(t.word, ue.e - ul.l + 1, ul.l) AS piece
+         |    FROM tw t,
+         |         UNNEST(range(1, len(t.word) + 1)) AS ue(e),
+         |         UNNEST(range(1, least($UniPieceLen, ue.e) + 1)) AS ul(l)) c
+         |  JOIN plog p ON p.piece = c.piece),
+         |paths AS (
+         |  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS lp, '' AS path
+         |  FROM tw
+         |  UNION ALL
+         |  SELECT p.word, c.e AS pos, p.lp + c.lp AS lp,
+         |    CASE WHEN p.path = '' THEN c.piece
+         |         ELSE p.path || ' ' || c.piece END AS path
+         |  FROM paths p
+         |  JOIN cand c ON c.word = p.word AND c.e - c.l = p.pos),
+         |best AS (
+         |  SELECT b.word, tw.cnt, b.path FROM (
+         |    SELECT word, path, row_number() OVER (PARTITION BY word
+         |      ORDER BY lp DESC, path) AS rk
+         |    FROM paths WHERE pos = len(word)) b
+         |  JOIN tw ON tw.word = b.word WHERE b.rk = 1),
+         |usage AS (
+         |  SELECT u.piece, CAST(sum(b.cnt) AS BIGINT) AS usage
+         |  FROM best b, UNNEST(string_split(b.path, ' ')) AS u(piece)
+         |  GROUP BY u.piece),
+         |tu AS (SELECT CAST(sum(usage) AS DOUBLE) AS tu FROM usage)
+         |SELECT piece, usage, round(usage / tu, 6) AS prob
+         |FROM usage, tu ORDER BY usage DESC, piece""".stripMargin
   )
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer training (Kudo 2018, "Subword
+  * Regularization" — the SentencePiece unigram model), hard-EM
+  * flavour: score candidate pieces by corpus frequency, Viterbi-
+  * segment the word histogram under those scores, and re-estimate
+  * piece probabilities from the usage counts. One hard-EM iteration,
+  * deterministic end to end (fixed candidate ranking, total-order
+  * tie-breaks), so an external engine replays it exactly.
+  *
+  * Together with [[Bpe]] (merge-rule training + encoding) and
+  * [[Text.greedyPiecesTrie]] (WordPiece inference) this closes the
+  * tokenizer-training family: all three vocabulary-learning schemes a
+  * training-data pipeline meets run in-engine.
+  *
+  * Scale: everything after the word histogram is vocabulary-sized —
+  * the corpus is touched once ([[Bpe.wordHistogram]], or not at all
+  * when training from the stream-maintained
+  * [[graft.streaming.Streaming.wordHistSink]] store). The Viterbi DP
+  * is a row-local fold per histogram word (O(len × maxPieceLen) with
+  * an O(candidates) scan per step), piece tables broadcast.
+  */
+object UnigramLm {
+
+  /** The `vocabWords` heaviest histogram words (cnt desc, word
+    * tie-break), truncated to `maxWordLen` chars (truncation can merge
+    * rows; counts add). Bounding the trained vocabulary to the head is
+    * the standard move — it carries almost all the token mass. */
+  private[ops] def headWords(hist: DataFrame, vocabWords: Int,
+                             maxWordLen: Int): DataFrame =
+    hist.orderBy(col("cnt").desc, col("word")).limit(vocabWords)
+      .select(substring(col("word"), 1, maxWordLen).as("word"),
+        col("cnt"))
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+
+  /** Candidate pieces: every substring (length 1..`maxPieceLen`) of
+    * the head words, freq = Σ word-count per occurrence; keep the top
+    * `topPieces` by (freq desc, piece) plus ALL single characters, so
+    * every word stays coverable. */
+  private[ops] def candidatePieces(words: DataFrame, maxPieceLen: Int,
+                                   topPieces: Int): DataFrame = {
+    val occ = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)),
+         |  e -> transform(sequence(1, least($maxPieceLen, e)),
+         |    l -> substring(word, e - l + 1, l))))""".stripMargin))
+      .as("piece"))
+    val freq = occ.groupBy("piece").agg(sum("cnt").as("freq"))
+    freq.orderBy(col("freq").desc, col("piece")).limit(topPieces)
+      .unionByName(freq.where(length(col("piece")) === 1))
+      .distinct()
+  }
+
+  /** One hard-EM pass: returns (piece, usage, prob) — usage = Σ word
+    * counts whose Viterbi segmentation uses the piece, prob = usage
+    * renormalized (6 dp). Pieces never chosen drop out, exactly like
+    * the unigram model's prune step. Ties in the DP break toward the
+    * lexicographically smallest piece sequence — a total order, so the
+    * fold's reduction order cannot change the result. */
+  def trainUnigram(hist: DataFrame, vocabWords: Int = 500,
+                   maxWordLen: Int = 12, maxPieceLen: Int = 4,
+                   topPieces: Int = 64): DataFrame = {
+    val words = headWords(hist, vocabWords, maxWordLen)
+    val pieces = candidatePieces(words, maxPieceLen, topPieces)
+    val tot = pieces.agg(sum("freq").as("totf"))
+    val plog = pieces.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        log(col("freq").cast("double") / col("totf")).as("lp"))
+    // (word, cnt, end, len, piece, lp): every candidate piece ending
+    // at `end` — vocabulary-scale rows, broadcast-joined to the probs
+    val cand = words.select(col("word"), col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(word)),
+         |  e -> transform(sequence(1, least($maxPieceLen, e)),
+         |    l -> struct(e AS end, l AS len,
+         |           substring(word, e - l + 1, l) AS piece))))"""
+        .stripMargin)).as("c"))
+      .select(col("word"), col("cnt"), col("c.end").as("end"),
+        col("c.len").as("len"), col("c.piece").as("piece"))
+      .join(broadcast(plog), "piece")
+    val arr = cand.groupBy("word", "cnt")
+      .agg(collect_list(struct(col("end"), col("len"), col("piece"),
+        col("lp"))).as("ps"))
+    // Viterbi DP over char positions: dp(i) = best (lp, path) over
+    // candidate last-pieces, dp(0) = (0, ""). Unreachable = null lp.
+    val nullBest = lit(null).cast("struct<lp:double,path:string>")
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      expr("array(named_struct('lp', CAST(0.0 AS DOUBLE), 'path', ''))"),
+      (acc, i) => {
+        val best = aggregate(
+          filter(col("ps"), p => p.getField("end") === i),
+          nullBest,
+          (bst, c) => {
+            val prev = element_at(acc,
+              (i - c.getField("len") + 1).cast("int"))
+            val optLp = prev.getField("lp") + c.getField("lp")
+            val optPath = when(prev.getField("path") === "",
+                c.getField("piece"))
+              .otherwise(concat(prev.getField("path"), lit(" "),
+                c.getField("piece")))
+            when(prev.getField("lp").isNull, bst)
+              .when(bst.isNull,
+                struct(optLp.as("lp"), optPath.as("path")))
+              .when(optLp > bst.getField("lp"),
+                struct(optLp.as("lp"), optPath.as("path")))
+              .when(optLp === bst.getField("lp") &&
+                  optPath < bst.getField("path"),
+                struct(optLp.as("lp"), optPath.as("path")))
+              .otherwise(bst)
+          })
+        concat(acc, array(best))
+      })
+    val seg = arr
+      .withColumn("best",
+        element_at(dp, (length(col("word")) + 1).cast("int")))
+      .select(col("cnt"), col("best.path").as("path"))
+    val usage = seg
+      .select(col("cnt"), explode(split(col("path"), " ")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("usage"))
+    val totU = usage.agg(sum("usage").as("tu"))
+    usage.crossJoin(broadcast(totU))
+      .select(col("piece"), col("usage"),
+        round(col("usage").cast("double") / col("tu"), 6).as("prob"))
+      .orderBy(col("usage").desc, col("piece"))
+  }
+}
