@@ -74,6 +74,20 @@ object TokenizerQueries {
       UnigramLm.trainUnigram(Bpe.wordHistogram(docs, "text"),
         vocabWords = UniWords, maxWordLen = UniWordLen,
         maxPieceLen = UniPieceLen, topPieces = UniPieces)
+    }),
+
+    // Unigram-LM encoding (inference half of q175, as q166 is to
+    // q165): every document token Viterbi-segmented under the trained
+    // piece probabilities, uncoverable words -> <unk>. The DP runs per
+    // DISTINCT word, then broadcast-joins back to the token stream.
+    "q176_unigram_encode" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").where(col("text").isNotNull)
+      val plog = UnigramLm.trainedPieceLogProbs(
+        Bpe.wordHistogram(docs, "text"), UniWords, UniWordLen,
+        UniPieceLen, UniPieces)
+      UnigramLm.encodeDocs(docs, "text", "doc_id", plog,
+          maxWordLen = UniWordLen, maxPieceLen = UniPieceLen)
+        .orderBy("doc_id")
     })
   )
 
@@ -165,62 +179,98 @@ object TokenizerQueries {
     },
 
     "q175_unigram_lm" ->
-      s"""WITH RECURSIVE h AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(${toksSql("text")}) AS word
-         |    FROM documents WHERE text IS NOT NULL)
-         |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
-         |  GROUP BY word),
-         |tw AS (
-         |  SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
-         |    SELECT substr(word, 1, $UniWordLen) AS word, cnt FROM (
-         |      SELECT word, cnt FROM h
-         |      ORDER BY cnt DESC, word LIMIT $UniWords))
-         |  GROUP BY word),
-         |occ AS (
-         |  SELECT t.cnt, substr(t.word, ue.e - ul.l + 1, ul.l) AS piece
-         |  FROM tw t,
-         |       UNNEST(range(1, len(t.word) + 1)) AS ue(e),
-         |       UNNEST(range(1, least($UniPieceLen, ue.e) + 1)) AS ul(l)),
-         |freq AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
-         |         FROM occ GROUP BY piece),
-         |ps AS (SELECT DISTINCT piece, freq FROM (
-         |  SELECT piece, freq FROM
-         |    (SELECT piece, freq FROM freq
-         |     ORDER BY freq DESC, piece LIMIT $UniPieces)
-         |  UNION ALL
-         |  SELECT piece, freq FROM freq WHERE len(piece) = 1)),
-         |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS totf FROM ps),
-         |plog AS (SELECT piece, ln(freq / totf) AS lp FROM ps, tot),
-         |cand AS (
-         |  SELECT c.word, c.e, c.l, c.piece, p.lp FROM (
-         |    SELECT t.word, ue.e AS e, ul.l AS l,
-         |           substr(t.word, ue.e - ul.l + 1, ul.l) AS piece
-         |    FROM tw t,
-         |         UNNEST(range(1, len(t.word) + 1)) AS ue(e),
-         |         UNNEST(range(1, least($UniPieceLen, ue.e) + 1)) AS ul(l)) c
-         |  JOIN plog p ON p.piece = c.piece),
-         |paths AS (
-         |  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS lp, '' AS path
-         |  FROM tw
-         |  UNION ALL
-         |  SELECT p.word, c.e AS pos, p.lp + c.lp AS lp,
-         |    CASE WHEN p.path = '' THEN c.piece
-         |         ELSE p.path || ' ' || c.piece END AS path
-         |  FROM paths p
-         |  JOIN cand c ON c.word = p.word AND c.e - c.l = p.pos),
+      s"""WITH RECURSIVE $uniTrainSql,
+         |${uniViterbiSql("tw")},
          |best AS (
-         |  SELECT b.word, tw.cnt, b.path FROM (
-         |    SELECT word, path, row_number() OVER (PARTITION BY word
-         |      ORDER BY lp DESC, path) AS rk
-         |    FROM paths WHERE pos = len(word)) b
-         |  JOIN tw ON tw.word = b.word WHERE b.rk = 1),
+         |  SELECT wb.word, tw.cnt, wb.path FROM wbest wb
+         |  JOIN tw ON tw.word = wb.word),
          |usage AS (
          |  SELECT u.piece, CAST(sum(b.cnt) AS BIGINT) AS usage
          |  FROM best b, UNNEST(string_split(b.path, ' ')) AS u(piece)
          |  GROUP BY u.piece),
          |tu AS (SELECT CAST(sum(usage) AS DOUBLE) AS tu FROM usage)
          |SELECT piece, usage, round(usage / tu, 6) AS prob
-         |FROM usage, tu ORDER BY usage DESC, piece""".stripMargin
+         |FROM usage, tu ORDER BY usage DESC, piece""".stripMargin,
+
+    "q176_unigram_encode" ->
+      s"""WITH RECURSIVE $uniTrainSql,
+         |dtok AS (
+         |  SELECT d.doc_id, ui.i,
+         |         substr(d.t[ui.i], 1, $UniWordLen) AS word
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS t
+         |        FROM documents WHERE text IS NOT NULL) d,
+         |       UNNEST(generate_series(1, len(d.t))) AS ui(i)),
+         |dw AS (SELECT DISTINCT word FROM dtok),
+         |${uniViterbiSql("dw")},
+         |wseg AS (
+         |  SELECT dw.word, coalesce(wb.path, '<unk>') AS path
+         |  FROM dw LEFT JOIN wbest wb ON wb.word = dw.word)
+         |SELECT doc_id,
+         |  CAST(sum(len(string_split(path, ' '))) AS BIGINT) AS n_pieces,
+         |  string_agg(path, ' ' ORDER BY i) AS segmented
+         |FROM dtok JOIN wseg USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared q175/q176 training CTEs: word histogram `h`, truncated
+    * head `tw`, candidate pieces `ps`, log-probs `plog`. */
+  private def uniTrainSql: String =
+    s"""h AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(${toksSql("text")}) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY word),
+       |tw AS (
+       |  SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(word, 1, $UniWordLen) AS word, cnt FROM (
+       |      SELECT word, cnt FROM h
+       |      ORDER BY cnt DESC, word LIMIT $UniWords))
+       |  GROUP BY word),
+       |occ AS (
+       |  SELECT t.cnt, substr(t.word, ue.e - ul.l + 1, ul.l) AS piece
+       |  FROM tw t,
+       |       UNNEST(range(1, len(t.word) + 1)) AS ue(e),
+       |       UNNEST(range(1, least($UniPieceLen, ue.e) + 1)) AS ul(l)),
+       |freq AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+       |         FROM occ GROUP BY piece),
+       |ps AS (SELECT DISTINCT piece, freq FROM (
+       |  SELECT piece, freq FROM
+       |    (SELECT piece, freq FROM freq
+       |     ORDER BY freq DESC, piece LIMIT $UniPieces)
+       |  UNION ALL
+       |  SELECT piece, freq FROM freq WHERE len(piece) = 1)),
+       |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS totf FROM ps),
+       |plog AS (SELECT piece, ln(freq / totf) AS lp FROM ps, tot)"""
+      .stripMargin
+
+  /** Viterbi-by-enumeration over the words of CTE `src` (one `word`
+    * column): recursive path expansion against `plog`, argmax per word
+    * with the (lp desc, path asc) total order the Spark DP uses →
+    * `wbest(word, path)`. Words the piece set cannot cover simply
+    * produce no full path (callers LEFT JOIN for the unk fallback). */
+  private def uniViterbiSql(src: String): String =
+    s"""cand AS (
+       |  SELECT c.word, c.e, c.l, c.piece, p.lp FROM (
+       |    SELECT t.word, ue.e AS e, ul.l AS l,
+       |           substr(t.word, ue.e - ul.l + 1, ul.l) AS piece
+       |    FROM $src t,
+       |         UNNEST(range(1, len(t.word) + 1)) AS ue(e),
+       |         UNNEST(range(1, least($UniPieceLen, ue.e) + 1)) AS ul(l)) c
+       |  JOIN plog p ON p.piece = c.piece),
+       |paths AS (
+       |  SELECT word, 0 AS pos, CAST(0.0 AS DOUBLE) AS lp, '' AS path
+       |  FROM $src
+       |  UNION ALL
+       |  SELECT p.word, c.e AS pos, p.lp + c.lp AS lp,
+       |    CASE WHEN p.path = '' THEN c.piece
+       |         ELSE p.path || ' ' || c.piece END AS path
+       |  FROM paths p
+       |  JOIN cand c ON c.word = p.word AND c.e - c.l = p.pos),
+       |wbest AS (
+       |  SELECT word, path FROM (
+       |    SELECT word, path, row_number() OVER (PARTITION BY word
+       |      ORDER BY lp DESC, path) AS rk
+       |    FROM paths WHERE pos = len(word))
+       |  WHERE rk = 1)""".stripMargin
 }

@@ -53,37 +53,38 @@ object UnigramLm {
       .distinct()
   }
 
-  /** One hard-EM pass: returns (piece, usage, prob) — usage = Σ word
-    * counts whose Viterbi segmentation uses the piece, prob = usage
-    * renormalized (6 dp). Pieces never chosen drop out, exactly like
-    * the unigram model's prune step. Ties in the DP break toward the
-    * lexicographically smallest piece sequence — a total order, so the
-    * fold's reduction order cannot change the result. */
-  def trainUnigram(hist: DataFrame, vocabWords: Int = 500,
-                   maxWordLen: Int = 12, maxPieceLen: Int = 4,
-                   topPieces: Int = 64): DataFrame = {
-    val words = headWords(hist, vocabWords, maxWordLen)
-    val pieces = candidatePieces(words, maxPieceLen, topPieces)
-    val tot = pieces.agg(sum("freq").as("totf"))
-    val plog = pieces.crossJoin(broadcast(tot))
+  /** Piece log-probabilities from the candidate table: lp =
+    * ln(freq / Σ freq). */
+  private[ops] def pieceLogProbs(pieces: DataFrame): DataFrame =
+    pieces.crossJoin(broadcast(pieces.agg(sum("freq").as("totf"))))
       .select(col("piece"),
         log(col("freq").cast("double") / col("totf")).as("lp"))
-    // (word, cnt, end, len, piece, lp): every candidate piece ending
-    // at `end` — vocabulary-scale rows, broadcast-joined to the probs
-    val cand = words.select(col("word"), col("cnt"), explode(expr(
+
+  /** Viterbi segmentation of every row of `words` (one `word` column)
+    * against a (piece, lp) table: returns (word, path) where path is
+    * the space-joined best piece sequence, or NULL when the word is
+    * not coverable by the piece set. dp(i) = best (lp, path) over the
+    * candidate last-pieces ending at i; ties break toward the
+    * lexicographically smallest piece sequence — a total order, so the
+    * fold's reduction order cannot change the result.
+    *
+    * Row-local per word: the candidate expansion is O(len ×
+    * maxPieceLen) rows broadcast-joined to the probs, and the DP is
+    * one fold per word — vocabulary-scale work, never corpus-scale. */
+  private[ops] def viterbiPaths(words: DataFrame, plog: DataFrame,
+                                maxPieceLen: Int): DataFrame = {
+    val cand = words.select(col("word"), explode(expr(
       s"""flatten(transform(sequence(1, length(word)),
          |  e -> transform(sequence(1, least($maxPieceLen, e)),
          |    l -> struct(e AS end, l AS len,
          |           substring(word, e - l + 1, l) AS piece))))"""
         .stripMargin)).as("c"))
-      .select(col("word"), col("cnt"), col("c.end").as("end"),
+      .select(col("word"), col("c.end").as("end"),
         col("c.len").as("len"), col("c.piece").as("piece"))
       .join(broadcast(plog), "piece")
-    val arr = cand.groupBy("word", "cnt")
+    val arr = cand.groupBy("word")
       .agg(collect_list(struct(col("end"), col("len"), col("piece"),
         col("lp"))).as("ps"))
-    // Viterbi DP over char positions: dp(i) = best (lp, path) over
-    // candidate last-pieces, dp(0) = (0, ""). Unreachable = null lp.
     val nullBest = lit(null).cast("struct<lp:double,path:string>")
     val dp = aggregate(
       sequence(lit(1), length(col("word"))),
@@ -112,10 +113,28 @@ object UnigramLm {
           })
         concat(acc, array(best))
       })
-    val seg = arr
-      .withColumn("best",
-        element_at(dp, (length(col("word")) + 1).cast("int")))
-      .select(col("cnt"), col("best.path").as("path"))
+    // words that failed to match any piece at some position never
+    // reach the ps groupBy (inner join) — re-attach them as NULL paths
+    words.join(
+      arr.withColumn("best",
+          element_at(dp, (length(col("word")) + 1).cast("int")))
+        .select(col("word"), col("best.path").as("path")),
+      Seq("word"), "left")
+  }
+
+  /** One hard-EM pass: returns (piece, usage, prob) — usage = Σ word
+    * counts whose Viterbi segmentation uses the piece, prob = usage
+    * renormalized (6 dp). Pieces never chosen drop out, exactly like
+    * the unigram model's prune step. */
+  def trainUnigram(hist: DataFrame, vocabWords: Int = 500,
+                   maxWordLen: Int = 12, maxPieceLen: Int = 4,
+                   topPieces: Int = 64): DataFrame = {
+    val words = headWords(hist, vocabWords, maxWordLen)
+    val plog = pieceLogProbs(
+      candidatePieces(words, maxPieceLen, topPieces))
+    val seg = words
+      .join(viterbiPaths(words.select("word"), plog, maxPieceLen),
+        "word")
     val usage = seg
       .select(col("cnt"), explode(split(col("path"), " ")).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("usage"))
@@ -124,5 +143,43 @@ object UnigramLm {
       .select(col("piece"), col("usage"),
         round(col("usage").cast("double") / col("tu"), 6).as("prob"))
       .orderBy(col("usage").desc, col("piece"))
+  }
+
+  /** The trained (piece, lp) table [[encodeDocs]] consumes — candidate
+    * selection + log-probs from a word histogram, the same path
+    * [[trainUnigram]] trains through. */
+  def trainedPieceLogProbs(hist: DataFrame, vocabWords: Int = 500,
+                           maxWordLen: Int = 12, maxPieceLen: Int = 4,
+                           topPieces: Int = 64): DataFrame =
+    pieceLogProbs(candidatePieces(
+      headWords(hist, vocabWords, maxWordLen), maxPieceLen, topPieces))
+
+  /** Encode documents under a trained piece table (the inference half
+    * of [[trainUnigram]], as [[Bpe.encodeFast]] is to
+    * [[Bpe.trainBpe]]): every whitespace token is Viterbi-segmented
+    * against the pieces (words truncated to `maxWordLen`, mirroring
+    * training); uncoverable words become a single `<unk>`. Returns
+    * (idCol, n_pieces, segmented).
+    *
+    * Scale: the DP runs once per DISTINCT truncated word (vocabulary-
+    * scale), then broadcast-joins back to the token stream — the
+    * corpus itself is only exploded and re-grouped, never folded. */
+  def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
+                 plog: DataFrame, maxWordLen: Int = 12,
+                 maxPieceLen: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos"),
+        substring(col("tok"), 1, maxWordLen).as("word"))
+    val paths = viterbiPaths(toks.select("word").distinct(), plog,
+        maxPieceLen)
+      .select(col("word"), coalesce(col("path"), lit("<unk>")).as("path"))
+    toks.join(broadcast(paths), "word")
+      .groupBy(idCol)
+      .agg(
+        sum(size(split(col("path"), " "))).cast("long").as("n_pieces"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, path))), e -> e.path)"),
+          " ").as("segmented"))
   }
 }

@@ -48,6 +48,18 @@ class UnigramSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("encodeDocs segments tokens and falls back to <unk>") {
+    val hist = Seq(("abab", 50L), ("ab", 30L)).toDF("word", "cnt")
+    val plog = UnigramLm.trainedPieceLogProbs(hist, vocabWords = 10,
+      maxWordLen = 12, maxPieceLen = 2, topPieces = 4)
+    val docs = Seq((1L, "ab abab"), (2L, "ab zzz")).toDF("doc_id", "text")
+    val out = rows(UnigramLm.encodeDocs(docs, "text", "doc_id", plog,
+      maxWordLen = 12, maxPieceLen = 2).orderBy("doc_id"))
+    // doc 1: "ab" + "ab ab" -> 3 pieces; doc 2: "ab" + <unk> (z is
+    // not in the training charset) -> 2 pieces
+    assert(out == Seq(Seq(1L, 3L, "ab ab ab"), Seq(2L, 2L, "ab <unk>")))
+  }
+
   test("trains from a real word histogram end to end") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
