@@ -84,8 +84,26 @@ object WarehouseQueries {
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"),
           min("doc_id").as("first_doc"))
         .orderBy("lang")
+    }),
+
+    // Z-order (Morton) clustering value: interleave the bits of two
+    // fixed-width bucketed dimensions — the write-time sort key that
+    // gives every output file a small (user_id, value) bounding box,
+    // so min/max row-group skipping works on BOTH filter columns.
+    // LayoutSpec proves the locality property; here the bit math is
+    // cell-checked against an integer-SQL replay.
+    "q177_zorder" -> ((s, dir) => {
+      val zu = Layout.zBucket(col("user_id"), 0.0, 160.0, ZBits)
+      val zv = Layout.zBucket(col("value"), 0.0, 500.0, ZBits)
+      rd(s, dir, "events")
+        .select(col("event_id"), zu.as("zb_user"), zv.as("zb_value"),
+          Layout.zValue2(zu, zv, ZBits).as("zval"))
+        .orderBy("event_id")
     })
   )
+
+  /** Bits per dimension for q177's z-interleave. */
+  private val ZBits = 8
 
   // ------------------------------------------------------------- oracleSql
 
@@ -136,6 +154,24 @@ object WarehouseQueries {
          |FROM documents
          |WHERE $b < least(1.0, n_chars / 400.0) * 256.0
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q177_zorder" -> {
+      val n = 1L << 8
+      def zb(c: String, hi: Double) =
+        s"""least(greatest(CAST(floor(CAST($c AS DOUBLE)
+           |  / ${hi / n}) AS BIGINT), 0), ${n - 1})""".stripMargin
+      val interleave = (0 until 8).map { i =>
+        s"(((zb_user >> $i) & 1) << ${2 * i + 1}) | " +
+          s"(((zb_value >> $i) & 1) << ${2 * i})"
+      }.mkString(" | ")
+      s"""SELECT event_id, zb_user, zb_value,
+         |  CAST($interleave AS BIGINT) AS zval
+         |FROM (SELECT event_id,
+         |        ${zb("user_id", 160.0)} AS zb_user,
+         |        ${zb("value", 500.0)} AS zb_value
+         |      FROM events)
+         |ORDER BY event_id""".stripMargin
     }
   )
 }

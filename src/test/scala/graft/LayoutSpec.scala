@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Unit coverage for Z-order layout clustering (q177). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2 interleaves bits (hand-checked examples)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+    val got = rows(df.select(Layout.zValue2(col("a"), col("b"), 4)))
+      .map(_.head)
+    // a bits at odd positions, b bits at even: (1,0)->2, (0,1)->1,
+    // (3,3)->15, (5,2)=(101,010)-> 100110b = 38
+    assert(got == Seq(0L, 2L, 1L, 15L, 38L))
+  }
+
+  test("zBucket clamps out-of-range and nulls to edge buckets") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(99.9), Some(500.0), None)
+      .toDF("v")
+    val got = rows(df.select(Layout.zBucket(col("v"), 0.0, 100.0, 4)))
+      .map(_.head)
+    assert(got == Seq(0L, 0L, 15L, 15L, 0L))
+  }
+
+  test("z-ordered partitions bound the extent of BOTH dimensions") {
+    // the z-order win over single-column range partitioning is not a
+    // smaller bounding AREA (partitioning by user alone collapses the
+    // user extent to ~0 when #users <= #partitions) — it is that a
+    // filter on the OTHER column can also skip: every partition covers
+    // a fraction of the value range too, which user-partitioning never
+    // bounds
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("value"))
+    def meanExtent(df: org.apache.spark.sql.DataFrame,
+                   c: String, w: Double): Double =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg(((max(c) - min(c)) / w).as("ext"))
+        .agg(avg("ext")).head().getDouble(0)
+    val zed = Layout.zorderBy(ev, col("user_id"), 0.0, 160.0,
+      col("value"), 0.0, 500.0, bits = 8, numPartitions = 16)
+    val oneDim = ev.repartitionByRange(16, col("user_id"))
+    val zValueExt = meanExtent(zed, "value", 500.0)
+    val oneValueExt = meanExtent(oneDim, "value", 500.0)
+    // user-partitioning leaves ~the full value range in every
+    // partition; z-order bounds it
+    assert(zValueExt < oneValueExt * 0.5,
+      s"z value-extent $zValueExt not < half of 1-dim $oneValueExt")
+    // and the user extent stays bounded as well (not the full range)
+    assert(meanExtent(zed, "user_id", 160.0) < 0.6)
+  }
+}
