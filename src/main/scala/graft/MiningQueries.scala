@@ -23,6 +23,7 @@ object MiningQueries {
   private val PqM = 4     // PQ subspaces (Dim/PqM = 16 dims each)
   private val PqK = 8     // codes per subspace
   private val AdcK = 5    // ADC neighbours returned per query
+  private val MarginK = 4 // k-NN depth for margin-based pair mining
   private val SevenDaysUs = 7L * 24 * 3600 * 1000000
   private val DayUs = 24L * 3600 * 1000000
 
@@ -234,6 +235,19 @@ object MiningQueries {
         .join(cand.select(col("vec_id"), col("cluster")), "vec_id")
         .select(col("vec_id"), col("cluster"), col("adc_dist"))
         .orderBy("adc_dist", "vec_id")
+    }),
+
+    // Margin-based pair mining between two label slices (bitext-mining
+    // scoring): cosine relative to both sides' k-NN neighborhoods, so
+    // hub vectors don't flood the ranking. Exact cross over the
+    // broadcast-sized slices; at corpus scale the same formula feeds
+    // from ANN candidates.
+    "q178_margin_pairs" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.marginMining(
+          emb.where(col("label") === 0), emb.where(col("label") === 1),
+          "embedding", "vec_id", k = MarginK, topPairs = 10)
+        .orderBy(col("margin").desc, col("id_a"), col("id_b"))
     })
   )
 
@@ -477,6 +491,32 @@ object MiningQueries {
          |SELECT sc.id AS vec_id, cl.cluster, sc.adc_dist
          |FROM sc JOIN clustered cl ON cl.vec_id = sc.id
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q178_margin_pairs" -> {
+      val cosXY = NorthStar.cosineSql("x.xv", "y.yv", Dim)
+      s"""WITH x AS (SELECT vec_id AS id_a, embedding AS xv
+         |           FROM embeddings WHERE label = 0),
+         |y AS (SELECT vec_id AS id_b, embedding AS yv
+         |      FROM embeddings WHERE label = 1),
+         |cr AS (SELECT id_a, id_b, $cosXY AS c
+         |       FROM x CROSS JOIN y),
+         |ka AS (SELECT id_a, sum(c) AS sa FROM (
+         |    SELECT id_a, c, row_number() OVER (PARTITION BY id_a
+         |      ORDER BY c DESC, id_b) AS rk FROM cr) z
+         |  WHERE rk <= $MarginK GROUP BY id_a),
+         |kb AS (SELECT id_b, sum(c) AS sb FROM (
+         |    SELECT id_b, c, row_number() OVER (PARTITION BY id_b
+         |      ORDER BY c DESC, id_a) AS rk FROM cr) z
+         |  WHERE rk <= $MarginK GROUP BY id_b),
+         |m AS (SELECT cr.id_a, cr.id_b,
+         |    round(cr.c / ((ka.sa + kb.sb) / ${2.0 * MarginK}), 6)
+         |      AS margin
+         |  FROM cr JOIN ka USING (id_a) JOIN kb USING (id_b))
+         |SELECT id_a, id_b, margin FROM (
+         |  SELECT *, row_number() OVER
+         |    (ORDER BY margin DESC, id_a, id_b) AS rk FROM m) z
+         |WHERE rk <= 10 ORDER BY margin DESC, id_a, id_b""".stripMargin
     }
   )
 }

@@ -50,6 +50,49 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cosine_sim"), col("rank"))
   }
 
+  /** Margin-based bitext/pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings"): score every (a, b) cross pair by its cosine divided
+    * by the mean of both sides' k-NN cosines —
+    * margin = cos(a,b) / ((Σ topk(a) + Σ topk(b)) / 2k) — so a pair
+    * only ranks high when it stands OUT of each side's neighborhood,
+    * which filters the hub vectors plain cosine thresholds admit.
+    * Returns the `topPairs` best (id_a, id_b, margin), margin rounded
+    * to 6 dp before ranking.
+    *
+    * Scale: this exact form crossJoins the two slices (broadcast
+    * right), sized for moderate slice pairs (the per-language shards
+    * of a mining run). At corpus scale feed the SAME margin formula
+    * from ANN candidates instead of the full cross — [[ivfTopK]] /
+    * [[lshTopK]] produce the (a, b, cos) stream and the k-NN sums come
+    * from the same stream, so nothing here changes shape. */
+  def marginMining(a: DataFrame, b: DataFrame, embCol: String,
+                   idCol: String, k: Int, topPairs: Int): DataFrame = {
+    val x = a.select(col(idCol).as("id_a"), col(embCol).as("__av"))
+    val y = b.select(col(idCol).as("id_b"), col(embCol).as("__bv"))
+    val cross = Scale.widen(x).crossJoin(broadcast(y))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("__av"), col("__bv")).as("__c"))
+    val wa = Window.partitionBy("id_a")
+      .orderBy(col("__c").desc, col("id_b"))
+    val wb = Window.partitionBy("id_b")
+      .orderBy(col("__c").desc, col("id_a"))
+    val ka = cross.withColumn("__rk", row_number().over(wa))
+      .where(col("__rk") <= k)
+      .groupBy("id_a").agg(sum("__c").as("__sa"))
+    val kb = cross.withColumn("__rk", row_number().over(wb))
+      .where(col("__rk") <= k)
+      .groupBy("id_b").agg(sum("__c").as("__sb"))
+    cross.join(ka, "id_a").join(kb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("__c") / ((col("__sa") + col("__sb")) / (2.0 * k)), 6)
+          .as("margin"))
+      .withColumn("__r", row_number().over(
+        Window.orderBy(col("margin").desc, col("id_a"), col("id_b"))))
+      .where(col("__r") <= topPairs)
+      .select("id_a", "id_b", "margin")
+  }
+
   /** Sign-LSH bucket id: one bit per "hyperplane", where plane p's weight
     * for dimension d is a deterministic +-1 derived from md5(p:d). Engine-
     * portable (md5-hex nibble parity) and row-local. */
