@@ -186,7 +186,47 @@ object Warehouse {
   def mergeCdcBucketed(spark: org.apache.spark.sql.SparkSession,
                        path: String, changes: DataFrame,
                        keyCols: Seq[String], seqCols: Seq[String],
-                       isDelete: Column, nBuckets: Int = 64): Seq[Int] = {
+                       isDelete: Column, nBuckets: Int = 64): Seq[Int] =
+    rewriteTouchedBuckets(spark, path, changes, keyCols, nBuckets,
+      changes.schema) { (base, ch) =>
+      applyCdc(base, ch, keyCols, seqCols, isDelete)
+    }
+
+  /** Targeted key deletion over the bucketed layout — the
+    * right-to-be-forgotten / takedown pass a 100 TB keyed table needs:
+    * locate the `__kb` buckets the doomed keys hash into, anti-join
+    * ONLY those buckets, swap them back in. I/O is O(touched buckets)
+    * like [[mergeCdcBucketed]] (whose crash-healing and atomic-swap
+    * discipline this shares); untouched buckets' files are never
+    * opened. Returns the touched bucket ids. */
+  def deleteKeysBucketed(spark: org.apache.spark.sql.SparkSession,
+                         path: String, keys: DataFrame,
+                         keyCols: Seq[String],
+                         nBuckets: Int = 64): Seq[Int] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Nil
+    val schema = readBucketed(spark, path).schema
+    rewriteTouchedBuckets(spark, path,
+      keys.select(keyCols.map(col): _*).distinct(), keyCols, nBuckets,
+      schema) { (base, ks) =>
+      base.join(ks, keyCols, "left_anti")
+    }
+  }
+
+  /** Shared bucketed-rewrite skeleton of [[mergeCdcBucketed]] and
+    * [[deleteKeysBucketed]]: heal a crashed predecessor, migrate a
+    * flat layout if present, locate the buckets `driver`'s keys hash
+    * into, read ONLY those buckets (as independent roots with `schema`
+    * — no partition discovery, `__kb` never enters the merge), apply
+    * `merge(base, driver)`, and atomically swap the rewritten buckets
+    * in (a bucket whose result is empty has its directory removed).
+    * Returns the touched bucket ids (empty for an empty driver). */
+  private def rewriteTouchedBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      driver: DataFrame, keyCols: Seq[String], nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType)(
+      merge: (DataFrame, DataFrame) => DataFrame): Seq[Int] = {
     require(nBuckets > 0 && nBuckets <= 65536,
       s"nBuckets in [1,65536], got $nBuckets")
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -204,10 +244,10 @@ object Warehouse {
       fs.delete(backupRoot, true)
     }
     fs.delete(tmpRoot, true)
-    migrateFlatIfNeeded(spark, fs, hPath, changes.schema, keyCols, nBuckets)
+    migrateFlatIfNeeded(spark, fs, hPath, schema, keyCols, nBuckets)
 
     val bucket = keyBucket(keyCols, nBuckets)
-    val ch = changes.persist()
+    val ch = driver.persist()
     try {
       val touched = ch.select(bucket.as("__kb")).distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
@@ -215,16 +255,14 @@ object Warehouse {
       val existing = touched
         .map(b => new org.apache.hadoop.fs.Path(hPath, s"__kb=$b"))
         .filter(fs.exists)
-      // leaf dirs read as independent roots with the change schema, so
-      // no partition discovery runs and __kb never enters the merge
       val base =
         if (existing.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            changes.schema)
-        else spark.read.schema(changes.schema)
+            schema)
+        else spark.read.schema(schema)
           .parquet(existing.map(_.toString): _*)
-      val merged = applyCdc(base, ch, keyCols, seqCols, isDelete)
+      val merged = merge(base, ch)
       merged.withColumn("__kb", bucket)
         .repartition(col("__kb")) // one writer wave per bucket, not per task
         .write.mode(SaveMode.Overwrite).partitionBy("__kb")

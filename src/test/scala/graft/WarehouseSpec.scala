@@ -121,6 +121,37 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/.cdc.backup").exists())
   }
 
+  test("deleteKeysBucketed removes keys, touching only their buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val path = s"$tmp/t"
+    val seed = (1L to 20L).map(k => (k, 1L, s"v$k")).toDF("k", "seq", "v")
+    Warehouse.mergeCdcBucketed(spark, path, seed,
+      Seq("k"), Seq("seq"), col("v") === "DEL", nBuckets = 8)
+    def files = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__kb="))
+      .flatMap(d => d.listFiles().map(f =>
+        (f.getPath, f.length(), f.lastModified()))).toSet
+    val before = files
+    val touched = Warehouse.deleteKeysBucketed(spark, path,
+      Seq(3L, 7L, 999L).toDF("k"), Seq("k"), nBuckets = 8)
+    val got = rows(Warehouse.readBucketed(spark, path)
+      .select("k").orderBy("k")).map(_.head)
+    assert(got == (1L to 20L).filterNot(Set(3L, 7L)).toSeq)
+    // buckets outside the touched set were never opened or rewritten
+    val untouched = before.filterNot { case (p, _, _) =>
+      touched.exists(b => p.contains(s"__kb=$b/")) }
+    assert(untouched.nonEmpty && untouched.subsetOf(files))
+    // idempotent: a second run touches the same buckets, same result
+    val again = Warehouse.deleteKeysBucketed(spark, path,
+      Seq(3L, 7L).toDF("k"), Seq("k"), nBuckets = 8)
+    assert(again.toSet.subsetOf(touched.toSet))
+    assert(rows(Warehouse.readBucketed(spark, path)
+      .select("k").orderBy("k")).map(_.head) == got)
+    // deleting on a missing table is a no-op
+    assert(Warehouse.deleteKeysBucketed(spark, s"$tmp/absent",
+      Seq(1L).toDF("k"), Seq("k")) == Nil)
+  }
+
   test("snapshotDiff classifies added/removed/changed with column detail") {
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "s", "x")
