@@ -163,6 +163,21 @@ object ScaleProbe {
       corpus.select(col("doc_id"),
         size(Bpe.encodeFast(col("text"), bpeRules)).as("n_pieces")))
 
+    // unigram-LM: train over the histogram head (vocabulary-scale)
+    // and encode the corpus (DP per DISTINCT word, broadcast back)
+    time("unigram-lm train (500 words)", total, "docs/s")(
+      UnigramLm.trainUnigram(Bpe.wordHistogram(corpus, "text")))
+    val probePlog = UnigramLm.trainedPieceLogProbs(
+      Bpe.wordHistogram(corpus, "text"))
+    time("unigram-lm encode", total, "docs/s")(
+      UnigramLm.encodeDocs(corpus, "text", "doc_id", probePlog))
+
+    // count-min sketch over every token occurrence: the cell grid is
+    // d x 256 no matter the vocabulary — pure map-side-combine build
+    time("cms build (d=4)", total, "docs/s")(Sketch.cmsBuild(
+      corpus.select(explode(Text.tokens(col("text"))).as("tok")),
+      "tok", d = 4))
+
     // hashed-feature classifier at a production bucket count: the
     // broadcast-join weight table (262,144 rows, a few MB) — the
     // literal-array form cannot express this width at all
