@@ -362,6 +362,13 @@ class StreamingSpec extends SparkSpec {
       val fromStore = graft.ops.Bpe.trainBpeOnHistogram(streamed, 5)
       val fromCorpus = graft.ops.Bpe.trainBpe(docs, "text", 5)
       assert(fromStore === fromCorpus)
+      // and the unigram-LM trains identically from the same store
+      val uniStore = graft.ops.UnigramLm.trainUnigram(streamed,
+        vocabWords = 100, topPieces = 32).collect().map(_.toSeq).toSeq
+      val uniCorpus = graft.ops.UnigramLm.trainUnigram(
+        graft.ops.Bpe.wordHistogram(docs, "text"),
+        vocabWords = 100, topPieces = 32).collect().map(_.toSeq).toSeq
+      assert(uniStore === uniCorpus)
     } finally q.stop()
   }
 
