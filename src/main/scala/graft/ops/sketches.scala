@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * Hashing is [[Sampling.splitBucket]] over "row:token" (md5-based,
   * engine-portable — an external system reproduces cells exactly), so
   * w is fixed at 256 per row.
+  *
+  * Relation to [[Aggregators.Cms]]: that one wraps Spark's binary
+  * `CountMinSketch` (opaque hashing, in-JVM merge — right for a
+  * one-shot aggregation). This one keeps the grid as PLAIN (row,
+  * bucket, cnt) ROWS, which is what makes it (a) replayable by an
+  * external engine cell-for-cell and (b) additively mergeable by the
+  * stats-store machinery ([[graft.streaming.Streaming.cmsSink]]) —
+  * counts fold across micro-batches with mergeAggDelta, no sketch
+  * binary to deserialize.
   */
 object Sketch {
 
