@@ -57,8 +57,11 @@ object Quantize {
     * (vector, subspace), never the k-way fan-out. The update explodes
     * to (m × k × dim/m) partial means — fixed width, independent of
     * corpus size. The subvector projection is cached across the
-    * fixed-depth unrolled plan; at very large scale swap for a
-    * checkpoint (same note as kmeansAssign).
+    * fixed-depth unrolled plan and deliberately left to LRU (the
+    * returned codebook frame still references it lazily — an eager
+    * unpersist would silently recompute the projection once per
+    * downstream action); at very large scale swap for a checkpoint,
+    * same note as kmeansAssign.
     */
   def pqCodebook(emb: DataFrame, embCol: String, idCol: String,
                  m: Int, k: Int, iters: Int, dim: Int): DataFrame = {
@@ -163,10 +166,17 @@ object Quantize {
       .select(col("__qid"), col("__m"), col("__code"),
         l2sq(col("__sv"), col("__cvec")).as("__dq"))
     val joined = codesLong.join(broadcast(dtable), Seq("__m", "__code"))
+    // an id ingested more than once (at-least-once sources re-feeding
+    // pqIndexSink) contributes dup x m code rows; dividing by the
+    // duplication factor keeps the distance honest instead of silently
+    // demoting the vector by a doubled sum. count/m is exact (every id
+    // carries a multiple of m rows), and for the unique-id case the
+    // divisor is 1.0 so the value is bit-identical to the plain sum
     val scored = (if (excludeSelf) joined.where(col("__id") =!= col("__qid"))
       else joined)
       .groupBy(col("__qid"), col("__id"))
-      .agg(round(sum(col("__dq")), 6).as("adc_dist"))
+      .agg(round(sum(col("__dq")) /
+        (count(lit(1)) / lit(m)).cast("double"), 6).as("adc_dist"))
     scored
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__qid").orderBy(col("adc_dist"), col("__id"))))

@@ -73,17 +73,20 @@ object Similarity {
     val cross = Scale.widen(x).crossJoin(broadcast(y))
       .select(col("id_a"), col("id_b"),
         cosine(col("__av"), col("__bv")).as("__c"))
+    // both k-NN sums come from window aggregates over the SAME cross
+    // frame — the cosine cartesian is evaluated once, not re-planned
+    // under each side's top-k the way a groupBy-then-join-back would
     val wa = Window.partitionBy("id_a")
       .orderBy(col("__c").desc, col("id_b"))
     val wb = Window.partitionBy("id_b")
       .orderBy(col("__c").desc, col("id_a"))
-    val ka = cross.withColumn("__rk", row_number().over(wa))
-      .where(col("__rk") <= k)
-      .groupBy("id_a").agg(sum("__c").as("__sa"))
-    val kb = cross.withColumn("__rk", row_number().over(wb))
-      .where(col("__rk") <= k)
-      .groupBy("id_b").agg(sum("__c").as("__sb"))
-    cross.join(ka, "id_a").join(kb, "id_b")
+    cross
+      .withColumn("__rka", row_number().over(wa))
+      .withColumn("__rkb", row_number().over(wb))
+      .withColumn("__sa", sum(when(col("__rka") <= k, col("__c")))
+        .over(Window.partitionBy("id_a")))
+      .withColumn("__sb", sum(when(col("__rkb") <= k, col("__c")))
+        .over(Window.partitionBy("id_b")))
       .select(col("id_a"), col("id_b"),
         round(col("__c") / ((col("__sa") + col("__sb")) / (2.0 * k)), 6)
           .as("margin"))

@@ -188,7 +188,7 @@ object Warehouse {
                        keyCols: Seq[String], seqCols: Seq[String],
                        isDelete: Column, nBuckets: Int = 64): Seq[Int] =
     rewriteTouchedBuckets(spark, path, changes, keyCols, nBuckets,
-      changes.schema) { (base, ch) =>
+      Some(changes.schema)) { (base, ch) =>
       applyCdc(base, ch, keyCols, seqCols, isDelete)
     }
 
@@ -206,10 +206,12 @@ object Warehouse {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return Nil
-    val schema = readBucketed(spark, path).schema
+    // schema resolves INSIDE the skeleton, after crash-healing and
+    // flat-layout migration — reading it here would throw on the very
+    // recovery states the skeleton exists to heal
     rewriteTouchedBuckets(spark, path,
       keys.select(keyCols.map(col): _*).distinct(), keyCols, nBuckets,
-      schema) { (base, ks) =>
+      None) { (base, ks) =>
       base.join(ks, keyCols, "left_anti")
     }
   }
@@ -217,15 +219,18 @@ object Warehouse {
   /** Shared bucketed-rewrite skeleton of [[mergeCdcBucketed]] and
     * [[deleteKeysBucketed]]: heal a crashed predecessor, migrate a
     * flat layout if present, locate the buckets `driver`'s keys hash
-    * into, read ONLY those buckets (as independent roots with `schema`
-    * — no partition discovery, `__kb` never enters the merge), apply
-    * `merge(base, driver)`, and atomically swap the rewritten buckets
-    * in (a bucket whose result is empty has its directory removed).
-    * Returns the touched bucket ids (empty for an empty driver). */
+    * into, read ONLY those buckets (as independent roots with the row
+    * schema — no partition discovery, `__kb` never enters the merge),
+    * apply `merge(base, driver)`, and atomically swap the rewritten
+    * buckets in (a bucket whose result is empty has its directory
+    * removed). Returns the touched bucket ids (empty for an empty
+    * driver). `schema` = None derives the row schema from the healed
+    * table's bucket dirs (a table emptied of every bucket then merges
+    * nothing and returns Nil). */
   private def rewriteTouchedBuckets(
       spark: org.apache.spark.sql.SparkSession, path: String,
       driver: DataFrame, keyCols: Seq[String], nBuckets: Int,
-      schema: org.apache.spark.sql.types.StructType)(
+      schemaOpt: Option[org.apache.spark.sql.types.StructType])(
       merge: (DataFrame, DataFrame) => DataFrame): Seq[Int] = {
     require(nBuckets > 0 && nBuckets <= 65536,
       s"nBuckets in [1,65536], got $nBuckets")
@@ -244,7 +249,21 @@ object Warehouse {
       fs.delete(backupRoot, true)
     }
     fs.delete(tmpRoot, true)
-    migrateFlatIfNeeded(spark, fs, hPath, schema, keyCols, nBuckets)
+    migrateFlatIfNeeded(spark, fs, hPath, schemaOpt, keyCols, nBuckets)
+
+    // resolve the row schema AFTER heal + migration: the layout is now
+    // guaranteed to be clean __kb= dirs (or empty)
+    val derived = schemaOpt.orElse {
+      val dirs =
+        if (!fs.exists(hPath)) Array.empty[org.apache.hadoop.fs.Path]
+        else fs.listStatus(hPath)
+          .filter(_.getPath.getName.startsWith("__kb="))
+          .map(_.getPath)
+      if (dirs.isEmpty) None // nothing stored -> nothing to merge
+      else Some(spark.read.parquet(dirs.map(_.toString): _*).schema)
+    }
+    if (derived.isEmpty) return Nil
+    val schema = derived.get
 
     val bucket = keyBucket(keyCols, nBuckets)
     val ch = driver.persist()
@@ -297,7 +316,8 @@ object Warehouse {
     * place, and the marker dir is dropped last. A crash at ANY point
     * re-runs the migration from the identical logical base. */
   private def migrateFlatIfNeeded(spark: org.apache.spark.sql.SparkSession,
-      fs: HFs, hPath: HPath, schema: org.apache.spark.sql.types.StructType,
+      fs: HFs, hPath: HPath,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType],
       keyCols: Seq[String], nBuckets: Int): Unit = {
     if (!fs.exists(hPath)) return
     val migratedRoot = new HPath(hPath, ".cdc.migrated")
@@ -318,7 +338,10 @@ object Warehouse {
       .foreach(st => fs.delete(st.getPath, true))
     val tmp = new HPath(hPath, ".cdc.migrate.tmp")
     fs.delete(tmp, true)
-    spark.read.schema(schema).parquet((flat ++ parked).map(_.toString): _*)
+    // parquet is self-describing, so a caller without a schema in hand
+    // (deleteKeysBucketed) lets the flat files speak for themselves
+    schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet((flat ++ parked).map(_.toString): _*)
       .withColumn("__kb", keyBucket(keyCols, nBuckets))
       .repartition(col("__kb"))
       .write.mode(SaveMode.Overwrite).partitionBy("__kb")

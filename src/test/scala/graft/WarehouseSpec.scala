@@ -150,6 +150,15 @@ class WarehouseSpec extends SparkSpec {
     // deleting on a missing table is a no-op
     assert(Warehouse.deleteKeysBucketed(spark, s"$tmp/absent",
       Seq(1L).toDF("k"), Seq("k")) == Nil)
+    // delete EVERYTHING (all bucket dirs removed, empty root left),
+    // then delete again: schema resolution must not throw — the
+    // emptied table merges nothing and reports no touched buckets
+    Warehouse.deleteKeysBucketed(spark, path,
+      (1L to 20L).toDF("k"), Seq("k"), nBuckets = 8)
+    assert(new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__kb=")) == 0)
+    assert(Warehouse.deleteKeysBucketed(spark, path,
+      Seq(5L).toDF("k"), Seq("k"), nBuckets = 8) == Nil)
   }
 
   test("snapshotDiff classifies added/removed/changed with column detail") {
