@@ -195,3 +195,86 @@ case class DotProductExpression(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductExpression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Squared L2 distance between two float/double array columns in one
+  * fused primitive loop — the PQ distance ([[graft.ops.Quantize]]),
+  * replacing a zip_with + aggregate HOF tree exactly: same
+  * left-to-right accumulation order (bit-identical sums), null on
+  * length mismatch or any null element.
+  */
+case class L2SqExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  private def elemOk(t: DataType): Boolean =
+    t == FloatType || t == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _)) if elemOk(lt) && elemOk(rt) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<FLOAT|DOUBLE> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val bad = ctx.freshName("bad")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val getX = if (leftIsFloat) s"(double) $a.getFloat($i)"
+                 else s"$a.getDouble($i)"
+      val getY = if (rightIsFloat) s"(double) $b.getFloat($i)"
+                 else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = ($b.numElements() != $n);
+         |double $s = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $d = $getX - $getY;
+         |    $s += $d * $d;
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqExpression =
+    copy(left = newLeft, right = newRight)
+}

@@ -92,6 +92,13 @@ object GraftFunctions {
     GraftColumnBridge.column(DotProductExpression(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Squared L2 distance of two float/double array columns (fused
+    * codegen'd loop; value-identical to the zip_with/aggregate fold —
+    * the PQ distance). */
+  def l2Sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2SqExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Packed SimHash of a token-array column (one digest per token +
     * integer ops in a fused loop; exact replica of the HOF derivation). */
   def simhashPacked(tokens: Column, bits: Int): Column =

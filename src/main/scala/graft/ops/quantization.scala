@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** Squared L2 between two equal-length double arrays; element order
-    * is a single left fold, so the floating-point sum order is fixed. */
+  /** Squared L2 between two equal-length double arrays — the fused
+    * codegen'd loop ([[graft.functions.L2SqExpression]]); bit-identical
+    * to the zip_with + aggregate left fold it replaces (same
+    * accumulation order), asserted in FunctionsSpec. */
   private[ops] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.l2Sq(a, b)
 
   /** Explode `embCol` into (idCol as __id, __m, __sv): subspace `__m`'s
     * slice of the vector, cast to double. Row count multiplies by `m`

@@ -105,6 +105,45 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("l2Sq expression is bit-identical to the HOF fold it replaced") {
+    // the original Quantize.l2sq formulation as reference semantics
+    def hofL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 50).map { _ =>
+      (Array.fill(16)(rnd.nextDouble() * 2 - 1),
+        Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = vecs.toDF("a", "b")
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        val bad = df.select(
+            graft.functions.GraftFunctions.l2Sq(col("a"), col("b"))
+              .as("fused"),
+            hofL2(col("a"), col("b")).as("hof"))
+          .filter(!(col("fused") <=> col("hof"))).count()
+        assert(bad === 0, s"codegen=$codegen")
+      }
+    }
+    // float inputs, unequal lengths and null elements match the fold
+    val fl = Seq((Array(1.0f, 2.5f), Array(0.5f, -1.0f))).toDF("a", "b")
+    val Seq(Seq(fv, hv)) = rows(fl.select(
+      graft.functions.GraftFunctions.l2Sq(col("a"), col("b")),
+      hofL2(transform(col("a"), _.cast("double")),
+        transform(col("b"), _.cast("double")))))
+    assert(fv === hv)
+    val edge = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(edge.select(graft.functions.GraftFunctions
+      .l2Sq(col("a"), col("b"))).head().isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT cast(array(1.0, NULL) AS ARRAY<DOUBLE>) a, array(1.0d, 2.0d) b")
+    assert(withNullElem.select(graft.functions.GraftFunctions
+      .l2Sq(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("curation lifts: SQL surface matches the DataFrame ops") {
     graft.functions.GraftExtensions.registerOn(spark)
     import graft.ops.{Curation, Sampling}
