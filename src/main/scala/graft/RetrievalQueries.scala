@@ -18,6 +18,11 @@ object RetrievalQueries {
   /** Count-min-sketch hash rows for q171. */
   private val CmsD = 4
 
+  /** q179 Holt smoothing coefficients (doubles interpolated verbatim
+    * into the oracle so both engines run identical literals). */
+  private val HoltAlpha = 0.2
+  private val HoltBeta = 0.3
+
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.t(s, dir, name)
 
@@ -194,6 +199,23 @@ object RetrievalQueries {
           "value", alpha = 0.2)
         .select(col("user_id"), col("n_obs"),
           round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // Holt linear smoothing per user: level+trend recurrence as one
+    // row-local fold over the sorted series, one-step-ahead forecast
+    // out — the oracle replays the identical recurrence (same double
+    // literals) in a recursive CTE.
+    "q179_holt_linear" -> ((s, dir) => {
+      TimeSeries.holtLinear(
+          rd(s, dir, "events")
+            .where(col("ts").isNotNull && col("value").isNotNull),
+          "user_id", Seq(col("ts").asc, col("event_id").asc),
+          "value", alpha = HoltAlpha, beta = HoltBeta)
+        .select(col("user_id"), col("n_obs"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("forecast_1"), 6).as("forecast_1"))
         .orderBy("user_id")
     }),
 
@@ -564,6 +586,33 @@ object RetrievalQueries {
         |  round(sum(value * CASE WHEN rn = 1 THEN power(0.8, n - 1)
         |    ELSE 0.2 * power(0.8, n - rn) END), 6) AS ewma
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q179_holt_linear" -> {
+      val (a, a1, b, b1) = (HoltAlpha, 1.0 - HoltAlpha,
+        HoltBeta, 1.0 - HoltBeta)
+      // l' appears expanded inside the trend update exactly as the
+      // Spark fold's expression tree evaluates it
+      val lNew = s"($a * r.value + $a1 * (h.l + h.b))"
+      s"""WITH RECURSIVE r AS (
+         |  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts ASC, event_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |hw AS (
+         |  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b, n
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT h.user_id, r.rn,
+         |    $lNew AS l,
+         |    $b * ($lNew - h.l) + $b1 * h.b AS b,
+         |    h.n
+         |  FROM hw h JOIN r ON r.user_id = h.user_id AND r.rn = h.rn + 1)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+         |  round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + b, 6) AS forecast_1
+         |FROM hw WHERE rn = n ORDER BY user_id""".stripMargin
+    },
 
     "q138_moments" ->
       s"""WITH s AS (

@@ -106,4 +106,43 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_obs"),
         sum(col(valCol).cast("double") * col("__w")).as("ewma"))
   }
+
+  /** Holt linear (double exponential) smoothing per key: level
+    * l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1}), trend
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized l₁ = y₁,
+    * b₁ = 0. Returns (keyCol, n_obs, level, trend, forecast_1 =
+    * level + trend) — the one-step-ahead forecast a freshness monitor
+    * extrapolates with. The recurrence runs as ONE row-local fold over
+    * the key's sorted values (collected per key — sized for per-entity
+    * series; an unbounded stream belongs in the stats-store pattern),
+    * with every coefficient passed as the SAME double literal the
+    * oracle replays, so the arithmetic is engine-identical. */
+  def holtLinear(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                 valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols: _*)
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val bb = lit(beta); val b1 = lit(1.0 - beta)
+    df.withColumn("__rn", row_number().over(w))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_obs"),
+        array_sort(collect_list(struct(col("__rn"),
+          col(valCol).cast("double").as("__v")))).as("__arr"))
+      .withColumn("__st", aggregate(
+        expr("slice(__arr, 2, size(__arr) - 1)"),
+        struct(element_at(col("__arr"), 1).getField("__v").as("l"),
+          lit(0.0).as("b")),
+        (st, e) => {
+          val lNew = a * e.getField("__v") +
+            a1 * (st.getField("l") + st.getField("b"))
+          struct(lNew.as("l"),
+            (bb * (lNew - st.getField("l")) +
+              b1 * st.getField("b")).as("b"))
+        }))
+      .select(col(keyCol), col("n_obs"),
+        col("__st.l").as("level"), col("__st.b").as("trend"),
+        (col("__st.l") + col("__st.b")).as("forecast_1"))
+  }
 }

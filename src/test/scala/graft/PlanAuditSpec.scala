@@ -43,6 +43,16 @@ class PlanAuditSpec extends SparkSpec {
       s"q02 scan not column-pruned: $readSchema")
   }
 
+  test("z-order value computation is row-local (no hash exchange)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = SparkEntry.queries("q177_zorder")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // buckets + interleave must fuse into the scan stage; the only
+    // exchange is the final sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q177 shuffled a row-local computation:\n$plan")
+  }
+
   test("row-local text queries add no exchange beyond their aggregation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // q19/q20/q25 are scan -> row-local expressions (+ optional final

@@ -53,4 +53,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a == Seq(0.0, 5.0, 10.0))
     assert(b == Seq(100.0, 50.0, 0.0))
   }
+
+  test("holtLinear runs the level/trend recurrence (hand-checked)") {
+    val df = Seq(
+      ("u", ts("2024-01-01 00:00:00"), 10.0),
+      ("u", ts("2024-01-01 00:01:00"), 12.0),
+      ("u", ts("2024-01-01 00:02:00"), 14.0),
+      ("s", ts("2024-01-01 00:00:00"), 5.0)).toDF("k", "ts", "v")
+    val out = rows(TimeSeries.holtLinear(df, "k", Seq($"ts".asc), "v",
+      alpha = 0.5, beta = 0.5).orderBy("k"))
+    // single point: level = y1, trend = 0, forecast = y1
+    assert(out.head == Seq("s", 1L, 5.0, 0.0, 5.0))
+    // u: l1=10,b1=0; l2=.5*12+.5*10=11, b2=.5*(11-10)=0.5;
+    //    l3=.5*14+.5*11.5=12.75, b3=.5*(12.75-11)+.5*.5=1.125
+    val Seq(_, n, l, b, f) = out(1)
+    assert(n == 3L && l == 12.75 && b == 1.125 && f == 13.875)
+  }
+
+  test("holtLinear tracks a perfect linear series exactly in the limit") {
+    // alpha, beta near 1 -> level ~ last value, trend ~ last diff
+    val pts = (1 to 20).map(i => ("k", ts(f"2024-01-01 00:${i}%02d:00"),
+      3.0 * i))
+    val out = rows(TimeSeries.holtLinear(pts.toDF("k", "ts", "v"), "k",
+      Seq($"ts".asc), "v", alpha = 0.9, beta = 0.9))
+    val Seq(Seq(_, _, l, b, f)) = out
+    assert(math.abs(l.asInstanceOf[Double] - 60.0) < 0.1)
+    assert(math.abs(b.asInstanceOf[Double] - 3.0) < 0.1)
+    assert(math.abs(f.asInstanceOf[Double] - 63.0) < 0.2)
+  }
 }
