@@ -237,6 +237,41 @@ object MiningQueries {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // Residual IVF-PQ — the production billion-vector form: vectors
+    // PQ-encoded as (x - coarse centroid) so one codebook covers only
+    // the residual distribution; the query's ADC table is built per
+    // probed cluster from that cluster's query residual. Candidates
+    // never decompress; the corpus scan factor is still nprobe/nlist.
+    "q180_ivfpq_residual" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.assignToCentroids(emb, "embedding",
+        "vec_id", cents)
+      def toD(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.cast("double"))
+      val res = assigned
+        .join(broadcast(cents), col("cluster") === col("cid"))
+        .select(col("vec_id"), col("cluster"),
+          zip_with(toD(col("embedding")), toD(col("cvec")),
+            (x, c) => x - c).as("res"))
+      val cb = Quantize.pqCodebook(res, "res", "vec_id",
+        m = PqM, k = PqK, iters = Iters, dim = Dim)
+      val codes = Quantize.pqEncode(res, cb, "res", "vec_id", PqM, Dim)
+        .join(res.select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      val probed = Similarity.probedCentroids(cents,
+        NorthStar.queryVecCol, nprobe = 2).collect().map(_.get(0))
+      val qres = cents.where(col("cid").isin(probed.toSeq: _*))
+        .select(col("cid").cast("long").as("cluster"),
+          zip_with(NorthStar.queryVecCol, toD(col("cvec")),
+            (x, c) => x - c).as("qres"))
+      Quantize.residualAdcTopK(
+          codes.where(col("cluster").isin(probed.toSeq: _*)),
+          qres, cb, "qres", "vec_id", m = PqM, dim = Dim, k = 10)
+        .orderBy("adc_dist", "vec_id")
+    }),
+
     // Margin-based pair mining between two label slices (bitext-mining
     // scoring): cosine relative to both sides' k-NN neighborhoods, so
     // hub vectors don't flood the ranking. Exact cross over the
@@ -284,17 +319,23 @@ object MiningQueries {
     s"""list_sum(list_transform(generate_series(1, $dim),
        |  i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))""".stripMargin
 
-  /** Quantize.pqCodebook/pqEncode unrolled as CTEs: subvectors `sub`,
+  /** Quantize.pqCodebook/pqEncode unrolled as CTEs over a `base(id, v)`
+    * CTE the caller must have defined (raw doubles): subvectors `sub`,
     * seed codebook c0, pass-1 assignment a1, refreshed codebook c1
     * (components rounded to 6 dp, exactly as the Spark side does),
-    * final assignment a2(id, m, code, d). Shared by q168-q170. */
-  private def pqSql: String = {
+    * final assignment a2(id, m, code, d). Shared by q168-q170 (base =
+    * raw embeddings), q174, and q180 (base = coarse residuals). */
+  /** The raw-embedding `base(id, v)` CTE [[pqSteps]] trains over in
+    * q168-q170/q174 (q180 substitutes coarse residuals). */
+  private def pqRawBase: String =
+    """base AS (SELECT vec_id AS id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private def pqSteps: String = {
     val sub = Dim / PqM
     def l2(a: String, b: String) = l2Sql(a, b, sub)
-    s"""base AS (SELECT vec_id AS id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |sub AS (SELECT id, m, v[m*$sub+1 : m*$sub+$sub] AS sv
+    s"""sub AS (SELECT id, m, v[m*$sub+1 : m*$sub+$sub] AS sv
        |        FROM base CROSS JOIN
        |          (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) ms),
        |sd AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS code
@@ -421,12 +462,14 @@ object MiningQueries {
          |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q168_pq_codebook" ->
-      s"""WITH $pqSql
+      s"""WITH $pqRawBase,
+         |$pqSteps
          |SELECT m AS subspace, code, i - 1 AS component, mu AS value
          |FROM m1 ORDER BY subspace, code, component""".stripMargin,
 
     "q169_pq_encode" ->
-      s"""WITH $pqSql
+      s"""WITH $pqRawBase,
+         |$pqSteps
          |SELECT id AS vec_id,
          |  max(CASE WHEN m = 0 THEN code END) AS code_0,
          |  max(CASE WHEN m = 1 THEN code END) AS code_1,
@@ -436,7 +479,8 @@ object MiningQueries {
          |FROM a2 GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "q170_pq_adc" ->
-      s"""WITH $pqSql,
+      s"""WITH $pqRawBase,
+         |$pqSteps,
          |qs AS (SELECT id FROM base ORDER BY id LIMIT 3),
          |dt AS (SELECT s.id AS qid, s.m, c.code,
          |         ${l2Sql("s.sv", "c.cvec", Dim / PqM)} AS dq
@@ -461,7 +505,8 @@ object MiningQueries {
 
     "q174_ivf_pq" -> {
       val sub = Dim / PqM
-      s"""WITH $pqSql,
+      s"""WITH $pqRawBase,
+         |$pqSteps,
          |cent AS (SELECT vec_id AS cid, embedding AS cvec
          |         FROM embeddings WHERE vec_id < 16),
          |asgn AS (SELECT e.vec_id, c.cid,
@@ -491,6 +536,55 @@ object MiningQueries {
          |SELECT sc.id AS vec_id, cl.cluster, sc.adc_dist
          |FROM sc JOIN clustered cl ON cl.vec_id = sc.id
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin
+    },
+
+    "q180_ivfpq_residual" -> {
+      val sub = Dim / PqM
+      val qv = s"CAST((${NorthStar.queryVecSql})[i] AS DOUBLE)"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+         |              FROM embeddings WHERE vec_id < 16),
+         |asgn AS (SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${NorthStar.cosineSql("e.embedding", "c.cvec", Dim)} DESC,
+         |      c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN cent c),
+         |clustered AS (SELECT vec_id, cid AS cluster FROM asgn
+         |              WHERE rk = 1),
+         |base AS (
+         |  SELECT e.vec_id AS id,
+         |    list_transform(generate_series(1, $Dim),
+         |      i -> CAST(e.embedding[i] AS DOUBLE)
+         |           - CAST(c.cvec[i] AS DOUBLE)) AS v
+         |  FROM embeddings e
+         |  JOIN clustered cl ON cl.vec_id = e.vec_id
+         |  JOIN cent c ON c.cid = cl.cluster),
+         |$pqSteps,
+         |probed AS (SELECT cid AS cluster FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY
+         |      ${NorthStar.cosineSql("cvec", NorthStar.queryVecSql, Dim)}
+         |        DESC, cid) AS rk
+         |    FROM cent) zz WHERE rk <= 2),
+         |qres AS (
+         |  SELECT c.cid AS cluster,
+         |    list_transform(generate_series(1, $Dim),
+         |      i -> $qv - CAST(c.cvec[i] AS DOUBLE)) AS v
+         |  FROM cent c JOIN probed p ON c.cid = p.cluster),
+         |qsub AS (SELECT cluster, m, v[m*$sub+1 : m*$sub+$sub] AS sv
+         |         FROM qres CROSS JOIN
+         |           (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) ms2),
+         |dt AS (SELECT q.cluster, q.m, c.code,
+         |         ${l2Sql("q.sv", "c.cvec", sub)} AS dq
+         |       FROM qsub q JOIN c1 c ON q.m = c.m),
+         |sc AS (SELECT a.id, cl.cluster, round(sum(dt.dq), 6) AS adc_dist
+         |       FROM a2 a
+         |       JOIN clustered cl ON cl.vec_id = a.id
+         |       JOIN dt ON dt.cluster = cl.cluster
+         |         AND a.m = dt.m AND a.code = dt.code
+         |       GROUP BY a.id, cl.cluster)
+         |SELECT id AS vec_id, cluster, adc_dist FROM (
+         |  SELECT *, row_number() OVER
+         |    (ORDER BY adc_dist, id) AS rk FROM sc) z
+         |WHERE rk <= 10 ORDER BY adc_dist, vec_id""".stripMargin
     },
 
     "q178_margin_pairs" -> {

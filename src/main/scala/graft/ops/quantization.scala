@@ -148,6 +148,37 @@ object Quantize {
       queries, codebook, embCol, idCol, qidCol, m, dim, k,
       excludeSelf = true)
 
+  /** ADC over RESIDUAL-encoded candidates — the production IVF-PQ
+    * form (Jégou 2011 §IV): vectors are PQ-encoded as x − coarse
+    * centroid, so one codebook only has to cover the residual
+    * distribution, not the whole space. The query's distance table is
+    * therefore PER PROBED CLUSTER (q − centroid_c differs per c):
+    * `clusterQueries` is (cluster, embCol = that cluster's query
+    * residual), `codes` is (idCol, cluster, codes). Table size is
+    * nprobe×m×k — still broadcast — and candidates join on
+    * (cluster, subspace, code): no corpus shuffle before the partial
+    * sum. Returns the k best (idCol, cluster, adc_dist). */
+  def residualAdcTopK(codes: DataFrame, clusterQueries: DataFrame,
+                      codebook: DataFrame, embCol: String, idCol: String,
+                      m: Int, dim: Int, k: Int): DataFrame = {
+    val codesLong = codes.select(col(idCol).as("__id"), col("cluster"),
+      posexplode(col("codes")).as(Seq("__m", "__code")))
+    val dtable = subvectors(clusterQueries, embCol, "cluster", m, dim)
+      .withColumnRenamed("__id", "cluster")
+      .join(broadcast(codebook.select(col("subspace").as("__m"),
+        col("code").as("__code"), col("cvec").as("__cvec"))), "__m")
+      .select(col("cluster"), col("__m"), col("__code"),
+        l2sq(col("__sv"), col("__cvec")).as("__dq"))
+    codesLong.join(broadcast(dtable), Seq("cluster", "__m", "__code"))
+      .groupBy(col("__id"), col("cluster"))
+      .agg(round(sum(col("__dq")) /
+        (count(lit(1)) / lit(m)).cast("double"), 6).as("adc_dist"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("adc_dist"), col("__id"))))
+      .where(col("__rk") <= k)
+      .select(col("__id").as(idCol), col("cluster"), col("adc_dist"))
+  }
+
   /** [[pqAdcTopK]] over ALREADY-ENCODED vectors — the serving path of
     * a persisted PQ index (e.g.
     * [[graft.streaming.Streaming.pqIndexSink]]), where codes were
