@@ -604,7 +604,8 @@ object Streaming {
   def pqIndexSink(vectors: DataFrame, embCol: String, idCol: String,
                   centroids: DataFrame, codebook: DataFrame,
                   m: Int, dim: Int,
-                  indexDir: String, checkpoint: String) =
+                  indexDir: String, checkpoint: String,
+                  residual: Boolean = false) =
     vectors.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -612,10 +613,27 @@ object Streaming {
         if (!batch.isEmpty) {
           val assigned = graft.ops.Similarity.assignToCentroids(
             batch, embCol, idCol, centroids)
-          val codes = graft.ops.Quantize.pqEncode(
-            batch, codebook, embCol, idCol, m, dim)
-          assigned.select(col(idCol), col("cluster"))
-            .join(codes, idCol) // batch-scale both sides
+          val codes =
+            if (!residual)
+              assigned.select(col(idCol), col("cluster"))
+                .join(graft.ops.Quantize.pqEncode(
+                  batch, codebook, embCol, idCol, m, dim), idCol)
+            else {
+              // production form: encode x - coarse centroid, so the
+              // pinned codebook only covers the residual distribution
+              val res = assigned
+                .join(broadcast(centroids),
+                  col("cluster") === col("cid"))
+                .select(col(idCol), col("cluster"),
+                  zip_with(
+                    transform(col(embCol), x => x.cast("double")),
+                    transform(col("cvec"), x => x.cast("double")),
+                    (x, c) => x - c).as("__res"))
+              res.select(col(idCol), col("cluster"))
+                .join(graft.ops.Quantize.pqEncode(
+                  res, codebook, "__res", idCol, m, dim), idCol)
+            }
+          codes
             .write.mode("overwrite").partitionBy("cluster")
             .parquet(s"$indexDir/batch=$batchId")
         }
@@ -632,19 +650,32 @@ object Streaming {
                        centroids: DataFrame, codebook: DataFrame,
                        queryVec: Column, nprobe: Int, k: Int,
                        m: Int, dim: Int, idCol: String = "id",
-                       widenMargin: Double = -1.0): DataFrame = {
+                       widenMargin: Double = -1.0,
+                       residual: Boolean = false): DataFrame = {
     val probed = graft.ops.Similarity
       .probedCentroidsAdaptive(centroids, queryVec, nprobe, widenMargin)
       .collect().map(_.get(0))
     val lists = spark.read.parquet(indexDir)
       .where(col("cluster").isin(probed.toSeq: _*))
-    val qdf = spark.range(1).select(lit(0L).as("__q"),
-      queryVec.as("__qv"))
-    graft.ops.Quantize.adcTopKOverCodes(
-        lists.select(col(idCol), col("codes")), qdf, codebook,
-        "__qv", idCol, "__q", m, dim, k)
-      .join(lists.select(col(idCol), col("cluster")), idCol)
-      .select(col(idCol), col("cluster"), col("adc_dist"))
+    if (!residual) {
+      val qdf = spark.range(1).select(lit(0L).as("__q"),
+        queryVec.as("__qv"))
+      graft.ops.Quantize.adcTopKOverCodes(
+          lists.select(col(idCol), col("codes")), qdf, codebook,
+          "__qv", idCol, "__q", m, dim, k)
+        .join(lists.select(col(idCol), col("cluster")), idCol)
+        .select(col(idCol), col("cluster"), col("adc_dist"))
+    } else {
+      // per-cluster query residuals drive a per-cluster distance table
+      val qres = centroids.where(col("cid").isin(probed.toSeq: _*))
+        .select(col("cid").cast("long").as("cluster"),
+          zip_with(transform(queryVec, x => x.cast("double")),
+            transform(col("cvec"), x => x.cast("double")),
+            (x, c) => x - c).as("__qres"))
+      graft.ops.Quantize.residualAdcTopK(
+        lists.select(col(idCol), col("cluster"), col("codes")),
+        qres, codebook, "__qres", idCol, m, dim, k)
+    }
   }
 
   /** Query a [[vectorIndexSink]] index: cosine top-k against the

@@ -889,6 +889,63 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); codebook.unpersist() }
   }
 
+  test("pqIndexSink residual mode matches the batch residual IVF-PQ") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqres").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def toD(c: org.apache.spark.sql.Column) =
+      transform(c, x => x.cast("double"))
+    // batch residual frame + codebook (pinned for the index lifetime)
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb, "embedding", "vec_id", centroids)
+    val res = assigned
+      .join(broadcast(centroids), col("cluster") === col("cid"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(toD(col("embedding")), toD(col("cvec")),
+          (x, c) => x - c).as("res"))
+    val codebook = graft.ops.Quantize.pqCodebook(res, "res", "vec_id",
+      m = 4, k = 8, iters = 2, dim = 64).cache()
+    codebook.count()
+    val qv = {
+      val v = emb.where(col("vec_id") === 23L)
+        .select("embedding").as[Array[Float]].collect().head
+      array(v.toIndexedSeq.map(lit): _*)
+    }
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.pqIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      centroids, codebook, m = 4, dim = 64,
+      s"$tmp/index", s"$tmp/ckpt", residual = true).start()
+    try {
+      val all = emb.as[(Long, Array[Float])].collect()
+      all.grouped((all.length + 1) / 2).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = Streaming.ivfPqSearchIndex(spark, s"$tmp/index",
+          centroids, codebook, qv, nprobe = 3, k = 10, m = 4, dim = 64,
+          idCol = "vec_id", residual = true)
+        .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+      // batch equivalent (the q180 assembly over the same vectors)
+      val probed = graft.ops.Similarity.probedCentroids(centroids, qv, 3)
+        .collect().map(_.get(0))
+      val codes = graft.ops.Quantize.pqEncode(res, codebook, "res",
+          "vec_id", m = 4, dim = 64)
+        .join(res.select(col("vec_id"), col("cluster")), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      val qres = centroids.where(col("cid").isin(probed.toSeq: _*))
+        .select(col("cid").cast("long").as("cluster"),
+          zip_with(toD(qv), toD(col("cvec")), (x, c) => x - c).as("qr"))
+      val expected = graft.ops.Quantize.residualAdcTopK(
+          codes.where(col("cluster").isin(probed.toSeq: _*)),
+          qres, codebook, "qr", "vec_id", m = 4, dim = 64, k = 10)
+        .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+      assert(got === expected)
+    } finally { q.stop(); codebook.unpersist() }
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops on its own") {
     // batch-drain mode: process everything that exists, checkpoint,
     // terminate — the scheduled-ingest shape (cron-like catch-up runs)
