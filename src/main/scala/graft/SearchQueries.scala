@@ -271,8 +271,29 @@ object SearchQueries {
       Retrieval.rrfFuse(lex, sem, "doc_id", "score", RrfDepth, RrfK0)
         .orderBy(col("rrf_score").desc, col("doc_id").asc)
         .limit(15)
+    }),
+
+    // MMR diversity re-rank over the cosine top-10: greedily pick 5
+    // maximizing relevance minus similarity-to-already-picked — the
+    // serving-side pass that keeps near-duplicate passages from
+    // crowding a RAG context window. Entirely row-local after the
+    // 10-candidate prune.
+    "q181_mmr" -> ((s, dir) => {
+      val cand = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosine(col("embedding"), queryVecCol).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(10)
+      Retrieval.mmrRerank(cand, "embedding", "vec_id", "rel",
+          k = MmrK, lam = MmrLambda)
+        .select(col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("mmr_score"), 6).as("mmr_score"))
+        .orderBy("rank")
     })
   )
+
+  /** q181 MMR depth and relevance/diversity trade-off. */
+  private val MmrK = 5
+  private val MmrLambda = 0.5
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -559,6 +580,39 @@ object SearchQueries {
         |      + coalesce(1.0 / ($RrfK0 + rank_b), 0), 6) AS rrf_score
         |FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id
         |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin
+    },
+
+    "q181_mmr" -> {
+      val cosQ = NorthStar.cosineSql("embedding", queryVecSql, 64)
+      val cosAb = NorthStar.cosineSql("a.embedding", "b.embedding", 64)
+      s"""WITH RECURSIVE cand AS (
+         |  SELECT vec_id, embedding, rel FROM (
+         |    SELECT vec_id, embedding, $cosQ AS rel FROM embeddings
+         |    ORDER BY rel DESC, vec_id LIMIT 10)),
+         |pairs AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, $cosAb AS sim
+         |  FROM cand a CROSS JOIN cand b),
+         |mmr AS (
+         |  SELECT 1 AS rank, vec_id, [vec_id] AS sel,
+         |    $MmrLambda * rel AS score
+         |  FROM (SELECT vec_id, rel, row_number() OVER
+         |          (ORDER BY $MmrLambda * rel DESC, vec_id) AS rk
+         |        FROM cand) WHERE rk = 1
+         |  UNION ALL
+         |  SELECT m.rank + 1, z.vec_id, list_append(m.sel, z.vec_id),
+         |    z.sc
+         |  FROM mmr m JOIN LATERAL (
+         |    SELECT c.vec_id,
+         |      $MmrLambda * c.rel - ${1.0 - MmrLambda} * coalesce(
+         |        (SELECT max(p.sim) FROM pairs p
+         |         WHERE p.ia = c.vec_id AND list_contains(m.sel, p.ib)),
+         |        0.0) AS sc
+         |    FROM cand c WHERE NOT list_contains(m.sel, c.vec_id)
+         |    ORDER BY sc DESC, c.vec_id LIMIT 1) z ON true
+         |  WHERE m.rank < $MmrK)
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+         |  round(score, 6) AS mmr_score
+         |FROM mmr ORDER BY rank""".stripMargin
     }
   )
 }

@@ -268,4 +268,66 @@ object Retrieval {
       .select(col(sourceCol), col("n_docs"), col("p_raw"), col("p_temp"),
         col("n_target"))
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` of the candidates maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the diversity pass
+    * a RAG serving layer runs AFTER ANN top-n, so near-duplicate
+    * passages don't crowd the context window. `cands` is
+    * (idCol, embCol, relCol) — a SMALL frame (the top-n, already
+    * pruned); the pairwise sim matrix, packing and the greedy fold are
+    * all over n² ≤ a few hundred rows, driver-free and deterministic
+    * (ties toward the lower id; empty-selection penalty = 0, the
+    * standard convention). Returns (rank, idCol, mmr_score). */
+  def mmrRerank(cands: DataFrame, embCol: String, idCol: String,
+                relCol: String, k: Int, lam: Double): DataFrame = {
+    require(lam >= 0 && lam <= 1, s"lambda in [0,1], got $lam")
+    val a = cands.select(col(idCol).as("__ia"), col(embCol).as("__va"),
+      col(relCol).as("__rel"))
+    val b = cands.select(col(idCol).as("__ib"), col(embCol).as("__vb"))
+    val pairs = a.crossJoin(broadcast(b))
+      .select(col("__ia"), col("__rel"), col("__ib"),
+        Similarity.cosine(col("__va"), col("__vb")).as("__sim"))
+    val packed = pairs
+      .groupBy("__ia", "__rel")
+      .agg(array_sort(collect_list(struct(col("__ib"), col("__sim"))))
+        .as("__sims"))
+      .agg(array_sort(collect_list(struct(col("__ia"), col("__rel"),
+        col("__sims")))).as("__cands"))
+    val nullPick =
+      lit(null).cast("struct<id:bigint,score:double>")
+    val sel = aggregate(
+      sequence(lit(1), lit(k)),
+      expr("CAST(array() AS ARRAY<STRUCT<rank: INT, id: BIGINT, score: DOUBLE>>)"),
+      (selAcc, step) => {
+        val best = aggregate(col("__cands"), nullPick, (bst, c) => {
+          val already = exists(selAcc,
+            s => s.getField("id") === c.getField("__ia"))
+          val pen = coalesce(
+            aggregate(
+              filter(c.getField("__sims"), p => exists(selAcc,
+                s => s.getField("id") === p.getField("__ib"))),
+              lit(null).cast("double"),
+              (m, p) => when(m.isNull || p.getField("__sim") > m,
+                p.getField("__sim")).otherwise(m)),
+            lit(0.0))
+          val score = lit(lam) * c.getField("__rel") -
+            lit(1.0 - lam) * pen
+          val pick = struct(c.getField("__ia").as("id"),
+            score.as("score"))
+          when(already, bst)
+            .when(bst.isNull, pick)
+            .when(score > bst.getField("score"), pick)
+            .when(score === bst.getField("score") &&
+              c.getField("__ia") < bst.getField("id"), pick)
+            .otherwise(bst)
+        })
+        concat(selAcc, array(struct(step.cast("int").as("rank"),
+          best.getField("id").as("id"),
+          best.getField("score").as("score"))))
+      })
+    packed.select(explode(sel).as("__s"))
+      .select(col("__s.rank").as("rank"), col("__s.id").as(idCol),
+        col("__s.score").as("mmr_score"))
+  }
 }
