@@ -95,13 +95,14 @@ object NorthStar {
     * numHashes=8, bands=4: 28-bit md5-prefix base hash, then per-seed
     * universal-hash mixing with the SAME (a_i, b_i) literals the Spark
     * expressions use (Text.minhashParams — generated, do not hand-edit). */
-  private[graft] def minhashPairsSql(toks: String): String = {
+  private[graft] def minhashPairsSql(toks: String,
+                                     where: String = ""): String = {
     val m = Text.MinhashMod
     val params = (0 until 8).map { i =>
       val (a, b) = Text.minhashParams(i); s"[$a, $b]"
     }.mkString(", ")
     s"""WITH toks AS (
-       |  SELECT doc_id, $toks AS t FROM documents),
+       |  SELECT doc_id, $toks AS t FROM documents $where),
        |sh AS (
        |  SELECT doc_id, ${shinglesSql("t", 3)} AS s FROM toks),
        |hv AS (
@@ -181,6 +182,30 @@ object NorthStar {
           "text", "doc_id", n = 3, minJaccard = 0.0,
           blockingKey = _ => col("lang"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Dedup QA gate (the q150 recall check applied to MinHash-LSH):
+    // on a bounded slice, compare the banded candidate set against
+    // ground-truth 3-shingle Jaccard >= 0.5 pairs — LSH is useless if
+    // its bands stop catching true near-dups or flood with noise, so
+    // this runs wherever band/hash parameters change. Precision may
+    // legitimately sit well below 1 (bands are a prefilter); recall is
+    // the number that must stay high.
+    "q182_minhash_qa" -> ((s, dir) => {
+      val slice = rd(s, dir, "documents").where(col("doc_id") < 300)
+      val cand = Dedup.minhashCandidatePairs(slice, "text", "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3)
+      val truth = Dedup.ngramJaccardPairs(slice, "text", "doc_id",
+        n = 3, minJaccard = 0.5, blockingKey = _ => lit(1))
+      val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cand"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            expr("nullif(n_cand, 0)"), 6).as("precision"),
+          round(col("n_hit").cast("double") /
+            expr("nullif(n_true, 0)"), 6).as("recall"))
     }),
 
     // Dedup: SimHash values + prefix bucket (the near-dup key itself)
@@ -513,6 +538,28 @@ object NorthStar {
         s"""${minhashPairsSql(toks)}
            |SELECT id_a, id_b FROM pairs
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q182_minhash_qa" ->
+        s"""${minhashPairsSql(toks, "WHERE doc_id < 300")},
+           |f AS (
+           |  SELECT doc_id, list_distinct(${shinglesSql("t", 3)}) AS sh
+           |  FROM toks),
+           |tp AS (
+           |  SELECT a.doc_id AS ia, b.doc_id AS ib
+           |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |          AS DOUBLE), 6) >= 0.5),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM pairs),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
+           |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           |       FROM pairs p JOIN tp ON p.id_a = tp.ia AND p.id_b = tp.ib)
+           |SELECT n_cand, n_true, n_hit,
+           |  round(CAST(n_hit AS DOUBLE) / nullif(n_cand, 0), 6)
+           |    AS precision,
+           |  round(CAST(n_hit AS DOUBLE) / nullif(n_true, 0), 6)
+           |    AS recall
+           |FROM nc, nt, nh""".stripMargin,
 
       "q58_rolling_hash" ->
         s"""WITH t AS (
