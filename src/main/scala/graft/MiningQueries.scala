@@ -319,12 +319,6 @@ object MiningQueries {
     s"""list_sum(list_transform(generate_series(1, $dim),
        |  i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])))""".stripMargin
 
-  /** Quantize.pqCodebook/pqEncode unrolled as CTEs over a `base(id, v)`
-    * CTE the caller must have defined (raw doubles): subvectors `sub`,
-    * seed codebook c0, pass-1 assignment a1, refreshed codebook c1
-    * (components rounded to 6 dp, exactly as the Spark side does),
-    * final assignment a2(id, m, code, d). Shared by q168-q170 (base =
-    * raw embeddings), q174, and q180 (base = coarse residuals). */
   /** The raw-embedding `base(id, v)` CTE [[pqSteps]] trains over in
     * q168-q170/q174 (q180 substitutes coarse residuals). */
   private def pqRawBase: String =
@@ -332,6 +326,12 @@ object MiningQueries {
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings)""".stripMargin
 
+  /** Quantize.pqCodebook/pqEncode unrolled as CTEs over a `base(id, v)`
+    * CTE the caller must have defined (raw doubles): subvectors `sub`,
+    * seed codebook c0, pass-1 assignment a1, refreshed codebook c1
+    * (components rounded to 6 dp, exactly as the Spark side does),
+    * final assignment a2(id, m, code, d). Shared by q168-q170 (base =
+    * raw embeddings), q174, and q180 (base = coarse residuals). */
   private def pqSteps: String = {
     val sub = Dim / PqM
     def l2(a: String, b: String) = l2Sql(a, b, sub)

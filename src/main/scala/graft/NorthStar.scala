@@ -193,10 +193,12 @@ object NorthStar {
     // the number that must stay high.
     "q182_minhash_qa" -> ((s, dir) => {
       val slice = rd(s, dir, "documents").where(col("doc_id") < 300)
+      // both frames feed two aggregates each — cache so the signature
+      // pipeline and the O(slice²) truth join run once, not twice
       val cand = Dedup.minhashCandidatePairs(slice, "text", "doc_id",
-        numHashes = 8, bands = 4, shingleSize = 3)
+        numHashes = 8, bands = 4, shingleSize = 3).cache()
       val truth = Dedup.ngramJaccardPairs(slice, "text", "doc_id",
-        n = 3, minJaccard = 0.5, blockingKey = _ => lit(1))
+        n = 3, minJaccard = 0.5, blockingKey = _ => lit(1)).cache()
       val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
       cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(truth.agg(count(lit(1)).as("n_true")))

@@ -278,13 +278,23 @@ object Retrieval {
     * pruned); the pairwise sim matrix, packing and the greedy fold are
     * all over n² ≤ a few hundred rows, driver-free and deterministic
     * (ties toward the lower id; empty-selection penalty = 0, the
-    * standard convention). Returns (rank, idCol, mmr_score). */
+    * standard convention). Returns (rank, idCol, mmr_score) —
+    * min(k, candidate count) rows; ids must be integral (the packed
+    * fold carries them as BIGINT). */
   def mmrRerank(cands: DataFrame, embCol: String, idCol: String,
                 relCol: String, k: Int, lam: Double): DataFrame = {
     require(lam >= 0 && lam <= 1, s"lambda in [0,1], got $lam")
-    val a = cands.select(col(idCol).as("__ia"), col(embCol).as("__va"),
-      col(relCol).as("__rel"))
-    val b = cands.select(col(idCol).as("__ib"), col(embCol).as("__vb"))
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType)
+        .contains(cands.schema(idCol).dataType),
+      s"$idCol must be an integral id column, got " +
+        cands.schema(idCol).dataType.simpleString)
+    val a = cands.select(col(idCol).cast("long").as("__ia"),
+      col(embCol).as("__va"), col(relCol).as("__rel"))
+    val b = cands.select(col(idCol).cast("long").as("__ib"),
+      col(embCol).as("__vb"))
     val pairs = a.crossJoin(broadcast(b))
       .select(col("__ia"), col("__rel"), col("__ib"),
         Similarity.cosine(col("__va"), col("__vb")).as("__sim"))
@@ -327,6 +337,9 @@ object Retrieval {
           best.getField("score").as("score"))))
       })
     packed.select(explode(sel).as("__s"))
+      // steps past the candidate count pick nothing — drop them
+      // rather than emit phantom null-id rows
+      .where(col("__s.id").isNotNull)
       .select(col("__s.rank").as("rank"), col("__s.id").as(idCol),
         col("__s.score").as("mmr_score"))
   }

@@ -655,8 +655,21 @@ object Streaming {
     val probed = graft.ops.Similarity
       .probedCentroidsAdaptive(centroids, queryVec, nprobe, widenMargin)
       .collect().map(_.get(0))
-    val lists = spark.read.parquet(indexDir)
+    // latest-wins over re-ingested ids: an id re-fed with CHANGED data
+    // in a later batch would otherwise average its old and new ADC
+    // distances into a vector that never existed. The dedup window
+    // runs over the PRUNED lists only (nprobe/nlist of the index), so
+    // its shuffle is bounded by the probed rows a query reads anyway.
+    // After compaction every row carries batch = -1; remaining
+    // duplicates are identical-code re-feeds, where any pick is right
+    // — resolve true updates before compacting.
+    val pruned = spark.read.parquet(indexDir)
       .where(col("cluster").isin(probed.toSeq: _*))
+    val lists = pruned
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("batch").desc)))
+      .where(col("__rn") === 1).drop("__rn", "batch")
     if (!residual) {
       val qdf = spark.range(1).select(lit(0L).as("__q"),
         queryVec.as("__qv"))

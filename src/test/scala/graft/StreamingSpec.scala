@@ -889,6 +889,50 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); codebook.unpersist() }
   }
 
+  test("ivfPqSearchIndex: a re-ingested id resolves latest-wins, not averaged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqlw").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val codebook = graft.ops.Quantize.pqCodebook(emb, "embedding",
+      "vec_id", m = 4, k = 8, iters = 2, dim = 64).cache()
+    codebook.count()
+    val all = emb.as[(Long, Array[Float])].collect()
+    val qv = array(all.find(_._1 == 11L).get._2.toIndexedSeq.map(lit): _*)
+    val stale = all.head            // id X, original vector
+    val fresh = (stale._1, all(7)._2) // id X re-ingested with NEW data
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.pqIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      centroids, codebook, m = 4, dim = 64,
+      s"$tmp/index", s"$tmp/ckpt").start()
+    try {
+      in.addData(all.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(fresh); q.processAllAvailable()
+      // expected = batch computation over the corpus with X REPLACED
+      val latestRows = all.map(r => if (r._1 == fresh._1) fresh else r)
+      val latest = latestRows.toIndexedSeq.toDF("vec_id", "embedding")
+      val got = Streaming.ivfPqSearchIndex(spark, s"$tmp/index",
+          centroids, codebook, qv, nprobe = 8, k = all.length,
+          m = 4, dim = 64, idCol = "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val assigned = graft.ops.Similarity.assignToCentroids(
+        latest, "embedding", "vec_id", centroids)
+      val qdf = spark.range(1).select(lit(-1L).as("__q"), qv.as("__qv"))
+      val expected = graft.ops.Quantize.adcTopKOverCodes(
+          graft.ops.Quantize.pqEncode(latest, codebook, "embedding",
+            "vec_id", m = 4, dim = 64).select(col("vec_id"), col("codes")),
+          qdf, codebook, "__qv", "vec_id", "__q", m = 4, dim = 64,
+          k = all.length)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(got(fresh._1) === expected(fresh._1),
+        "re-ingested id must score by its LATEST encoding")
+      assert(got === expected)
+    } finally { q.stop(); codebook.unpersist() }
+  }
+
   test("pqIndexSink residual mode matches the batch residual IVF-PQ") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pqres").toString
     val emb = spark.read
