@@ -241,6 +241,15 @@ object ScaleProbe {
     println(s"[probe] events: $eTotal ($ev0 base x $replicas)")
     time("resample 6h linear", eTotal, "events/s")(
       TimeSeries.resampleLinear(events, "user_id", "ts", "value", 21600))
+
+    // z-order layout clustering of the replicated event stream: the
+    // write-side pass (range repartition + in-partition sort on the
+    // interleaved value) — row-local math, one range exchange
+    time("z-order cluster (2 dims)", eTotal, "events/s")(
+      Layout.zorderBy(events,
+        col("user_id"), 0.0, (maxUser + 1).toDouble * replicas,
+        col("value"), 0.0, 500.0, bits = 8,
+        numPartitions = spark.sparkContext.defaultParallelism))
     events.unpersist()
 
     // ------------------------------------------------- similarity family
