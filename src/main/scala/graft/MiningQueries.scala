@@ -242,6 +242,10 @@ object MiningQueries {
     // the residual distribution; the query's ADC table is built per
     // probed cluster from that cluster's query residual. Candidates
     // never decompress; the corpus scan factor is still nprobe/nlist.
+    // (The lazy plan recomputes the residual frame once per consumer —
+    // codebook, codes, cluster attach; a production offline build
+    // persists `res` once. Streaming.pqIndexSink(residual = true) IS
+    // that materialized form, per batch.)
     "q180_ivfpq_residual" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id") < 16)
