@@ -246,6 +246,26 @@ object NorthStar {
         .orderBy("lang", "split")
     }),
 
+    // Leakage-safe GROUP-aware split: the q55 hash split keyed on the
+    // GROUP (source domain) instead of the document, so every document
+    // of a source lands in the same split — near-duplicates within a
+    // domain can never straddle train/test, the leakage the per-doc
+    // split cannot prevent. Output proves the invariant: one split per
+    // source, with per-split totals.
+    "q183_group_split" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .withColumn("split", Sampling.splitLabel(col("source")))
+      val per = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          min("split").as("split"))
+      per.groupBy("split")
+        .agg(count(lit(1)).as("n_sources"),
+          sum("n_docs").as("n_docs"),
+          max("n_splits").as("max_splits_per_source"))
+        .orderBy("split")
+    }),
+
     // Pipeline: train/test contamination detection — the eval-integrity
     // check every training-data pipeline needs: which test documents
     // share a content fingerprint (order/duplicate-insensitive token
@@ -646,6 +666,29 @@ object NorthStar {
            |  FROM b)
            |SELECT lang, split, count(*) AS n, min(doc_id) AS min_doc
            |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+      "q183_group_split" ->
+        s"""WITH b AS (
+           |  SELECT source,
+           |    (strpos('0123456789abcdef', md5(source)[1:1]) - 1) * 16
+           |    + (strpos('0123456789abcdef', md5(source)[2:2]) - 1)
+           |      AS bucket
+           |  FROM documents),
+           |s AS (
+           |  SELECT source,
+           |    CASE WHEN bucket < 204 THEN 'train'
+           |         WHEN bucket < 230 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM b),
+           |per AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           |    min(split) AS split
+           |  FROM s GROUP BY source)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_sources,
+           |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |  CAST(max(n_splits) AS BIGINT) AS max_splits_per_source
+           |FROM per GROUP BY split ORDER BY split""".stripMargin,
 
       "q53_pii_redact" ->
         s"""WITH d AS (
