@@ -213,6 +213,76 @@ object Multimodal {
     }(Encoders.product[ResizedImage])
   }
 
+  case class HashedImage(media_id: Long, decoded: Boolean, ahash: Long)
+
+  /** Perceptual average-hash (aHash) per image: REAL decode, 8×8
+    * integer block-average grayscale, one bit per cell against the
+    * 64-cell mean — near-identical images (re-encodes, slight noise,
+    * small crops) land within a few Hamming bits, so image-level
+    * dedup composes with the existing machinery: exact dup =
+    * hash-equality groupBy, near dup = the [[Dedup.simhashPairs]]
+    * prefix-bucket + Hamming-filter pattern over the 64-bit hash.
+    * The whole pipeline is floored integer arithmetic (luma =
+    * (299r+587g+114b)/1000, strict > mean), so a given payload hashes
+    * identically across runs and machines. Undecodable payloads pass
+    * through with decoded = false, hash 0. */
+  def imageAHash(df: DataFrame, idCol: String,
+                 payloadCol: String): Dataset[HashedImage] = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          try {
+            if (bytes == null || bytes.isEmpty) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) HashedImage(id, decoded = false, 0L)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cells = new Array[Long](64)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              // integer block bounds cover every pixel exactly once
+              val x0 = i * w / 8; val x1 = math.max(x0 + 1, (i + 1) * w / 8)
+              val y0 = j * h / 8; val y1 = math.max(y0 + 1, (j + 1) * h / 8)
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < math.min(y1, h)) {
+                var x = x0
+                while (x < math.min(x1, w)) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (299L * ((rgb >> 16) & 0xff) +
+                    587L * ((rgb >> 8) & 0xff) +
+                    114L * (rgb & 0xff)) / 1000L
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              cells(j * 8 + i) = if (n == 0) 0L else sum / n
+              i += 1
+            }
+            j += 1
+          }
+          val mean = cells.sum / 64
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (cells(k) > mean) hash |= (1L << k)
+            k += 1
+          }
+          HashedImage(id, decoded = true, hash)
+        }
+      }
+    }(Encoders.product[HashedImage])
+  }
+
   /** Partition-batched decode over (id, kind, payload) rows — the Scala
     * analogue of a `mapInPandas` decode: one iterator per partition, so a
     * real codec could amortize model/codec init per partition exactly like

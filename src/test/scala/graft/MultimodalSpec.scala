@@ -77,6 +77,48 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("imageAHash: stable under re-encode/noise, far for different images") {
+    // a SMOOTH diagonal ramp (aHash's home turf — wrap-around
+    // gradients put every cell at the global mean, where no
+    // perceptual hash is stable); the same ramp with slight noise;
+    // and the inverted ramp as different content
+    def ramp(w: Int, h: Int, noise: Boolean = false,
+             invert: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val base = (x * 255 / w + y * 255 / h) / 2
+        val v0 = if (invert) 255 - base else base
+        val v = (v0 + (if (noise && (x + y) % 13 == 0) 6 else 0)).min(255)
+        img.setRGB(x, y, v << 8)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, ramp(64, 48)),
+      (2L, ramp(64, 48)),                // byte-identical dup
+      (3L, ramp(64, 48, noise = true)),  // near dup
+      (4L, ramp(64, 48, invert = true)), // different content
+      (5L, "garbage".getBytes("UTF-8"))  // undecodable
+    ).toDF("media_id", "payload")
+    val h = Multimodal.imageAHash(rows, "media_id", "payload")
+      .collect().map(r => r.media_id -> r).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L).decoded && h(1L).ahash === h(2L).ahash)
+    assert(ham(h(1L).ahash, h(3L).ahash) <= 8,
+      s"near-dup hamming ${ham(h(1L).ahash, h(3L).ahash)}")
+    assert(ham(h(1L).ahash, h(4L).ahash) >= 20,
+      s"different-image hamming ${ham(h(1L).ahash, h(4L).ahash)}")
+    assert(!h(5L).decoded && h(5L).ahash === 0L)
+    // exact image dedup is a plain groupBy on the hash
+    val dupGroups = Multimodal.imageAHash(rows, "media_id", "payload")
+      .where(col("decoded"))
+      .groupBy("ahash").count().where(col("count") > 1).count()
+    assert(dupGroups === 1L)
+  }
+
   test("decodeImagePartitions: REAL png/jpeg header decode, stub fallback") {
     val rows = Seq(
       (10L, syntheticImage(64, 48, "png")),
