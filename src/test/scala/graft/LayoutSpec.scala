@@ -25,6 +25,15 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0L, 0L, 15L, 15L, 0L))
   }
 
+  test("zValue2 is a bijection on the full 8-bit x 8-bit domain") {
+    val df = spark.range(65536).select(
+      (col("id") / 256).cast("long").as("a"),
+      (col("id") % 256).cast("long").as("b"))
+    val z = df.select(Layout.zValue2(col("a"), col("b"), 8).as("z"))
+    assert(z.agg(countDistinct("z")).head().getLong(0) === 65536L)
+    assert(z.agg(min("z"), max("z")).head().toSeq === Seq(0L, 65535L))
+  }
+
   test("z-ordered partitions bound the extent of BOTH dimensions") {
     // the z-order win over single-column range partitioning is not a
     // smaller bounding AREA (partitioning by user alone collapses the
