@@ -148,6 +148,36 @@ object AnalyticsQueries {
         .select(round(col("psi"), 6).as("psi"))
     }),
 
+    // Per-source token-distribution divergence vs the corpus:
+    // Laplace-smoothed KL over the global top-200 vocabulary — the
+    // domain-shift score a mixture-rebalance run ranks sources by
+    // (DSIR's sibling: distribution distance instead of importance
+    // weights). Vocabulary-scale joins only; the corpus is tokenized
+    // once.
+    "q184_source_kl" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("source"), explode(graft.ops.Text.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+        .orderBy(col("cg").desc, col("tok")).limit(200)
+      val ng = top.agg(sum("cg").as("ng"))
+      val perSrc = toks.join(broadcast(top.select("tok")), "tok")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val ns = perSrc.groupBy("source").agg(sum("cs").as("ns"))
+      // every (source, top-token) cell, absent counts as 0
+      val grid = ns.crossJoin(broadcast(top))
+        .join(perSrc, Seq("source", "tok"), "left")
+        .withColumn("cs", coalesce(col("cs"), lit(0L)))
+        .crossJoin(broadcast(ng))
+      grid
+        .withColumn("ps", (col("cs") + lit(1.0)) / (col("ns") + lit(200.0)))
+        .withColumn("q", (col("cg") + lit(1.0)) / (col("ng") + lit(200.0)))
+        .groupBy("source")
+        .agg(round(sum(col("ps") * log(col("ps") / col("q"))), 6)
+          .as("kl"), max("ns").as("n_tokens"))
+        .select(col("source"), col("n_tokens"), col("kl"))
+        .orderBy("source")
+    }),
+
     // Winsorized document length per language: clamp n_chars to the
     // language's [p05, p95] band (cutoffs broadcast back; corpus
     // unshuffled).
@@ -500,6 +530,30 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents
         |GROUP BY 1, 2, 3 ORDER BY lang, bin_lo""".stripMargin,
+
+    "q184_source_kl" ->
+      raw"""WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(
+        |    lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cg FROM toks
+        |        GROUP BY tok ORDER BY cg DESC, tok LIMIT 200),
+        |ng AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM top),
+        |per AS (SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS cs
+        |        FROM toks t JOIN top USING (tok)
+        |        GROUP BY t.source, t.tok),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+        |       FROM per GROUP BY source),
+        |grid AS (
+        |  SELECT ns.source, ns.ns, top.tok, top.cg,
+        |    coalesce(per.cs, 0) AS cs
+        |  FROM ns CROSS JOIN top
+        |  LEFT JOIN per ON per.source = ns.source AND per.tok = top.tok)
+        |SELECT g.source, CAST(max(g.ns) AS BIGINT) AS n_tokens,
+        |  round(sum(((g.cs + 1.0) / (g.ns + 200.0)) *
+        |    ln(((g.cs + 1.0) / (g.ns + 200.0)) /
+        |       ((g.cg + 1.0) / (ng.ng + 200.0)))), 6) AS kl
+        |FROM grid g, ng GROUP BY g.source ORDER BY g.source""".stripMargin,
 
     "q167_psi" ->
       """WITH bb AS (
