@@ -159,8 +159,8 @@ object WarehouseQueries {
     "q177_zorder" -> {
       val n = 1L << 8
       def zb(c: String, hi: Double) =
-        s"""coalesce(least(greatest(CAST(floor(CAST($c AS DOUBLE)
-           |  / ${hi / n}) AS BIGINT), 0), ${n - 1}), 0)""".stripMargin
+        s"""least(greatest(CAST(floor(CAST($c AS DOUBLE)
+           |  / ${hi / n}) AS BIGINT), 0), ${n - 1})""".stripMargin
       val interleave = (0 until 8).map { i =>
         s"(((zb_user >> $i) & 1) << ${2 * i + 1}) | " +
           s"(((zb_value >> $i) & 1) << ${2 * i})"

@@ -19,15 +19,22 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** 2^bits fixed-width bucket of a value over [lo, hi); out-of-range
-    * clamps to the edge buckets, nulls land in bucket 0. */
+    * clamps to the edge buckets. Null propagates (null in → null
+    * bucket): mapping a missing dimension into bucket 0 would z-cluster
+    * null rows with the lowest value range, so `WHERE c IS NULL` and
+    * `WHERE c < lo+ε` scans would each read the other population's row
+    * groups and min/max skipping degrades for both. [[zorderBy]] routes
+    * null buckets to a dedicated z-range past the real domain instead. */
   def zBucket(c: Column, lo: Double, hi: Double, bits: Int): Column = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val n = 1L << bits
-    coalesce(
+    // greatest/least SKIP nulls (they return the extreme non-null
+    // argument), so the null path must be explicit or null collapses
+    // into bucket 0 via greatest(null, 0)
+    when(c.isNotNull,
       least(greatest(
         floor((c.cast("double") - lit(lo)) / lit((hi - lo) / n))
-          .cast("long"), lit(0L)), lit(n - 1)),
-      lit(0L))
+          .cast("long"), lit(0L)), lit(n - 1)))
   }
 
   /** Morton interleave of two `bits`-wide bucket columns: bit i of `a`
@@ -44,12 +51,20 @@ object Layout {
   /** Repartition-by-range on the z-value of two bucketed dimensions —
     * the write-side clustering pass: each output partition (= file at
     * write time) covers a contiguous z-range, i.e. a small rectangle
-    * in (c1, c2) space. */
+    * in (c1, c2) space. Rows where EITHER dimension is null get the
+    * sentinel z = 2^(2·bits) — strictly above every real interleave
+    * value — so they range-partition into a dedicated tail partition
+    * and never share row groups with the low-range population
+    * (LayoutSpec property). */
   def zorderBy(df: DataFrame, c1: Column, lo1: Double, hi1: Double,
                c2: Column, lo2: Double, hi2: Double,
                bits: Int, numPartitions: Int): DataFrame = {
-    val z = zValue2(zBucket(c1, lo1, hi1, bits),
-      zBucket(c2, lo2, hi2, bits), bits)
+    // zValue2's bitwise ops propagate a null bucket to a null z;
+    // coalesce lifts those rows past the max real z (2^(2·bits) - 1)
+    val z = coalesce(
+      zValue2(zBucket(c1, lo1, hi1, bits),
+        zBucket(c2, lo2, hi2, bits), bits),
+      lit(1L << (2 * bits)))
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")

@@ -250,6 +250,10 @@ object Multimodal {
             var i = 0
             while (i < 8) {
               // integer block bounds cover every pixel exactly once
+              // for dimensions >= 8; below 8 px the forced minimum
+              // block width (x1 >= x0+1) makes neighboring cells
+              // re-read the same pixels — still deterministic, the
+              // hash just carries duplicated luma for tiny images
               val x0 = i * w / 8; val x1 = math.max(x0 + 1, (i + 1) * w / 8)
               val y0 = j * h / 8; val y1 = math.max(y0 + 1, (j + 1) * h / 8)
               var sum = 0L; var n = 0L

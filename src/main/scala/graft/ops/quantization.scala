@@ -173,10 +173,16 @@ object Quantize {
       .groupBy(col("__id"), col("cluster"))
       .agg(round(sum(col("__dq")) /
         (count(lit(1)) / lit(m)).cast("double"), 6).as("adc_dist"))
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("adc_dist"), col("__id"))))
-      .where(col("__rk") <= k)
       .select(col("__id").as(idCol), col("cluster"), col("adc_dist"))
+      // orderBy + limit plans as TakeOrderedAndProject: each task keeps
+      // its local k best and only those k-row heaps reach the driver
+      // merge — at a billion-vector index with nprobe probed lists this
+      // is the difference between moving ~10^8 candidate rows through
+      // ONE ranking task (a partition-less window) and moving k rows
+      // per task. Ties break to the lower id, same order the old
+      // row_number rank used.
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
   }
 
   /** [[pqAdcTopK]] over ALREADY-ENCODED vectors — the serving path of
@@ -203,7 +209,13 @@ object Quantize {
     // duplication factor keeps the distance honest instead of silently
     // demoting the vector by a doubled sum. count/m is exact (every id
     // carries a multiple of m rows), and for the unique-id case the
-    // divisor is 1.0 so the value is bit-identical to the plain sum
+    // divisor is 1.0 so the value is bit-identical to the plain sum.
+    // The divisor is only exact for IDENTICAL-code re-feeds: if a
+    // duplicated id carries different codes (a changed re-feed that
+    // skipped upstream dedup), the division averages two versions'
+    // distances into a value corresponding to no real vector — resolve
+    // changed re-feeds first (ivfPqSearchIndex's latest-wins window
+    // does exactly that before calling here)
     val scored = (if (excludeSelf) joined.where(col("__id") =!= col("__qid"))
       else joined)
       .groupBy(col("__qid"), col("__id"))

@@ -58,7 +58,13 @@ object Similarity {
     * only ranks high when it stands OUT of each side's neighborhood,
     * which filters the hub vectors plain cosine thresholds admit.
     * Returns the `topPairs` best (id_a, id_b, margin), margin rounded
-    * to 6 dp before ranking.
+    * to 6 dp before ranking. The denominator is a FIXED 2k even when a
+    * slice has fewer than k cross-neighbors (each side's sum then
+    * covers all it has): margins on sub-k slices are inflated relative
+    * to the paper's mean-of-available formula, uniformly per run — a
+    * deliberate convention so the divisor is a compile-time constant
+    * the oracle replays literally; rankings within a run are unaffected
+    * when both slices are ≥ k, the production case.
     *
     * Scale: this exact form crossJoins the two slices (broadcast
     * right), sized for moderate slice pairs (the per-language shards

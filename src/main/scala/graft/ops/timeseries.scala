@@ -114,22 +114,40 @@ object TimeSeries {
     * level + trend) — the one-step-ahead forecast a freshness monitor
     * extrapolates with. The recurrence runs as ONE row-local fold over
     * the key's sorted values (collected per key — sized for per-entity
-    * series; an unbounded stream belongs in the stats-store pattern),
-    * with every coefficient passed as the SAME double literal the
-    * oracle replays, so the arithmetic is engine-identical. */
+    * series; an unbounded stream belongs in the stats-store pattern,
+    * [[graft.streaming.Streaming.holtStatsSink]]), with every
+    * coefficient passed as the SAME double literal the oracle replays,
+    * so the arithmetic is engine-identical.
+    *
+    * `maxObs` guards the per-key collect: a key with more observations
+    * fails loudly (raise_error names the key and count) instead of
+    * OOMing a task on a silently-hot key. The check rides the SAME
+    * keyed shuffle as the rank window (WindowExec buffers spill to
+    * disk) and fires before the fold array is materialized. */
   def holtLinear(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-                 valCol: String, alpha: Double, beta: Double): DataFrame = {
+                 valCol: String, alpha: Double, beta: Double,
+                 maxObs: Int = 1000000): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    require(maxObs >= 2, s"maxObs must be >= 2, got $maxObs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(orderCols: _*)
     val a = lit(alpha); val a1 = lit(1.0 - alpha)
     val bb = lit(beta); val b1 = lit(1.0 - beta)
     df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCol)))
+      .withColumn("__vg", when(col("__cnt") > maxObs,
+          raise_error(concat(lit("holtLinear: key '"),
+            col(keyCol).cast("string"), lit("' has "),
+            col("__cnt").cast("string"),
+            lit(s" observations, above maxObs=$maxObs — use" +
+              " Streaming.holtStatsSink for unbounded series"))))
+        .otherwise(col(valCol).cast("double")))
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_obs"),
         array_sort(collect_list(struct(col("__rn"),
-          col(valCol).cast("double").as("__v")))).as("__arr"))
+          col("__vg").as("__v")))).as("__arr"))
       .withColumn("__st", aggregate(
         expr("slice(__arr, 2, size(__arr) - 1)"),
         struct(element_at(col("__arr"), 1).getField("__v").as("l"),

@@ -660,6 +660,15 @@ object Streaming {
     // distances into a vector that never existed. The dedup window
     // runs over the PRUNED lists only (nprobe/nlist of the index), so
     // its shuffle is bounded by the probed rows a query reads anyway.
+    // Known limit of pruning before deduping: a re-ingest whose NEW
+    // vector moved to a different coarse cluster leaves the stale row
+    // behind in its old list — if a query probes only the old cluster,
+    // the superseded codes can still surface (the new row is in an
+    // unprobed list, so the window never sees the pair). Compaction
+    // (compactVectorIndex) removes such shadows index-wide; between
+    // compactions, callers that re-feed MOVED vectors should treat
+    // results as at-least-once reads or dedup by id across all
+    // clusters at the cost of the prune.
     // After compaction every row carries batch = -1; remaining
     // duplicates are identical-code re-feeds, where any pick is right
     // — resolve true updates before compacting.

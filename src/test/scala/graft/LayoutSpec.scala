@@ -17,12 +17,38 @@ class LayoutSpec extends SparkSpec {
     assert(got == Seq(0L, 2L, 1L, 15L, 38L))
   }
 
-  test("zBucket clamps out-of-range and nulls to edge buckets") {
+  test("zBucket clamps out-of-range to edge buckets and propagates null") {
     val df = Seq(Some(-5.0), Some(0.0), Some(99.9), Some(500.0), None)
       .toDF("v")
     val got = rows(df.select(Layout.zBucket(col("v"), 0.0, 100.0, 4)))
       .map(_.head)
-    assert(got == Seq(0L, 0L, 15L, 15L, 0L))
+    // null must NOT collapse into bucket 0 — zorderBy gives null rows
+    // a dedicated z-range instead (see the property test below)
+    assert(got == Seq(0L, 0L, 15L, 15L, null))
+  }
+
+  test("null dimension rows never share partitions with low-range rows") {
+    // pre-fix behavior mapped null -> bucket 0, z-clustering null rows
+    // with the lowest value range so `WHERE value IS NULL` and
+    // `WHERE value < ε` each read the other population's row groups.
+    // The sentinel z = 2^(2·bits) sorts nulls past every real z value.
+    val base = spark.range(1000).select(
+      pmod(hash(col("id")), lit(160)).cast("double").as("user_id"),
+      pmod(hash(col("id") * 2 + 1), lit(500)).cast("double").as("value"))
+    val withNulls = base.union(spark.range(50).select(
+      pmod(hash(col("id")), lit(160)).cast("double").as("user_id"),
+      lit(null).cast("double").as("value")))
+    val zed = Layout.zorderBy(withNulls, col("user_id"), 0.0, 160.0,
+        col("value"), 0.0, 500.0, bits = 8, numPartitions = 8)
+      .withColumn("p", spark_partition_id())
+    val nullParts = zed.where(col("value").isNull)
+      .select("p").distinct().collect().map(_.getInt(0)).toSet
+    val lowParts = zed.where(col("value") < 50.0)
+      .select("p").distinct().collect().map(_.getInt(0)).toSet
+    assert(nullParts.nonEmpty, "null rows vanished from the layout")
+    assert((nullParts intersect lowParts).isEmpty,
+      s"null rows share partitions with low-range rows: " +
+        s"$nullParts vs $lowParts")
   }
 
   test("zValue2 is a bijection on the full 8-bit x 8-bit domain") {

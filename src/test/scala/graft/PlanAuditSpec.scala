@@ -53,6 +53,27 @@ class PlanAuditSpec extends SparkSpec {
       s"q177 shuffled a row-local computation:\n$plan")
   }
 
+  test("residual ADC serving rank is a distributed top-k, not a global window") {
+    import spark.implicits._
+    // the billion-vector serving path: the final rank must plan as
+    // TakeOrderedAndProject (per-task k-row heaps, driver merges heaps)
+    // — a partition-less row_number window would funnel EVERY probed
+    // candidate through one ranking task
+    val codes = Seq((1L, 0L, Seq(0, 1)), (2L, 1L, Seq(1, 0)))
+      .toDF("id", "cluster", "codes")
+    val qres = Seq((0L, Seq(0.1, 0.2, 0.3, 0.4)),
+      (1L, Seq(0.0, 0.1, 0.2, 0.3))).toDF("cluster", "qv")
+    val codebook = Seq((0, 0, Seq(0.0, 0.0)), (0, 1, Seq(1.0, 1.0)),
+      (1, 0, Seq(0.0, 0.0)), (1, 1, Seq(1.0, 1.0)))
+      .toDF("subspace", "code", "cvec")
+    val plan = graft.ops.Quantize.residualAdcTopK(codes, qres, codebook,
+        "qv", "id", m = 2, dim = 4, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"residual rank fell back to a window:\n$plan")
+  }
+
   test("row-local text queries add no exchange beyond their aggregation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // q19/q20/q25 are scan -> row-local expressions (+ optional final

@@ -70,6 +70,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n == 3L && l == 12.75 && b == 1.125 && f == 13.875)
   }
 
+  test("holtLinear fails loudly on a key above maxObs instead of collecting it") {
+    val pts = (1 to 50).map(i => ("hot", ts(f"2024-01-01 00:${i % 60}%02d:00"),
+      1.0 * i))
+    val ex = intercept[Exception] {
+      TimeSeries.holtLinear(pts.toDF("k", "ts", "v"), "k",
+        Seq($"ts".asc), "v", alpha = 0.5, beta = 0.5, maxObs = 10).collect()
+    }
+    // raise_error surfaces as a SparkRuntimeException naming key + count
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+    assert(msgs(ex).exists(m => m != null && m.contains("holtLinear") &&
+      m.contains("hot") && m.contains("maxObs=10")), s"got: ${msgs(ex)}")
+    // and a key at exactly maxObs still computes
+    val ok = TimeSeries.holtLinear(pts.toDF("k", "ts", "v"), "k",
+      Seq($"ts".asc), "v", alpha = 0.5, beta = 0.5, maxObs = 50)
+    assert(ok.count() == 1L)
+  }
+
   test("holtLinear tracks a perfect linear series exactly in the limit") {
     // alpha, beta near 1 -> level ~ last value, trend ~ last diff
     val pts = (1 to 20).map(i => ("k", ts(f"2024-01-01 00:${i}%02d:00"),
