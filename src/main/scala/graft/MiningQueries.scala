@@ -276,6 +276,37 @@ object MiningQueries {
         .orderBy("adc_dist", "vec_id")
     }),
 
+    // Batched IVF-PQ serving: 3 query vectors share ONE pass over the
+    // encoded corpus — per-query coarse probes (nprobe=2) via the
+    // distributed probe-pair rank, candidates scored only through
+    // their probing query's pairs (the join key includes cluster),
+    // per-query ADC top-5 as a qid-partitioned WindowGroupLimit. The
+    // multi-query form of q174: the retrieval-layer serving shape,
+    // where a driver-side per-query loop would pay one probe-collect +
+    // index read per query.
+    "q185_ivfpq_batch" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = Similarity.assignToCentroids(emb, "embedding",
+        "vec_id", cents)
+      val cb = Quantize.pqCodebook(emb, "embedding", "vec_id",
+        m = PqM, k = PqK, iters = Iters, dim = Dim)
+      val codes = Quantize.pqEncode(emb, cb, "embedding", "vec_id",
+          PqM, Dim)
+        .join(assigned.select("vec_id", "cluster"), "vec_id")
+        .select(col("vec_id"), col("cluster"), col("codes"))
+      val queries = emb.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val pairs = Similarity.probedCentroidsBatch(cents, queries,
+        "qid", "embedding", nprobe = 2, widenMargin = -1.0)
+      Quantize.adcTopKPerProbe(codes,
+          pairs.select(col("qid"), col("cluster"), col("qvec")),
+          cb, "qvec", "vec_id", "qid",
+          m = PqM, dim = Dim, k = AdcK, excludeSelf = true)
+        .orderBy("qid", "adc_dist", "vec_id")
+    }),
+
     // Margin-based pair mining between two label slices (bitext-mining
     // scoring): cosine relative to both sides' k-NN neighborhoods, so
     // hub vectors don't flood the ranking. Exact cross over the
@@ -589,6 +620,51 @@ object MiningQueries {
          |  SELECT *, row_number() OVER
          |    (ORDER BY adc_dist, id) AS rk FROM sc) z
          |WHERE rk <= 10 ORDER BY adc_dist, vec_id""".stripMargin
+    },
+
+    "q185_ivfpq_batch" -> {
+      val sub = Dim / PqM
+      s"""WITH $pqRawBase,
+         |$pqSteps,
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec
+         |         FROM embeddings WHERE vec_id < 16),
+         |asgn AS (SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      ${NorthStar.cosineSql("e.embedding", "c.cvec", Dim)} DESC,
+         |      c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN cent c),
+         |clustered AS (SELECT vec_id, cid AS cluster FROM asgn
+         |              WHERE rk = 1),
+         |qs AS (SELECT vec_id AS qid, embedding AS qemb
+         |       FROM embeddings ORDER BY vec_id LIMIT 3),
+         |probes AS (SELECT qid, cluster FROM (
+         |    SELECT q.qid, c.cid AS cluster, row_number() OVER
+         |      (PARTITION BY q.qid ORDER BY
+         |        ${NorthStar.cosineSql("c.cvec", "q.qemb", Dim)} DESC,
+         |        c.cid) AS rk
+         |    FROM qs q CROSS JOIN cent c) zz WHERE rk <= 2),
+         |qv AS (SELECT qid,
+         |         list_transform(qemb, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM qs),
+         |qsub AS (SELECT qid, m, v[m*$sub+1 : m*$sub+$sub] AS sv
+         |         FROM qv CROSS JOIN
+         |           (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) ms),
+         |dt AS (SELECT q.qid, q.m, c.code,
+         |         ${l2Sql("q.sv", "c.cvec", sub)} AS dq
+         |       FROM qsub q JOIN c1 c ON q.m = c.m),
+         |sc AS (SELECT p.qid, a.id, cl.cluster,
+         |         round(sum(dt.dq), 6) AS adc_dist
+         |       FROM a2 a
+         |       JOIN clustered cl ON cl.vec_id = a.id
+         |       JOIN probes p ON p.cluster = cl.cluster
+         |       JOIN dt ON dt.qid = p.qid
+         |         AND a.m = dt.m AND a.code = dt.code
+         |       WHERE a.id <> p.qid
+         |       GROUP BY p.qid, a.id, cl.cluster)
+         |SELECT qid, id AS vec_id, cluster, adc_dist FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY qid ORDER BY adc_dist, id) AS rk FROM sc) z
+         |WHERE rk <= $AdcK ORDER BY qid, adc_dist, vec_id""".stripMargin
     },
 
     "q178_margin_pairs" -> {

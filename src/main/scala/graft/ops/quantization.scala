@@ -185,6 +185,64 @@ object Quantize {
       .limit(k)
   }
 
+  /** Multi-query ADC over an IVF-PQ index's inverted lists — the
+    * BATCHED serving form: `codes` is (idCol, cluster, codes) for the
+    * union of every query's probed lists (one index read serves the
+    * whole batch), `queryProbes` is (qidCol, cluster, embCol) with one
+    * row per (query, probed cluster) — embCol is the query vector
+    * itself for a plain-encoded index, or the query's residual against
+    * that cluster's centroid for a residual index
+    * ([[graft.ops.Similarity.probedCentroidsBatch]] produces the probe
+    * pairs either way). A candidate scores for a query ONLY through
+    * that query's own probe rows (the join key includes cluster), so
+    * per-query pruning survives the shared read.
+    *
+    * Scale: the distance table is |queryProbes|·m·k rows — broadcast;
+    * candidates reach it via a broadcast hash join on (cluster,
+    * subspace, code) with no corpus shuffle before the (qid, id)
+    * partial sum, and the per-query rank is a qid-partitioned window
+    * (WindowGroupLimit: per-task top-k heaps before the qid shuffle) —
+    * thousands of queries rank in parallel instead of a driver-side
+    * loop paying one probe-collect + index read each. The duplicate
+    * divisor has the same identical-code-re-feed contract as
+    * [[adcTopKOverCodes]]. Returns (qid, idCol, cluster, adc_dist),
+    * k rows per query. */
+  def adcTopKPerProbe(codes: DataFrame, queryProbes: DataFrame,
+                      codebook: DataFrame, embCol: String, idCol: String,
+                      qidCol: String, m: Int, dim: Int, k: Int,
+                      excludeSelf: Boolean = false): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+    val codesLong = codes.select(col(idCol).as("__id"),
+      col("cluster").cast("long").as("cluster"),
+      posexplode(col("codes")).as(Seq("__m", "__code")))
+    val qsub = queryProbes.select(col(qidCol).cast("long").as("__qid"),
+      col("cluster").cast("long").as("cluster"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |  mm -> slice(transform(`$embCol`, x -> CAST(x AS DOUBLE)),
+           |              mm * $sub + 1, $sub))""".stripMargin))
+        .as(Seq("__m", "__sv")))
+    val dtable = qsub
+      .join(broadcast(codebook.select(col("subspace").as("__m"),
+        col("code").as("__code"), col("cvec").as("__cvec"))), "__m")
+      .select(col("__qid"), col("cluster"), col("__m"), col("__code"),
+        l2sq(col("__sv"), col("__cvec")).as("__dq"))
+    val joined = codesLong.join(broadcast(dtable),
+      Seq("cluster", "__m", "__code"))
+    val scored = (if (excludeSelf) joined.where(col("__id") =!= col("__qid"))
+      else joined)
+      .groupBy(col("__qid"), col("__id"), col("cluster"))
+      .agg(round(sum(col("__dq")) /
+        (count(lit(1)) / lit(m)).cast("double"), 6).as("adc_dist"))
+    scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("adc_dist"), col("__id"))))
+      .where(col("__rk") <= k)
+      .select(col("__qid").as("qid"), col("__id").as(idCol),
+        col("cluster"), col("adc_dist"))
+  }
+
   /** [[pqAdcTopK]] over ALREADY-ENCODED vectors — the serving path of
     * a persisted PQ index (e.g.
     * [[graft.streaming.Streaming.pqIndexSink]]), where codes were

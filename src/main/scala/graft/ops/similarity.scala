@@ -335,6 +335,36 @@ object Similarity {
       .where(col("rank") <= nprobe || col("margin") <= widenMargin)
       .select(col("cluster"))
 
+  /** Batched [[probedCentroidsAdaptive]]: probe selection for a whole
+    * queries DataFrame at once — (qid, cluster, cvec, qvec) rows, one
+    * per (query, probed centroid). The rank and widening rules are the
+    * single-query ones applied per qid (cosine desc, cid tie-break;
+    * widenMargin < 0 disables widening), so a batch of one query
+    * selects exactly what the Column form selects.
+    *
+    * Scale: queries × broadcast(nlist-row centroid table) — the only
+    * shuffle is the per-qid rank window, keyed by qid, so thousands of
+    * queries rank in parallel; nothing here reads the index. */
+  def probedCentroidsBatch(centroids: DataFrame, queries: DataFrame,
+                           qidCol: String, qvecCol: String, nprobe: Int,
+                           widenMargin: Double): DataFrame = {
+    val ranked = Window.partitionBy("__qid")
+      .orderBy(col("__qsim").desc, col("cluster"))
+    val perQ = Window.partitionBy("__qid")
+    queries.select(col(qidCol).cast("long").as("__qid"),
+        col(qvecCol).as("__qv"))
+      .crossJoin(broadcast(centroids
+        .select(col("cid").as("cluster"), col("cvec"))))
+      .withColumn("__qsim", cosine(col("cvec"), col("__qv")))
+      .withColumn("__rank", row_number().over(ranked))
+      .withColumn("__margin",
+        max(col("__qsim")).over(perQ) - col("__qsim"))
+      .where(col("__rank") <= nprobe || col("__margin") <= widenMargin)
+      .select(col("__qid").as("qid"),
+        col("cluster").cast("long").as("cluster"),
+        col("cvec"), col("__qv").as("qvec"))
+  }
+
   def ivfTopK(corpus: DataFrame, embCol: String, idCol: String,
               centroids: DataFrame, queryVec: Column,
               nprobe: Int, k: Int,

@@ -367,7 +367,9 @@ object Streaming {
     * (the replayed id ≤ `_batch` and is skipped); a half-merged state
     * is unrepresentable because the whole store swaps in one rename. */
   private[graft] def mergeStoreBatch(statsDir: String, batchId: Long,
-      deltas: Seq[(StorePart, DataFrame)]): Unit = {
+      deltas: Seq[(StorePart, DataFrame)],
+      customMerge: Map[String, (Option[DataFrame], DataFrame) => DataFrame]
+        = Map.empty): Unit = {
     require(deltas.nonEmpty)
     val spark = deltas.head._2.sparkSession
     val dir = new HPath(statsDir)
@@ -386,12 +388,22 @@ object Streaming {
       } else -1L
     if (batchId <= mark) return // checkpoint replay of a merged batch
     deltas.foreach { case (part, delta) =>
-      val merged =
+      // a part's merge is additive (mergeAggDelta) unless the caller
+      // supplies a custom fold — e.g. the Holt store's state carry,
+      // which must run even when no prior exists (its delta is raw
+      // observation arrays, not fold-ready state)
+      val prior =
         if (fs.exists(new HPath(dir, part.name)))
-          graft.ops.Warehouse.mergeAggDelta(
-            spark.read.parquet(s"$statsDir/${part.name}"), delta,
-            part.keys, part.measures)
-        else delta
+          Some(spark.read.parquet(s"$statsDir/${part.name}"))
+        else None
+      val merged = customMerge.get(part.name) match {
+        case Some(f) => f(prior, delta)
+        case None => prior match {
+          case Some(p) => graft.ops.Warehouse.mergeAggDelta(
+            p, delta, part.keys, part.measures)
+          case None => delta
+        }
+      }
       merged.write.parquet(s"$tmp/${part.name}")
     }
     val out = fs.create(new HPath(tmp, "_batch"), true)
@@ -598,9 +610,10 @@ object Streaming {
     * Exactly-once by path determinism, like [[vectorIndexSink]].
     * [[compactVectorIndex]] with `recenter = false` compacts this
     * index unchanged (it is layout-, not schema-, bound); re-centering
-    * is impossible here by design — raw vectors are not stored — so a
-    * centroid refresh means re-encoding from source, which is the
-    * honest cost of the codes-only footprint. */
+    * is impossible IN PLACE by design — raw vectors are not stored —
+    * so a centroid/codebook refresh means re-encoding from source:
+    * [[rebuildPqIndex]] is that pass, the honest cost of the
+    * codes-only footprint. */
   def pqIndexSink(vectors: DataFrame, embCol: String, idCol: String,
                   centroids: DataFrame, codebook: DataFrame,
                   m: Int, dim: Int,
@@ -610,35 +623,81 @@ object Streaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val assigned = graft.ops.Similarity.assignToCentroids(
-            batch, embCol, idCol, centroids)
-          val codes =
-            if (!residual)
-              assigned.select(col(idCol), col("cluster"))
-                .join(graft.ops.Quantize.pqEncode(
-                  batch, codebook, embCol, idCol, m, dim), idCol)
-            else {
-              // production form: encode x - coarse centroid, so the
-              // pinned codebook only covers the residual distribution
-              val res = assigned
-                .join(broadcast(centroids),
-                  col("cluster") === col("cid"))
-                .select(col(idCol), col("cluster"),
-                  zip_with(
-                    transform(col(embCol), x => x.cast("double")),
-                    transform(col("cvec"), x => x.cast("double")),
-                    (x, c) => x - c).as("__res"))
-              res.select(col(idCol), col("cluster"))
-                .join(graft.ops.Quantize.pqEncode(
-                  res, codebook, "__res", idCol, m, dim), idCol)
-            }
-          codes
+        if (!batch.isEmpty)
+          encodePqRows(batch, embCol, idCol, centroids, codebook,
+              m, dim, residual)
             .write.mode("overwrite").partitionBy("cluster")
             .parquet(s"$indexDir/batch=$batchId")
-        }
         ()
       }
+
+  /** Assign + PQ-encode one frame into exactly the rows [[pqIndexSink]]
+    * persists — (idCol, cluster, codes, recon_err) — shared by the
+    * streaming sink and [[rebuildPqIndex]] so the two can never
+    * diverge in schema or encoding. */
+  private def encodePqRows(batch: DataFrame, embCol: String, idCol: String,
+                           centroids: DataFrame, codebook: DataFrame,
+                           m: Int, dim: Int,
+                           residual: Boolean): DataFrame = {
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      batch, embCol, idCol, centroids)
+    if (!residual)
+      assigned.select(col(idCol), col("cluster"))
+        .join(graft.ops.Quantize.pqEncode(
+          batch, codebook, embCol, idCol, m, dim), idCol)
+    else {
+      // production form: encode x - coarse centroid, so the
+      // pinned codebook only covers the residual distribution
+      val res = assigned
+        .join(broadcast(centroids),
+          col("cluster") === col("cid"))
+        .select(col(idCol), col("cluster"),
+          zip_with(
+            transform(col(embCol), x => x.cast("double")),
+            transform(col("cvec"), x => x.cast("double")),
+            (x, c) => x - c).as("__res"))
+      res.select(col(idCol), col("cluster"))
+        .join(graft.ops.Quantize.pqEncode(
+          res, codebook, "__res", idCol, m, dim), idCol)
+    }
+  }
+
+  /** Offline (re)build of a [[pqIndexSink]] index from its SOURCE
+    * corpus — the codebook/centroid-refresh path the sink's docstring
+    * defers here. The sink pins centroids and codebook for the index
+    * lifetime and stores codes only, so when either drifts (PSI gate,
+    * recall gate), re-encoding from source is the only honest rebuild:
+    * this pass encodes every corpus vector against the NEW
+    * centroids/codebook ([[encodePqRows]] — byte-identical schema to
+    * the sink's batches) and atomically swaps a fresh
+    * `batch=-1/cluster=<cid>/` tree in place of the old index
+    * ([[graft.ops.Warehouse.atomicSwap]] discipline: readers race two
+    * renames, never a half-written tree; a crashed rebuild heals on
+    * the next maintenance call). `batch = -1` sits below every
+    * micro-batch id, so a resuming stream appends new batches on top
+    * exactly as after [[compactVectorIndex]], and the per-id
+    * latest-wins window keeps preferring streamed updates over the
+    * rebuilt baseline. Run with the stream stopped, like all
+    * maintenance here.
+    *
+    * Scale: one corpus pass — assignment is row-local against the
+    * broadcast centroid table, encoding shuffles one row per (vector,
+    * subspace) ([[graft.ops.Quantize.pqEncode]]), and the write is
+    * repartitioned by cluster so each inverted list lands as one file
+    * set. Cost is linear in corpus size with no all-pairs stage —
+    * the honest price of refreshing a codes-only index. */
+  def rebuildPqIndex(spark: SparkSession, corpus: DataFrame,
+                     embCol: String, idCol: String,
+                     centroids: DataFrame, codebook: DataFrame,
+                     m: Int, dim: Int, indexDir: String,
+                     residual: Boolean = false): Unit =
+    swapInCompacted(spark, indexDir) { (tmp, _) =>
+      encodePqRows(corpus, embCol, idCol, centroids, codebook,
+          m, dim, residual)
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$tmp/batch=-1")
+    }
 
   /** Query a [[pqIndexSink]] index: probe the `nprobe` best coarse
     * centroids' partition directories (same prune as
@@ -698,6 +757,90 @@ object Streaming {
         lists.select(col(idCol), col("cluster"), col("codes")),
         qres, codebook, "__qres", idCol, m, dim, k)
     }
+  }
+
+  /** Batched [[ivfPqSearchIndex]]: score a whole queries DataFrame
+    * (qidCol, qvecCol) against the index in ONE pass — the retrieval-
+    * layer serving shape, where thousands of queries arrive per batch
+    * and a per-query driver loop (probe-collect + index read each)
+    * would dominate. Probe selection is per query
+    * ([[graft.ops.Similarity.probedCentroidsBatch]] — same rank +
+    * widening rules as the single-query path); the index is read once,
+    * pruned to the UNION of all queries' probed cluster directories
+    * (still a partition-directory prune; each query is then scored
+    * only through its own probe pairs); latest-wins re-ingest
+    * resolution runs once over that pruned read, with the same
+    * cross-cluster staleness caveat as [[ivfPqSearchIndex]]. Returns
+    * (qid, idCol, cluster, adc_dist), k rows per query.
+    * A 1-row batch returns exactly what [[ivfPqSearchIndex]] returns
+    * (StreamingSpec asserts the parity). */
+  def ivfPqSearchIndexBatch(spark: SparkSession, indexDir: String,
+                            centroids: DataFrame, codebook: DataFrame,
+                            queries: DataFrame, qidCol: String,
+                            qvecCol: String, nprobe: Int, k: Int,
+                            m: Int, dim: Int, idCol: String = "id",
+                            widenMargin: Double = -1.0,
+                            residual: Boolean = false): DataFrame = {
+    // probe pairs are |queries|×nprobe rows — computed once, reused by
+    // the literal directory filter AND the per-query scoring join
+    val pairs = graft.ops.Similarity.probedCentroidsBatch(
+      centroids, queries, qidCol, qvecCol, nprobe, widenMargin)
+      .localCheckpoint()
+    // bounded by nlist: the union of probed cluster ids, applied as a
+    // literal isin so the read is a partition-directory prune
+    val probedUnion = pairs.select("cluster").distinct()
+      .collect().map(_.getLong(0))
+    val pruned = spark.read.parquet(indexDir)
+      .where(col("cluster").isin(probedUnion.toSeq: _*))
+    val lists = pruned
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("batch").desc)))
+      .where(col("__rn") === 1).drop("__rn", "batch")
+    def toD(c: Column) = transform(c, x => x.cast("double"))
+    val queryProbes =
+      if (!residual) pairs.select(col("qid"), col("cluster"),
+        toD(col("qvec")).as("__qpv"))
+      else pairs.select(col("qid"), col("cluster"),
+        zip_with(toD(col("qvec")), toD(col("cvec")),
+          (x, c) => x - c).as("__qpv"))
+    graft.ops.Quantize.adcTopKPerProbe(
+      lists.select(col(idCol), col("cluster"), col("codes")),
+      queryProbes, codebook, "__qpv", idCol, "qid", m, dim, k)
+  }
+
+  /** Batched [[ivfSearchIndex]] over a raw-vector [[vectorIndexSink]]
+    * index: per-query probe selection, ONE index read pruned to the
+    * union of probed cluster directories, then per-query cosine top-k
+    * through each query's own probe pairs (qid-partitioned rank —
+    * WindowGroupLimit keeps per-task heaps, vs the single-query path's
+    * TakeOrderedAndProject). Returns (qid, idCol, cluster, cosine_sim),
+    * k rows per query. */
+  def ivfSearchIndexBatch(spark: SparkSession, indexDir: String,
+                          centroids: DataFrame, queries: DataFrame,
+                          qidCol: String, qvecCol: String,
+                          nprobe: Int, k: Int, idCol: String = "id",
+                          embCol: String = "emb",
+                          widenMargin: Double = -1.0): DataFrame = {
+    val pairs = graft.ops.Similarity.probedCentroidsBatch(
+      centroids, queries, qidCol, qvecCol, nprobe, widenMargin)
+      .localCheckpoint()
+    val probedUnion = pairs.select("cluster").distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(indexDir)
+      .where(col("cluster").isin(probedUnion.toSeq: _*))
+      // broadcast the |queries|×nprobe probe pairs (vec included):
+      // candidates join their probing queries on cluster — per-query
+      // pruning survives the shared read, zero index-side shuffle
+      .join(broadcast(pairs.select(col("qid"),
+        col("cluster"), col("qvec"))), Seq("cluster"))
+      .withColumn("cosine_sim",
+        round(graft.ops.Similarity.cosine(col(embCol), col("qvec")), 6))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cosine_sim").desc, col(idCol))))
+      .where(col("__rk") <= k)
+      .select(col("qid"), col(idCol), col("cluster"), col("cosine_sim"))
   }
 
   /** Query a [[vectorIndexSink]] index: cosine top-k against the
@@ -858,6 +1001,60 @@ object Streaming {
     * [[readableStoreDir]]). */
   def readCms(spark: SparkSession, statsDir: String): DataFrame =
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/cells")
+
+  /** Incrementally-maintained Holt linear (level, trend) state per
+    * key — the stats-store form of
+    * [[graft.ops.TimeSeries.holtLinear]] that the batch operator's
+    * docstring defers unbounded streams to: per micro-batch, fold the
+    * batch's time-ordered observations into a standing `holt/` table
+    * of (key, n_obs, level, trend) via
+    * [[graft.ops.TimeSeries.holtFold]]. Per-key state is
+    * CONSTANT-SIZE — two doubles and a count — no matter how long the
+    * series runs, which removes exactly the unbounded per-key collect
+    * the batch form guards with `maxObs`. Chained per-batch folds are
+    * cell-exact equal to the one-shot recurrence over the union (left
+    * folds compose by carrying the accumulator; StreamingSpec asserts
+    * it), so the store always holds what `holtLinear` over the full
+    * history WOULD return, without the history.
+    *
+    * Exactly-once via the [[mergeStoreBatch]] wholesale-swap
+    * machinery shared with [[termStatsSink]] (`_batch` mark skips
+    * checkpoint replays — essential here, since re-folding a batch
+    * into already-folded state would corrupt it, unlike the additive
+    * stores where the mark only prevents double counts). Feed must be
+    * append-only and time-ordered across batches per key — the
+    * natural shape of a freshness/telemetry stream; a late row cannot
+    * be retro-folded into O(1) state. */
+  def holtStatsSink(points: DataFrame, keyCol: String,
+                    orderCols: Seq[Column], valCol: String,
+                    alpha: Double, beta: Double,
+                    statsDir: String, checkpoint: String) =
+    points.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("holt", Seq(keyCol), Nil) ->
+              graft.ops.TimeSeries.holtBatchArr(
+                batch, keyCol, orderCols, valCol)),
+            customMerge = Map("holt" -> { (prior, delta) =>
+              val empty = delta.select(col(keyCol)).limit(0)
+                .select(col(keyCol), lit(0L).as("n_obs"),
+                  lit(0.0).as("level"), lit(0.0).as("trend"))
+              graft.ops.TimeSeries.holtFold(
+                prior.getOrElse(empty), delta, keyCol, alpha, beta)
+            }))
+        ()
+      }
+
+  /** Read a [[holtStatsSink]] store as (keyCol, n_obs, level, trend,
+    * forecast_1) — the exact shape [[graft.ops.TimeSeries.holtLinear]]
+    * returns, so consumers swap freely between the batch and streamed
+    * forms. Side-effect-free (see [[readableStoreDir]]). */
+  def readHoltStats(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/holt")
+      .withColumn("forecast_1", col("level") + col("trend"))
 
   // ------------------------------------------------ index maintenance
 

@@ -409,6 +409,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("holtStatsSink: chained per-batch folds equal the one-shot batch " +
+      "recurrence, cell-exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    val in = MemoryStream[(String, Long, Double)]
+    val q = Streaming.holtStatsSink(
+      in.toDF().toDF("k", "t", "v"), "k", Seq(col("t")), "v",
+      alpha = 0.3, beta = 0.2, s"$tmp/stats", s"$tmp/ckpt").start()
+    // three keys, 40 time-ordered points each (deterministic values);
+    // the flattened feed is split mid-key across micro-batches, so the
+    // fold must carry state both across batches and across keys
+    val rows = for (k <- Seq("a", "b", "c"); i <- 1 to 40)
+      yield (k, i.toLong, math.sin(i * 0.37) * 10.0 + i * (k.head - 'a'))
+    try {
+      rows.grouped(35).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = Streaming.readHoltStats(spark, s"$tmp/stats")
+        .select("k", "n_obs", "level", "trend", "forecast_1")
+        .orderBy("k").collect().toSeq.map(_.toSeq)
+      val want = graft.ops.TimeSeries.holtLinear(
+          rows.toDF("k", "t", "v"), "k", Seq(col("t").asc), "v",
+          alpha = 0.3, beta = 0.2)
+        .select("k", "n_obs", "level", "trend", "forecast_1")
+        .orderBy("k").collect().toSeq.map(_.toSeq)
+      assert(got === want) // cell-exact: same fold, same double order
+    } finally q.stop()
+  }
+
   test("cmsSink accumulates the exact batch sketch and estimates match") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
     val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -816,6 +844,33 @@ class StreamingSpec extends SparkSpec {
       val allClusters = spark.read.parquet(s"$tmp/index")
         .select("cluster").distinct().count()
       assert(allClusters > 3, "fixture landed in too few clusters")
+      // the batched entry point: each query's slice equals its
+      // single-query search, off one shared index read
+      val qids = Seq(11L, 42L)
+      val queries = emb.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val batch = Streaming.ivfSearchIndexBatch(spark, s"$tmp/index",
+        centroids, queries, "qid", "qv", nprobe = 3, k = 10,
+        idCol = "vec_id", embCol = "embedding")
+      qids.foreach { qid =>
+        val qvi = {
+          val v = emb.where(col("vec_id") === qid)
+            .select("embedding").as[Array[Float]].collect().head
+          array(v.toIndexedSeq.map(lit): _*)
+        }
+        val single = Streaming.ivfSearchIndex(spark, s"$tmp/index",
+            centroids, qvi, nprobe = 3, k = 10, idCol = "vec_id",
+            embCol = "embedding")
+          .collect().toSeq.map(_.toSeq)
+        val slice = batch.where(col("qid") === qid)
+          .select("vec_id", "cluster", "cosine_sim")
+          .orderBy(col("cosine_sim").desc, col("vec_id"))
+          .collect().toSeq.map(_.toSeq)
+        assert(slice === single, s"batch slice for qid=$qid diverged")
+      }
+      assert(batch.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains("batch#")) === 1,
+        "raw-index batch search must read the index exactly once")
     } finally q.stop()
   }
 
@@ -933,6 +988,133 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); codebook.unpersist() }
   }
 
+  test("ivfPqSearchIndexBatch: one index read serves N queries, each " +
+      "matching the single-query path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqmq").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val codebook = graft.ops.Quantize.pqCodebook(emb, "embedding",
+      "vec_id", m = 4, k = 8, iters = 2, dim = 64).cache()
+    codebook.count()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.pqIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      centroids, codebook, m = 4, dim = 64,
+      s"$tmp/index", s"$tmp/ckpt").start()
+    try {
+      val all = emb.as[(Long, Array[Float])].collect()
+      all.grouped((all.length + 1) / 2).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val qids = Seq(11L, 23L, 42L)
+      val queries = emb.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val got = Streaming.ivfPqSearchIndexBatch(spark, s"$tmp/index",
+        centroids, codebook, queries, "qid", "qv", nprobe = 3, k = 10,
+        m = 4, dim = 64, idCol = "vec_id")
+      // each query's slice must equal the single-query serving path
+      qids.foreach { qid =>
+        val qv = array(
+          all.find(_._1 == qid).get._2.toIndexedSeq.map(lit): _*)
+        val single = Streaming.ivfPqSearchIndex(spark, s"$tmp/index",
+            centroids, codebook, qv, nprobe = 3, k = 10, m = 4, dim = 64,
+            idCol = "vec_id")
+          .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+        val slice = got.where(col("qid") === qid)
+          .select("vec_id", "cluster", "adc_dist")
+          .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+        assert(slice === single, s"batch slice for qid=$qid diverged")
+      }
+      // the whole batch is served by ONE scan of the index directory —
+      // identified by its `batch` partition column (the cached
+      // codebook's InMemoryRelation also PRINTS parquet scans of the
+      // embeddings fixture in its child plan; those are not re-reads)
+      val plan = got.queryExecution.executedPlan.toString
+      val indexScans = plan.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains("batch#"))
+      assert(indexScans === 1,
+        s"expected exactly one index scan for the batch, got $indexScans:\n$plan")
+      val pf = plan.linesIterator
+        .find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("cluster"),
+        s"union probe filter did not become a partition filter:\n$plan")
+    } finally { q.stop(); codebook.unpersist() }
+  }
+
+  test("rebuildPqIndex: codebook/centroid refresh re-encodes from source " +
+      "with search parity, and compaction composes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqrb").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centsA = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cbA = graft.ops.Quantize.pqCodebook(emb, "embedding",
+      "vec_id", m = 4, k = 8, iters = 2, dim = 64).cache()
+    cbA.count()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.pqIndexSink(
+      in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      centsA, cbA, m = 4, dim = 64,
+      s"$tmp/index", s"$tmp/ckpt").start()
+    try {
+      val all = emb.as[(Long, Array[Float])].collect()
+      all.grouped((all.length + 1) / 2).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // drift detected -> refresh BOTH the coarse centroids and the
+    // codebook (different seed vectors), rebuild offline from source
+    val centsB = emb.where(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cbB = graft.ops.Quantize.pqCodebook(
+      emb.where(col("vec_id") >= 100), "embedding",
+      "vec_id", m = 4, k = 8, iters = 2, dim = 64).cache()
+    cbB.count()
+    Streaming.rebuildPqIndex(spark, emb, "embedding", "vec_id",
+      centsB, cbB, m = 4, dim = 64, s"$tmp/index")
+    // the rebuilt tree is the single batch=-1 layout the sink's
+    // maintenance contract promises
+    assert(new java.io.File(s"$tmp/index").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+      === Seq("batch=-1"))
+    val qv = {
+      val v = emb.where(col("vec_id") === 11L)
+        .select("embedding").as[Array[Float]].collect().head
+      array(v.toIndexedSeq.map(lit): _*)
+    }
+    def search() = Streaming.ivfPqSearchIndex(spark, s"$tmp/index",
+        centsB, cbB, qv, nprobe = 3, k = 10, m = 4, dim = 64,
+        idCol = "vec_id")
+      .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+    val got = search()
+    // parity vs a fresh batch encode against the NEW centroids/codebook
+    val assigned = graft.ops.Similarity.assignToCentroids(
+      emb, "embedding", "vec_id", centsB)
+    val probed = graft.ops.Similarity.probedCentroids(centsB, qv, 3)
+      .collect().map(_.get(0))
+    val candCodes = graft.ops.Quantize.pqEncode(emb, cbB,
+        "embedding", "vec_id", m = 4, dim = 64)
+      .join(assigned.where(col("cluster").isin(probed.toSeq: _*))
+        .select("vec_id", "cluster"), "vec_id")
+    val qdf = spark.range(1).select(lit(0L).as("__q"), qv.as("__qv"))
+    val expectedB = graft.ops.Quantize.adcTopKOverCodes(
+        candCodes.select(col("vec_id"), col("codes")), qdf, cbB,
+        "__qv", "vec_id", "__q", m = 4, dim = 64, k = 10)
+      .join(candCodes.select("vec_id", "cluster"), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("adc_dist"))
+      .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+    assert(got === expectedB)
+    // compactVectorIndex composes (layout-bound): results unchanged
+    Streaming.compactVectorIndex(spark, s"$tmp/index", centsB,
+      recenter = false, idCol = "vec_id", embCol = "embedding")
+    assert(search() === got)
+    cbA.unpersist(); cbB.unpersist()
+  }
+
   test("pqIndexSink residual mode matches the batch residual IVF-PQ") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pqres").toString
     val emb = spark.read
@@ -987,6 +1169,16 @@ class StreamingSpec extends SparkSpec {
           qres, codebook, "qr", "vec_id", m = 4, dim = 64, k = 10)
         .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
       assert(got === expected)
+      // the batched entry point agrees with the single-query one in
+      // residual mode too (a 1-row batch is the degenerate case)
+      val q23 = emb.where(col("vec_id") === 23L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val batch1 = Streaming.ivfPqSearchIndexBatch(spark, s"$tmp/index",
+          centroids, codebook, q23, "qid", "qv", nprobe = 3, k = 10,
+          m = 4, dim = 64, idCol = "vec_id", residual = true)
+        .select("vec_id", "cluster", "adc_dist")
+        .orderBy("adc_dist", "vec_id").collect().toSeq.map(_.toSeq)
+      assert(batch1 === got)
     } finally { q.stop(); codebook.unpersist() }
   }
 
