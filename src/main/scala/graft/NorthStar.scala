@@ -226,6 +226,21 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup: banded Hamming pairs over a precomputed hash — the
+    // pigeonhole-guaranteed blocking (candidate recall exactly 1.0
+    // for pairs within hamming < bands, unlike q26's single-prefix
+    // bucket, which loses a near-dup whose flipped bit lands in the
+    // prefix). Driven here by the 32-bit text simhash so the DuckDB
+    // oracle replays the bit arithmetic end to end; the image
+    // near-dup gate runs the same operator over imageAHash values.
+    "q186_hash_band_pairs" -> ((s, dir) => {
+      Dedup.hashBandPairs(
+          rd(s, dir, "documents").select(col("doc_id"),
+            Text.simhash(col("text"), 32).as("sh")),
+          "sh", "doc_id", bits = 32, bands = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Text: rolling (polynomial) document hash — order-sensitive
     // fingerprint, dedup key for exact copies that preserves order
     "q58_rolling_hash" -> ((s, dir) => {
@@ -804,6 +819,25 @@ object NorthStar {
            |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
            |FROM b a JOIN b c ON a.bucket = c.bucket AND a.doc_id < c.doc_id
            |WHERE bit_count(xor(a.simhash, c.simhash)) <= 10
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q186_hash_band_pairs" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |hs AS (
+           |  SELECT doc_id, list_transform(t, x -> md5(x)) AS h, len(t) AS n
+           |  FROM toks),
+           |sv AS (
+           |  SELECT doc_id, (${simhashSql("h", "n")}) AS sh FROM hs),
+           |bd AS (
+           |  SELECT doc_id, sh, b, (sh >> (b * 8)) & 255 AS bv
+           |  FROM sv CROSS JOIN
+           |    (SELECT unnest(generate_series(0, 3)) AS b) bs)
+           |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sh, c.sh)) AS BIGINT) AS hamming
+           |FROM bd a JOIN bd c
+           |  ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.sh, c.sh)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q60_array_ops" ->

@@ -329,6 +329,52 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs over a PRECOMPUTED `bits`-wide hash column via
+    * multi-band Hamming blocking: split the hash into `bands`
+    * contiguous bit slices, bucket rows by (band index, slice value),
+    * expand within-bucket pairs, Hamming-filter, distinct. By
+    * pigeonhole, a pair within Hamming distance ≤ bands − 1 has at
+    * least one band with zero differing bits, so candidate recall is
+    * EXACTLY 1.0 whenever maxHamming < bands — the banding guarantee
+    * [[simhashPairs]]'s cheaper single-prefix blocking trades away
+    * (a near-dup differing in a top bit changes prefix bucket there).
+    * Use it when the hash is already paid for — e.g.
+    * [[graft.ops.Multimodal.imageAHash]]'s 64-bit perceptual hash —
+    * and recall floors are contractual (QA gates).
+    *
+    * Scale: `bands` rows per input (fixed fan-out), one shuffle keyed
+    * by (band, slice); quadratic expansion confined to colliding
+    * buckets with the same `maxBucket` backstop as every banding here.
+    * The final distinct dedups pairs that collide in several bands —
+    * bounded by bands per pair. */
+  def hashBandPairs(df: DataFrame, hashCol: String, idCol: String,
+                    bits: Int, bands: Int, maxHamming: Int,
+                    maxBucket: Int = 4096): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    val w = bits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val banded = Scale.widen(df)
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("__band"))
+      .select(
+        struct(col("__band"),
+          expr(s"shiftright(__h, cast(__band * $w AS INT)) & ${mask}L")
+            .as("__bv")).as("__bucket"),
+        struct(col("__id").as("id"), col("__h").as("h")).as("__e"))
+    boundedBucketPairs(banded, "__bucket", "__e", maxBucket, (x, y) =>
+        struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          Text.hammingDistance(x.getField("h"), y.getField("h"), bits)
+            .as("hamming")))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Sub-document exact dedup (the paragraph-dedup of CCNet/Gopher,
     * over fixed-size token chunks since the corpus has no paragraph
     * markers): cut each document into non-overlapping `chunkTokens`-token

@@ -287,6 +287,31 @@ object Multimodal {
     }(Encoders.product[HashedImage])
   }
 
+  /** Image near-duplicate candidate pairs end to end: [[imageAHash]]
+    * (real decode) composed with [[Dedup.hashBandPairs]]' multi-band
+    * Hamming blocking over the 64-bit perceptual hash — re-encodes,
+    * slight noise and small edits land within a few Hamming bits, so
+    * with maxHamming < bands the banding finds EVERY such pair
+    * (pigeonhole recall guarantee) while unrelated images (~32 bits
+    * apart in expectation) are filtered. Undecodable payloads are
+    * excluded (their hash-0 rows would all collide). Returns
+    * (id_a, id_b, hamming). MultimodalSpec runs the precision/recall
+    * QA gate over a deterministic re-encoded/noised fixture set —
+    * spec-level because the DuckDB oracle cannot decode images, the
+    * same honesty boundary as the decode stubs (q43/q44).
+    *
+    * Scale: hashes are computed once (the decode dominates; payloads
+    * never shuffle — only (id, 8-byte hash) rows enter the banding),
+    * then bands·n fixed fan-out with the usual maxBucket backstop. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        bands: Int = 8, maxHamming: Int = 7,
+                        maxBucket: Int = 4096): DataFrame =
+    Dedup.hashBandPairs(
+      imageAHash(df, idCol, payloadCol).where(col("decoded"))
+        .toDF().select(col("media_id").as(idCol), col("ahash")),
+      "ahash", idCol, bits = 64, bands = bands,
+      maxHamming = maxHamming, maxBucket = maxBucket)
+
   /** Partition-batched decode over (id, kind, payload) rows — the Scala
     * analogue of a `mapInPandas` decode: one iterator per partition, so a
     * real codec could amortize model/codec init per partition exactly like

@@ -901,6 +901,39 @@ object Streaming {
     recalls.sum / recalls.size
   }
 
+  /** Recall@k gate for a [[pqIndexSink]] index — the codes-only
+    * analogue of [[ivfIndexRecall]]: mean over the query vectors of
+    * |probed ADC top-k ∩ EXHAUSTIVE ADC top-k| / k, where the
+    * exhaustive side probes every centroid (nprobe = nlist) through
+    * the SAME serving path — raw vectors are never stored in this
+    * index, so exhaustive ADC over all inverted lists IS the honest
+    * brute force, and the gate isolates pure probe-selection loss
+    * (quantization loss needs raw vectors; measure it offline with
+    * the q150-style recall QA before pinning the codebook). Run after
+    * every [[compactVectorIndex]] / [[rebuildPqIndex]], like
+    * [[ivfIndexRecall]]; cost is one full-tree ADC pass per query —
+    * offline-maintenance pricing, sample the query set accordingly. */
+  def ivfPqIndexRecall(spark: SparkSession, indexDir: String,
+                       centroids: DataFrame, codebook: DataFrame,
+                       queryVecs: Seq[Column], nprobe: Int, k: Int,
+                       m: Int, dim: Int, idCol: String = "id",
+                       widenMargin: Double = -1.0,
+                       residual: Boolean = false): Double = {
+    require(queryVecs.nonEmpty, "need at least one query vector")
+    val nlist = centroids.count().toInt // bounded: the centroid table
+    val recalls = queryVecs.map { qv =>
+      val probed = ivfPqSearchIndex(spark, indexDir, centroids, codebook,
+          qv, nprobe, k, m, dim, idCol, widenMargin, residual)
+        .select(idCol).collect().map(_.get(0)).toSet
+      val brute = ivfPqSearchIndex(spark, indexDir, centroids, codebook,
+          qv, nlist, k, m, dim, idCol, -1.0, residual)
+        .select(idCol).collect().map(_.get(0))
+      if (brute.isEmpty) 1.0
+      else brute.count(probed.contains).toDouble / brute.length
+    }
+    recalls.sum / recalls.size
+  }
+
   /** Read a [[dsirStatsSink]] store as the count table
     * [[graft.ops.Retrieval.dsirWeightsAgainst]] consumes.
     * Side-effect-free (see [[readableStoreDir]]). */

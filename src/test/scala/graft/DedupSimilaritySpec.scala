@@ -34,6 +34,31 @@ class DedupSpec extends SparkSpec {
     assert(factored.contains((1L, 2L))) // the exact-dup pair survives both
   }
 
+  test("hashBandPairs: pigeonhole recall — every pair within " +
+      "maxHamming < bands is found, including prefix-bit flips") {
+    // h2 differs from h1 only in the TOP bit — a single-prefix
+    // blocking (simhashPairs-style) would bucket them apart; the
+    // banded blocking must still pair them. h3 differs in 7 scattered
+    // bits (one per band boundary region, < bands = 8 -> guaranteed);
+    // h4 is far from everything (33 bits).
+    val h1 = 0x0F0F0F0F0F0F0F0FL
+    val h2 = h1 ^ (1L << 63)
+    val h3 = h1 ^ 0x0101010101010100L // 7 bits, each in its own band
+    val h4 = h1 ^ 0x1FF07FE03FF80F01L
+    val df = Seq((1L, h1), (2L, h2), (3L, h3), (4L, h4))
+      .toDF("id", "h")
+    val got = Dedup.hashBandPairs(df, "h", "id", bits = 64, bands = 8,
+        maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 7L)),
+      s"banded pairs diverged: $got")
+    // degenerate guard: maxHamming must stay below bands
+    intercept[IllegalArgumentException] {
+      Dedup.hashBandPairs(df, "h", "id", bits = 64, bands = 8,
+        maxHamming = 8)
+    }
+  }
+
   test("fingerprint dedup also catches word-order shuffles") {
     val r = Dedup.byFingerprint(docs, "text", "doc_id")
       .filter(col("n_copies") > 1).collect()

@@ -119,6 +119,55 @@ class MultimodalSpec extends SparkSpec {
     assert(dupGroups === 1L)
   }
 
+  test("image near-dup QA gate: banded aHash pairs hit recall and " +
+      "precision floors on a re-encoded/noised fixture") {
+    // 10 distinct base images (deterministic 8x8 blocky luma patterns
+    // from an LCG — aHash cells = the block pattern, so distinct seeds
+    // sit ~32 Hamming bits apart), each in three variants: original
+    // PNG, lossless BMP re-encode, and per-pixel noised PNG. Truth =
+    // same-base pairs (30); everything else is unrelated content.
+    // Oracle-side DuckDB cannot decode images, so this gate is the
+    // spec-level check, as with q43/q44.
+    def blocky(seed: Int, noise: Boolean, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val cell = (y / 8) * 8 + (x / 8)
+        // splitmix-style finalizer: well-mixed deterministic bit per
+        // (seed, cell) — a plain LCG left adjacent seeds correlated
+        // enough to leak cross-base pairs under Hamming 7
+        var r = seed * 0x9E3779B97F4A7C15L + cell * 0xBF58476D1CE4E5B9L
+        r ^= r >>> 27; r *= 0x94D049BB133111EBL; r ^= r >>> 31
+        val base = if ((r & 1) == 1) 220 else 20
+        val v = (base + (if (noise && (x + y) % 7 == 0) 5 else 0)).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    val imgs = (0 until 10).flatMap { b =>
+      Seq((b * 3 + 0L, blocky(b, noise = false, "png")),
+        (b * 3 + 1L, blocky(b, noise = false, "bmp")),
+        (b * 3 + 2L, blocky(b, noise = true, "png")))
+    }.toDF("media_id", "payload")
+    val cand = Multimodal.imageNearDupPairs(imgs, "media_id", "payload",
+      bands = 8, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = (0 until 10).flatMap { b =>
+      val ids = Seq(b * 3 + 0L, b * 3 + 1L, b * 3 + 2L)
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    }.toSet
+    val hit = cand intersect truth
+    val recall = hit.size.toDouble / truth.size
+    val precision =
+      if (cand.isEmpty) 0.0 else hit.size.toDouble / cand.size
+    info(s"image near-dup gate: recall=$recall precision=$precision " +
+      s"(${cand.size} candidates / ${truth.size} true pairs)")
+    assert(recall >= 0.9, s"recall floor violated: $recall")
+    assert(precision >= 0.9, s"precision floor violated: $precision")
+  }
+
   test("decodeImagePartitions: REAL png/jpeg header decode, stub fallback") {
     val rows = Seq(
       (10L, syntheticImage(64, 48, "png")),

@@ -929,6 +929,29 @@ class StreamingSpec extends SparkSpec {
         .find(_.contains("PartitionFilters")).getOrElse("")
       assert(pf.contains("cluster"),
         s"cluster predicate did not become a partition filter:\n$planStr")
+      // codes-only recall gate (exhaustive-ADC brute side): floor
+      // before compaction, and nprobe = nlist is 1.0 by construction
+      val gateQs = Seq(11L, 42L, 77L).map { id =>
+        val v = emb.where(col("vec_id") === id)
+          .select("embedding").as[Array[Float]].collect().head
+        array(v.toIndexedSeq.map(lit): _*)
+      }
+      def pqRecall(np: Int) = Streaming.ivfPqIndexRecall(spark,
+        s"$tmp/index", centroids, codebook, gateQs, nprobe = np, k = 5,
+        m = 4, dim = 64, idCol = "vec_id")
+      val recallBefore = pqRecall(3)
+      info(s"pre-compaction ADC recall@5 (nprobe=3): $recallBefore")
+      // the fixture's centroids are arbitrary members (vec_id < 8, no
+      // training) and the full-space codebook ranks in L2 while probes
+      // route by cosine, so nprobe=3/8 recall is genuinely modest —
+      // the gate's job is to SURFACE that; assert a floor plus the
+      // structural properties: widening the probe can only help, and
+      // the exhaustive probe is 1.0 by construction
+      assert(recallBefore >= 0.2,
+        s"pre-compaction ADC recall floor violated: $recallBefore")
+      assert(pqRecall(6) >= recallBefore,
+        "ADC recall must be monotone in nprobe")
+      assert(pqRecall(8) === 1.0)
       // compaction (layout-bound, schema-agnostic) collapses the
       // batch dirs and leaves search results identical
       val before = got.collect().toSeq.map(_.toSeq)
@@ -938,6 +961,9 @@ class StreamingSpec extends SparkSpec {
         centroids, codebook, qv, nprobe = 3, k = 10, m = 4, dim = 64,
         idCol = "vec_id").collect().toSeq.map(_.toSeq)
       assert(after.sortBy(_.toString) === before.sortBy(_.toString))
+      // the gate after compaction: probe results are preserved
+      // exactly, so recall is identical per compaction state
+      assert(pqRecall(3) === recallBefore)
       val batchDirs = new java.io.File(s"$tmp/index").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       assert(batchDirs.map(_.getName).toSeq === Seq("batch=-1"))
