@@ -241,6 +241,18 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup: EXACT all-pairs Jaccard join via prefix filtering
+    // (All-Pairs/PPJoin) — recall exactly 1.0 by construction, so the
+    // oracle can be the brute-force exact pair set: any engine-side
+    // prefix-filter bug that loses (or fabricates) a pair is a hash
+    // mismatch, not a silent recall dip.
+    "q187_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixFilterJaccardPairs(
+          rd(s, dir, "documents"),
+          "text", "doc_id", n = 3, minJaccard = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Text: rolling (polynomial) document hash — order-sensitive
     // fingerprint, dedup key for exact copies that preserves order
     "q58_rolling_hash" -> ((s, dir) => {
@@ -792,6 +804,23 @@ object NorthStar {
            |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
            |    6) AS jaccard
            |FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q187_prefix_jaccard" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    list_distinct(${shinglesSql("t", 3)}) AS sh
+           |  FROM toks)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+           |    6) AS jaccard
+           |FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+           |      >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q25_simhash" ->

@@ -99,6 +99,22 @@ object WarehouseQueries {
         .select(col("event_id"), zu.as("zb_user"), zv.as("zb_value"),
           Layout.zValue2(zu, zv, ZBits).as("zval"))
         .orderBy("event_id")
+    }),
+
+    // Hilbert-curve layout index over the same two bucketed dimensions
+    // as q177 — the better-locality clustering key (consecutive index
+    // values are always grid-adjacent cells, so each range-partitioned
+    // file covers a tighter bounding box than Morton). The per-level
+    // reflect-and-rotate recurrence is replayed in DuckDB as a chain
+    // of integer-SQL CTEs generated from the same Scala loop.
+    "q188_hilbert" -> ((s, dir) => {
+      val zu = Layout.zBucket(col("user_id"), 0.0, 160.0, ZBits)
+      val zv = Layout.zBucket(col("value"), 0.0, 500.0, ZBits)
+      Layout.hilbertValue2(
+          rd(s, dir, "events")
+            .select(col("event_id"), zu.as("zb_user"), zv.as("zb_value")),
+          col("zb_user"), col("zb_value"), ZBits, "hval")
+        .orderBy("event_id")
     })
   )
 
@@ -171,6 +187,45 @@ object WarehouseQueries {
          |        ${zb("user_id", 160.0)} AS zb_user,
          |        ${zb("value", 500.0)} AS zb_value
          |      FROM events)
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "q188_hilbert" -> {
+      val n = 1L << 8
+      def zb(c: String, hi: Double) =
+        s"""least(greatest(CAST(floor(CAST($c AS DOUBLE)
+           |  / ${hi / n}) AS BIGINT), 0), ${n - 1})""".stripMargin
+      // one CTE per bit level, replaying Layout.hilbertValue2's
+      // reflect-and-rotate recurrence: hx/hy/hd all read the previous
+      // level's columns, exactly like the Spark chained projection
+      val levels = ((8 - 1) to 0 by -1).zipWithIndex.map {
+        case (i, step) =>
+          val s = 1L << i
+          val prev = if (step == 0) "h0" else s"h$step"
+          val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+          val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+          s"""h${step + 1} AS (
+             |  SELECT event_id, zb_user, zb_value,
+             |    CASE WHEN $ry = 0 THEN
+             |      (CASE WHEN $rx = 1 THEN ${s - 1} - hy ELSE hy END)
+             |    ELSE hx END AS hx,
+             |    CASE WHEN $ry = 0 THEN
+             |      (CASE WHEN $rx = 1 THEN ${s - 1} - hx ELSE hx END)
+             |    ELSE hy END AS hy,
+             |    hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+             |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+         |  SELECT event_id,
+         |    ${zb("user_id", 160.0)} AS zb_user,
+         |    ${zb("value", 500.0)} AS zb_value,
+         |    ${zb("user_id", 160.0)} AS hx,
+         |    ${zb("value", 500.0)} AS hy,
+         |    CAST(0 AS BIGINT) AS hd
+         |  FROM events),
+         |$levels
+         |SELECT event_id, zb_user, zb_value, hd AS hval
+         |FROM h8
          |ORDER BY event_id""".stripMargin
     }
   )

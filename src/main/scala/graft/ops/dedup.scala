@@ -306,6 +306,113 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering — every
+    * pair with n-gram Jaccard ≥ `minJaccard`, no blocking key, no LSH
+    * false negatives (the All-Pairs / PPJoin family: Chaudhuri et al.
+    * 2006, Bayardo et al. 2007, Xiao et al. 2008). Use it when recall
+    * must be EXACTLY 1.0 (contractual dedup, eval-set decontamination
+    * audits); [[minhashCandidatePairs]] stays the probabilistic fast
+    * path when a recall floor near 1 is enough.
+    *
+    * How the quadratic is avoided: order every document's distinct
+    * shingle set by GLOBAL document frequency ascending (rarest first,
+    * digest tie-break — one total order for the whole corpus). A pair
+    * with Jaccard ≥ t must overlap in ≥ ⌈t·|x|⌉ shingles, so each side
+    * only needs to index its first |x| − ⌈t·|x|⌉ + 1 shingles: any
+    * qualifying pair shares at least one PREFIX shingle (the prefix-
+    * filter lemma). Candidates are generated by an equi-join on prefix
+    * shingles, size-filtered (t·|a| ≤ |b| ≤ |a|/t), then verified with
+    * the exact intersection-over-union — so the output is exact while
+    * the pairwise work is confined to prefix collisions, which the
+    * df-ascending order makes RARE shingles: boilerplate n-grams shared
+    * by millions of documents sort to the suffixes and never generate a
+    * candidate.
+    *
+    * Scale: shingle hashing is row-local; the df table is one keyed
+    * count over exploded digests (fixed-width rows); the order-and-pack
+    * step is one doc-keyed shuffle; the candidate join is keyed on a
+    * 32-hex digest whose fan-out the prefix bound caps at
+    * (1 − t)·|doc| + 1 rows per document. Residual hot-prefix skew
+    * spreads across tasks as ordinary join skew (AQE skew-join handles
+    * it) — no whole-bucket array row is ever built. Verification joins
+    * move only the candidate pairs plus each side's digest array. */
+  def prefixFilterJaccardPairs(df0: DataFrame, textCol: String,
+                               idCol: String, n: Int,
+                               minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard (0 would be all pairs)")
+    val df = Scale.widen(df0)
+    // materialized: the digest arrays feed the df count AND the token
+    // explode (two plan branches) — without the checkpoint the
+    // dominant row-local shingle hashing runs once per branch
+    val docs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        array_distinct(transform(Text.shingles(col(textCol), n),
+          x => fastMd5(x))).as("__sh"))
+      .localCheckpoint()
+    val toks = docs.select(col("__id"), explode(col("__sh")).as("__h"))
+    val dfreq = toks.groupBy("__h").agg(count(lit(1)).as("__df"))
+    // (df asc, digest asc) struct sort = the global total order; the
+    // packed array drops the df component once ordering is fixed
+    // materialized: the packed frame feeds FOUR join branches (both
+    // sides of the prefix self-join + both verification joins), and
+    // nothing upstream of it — the shingle hashing, the df count, the
+    // doc-keyed pack — should run more than once. Fixed-width rows
+    // (id, digest array), so the checkpoint is corpus-linear.
+    val ordered = toks.join(dfreq, Seq("__h"))
+      .groupBy("__id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__df"), col("__h")))),
+        s => s.getField("__h")).as("__ord"))
+      .withColumn("__sz", size(col("__ord")))
+      .localCheckpoint()
+    val prefixLen = (col("__sz") - ceil(col("__sz") * minJaccard) + 1)
+      .cast("int")
+    val prefix = ordered.select(col("__id"), col("__sz"),
+      posexplode(slice(col("__ord"), lit(1), prefixLen))
+        .as(Seq("__p", "__h")))
+    // positional filter (the PPJoin refinement): for a qualifying pair
+    // the FIRST shared token w* (earliest in the global order, hence
+    // the same token in both) satisfies
+    //   overlap <= 1 + min(|a| - pos_a(w*), |b| - pos_b(w*)),
+    // and min-aggregating positions over all prefix collisions only
+    // loosens that bound — so requiring it to reach the Jaccard-
+    // implied overlap floor alpha = t/(1+t)·(|a|+|b|) prunes no true
+    // pair while discarding candidates whose only collisions sit deep
+    // in both prefixes (~half of them on near-dup corpora). The
+    // pair-grain groupBy replaces the distinct the unfiltered form
+    // needed — same shuffle, strictly more pruning.
+    val alpha = lit(minJaccard / (1 + minJaccard)) *
+      (col("__sa") + col("__sb")) - lit(1e-9)
+    val candidates = prefix
+      .select(col("__h"), col("__id").as("id_a"), col("__sz").as("__sa"),
+        (col("__p") + 1).as("__pa"))
+      .join(prefix.select(col("__h"), col("__id").as("id_b"),
+        col("__sz").as("__sb"), (col("__p") + 1).as("__pb")), Seq("__h"))
+      .where(col("id_a") < col("id_b") &&
+        col("__sb") * minJaccard <= col("__sa") &&
+        col("__sa") * minJaccard <= col("__sb"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"),
+        min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"))
+      .where(lit(1) + least(col("__sa") - col("__pa"),
+        col("__sb") - col("__pb")) >= alpha)
+      .select("id_a", "id_b")
+    val sets = ordered.select(col("__id"), col("__ord"))
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__ord").as("__A")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__ord").as("__B")),
+        Seq("id_b"))
+      .withColumn("__j",
+        size(array_intersect(col("__A"), col("__B"))).cast("double") /
+          size(array_union(col("__A"), col("__B"))).cast("double"))
+      // threshold on the RAW ratio (rounding only for presentation —
+      // a 0.39999 pair must not slip in via round-to-0.4)
+      .where(col("__j") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
   /** SimHash near-dup: packed simhash + bucket on the top `prefixBits`
     * bits; pairs within a bucket filtered by Hamming distance. One shuffle
     * on a small int key, one simhash evaluation per row (the simhash

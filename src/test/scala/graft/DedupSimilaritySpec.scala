@@ -86,6 +86,51 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 4L)) === 0.0)
   }
 
+  test("prefixFilterJaccardPairs == brute-force exact pairs (recall 1.0)") {
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val brute = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3,
+          minJaccard = t, blockingKey = _ => lit(1))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pf = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+          n = 3, minJaccard = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pf === brute, s"prefix-filter diverged from brute force at t=$t")
+    }
+  }
+
+  test("prefixFilterJaccardPairs: exactness holds on a mixed-overlap corpus") {
+    // 40 docs over a tiny vocabulary: dense overlap structure, many
+    // borderline pairs — the regime where a wrong prefix bound or size
+    // filter actually loses pairs
+    import org.scalacheck.{Gen, rng}
+    val vocab = Gen.listOfN(10,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, vocab.apply(Gen.Parameters.default, rng.Seed(7L + i))
+        .get.mkString(" "))
+    }.toDF("doc_id", "text")
+    val brute = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", n = 2,
+        minJaccard = 0.25, blockingKey = _ => lit(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = Dedup.prefixFilterJaccardPairs(corpus, "text", "doc_id",
+        n = 2, minJaccard = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pf === brute)
+    assert(brute.nonEmpty, "fixture produced no qualifying pairs — weaken it")
+  }
+
+  test("prefixFilterJaccardPairs edges: t=1 finds only exact-set dups; " +
+      "t=0 rejected") {
+    val r = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(r.toSet === Set((1L, 2L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+        n = 3, minJaccard = 0.0)
+    }
+  }
+
   test("keepCanonical drops exactly the larger-id side of each pair") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
       numHashes = 8, bands = 4, shingleSize = 3)
