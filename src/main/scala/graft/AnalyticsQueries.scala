@@ -178,6 +178,17 @@ object AnalyticsQueries {
         .orderBy("source")
     }),
 
+    // Deterministic Poisson-bootstrap CI for the per-source mean
+    // document length — "is the length gap between sources real or
+    // sampling noise?" answered with md5-derived Poisson(1) replicate
+    // weights (Chamandy et al. 2012), fully replayable in SQL: the
+    // oracle bakes in the identical inverse-CDF double literals.
+    "q189_bootstrap_ci" -> ((s, dir) => {
+      Profiling.bootstrapMeanCI(rd(s, dir, "documents"),
+          "source", "n_chars", col("doc_id"), reps = 64)
+        .orderBy("source")
+    }),
+
     // Winsorized document length per language: clamp n_chars to the
     // language's [p05, p95] band (cutoffs broadcast back; corpus
     // unshuffled).
@@ -530,6 +541,35 @@ object AnalyticsQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents
         |GROUP BY 1, 2, 3 ORDER BY lang, bin_lo""".stripMargin,
+
+    "q189_bootstrap_ci" -> {
+      // weight CASE generated from the SAME PoissonCdf doubles the
+      // Spark expression folds over (shortest-round-trip literals →
+      // identical doubles in both engines)
+      val wCase = graft.ops.Profiling.PoissonCdf.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+      raw"""WITH reps AS (SELECT unnest(generate_series(0, 63)) AS b),
+        |e AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS x, b,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |      CAST(b AS VARCHAR)), 1, 6) AS BIGINT) / 16777216.0 AS u
+        |  FROM documents CROSS JOIN reps),
+        |m AS (
+        |  SELECT source, b,
+        |    sum(($wCase) * x) / nullif(sum($wCase), 0) AS m
+        |  FROM e GROUP BY source, b),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    avg(CAST(n_chars AS DOUBLE)) AS mean
+        |  FROM documents GROUP BY source)
+        |SELECT base.source, n, round(mean, 6) AS mean,
+        |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+        |FROM base JOIN m ON base.source = m.source
+        |GROUP BY base.source, n, mean
+        |ORDER BY base.source""".stripMargin
+    },
 
     "q184_source_kl" ->
       raw"""WITH toks AS (

@@ -151,4 +151,68 @@ object Profiling {
         .otherwise(0L)).as("n_outliers"))
       .select(col(group), col("n"), col("med"), col("mad"), col("n_outliers"))
   }
+
+  /** Cumulative Poisson(1) CDF thresholds P(X ≤ k) for k = 0..6 — the
+    * inverse-CDF table [[bootstrapMeanCI]] uses to turn a uniform
+    * md5 draw into a deterministic Poisson bootstrap weight. Exposed
+    * so oracle SQL can bake in the IDENTICAL double literals. */
+  private[graft] val PoissonCdf: IndexedSeq[Double] = {
+    val p = (0 to 6).scanLeft(math.exp(-1.0)) { (pk, k) => pk / (k + 1) }
+    p.init.scanLeft(0.0)(_ + _).tail.toIndexedSeq
+  }
+
+  /** Deterministic Poisson bootstrap confidence interval for a per-group
+    * mean — "is the quality-score gap between source A and source B
+    * real or sampling noise?", answered without ever resampling rows:
+    * each row gets `reps` independent Poisson(1) pseudo-weights (the
+    * classic Poisson approximation to multinomial bootstrap resampling
+    * — Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams"), each replicate's weighted mean is computed per group,
+    * and the CI is the [lo, hi] quantile band of the replicate means.
+    *
+    * Weights are derived from md5(id | replicate) through the
+    * [[PoissonCdf]] inverse-CDF table — fully deterministic,
+    * partition-stable, and replayable in any engine with md5 (the q189
+    * oracle replays it cell-exactly). Weight 7 caps the tail
+    * (P ≈ 8e-5 of a draw ≥ 7 — bias far below CI resolution at any
+    * real replicate count).
+    *
+    * Output per group: n, mean (unweighted), ci_lo, ci_hi.
+    *
+    * Scale: the row × reps expansion is row-local (`sequence` +
+    * `explode` inside the scan stage) and immediately collapses into a
+    * (group × reps)-grain partial aggregate — map-side combine does
+    * the heavy fold, the shuffle carries group·reps rows regardless of
+    * corpus size; the quantile pass then runs on that tiny frame. */
+  def bootstrapMeanCI(df: DataFrame, group: String, value: String,
+                      id: Column, reps: Int = 64,
+                      lo: Double = 0.025, hi: Double = 0.975): DataFrame = {
+    require(reps >= 2, s"reps must be >= 2, got $reps")
+    val x = col(value).cast("double")
+    // uniform in [0,1) from the first 6 hex digits of md5(id|rep)
+    // evaluated AFTER the select below projects id as __id
+    val u = conv(substring(graft.functions.GraftFunctions.fastMd5(
+        concat(col("__id").cast("string"), lit("|"),
+          col("__b").cast("string"))),
+      1, 6), 16, 10).cast("double") / lit((1 << 24).toDouble)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(7).cast("long")) {
+      case ((t, k), rest) => when(u < lit(t), lit(k).cast("long"))
+        .otherwise(rest)
+    }
+    val repMeans = df
+      .select(col(group), x.as("__x"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("__b"), id.as("__id"))
+      .withColumn("__w", w)
+      .groupBy(col(group), col("__b"))
+      .agg((sum(col("__w") * col("__x")) /
+        nullif(sum(col("__w")), lit(0L))).as("__m"))
+    val base = df.groupBy(group)
+      .agg(count(lit(1)).as("n"), avg(x).as("mean"))
+    base.join(repMeans.groupBy(group)
+        .agg(percentile(col("__m"), lit(lo)).as("ci_lo"),
+          percentile(col("__m"), lit(hi)).as("ci_hi")), Seq(group))
+      .select(col(group), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
+  }
 }

@@ -1089,6 +1089,128 @@ object Streaming {
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/holt")
       .withColumn("forecast_1", col("level") + col("trend"))
 
+  /** Stream-maintained per-key approximate distinct counts via
+    * mergeable DataSketches HLL: per micro-batch, sketch the batch's
+    * values per key (`hll_sketch_agg`) and union into a standing
+    * `hll/` (key, sketch) table. Sketch union is register-wise max —
+    * commutative, associative, duplicate-insensitive — so the store's
+    * per-key estimate equals sketching everything streamed so far in
+    * one pass, regardless of batching (StreamingSpec asserts estimate
+    * equality with the batch recompute). Per-key state is ONE
+    * fixed-size sketch (~2^lgK bytes) no matter how many distinct
+    * values stream — the cardinality member of the stats-store family
+    * (distinct users per day, vocabulary per source, URL hosts per
+    * crawl), where the exact stores ([[wordHistSink]]) would grow with
+    * the distinct count itself.
+    *
+    * Exactly-once via [[mergeStoreBatch]]'s `_batch` mark. HLL union
+    * is idempotent, so a replayed merge would not even over-count —
+    * the mark keeps the store bytes deterministic. */
+  def hllSink(rows: DataFrame, keyCol: String, valueCol: String,
+              statsDir: String, checkpoint: String, lgK: Int = 12) =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("hll", Seq(keyCol), Nil) ->
+              batch.groupBy(keyCol)
+                .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))),
+            customMerge = Map("hll" -> { (prior, delta) =>
+              prior match {
+                case None => delta
+                case Some(p) =>
+                  p.select(col(keyCol), col("sketch").as("__a"))
+                    .join(delta.select(col(keyCol),
+                      col("sketch").as("__b")), Seq(keyCol), "full_outer")
+                    .select(col(keyCol),
+                      when(col("__a").isNull, col("__b"))
+                        .when(col("__b").isNull, col("__a"))
+                        .otherwise(hll_union(col("__a"), col("__b")))
+                        .as("sketch"))
+              }
+            }))
+        ()
+      }
+
+  /** Read a [[hllSink]] store as (key, n_distinct) estimates.
+    * Side-effect-free (see [[readableStoreDir]]). */
+  def readHllDistinct(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/hll")
+      .withColumn("n_distinct",
+        hll_sketch_estimate(col("sketch")).cast("long"))
+      .drop("sketch")
+
+  /** Raw (key, sketch) frame of a [[hllSink]] store — for further
+    * unions (cross-store merges, roll-ups across key grains). */
+  def readHllSketches(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/hll")
+
+  /** Stream-maintained k-means assignment statistics under PINNED
+    * centroids: per micro-batch, assign the batch's vectors to their
+    * argmax-cosine centroid ([[graft.ops.Similarity.assignToCentroids]]
+    * — the same row-local broadcast fold the vector-index sinks use)
+    * and fold the per-cluster (count, per-dimension sum) deltas into a
+    * standing store. [[readKmeansUpdate]] then yields ONE exact Lloyd
+    * update over everything streamed so far without rescanning any
+    * history — the centroid-refresh feed for index maintenance: stream
+    * vectors through [[pqIndexSink]]/[[vectorIndexSink]] AND this sink,
+    * and at the maintenance point read the refreshed centroids and
+    * hand them to [[rebuildPqIndex]] / [[compactVectorIndex]].
+    *
+    * Additive state: counts and dimension-sums over disjoint batches
+    * sum, so the accumulated stats are cell-identical to assigning the
+    * whole streamed union against the same pinned centroids in one
+    * batch pass (StreamingSpec asserts the refreshed centroids equal
+    * the batch Lloyd update exactly). Store size = k × dim + k rows —
+    * constant in corpus size; the per-batch merge touches at most
+    * that many rows. */
+  def kmeansStatsSink(vectors: DataFrame, embCol: String, idCol: String,
+                      centroids: DataFrame, statsDir: String,
+                      checkpoint: String) =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // one assignment pass feeds both deltas — checkpointed so
+          // the broadcast argmax fold runs once per micro-batch
+          val assigned = graft.ops.Similarity.assignToCentroids(
+            batch, embCol, idCol, centroids).localCheckpoint()
+          mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("sums", Seq("cluster", "dim"), Seq("s")) ->
+              assigned.select(col("cluster"),
+                posexplode(col(embCol)).as(Seq("dim", "x")))
+                .groupBy("cluster", "dim")
+                .agg(sum(col("x").cast("double")).as("s")),
+            StorePart("counts", Seq("cluster"), Seq("n")) ->
+              assigned.groupBy("cluster").agg(count(lit(1)).as("n"))))
+        }
+        ()
+      }
+
+  /** One Lloyd update from a [[kmeansStatsSink]] store: per cluster,
+    * the element-wise mean of every vector streamed into it, as
+    * (cid, cvec, n) — the exact centroid-frame shape
+    * [[graft.ops.Similarity.assignToCentroids]] (and therefore the
+    * index sinks, [[rebuildPqIndex]], [[compactVectorIndex]]) consume,
+    * so the refreshed centroids plug straight back into assignment.
+    * Clusters no batch vector ever reached are absent — callers keep
+    * the pinned centroid for those (the standard Lloyd convention).
+    * Side-effect-free (see [[readableStoreDir]]). */
+  def readKmeansUpdate(spark: SparkSession, statsDir: String): DataFrame = {
+    val root = readableStoreDir(spark, statsDir)
+    val sums = spark.read.parquet(s"$root/sums")
+    val counts = spark.read.parquet(s"$root/counts")
+    sums.groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s))), " +
+        "p -> p.s)").as("__sv"))
+      .join(counts, Seq("cluster"))
+      .select(col("cluster").as("cid"),
+        expr("transform(__sv, x -> x / n)").as("cvec"), col("n"))
+  }
+
   // ------------------------------------------------ index maintenance
 
   /** Swap a freshly-written `<indexDir>.compact.tmp` tree into place

@@ -95,4 +95,27 @@ class ProfilingSpec extends SparkSpec {
     // single-row group: both cutoffs equal the value, identity clamp
     assert(rows(out.filter($"grp" === "h").select("v_w")).head == Seq(1000.0))
   }
+
+  test("bootstrapMeanCI: band brackets the mean, collapses on constants, " +
+      "and is partition-stable") {
+    val df = (Seq.tabulate(60)(i => ("mix", i.toLong, (i % 30).toLong * 10))
+      ++ Seq.tabulate(40)(i => ("const", 100L + i, 7L)))
+      .toDF("grp", "id", "v")
+    val out = Profiling.bootstrapMeanCI(df, "grp", "v", $"id", reps = 64)
+      .orderBy("grp").collect()
+    val mix = out.find(_.getString(0) == "mix").get
+    assert(mix.getDouble(3) <= mix.getDouble(2) &&
+      mix.getDouble(2) <= mix.getDouble(4),
+      s"mean ${mix.getDouble(2)} outside [${mix.getDouble(3)}, " +
+        s"${mix.getDouble(4)}]")
+    assert(mix.getDouble(4) > mix.getDouble(3), "varied group has zero-width CI")
+    // constant values: every replicate mean is the value -> degenerate band
+    val c = out.find(_.getString(0) == "const").get
+    assert(c.getDouble(2) === 7.0 && c.getDouble(3) === 7.0 &&
+      c.getDouble(4) === 7.0)
+    // md5-derived weights: identical output under a different layout
+    val re = Profiling.bootstrapMeanCI(df.repartition(7), "grp", "v",
+      $"id", reps = 64).orderBy("grp").collect()
+    assert(out.map(_.toSeq).toSeq === re.map(_.toSeq).toSeq)
+  }
 }

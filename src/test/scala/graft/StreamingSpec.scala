@@ -437,6 +437,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllSink: streamed per-key distinct estimates equal the batch " +
+      "sketch over the union, duplicates across batches collapse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), col("doc_id"))
+    val in = MemoryStream[(String, Long)]
+    val q = Streaming.hllSink(in.toDF().toDF("lang", "doc_id"),
+      "lang", "doc_id", s"$tmp/stats", s"$tmp/ckpt").start()
+    try {
+      val all = docs.as[(String, Long)].collect()
+      // three batches with the FIRST batch re-sent at the end: a
+      // distinct-count store must not double-count replayed values
+      val batches = all.grouped((all.length + 2) / 3).toSeq
+      (batches :+ batches.head).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = Streaming.readHllDistinct(spark, s"$tmp/stats")
+        .orderBy("lang").collect().toSeq.map(_.toSeq)
+      val want = docs
+        .groupBy("lang")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("doc_id"), lit(12)))
+          .cast("long").as("n_distinct"))
+        .orderBy("lang").collect().toSeq.map(_.toSeq)
+      assert(got === want) // union of sketches == sketch of union
+      // sanity: estimates near the exact distinct counts (tight at
+      // these cardinalities)
+      val exact = docs.groupBy("lang")
+        .agg(countDistinct("doc_id").as("n")).orderBy("lang")
+        .collect().map(_.getLong(1))
+      got.map(_(1).asInstanceOf[Long]).zip(exact).foreach { case (e, x) =>
+        assert(math.abs(e - x) <= math.max(1L, (x * 0.05).toLong),
+          s"estimate $e vs exact $x")
+      }
+    } finally q.stop()
+  }
+
+  test("kmeansStatsSink: streamed assignment stats yield the exact " +
+      "batch Lloyd update; refreshed centroids feed assignment") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kms").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 6)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streaming.kmeansStatsSink(
+      in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+      centroids, s"$tmp/stats", s"$tmp/ckpt").start()
+    try {
+      val all = emb.as[(Long, Array[Float])].collect()
+      all.grouped((all.length + 2) / 3).foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = Streaming.readKmeansUpdate(spark, s"$tmp/stats")
+        .orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+      // batch Lloyd update over the whole union with the same pinned
+      // centroids: per cluster, count + per-dimension sum / count
+      val want = graft.ops.Similarity.assignToCentroids(
+          emb, "embedding", "vec_id", centroids)
+        .select(col("cluster"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("x").cast("double")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, s))), " +
+          "p -> p.s)").as("sv"), first("n").as("n"))
+        .orderBy("cluster").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).map(_ / r.getLong(2)), r.getLong(2)))
+      assert(got.length === want.length)
+      got.zip(want).foreach { case ((gc, gv, gn), (wc, wv, wn)) =>
+        assert(gc === wc && gn === wn)
+        gv.zip(wv).foreach { case (g, w) =>
+          assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+            s"cluster $gc centroid drifted: $g vs $w")
+        }
+      }
+      // the refreshed frame is assignment-ready: same (cid, cvec) shape
+      val re = graft.ops.Similarity.assignToCentroids(emb, "embedding",
+        "vec_id", Streaming.readKmeansUpdate(spark, s"$tmp/stats")
+          .select("cid", "cvec"))
+      assert(re.count() === emb.count())
+    } finally q.stop()
+  }
+
   test("cmsSink accumulates the exact batch sketch and estimates match") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cms").toString
     val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
