@@ -40,6 +40,45 @@ object CurationQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Epoch-aware deterministic upsampling: per-source mix weights in
+    // [0.4, 2.6] — floor(w) guaranteed epochs per document plus one
+    // md5-decided marginal copy (E[copies] = w exactly) — the weight>1
+    // side of source mixing q94's rebalance refuses. Summarized per
+    // source; the oracle replays the md5 coin cell-exactly.
+    "q191_upsample_mix" -> ((s, dir) => {
+      val w = lit(0.4) +
+        (substring(col("source"), 4, 10).cast("int") % 5) * lit(0.55)
+      Curation.upsampleMix(rd(s, dir, "documents"), col("doc_id"), w)
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          max("rep").cast("long").as("max_rep"))
+        .orderBy("source")
+    }),
+
+    // Unicode-NFC dedup keying ([[graft.functions.NfcNormalizeExpression]]
+    // — native codegen'd normalizer): per source, a visually identical
+    // key is synthesized in TWO codepoint encodings (composed é vs
+    // e + U+0301); raw md5 keying sees 2 distinct keys per source, the
+    // NFC-composed keying collapses them to 1 — the canonicalization
+    // exact-dedup needs ahead of hashing. DuckDB replays it with
+    // nfc_normalize over the identical literals.
+    "q192_nfc_dedup_key" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.{fastMd5, nfcNormalize}
+      val key = concat(col("source"), lit(" "),
+        when(col("doc_id") % 2 === 0, lit(NfcComposed))
+          .otherwise(lit(NfcDecomposed)))
+      rd(s, dir, "documents")
+        .withColumn("__k", key)
+        .withColumn("__nk", nfcNormalize(col("__k")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("__nk") =!= col("__k")).cast("long")).as("n_changed"),
+          countDistinct(fastMd5(col("__k"))).as("raw_keys"),
+          countDistinct(fastMd5(col("__nk"))).as("nfc_keys"))
+        .orderBy("source")
+    }),
+
     // Per-domain cap: keep the 10 longest documents per source (ties by
     // doc_id), then summarize what survived — the anti-boilerplate mix rule.
     "q84_domain_cap" -> ((s, dir) => {
@@ -386,9 +425,51 @@ object CurationQueries {
   private val BlockedSuffixes =
     Seq("3.example.de", "7.example.de", "src1.example.de")
 
+  /** q192's key suffix in both codepoint encodings — NFC-equal,
+    * byte-different (shared by the Spark literals and the oracle SQL
+    * so both engines hash the identical strings). */
+  private val NfcComposed = "caf\u00e9"   // e-acute as ONE codepoint
+  private val NfcDecomposed = "cafe\u0301" // e + combining acute
+
   // ----------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+
+    "q192_nfc_dedup_key" ->
+      s"""WITH k AS (
+         |  SELECT source,
+         |    source || ' ' || (CASE WHEN doc_id % 2 = 0
+         |      THEN '$NfcComposed' ELSE '$NfcDecomposed' END) AS k
+         |  FROM documents),
+         |n AS (SELECT source, k, nfc_normalize(k) AS nk FROM k)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN nk <> k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed,
+         |  CAST(count(DISTINCT md5(k)) AS BIGINT) AS raw_keys,
+         |  CAST(count(DISTINCT md5(nk)) AS BIGINT) AS nfc_keys
+         |FROM n GROUP BY source ORDER BY source""".stripMargin,
+
+    "q191_upsample_mix" -> {
+      val coin = bucketSql(
+        "CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)")
+      s"""WITH w AS (
+         |  SELECT source, doc_id,
+         |    0.4 + (CAST(substr(source, 4) AS INT) % 5) * 0.55 AS wt
+         |  FROM documents),
+         |e AS (
+         |  SELECT source, doc_id, wt,
+         |    unnest(generate_series(1, CAST(ceil(wt) AS INT))) AS rep
+         |  FROM w WHERE wt > 0),
+         |k AS (
+         |  SELECT * FROM e
+         |  WHERE rep <= floor(wt)
+         |     OR $coin < (wt - floor(wt)) * 256.0)
+         |SELECT source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(max(rep) AS BIGINT) AS max_rep
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q84_domain_cap" ->
       """WITH r AS (

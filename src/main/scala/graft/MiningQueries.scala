@@ -207,6 +207,18 @@ object MiningQueries {
         .orderBy("cluster_id", "rk")
     }),
 
+    // Hard-negative mining for retriever training: per query vector,
+    // the top-3 most-similar corpus vectors with a DIFFERENT label —
+    // the contrastive "looks relevant, isn't" set; the per-query rank
+    // compiles to WindowGroupLimit so the corpus never shuffles its
+    // cross product.
+    "q190_hard_negatives" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", "label", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-PQ end to end: coarse inverted-file probe (q50's first-16
     // centroids, nprobe=2) prunes the corpus, then PQ asymmetric
     // distances (q168's codebook) rank ONLY the probed candidates —
@@ -537,6 +549,19 @@ object MiningQueries {
          |      ORDER BY round(cos, 6) DESC, id) AS rk
          |  FROM a2) z
          |WHERE rk <= 30 ORDER BY cluster_id, rk""".stripMargin,
+
+    "q190_hard_negatives" ->
+      s"""SELECT query_id, neg_id, neg_label, cosine_sim, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+         |    c.label AS neg_label,
+         |    round(${NorthStar.cosineSql("c.embedding", "q.embedding", Dim)},
+         |      6) AS cosine_sim,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      round(${NorthStar.cosineSql("c.embedding", "q.embedding", Dim)},
+         |        6) DESC, c.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+         |  WHERE q.vec_id < 20) z
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q174_ivf_pq" -> {
       val sub = Dim / PqM

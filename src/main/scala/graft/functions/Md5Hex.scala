@@ -80,6 +80,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       Md5HexExpression(GraftColumnBridge.expression(c.cast("binary"))))
 
+  /** Unicode NFC canonical composition of a string column (native
+    * expression; matches DuckDB nfc_normalize). Dedup keys must be
+    * composed before hashing or visually-equal strings split. */
+  def nfcNormalize(c: Column): Column =
+    GraftColumnBridge.column(
+      NfcNormalizeExpression(GraftColumnBridge.expression(c)))
+
   /** Cosine similarity of two float/double array columns (fused
     * codegen'd loop; value-identical to the HOF formulation). */
   def cosineSim(a: Column, b: Column): Column =

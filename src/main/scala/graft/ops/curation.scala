@@ -305,4 +305,32 @@ object Curation {
     df.join(broadcast(th), Seq(keyCol))
       .filter(Sampling.splitBucket(id) < col("mix_threshold"))
   }
+
+  /** Deterministic EPOCH-AWARE upsampling — the weight > 1 side of
+    * source mixing that [[rebalanceMix]] (downsample-only) refuses:
+    * emit each row ⌊w⌋ guaranteed copies plus one extra copy with
+    * probability frac(w), decided by the row's stable md5 bucket — so
+    * E[copies] = w exactly, and the SAME rows get the extra epoch on
+    * every run and every engine (the q191 oracle replays it). This is
+    * how pretraining mixes oversample high-quality sources (e.g.
+    * Wikipedia at 2.5 epochs in GPT-3's mix) without an RNG in the
+    * pipeline. Output adds `rep` (1-based copy index) so downstream
+    * shuffling/packing can keep copies apart; rows with weight ≤ 0
+    * are dropped.
+    *
+    * Scale: entirely row-local — a `sequence(1, ceil(w))` explode
+    * bounded by the weight, no shuffle, no state; the md5 decision
+    * keys on (id, rep) so each epoch's marginal copy is an
+    * independent coin. */
+  def upsampleMix(df: DataFrame, id: Column, weight: Column): DataFrame = {
+    val w = weight.cast("double")
+    df.withColumn("__w", w)
+      .where(col("__w") > 0)
+      .withColumn("rep", explode(expr("sequence(1, int(ceil(__w)))")))
+      .where(col("rep") <= floor(col("__w")) ||
+        Sampling.splitBucket(concat(id.cast("string"), lit("#"),
+          col("rep").cast("string"))) <
+          (col("__w") - floor(col("__w"))) * lit(256.0))
+      .drop("__w")
+  }
 }

@@ -50,6 +50,38 @@ object Similarity {
       .select(col(queryId), col(corpusId), col("cosine_sim"), col("rank"))
   }
 
+  /** Hard-negative mining for retriever/reranker training: for each
+    * query vector, the top-k most-cosine-similar corpus vectors with a
+    * DIFFERENT label — the "looks relevant, isn't" examples contrastive
+    * training needs (random negatives are too easy; the model learns
+    * nothing from them). Labels stand in for relevance grouping (source,
+    * topic, paired-positive id — whatever the training setup considers
+    * "same").
+    *
+    * Output: (query_id, neg_id, neg_label, cosine_sim, rank ≤ k).
+    *
+    * Scale: the query set broadcasts (bounded — mine negatives in query
+    * shards); the corpus is scanned once, never shuffled before the
+    * per-query rank, which compiles to WindowGroupLimit (per-partition
+    * k-row heaps BEFORE the exchange, so the shuffle carries ≤ k rows
+    * per (query, partition), not the corpus×queries cross product). At
+    * billion-vector scale feed the candidate set from the ANN indexes
+    * (ivfSearchIndexBatch) and re-rank here — same output contract. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, embCol: String,
+                    idCol: String, labelCol: String, k: Int): DataFrame = {
+    val joined = Scale.widen(corpus).crossJoin(
+      broadcast(queries.select(col(idCol).as("__qid"),
+        col(embCol).as("__qvec"), col(labelCol).as("__qlabel"))))
+      .where(col(labelCol) =!= col("__qlabel"))
+      .withColumn("cosine_sim", round(cosine(col(embCol), col("__qvec")), 6))
+    val w = Window.partitionBy("__qid")
+      .orderBy(col("cosine_sim").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col(idCol).as("neg_id"),
+        col(labelCol).as("neg_label"), col("cosine_sim"), col("rank"))
+  }
+
   /** Margin-based bitext/pair mining (Artetxe & Schwenk 2019,
     * "Margin-based Parallel Corpus Mining with Multilingual Sentence
     * Embeddings"): score every (a, b) cross pair by its cosine divided

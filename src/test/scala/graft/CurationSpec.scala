@@ -156,4 +156,32 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(4L))
   }
+
+  test("upsampleMix: integer weights give exact epochs, fractional " +
+      "weights land between floor and ceil, zero drops, deterministic") {
+    val df = (0 until 400).map(i => (i.toLong, s"doc$i")).toDF("id", "txt")
+    // weight 2.0: exactly two copies of every row, reps 1 and 2
+    val two = Curation.upsampleMix(df, $"id", lit(2.0))
+    assert(two.count() === 800L)
+    assert(two.groupBy("id").count().filter($"count" =!= 2).count() === 0L)
+    assert(two.agg(max("rep")).head().getInt(0) === 2)
+    // weight 1.5: every row once, ~half twice (md5 coin, E = 1.5)
+    val mid = Curation.upsampleMix(df, $"id", lit(1.5))
+    val n = mid.count()
+    assert(n >= 400L && n <= 800L, s"got $n")
+    assert(math.abs(n - 600L) < 80, s"coin far off fair: $n")
+    assert(mid.groupBy("id").count().filter($"count" < 1).count() === 0L)
+    // weight 0.5: subsample, no row twice
+    val half = Curation.upsampleMix(df, $"id", lit(0.5))
+    assert(half.groupBy("id").count().filter($"count" > 1).count() === 0L)
+    val nh = half.count()
+    assert(math.abs(nh - 200L) < 60, s"got $nh")
+    // weight <= 0 drops everything
+    assert(Curation.upsampleMix(df, $"id", lit(0.0)).count() === 0L)
+    // partition-stable: identical (id, rep) multiset under a re-layout
+    val a = mid.select("id", "rep").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val b = Curation.upsampleMix(df.repartition(13), $"id", lit(1.5))
+      .select("id", "rep").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(a === b)
+  }
 }

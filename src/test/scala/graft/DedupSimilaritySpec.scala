@@ -225,6 +225,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(4L, 1L))
   }
 
+  test("hardNegatives: same-label excluded, rank order by cosine then id") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),  // same label as 0: excluded
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1),  // best cross-label negative
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = labeled.filter(col("vec_id") === 0)
+    val r = Similarity.hardNegatives(labeled, q, "embedding", "vec_id",
+      "label", k = 3).orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neg_id")).toSeq === Seq(2L, 3L, 4L))
+    assert(!r.exists(_.getAs[Int]("neg_label") == 0)) // never its own label
+    assert(r.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    // the top negative really is the hard one (closest cross-label)
+    assert(r.head.getAs[Double]("cosine_sim") > 0.9)
+  }
+
   test("signLshBucket: identical vectors share a bucket, opposite do not") {
     val b = vecs.select(col("vec_id"),
       Similarity.signLshBucket(col("embedding"), 4, 8).as("bucket"))

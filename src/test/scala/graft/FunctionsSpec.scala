@@ -23,6 +23,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nfcNormalize composes decomposed sequences identically in both " +
+      "modes, is identity on NFC text, and propagates null") {
+    import graft.functions.GraftFunctions.nfcNormalize
+    val decomposed = "cafe\u0301 und u\u0308ber" // combining marks
+    val composed = "caf\u00e9 und \u00fcber"     // single codepoints
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        val df = Seq(Some(decomposed), Some(composed), Some("plain ascii"),
+          Some(""), None).toDF("s")
+        val got = df.select(nfcNormalize(col("s"))).collect().map(_.get(0))
+        assert(got(0) === composed)      // composed
+        assert(got(1) === composed)      // already NFC: unchanged
+        assert(got(2) === "plain ascii") // fast path identity
+        assert(got(3) === "")
+        assert(got(4) == null)
+        // the dedup-keying consequence: raw digests differ, NFC collide
+        val keys = Seq(decomposed, composed).toDF("s")
+          .select(fastMd5(col("s")).as("raw"),
+            fastMd5(nfcNormalize(col("s"))).as("nfc")).collect()
+        assert(keys(0).getString(0) !== keys(1).getString(0))
+        assert(keys(0).getString(1) === keys(1).getString(1))
+      }
+    }
+    // wrong input type fails analysis, not codegen
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(nfcNormalize(col("n"))).collect()
+    }
+  }
+
   test("cosine expression is bit-identical to the HOF fold it replaced") {
     import org.apache.spark.sql.Column
     import graft.ops.Similarity
