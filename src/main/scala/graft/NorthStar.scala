@@ -241,6 +241,23 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental Hamming dedup against a STANDING hash-band index:
+    // the even-id half of the corpus is the persisted index (banded
+    // simhash rows — the shape an image-aHash store uses too), the
+    // odd-id half arrives as a batch; pairs emerge from band
+    // collisions only (never re-banding history), with pigeonhole
+    // recall 1.0 at maxHamming < bands. DuckDB replays the band
+    // arithmetic on both sides.
+    "q194_hash_index_pairs" -> ((s, dir) => {
+      val sh = rd(s, dir, "documents")
+        .select(col("doc_id"), Text.simhash(col("text"), 32).as("sh"))
+      val index = Dedup.hashBandIndex(sh.where(col("doc_id") % 2 === 0),
+        "sh", "doc_id", bits = 32, bands = 4)
+      Dedup.pairsAgainstHashIndex(sh.where(col("doc_id") % 2 === 1),
+          "sh", "doc_id", index, bits = 32, bands = 4, maxHamming = 3)
+        .orderBy("id_store", "id_new")
+    }),
+
     // Dedup: EXACT all-pairs Jaccard join via prefix filtering
     // (All-Pairs/PPJoin) — recall exactly 1.0 by construction, so the
     // oracle can be the brute-force exact pair set: any engine-side
@@ -868,6 +885,26 @@ object NorthStar {
            |  ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
            |WHERE bit_count(xor(a.sh, c.sh)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q194_hash_index_pairs" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |hs AS (
+           |  SELECT doc_id, list_transform(t, x -> md5(x)) AS h, len(t) AS n
+           |  FROM toks),
+           |sv AS (
+           |  SELECT doc_id, (${simhashSql("h", "n")}) AS sh FROM hs),
+           |bd AS (
+           |  SELECT doc_id, sh, b, (sh >> (b * 8)) & 255 AS bv
+           |  FROM sv CROSS JOIN
+           |    (SELECT unnest(generate_series(0, 3)) AS b) bs)
+           |SELECT DISTINCT s.doc_id AS id_store, n.doc_id AS id_new,
+           |  CAST(bit_count(xor(s.sh, n.sh)) AS BIGINT) AS hamming
+           |FROM bd s JOIN bd n
+           |  ON s.b = n.b AND s.bv = n.bv
+           |  AND s.doc_id % 2 = 0 AND n.doc_id % 2 = 1
+           |WHERE bit_count(xor(s.sh, n.sh)) <= 3
+           |ORDER BY id_store, id_new""".stripMargin,
 
       "q60_array_ops" ->
         """SELECT label,

@@ -116,6 +116,24 @@ object SqlSurface {
         .orderBy("band")
     }),
 
+    // Big-big interval join via grid blocking: every event inside a 2h
+    // window anchored at ~1% of events — both sides corpus-scale, so
+    // the broadcast NL of q38 is the wrong plan; bucketedRangeJoin
+    // turns it into a shuffled hash join keyed on 1h grid cells.
+    "q193_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+      val win = ev.where(col("event_id") % 101 === 0)
+        .select(col("event_id").as("win_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(2L * 3600000000L)).as("w_end"))
+      Joins.bucketedRangeJoin(pts, win, "tsu", "w_start", "w_end",
+          cellWidth = 3600000000L, maxCells = 4)
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event"))
+        .orderBy("win_id")
+    }),
+
     // §2.5 levenshtein-bounded fuzzy join (bookings ⋈ pages shape):
     // nation names with one substituted character fuzzy-matched back to
     // the dimension; "IRAX" legitimately hits both IRAN and IRAQ
@@ -914,6 +932,16 @@ object SqlSurface {
         |  AS b(band, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q193_range_join" ->
+      """WITH p AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+        |w AS (SELECT event_id AS win_id, epoch_us(ts) AS s,
+        |        epoch_us(ts) + 7200000000 AS e
+        |      FROM events WHERE event_id % 101 = 0)
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS first_event
+        |FROM p JOIN w ON p.tsu >= w.s AND p.tsu <= w.e
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     "q39_sql_revenue_region" ->
       """SELECT n_name,

@@ -482,6 +482,81 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded rows of a precomputed `bits`-wide hash column — `(id, h,
+    * band_idx, band_value)`, the fixed-width standing-index shape for
+    * HASH-based near-dup (text simhash, image aHash): the
+    * [[minhashIndex]] analogue for corpora whose similarity key is a
+    * single integer hash. Row-local (fixed `bands`-way fan-out inside
+    * the scan); persist bucketed by `band_value` for a co-located
+    * probe at corpus scale, exactly like the minhash index. Null
+    * hashes are absent from the index (undecodable images, null
+    * texts) — they collide with nothing. */
+  def hashBandIndex(df: DataFrame, hashCol: String, idCol: String,
+                    bits: Int, bands: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
+    val w = bits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    df.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .where(col("h").isNotNull)
+      .select(col("id"), col("h"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band_idx"))
+      .withColumn("band_value",
+        expr(s"shiftright(h, cast(band_idx * $w AS INT)) & ${mask}L"))
+  }
+
+  /** Near-dup pairs between a NEW batch and a standing
+    * [[hashBandIndex]] — incremental Hamming dedup of a continuously
+    * ingested corpus over a precomputed hash: band the batch, never
+    * re-band history, Hamming-filter the collisions. By pigeonhole the
+    * recall is EXACTLY 1.0 for pairs within `maxHamming < bands`
+    * (see [[hashBandPairs]]). Returns distinct `(id_store, id_new,
+    * hamming)` with hamming ≤ maxHamming.
+    *
+    * Scale: the corpus-sized index is pruned by a broadcast semi-join
+    * on the BATCH's distinct band keys before anything else touches
+    * it — the index is scanned once and never shuffled; only matching
+    * index rows (micro-batch-bounded) reach the pair join. */
+  def pairsAgainstHashIndex(batch: DataFrame, hashCol: String,
+                            idCol: String, index: DataFrame, bits: Int,
+                            bands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    val probe = hashBandIndex(Scale.widen(batch), hashCol, idCol,
+      bits, bands).localCheckpoint()
+    val probeKeys = probe.select("band_idx", "band_value").distinct()
+    val hits = index
+      .join(broadcast(probeKeys), Seq("band_idx", "band_value"), "left_semi")
+    hits.alias("s").join(probe.alias("n"), Seq("band_idx", "band_value"))
+      .select(col("s.id").as("id_store"), col("n.id").as("id_new"),
+        Text.hammingDistance(col("s.h"), col("n.h"), bits).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Admission gate for a new batch against a standing
+    * [[hashBandIndex]]: keep only rows within Hamming distance
+    * `maxHamming` of NO index hash and of no earlier (lower-id)
+    * same-batch hash — [[admitAgainstIndex]]'s policy for
+    * hash-keyed near-dup (simhash streams, image aHash ingest).
+    * Unlike the minhash gate (existence of a band collision), this
+    * one verifies the EXACT Hamming distance on collisions, so a
+    * single-band coincidence does not suppress a genuinely-far row.
+    * Null-hash rows are admitted (nothing to collide with). */
+  def admitAgainstHashIndex(batch: DataFrame, hashCol: String,
+                            idCol: String, index: DataFrame, bits: Int,
+                            bands: Int, maxHamming: Int): DataFrame = {
+    val store = pairsAgainstHashIndex(batch, hashCol, idCol, index,
+        bits, bands, maxHamming)
+      .select(col("id_new").as(idCol))
+    val inBatch = hashBandPairs(batch, hashCol, idCol, bits, bands,
+        maxHamming)
+      .select(col("id_b").as(idCol))
+    batch.join(store.unionByName(inBatch).distinct(), Seq(idCol),
+      "left_anti")
+  }
+
   /** Sub-document exact dedup (the paragraph-dedup of CCNet/Gopher,
     * over fixed-size token chunks since the corpus has no paragraph
     * markers): cut each document into non-overlapping `chunkTokens`-token

@@ -67,6 +67,51 @@ object Joins {
     fact.join(broadcast(bands),
       col(valueCol) >= col(lo) && col(valueCol) < col(hi))
 
+  /** Big-big interval join — the shape [[bandJoin]]'s broadcast
+    * nested-loop CANNOT serve: both sides at corpus scale, left rows
+    * carrying a point `tsCol`, right rows an interval
+    * [`startCol`, `endCol`], matched when start ≤ ts ≤ end. Both sides
+    * bucket onto a fixed grid of `cellWidth`: a point lands in exactly
+    * ONE cell, an interval replicates to every cell it overlaps, and
+    * the match becomes an EQUI-join on the cell id plus the exact range
+    * predicate — Spark plans a shuffled hash join keyed on the cell,
+    * partition-parallel on both sides, no broadcast, no nested loop,
+    * no per-pair candidate explosion beyond genuine cell co-residents.
+    * (The grid-blocking standard for temporal/spatial joins; q144's
+    * co-occurrence blocking is the self-join special case.) A matching
+    * pair meets in exactly one cell (the point's), so no distinct pass
+    * is needed.
+    *
+    * Tuning: replication per interval = len/cellWidth + 1; comparisons
+    * per cell ≈ points-in-cell × intervals-overlapping-cell. Set
+    * `cellWidth` near the TYPICAL interval length. `maxCells` is a
+    * hard guard — an interval spanning more cells fails loudly
+    * (raise_error) instead of silently exploding the build side; route
+    * genuinely-long intervals through a coarser grid or [[bandJoin]].
+    * Columns must be numeric (epoch micros for time). */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+                        tsCol: String, startCol: String, endCol: String,
+                        cellWidth: Long, maxCells: Int = 64): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val pc = points
+      .withColumn("__cell", floor(col(tsCol) / cellWidth).cast("long"))
+    val ic = intervals
+      .withColumn("__c0", floor(col(startCol) / cellWidth).cast("long"))
+      .withColumn("__c1", floor(col(endCol) / cellWidth).cast("long"))
+      .withColumn("__c1", when(col("__c1") - col("__c0") < maxCells,
+        col("__c1")).otherwise(raise_error(concat(
+          lit(s"bucketedRangeJoin: interval spans >= $maxCells cells of " +
+            s"width $cellWidth ("), col(startCol).cast("string"), lit(".."),
+          col(endCol).cast("string"),
+          lit(") — widen cellWidth or pre-split")))))
+      .withColumn("__cell", explode(sequence(col("__c0"), col("__c1"))))
+      .drop("__c0", "__c1")
+    pc.join(ic, Seq("__cell"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__cell")
+  }
+
   /** Levenshtein-bounded fuzzy join of a fact table against a small
     * dimension (SURVEY §2.5 bookings ⋈ pages on hotelort/land vs page
     * levels, Midoco/product_data.py:73-96): rows match when

@@ -412,4 +412,54 @@ class JoinsSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1))).toSeq
     assert(r === Seq(("a", 2L), ("b", 2L))) // 20.0 falls outside both
   }
+
+  test("bucketedRangeJoin == naive theta join, inclusive bounds, " +
+      "cell-boundary cases covered") {
+    val pts = (0L to 400L by 7L).map(t => (t, t)).toDF("pid", "t")
+    // intervals of assorted lengths incl. zero-width, cell-aligned and
+    // cell-straddling ones
+    val ivs = Seq((1L, 0L, 0L), (2L, 5L, 25L), (3L, 99L, 101L),
+      (4L, 100L, 199L), (5L, 150L, 310L), (6L, 399L, 420L))
+      .toDF("iid", "s", "e")
+    val got = Joins.bucketedRangeJoin(pts, ivs, "t", "s", "e",
+        cellWidth = 100L, maxCells = 4)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val want = pts.join(ivs, col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got === want)
+    assert(want.contains((0L, 1L)), "zero-width inclusive interval matched")
+    // an interval spanning >= maxCells cells fails loudly
+    val wide = Seq((9L, 0L, 500L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      Joins.bucketedRangeJoin(pts, wide, "t", "s", "e",
+        cellWidth = 100L, maxCells = 4).collect()
+    }
+    assert(ex.getMessage.contains("bucketedRangeJoin") ||
+      ex.getCause != null)
+  }
+
+  test("hashBandIndex admission: far rows admitted, near/store dups " +
+      "suppressed, nulls admitted") {
+    val h1 = 0x0F0F0F0F0F0F0F0FL
+    val store = Seq((0L, h1), (2L, 0x7777777777777777L)).toDF("id", "h")
+    val index = Dedup.hashBandIndex(store, "h", "id", bits = 64, bands = 8)
+    val batch = Seq(
+      (10L, Some(h1)),                       // exact store dup -> out
+      (11L, Some(h1 ^ (1L << 63))),          // hamming 1 to store -> out
+      (12L, Some(0x1FF07FE03FF80F01L ^ h1)), // far from everything -> in
+      (13L, Some(0x1FF07FE03FF80F01L ^ h1)), // same-batch dup of 12 -> out
+      (14L, None)                            // null hash -> admitted
+    ).toDF("id", "h")
+    val admitted = Dedup.admitAgainstHashIndex(batch, "h", "id", index,
+        bits = 64, bands = 8, maxHamming = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(12L, 14L))
+    // and the audit pairs carry the exact hamming
+    val pairs = Dedup.pairsAgainstHashIndex(batch, "h", "id", index,
+        bits = 64, bands = 8, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((0L, 10L, 0L), (0L, 11L, 1L)))
+  }
 }
