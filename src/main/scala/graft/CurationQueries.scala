@@ -345,6 +345,22 @@ object CurationQueries {
         .orderBy("node")
     }),
 
+    // Community detection: deterministic synchronous label propagation
+    // (3 rounds) over the same journey graph as q106 — most-frequent
+    // neighbor label, ties to the smallest; what connected components
+    // can't see (one stray link merges components, LPA needs a
+    // majority). The oracle unrolls the rounds as count+argmax CTEs.
+    "q195_label_prop" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val edges = rd(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("k").as("dst"), lag(col("k"), 1).over(w).as("src"))
+        .where(col("src").isNotNull)
+      Graph.labelPropagation(edges, iterations = 3)
+        .orderBy("node")
+    }),
+
     // Domain blocklist: suffix-match anti-join against a broadcast
     // blocklist (one entry covers a domain and its subdomains) — the
     // corpus never shuffles. Domain synthesized as in q11 (testdata has
@@ -788,6 +804,32 @@ object CurationQueries {
         |r3 AS (SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c3.c, 0.0) AS rank
         |       FROM nodes n LEFT JOIN c3 USING (node), nn)
         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    "q195_label_prop" -> {
+      def round(n: Int) =
+        s"""l$n AS (
+           |  SELECT node, label FROM (
+           |    SELECT a.node, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY a.node
+           |        ORDER BY count(*) DESC, l.label ASC) AS rk
+           |    FROM adj a JOIN l${n - 1} l ON l.node = a.nb
+           |    GROUP BY a.node, l.label) z
+           |  WHERE rk = 1)""".stripMargin
+      s"""WITH lagk AS (
+         |  SELECT CAST(props->>'$$.k' AS BIGINT) AS dst,
+         |    lag(CAST(props->>'$$.k' AS BIGINT)) OVER
+         |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS src
+         |  FROM events),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM lagk WHERE src IS NOT NULL AND src <> dst),
+         |adj AS (SELECT a AS node, b AS nb FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
 
     "q107_domain_blocklist" -> {
       val vals = BlockedSuffixes.map(s => s"('$s')").mkString(", ")

@@ -207,6 +207,38 @@ object MiningQueries {
         .orderBy("cluster_id", "rk")
     }),
 
+    // Matryoshka truncation QA: how much retrieval quality survives
+    // cutting the embedding to its first 16 of 64 dims (the MRL
+    // serving trade — truncated vectors are 4x cheaper to store and
+    // scan)? Per query: top-10 overlap between full-dim and truncated
+    // cosine rankings + mean cosine gap over the true top-10. Run it
+    // before committing an index to a truncated width.
+    "q196_matryoshka_qa" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val joined = emb.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cf",
+          round(Similarity.cosine(col("embedding"), col("qv")), 6))
+        .withColumn("ct", round(Similarity.cosine(
+          slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)), 6))
+      val wF = Window.partitionBy("qid")
+        .orderBy(col("cf").desc, col("vec_id"))
+      val wT = Window.partitionBy("qid")
+        .orderBy(col("ct").desc, col("vec_id"))
+      joined
+        .withColumn("rf", row_number().over(wF))
+        .withColumn("rt", row_number().over(wT))
+        .groupBy("qid")
+        .agg(
+          sum(when(col("rf") <= 10 && col("rt") <= 10, 1L).otherwise(0L))
+            .as("overlap_at_10"),
+          round(avg(when(col("rf") <= 10, abs(col("cf") - col("ct")))), 6)
+            .as("mean_cos_gap"))
+        .orderBy("qid")
+    }),
+
     // Hard-negative mining for retriever training: per query vector,
     // the top-3 most-similar corpus vectors with a DIFFERENT label —
     // the contrastive "looks relevant, isn't" set; the per-query rank
@@ -549,6 +581,30 @@ object MiningQueries {
          |      ORDER BY round(cos, 6) DESC, id) AS rk
          |  FROM a2) z
          |WHERE rk <= 30 ORDER BY cluster_id, rk""".stripMargin,
+
+    "q196_matryoshka_qa" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |j AS (
+         |  SELECT e.vec_id, q.qid,
+         |    round(${NorthStar.cosineSql("e.embedding", "q.qv", Dim)}, 6)
+         |      AS cf,
+         |    round(${NorthStar.cosineSql("e.embedding", "q.qv", 16)}, 6)
+         |      AS ct
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id)
+         |      AS rf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vec_id)
+         |      AS rt
+         |  FROM j)
+         |SELECT qid,
+         |  CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS overlap_at_10,
+         |  round(avg(CASE WHEN rf <= 10 THEN abs(cf - ct) END), 6)
+         |    AS mean_cos_gap
+         |FROM r GROUP BY qid ORDER BY qid""".stripMargin,
 
     "q190_hard_negatives" ->
       s"""SELECT query_id, neg_id, neg_label, cosine_sim, rank FROM (

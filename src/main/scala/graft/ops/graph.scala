@@ -145,6 +145,53 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007, made deterministic): every node starts labeled with its
+    * own id; each round, every node adopts the most frequent label
+    * among its neighbors (ties → smallest label), all nodes updating
+    * simultaneously from the previous round's labels. Deterministic —
+    * no RNG, no visit order — so the result replays in any engine
+    * (the q195 oracle unrolls the rounds in SQL). Undirected;
+    * duplicate edges and self-loops ignored. Returns (node, label)
+    * after `iterations` rounds.
+    *
+    * Communities (dense same-label regions — mirror domains, link
+    * farms, topic clusters) are what [[Dedup.resolveClusters]]'s
+    * connected components CANNOT see: one stray link merges two
+    * components, while label propagation needs a majority to flip a
+    * node.
+    *
+    * Scale: each round is one adjacency-keyed join against the
+    * node-cardinality label table, a (node, label) count, and a
+    * max_by per node — all map-side combinable; labels are
+    * localCheckpoint'ed between rounds so the per-round plan stays
+    * constant-size (same discipline as [[pageRank]]). */
+  def labelPropagation(edges0: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 10,
+      s"iterations must be in [1,10], got $iterations")
+    val und = undirected(edges0)
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+      .cache()
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val prev = labels
+      labels = adj
+        .join(labels.select(col("node").as("nb"), col("label")), "nb")
+        .groupBy("node", "label")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("node")
+        // most frequent neighbor label; ties -> smallest label
+        .agg(max_by(col("label"), struct(col("__c"), -col("label")))
+          .as("label"))
+        .localCheckpoint()
+      Scale.releaseLocalCheckpoint(prev)
+    }
+    adj.unpersist()
+    labels
+  }
+
   /** Neighborhood Jaccard similarity for node pairs that share at least
     * one neighbor (undirected): |N(a) ∩ N(b)| / |N(a) ∪ N(b)|. The
     * standard "are these two domains near-duplicates of each

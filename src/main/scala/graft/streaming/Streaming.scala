@@ -567,6 +567,82 @@ object Streaming {
   def readDedupIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir)
 
+  /** Streaming ingestion with HASH-keyed near-dup admission —
+    * [[dedupIndexSink]]'s discipline for corpora whose similarity key
+    * is a precomputed integer hash (text simhash, image aHash computed
+    * upstream): per micro-batch, band the batch's hashes
+    * ([[graft.ops.Dedup.hashBandIndex]] — bit shifts, no shingling),
+    * prune the standing index to the touched `hb=` buckets, admit rows
+    * with no Hamming ≤ `maxHamming` neighbor in store or batch
+    * (EXACT-distance verification on collisions, pigeonhole recall 1.0
+    * while maxHamming < bands), and append the admitted band rows
+    * under `batch=<id>/hb=<k>/`.
+    *
+    * Exactly-once by deterministic per-batch paths (crash leftovers
+    * deleted, replay re-decides against the pre-crash state and
+    * rewrites identical content); per-batch I/O is O(admitted rows +
+    * touched buckets), never O(index). Null-hash rows (undecodable
+    * images) are ADMITTED but absent from the index — recover the
+    * admitted corpus from a payload sink, not the index, if nulls
+    * matter. */
+  def hashIndexSink(rows: DataFrame, hashCol: String, idCol: String,
+                    indexDir: String, checkpoint: String,
+                    bits: Int = 64, bands: Int = 8, maxHamming: Int = 3) =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeHashIndexBatch(batch, hashCol, idCol, indexDir, batchId,
+            bits, bands, maxHamming)
+        ()
+      }
+
+  /** Bucketing of hash-band index rows into `hb=` dirs — a layout
+    * constant shared by write and probe, like [[dedupIndexBucket]]. */
+  private[graft] def hashIndexBucket(bandIdx: Column,
+                                     bandValue: Column): Column =
+    pmod(crc32(concat_ws("|", bandIdx, bandValue)),
+      lit(DedupIndexBuckets)).cast("int")
+
+  private[graft] def mergeHashIndexBatch(batch: DataFrame, hashCol: String,
+      idCol: String, indexDir: String, batchId: Long, bits: Int,
+      bands: Int, maxHamming: Int): Unit = {
+    val spark = batch.sparkSession
+    val dir = new HPath(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new HPath(dir, s"batch=$batchId"), true)
+    val hasPrior = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))
+    // banding is integer shifts — cheap enough to run once for the
+    // write frame and once inside the admission joins
+    val probe = graft.ops.Dedup.hashBandIndex(batch, hashCol, idCol,
+      bits, bands).localCheckpoint()
+    val standing =
+      if (hasPrior) {
+        val touched = probe
+          .select(hashIndexBucket(col("band_idx"), col("band_value"))
+            .as("hb"))
+          .distinct().collect().map(_.getInt(0))
+        spark.read.parquet(indexDir)
+          .where(col("hb").isin(touched.toSeq: _*))
+          .drop("batch", "hb")
+      } else probe.limit(0)
+    val admitted = graft.ops.Dedup.admitAgainstHashIndex(batch, hashCol,
+      idCol, standing, bits, bands, maxHamming)
+    probe.join(
+        admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .withColumn("hb", hashIndexBucket(col("band_idx"), col("band_value")))
+      .write.mode("overwrite").partitionBy("hb")
+      .parquet(s"$indexDir/batch=$batchId")
+  }
+
+  /** Read a [[hashIndexSink]] index: admitted rows' band rows plus the
+    * `batch` / `hb` partition columns. Admitted (non-null-hash) ids =
+    * `distinct(id)`. */
+  def readHashIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+
   /** Streaming IVF vector-index maintenance — the vector-database
     * ingestion path: each micro-batch of (id, embedding) rows is
     * assigned its coarse centroid row-locally

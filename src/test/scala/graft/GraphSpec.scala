@@ -92,4 +92,32 @@ class GraphSpec extends SparkSpec {
     assert(full.contains((3L, 4L)))
     assert(math.abs(full((1L, 2L)) - 1.0) < 1e-12)
   }
+
+  test("labelPropagation separates bridged cliques that connected " +
+      "components merge") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to an internal label; the single bridge
+    // never carries a majority across
+    val aLabels = Seq(1L, 2L, 3L).map(labels).toSet
+    val bLabels = Seq(11L, 12L, 13L).map(labels).toSet
+    assert(aLabels.size === 1 && bLabels.size === 1)
+    assert(aLabels != bLabels, s"cliques merged: $labels")
+    assert(aLabels.head <= 4L && bLabels.head >= 4L)
+    // connected components DO merge them — the contrast LPA exists for
+    val cc = graft.ops.Dedup.resolveClusters(
+        edges.select($"src".as("id_a"), $"dst".as("id_b")))
+      .select("cluster_id").distinct().count()
+    assert(cc === 1L)
+    // deterministic under re-layout
+    val again = Graph.labelPropagation(edges.repartition(5), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === labels)
+  }
 }

@@ -437,6 +437,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hashIndexSink: cross-batch Hamming admission matches the " +
+      "sequential batch replay; crash-replay rewrites identical content") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hix").toString
+    val h1 = 0x0F0F0F0F0F0F0F0FL
+    val b1 = Seq((1L, h1), (2L, 0x7777777777777777L),
+      (3L, h1 ^ (1L << 5)))                     // near-dup of 1 in-batch
+    val b2 = Seq((10L, h1 ^ (1L << 63)),        // hamming 1 to stored 1
+      (11L, 0x1234567890ABCDEFL),               // new -> admitted
+      (12L, 0x7777777777777777L))               // exact dup of stored 2
+    val in = MemoryStream[(Long, Long)]
+    val q = Streaming.hashIndexSink(in.toDF().toDF("id", "h"), "h", "id",
+      s"$tmp/index", s"$tmp/ckpt", bits = 64, bands = 8,
+      maxHamming = 3).start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val admitted = Streaming.readHashIndex(spark, s"$tmp/index")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      // batch replay: 1 and 2 admitted (3 is 1's in-batch near-dup);
+      // then 10 collides with stored 1, 12 with stored 2, 11 admitted
+      assert(admitted === Set(1L, 2L, 11L))
+      // the index prunes per-batch reads to touched hb= buckets and
+      // keeps per-batch dirs — both batches present
+      val batches = Streaming.readHashIndex(spark, s"$tmp/index")
+        .select("batch").distinct().collect().map(_.getInt(0)).toSet
+      assert(batches === Set(0, 1))
+      // crash-replay: re-merging batch 1 against the same pre-state
+      // rewrites identical content (deterministic decision)
+      val before = Streaming.readHashIndex(spark, s"$tmp/index")
+        .collect().map(_.toSeq).toSet
+      Streaming.mergeHashIndexBatch(
+        b2.toDF("id", "h"), "h", "id", s"$tmp/index", 1L, 64, 8, 3)
+      val after = Streaming.readHashIndex(spark, s"$tmp/index")
+        .collect().map(_.toSeq).toSet
+      assert(after === before)
+    } finally q.stop()
+  }
+
   test("hllSink: streamed per-key distinct estimates equal the batch " +
       "sketch over the union, duplicates across batches collapse") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
