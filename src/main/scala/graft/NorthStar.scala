@@ -270,6 +270,16 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup: EXACT all-pairs CONTAINMENT join (|A∩B|/|A| ≥ t, ordered
+    // pairs) — the quote/subset detector Jaccard's union dilution
+    // misses; recall 1.0 by construction, brute-force oracle.
+    "q197_containment" -> ((s, dir) => {
+      Dedup.prefixFilterContainmentPairs(
+          rd(s, dir, "documents"),
+          "text", "doc_id", n = 3, minContainment = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Text: rolling (polynomial) document hash — order-sensitive
     // fingerprint, dedup key for exact copies that preserves order
     "q58_rolling_hash" -> ((s, dir) => {
@@ -838,6 +848,21 @@ object NorthStar {
            |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
            |      >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q197_containment" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    list_distinct(${shinglesSql("t", 3)}) AS sh
+           |  FROM toks)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+           |FROM f a JOIN f b ON a.doc_id <> b.doc_id
+           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(a.sh) AS DOUBLE) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
 
       "q25_simhash" ->

@@ -336,15 +336,16 @@ object Dedup {
     * spreads across tasks as ordinary join skew (AQE skew-join handles
     * it) — no whole-bucket array row is ever built. Verification joins
     * move only the candidate pairs plus each side's digest array. */
-  def prefixFilterJaccardPairs(df0: DataFrame, textCol: String,
-                               idCol: String, n: Int,
-                               minJaccard: Double): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0,
-      s"minJaccard must be in (0, 1], got $minJaccard (0 would be all pairs)")
+  /** Per-document distinct shingle-digest sets, packed as arrays
+    * sorted by the GLOBAL (document frequency asc, digest asc) total
+    * order — the shared substrate of the prefix-filter joins. Two
+    * checkpoints: the digest arrays (shingle hashing feeds two plan
+    * branches) and the packed frame (it feeds every join branch
+    * downstream). Fixed-width rows, corpus-linear. Returns
+    * (__id, __ord, __sz). */
+  private[ops] def orderedShingleSets(df0: DataFrame, textCol: String,
+                                      idCol: String, n: Int): DataFrame = {
     val df = Scale.widen(df0)
-    // materialized: the digest arrays feed the df count AND the token
-    // explode (two plan branches) — without the checkpoint the
-    // dominant row-local shingle hashing runs once per branch
     val docs = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         array_distinct(transform(Text.shingles(col(textCol), n),
@@ -352,20 +353,21 @@ object Dedup {
       .localCheckpoint()
     val toks = docs.select(col("__id"), explode(col("__sh")).as("__h"))
     val dfreq = toks.groupBy("__h").agg(count(lit(1)).as("__df"))
-    // (df asc, digest asc) struct sort = the global total order; the
-    // packed array drops the df component once ordering is fixed
-    // materialized: the packed frame feeds FOUR join branches (both
-    // sides of the prefix self-join + both verification joins), and
-    // nothing upstream of it — the shingle hashing, the df count, the
-    // doc-keyed pack — should run more than once. Fixed-width rows
-    // (id, digest array), so the checkpoint is corpus-linear.
-    val ordered = toks.join(dfreq, Seq("__h"))
+    toks.join(dfreq, Seq("__h"))
       .groupBy("__id")
       .agg(transform(
         array_sort(collect_list(struct(col("__df"), col("__h")))),
         s => s.getField("__h")).as("__ord"))
       .withColumn("__sz", size(col("__ord")))
       .localCheckpoint()
+  }
+
+  def prefixFilterJaccardPairs(df0: DataFrame, textCol: String,
+                               idCol: String, n: Int,
+                               minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard (0 would be all pairs)")
+    val ordered = orderedShingleSets(df0, textCol, idCol, n)
     val prefixLen = (col("__sz") - ceil(col("__sz") * minJaccard) + 1)
       .cast("int")
     val prefix = ordered.select(col("__id"), col("__sz"),
@@ -480,6 +482,70 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** EXACT all-pairs CONTAINMENT join: every ORDERED pair (a, b) with
+    * |A ∩ B| / |A| ≥ `minContainment` — "at least this fraction of
+    * a's n-grams appear somewhere in b". The asymmetric sibling of
+    * [[prefixFilterJaccardPairs]]: Jaccard misses a short document
+    * wholly quoted inside a long one (the union dilutes it);
+    * containment is the quote/subset/benchmark-inclusion detector
+    * ([[ngramContamination]]'s pairwise form, when you need WHICH
+    * document contains which, not just a hit count).
+    *
+    * Same prefix-filter machinery: the contained side `a` indexes only
+    * its first |A| − ⌈t·|A|⌉ + 1 shingles under the global rare-first
+    * order (a qualifying pair must overlap in ≥ ⌈t·|A|⌉, so its first
+    * shared token sits inside a's prefix); the containing side `b` is
+    * a FULL inverted index — its required overlap depends on |A|, so
+    * it cannot prune independently. The size filter keeps only
+    * |B| ≥ t·|A|, and the PPJoin positional bound prunes pairs whose
+    * first collision sits too deep on either side. Verification is
+    * the exact intersection.
+    *
+    * Scale note: the full B-side index means a globally-frequent
+    * shingle fans out over every document containing it — kept
+    * tolerable because the A side only probes with its RARE prefix
+    * shingles (boilerplate n-grams sort to A's suffixes and never
+    * probe), so the join's per-key work is dfA_prefix × dfB, with the
+    * first factor near 1 for hot keys. Residual skew is ordinary join
+    * skew (AQE). */
+  def prefixFilterContainmentPairs(df0: DataFrame, textCol: String,
+                                   idCol: String, n: Int,
+                                   minContainment: Double): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1], got $minContainment")
+    val ordered = orderedShingleSets(df0, textCol, idCol, n)
+    val pA = (col("__sz") - ceil(col("__sz") * minContainment) + 1)
+      .cast("int")
+    val prefA = ordered.select(col("__id").as("id_a"),
+      col("__sz").as("__sa"),
+      posexplode(slice(col("__ord"), lit(1), pA)).as(Seq("__pa", "__h")))
+    val fullB = ordered.select(col("__id").as("id_b"),
+      col("__sz").as("__sb"),
+      posexplode(col("__ord")).as(Seq("__pb", "__h")))
+    val alpha = lit(minContainment) * col("__sa") - lit(1e-9)
+    val candidates = prefA.join(fullB, Seq("__h"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("__sb") >= lit(minContainment) * col("__sa"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"),
+        min(col("__pa") + 1).as("__pa"), min(col("__pb") + 1).as("__pb"))
+      .where(lit(1) + least(col("__sa") - col("__pa"),
+        col("__sb") - col("__pb")) >= alpha)
+      .select("id_a", "id_b")
+    val sets = ordered.select(col("__id"), col("__ord"))
+    candidates
+      .join(sets.select(col("__id").as("id_a"), col("__ord").as("__A")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__ord").as("__B")),
+        Seq("id_b"))
+      .withColumn("__c",
+        size(array_intersect(col("__A"), col("__B"))).cast("double") /
+          size(col("__A")).cast("double"))
+      .where(col("__c") >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        round(col("__c"), 6).as("containment"))
   }
 
   /** Banded rows of a precomputed `bits`-wide hash column — `(id, h,

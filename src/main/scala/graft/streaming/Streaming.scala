@@ -1330,6 +1330,21 @@ object Streaming {
         .parquet(s"$tmp/batch=-1")
     }
 
+  /** Offline compaction for a [[hashIndexSink]] index: collapse the
+    * per-batch `batch=<id>/hb=<k>/` trees into one sorted
+    * `batch=-1/hb=<k>/` tree — same atomic-swap discipline and
+    * stopped-stream contract as [[compactDedupIndex]], and admission
+    * decisions are identical across compaction (the probe reads the
+    * same rows from fewer, sorted files; StreamingSpec asserts it). */
+  def compactHashIndex(spark: SparkSession, indexDir: String): Unit =
+    swapInCompacted(spark, indexDir) { (tmp, _) =>
+      spark.read.parquet(indexDir).drop("batch")
+        .repartition(DedupIndexBuckets, col("hb"))
+        .sortWithinPartitions("hb", "band_idx", "band_value")
+        .write.mode("overwrite").partitionBy("hb")
+        .parquet(s"$tmp/batch=-1")
+    }
+
   /** Offline compaction (and optional re-centering) for a
     * [[vectorIndexSink]] index: merge the `batch=<id>/cluster=<cid>/`
     * directories into `batch=-1/cluster=<cid>/`, one coalesced file

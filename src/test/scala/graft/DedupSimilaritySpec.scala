@@ -119,6 +119,38 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture produced no qualifying pairs — weaken it")
   }
 
+  test("prefixFilterContainmentPairs == brute force; catches the quote " +
+      "Jaccard dilutes") {
+    // doc 6 is wholly contained in doc 7's long text: containment(6->7)
+    // = 1.0 while the Jaccard is far below any dedup threshold
+    val quoted = docs.union(Seq(
+      (6L, "alpha beta gamma delta"),
+      (7L, "alpha beta gamma delta " +
+        (1 to 30).map(i => s"filler$i word$i").mkString(" "))
+    ).toDF("doc_id", "text"))
+    for (t <- Seq(0.4, 0.8, 1.0)) {
+      val pf = Dedup.prefixFilterContainmentPairs(quoted, "text",
+          "doc_id", n = 3, minContainment = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force over the ordered cross product
+      val sets = quoted.select(col("doc_id"),
+          array_distinct(graft.ops.Text.shingles(col("text"), 3)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val brute = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+        c = sa.intersect(sb).size.toDouble / sa.size if c >= t
+      } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+      assert(pf === brute, s"containment diverged at t=$t")
+      if (t <= 1.0) assert(pf.exists(p => p._1 == 6L && p._2 == 7L),
+        s"quoted doc not caught at t=$t")
+    }
+    // the Jaccard join at the same threshold does NOT see the quote
+    val j = Dedup.prefixFilterJaccardPairs(quoted, "text", "doc_id",
+        n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((6L, 7L)))
+  }
+
   test("prefixFilterJaccardPairs edges: t=1 finds only exact-set dups; " +
       "t=0 rejected") {
     val r = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",

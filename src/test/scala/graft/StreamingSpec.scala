@@ -472,6 +472,24 @@ class StreamingSpec extends SparkSpec {
       val after = Streaming.readHashIndex(spark, s"$tmp/index")
         .collect().map(_.toSeq).toSet
       assert(after === before)
+      // compaction: same rows (batch dirs collapsed), same admission
+      // decision for a fresh probe batch
+      val b3 = Seq((20L, h1 ^ (1L << 2)), (21L, 0x0123456789ABCDEFL))
+        .toDF("id", "h")
+      def admit3() = graft.ops.Dedup.admitAgainstHashIndex(b3, "h", "id",
+          Streaming.readHashIndex(spark, s"$tmp/index")
+            .drop("batch", "hb"),
+          bits = 64, bands = 8, maxHamming = 3)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val preCompact = admit3()
+      Streaming.compactHashIndex(spark, s"$tmp/index")
+      val rowsAfter = Streaming.readHashIndex(spark, s"$tmp/index")
+        .drop("batch", "hb").collect().map(_.toSeq).toSet
+      // rows carried (id, h, band_idx, band_value, batch, hb) — the
+      // partition columns drop, the data rows survive identically
+      assert(rowsAfter === before.map(_.dropRight(2)))
+      assert(admit3() === preCompact)
+      assert(preCompact === Set(21L)) // 20 is hamming-1 to stored h1
     } finally q.stop()
   }
 
