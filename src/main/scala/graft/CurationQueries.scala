@@ -40,6 +40,17 @@ object CurationQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Exact-n weighted sampling without replacement (A-Res priorities):
+    // 50 documents drawn with probability scaling with length — the
+    // quality-weighted selection step of a curation mix, with an exact
+    // output cardinality the per-row-coin sampler cannot give. Top-n
+    // plans as TakeOrderedAndProject.
+    "q198_priority_sample" -> ((s, dir) => {
+      Curation.prioritySample(rd(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), n = 50)
+        .select("doc_id", "source", "priority")
+    }),
+
     // Epoch-aware deterministic upsampling: per-source mix weights in
     // [0.4, 2.6] — floor(w) guaranteed epochs per document plus one
     // md5-decided marginal copy (E[copies] = w exactly) — the weight>1
@@ -464,6 +475,16 @@ object CurationQueries {
          |  CAST(count(DISTINCT md5(k)) AS BIGINT) AS raw_keys,
          |  CAST(count(DISTINCT md5(nk)) AS BIGINT) AS nfc_keys
          |FROM n GROUP BY source ORDER BY source""".stripMargin,
+
+    "q198_priority_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) + 0.5) / 16777216.0 AS u,
+        |    CAST(n_chars AS DOUBLE) AS w
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, source, round(ln(u) / w, 6) AS priority
+        |FROM u ORDER BY ln(u) / w DESC, doc_id LIMIT 50""".stripMargin,
 
     "q191_upsample_mix" -> {
       val coin = bucketSql(

@@ -537,6 +537,32 @@ object NorthStar {
         .select(col("n_lsh"), lit(10L).as("n_brute"), col("n_overlap"),
           round(col("n_overlap").cast("double") / lit(10.0), 6)
             .as("recall_at_10"))
+    }),
+
+    // ANN ranking quality beyond recall: NDCG@10 of the LSH list
+    // against the exact-cosine ideal ranking — recall counts hits,
+    // NDCG weighs WHERE they rank (a hit demoted to position 10 is
+    // worth log2-less than at position 1). Relevance grade = the true
+    // cosine; both DCGs replayed in SQL.
+    "q200_ann_ndcg" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      def dcg(ranked: DataFrame): DataFrame = ranked
+        .withColumn("__r", row_number().over(Window
+          .orderBy(col("cosine_sim").desc, col("vec_id"))))
+        .agg(sum(col("cosine_sim") /
+          log(2.0, col("__r").cast("double") + 1)).as("dcg"),
+          count(lit(1)).as("n"))
+      val lsh = dcg(Similarity.lshTopK(emb, "embedding", "vec_id",
+        queryVecCol, dim = 64, planes = 4, k = 10))
+        .select(col("dcg").as("lsh_dcg"), col("n").as("n_lsh"))
+      val ideal = dcg(Similarity.bruteForceTopK(emb, "embedding",
+        "vec_id", queryVecCol, 10))
+        .select(col("dcg").as("ideal_dcg"))
+      lsh.crossJoin(ideal)
+        .select(col("n_lsh"),
+          round(col("lsh_dcg"), 6).as("lsh_dcg"),
+          round(col("ideal_dcg"), 6).as("ideal_dcg"),
+          round(col("lsh_dcg") / col("ideal_dcg"), 6).as("ndcg_at_10"))
     })
   )
 
@@ -546,6 +572,34 @@ object NorthStar {
     val toks = toksSql("text")
 
     Map(
+      // Spark's two-arg log(2, x) computes ln(x)/ln(2), so the oracle
+      // uses the identical quotient (not DuckDB's native log2)
+      "q200_ann_ndcg" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |    (${lshBucketSql("embedding", 64, 4)}) AS bucket
+           |  FROM embeddings),
+           |lsh AS (
+           |  SELECT vec_id,
+           |    round(${cosineSql("embedding", queryVecSql, 64)}, 6) AS cs
+           |  FROM b WHERE bucket = ${lshBucketOf(QueryVec, 4)}
+           |  ORDER BY cs DESC, vec_id LIMIT 10),
+           |lr AS (SELECT cs,
+           |  row_number() OVER (ORDER BY cs DESC, vec_id) AS r FROM lsh),
+           |ideal AS (
+           |  SELECT vec_id,
+           |    round(${cosineSql("embedding", queryVecSql, 64)}, 6) AS cs
+           |  FROM embeddings ORDER BY cs DESC, vec_id LIMIT 10),
+           |ir AS (SELECT cs,
+           |  row_number() OVER (ORDER BY cs DESC, vec_id) AS r FROM ideal),
+           |l AS (SELECT sum(cs / (ln(r + 1.0) / ln(2.0))) AS dcg,
+           |        CAST(count(*) AS BIGINT) AS n FROM lr),
+           |i AS (SELECT sum(cs / (ln(r + 1.0) / ln(2.0))) AS dcg FROM ir)
+           |SELECT l.n AS n_lsh, round(l.dcg, 6) AS lsh_dcg,
+           |  round(i.dcg, 6) AS ideal_dcg,
+           |  round(l.dcg / i.dcg, 6) AS ndcg_at_10
+           |FROM l, i""".stripMargin,
+
       "q18_token_stats" ->
         s"""SELECT lang,
            |  CAST(sum(coalesce(len($toks), 0)) AS BIGINT) AS sum_tokens,

@@ -306,6 +306,39 @@ object Curation {
       .filter(Sampling.splitBucket(id) < col("mix_threshold"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, exactly n
+    * rows (Efraimidis & Spirakis 2006 A-Res): each row gets priority
+    * ln(u) / w with u a stable md5-uniform of its id, and the n
+    * highest-priority rows are the sample — equivalent to ranking by
+    * u^(1/w), so inclusion probability scales with weight, no row
+    * repeats, and the cardinality is exact (what [[weightedSample]]'s
+    * per-row coin and [[fixedSample]]'s unweighted rank each lack).
+    * Deterministic and partition-stable: same ids + weights → same
+    * sample on every run and engine (q198's oracle replays the md5
+    * and ln arithmetic). Rows with weight ≤ 0 are excluded. Adds
+    * `priority` (rounded 6dp for display; selection uses the raw
+    * value).
+    *
+    * Scale: priority is row-local; the top-n plans as
+    * TakeOrderedAndProject — per-partition n-row heaps, one n-row
+    * merge, no global sort. */
+  def prioritySample(df: DataFrame, id: Column, weight: Column,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // +0.5 keeps u strictly inside (0,1): u = 0 would send ln to -inf
+    // and tie every zero-bucket row
+    val u = (conv(substring(graft.functions.GraftFunctions.fastMd5(
+        id.cast("string")), 1, 6), 16, 10).cast("double") + lit(0.5)) /
+      lit((1 << 24).toDouble)
+    val w = weight.cast("double")
+    df.where(w > 0)
+      .withColumn("__pri", log(u) / w)
+      .orderBy(col("__pri").desc, id)
+      .limit(n)
+      .withColumn("priority", round(col("__pri"), 6))
+      .drop("__pri")
+  }
+
   /** Deterministic EPOCH-AWARE upsampling — the weight > 1 side of
     * source mixing that [[rebalanceMix]] (downsample-only) refuses:
     * emit each row ⌊w⌋ guaranteed copies plus one extra copy with

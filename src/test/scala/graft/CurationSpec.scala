@@ -157,6 +157,27 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(4L))
   }
 
+  test("prioritySample: exact n, weight-monotone inclusion, " +
+      "deterministic, non-positive weights excluded") {
+    val df = (0 until 500).map(i => (i.toLong, if (i < 250) 1.0 else 10.0))
+      .toDF("id", "w")
+    val s1 = Curation.prioritySample(df, $"id", $"w", 100)
+    assert(s1.count() === 100)
+    // 10x-weighted rows should dominate the sample (E ~ 90+)
+    val heavy = s1.filter($"id" >= 250).count()
+    assert(heavy > 60, s"heavy-weight rows underrepresented: $heavy")
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.prioritySample(df.repartition(7), $"id", $"w", 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // weight <= 0 rows can never be drawn, even when n exceeds the rest
+    val mixed = df.withColumn("w",
+      when($"id" < 250, lit(-1.0)).otherwise($"w"))
+    val s3 = Curation.prioritySample(mixed, $"id", $"w", 300)
+    assert(s3.count() === 250)
+    assert(s3.filter($"id" < 250).count() === 0)
+  }
+
   test("upsampleMix: integer weights give exact epochs, fractional " +
       "weights land between floor and ceil, zero drops, deterministic") {
     val df = (0 until 400).map(i => (i.toLong, s"doc$i")).toDF("id", "txt")

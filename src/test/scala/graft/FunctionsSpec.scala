@@ -182,18 +182,21 @@ class FunctionsSpec extends SparkSpec {
       """SELECT graft_normalize_text('  Hey, YOU!! (x=1) '),
         |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)),
         |  graft_l2sq(array(1.0d, 2.0d), array(3.0d, 4.0d)),
-        |  graft_split_bucket(42)""".stripMargin).head()
+        |  graft_split_bucket(42),
+        |  graft_nfc('café')""".stripMargin).head()
     val d = spark.range(1).select(
       Curation.normalizeText(lit("  Hey, YOU!! (x=1) ")),
       graft.functions.GraftFunctions.dotProduct(
         array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))),
       graft.functions.GraftFunctions.l2Sq(
         array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))),
-      Sampling.splitBucket(lit(42))).head()
+      Sampling.splitBucket(lit(42)),
+      graft.functions.GraftFunctions.nfcNormalize(lit("café"))).head()
     assert(r === d)
     assert(r.getString(0) === "hey you x 1")
     assert(r.getDouble(1) === 11.0)
     assert(r.getDouble(2) === 8.0)
+    assert(r.getString(4) === "café")
   }
 
   test("graft_wordpiece / graft_linear_score: SQL matches the DataFrame ops") {
