@@ -258,6 +258,39 @@ object NorthStar {
         .orderBy("id_store", "id_new")
     }),
 
+    // Dedup QA curve: q182's precision/recall gate swept across THREE
+    // Jaccard thresholds in one pass — banded candidates are fixed
+    // (the knob being audited), truth tightens with the threshold, so
+    // the curve shows where LSH stops earning its prefilter. The
+    // candidate∩truth join runs once; thresholds explode over it.
+    "q199_dedup_curve" -> ((s, dir) => {
+      import s.implicits._
+      val slice = rd(s, dir, "documents").where(col("doc_id") < 300)
+      val truth = Dedup.ngramJaccardPairs(slice, "text", "doc_id",
+        n = 3, minJaccard = 0.3, blockingKey = _ => lit(1)).cache()
+      val cand = Dedup.minhashCandidatePairs(slice, "text", "doc_id",
+        numHashes = 8, bands = 4, shingleSize = 3).cache()
+      val thr = Seq(0.3, 0.5, 0.7).toDF("thr")
+      val nTrue = truth.crossJoin(thr)
+        .where(col("jaccard") >= col("thr"))
+        .groupBy("thr").agg(count(lit(1)).as("n_true"))
+      val nHit = cand.join(truth, Seq("id_a", "id_b")).crossJoin(thr)
+        .where(col("jaccard") >= col("thr"))
+        .groupBy("thr").agg(count(lit(1)).as("n_hit"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      thr.join(nTrue, Seq("thr"), "left").join(nHit, Seq("thr"), "left")
+        .crossJoin(nCand)
+        .select(col("thr"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          col("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            expr("nullif(n_cand, 0)"), 6).as("precision"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+            expr("nullif(n_true, 0)"), 6).as("recall"))
+        .orderBy("thr")
+    }),
+
     // Dedup: EXACT all-pairs Jaccard join via prefix filtering
     // (All-Pairs/PPJoin) — recall exactly 1.0 by construction, so the
     // oracle can be the brute-force exact pair set: any engine-side
@@ -690,6 +723,37 @@ object NorthStar {
            |  round(CAST(n_hit AS DOUBLE) / nullif(n_true, 0), 6)
            |    AS recall
            |FROM nc, nt, nh""".stripMargin,
+
+      "q199_dedup_curve" ->
+        s"""${minhashPairsSql(toks, "WHERE doc_id < 300")},
+           |f AS (
+           |  SELECT doc_id, list_distinct(${shinglesSql("t", 3)}) AS sh
+           |  FROM toks),
+           |tp AS (
+           |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+           |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |          AS DOUBLE), 6) AS j
+           |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+           |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+           |          AS DOUBLE), 6) >= 0.3),
+           |thr AS (SELECT CAST(unnest([0.3, 0.5, 0.7]) AS DOUBLE) AS thr),
+           |nt AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_true
+           |       FROM tp CROSS JOIN thr WHERE j >= thr GROUP BY thr),
+           |nh AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_hit
+           |       FROM pairs p JOIN tp ON p.id_a = tp.ia AND p.id_b = tp.ib
+           |       CROSS JOIN thr WHERE tp.j >= thr GROUP BY thr),
+           |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM pairs)
+           |SELECT thr.thr, coalesce(n_true, 0) AS n_true, n_cand,
+           |  coalesce(n_hit, 0) AS n_hit,
+           |  round(CAST(coalesce(n_hit, 0) AS DOUBLE)
+           |    / nullif(n_cand, 0), 6) AS precision,
+           |  round(CAST(coalesce(n_hit, 0) AS DOUBLE)
+           |    / nullif(n_true, 0), 6) AS recall
+           |FROM thr LEFT JOIN nt USING (thr) LEFT JOIN nh USING (thr)
+           |CROSS JOIN nc
+           |ORDER BY thr.thr""".stripMargin,
 
       "q58_rolling_hash" ->
         s"""WITH t AS (
