@@ -306,6 +306,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-document distinct shingle-digest sets, packed as arrays
+    * sorted by the GLOBAL (document frequency asc, digest asc) total
+    * order — the shared substrate of the prefix-filter joins. The
+    * digest arrays are localCheckpoint'ed (shingle hashing feeds two
+    * plan branches; eager is right because EVERYTHING downstream needs
+    * it) and the packed frame is cache()'d — it feeds every join
+    * branch, but lazily: the in-memory relation dedupes the subtree
+    * within one execution without a second eager barrier (measured
+    * ~2x over a second checkpoint at sf0.1). LRU eviction bounds the
+    * footprint across calls; rows are fixed-width, corpus-linear.
+    * Returns (__id, __ord, __sz). */
+  private[ops] def orderedShingleSets(df0: DataFrame, textCol: String,
+                                      idCol: String, n: Int): DataFrame = {
+    val df = Scale.widen(df0)
+    val docs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        array_distinct(transform(Text.shingles(col(textCol), n),
+          x => fastMd5(x))).as("__sh"))
+      .localCheckpoint()
+    val toks = docs.select(col("__id"), explode(col("__sh")).as("__h"))
+    val dfreq = toks.groupBy("__h").agg(count(lit(1)).as("__df"))
+    toks.join(dfreq, Seq("__h"))
+      .groupBy("__id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__df"), col("__h")))),
+        s => s.getField("__h")).as("__ord"))
+      .withColumn("__sz", size(col("__ord")))
+      .cache()
+  }
+
   /** EXACT all-pairs Jaccard similarity join via prefix filtering — every
     * pair with n-gram Jaccard ≥ `minJaccard`, no blocking key, no LSH
     * false negatives (the All-Pairs / PPJoin family: Chaudhuri et al.
@@ -336,32 +366,6 @@ object Dedup {
     * spreads across tasks as ordinary join skew (AQE skew-join handles
     * it) — no whole-bucket array row is ever built. Verification joins
     * move only the candidate pairs plus each side's digest array. */
-  /** Per-document distinct shingle-digest sets, packed as arrays
-    * sorted by the GLOBAL (document frequency asc, digest asc) total
-    * order — the shared substrate of the prefix-filter joins. Two
-    * checkpoints: the digest arrays (shingle hashing feeds two plan
-    * branches) and the packed frame (it feeds every join branch
-    * downstream). Fixed-width rows, corpus-linear. Returns
-    * (__id, __ord, __sz). */
-  private[ops] def orderedShingleSets(df0: DataFrame, textCol: String,
-                                      idCol: String, n: Int): DataFrame = {
-    val df = Scale.widen(df0)
-    val docs = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        array_distinct(transform(Text.shingles(col(textCol), n),
-          x => fastMd5(x))).as("__sh"))
-      .localCheckpoint()
-    val toks = docs.select(col("__id"), explode(col("__sh")).as("__h"))
-    val dfreq = toks.groupBy("__h").agg(count(lit(1)).as("__df"))
-    toks.join(dfreq, Seq("__h"))
-      .groupBy("__id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("__df"), col("__h")))),
-        s => s.getField("__h")).as("__ord"))
-      .withColumn("__sz", size(col("__ord")))
-      .localCheckpoint()
-  }
-
   def prefixFilterJaccardPairs(df0: DataFrame, textCol: String,
                                idCol: String, n: Int,
                                minJaccard: Double): DataFrame = {
