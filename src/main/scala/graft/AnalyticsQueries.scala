@@ -148,6 +148,17 @@ object AnalyticsQueries {
         .select(round(col("psi"), 6).as("psi"))
     }),
 
+    // The location-sensitive companion of q167: Kolmogorov-Smirnov
+    // max-CDF-gap over the SAME fixed bins (PSI can stay quiet under a
+    // slow monotone shift that KS flags immediately; both gates read
+    // one accumulated drift-store state in the streaming form).
+    "q201_ks_drift" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      Profiling.ks(d.where(col("lang") === "en"),
+        d.where(col("lang") =!= "en"), col("n_chars"),
+        lo = 0.0, hi = 600.0, nBuckets = 10)
+    }),
+
     // Per-source token-distribution divergence vs the corpus:
     // Laplace-smoothed KL over the global top-200 vocabulary — the
     // domain-shift score a mixture-rebalance run ranks sources by
@@ -594,6 +605,34 @@ object AnalyticsQueries {
         |    ln(((g.cs + 1.0) / (g.ns + 200.0)) /
         |       ((g.cg + 1.0) / (ng.ng + 200.0)))), 6) AS kl
         |FROM grid g, ng GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    "q201_ks_drift" ->
+      """WITH bb AS (
+        |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 60.0)
+        |      AS INT), 0), 9) AS bucket, count(*) AS n_base
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |cb AS (
+        |  SELECT least(greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 60.0)
+        |      AS INT), 0), 9) AS bucket, count(*) AS n_cur
+        |  FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(bb.bucket, cb.bucket) AS bucket,
+        |         coalesce(bb.n_base, 0) AS nb,
+        |         coalesce(cb.n_cur, 0) AS nc
+        |  FROM bb FULL OUTER JOIN cb ON bb.bucket = cb.bucket),
+        |t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+        |             CAST(sum(nc) AS BIGINT) AS tc FROM j),
+        |c AS (
+        |  SELECT abs(sum(nb) OVER w / CAST(tb AS DOUBLE)
+        |           - sum(nc) OVER w / CAST(tc AS DOUBLE)) AS gap
+        |  FROM j, t
+        |  WINDOW w AS (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT round(max(gap), 6) AS ks,
+        |  (SELECT tb FROM t) AS n_base, (SELECT tc FROM t) AS n_cur
+        |FROM c""".stripMargin,
 
     "q167_psi" ->
       """WITH bb AS (

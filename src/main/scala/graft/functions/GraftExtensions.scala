@@ -216,6 +216,7 @@ object GraftExtensions {
       graft.ops.Curation.normalizeText(cs.head)),
     lift("graft_dot", 2)(cs => GraftFunctions.dotProduct(cs(0), cs(1))),
     lift("graft_nfc", 1)(cs => GraftFunctions.nfcNormalize(cs.head)),
+    lift("graft_deflate_ratio", 1)(cs => GraftFunctions.deflateRatio(cs.head)),
     lift("graft_l2sq", 2)(cs => GraftFunctions.l2Sq(cs(0), cs(1))),
     // md5 bucket in [0,256): the primitive under split labels, stratified
     // sampling and sharding — graft_split_bucket(id) % n is a shard id

@@ -80,6 +80,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       Md5HexExpression(GraftColumnBridge.expression(c.cast("binary"))))
 
+  /** Compression-ratio quality signal (deflate bytes / raw bytes —
+    * low = repetitive/machine-generated). Deterministic; spec-verified
+    * (no SQL oracle — see the expression's scaladoc). */
+  def deflateRatio(c: Column): Column =
+    GraftColumnBridge.column(
+      DeflateRatioExpression(GraftColumnBridge.expression(c)))
+
   /** Unicode NFC canonical composition of a string column (native
     * expression; matches DuckDB nfc_normalize). Dedup keys must be
     * composed before hashing or visually-equal strings split. */

@@ -96,6 +96,52 @@ object Profiling {
         .as("psi"))
   }
 
+  /** Kolmogorov-Smirnov statistic from two pre-bucketed (bucket, n)
+    * histograms: max |CDF_base − CDF_cur| over the shared fixed bins —
+    * the location-sensitive drift gate PSI complements (PSI sums
+    * density ratios bin by bin and can stay small under a slow
+    * monotone shift that KS, comparing CUMULATIVE mass, flags
+    * immediately; conversely KS ignores tail reshuffles PSI scores).
+    * Binned KS underestimates the continuous statistic by at most one
+    * bin's mass — size nBuckets accordingly. Same histogram shape as
+    * [[psiOfHists]], so it reads the SAME streaming drift store
+    * ([[graft.streaming]] `driftHistSink`): both gates from one
+    * accumulated state.
+    *
+    * Output: one row (ks, n_base, n_cur). Constant-size after the
+    * bucket join; a window over ≤ nBuckets rows is the only sort. */
+  def ksOfHists(base: DataFrame, current: DataFrame): DataFrame = {
+    val joined = base.select(col("bucket"), col("n").as("n_base"))
+      .join(current.select(col("bucket"), col("n").as("n_cur")),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("nb"),
+        coalesce(col("n_cur"), lit(0L)).as("nc"))
+    val totals = joined.agg(sum("nb").as("tb"), sum("nc").as("tc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__gap", abs(
+        sum(col("nb")).over(w) / col("tb") -
+          sum(col("nc")).over(w) / col("tc")))
+      .agg(round(max("__gap"), 6).as("ks"),
+        max("tb").as("n_base"), max("tc").as("n_cur"))
+  }
+
+  /** KS over raw value frames — buckets with [[psiBucket]] then
+    * [[ksOfHists]] (nulls excluded, edges clamped, identical binning
+    * to the PSI gate and the streaming drift store). */
+  def ks(base: DataFrame, current: DataFrame, valueCol: Column,
+         lo: Double, hi: Double, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && hi > lo)
+    def bucketed(df: DataFrame): DataFrame =
+      df.where(valueCol.isNotNull)
+        .groupBy(psiBucket(valueCol, lo, hi, nBuckets).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    ksOfHists(bucketed(base), bucketed(current))
+  }
+
   /** Keys appearing more than once — the primary-key uniqueness check.
     * Returns (keys..., n) per violating key; one key-shuffle with
     * map-side partial counts. */

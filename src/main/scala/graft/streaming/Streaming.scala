@@ -1085,6 +1085,14 @@ object Streaming {
     graft.ops.Profiling.psiOfHists(baseHist,
       readDriftHist(spark, statsDir), eps)
 
+  /** Kolmogorov-Smirnov gate over the SAME [[driftHistSink]] store —
+    * the location-sensitive companion of [[streamPsi]]
+    * ([[graft.ops.Profiling.ksOfHists]]): both gates read one
+    * accumulated histogram state; no extra streaming machinery. */
+  def streamKs(spark: SparkSession, statsDir: String,
+               baseHist: DataFrame): DataFrame =
+    graft.ops.Profiling.ksOfHists(baseHist, readDriftHist(spark, statsDir))
+
   /** Stream-maintained count-min sketch over a token stream
     * ([[graft.ops.Sketch]]): each micro-batch's d×256 cell delta folds
     * additively into the standing grid — CMS cells are pure counts, so

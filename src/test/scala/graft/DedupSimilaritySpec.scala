@@ -151,6 +151,46 @@ class DedupSpec extends SparkSpec {
     assert(!j.contains((6L, 7L)))
   }
 
+  test("prefix-filter joins: randomized parity across seeds and " +
+      "thresholds (property)") {
+    // three independently-seeded corpora with different overlap
+    // regimes; the exactness claim must hold on all of them, for both
+    // the symmetric and the asymmetric join
+    import org.scalacheck.{Gen, rng}
+    for (seed <- Seq(101L, 202L, 303L)) {
+      val vocabSize = 4 + (seed % 5).toInt
+      val words = (0 until vocabSize).map(i => s"w$i")
+      val gen = Gen.choose(3, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(words)))
+      val corpus = (0 until 30).map { i =>
+        (i.toLong, gen.apply(Gen.Parameters.default, rng.Seed(seed + i))
+          .get.mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = 0.2 + (seed % 3) * 0.15
+      val bruteJ = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          n = 2, minJaccard = t, blockingKey = _ => lit(1))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val pfJ = Dedup.prefixFilterJaccardPairs(corpus, "text", "doc_id",
+          n = 2, minJaccard = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(pfJ === bruteJ, s"jaccard diverged: seed=$seed t=$t")
+      val sets = corpus.select(col("doc_id"),
+          array_distinct(graft.ops.Text.shingles(col("text"), 2)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val bruteC = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+        c = sa.intersect(sb).size.toDouble / sa.size if c >= t
+      } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+      val pfC = Dedup.prefixFilterContainmentPairs(corpus, "text",
+          "doc_id", n = 2, minContainment = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(pfC === bruteC, s"containment diverged: seed=$seed t=$t")
+    }
+  }
+
   test("prefixFilterJaccardPairs edges: t=1 finds only exact-set dups; " +
       "t=0 rejected") {
     val r = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",

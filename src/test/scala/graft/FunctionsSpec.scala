@@ -54,6 +54,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("deflateRatio: repetitive text compresses far below prose, " +
+      "deterministic in both modes, null/empty edges") {
+    import graft.functions.GraftFunctions.deflateRatio
+    val spam = ("buy cheap pills " * 200).trim
+    val prose = "The glacier retreated over nine thousand years, " +
+      "leaving a chain of moraine lakes whose outflow carved the " +
+      "valley into terraces that farmers later walled with stone. " +
+      "Each terrace drains through culverts older than the maps " +
+      "that record them, and the village below measures its seasons " +
+      "by which channels run loud after the early snows."
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        val r = Seq(Some(spam), Some(prose), Some(""), None).toDF("s")
+          .select(deflateRatio(col("s"))).collect().map(_.get(0))
+        val spamR = r(0).asInstanceOf[Double]
+        val proseR = r(1).asInstanceOf[Double]
+        assert(spamR < 0.1, s"spam ratio $spamR not tiny")
+        assert(proseR > 0.4, s"prose ratio $proseR not prose-like")
+        assert(spamR < proseR / 3)
+        assert(r(2) == null && r(3) == null)
+      }
+    }
+    // partition-stable and run-stable (fixed Deflater level, raw mode)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), deflateRatio(col("text")).as("r"))
+    val a = docs.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = docs.repartition(7).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a === b)
+    // SQL surface matches the DataFrame op
+    graft.functions.GraftExtensions.registerOn(spark)
+    val viaSql = spark.sql(s"SELECT graft_deflate_ratio('$prose')")
+      .head().getDouble(0)
+    assert(viaSql ===
+      spark.range(1).select(deflateRatio(lit(prose))).head().getDouble(0))
+  }
+
   test("cosine expression is bit-identical to the HOF fold it replaced") {
     import org.apache.spark.sql.Column
     import graft.ops.Similarity

@@ -74,6 +74,42 @@ class PlanAuditSpec extends SparkSpec {
       s"residual rank fell back to a window:\n$plan")
   }
 
+  test("priority sampling plans as a distributed top-k") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = SparkEntry.queries("q198_priority_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-Res top-n did not plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"A-Res top-n fell back to a global sort:\n$plan")
+  }
+
+  test("hard-negative mining: per-query rank runs as WindowGroupLimit, " +
+      "queries broadcast") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = SparkEntry.queries("q190_hard_negatives")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // partial per-partition top-k BEFORE the exchange: the corpus x
+    // queries cross product never shuffles beyond k rows per partition
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank <= k did not compile to WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("grid range join is an equi-shuffle join, not a nested loop") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = SparkEntry.queries("q193_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"grid blocking degenerated to a nested loop:\n$plan")
+    // the cell-keyed equi-join is a hash/sort-merge join
+    assert(plan.contains("Join") && plan.contains("__cell"),
+      s"no cell-keyed equi-join found:\n$plan")
+  }
+
   test("row-local text queries add no exchange beyond their aggregation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // q19/q20/q25 are scan -> row-local expressions (+ optional final

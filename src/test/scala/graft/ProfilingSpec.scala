@@ -96,6 +96,29 @@ class ProfilingSpec extends SparkSpec {
     assert(rows(out.filter($"grp" === "h").select("v_w")).head == Seq(1000.0))
   }
 
+  test("ksOfHists: 0 for identical, location-sensitive where PSI is " +
+      "quiet, bounded by 1") {
+    import spark.implicits._
+    def hist(xs: Seq[(Int, Long)]) = xs.toDF("bucket", "n")
+    val base = hist(Seq(0 -> 100L, 1 -> 100L, 2 -> 100L, 3 -> 100L))
+    assert(Profiling.ksOfHists(base, base).head().getDouble(0) === 0.0)
+    // one-bucket monotone shift: every bin's density ratio is mild
+    // (PSI small) but the cumulative gap is large at the crossover
+    val shifted = hist(Seq(0 -> 40L, 1 -> 160L, 2 -> 100L, 3 -> 100L))
+    val ks = Profiling.ksOfHists(base, shifted).head().getDouble(0)
+    assert(ks > 0.1 && ks <= 1.0, s"ks=$ks")
+    // disjoint supports: KS = 1 (all mass before vs after)
+    val lo = hist(Seq(0 -> 10L, 1 -> 10L))
+    val hi = hist(Seq(2 -> 10L, 3 -> 10L))
+    assert(Profiling.ksOfHists(lo, hi).head().getDouble(0) === 1.0)
+    // raw-frame form agrees with hand bucketing
+    val a = Seq.tabulate(100)(i => i.toDouble).toDF("v")
+    val b = Seq.tabulate(100)(i => i.toDouble + 30).toDF("v")
+    val r = Profiling.ks(a, b, $"v", 0.0, 100.0, 10).head()
+    assert(r.getDouble(0) > 0.25 && r.getLong(1) === 100L &&
+      r.getLong(2) === 100L)
+  }
+
   test("bootstrapMeanCI: band brackets the mean, collapses on constants, " +
       "and is partition-stable") {
     val df = (Seq.tabulate(60)(i => ("mix", i.toLong, (i % 30).toLong * 10))
