@@ -710,9 +710,9 @@ object NorthStar {
            |tp AS (
            |  SELECT a.doc_id AS ia, b.doc_id AS ib
            |  FROM f a JOIN f b ON a.doc_id < b.doc_id
-           |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |          AS DOUBLE), 6) >= 0.5),
+           |          AS DOUBLE) >= 0.5),
            |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM pairs),
            |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
            |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
@@ -735,9 +735,9 @@ object NorthStar {
            |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
            |          AS DOUBLE), 6) AS j
            |  FROM f a JOIN f b ON a.doc_id < b.doc_id
-           |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            |      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-           |          AS DOUBLE), 6) >= 0.3),
+           |          AS DOUBLE) >= 0.3),
            |thr AS (SELECT CAST(unnest([0.3, 0.5, 0.7]) AS DOUBLE) AS thr),
            |nt AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_true
            |       FROM tp CROSS JOIN thr WHERE j >= thr GROUP BY thr),

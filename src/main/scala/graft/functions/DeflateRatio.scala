@@ -41,9 +41,13 @@ case class DeflateRatioExpression(child: Expression) extends UnaryExpression {
     val javaType = org.apache.spark.sql.catalyst.expressions.codegen
       .CodeGenerator.javaType(dataType)
     nullSafeCodeGen(ctx, ev, c => {
-      s"""java.lang.Double __gdr = graft.functions.DeflateRatioExpression.ratio($c);
-         |if (__gdr == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ($javaType) __gdr.doubleValue(); }""".stripMargin
+      // freshName: with a non-nullable child, nullSafeExec emits this
+      // block UNBRACED into the shared scope — a fixed variable name
+      // would collide across two deflateRatio calls in one stage
+      val r = ctx.freshName("gdr")
+      s"""java.lang.Double $r = graft.functions.DeflateRatioExpression.ratio($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ($javaType) $r.doubleValue(); }""".stripMargin
     })
   }
 

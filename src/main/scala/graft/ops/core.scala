@@ -296,6 +296,18 @@ object Sampling {
     val b = splitBucket(id)
     when(b < trainUpto, "train").when(b < valUpto, "val").otherwise("test")
   }
+
+  /** Raw 24-bit md5 draw of the stringified key, as a double in
+    * [0, 2^24) — the finer-grained sibling of [[splitBucket]] and the
+    * ONE place the 6-hex-digit derivation lives (its oracle twin is
+    * `CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 6) AS
+    * BIGINT)`). Call sites divide by 2^24 and choose their own
+    * interval convention where it matters: A-Res sampling adds +0.5
+    * before dividing so ln(u) stays finite; the bootstrap
+    * inverse-CDF lookup uses the raw half-open value. */
+  def uniform24(key: Column): Column =
+    conv(substring(fastMd5(key.cast("string")), 1, 6), 16, 10)
+      .cast("double")
 }
 
 /** Set operations (SURVEY §2.8 U1/U2). */

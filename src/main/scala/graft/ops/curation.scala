@@ -327,9 +327,7 @@ object Curation {
     require(n >= 1, s"n must be >= 1, got $n")
     // +0.5 keeps u strictly inside (0,1): u = 0 would send ln to -inf
     // and tie every zero-bucket row
-    val u = (conv(substring(graft.functions.GraftFunctions.fastMd5(
-        id.cast("string")), 1, 6), 16, 10).cast("double") + lit(0.5)) /
-      lit((1 << 24).toDouble)
+    val u = (Sampling.uniform24(id) + lit(0.5)) / lit((1 << 24).toDouble)
     val w = weight.cast("double")
     df.where(w > 0)
       .withColumn("__pri", log(u) / w)

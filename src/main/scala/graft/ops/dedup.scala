@@ -301,9 +301,14 @@ object Dedup {
     val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     a.join(b, Seq("__block"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(inter / uni, 6))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("__j", inter / uni)
+      // RAW-ratio threshold, rounding only for presentation — the same
+      // contract as the prefix-filter joins (whose exactness lemma is
+      // derived for the raw Jaccard): a 0.2999996 pair must not slip
+      // in via round-to-0.3, or brute-force parity breaks on
+      // borderline pairs
+      .where(col("__j") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
   }
 
   /** Per-document distinct shingle-digest sets, packed as arrays
@@ -463,22 +468,17 @@ object Dedup {
   def hashBandPairs(df: DataFrame, hashCol: String, idCol: String,
                     bits: Int, bands: Int, maxHamming: Int,
                     maxBucket: Int = 4096): DataFrame = {
-    require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
-    require(bands >= 1 && bits % bands == 0,
-      s"bands ($bands) must divide bits ($bits)")
     require(maxHamming < bands,
       s"recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
-    val w = bits / bands
-    val mask = if (w == 64) -1L else (1L << w) - 1
-    val banded = Scale.widen(df)
-      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
-      .select(col("__id"), col("__h"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("__band"))
-      .select(
-        struct(col("__band"),
-          expr(s"shiftright(__h, cast(__band * $w AS INT)) & ${mask}L")
-            .as("__bv")).as("__bucket"),
-        struct(col("__id").as("id"), col("__h").as("h")).as("__e"))
+    // ONE band-slicing implementation ([[hashBandIndex]]) serves the
+    // all-pairs, index-probe and admission paths — they can never
+    // diverge. (Null hashes are absent from the banded rows; they
+    // previously paired null-with-null and were dropped by the
+    // hamming filter, so the output is identical.)
+    val banded = hashBandIndex(Scale.widen(df), hashCol, idCol,
+        bits, bands)
+      .select(struct(col("band_idx"), col("band_value")).as("__bucket"),
+        struct(col("id"), col("h")).as("__e"))
     boundedBucketPairs(banded, "__bucket", "__e", maxBucket, (x, y) =>
         struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
           Text.hammingDistance(x.getField("h"), y.getField("h"), bits)
@@ -595,6 +595,16 @@ object Dedup {
       s"recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
     val probe = hashBandIndex(Scale.widen(batch), hashCol, idCol,
       bits, bands).localCheckpoint()
+    hashPairsProbed(probe, index, bits, maxHamming)
+  }
+
+  /** [[pairsAgainstHashIndex]] with the batch's banded rows already
+    * computed (and materialized) by the caller — the streaming sink
+    * derives its write frame, touched-bucket prune AND admission from
+    * one banding pass. */
+  private[graft] def hashPairsProbed(probe: DataFrame, index: DataFrame,
+                                     bits: Int,
+                                     maxHamming: Int): DataFrame = {
     val probeKeys = probe.select("band_idx", "band_value").distinct()
     val hits = index
       .join(broadcast(probeKeys), Seq("band_idx", "band_value"), "left_semi")
@@ -617,12 +627,38 @@ object Dedup {
   def admitAgainstHashIndex(batch: DataFrame, hashCol: String,
                             idCol: String, index: DataFrame, bits: Int,
                             bands: Int, maxHamming: Int): DataFrame = {
-    val store = pairsAgainstHashIndex(batch, hashCol, idCol, index,
-        bits, bands, maxHamming)
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    val probe = hashBandIndex(Scale.widen(batch), hashCol, idCol,
+      bits, bands).localCheckpoint()
+    admitHashProbed(batch, idCol, probe, index, bits, maxHamming)
+  }
+
+  /** [[admitAgainstHashIndex]] over a pre-banded (materialized) probe
+    * frame: ONE banding pass feeds the store check, the in-batch
+    * check, and whatever else the caller derives from the probe (the
+    * streaming sink's write frame and touched-bucket prune). The
+    * in-batch pass pairs the probe against itself on the band keys —
+    * the same collision set [[hashBandPairs]] would produce, without
+    * re-banding. */
+  private[graft] def admitHashProbed(batch: DataFrame, idCol: String,
+                                     probe: DataFrame, index: DataFrame,
+                                     bits: Int,
+                                     maxHamming: Int): DataFrame = {
+    val store = hashPairsProbed(probe, index, bits, maxHamming)
       .select(col("id_new").as(idCol))
-    val inBatch = hashBandPairs(batch, hashCol, idCol, bits, bands,
-        maxHamming)
-      .select(col("id_b").as(idCol))
+    val later = probe.select(col("band_idx").as("bi_a"),
+      col("band_value").as("bv_a"), col("id").as("id_a"),
+      col("h").as("h_a"))
+    val earlier = probe.select(col("band_idx").as("bi_b"),
+      col("band_value").as("bv_b"), col("id").as("id_b"),
+      col("h").as("h_b"))
+    val inBatch = later.join(earlier,
+        col("bi_a") === col("bi_b") && col("bv_a") === col("bv_b") &&
+          col("id_a") > col("id_b"))
+      .where(Text.hammingDistance(col("h_a"), col("h_b"), bits)
+        <= maxHamming)
+      .select(col("id_a").as(idCol))
     batch.join(store.unionByName(inBatch).distinct(), Seq(idCol),
       "left_anti")
   }

@@ -96,7 +96,11 @@ object Joins {
     require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
     val pc = points
       .withColumn("__cell", floor(col(tsCol) / cellWidth).cast("long"))
+    // null bounds match NOTHING under the range predicate, exactly as
+    // in the theta join this replaces — drop them before the guard so
+    // a null span can never reach (and trip) the raise_error branch
     val ic = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull)
       .withColumn("__c0", floor(col(startCol) / cellWidth).cast("long"))
       .withColumn("__c1", floor(col(endCol) / cellWidth).cast("long"))
       .withColumn("__c1", when(col("__c1") - col("__c0") < maxCells,

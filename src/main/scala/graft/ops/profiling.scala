@@ -237,10 +237,8 @@ object Profiling {
     val x = col(value).cast("double")
     // uniform in [0,1) from the first 6 hex digits of md5(id|rep)
     // evaluated AFTER the select below projects id as __id
-    val u = conv(substring(graft.functions.GraftFunctions.fastMd5(
-        concat(col("__id").cast("string"), lit("|"),
-          col("__b").cast("string"))),
-      1, 6), 16, 10).cast("double") / lit((1 << 24).toDouble)
+    val u = Sampling.uniform24(concat(col("__id").cast("string"),
+      lit("|"), col("__b").cast("string"))) / lit((1 << 24).toDouble)
     val w = PoissonCdf.zipWithIndex.foldRight(lit(7).cast("long")) {
       case ((t, k), rest) => when(u < lit(t), lit(k).cast("long"))
         .otherwise(rest)

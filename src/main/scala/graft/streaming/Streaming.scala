@@ -614,8 +614,9 @@ object Streaming {
     fs.delete(new HPath(dir, s"batch=$batchId"), true)
     val hasPrior = fs.exists(dir) &&
       fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))
-    // banding is integer shifts — cheap enough to run once for the
-    // write frame and once inside the admission joins
+    // ONE banding pass: the same materialized probe feeds the
+    // touched-bucket prune, both admission joins (store + in-batch,
+    // via admitHashProbed) and the write frame below
     val probe = graft.ops.Dedup.hashBandIndex(batch, hashCol, idCol,
       bits, bands).localCheckpoint()
     val standing =
@@ -628,8 +629,8 @@ object Streaming {
           .where(col("hb").isin(touched.toSeq: _*))
           .drop("batch", "hb")
       } else probe.limit(0)
-    val admitted = graft.ops.Dedup.admitAgainstHashIndex(batch, hashCol,
-      idCol, standing, bits, bands, maxHamming)
+    val admitted = graft.ops.Dedup.admitHashProbed(batch, idCol, probe,
+      standing, bits, maxHamming)
     probe.join(
         admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .withColumn("hb", hashIndexBucket(col("band_idx"), col("band_value")))
