@@ -79,6 +79,18 @@ object ScaleProbe {
       Dedup.minhashCandidatePairs(
         corpus, "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
         maxBucket = 2000))
+    // EXACT prefix-filter Jaccard join at replicated scale: every base
+    // doc's replicas are a ~0.93-Jaccard near-dup clique, so t = 0.95
+    // forces the operator to generate and VERIFY every intra-clique
+    // candidate (~n0 x C(replicas,2) pairs) and reject them — the
+    // worst honest case for the verify stage, while the prefix phase
+    // must keep cross-clique candidates near zero (replica-distinct
+    // rare shingles). Throughput here is the operator's cost ceiling;
+    // real thresholds sit below the clique similarity and return the
+    // pairs instead of discarding them.
+    time("prefix jaccard (t=0.95)", total, "docs/s")(
+      Dedup.prefixFilterJaccardPairs(corpus, "text", "doc_id",
+        n = 3, minJaccard = 0.95))
     // substring fingerprinting both ways: md5-per-position (the
     // oracle-checkable mode) vs the codegen'd O(n) Rabin-Karp
     // expression — the measured justification for the fast path

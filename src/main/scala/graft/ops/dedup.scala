@@ -370,7 +370,13 @@ object Dedup {
     * (1 − t)·|doc| + 1 rows per document. Residual hot-prefix skew
     * spreads across tasks as ordinary join skew (AQE skew-join handles
     * it) — no whole-bucket array row is ever built. Verification joins
-    * move only the candidate pairs plus each side's digest array. */
+    * move only the candidate pairs plus each side's digest array.
+    *
+    * One inherent bound: the OUTPUT is every qualifying pair, so an
+    * exact-duplicate clique of n boilerplate documents contributes
+    * C(n, 2) result rows by contract — on crawl corpora run
+    * [[exact]] dedup first (the factoring [[minhashCandidatePairs]]
+    * fuses internally), or accept the quadratic output. */
   def prefixFilterJaccardPairs(df0: DataFrame, textCol: String,
                                idCol: String, n: Int,
                                minJaccard: Double): DataFrame = {
