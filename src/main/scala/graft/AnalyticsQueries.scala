@@ -148,6 +148,40 @@ object AnalyticsQueries {
         .select(round(col("psi"), 6).as("psi"))
     }),
 
+    // k-anonymity release gate: rows re-identifiable by the
+    // (lang, source, split) quasi-identifier combination — derived
+    // corpus slices must not be publishable down to an individual
+    // document's row. The md5 split reuses q55's machinery so the
+    // oracle replays it exactly.
+    "q202_k_anonymity" -> ((s, dir) => {
+      Profiling.kAnonymity(
+        rd(s, dir, "documents")
+          .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"))),
+        Seq("lang", "source", "split"), k = 5)
+    }),
+
+    // Per-source datasheet — the "datasheets for datasets" rollup a
+    // mixture decision reads: volume, length profile, exact-dup rate
+    // and language diversity per source, one corpus pass + one
+    // digest-grain aggregation.
+    "q203_source_datasheet" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.fastMd5
+      val d = rd(s, dir, "documents")
+      val dups = d.select(col("source"), fastMd5(col("text")).as("__h"))
+        .groupBy("source", "__h").agg(count(lit(1)).as("__n"))
+        .groupBy("source")
+        .agg(sum(col("__n") - 1).as("n_exact_dup_rows"))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 6).as("mean_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+          countDistinct("lang").as("n_langs"))
+        .join(dups, Seq("source"))
+        .withColumn("dup_frac", round(
+          col("n_exact_dup_rows").cast("double") / col("n_docs"), 6))
+        .orderBy("source")
+    }),
+
     // The location-sensitive companion of q167: Kolmogorov-Smirnov
     // max-CDF-gap over the SAME fixed bins (PSI can stay quiet under a
     // slow monotone shift that KS flags immediately; both gates read
@@ -605,6 +639,46 @@ object AnalyticsQueries {
         |    ln(((g.cs + 1.0) / (g.ns + 200.0)) /
         |       ((g.cg + 1.0) / (ng.ng + 200.0)))), 6) AS kl
         |FROM grid g, ng GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    "q202_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT lang, source,
+        |    ((strpos('0123456789abcdef',
+        |        md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 16
+        |      + (strpos('0123456789abcdef',
+        |        md5(CAST(doc_id AS VARCHAR))[2:2]) - 1)) AS bk
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, source,
+        |    CASE WHEN bk < 204 THEN 'train'
+        |         WHEN bk < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM b),
+        |g AS (SELECT lang, source, split, count(*) AS n
+        |      FROM s GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_violating_rows,
+        |  CAST(min(n) AS BIGINT) AS min_class_size
+        |FROM g""".stripMargin,
+
+    "q203_source_datasheet" ->
+      """WITH dups AS (
+        |  SELECT source, CAST(sum(n - 1) AS BIGINT) AS n_exact_dup_rows
+        |  FROM (SELECT source, md5(text) AS h, count(*) AS n
+        |        FROM documents GROUP BY 1, 2) z
+        |  GROUP BY source),
+        |base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM documents GROUP BY source)
+        |SELECT base.*, dups.n_exact_dup_rows,
+        |  round(CAST(n_exact_dup_rows AS DOUBLE) / n_docs, 6) AS dup_frac
+        |FROM base JOIN dups USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q201_ks_drift" ->
       """WITH bb AS (

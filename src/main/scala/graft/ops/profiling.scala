@@ -142,6 +142,31 @@ object Profiling {
     ksOfHists(bucketed(base), bucketed(current))
   }
 
+  /** k-anonymity audit over a quasi-identifier combination: how many
+    * rows sit in equivalence classes smaller than `k` — i.e. are
+    * re-identifiable by the given attribute combination (Sweeney
+    * 2002). A release gate for derived/shared tables: publish only
+    * when n_violating_rows is 0 (or after generalizing/suppressing
+    * the violating classes, which this output locates by size).
+    * Returns one row: (n_classes, n_violating_classes,
+    * n_violating_rows, min_class_size).
+    *
+    * Scale: one keyed count over the quasi-identifier combination
+    * (map-side combined) plus a constant-size rollup — the same cost
+    * as any GROUP BY at 100 TB. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("__n") < k, 1L).otherwise(0L))
+          .as("n_violating_classes"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("n_violating_rows"),
+        min("__n").as("min_class_size"))
+  }
+
   /** Keys appearing more than once — the primary-key uniqueness check.
     * Returns (keys..., n) per violating key; one key-shuffle with
     * map-side partial counts. */

@@ -96,6 +96,27 @@ class ProfilingSpec extends SparkSpec {
     assert(rows(out.filter($"grp" === "h").select("v_w")).head == Seq(1000.0))
   }
 
+  test("kAnonymity counts re-identifiable rows and classes") {
+    import spark.implicits._
+    // classes: (a,x) size 3, (a,y) size 2, (b,x) size 1
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"),
+      ("a", "y"), ("a", "y"), ("b", "x")).toDF("q1", "q2")
+    val r3 = Profiling.kAnonymity(df, Seq("q1", "q2"), k = 3).head()
+    assert(r3.getLong(0) === 3L)     // classes
+    assert(r3.getLong(1) === 2L)     // violating classes (<3)
+    assert(r3.getLong(2) === 3L)     // violating rows (2 + 1)
+    assert(r3.getLong(3) === 1L)     // min class size
+    val r2 = Profiling.kAnonymity(df, Seq("q1", "q2"), k = 2).head()
+    assert(r2.getLong(1) === 1L && r2.getLong(2) === 1L)
+    // unique-id worst case: every row violates
+    val ids = spark.range(10).toDF("id")
+    val ru = Profiling.kAnonymity(ids, Seq("id"), k = 2).head()
+    assert(ru.getLong(2) === 10L)
+    intercept[IllegalArgumentException] {
+      Profiling.kAnonymity(df, Seq.empty, k = 2)
+    }
+  }
+
   test("ksOfHists: 0 for identical, location-sensitive where PSI is " +
       "quiet, bounded by 1") {
     import spark.implicits._
