@@ -523,9 +523,12 @@ object Streaming {
   private[graft] def dedupIndexBucket(bandHash: Column): Column =
     pmod(crc32(bandHash), lit(DedupIndexBuckets)).cast("int")
 
+  /** Returns the admitted subset (materialized) so composite sinks
+    * ([[curationIngestSink]]) can write payloads / fold stats without
+    * re-running the admission joins. */
   private[graft] def mergeDedupIndexBatch(batch: DataFrame, textCol: String,
       idCol: String, indexDir: String, batchId: Long,
-      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3): Unit = {
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     val spark = batch.sparkSession
     val dir = new HPath(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -554,11 +557,13 @@ object Streaming {
       } else graft.ops.Dedup.minhashIndex(batch.limit(0), textCol, idCol,
         numHashes, bands, shingleSize)
     val admitted = graft.ops.Dedup.admitProbed(batch, idCol, probe, standing)
+      .localCheckpoint()
     probe.join(
         admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .withColumn("bh", dedupIndexBucket(col("band_hash")))
       .write.mode("overwrite").partitionBy("bh")
       .parquet(s"$indexDir/batch=$batchId")
+    admitted
   }
 
   /** Read a [[dedupIndexSink]] index: every admitted document's band
@@ -566,6 +571,69 @@ object Streaming {
     * columns of the `batch=<id>/bh=<k>/` layout it is stored in. */
   def readDedupIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir)
+
+  /** END-TO-END streaming corpus curation in ONE exactly-once sink:
+    * per micro-batch, (1) quality-gate on
+    * [[graft.ops.Text.qualityScore]] ≥ `minQuality`, (2) near-dup
+    * admission against the standing banded index
+    * ([[mergeDedupIndexBatch]] — never re-bands history, appends the
+    * admitted band rows under `index/batch=<id>/bh=<k>/`), (3) write
+    * the admitted PAYLOADS under `corpus/batch=<id>/`, and (4) fold
+    * the admitted batch into the standing stats (word histogram for
+    * tokenizer refresh + length drift histogram) under `stats/`.
+    * The composition — gate before dedup, dedup before stats — is the
+    * order a production ingest runs: stats and tokenizers must see
+    * exactly the corpus that survived, or they train on what was
+    * thrown away.
+    *
+    * Exactly-once across ALL FOUR effects under one replay: the index
+    * and payload writes are deterministic per-batch paths (crash
+    * leftovers deleted, rewritten identically against the pre-crash
+    * standing state), and the stats merge is guarded by the `_batch`
+    * high-water mark — a replayed id rewrites identical files and
+    * skips the already-folded stats, whatever point the crash hit.
+    * Per-batch cost: O(batch + touched index buckets + store size);
+    * the corpus is never rescanned. */
+  def curationIngestSink(docs: DataFrame, textCol: String, idCol: String,
+                         rootDir: String, checkpoint: String,
+                         minQuality: Double,
+                         lenLo: Double = 0.0, lenHi: Double = 1000.0,
+                         numHashes: Int = 8, bands: Int = 4,
+                         shingleSize: Int = 3) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          curationIngestBatch(batch, textCol, idCol, rootDir, batchId,
+            minQuality, lenLo, lenHi, numHashes, bands, shingleSize)
+        ()
+      }
+
+  private[graft] def curationIngestBatch(batch: DataFrame, textCol: String,
+      idCol: String, rootDir: String, batchId: Long, minQuality: Double,
+      lenLo: Double, lenHi: Double, numHashes: Int, bands: Int,
+      shingleSize: Int): Unit = {
+    val gated = batch.where(
+      graft.ops.Text.qualityScore(col(textCol)) >= minQuality)
+    val admitted = mergeDedupIndexBatch(gated, textCol, idCol,
+      s"$rootDir/index", batchId, numHashes, bands, shingleSize)
+    admitted.write.mode("overwrite")
+      .parquet(s"$rootDir/corpus/batch=$batchId")
+    mergeStoreBatch(s"$rootDir/stats", batchId, Seq(
+      StorePart("hist", Seq("word"), Seq("cnt")) ->
+        graft.ops.Bpe.wordHistogram(admitted, textCol),
+      StorePart("lens", Seq("bucket"), Seq("n")) ->
+        admitted.groupBy(graft.ops.Profiling.psiBucket(
+          length(col(textCol)).cast("double"), lenLo, lenHi, 10)
+          .as("bucket"))
+          .agg(count(lit(1)).as("n"))))
+  }
+
+  /** The admitted corpus of a [[curationIngestSink]] (payload rows +
+    * the `batch` partition column). */
+  def readCurationCorpus(spark: SparkSession, rootDir: String): DataFrame =
+    spark.read.parquet(s"$rootDir/corpus")
 
   /** Streaming ingestion with HASH-keyed near-dup admission —
     * [[dedupIndexSink]]'s discipline for corpora whose similarity key

@@ -437,6 +437,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationIngestSink: gate -> dedup -> payload -> stats in one " +
+      "exactly-once pass; crash-replay is a no-op end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val junk = "@@@@ #### !!!! %%%% @@@@ #### !!!! %%%%"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    // threshold sits between the junk score and the prose scores
+    val scores = Seq(junk, prose1, prose2, prose3).toDF("t")
+      .select(graft.ops.Text.qualityScore(col("t")))
+      .collect().map(_.getDouble(0))
+    val minQ = (scores.head + scores.tail.min) / 2
+    assert(scores.head < minQ && scores.tail.forall(_ > minQ))
+    val b1 = Seq((1L, prose1), (2L, junk), (3L, prose2))
+    val b2 = Seq((10L, prose1 + " x"), // near-dup of admitted 1 -> out
+      (11L, prose3),                   // novel -> admitted
+      (12L, junk))                     // gated out before dedup
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.curationIngestSink(in.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", tmp, s"$tmp/ckpt", minQuality = minQ).start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val corpus = Streaming.readCurationCorpus(spark, tmp)
+      val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 11L),
+        s"gate+dedup admitted the wrong set: $ids")
+      // the stats stores saw EXACTLY the admitted corpus
+      val hist = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      val expect = graft.ops.Bpe.wordHistogram(
+        corpus.select("doc_id", "text"), "text")
+      assert(hist.count() === expect.count())
+      assert(hist.unionAll(expect).distinct().count() === expect.count())
+      // end-to-end crash replay: re-running batch 1 against the same
+      // pre-state rewrites identical corpus/index and skips the stats
+      val before = (corpus.collect().map(_.toSeq).toSet,
+        hist.collect().map(_.toSeq).toSet)
+      Streaming.curationIngestBatch(b2.toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 1L, minQ, 0.0, 1000.0, 8, 4, 3)
+      val after = (Streaming.readCurationCorpus(spark, tmp)
+        .collect().map(_.toSeq).toSet,
+        Streaming.readWordHistogram(spark, s"$tmp/stats")
+          .collect().map(_.toSeq).toSet)
+      assert(after === before)
+    } finally q.stop()
+  }
+
   test("hashIndexSink: cross-batch Hamming admission matches the " +
       "sequential batch replay; crash-replay rewrites identical content") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hix").toString
