@@ -313,6 +313,26 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental EXACT-Jaccard dedup admission against a standing
+    // index: the even half is the indexed snapshot (prefix rows under
+    // a FROZEN df order), the odd half arrives as a batch; admitted =
+    // below-threshold against every stored doc AND every earlier
+    // batch doc. The exact-threshold form of the q158 LSH gate — the
+    // oracle needs none of the prefix machinery, just the Jaccard
+    // facts, which is the point: any index/ordering bug is a wrong
+    // admitted set, not a silent recall dip.
+    "q204_jaccard_admission" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val frozen = Dedup.shingleDfTable(d, "text", 3)
+      val (arrays, prefix) = Dedup.jaccardIndexTables(
+        d.where(col("doc_id") % 2 === 0), "text", "doc_id",
+        n = 3, minJaccard = 0.5, frozen)
+      Dedup.admitAgainstJaccardIndex(
+          d.where(col("doc_id") % 2 === 1), "text", "doc_id",
+          arrays, prefix, n = 3, minJaccard = 0.5, frozen)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Text: rolling (polynomial) document hash — order-sensitive
     // fingerprint, dedup key for exact copies that preserves order
     "q58_rolling_hash" -> ((s, dir) => {
@@ -982,6 +1002,26 @@ object NorthStar {
            |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            |      / CAST(len(a.sh) AS DOUBLE) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "q204_jaccard_admission" -> {
+        def j(a: String, b: String) =
+          s"""(CAST(len(list_intersect($a.sh, $b.sh)) AS DOUBLE)
+             | / CAST(len(list_distinct(list_concat($a.sh, $b.sh)))
+             |     AS DOUBLE))""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toks AS t FROM documents),
+           |f AS (
+           |  SELECT doc_id, list_distinct(${shinglesSql("t", 3)}) AS sh
+           |  FROM toks),
+           |odd AS (SELECT * FROM f WHERE doc_id % 2 = 1),
+           |ev AS (SELECT * FROM f WHERE doc_id % 2 = 0)
+           |SELECT o.doc_id FROM odd o
+           |WHERE NOT EXISTS (SELECT 1 FROM ev e
+           |        WHERE ${j("o", "e")} >= 0.5)
+           |  AND NOT EXISTS (SELECT 1 FROM odd p
+           |        WHERE p.doc_id < o.doc_id AND ${j("o", "p")} >= 0.5)
+           |ORDER BY o.doc_id""".stripMargin
+      },
 
       "q25_simhash" ->
         s"""WITH toks AS (

@@ -323,7 +323,9 @@ object Dedup {
     * footprint across calls; rows are fixed-width, corpus-linear.
     * Returns (__id, __ord, __sz). */
   private[ops] def orderedShingleSets(df0: DataFrame, textCol: String,
-                                      idCol: String, n: Int): DataFrame = {
+                                      idCol: String, n: Int,
+                                      dfTable: Option[DataFrame] = None
+                                     ): DataFrame = {
     val df = Scale.widen(df0)
     val docs = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
@@ -331,8 +333,21 @@ object Dedup {
           x => fastMd5(x))).as("__sh"))
       .localCheckpoint()
     val toks = docs.select(col("__id"), explode(col("__sh")).as("__h"))
-    val dfreq = toks.groupBy("__h").agg(count(lit(1)).as("__df"))
-    toks.join(dfreq, Seq("__h"))
+    // the ordering df: computed from THIS corpus by default; a caller-
+    // pinned frozen table makes the total order stable across corpus
+    // growth (the standing-index requirement — see shingleDfTable).
+    // Tokens absent from a frozen table are unseen-in-reference, i.e.
+    // the rarest: df 0 sorts them first, consistent with rare-first.
+    val withDf = dfTable match {
+      case Some(t) =>
+        toks.join(t.select(col("h").as("__h"), col("df").as("__df")),
+            Seq("__h"), "left")
+          .withColumn("__df", coalesce(col("__df"), lit(0L)))
+      case None =>
+        val dfreq = toks.groupBy("__h").agg(count(lit(1)).as("__df"))
+        toks.join(dfreq, Seq("__h"))
+    }
+    withDf
       .groupBy("__id")
       .agg(transform(
         array_sort(collect_list(struct(col("__df"), col("__h")))),
@@ -340,6 +355,18 @@ object Dedup {
       .withColumn("__sz", size(col("__ord")))
       .cache()
   }
+
+  /** Frozen (h, df) shingle document-frequency table for a reference
+    * corpus snapshot — pin this ONCE and pass it to every
+    * [[jaccardIndexTables]] / [[admitAgainstJaccardIndex]] call so the
+    * rare-first total order stays identical as the corpus grows (a
+    * per-batch recomputed order would silently invalidate every
+    * prefix already stored in the index). Vocabulary-sized. */
+  def shingleDfTable(df: DataFrame, textCol: String, n: Int): DataFrame =
+    Scale.widen(df).where(col(textCol).isNotNull)
+      .select(explode(array_distinct(transform(
+        Text.shingles(col(textCol), n), x => fastMd5(x)))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
 
   /** EXACT all-pairs Jaccard similarity join via prefix filtering — every
     * pair with n-gram Jaccard ≥ `minJaccard`, no blocking key, no LSH
@@ -382,7 +409,14 @@ object Dedup {
                                minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0, 1], got $minJaccard (0 would be all pairs)")
-    val ordered = orderedShingleSets(df0, textCol, idCol, n)
+    pairsFromOrdered(orderedShingleSets(df0, textCol, idCol, n), minJaccard)
+  }
+
+  /** The prefix-filtered exact-Jaccard pair pipeline over a pre-built
+    * [[orderedShingleSets]] frame — shared by the all-pairs join and
+    * the standing-index admission's in-batch pass. */
+  private def pairsFromOrdered(ordered: DataFrame,
+                               minJaccard: Double): DataFrame = {
     val prefixLen = (col("__sz") - ceil(col("__sz") * minJaccard) + 1)
       .cast("int")
     val prefix = ordered.select(col("__id"), col("__sz"),
@@ -428,6 +462,92 @@ object Dedup {
       // a 0.39999 pair must not slip in via round-to-0.4)
       .where(col("__j") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("__j"), 6).as("jaccard"))
+  }
+
+  /** Standing EXACT-Jaccard dedup index for a corpus snapshot: two
+    * tables from one ordering pass under a FROZEN df order
+    * ([[shingleDfTable]]) — `arrays` (id, ord, sz), the packed digest
+    * sets exact verification reads; and `prefix` (h, id, pos, sz),
+    * the exploded prefix rows candidates equi-join on (persist it
+    * bucketed by `h` for a co-located probe, the
+    * [[minhashIndex]]-layout discipline). The prefix length is
+    * `minJaccard`-specific: an index built for threshold t serves
+    * admission at any threshold ≥ t (longer prefixes only add
+    * candidates), never below. */
+  def jaccardIndexTables(df: DataFrame, textCol: String, idCol: String,
+                         n: Int, minJaccard: Double,
+                         dfTable: DataFrame): (DataFrame, DataFrame) = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val sets = orderedShingleSets(df, textCol, idCol, n, Some(dfTable))
+    val arrays = sets.select(col("__id").as("id"),
+      col("__ord").as("ord"), col("__sz").as("sz"))
+    val pl = (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int")
+    val prefix = arrays
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("ord"), lit(1), pl)).as(Seq("pos", "h")))
+      .select(col("h"), col("id"), (col("pos") + 1).as("pos"), col("sz"))
+    (arrays, prefix)
+  }
+
+  /** Admission gate for a new batch against a standing EXACT-Jaccard
+    * index ([[jaccardIndexTables]]): keep only documents with Jaccard
+    * < `minJaccard` against EVERY indexed document and every earlier
+    * (lower-id) batch document — the exact-threshold form of
+    * [[admitAgainstIndex]]'s LSH gate: no suppression from band
+    * coincidences below the threshold, no missed near-dup above it,
+    * by the prefix-filter recall argument. `dfTable` MUST be the same
+    * frozen table the index was built with, or the prefix invariants
+    * silently break (the reason the order is pinned at all).
+    *
+    * Scale: the corpus-scale prefix table is pruned by a broadcast
+    * semi-join on the BATCH's prefix digests (scanned, never
+    * shuffled); candidates pass the size and PPJoin positional
+    * filters before the arrays of only the implicated index rows are
+    * fetched for exact verification. The in-batch pass is the exact
+    * pair join over the same pre-ordered batch sets. Per batch:
+    * O(batch + matched index rows). */
+  def admitAgainstJaccardIndex(batch: DataFrame, textCol: String,
+                               idCol: String, arrays: DataFrame,
+                               prefix: DataFrame, n: Int,
+                               minJaccard: Double,
+                               dfTable: DataFrame): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val bsets = orderedShingleSets(batch, textCol, idCol, n,
+      Some(dfTable)).localCheckpoint()
+    val pl = (col("__sz") - ceil(col("__sz") * minJaccard) + 1).cast("int")
+    val bpref = bsets
+      .select(col("__id"), col("__sz"),
+        posexplode(slice(col("__ord"), lit(1), pl)).as(Seq("__p", "__h")))
+      .select(col("__h").as("h"), col("__id").as("id_new"),
+        (col("__p") + 1).as("pos_new"), col("__sz").as("sz_new"))
+    val hits = prefix
+      .join(broadcast(bpref.select("h").distinct()), Seq("h"), "left_semi")
+    val cand = hits.join(bpref, Seq("h"))
+      .where(col("sz_new") * minJaccard <= col("sz") &&
+        col("sz") * minJaccard <= col("sz_new"))
+      .groupBy(col("id").as("id_store"), col("id_new"))
+      .agg(first(col("sz")).as("sz"), first(col("sz_new")).as("sz_new"),
+        min(col("pos")).as("pos"), min(col("pos_new")).as("pos_new"))
+      .where(lit(1) + least(col("sz") - col("pos"),
+        col("sz_new") - col("pos_new")) >=
+        lit(minJaccard / (1 + minJaccard)) * (col("sz") + col("sz_new"))
+          - lit(1e-9))
+      .select("id_store", "id_new")
+    val byStore = cand
+      .join(arrays.select(col("id").as("id_store"), col("ord").as("__A")),
+        Seq("id_store"))
+      .join(bsets.select(col("__id").as("id_new"), col("__ord").as("__B")),
+        Seq("id_new"))
+      .where(size(array_intersect(col("__A"), col("__B"))).cast("double") /
+        size(array_union(col("__A"), col("__B"))).cast("double")
+        >= minJaccard)
+      .select(col("id_new").as(idCol))
+    val inBatch = pairsFromOrdered(bsets, minJaccard)
+      .select(col("id_b").as(idCol))
+    batch.join(byStore.unionByName(inBatch).distinct(), Seq(idCol),
+      "left_anti")
   }
 
   /** SimHash near-dup: packed simhash + bucket on the top `prefixBits`

@@ -203,6 +203,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("admitAgainstJaccardIndex: exact-threshold admission vs store " +
+      "and in-batch; result independent of the frozen order choice") {
+    val store = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words about spark engines and parquet"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"),  // exact store dup
+      (13L, "the quick brown fox jumps over the lazy cat"),  // near store dup
+      (15L, "entirely novel sentence with its own vocabulary set here"),
+      (17L, "entirely novel sentence with its own vocabulary set there"),
+      // 17 is 15's in-batch near-dup; 19 is unrelated
+      (19L, "rivers carve canyons slowly through layered sandstone walls"))
+      .toDF("doc_id", "text")
+    val all = store.unionByName(batch)
+    def admitted(dfTable: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val (arrays, prefix) = Dedup.jaccardIndexTables(store, "text",
+        "doc_id", n = 3, minJaccard = 0.5, dfTable)
+      Dedup.admitAgainstJaccardIndex(batch, "text", "doc_id", arrays,
+          prefix, n = 3, minJaccard = 0.5, dfTable)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val frozen = Dedup.shingleDfTable(all, "text", 3)
+    val got = admitted(frozen)
+    // brute-force expectation from exact Jaccard alone
+    val sets = all.select(col("doc_id"),
+        array_distinct(graft.ops.Text.shingles(col("text"), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def jac(a: Long, b: Long) = {
+      val (x, y) = (sets(a), sets(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val batchIds = Seq(11L, 13L, 15L, 17L, 19L)
+    val want = batchIds.filter { b =>
+      !Seq(0L, 2L).exists(s => jac(b, s) >= 0.5) &&
+        !batchIds.filter(_ < b).exists(p => jac(b, p) >= 0.5)
+    }.toSet
+    assert(got === want)
+    assert(got === Set(15L, 19L), s"fixture expectation drifted: $got")
+    // EXACTNESS is order-independent: an empty frozen table (all df 0,
+    // digest tie-break = pure hash order) admits the identical set —
+    // the order only shapes candidate counts, never the result
+    import spark.implicits._
+    val hashOrder = Seq.empty[(String, Long)].toDF("h", "df")
+    assert(admitted(hashOrder) === want)
+  }
+
   test("keepCanonical drops exactly the larger-id side of each pair") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
       numHashes = 8, bands = 4, shingleSize = 3)
