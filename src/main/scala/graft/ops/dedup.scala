@@ -322,7 +322,7 @@ object Dedup {
     * ~2x over a second checkpoint at sf0.1). LRU eviction bounds the
     * footprint across calls; rows are fixed-width, corpus-linear.
     * Returns (__id, __ord, __sz). */
-  private[ops] def orderedShingleSets(df0: DataFrame, textCol: String,
+  private[graft] def orderedShingleSets(df0: DataFrame, textCol: String,
                                       idCol: String, n: Int,
                                       dfTable: Option[DataFrame] = None
                                      ): DataFrame = {
@@ -415,7 +415,7 @@ object Dedup {
   /** The prefix-filtered exact-Jaccard pair pipeline over a pre-built
     * [[orderedShingleSets]] frame — shared by the all-pairs join and
     * the standing-index admission's in-batch pass. */
-  private def pairsFromOrdered(ordered: DataFrame,
+  private[graft] def pairsFromOrdered(ordered: DataFrame,
                                minJaccard: Double): DataFrame = {
     val prefixLen = (col("__sz") - ceil(col("__sz") * minJaccard) + 1)
       .cast("int")

@@ -572,6 +572,140 @@ object Streaming {
   def readDedupIndex(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(indexDir)
 
+  /** Streaming ingestion with EXACT-Jaccard near-dup admission — the
+    * exact-threshold form of [[dedupIndexSink]] (whose LSH banding is
+    * probabilistic): per micro-batch, order the batch's shingle sets
+    * under the FROZEN df order, admit documents below `minJaccard`
+    * against every stored document and every earlier batch document
+    * ([[graft.ops.Dedup]]'s prefix-filter machinery — recall exactly
+    * 1.0), and append the admitted rows to the standing two-table
+    * layout: `prefix/batch=<id>/jb=<k>/` (candidate probe rows,
+    * bucketed by digest) and `arrays/batch=<id>/ab=<k>/` (packed
+    * digest sets for verification, bucketed by id). Reads prune BOTH
+    * trees: the probe touches only the `jb=` buckets the batch's
+    * prefix digests hash into, and verification touches only the
+    * `ab=` buckets of candidate store ids — per-batch I/O is
+    * O(batch + matched rows), never O(index).
+    *
+    * `dfTable` must be the frozen [[graft.ops.Dedup.shingleDfTable]]
+    * snapshot pinned at index creation. Exactly-once by the
+    * [[dedupIndexSink]] discipline: deterministic per-batch paths in
+    * both trees, crash leftovers deleted, replays re-decide against
+    * the pre-crash standing state and rewrite identical content. */
+  def jaccardIndexSink(docs: DataFrame, textCol: String, idCol: String,
+                       indexDir: String, checkpoint: String,
+                       dfTable: DataFrame, n: Int = 3,
+                       minJaccard: Double = 0.5) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeJaccardIndexBatch(batch, textCol, idCol, indexDir,
+            batchId, dfTable, n, minJaccard)
+        ()
+      }
+
+  private[graft] def jaccardPrefixBucket(h: Column): Column =
+    pmod(crc32(h), lit(DedupIndexBuckets)).cast("int")
+  private[graft] def jaccardArrayBucket(id: Column): Column =
+    pmod(crc32(id.cast("string")), lit(DedupIndexBuckets)).cast("int")
+
+  private[graft] def mergeJaccardIndexBatch(batch: DataFrame,
+      textCol: String, idCol: String, indexDir: String, batchId: Long,
+      dfTable: DataFrame, n: Int, minJaccard: Double): Unit = {
+    val spark = batch.sparkSession
+    val dir = new HPath(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new HPath(dir, s"prefix/batch=$batchId"), true)
+    fs.delete(new HPath(dir, s"arrays/batch=$batchId"), true)
+    val hasPrior = fs.exists(new HPath(dir, "prefix")) &&
+      fs.listStatus(new HPath(dir, "prefix"))
+        .exists(_.getPath.getName.startsWith("batch="))
+    val bsets = graft.ops.Dedup.orderedShingleSets(batch, textCol, idCol,
+      n, Some(dfTable)).localCheckpoint()
+    val pl = (col("__sz") - ceil(col("__sz") * minJaccard) + 1).cast("int")
+    val bpref = bsets
+      .select(col("__id"), col("__sz"),
+        posexplode(slice(col("__ord"), lit(1), pl)).as(Seq("__p", "__h")))
+      .select(col("__h").as("h"), col("__id").as("id"),
+        (col("__p") + 1).as("pos"), col("__sz").as("sz"))
+      .localCheckpoint()
+    val admitted: DataFrame =
+      if (!hasPrior) {
+        // first batch: in-batch dedup only (over the already-ordered
+        // sets — no re-shingling)
+        val inBatch = graft.ops.Dedup.pairsFromOrdered(bsets, minJaccard)
+          .select(col("id_b").as(idCol)).distinct()
+        batch.join(inBatch, Seq(idCol), "left_anti")
+      } else {
+        // probe tree pruned to the jb= buckets the batch touches
+        val touched = bpref
+          .select(jaccardPrefixBucket(col("h")).as("jb"))
+          .distinct().collect().map(_.getInt(0))
+        val standingPrefix = spark.read.parquet(s"$indexDir/prefix")
+          .where(col("jb").isin(touched.toSeq: _*))
+          .drop("batch", "jb")
+        // candidate store ids first (cheap fixed-width joins), then
+        // fetch ONLY their ab= buckets for verification
+        val hits = standingPrefix.join(
+          broadcast(bpref.select("h").distinct()), Seq("h"), "left_semi")
+        val cand = hits.join(
+            bpref.select(col("h"), col("id").as("id_new"),
+              col("pos").as("pos_new"), col("sz").as("sz_new")), Seq("h"))
+          .where(col("sz_new") * minJaccard <= col("sz") &&
+            col("sz") * minJaccard <= col("sz_new"))
+          .groupBy(col("id").as("id_store"), col("id_new"))
+          .agg(first(col("sz")).as("sz"), first(col("sz_new")).as("sz_new"),
+            min(col("pos")).as("pos"), min(col("pos_new")).as("pos_new"))
+          .where(lit(1) + least(col("sz") - col("pos"),
+            col("sz_new") - col("pos_new")) >=
+            lit(minJaccard / (1 + minJaccard)) *
+              (col("sz") + col("sz_new")) - lit(1e-9))
+          .select("id_store", "id_new")
+          .localCheckpoint()
+        val abTouched = cand
+          .select(jaccardArrayBucket(col("id_store")).as("ab"))
+          .distinct().collect().map(_.getInt(0))
+        val standingArrays =
+          if (abTouched.isEmpty)
+            spark.read.parquet(s"$indexDir/arrays").limit(0)
+          else spark.read.parquet(s"$indexDir/arrays")
+            .where(col("ab").isin(abTouched.toSeq: _*))
+        val byStore = cand
+          .join(standingArrays.select(col("id").as("id_store"),
+            col("ord").as("__A")), Seq("id_store"))
+          .join(bsets.select(col("__id").as("id_new"),
+            col("__ord").as("__B")), Seq("id_new"))
+          .where(size(array_intersect(col("__A"), col("__B")))
+            .cast("double") /
+            size(array_union(col("__A"), col("__B"))).cast("double")
+            >= minJaccard)
+          .select(col("id_new").as(idCol))
+        val inBatch = graft.ops.Dedup.pairsFromOrdered(bsets, minJaccard)
+          .select(col("id_b").as(idCol))
+        batch.join(byStore.unionByName(inBatch).distinct(), Seq(idCol),
+          "left_anti")
+      }
+    val admittedIds = admitted.select(col(idCol).as("id"))
+    bsets.select(col("__id").as("id"), col("__ord").as("ord"),
+        col("__sz").as("sz"))
+      .join(admittedIds, Seq("id"), "left_semi")
+      .withColumn("ab", jaccardArrayBucket(col("id")))
+      .write.mode("overwrite").partitionBy("ab")
+      .parquet(s"$indexDir/arrays/batch=$batchId")
+    bpref.join(admittedIds, Seq("id"), "left_semi")
+      .withColumn("jb", jaccardPrefixBucket(col("h")))
+      .write.mode("overwrite").partitionBy("jb")
+      .parquet(s"$indexDir/prefix/batch=$batchId")
+  }
+
+  /** The admitted (id, ord, sz) sets of a [[jaccardIndexSink]] (plus
+    * `batch`/`ab` partition columns); admitted ids = `distinct(id)`. */
+  def readJaccardIndexArrays(spark: SparkSession,
+                             indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/arrays")
+
   /** END-TO-END streaming corpus curation in ONE exactly-once sink:
     * per micro-batch, (1) quality-gate on
     * [[graft.ops.Text.qualityScore]] ≥ `minQuality`, (2) near-dup

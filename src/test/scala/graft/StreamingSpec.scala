@@ -437,6 +437,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jaccardIndexSink: exact-threshold streaming dedup matches the " +
+      "sequential batch-admission replay; crash-replay rewrites " +
+      "identical content") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jix").toString
+    val d1 = "the quick brown fox jumps over the lazy dog tonight again"
+    val d2 = "glass furnaces along the coast burned driftwood and kelp ash"
+    val d3 = "rivers carve canyons slowly through layered sandstone walls"
+    val b1 = Seq((1L, d1), (2L, d2),
+      (3L, d1.replace("dog", "cat")))        // in-batch near-dup of 1
+    val b2 = Seq((10L, d1),                  // exact dup of stored 1
+      (11L, d2.replace("kelp", "peat")),     // near-dup of stored 2
+      (12L, d3))                             // novel
+    val frozen = graft.ops.Dedup.shingleDfTable(
+      (b1 ++ b2).toDF("doc_id", "text"), "text", 3)
+      .localCheckpoint()
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.jaccardIndexSink(in.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmp/index", s"$tmp/ckpt", frozen,
+      n = 3, minJaccard = 0.5).start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val ids = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      // sequential batch replay with the SAME frozen order
+      val (ar1, pr1) = graft.ops.Dedup.jaccardIndexTables(
+        b1.toDF("doc_id", "text")
+          .join(Seq(1L, 2L).toDF("doc_id"), Seq("doc_id"), "left_semi"),
+        "text", "doc_id", 3, 0.5, frozen)
+      val adm2 = graft.ops.Dedup.admitAgainstJaccardIndex(
+          b2.toDF("doc_id", "text"), "text", "doc_id", ar1, pr1,
+          3, 0.5, frozen)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L) ++ adm2)
+      assert(ids === Set(1L, 2L, 12L), s"admitted set diverged: $ids")
+      // crash replay of batch 1: identical content re-decided against
+      // the pre-crash standing state
+      val before = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .collect().map(_.toSeq).toSet
+      Streaming.mergeJaccardIndexBatch(b2.toDF("doc_id", "text"), "text",
+        "doc_id", s"$tmp/index", 1L, frozen, 3, 0.5)
+      val after = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .collect().map(_.toSeq).toSet
+      assert(after === before)
+    } finally q.stop()
+  }
+
   test("curationIngestSink: gate -> dedup -> payload -> stats in one " +
       "exactly-once pass; crash-replay is a no-op end to end") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest").toString
