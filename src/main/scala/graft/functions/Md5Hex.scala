@@ -80,6 +80,13 @@ object GraftFunctions {
     GraftColumnBridge.column(
       Md5HexExpression(GraftColumnBridge.expression(c.cast("binary"))))
 
+  /** Distinct-common-element count of two string arrays (fused
+    * intersection counter — replaces array_intersect+array_union in
+    * the exact-Jaccard verify hot loop; see the expression scaladoc). */
+  def intersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntersectCountExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Compression-ratio quality signal (deflate bytes / raw bytes —
     * low = repetitive/machine-generated). Deterministic; spec-verified
     * (no SQL oracle — see the expression's scaladoc). */

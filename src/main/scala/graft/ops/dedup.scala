@@ -455,9 +455,12 @@ object Dedup {
         Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__ord").as("__B")),
         Seq("id_b"))
-      .withColumn("__j",
-        size(array_intersect(col("__A"), col("__B"))).cast("double") /
-          size(array_union(col("__A"), col("__B"))).cast("double"))
+      // fused intersection COUNT (one set build, no materialized
+      // result arrays); |A∪B| = |A| + |B| − |A∩B| on distinct inputs
+      .withColumn("__i", graft.functions.GraftFunctions
+        .intersectCount(col("__A"), col("__B")).cast("double"))
+      .withColumn("__j", col("__i") /
+        (size(col("__A")) + size(col("__B")) - col("__i")))
       // threshold on the RAW ratio (rounding only for presentation —
       // a 0.39999 pair must not slip in via round-to-0.4)
       .where(col("__j") >= minJaccard)
@@ -540,9 +543,11 @@ object Dedup {
         Seq("id_store"))
       .join(bsets.select(col("__id").as("id_new"), col("__ord").as("__B")),
         Seq("id_new"))
-      .where(size(array_intersect(col("__A"), col("__B"))).cast("double") /
-        size(array_union(col("__A"), col("__B"))).cast("double")
-        >= minJaccard)
+      .where({
+        val i = graft.functions.GraftFunctions
+          .intersectCount(col("__A"), col("__B")).cast("double")
+        i / (size(col("__A")) + size(col("__B")) - i) >= minJaccard
+      })
       .select(col("id_new").as(idCol))
     val inBatch = pairsFromOrdered(bsets, minJaccard)
       .select(col("id_b").as(idCol))
@@ -670,9 +675,9 @@ object Dedup {
         Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__ord").as("__B")),
         Seq("id_b"))
-      .withColumn("__c",
-        size(array_intersect(col("__A"), col("__B"))).cast("double") /
-          size(col("__A")).cast("double"))
+      .withColumn("__c", graft.functions.GraftFunctions
+        .intersectCount(col("__A"), col("__B")).cast("double") /
+        size(col("__A")).cast("double"))
       .where(col("__c") >= minContainment)
       .select(col("id_a"), col("id_b"),
         round(col("__c"), 6).as("containment"))

@@ -677,10 +677,11 @@ object Streaming {
             col("ord").as("__A")), Seq("id_store"))
           .join(bsets.select(col("__id").as("id_new"),
             col("__ord").as("__B")), Seq("id_new"))
-          .where(size(array_intersect(col("__A"), col("__B")))
-            .cast("double") /
-            size(array_union(col("__A"), col("__B"))).cast("double")
-            >= minJaccard)
+          .where({
+            val i = graft.functions.GraftFunctions
+              .intersectCount(col("__A"), col("__B")).cast("double")
+            i / (size(col("__A")) + size(col("__B")) - i) >= minJaccard
+          })
           .select(col("id_new").as(idCol))
         val inBatch = graft.ops.Dedup.pairsFromOrdered(bsets, minJaccard)
           .select(col("id_b").as(idCol))

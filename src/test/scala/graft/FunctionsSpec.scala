@@ -54,6 +54,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("intersectCount == size(array_intersect) in both modes, incl. " +
+      "duplicate/null-element and null-array edges") {
+    import graft.functions.GraftFunctions.intersectCount
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val rows = (1 to 60).map { _ =>
+      (Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))),
+        Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))))
+    } ++ Seq(
+      (Seq("a", "a", "b"), Seq("a", "c")),   // duplicates count once
+      (Seq.empty[String], Seq("a")),
+      (Seq("x"), Seq.empty[String]))
+    val df = rows.toDF("a", "b")
+    Seq(true, false).foreach { codegen =>
+      withSqlConf("spark.sql.codegen.wholeStage" -> codegen.toString,
+        "spark.sql.codegen.factoryMode" ->
+          (if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")) {
+        val bad = df.select(
+            intersectCount(col("a"), col("b")).as("fused"),
+            size(array_intersect(col("a"), col("b"))).cast("long")
+              .as("builtin"))
+          .filter(!(col("fused") <=> col("builtin"))).count()
+        assert(bad === 0, s"codegen=$codegen")
+      }
+    }
+    // null elements never match (set built-ins treat null as a member;
+    // our arrays are digest-distinct and null-free by construction, so
+    // the contract only promises null elements DON'T count)
+    val withNullElem = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING)) a, " +
+        "array(CAST(NULL AS STRING), 'b') b")
+    assert(withNullElem.select(intersectCount(col("a"), col("b")))
+      .head().getLong(0) === 0L)
+    // null array propagates
+    val nullArr = Seq((Some(Seq("a")), None: Option[Seq[String]]))
+      .toDF("a", "b")
+    assert(nullArr.select(intersectCount(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("deflateRatio: repetitive text compresses far below prose, " +
       "deterministic in both modes, null/empty edges") {
     import graft.functions.GraftFunctions.deflateRatio
