@@ -12,12 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * so ONE intersection count replaces the `array_intersect` +
   * `array_union` pair — two hash-set builds and two MATERIALIZED
   * result arrays per candidate pair become one set build and a long.
-  * Value-identical to `size(array_intersect(a, b))` on distinct-element
-  * inputs (FunctionsSpec asserts bit-parity, including duplicate and
-  * null-element edges: null elements never match, duplicates count
-  * once — the same semantics the set-returning built-ins have).
+  * Value-identical to `size(array_intersect(a, b))` on null-free
+  * inputs (FunctionsSpec asserts bit-parity, including duplicate
+  * edges: duplicates count once, like the set-returning built-ins).
+  * ONE deliberate divergence: a null ELEMENT never matches anything
+  * here, whereas `array_intersect` pairs null with null — so on
+  * arrays that can contain null elements this is NOT a drop-in for
+  * `size(array_intersect)`. The verify-stage digest arrays are
+  * null-free by construction (md5 of non-null shingles), which is the
+  * contract this expression is scoped to.
   *
-  * Null array on either side → null (the built-ins' propagation).
+  * Null ARRAY on either side → null (the built-ins' propagation).
   */
 case class IntersectCountExpression(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -361,12 +361,19 @@ object Dedup {
     * [[jaccardIndexTables]] / [[admitAgainstJaccardIndex]] call so the
     * rare-first total order stays identical as the corpus grows (a
     * per-batch recomputed order would silently invalidate every
-    * prefix already stored in the index). Vocabulary-sized. */
+    * prefix already stored in the index). Vocabulary-sized, and
+    * MATERIALIZED eagerly (localCheckpoint) — "frozen" means computed
+    * once: without the pin every [[orderedShingleSets]] consumer (one
+    * per micro-batch in the streaming sink) would re-scan the
+    * reference corpus to rebuild it. Long-lived production indexes
+    * should persist it to the index directory instead and re-read it
+    * across sessions; this in-session pin covers one index lifetime. */
   def shingleDfTable(df: DataFrame, textCol: String, n: Int): DataFrame =
     Scale.widen(df).where(col(textCol).isNotNull)
       .select(explode(array_distinct(transform(
         Text.shingles(col(textCol), n), x => fastMd5(x)))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
 
   /** EXACT all-pairs Jaccard similarity join via prefix filtering — every
     * pair with n-gram Jaccard ≥ `minJaccard`, no blocking key, no LSH
@@ -412,13 +419,84 @@ object Dedup {
     pairsFromOrdered(orderedShingleSets(df0, textCol, idCol, n), minJaccard)
   }
 
+  /** Prefix length |x| − ⌈t·|x|⌉ + 1 under an FP-safe ceil: the
+    * product is nudged down 1e-9 before `ceil` so double
+    * representation error (e.g. 100·0.55 = 55.000000000000007, whose
+    * naive ceil is 56, one prefix token SHORT) can only LENGTHEN the
+    * prefix — extra candidates for the exact verify stage to discard,
+    * never a missed qualifying pair. */
+  private[graft] def prefixLenExpr(sz: Column, t: Double): Column =
+    (sz - ceil(sz * t - lit(1e-9)) + 1).cast("int")
+
+  /** Size-compatibility filter t·|a| ≤ |b| ≤ |a|/t with the same 1e-9
+    * slack on both bounds (55·(100/55) computing to 100.00000000000001
+    * must not prune the genuine boundary pair; loosening only adds
+    * candidates — the exact verification decides membership). */
+  private[graft] def sizeCompatible(sa: Column, sb: Column,
+                                    t: Double): Column =
+    sb * t <= sa + lit(1e-9) && sa * t <= sb + lit(1e-9)
+
+  /** Exploded prefix rows `(h, id, pos, sz)` of an
+    * [[orderedShingleSets]] frame — the probe/index row shape shared
+    * by [[jaccardIndexTables]], [[admitAgainstJaccardIndex]] and the
+    * streaming Jaccard index sink, so the prefix-length rule lives in
+    * exactly one place. */
+  private[graft] def prefixRows(sets: DataFrame, t: Double): DataFrame =
+    sets.select(col("__id"), col("__sz"),
+        posexplode(slice(col("__ord"), lit(1),
+          prefixLenExpr(col("__sz"), t))).as(Seq("__p", "__h")))
+      .select(col("__h").as("h"), col("__id").as("id"),
+        (col("__p") + 1).as("pos"), col("__sz").as("sz"))
+
+  /** Candidate `(id_store, id_new)` pairs of a batch's prefix rows
+    * against a standing prefix table: broadcast-semi prune of the
+    * store side on the batch's digests, equi-join on the shared
+    * prefix digest, [[sizeCompatible]] filter, then the PPJoin
+    * positional filter over min collision positions (min over all
+    * shared prefix tokens only loosens the bound — prunes no true
+    * pair). Both inputs are [[prefixRows]]-shaped. Shared by the
+    * batch admission gate and the streaming sink so the filter
+    * thresholds cannot drift apart. */
+  private[graft] def storeCandidates(storePrefix: DataFrame,
+      batchPrefix: DataFrame, t: Double): DataFrame = {
+    val bp = batchPrefix.select(col("h"), col("id").as("id_new"),
+      col("pos").as("pos_new"), col("sz").as("sz_new"))
+    val hits = storePrefix.join(
+      broadcast(bp.select("h").distinct()), Seq("h"), "left_semi")
+    hits.join(bp, Seq("h"))
+      .where(sizeCompatible(col("sz"), col("sz_new"), t))
+      .groupBy(col("id").as("id_store"), col("id_new"))
+      .agg(first(col("sz")).as("sz"), first(col("sz_new")).as("sz_new"),
+        min(col("pos")).as("pos"), min(col("pos_new")).as("pos_new"))
+      .where(lit(1) + least(col("sz") - col("pos"),
+        col("sz_new") - col("pos_new")) >=
+        lit(t / (1 + t)) * (col("sz") + col("sz_new")) - lit(1e-9))
+      .select("id_store", "id_new")
+  }
+
+  /** Exact-Jaccard verification of [[storeCandidates]] pairs: join
+    * each implicated store array (`(id_store, __A)`-shaped — caller
+    * prunes the fetch) and the batch side's ordered set, keep the
+    * batch ids whose true Jaccard crosses the threshold. Returns one
+    * column `id_new` (suppressed ids, possibly duplicated). */
+  private[graft] def verifySuppressed(cand: DataFrame,
+      storeArrays: DataFrame, bsets: DataFrame, t: Double): DataFrame =
+    cand.join(storeArrays, Seq("id_store"))
+      .join(bsets.select(col("__id").as("id_new"), col("__ord").as("__B")),
+        Seq("id_new"))
+      .where({
+        val i = graft.functions.GraftFunctions
+          .intersectCount(col("__A"), col("__B")).cast("double")
+        i / (size(col("__A")) + size(col("__B")) - i) >= t
+      })
+      .select(col("id_new"))
+
   /** The prefix-filtered exact-Jaccard pair pipeline over a pre-built
     * [[orderedShingleSets]] frame — shared by the all-pairs join and
     * the standing-index admission's in-batch pass. */
   private[graft] def pairsFromOrdered(ordered: DataFrame,
                                minJaccard: Double): DataFrame = {
-    val prefixLen = (col("__sz") - ceil(col("__sz") * minJaccard) + 1)
-      .cast("int")
+    val prefixLen = prefixLenExpr(col("__sz"), minJaccard)
     val prefix = ordered.select(col("__id"), col("__sz"),
       posexplode(slice(col("__ord"), lit(1), prefixLen))
         .as(Seq("__p", "__h")))
@@ -441,8 +519,7 @@ object Dedup {
       .join(prefix.select(col("__h"), col("__id").as("id_b"),
         col("__sz").as("__sb"), (col("__p") + 1).as("__pb")), Seq("__h"))
       .where(col("id_a") < col("id_b") &&
-        col("__sb") * minJaccard <= col("__sa") &&
-        col("__sa") * minJaccard <= col("__sb"))
+        sizeCompatible(col("__sa"), col("__sb"), minJaccard))
       .groupBy("id_a", "id_b")
       .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"),
         min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"))
@@ -485,12 +562,7 @@ object Dedup {
     val sets = orderedShingleSets(df, textCol, idCol, n, Some(dfTable))
     val arrays = sets.select(col("__id").as("id"),
       col("__ord").as("ord"), col("__sz").as("sz"))
-    val pl = (col("sz") - ceil(col("sz") * minJaccard) + 1).cast("int")
-    val prefix = arrays
-      .select(col("id"), col("sz"),
-        posexplode(slice(col("ord"), lit(1), pl)).as(Seq("pos", "h")))
-      .select(col("h"), col("id"), (col("pos") + 1).as("pos"), col("sz"))
-    (arrays, prefix)
+    (arrays, prefixRows(sets, minJaccard))
   }
 
   /** Admission gate for a new batch against a standing EXACT-Jaccard
@@ -519,35 +591,11 @@ object Dedup {
       s"minJaccard must be in (0, 1], got $minJaccard")
     val bsets = orderedShingleSets(batch, textCol, idCol, n,
       Some(dfTable)).localCheckpoint()
-    val pl = (col("__sz") - ceil(col("__sz") * minJaccard) + 1).cast("int")
-    val bpref = bsets
-      .select(col("__id"), col("__sz"),
-        posexplode(slice(col("__ord"), lit(1), pl)).as(Seq("__p", "__h")))
-      .select(col("__h").as("h"), col("__id").as("id_new"),
-        (col("__p") + 1).as("pos_new"), col("__sz").as("sz_new"))
-    val hits = prefix
-      .join(broadcast(bpref.select("h").distinct()), Seq("h"), "left_semi")
-    val cand = hits.join(bpref, Seq("h"))
-      .where(col("sz_new") * minJaccard <= col("sz") &&
-        col("sz") * minJaccard <= col("sz_new"))
-      .groupBy(col("id").as("id_store"), col("id_new"))
-      .agg(first(col("sz")).as("sz"), first(col("sz_new")).as("sz_new"),
-        min(col("pos")).as("pos"), min(col("pos_new")).as("pos_new"))
-      .where(lit(1) + least(col("sz") - col("pos"),
-        col("sz_new") - col("pos_new")) >=
-        lit(minJaccard / (1 + minJaccard)) * (col("sz") + col("sz_new"))
-          - lit(1e-9))
-      .select("id_store", "id_new")
-    val byStore = cand
-      .join(arrays.select(col("id").as("id_store"), col("ord").as("__A")),
-        Seq("id_store"))
-      .join(bsets.select(col("__id").as("id_new"), col("__ord").as("__B")),
-        Seq("id_new"))
-      .where({
-        val i = graft.functions.GraftFunctions
-          .intersectCount(col("__A"), col("__B")).cast("double")
-        i / (size(col("__A")) + size(col("__B")) - i) >= minJaccard
-      })
+    val cand = storeCandidates(prefix, prefixRows(bsets, minJaccard),
+      minJaccard)
+    val byStore = verifySuppressed(cand,
+      arrays.select(col("id").as("id_store"), col("ord").as("__A")),
+      bsets, minJaccard)
       .select(col("id_new").as(idCol))
     val inBatch = pairsFromOrdered(bsets, minJaccard)
       .select(col("id_b").as(idCol))

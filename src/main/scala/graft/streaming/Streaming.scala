@@ -558,11 +558,17 @@ object Streaming {
         numHashes, bands, shingleSize)
     val admitted = graft.ops.Dedup.admitProbed(batch, idCol, probe, standing)
       .localCheckpoint()
-    probe.join(
-        admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .withColumn("bh", dedupIndexBucket(col("band_hash")))
-      .write.mode("overwrite").partitionBy("bh")
-      .parquet(s"$indexDir/batch=$batchId")
+    // an all-null-text (or otherwise band-less) batch must write
+    // NOTHING: a batch= dir holding only _SUCCESS would make the next
+    // batch's standing read fail parquet schema inference and wedge
+    // the stream on every replay (the skip is deterministic, so a
+    // replayed batch skips identically)
+    if (!probe.isEmpty && !admitted.isEmpty)
+      probe.join(
+          admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .withColumn("bh", dedupIndexBucket(col("band_hash")))
+        .write.mode("overwrite").partitionBy("bh")
+        .parquet(s"$indexDir/batch=$batchId")
     admitted
   }
 
@@ -624,12 +630,11 @@ object Streaming {
         .exists(_.getPath.getName.startsWith("batch="))
     val bsets = graft.ops.Dedup.orderedShingleSets(batch, textCol, idCol,
       n, Some(dfTable)).localCheckpoint()
-    val pl = (col("__sz") - ceil(col("__sz") * minJaccard) + 1).cast("int")
-    val bpref = bsets
-      .select(col("__id"), col("__sz"),
-        posexplode(slice(col("__ord"), lit(1), pl)).as(Seq("__p", "__h")))
-      .select(col("__h").as("h"), col("__id").as("id"),
-        (col("__p") + 1).as("pos"), col("__sz").as("sz"))
+    // candidate generation / size / positional / verify logic is the
+    // SHARED batch-admission machinery (Dedup.prefixRows /
+    // storeCandidates / verifySuppressed) — only the standing-table
+    // fetches (bucket-pruned reads) live here
+    val bpref = graft.ops.Dedup.prefixRows(bsets, minJaccard)
       .localCheckpoint()
     val admitted: DataFrame =
       if (!hasPrior) {
@@ -648,57 +653,47 @@ object Streaming {
           .drop("batch", "jb")
         // candidate store ids first (cheap fixed-width joins), then
         // fetch ONLY their ab= buckets for verification
-        val hits = standingPrefix.join(
-          broadcast(bpref.select("h").distinct()), Seq("h"), "left_semi")
-        val cand = hits.join(
-            bpref.select(col("h"), col("id").as("id_new"),
-              col("pos").as("pos_new"), col("sz").as("sz_new")), Seq("h"))
-          .where(col("sz_new") * minJaccard <= col("sz") &&
-            col("sz") * minJaccard <= col("sz_new"))
-          .groupBy(col("id").as("id_store"), col("id_new"))
-          .agg(first(col("sz")).as("sz"), first(col("sz_new")).as("sz_new"),
-            min(col("pos")).as("pos"), min(col("pos_new")).as("pos_new"))
-          .where(lit(1) + least(col("sz") - col("pos"),
-            col("sz_new") - col("pos_new")) >=
-            lit(minJaccard / (1 + minJaccard)) *
-              (col("sz") + col("sz_new")) - lit(1e-9))
-          .select("id_store", "id_new")
+        val cand = graft.ops.Dedup
+          .storeCandidates(standingPrefix, bpref, minJaccard)
           .localCheckpoint()
         val abTouched = cand
           .select(jaccardArrayBucket(col("id_store")).as("ab"))
           .distinct().collect().map(_.getInt(0))
         val standingArrays =
           if (abTouched.isEmpty)
-            spark.read.parquet(s"$indexDir/arrays").limit(0)
+            // schema from the batch's own sets — never a parquet read
+            // of a tree that may hold no data files yet
+            bsets.select(col("__id").as("id_store"),
+              col("__ord").as("__A")).limit(0)
           else spark.read.parquet(s"$indexDir/arrays")
             .where(col("ab").isin(abTouched.toSeq: _*))
-        val byStore = cand
-          .join(standingArrays.select(col("id").as("id_store"),
-            col("ord").as("__A")), Seq("id_store"))
-          .join(bsets.select(col("__id").as("id_new"),
-            col("__ord").as("__B")), Seq("id_new"))
-          .where({
-            val i = graft.functions.GraftFunctions
-              .intersectCount(col("__A"), col("__B")).cast("double")
-            i / (size(col("__A")) + size(col("__B")) - i) >= minJaccard
-          })
+            .select(col("id").as("id_store"), col("ord").as("__A"))
+        val byStore = graft.ops.Dedup
+          .verifySuppressed(cand, standingArrays, bsets, minJaccard)
           .select(col("id_new").as(idCol))
         val inBatch = graft.ops.Dedup.pairsFromOrdered(bsets, minJaccard)
           .select(col("id_b").as(idCol))
         batch.join(byStore.unionByName(inBatch).distinct(), Seq(idCol),
           "left_anti")
       }
-    val admittedIds = admitted.select(col(idCol).as("id"))
-    bsets.select(col("__id").as("id"), col("__ord").as("ord"),
-        col("__sz").as("sz"))
-      .join(admittedIds, Seq("id"), "left_semi")
-      .withColumn("ab", jaccardArrayBucket(col("id")))
-      .write.mode("overwrite").partitionBy("ab")
-      .parquet(s"$indexDir/arrays/batch=$batchId")
-    bpref.join(admittedIds, Seq("id"), "left_semi")
-      .withColumn("jb", jaccardPrefixBucket(col("h")))
-      .write.mode("overwrite").partitionBy("jb")
-      .parquet(s"$indexDir/prefix/batch=$batchId")
+    // a batch with nothing indexable (all docs null-text / shorter
+    // than the shingle width) must write NOTHING: a batch= dir holding
+    // only _SUCCESS would make the next batch's standing read fail
+    // parquet schema inference and wedge the stream on every replay
+    if (!bsets.isEmpty) {
+      val admittedIds = admitted.select(col(idCol).as("id"))
+        .localCheckpoint()
+      bsets.select(col("__id").as("id"), col("__ord").as("ord"),
+          col("__sz").as("sz"))
+        .join(admittedIds, Seq("id"), "left_semi")
+        .withColumn("ab", jaccardArrayBucket(col("id")))
+        .write.mode("overwrite").partitionBy("ab")
+        .parquet(s"$indexDir/arrays/batch=$batchId")
+      bpref.join(admittedIds, Seq("id"), "left_semi")
+        .withColumn("jb", jaccardPrefixBucket(col("h")))
+        .write.mode("overwrite").partitionBy("jb")
+        .parquet(s"$indexDir/prefix/batch=$batchId")
+    }
   }
 
   /** The admitted (id, ord, sz) sets of a [[jaccardIndexSink]] (plus
@@ -751,6 +746,13 @@ object Streaming {
       shingleSize: Int): Unit = {
     val gated = batch.where(
       graft.ops.Text.qualityScore(col(textCol)) >= minQuality)
+      .localCheckpoint()
+    // a fully quality-gated-out batch performs NO effects: writing an
+    // empty index/ or corpus/ batch= dir would break schema inference
+    // on the next batch's standing reads (a replay re-gates to the
+    // same empty set, so the skip is deterministic; the stats
+    // high-water mark advances with the next non-empty batch)
+    if (gated.isEmpty) return
     val admitted = mergeDedupIndexBatch(gated, textCol, idCol,
       s"$rootDir/index", batchId, numHashes, bands, shingleSize)
     admitted.write.mode("overwrite")
@@ -833,12 +835,17 @@ object Streaming {
           .drop("batch", "hb")
       } else probe.limit(0)
     val admitted = graft.ops.Dedup.admitHashProbed(batch, idCol, probe,
-      standing, bits, maxHamming)
-    probe.join(
-        admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .withColumn("hb", hashIndexBucket(col("band_idx"), col("band_value")))
-      .write.mode("overwrite").partitionBy("hb")
-      .parquet(s"$indexDir/batch=$batchId")
+      standing, bits, maxHamming).localCheckpoint()
+    // same empty-batch discipline as [[mergeDedupIndexBatch]]: an
+    // all-null-hash batch writes nothing rather than a _SUCCESS-only
+    // dir that would wedge the next batch's schema inference
+    if (!probe.isEmpty && !admitted.isEmpty)
+      probe.join(
+          admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .withColumn("hb",
+          hashIndexBucket(col("band_idx"), col("band_value")))
+        .write.mode("overwrite").partitionBy("hb")
+        .parquet(s"$indexDir/batch=$batchId")
   }
 
   /** Read a [[hashIndexSink]] index: admitted rows' band rows plus the

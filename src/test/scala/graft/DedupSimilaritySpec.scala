@@ -250,6 +250,35 @@ class DedupSpec extends SparkSpec {
     assert(admitted(hashOrder) === want)
   }
 
+  test("prefix length and size filter are FP-safe at representability " +
+      "boundaries (100*0.55 = 55.000000000000007 must not shorten the " +
+      "prefix or prune the boundary pair)") {
+    // sweep every (size, hundredth-threshold) pair against exact
+    // BigDecimal arithmetic: the 1e-9 nudge must make the DataFrame
+    // expression EQUAL the exact value everywhere in range
+    val thresholds = Seq(0.4, 0.5, 0.55, 0.6, 0.7, 0.75, 0.8, 0.9)
+    val szs = spark.range(1, 201).toDF("sz")
+    for (t <- thresholds) {
+      val got = szs.select(col("sz"),
+          Dedup.prefixLenExpr(col("sz"), t).as("pl"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      for (sz <- 1 to 200) {
+        val exact = sz - (BigDecimal(sz) * BigDecimal(t))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toInt + 1
+        assert(got(sz.toLong) === exact, s"sz=$sz t=$t")
+      }
+    }
+    // the boundary pair the naive filter pruned: |a|=55, |b|=100,
+    // t=0.55 — 100*0.55 <= 55 is FALSE in doubles, yet J can be 0.55
+    val pair = Seq((55, 100), (54, 100)).toDF("sa", "sb")
+      .select(col("sa"), col("sb"),
+        Dedup.sizeCompatible(col("sa"), col("sb"), 0.55).as("ok"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getBoolean(2))
+      .toMap
+    assert(pair((55, 100)), "genuine J=0.55 boundary pair pruned")
+    assert(!pair((54, 100)), "size filter lost its bite")
+  }
+
   test("keepCanonical drops exactly the larger-id side of each pair") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
       numHashes = 8, bands = 4, shingleSize = 3)

@@ -590,6 +590,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest sinks survive a degenerate first batch: a fully " +
+      "gated-out / shingle-less / null-hash batch 0 writes NO batch " +
+      "dir and the next batch proceeds (no schema-inference wedge)") {
+    // curation: batch 0 entirely below the quality gate
+    val tmpC = java.nio.file.Files.createTempDirectory("graft-gate0").toString
+    val junk = "@@@@ #### !!!! %%%% @@@@ #### !!!! %%%%"
+    val prose = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val Array(qJunk, qProse) = Seq(junk, prose).toDF("t")
+      .select(graft.ops.Text.qualityScore(col("t")))
+      .collect().map(_.getDouble(0))
+    val minQ = (qJunk + qProse) / 2
+    Streaming.curationIngestBatch(Seq((1L, junk)).toDF("doc_id", "text"),
+      "text", "doc_id", tmpC, 0L, minQ, 0.0, 1000.0, 8, 4, 3)
+    // no effect may exist: an index/batch=0 holding only _SUCCESS
+    // would fail parquet schema inference on batch 1's standing read
+    assert(!new java.io.File(s"$tmpC/index").exists())
+    assert(!new java.io.File(s"$tmpC/corpus").exists())
+    Streaming.curationIngestBatch(Seq((2L, prose)).toDF("doc_id", "text"),
+      "text", "doc_id", tmpC, 1L, minQ, 0.0, 1000.0, 8, 4, 3)
+    assert(Streaming.readCurationCorpus(spark, tmpC)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+
+    // exact-Jaccard index: batch 0 all null-text (nothing shingles —
+    // short docs fall back to a whole-doc shingle, so only null is
+    // truly indexless)
+    val tmpJ = java.nio.file.Files.createTempDirectory("graft-jix0").toString
+    val frozen = graft.ops.Dedup.shingleDfTable(
+      Seq((1L, prose)).toDF("doc_id", "text"), "text", 3)
+    Streaming.mergeJaccardIndexBatch(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmpJ/index", 0L, frozen, 3, 0.5)
+    assert(!new java.io.File(s"$tmpJ/index/prefix").exists())
+    Streaming.mergeJaccardIndexBatch(
+      Seq((2L, prose)).toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmpJ/index", 1L, frozen, 3, 0.5)
+    assert(Streaming.readJaccardIndexArrays(spark, s"$tmpJ/index")
+      .select("id").collect().map(_.getLong(0)).toSet === Set(2L))
+
+    // hash index: batch 0 all null hashes (undecodable images)
+    val tmpH = java.nio.file.Files.createTempDirectory("graft-hix0").toString
+    Streaming.mergeHashIndexBatch(
+      Seq((1L, Option.empty[Long])).toDF("id", "h"),
+      "h", "id", s"$tmpH/index", 0L, 64, 8, 3)
+    assert(!new java.io.File(s"$tmpH/index").exists())
+    Streaming.mergeHashIndexBatch(
+      Seq((2L, Some(0x0F0F0F0F0F0F0F0FL))).toDF("id", "h"),
+      "h", "id", s"$tmpH/index", 1L, 64, 8, 3)
+    assert(Streaming.readHashIndex(spark, s"$tmpH/index")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(2L))
+  }
+
   test("hllSink: streamed per-key distinct estimates equal the batch " +
       "sketch over the union, duplicates across batches collapse") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
