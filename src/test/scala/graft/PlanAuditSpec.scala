@@ -98,6 +98,23 @@ class PlanAuditSpec extends SparkSpec {
       s"query side not broadcast:\n$plan")
   }
 
+  test("exact-Jaccard admission probes the standing prefix table via a " +
+      "broadcast semi-join and ranks nothing through a global window") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = SparkEntry.queries("q204_jaccard_admission")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the batch's prefix digests are the provably-small side: at 100 TB
+    // the corpus-scale prefix table must be SCANNED against a broadcast
+    // of the batch digests, never shuffled on the digest key
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"),
+      s"prefix probe is not a broadcast semi-join:\n$plan")
+    // candidate ranking/dedup is groupBy + anti-join — any partition-
+    // less Window here would funnel all candidates through one task
+    assert(!plan.contains("Window"),
+      s"admission plan grew a window:\n$plan")
+  }
+
   test("grid range join is an equi-shuffle join, not a nested loop") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val plan = SparkEntry.queries("q193_range_join")(spark, sfDir)
