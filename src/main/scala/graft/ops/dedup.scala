@@ -362,18 +362,21 @@ object Dedup {
     * rare-first total order stays identical as the corpus grows (a
     * per-batch recomputed order would silently invalidate every
     * prefix already stored in the index). Vocabulary-sized, and
-    * MATERIALIZED eagerly (localCheckpoint) — "frozen" means computed
-    * once: without the pin every [[orderedShingleSets]] consumer (one
-    * per micro-batch in the streaming sink) would re-scan the
-    * reference corpus to rebuild it. Long-lived production indexes
-    * should persist it to the index directory instead and re-read it
-    * across sessions; this in-session pin covers one index lifetime. */
+    * CACHED — "frozen" means computed once: without the pin every
+    * [[orderedShingleSets]] consumer (one per micro-batch in the
+    * streaming sink) would re-scan the reference corpus to rebuild
+    * it. cache(), not localCheckpoint(): cached blocks lost to
+    * executor decommission recompute from lineage, where a
+    * checkpoint-block loss would fail every later micro-batch of a
+    * long-lived sink. Long-lived production indexes should persist
+    * the table to the index directory and re-read it across sessions;
+    * this in-session pin covers one index lifetime. */
   def shingleDfTable(df: DataFrame, textCol: String, n: Int): DataFrame =
     Scale.widen(df).where(col(textCol).isNotNull)
       .select(explode(array_distinct(transform(
         Text.shingles(col(textCol), n), x => fastMd5(x)))).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-      .localCheckpoint()
+      .cache()
 
   /** EXACT all-pairs Jaccard similarity join via prefix filtering — every
     * pair with n-gram Jaccard ≥ `minJaccard`, no blocking key, no LSH
@@ -699,8 +702,10 @@ object Dedup {
     require(minContainment > 0.0 && minContainment <= 1.0,
       s"minContainment must be in (0, 1], got $minContainment")
     val ordered = orderedShingleSets(df0, textCol, idCol, n)
-    val pA = (col("__sz") - ceil(col("__sz") * minContainment) + 1)
-      .cast("int")
+    // FP-safe prefix and (one-sided) size bound — the same discipline
+    // as prefixLenExpr / sizeCompatible: representation error may only
+    // LENGTHEN the prefix or LOOSEN the bound, never drop a pair
+    val pA = prefixLenExpr(col("__sz"), minContainment)
     val prefA = ordered.select(col("__id").as("id_a"),
       col("__sz").as("__sa"),
       posexplode(slice(col("__ord"), lit(1), pA)).as(Seq("__pa", "__h")))
@@ -710,7 +715,7 @@ object Dedup {
     val alpha = lit(minContainment) * col("__sa") - lit(1e-9)
     val candidates = prefA.join(fullB, Seq("__h"))
       .where(col("id_a") =!= col("id_b") &&
-        col("__sb") >= lit(minContainment) * col("__sa"))
+        col("__sb") + lit(1e-9) >= lit(minContainment) * col("__sa"))
       .groupBy("id_a", "id_b")
       .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"),
         min(col("__pa") + 1).as("__pa"), min(col("__pb") + 1).as("__pb"))

@@ -558,16 +558,18 @@ object Streaming {
         numHashes, bands, shingleSize)
     val admitted = graft.ops.Dedup.admitProbed(batch, idCol, probe, standing)
       .localCheckpoint()
-    // an all-null-text (or otherwise band-less) batch must write
-    // NOTHING: a batch= dir holding only _SUCCESS would make the next
-    // batch's standing read fail parquet schema inference and wedge
-    // the stream on every replay (the skip is deterministic, so a
-    // replayed batch skips identically)
-    if (!probe.isEmpty && !admitted.isEmpty)
-      probe.join(
-          admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .withColumn("bh", dedupIndexBucket(col("band_hash")))
-        .write.mode("overwrite").partitionBy("bh")
+    // guard on the WRITE FRAME itself: a batch whose admitted rows
+    // carry no band rows (all-null-text, or only band-less docs
+    // admitted) must write NOTHING — a batch= dir holding only
+    // _SUCCESS would make the next batch's standing read fail parquet
+    // schema inference and wedge the stream on every replay (the skip
+    // is deterministic, so a replayed batch skips identically)
+    val bandRows = probe.join(
+        admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .withColumn("bh", dedupIndexBucket(col("band_hash")))
+      .localCheckpoint()
+    if (!bandRows.isEmpty)
+      bandRows.write.mode("overwrite").partitionBy("bh")
         .parquet(s"$indexDir/batch=$batchId")
     admitted
   }
@@ -676,24 +678,29 @@ object Streaming {
         batch.join(byStore.unionByName(inBatch).distinct(), Seq(idCol),
           "left_anti")
       }
-    // a batch with nothing indexable (all docs null-text / shorter
-    // than the shingle width) must write NOTHING: a batch= dir holding
-    // only _SUCCESS would make the next batch's standing read fail
-    // parquet schema inference and wedge the stream on every replay
-    if (!bsets.isEmpty) {
-      val admittedIds = admitted.select(col(idCol).as("id"))
-        .localCheckpoint()
-      bsets.select(col("__id").as("id"), col("__ord").as("ord"),
-          col("__sz").as("sz"))
-        .join(admittedIds, Seq("id"), "left_semi")
-        .withColumn("ab", jaccardArrayBucket(col("id")))
-        .write.mode("overwrite").partitionBy("ab")
+    // guard on the WRITE FRAMES themselves: a batch that contributes
+    // no indexable rows (all-null-text batch, or only shingle-less
+    // docs among the admitted) must write NOTHING — a batch= dir
+    // holding only _SUCCESS would make the next batch's standing read
+    // fail parquet schema inference and wedge the stream on every
+    // replay. The two frames are empty together (every shingled doc
+    // has a prefix of length >= 1), so the trees stay in step.
+    val admittedIds = admitted.select(col(idCol).as("id"))
+      .localCheckpoint()
+    val arrRows = bsets.select(col("__id").as("id"),
+        col("__ord").as("ord"), col("__sz").as("sz"))
+      .join(admittedIds, Seq("id"), "left_semi")
+      .withColumn("ab", jaccardArrayBucket(col("id")))
+      .localCheckpoint()
+    val prefRows = bpref.join(admittedIds, Seq("id"), "left_semi")
+      .withColumn("jb", jaccardPrefixBucket(col("h")))
+      .localCheckpoint()
+    if (!arrRows.isEmpty)
+      arrRows.write.mode("overwrite").partitionBy("ab")
         .parquet(s"$indexDir/arrays/batch=$batchId")
-      bpref.join(admittedIds, Seq("id"), "left_semi")
-        .withColumn("jb", jaccardPrefixBucket(col("h")))
-        .write.mode("overwrite").partitionBy("jb")
+    if (!prefRows.isEmpty)
+      prefRows.write.mode("overwrite").partitionBy("jb")
         .parquet(s"$indexDir/prefix/batch=$batchId")
-    }
   }
 
   /** The admitted (id, ord, sz) sets of a [[jaccardIndexSink]] (plus
@@ -835,16 +842,18 @@ object Streaming {
           .drop("batch", "hb")
       } else probe.limit(0)
     val admitted = graft.ops.Dedup.admitHashProbed(batch, idCol, probe,
-      standing, bits, maxHamming).localCheckpoint()
-    // same empty-batch discipline as [[mergeDedupIndexBatch]]: an
-    // all-null-hash batch writes nothing rather than a _SUCCESS-only
-    // dir that would wedge the next batch's schema inference
-    if (!probe.isEmpty && !admitted.isEmpty)
-      probe.join(
-          admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .withColumn("hb",
-          hashIndexBucket(col("band_idx"), col("band_value")))
-        .write.mode("overwrite").partitionBy("hb")
+      standing, bits, maxHamming)
+    // same write-frame empty guard as [[mergeDedupIndexBatch]]: a
+    // batch whose admitted rows carry no band rows (all null hashes)
+    // writes nothing rather than a _SUCCESS-only dir that would wedge
+    // the next batch's schema inference
+    val bandRows = probe.join(
+        admitted.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .withColumn("hb",
+        hashIndexBucket(col("band_idx"), col("band_value")))
+      .localCheckpoint()
+    if (!bandRows.isEmpty)
+      bandRows.write.mode("overwrite").partitionBy("hb")
         .parquet(s"$indexDir/batch=$batchId")
   }
 

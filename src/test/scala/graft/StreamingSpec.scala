@@ -628,6 +628,16 @@ class StreamingSpec extends SparkSpec {
       "text", "doc_id", s"$tmpJ/index", 1L, frozen, 3, 0.5)
     assert(Streaming.readJaccardIndexArrays(spark, s"$tmpJ/index")
       .select("id").collect().map(_.getLong(0)).toSet === Set(2L))
+    // mixed LATER batch: a null-text doc (admitted but indexless) plus
+    // a dup of a stored doc (suppressed) — the write FRAMES are empty
+    // even though batch, bsets and admitted are all non-empty, so no
+    // batch=2 dir may appear in either tree
+    Streaming.mergeJaccardIndexBatch(
+      Seq((3L, null.asInstanceOf[String]), (4L, prose))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmpJ/index", 2L, frozen, 3, 0.5)
+    assert(!new java.io.File(s"$tmpJ/index/arrays/batch=2").exists())
+    assert(!new java.io.File(s"$tmpJ/index/prefix/batch=2").exists())
 
     // hash index: batch 0 all null hashes (undecodable images)
     val tmpH = java.nio.file.Files.createTempDirectory("graft-hix0").toString
@@ -641,6 +651,13 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.readHashIndex(spark, s"$tmpH/index")
       .select("id").distinct().collect().map(_.getLong(0)).toSet
       === Set(2L))
+    // mixed later batch: null-hash (admitted, band-less) + exact dup
+    // of the stored hash (suppressed) -> empty write frame, no dir
+    Streaming.mergeHashIndexBatch(
+      Seq((3L, Option.empty[Long]), (4L, Some(0x0F0F0F0F0F0F0F0FL)))
+        .toDF("id", "h"),
+      "h", "id", s"$tmpH/index", 2L, 64, 8, 3)
+    assert(!new java.io.File(s"$tmpH/index/batch=2").exists())
   }
 
   test("hllSink: streamed per-key distinct estimates equal the batch " +
