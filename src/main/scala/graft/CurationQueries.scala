@@ -67,6 +67,23 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // Token-budget mixture allocation by water-filling: spend a
+    // 100k-token budget across 20 sources in proportion to skewed
+    // target weights, capping sources whose capacity is below their
+    // water level and re-flowing the unspent share — the closed-form
+    // (two cumulative windows over SOURCE-grain rows) planning step a
+    // training mix runs before sampling. At sf0.01 high-weight sources
+    // saturate and low-weight ones take λ·w.
+    "q205_token_budget" -> ((s, dir) => {
+      val weights = rd(s, dir, "documents")
+        .select(col("source")).distinct()
+        .withColumn("weight",
+          lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 7))
+      Curation.tokenBudgetAllocation(rd(s, dir, "documents"),
+          col("source"), col("n_chars"), weights, budget = 100000.0)
+        .orderBy("source")
+    }),
+
     // Unicode-NFC dedup keying ([[graft.functions.NfcNormalizeExpression]]
     // — native codegen'd normalizer): per source, a visually identical
     // key is synthesized in TWO codepoint encodings (composed é vs
@@ -507,6 +524,44 @@ object CurationQueries {
          |  CAST(max(rep) AS BIGINT) AS max_rep
          |FROM k GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q205_token_budget" ->
+      """WITH caps AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tokens_avail,
+        |    1.0 + (CAST(substr(source, 4) AS INT) % 7) AS wr
+        |  FROM documents GROUP BY source),
+        |norm AS (
+        |  SELECT *, wr / sum(wr) OVER () AS w FROM caps WHERE wr > 0),
+        |cum AS (
+        |  SELECT *,
+        |    sum(tokens_avail) OVER (ORDER BY tokens_avail / w, source)
+        |      AS cumT,
+        |    sum(w) OVER (ORDER BY tokens_avail / w, source) AS cumW
+        |  FROM norm),
+        |sat AS (
+        |  SELECT *, tokens_avail * (1.0 - cumW + w) <=
+        |    (100000.0 - cumT + tokens_avail) * w AS saturated
+        |  FROM cum),
+        |lam AS (
+        |  SELECT *,
+        |    CASE WHEN sum(CASE WHEN saturated THEN w ELSE 0.0 END)
+        |           OVER () >= 1.0 - 1e-12 THEN NULL
+        |      ELSE (100000.0 -
+        |          sum(CASE WHEN saturated THEN tokens_avail ELSE 0.0 END)
+        |            OVER ()) /
+        |        (1.0 - sum(CASE WHEN saturated THEN w ELSE 0.0 END)
+        |            OVER ())
+        |    END AS lambda
+        |  FROM sat),
+        |alloc AS (
+        |  SELECT source, tokens_avail, round(w, 6) AS weight,
+        |    round(CASE WHEN saturated THEN tokens_avail
+        |      ELSE least(tokens_avail, lambda * w) END, 6) AS allocation,
+        |    saturated
+        |  FROM lam)
+        |SELECT source, tokens_avail, weight, allocation,
+        |  round(allocation / tokens_avail, 6) AS take_rate, saturated
+        |FROM alloc ORDER BY source""".stripMargin,
 
     "q84_domain_cap" ->
       """WITH r AS (

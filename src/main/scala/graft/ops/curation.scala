@@ -364,4 +364,78 @@ object Curation {
           (col("__w") - floor(col("__w"))) * lit(256.0))
       .drop("__w")
   }
+
+  /** Token-budget mixture allocation by WATER-FILLING: given per-source
+    * capacities (sum of `tokensCol` per `sourceCol`) and target mixture
+    * weights, compute the per-source token allocation that spends
+    * `budget` exactly in proportion to the (normalized) weights — with
+    * sources that cannot supply their share capped at capacity and
+    * their unspent share re-flowing to the remaining sources. This is
+    * the planning step a pretraining mix runs BEFORE sampling: naive
+    * `budget · w_s` over-asks small sources and silently under-spends
+    * the budget; the water-filling fix is the classic capacitated
+    * proportional-allocation solution (allocation_s = min(T_s, λ·w_s)
+    * with the water level λ chosen so allocations sum to the budget).
+    *
+    * The closed form needs no iteration: sorted by capacity/weight
+    * ascending, the saturated sources form a prefix, and source s
+    * saturates iff T_s·(1 − cumW_{s-1}) ≤ (B − cumT_{s-1})·w_s (its
+    * capacity is below the water level implied by saturating everything
+    * before it) — two cumulative windows decide every source, then
+    * λ = (B − ΣT_sat) / (1 − Σw_sat). If total capacity ≤ budget every
+    * source saturates and λ is null (budget not binding).
+    *
+    * Returns one row per source: (source, tokens_avail, weight
+    * (normalized), allocation, take_rate, saturated). Feed `take_rate`
+    * to [[rebalanceMix]]-style deterministic sampling, or weights > 1
+    * epochs to [[upsampleMix]].
+    *
+    * Scale: one map-side-combined agg to source grain, then windows
+    * over SOURCE-cardinality rows (a mixture has tens to thousands of
+    * sources) — the deliberate place for a partition-less window;
+    * corpus rows never shuffle beyond the partial-agg exchange. */
+  def tokenBudgetAllocation(docs: DataFrame, sourceCol: Column,
+                            tokensCol: Column, weights: DataFrame,
+                            budget: Double): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val all = Window.partitionBy(lit(0))
+    // total order (ratio, source): ties broken so the RANGE-frame
+    // cumulative sums are identical in any engine replaying this
+    val ord = all.orderBy(col("__ratio"), col("source"))
+    val caps = docs
+      .groupBy(sourceCol.as("source"))
+      .agg(sum(tokensCol.cast("double")).as("tokens_avail"))
+      .join(weights.select(col("source"),
+        col("weight").cast("double").as("__wr")), Seq("source"))
+    caps
+      .where(col("__wr") > 0)
+      .withColumn("__w", col("__wr") / sum("__wr").over(all))
+      .withColumn("__ratio", col("tokens_avail") / col("__w"))
+      .withColumn("__cumT", sum("tokens_avail").over(ord))
+      .withColumn("__cumW", sum("__w").over(ord))
+      // saturation test against the water level implied by the
+      // saturated prefix BEFORE this source (exclusive sums via
+      // inclusive − own); multiplied form keeps it division-free
+      .withColumn("saturated",
+        col("tokens_avail") * (lit(1.0) - col("__cumW") + col("__w")) <=
+          (lit(budget) - col("__cumT") + col("tokens_avail")) * col("__w"))
+      .withColumn("__satT",
+        sum(when(col("saturated"), col("tokens_avail")).otherwise(0.0))
+          .over(all))
+      .withColumn("__satW",
+        sum(when(col("saturated"), col("__w")).otherwise(0.0)).over(all))
+      .withColumn("__lambda",
+        when(col("__satW") >= 1.0 - 1e-12, lit(null).cast("double"))
+          .otherwise((lit(budget) - col("__satT")) /
+            (lit(1.0) - col("__satW"))))
+      .withColumn("allocation", round(
+        when(col("saturated"), col("tokens_avail"))
+          .otherwise(least(col("tokens_avail"),
+            col("__lambda") * col("__w"))), 6))
+      .withColumn("take_rate",
+        round(col("allocation") / col("tokens_avail"), 6))
+      .select(col("source"), col("tokens_avail"),
+        round(col("__w"), 6).as("weight"), col("allocation"),
+        col("take_rate"), col("saturated"))
+  }
 }

@@ -205,4 +205,30 @@ class CurationSpec extends SparkSpec {
       .select("id", "rep").collect().map(_.toSeq).toSeq.sortBy(_.toString)
     assert(a === b)
   }
+
+  test("tokenBudgetAllocation: budget spent exactly, saturated sources " +
+      "capped at capacity, unsaturated allocations proportional to " +
+      "weight; non-binding budget saturates everything") {
+    import spark.implicits._
+    // capacities 30/200/500, weights 0.5/0.3/0.2 of a 400 budget:
+    // A's fair share 200 > 30 -> capped; its unspent share re-flows
+    val docs = (Seq.fill(3)(("a", 10.0)) ++ Seq.fill(4)(("b", 50.0)) ++
+      Seq.fill(5)(("c", 100.0))).toDF("source", "tok")
+    val w = Seq(("a", 5.0), ("b", 3.0), ("c", 2.0)).toDF("source", "weight")
+    val r = Curation.tokenBudgetAllocation(docs, $"source", $"tok", w, 400.0)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getDouble(3), x.getBoolean(5))).toMap
+    assert(r("a") === ((30.0, 30.0, true)))    // capped at capacity
+    // first water level (400 − 30) / (0.3 + 0.2) = 740 asks b for
+    // 740 · 0.3 = 222 > 200 — b saturates too; c takes the rest
+    assert(r("b") === ((200.0, 200.0, true)))
+    assert(r("c") === ((500.0, 170.0, false))) // (400 − 230) / 0.2 · 0.2
+    assert(r.values.map(_._2).sum === 400.0)       // budget spent exactly
+    // non-binding budget: everyone saturates, take_rate 1 everywhere
+    val all = Curation.tokenBudgetAllocation(docs, $"source", $"tok", w,
+        budget = 1e6)
+      .collect().map(x => (x.getDouble(3), x.getDouble(4), x.getBoolean(5)))
+    assert(all.forall { case (alloc, rate, sat) => sat && rate === 1.0 })
+    assert(all.map(_._1).sum === 730.0)            // = total capacity
+  }
 }
