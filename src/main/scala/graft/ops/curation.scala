@@ -327,14 +327,23 @@ object Curation {
     require(n >= 1, s"n must be >= 1, got $n")
     // +0.5 keeps u strictly inside (0,1): u = 0 would send ln to -inf
     // and tie every zero-bucket row
-    val u = (Sampling.uniform24(id) + lit(0.5)) / lit((1 << 24).toDouble)
-    val w = weight.cast("double")
-    df.where(w > 0)
-      .withColumn("__pri", log(u) / w)
+    df.where(weight.cast("double") > 0)
+      .withColumn("__pri", aresPriority(id, weight))
       .orderBy(col("__pri").desc, id)
       .limit(n)
       .withColumn("priority", round(col("__pri"), 6))
       .drop("__pri")
+  }
+
+  /** Deterministic A-Res priority ln(u)/w, u the row's stable
+    * md5-derived uniform — shared by [[prioritySample]] and the
+    * streaming reservoir sink so both rank bit-identical doubles
+    * (a row's priority never changes, which is what makes the
+    * reservoir mergeable: top-n of a union = top-n of unioned
+    * top-ns). */
+  private[graft] def aresPriority(id: Column, weight: Column): Column = {
+    val u = (Sampling.uniform24(id) + lit(0.5)) / lit((1 << 24).toDouble)
+    log(u) / weight.cast("double")
   }
 
   /** Deterministic EPOCH-AWARE upsampling — the weight > 1 side of

@@ -1393,6 +1393,61 @@ object Streaming {
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/holt")
       .withColumn("forecast_1", col("level") + col("trend"))
 
+  /** Stream-maintained exact-n weighted sample WITHOUT replacement —
+    * the A-Res reservoir (Efraimidis & Spirakis 2006) as a stats
+    * store: per micro-batch, rank the batch by the deterministic
+    * priority ln(u)/w ([[graft.ops.Curation.prioritySample]]'s exact
+    * expression — u is the row's stable md5 uniform), keep its top
+    * `n`, and merge with the standing reservoir by re-ranking the
+    * union. Because a row's priority never changes, top-n is
+    * MERGEABLE (top-n of a union = top-n of unioned top-ns), so the
+    * store always equals the batch sample over everything streamed so
+    * far — the sampling member of the stats-store family (a standing
+    * eval/inspection subset of an unbounded ingest), with state
+    * bounded at n rows regardless of stream length.
+    *
+    * Exactly-once via [[mergeStoreBatch]]'s `_batch` mark; priorities
+    * are deterministic, so even a replayed merge reproduces the same
+    * reservoir — the mark keeps the store bytes deterministic (and a
+    * duplicate-id union can never double-fill the reservoir on
+    * replay). Rows with weight ≤ 0 never enter. */
+  def prioritySampleSink(rows: DataFrame, idCol: String,
+                         weightCol: String, n: Int,
+                         statsDir: String, checkpoint: String) =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergePrioritySampleBatch(batch, idCol, weightCol, n,
+            statsDir, batchId)
+        ()
+      }
+
+  private[graft] def mergePrioritySampleBatch(batch: DataFrame,
+      idCol: String, weightCol: String, n: Int, statsDir: String,
+      batchId: Long): Unit = {
+    val delta = batch
+      .where(col(weightCol).cast("double") > 0)
+      .withColumn("__pri", graft.ops.Curation.aresPriority(
+        col(idCol), col(weightCol)))
+      .orderBy(col("__pri").desc, col(idCol)).limit(n)
+    mergeStoreBatch(statsDir, batchId, Seq(
+      StorePart("sample", Seq(idCol), Nil) -> delta),
+      customMerge = Map("sample" -> { (prior, d) =>
+        prior.map(_.unionByName(d)).getOrElse(d)
+          .orderBy(col("__pri").desc, col(idCol)).limit(n)
+      }))
+  }
+
+  /** Read a [[prioritySampleSink]] store in exactly the shape
+    * [[graft.ops.Curation.prioritySample]] returns (payload columns +
+    * rounded `priority`), so consumers swap freely between the batch
+    * and streamed forms. Side-effect-free (see [[readableStoreDir]]). */
+  def readPrioritySample(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/sample")
+      .withColumn("priority", round(col("__pri"), 6)).drop("__pri")
+
   /** Stream-maintained per-key approximate distinct counts via
     * mergeable DataSketches HLL: per micro-batch, sketch the batch's
     * values per key (`hll_sketch_agg`) and union into a standing

@@ -660,6 +660,44 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmpH/index/batch=2").exists())
   }
 
+  test("prioritySampleSink: streamed A-Res reservoir equals the batch " +
+      "weighted sample over the union; crash-replay is a no-op; state " +
+      "bounded at n") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ares").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val in = MemoryStream[(Long, Long)]
+    val q = Streaming.prioritySampleSink(in.toDF().toDF("doc_id", "n_chars"),
+      "doc_id", "n_chars", n = 25, s"$tmp/stats", s"$tmp/ckpt").start()
+    try {
+      val all = docs.as[(Long, Long)].collect()
+      val batches = all.grouped((all.length + 2) / 3).toSeq
+      batches.zipWithIndex.foreach { case (g, _) =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = Streaming.readPrioritySample(spark, s"$tmp/stats")
+        .select("doc_id", "priority").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // a row's priority never changes, so the mergeable reservoir
+      // must equal the one-pass batch sample over everything streamed
+      val want = graft.ops.Curation.prioritySample(docs,
+          col("doc_id"), col("n_chars"), n = 25)
+        .select("doc_id", "priority").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === want)
+      assert(got.size === 25) // bounded state
+      // crash replay of the last batch: `_batch` mark skips the merge,
+      // store bytes unchanged
+      Streaming.mergePrioritySampleBatch(
+        batches.last.toSeq.toDF("doc_id", "n_chars"),
+        "doc_id", "n_chars", 25, s"$tmp/stats", (batches.size - 1).toLong)
+      val after = Streaming.readPrioritySample(spark, s"$tmp/stats")
+        .select("doc_id", "priority").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(after === got)
+    } finally q.stop()
+  }
+
   test("hllSink: streamed per-key distinct estimates equal the batch " +
       "sketch over the union, duplicates across batches collapse") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hll").toString
