@@ -67,4 +67,33 @@ object Sketch {
           col("__rb.b") === col("bucket"), "left")
       .groupBy(tokenCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_cms"))
+
+  /** Misra-Gries frequent-items summary (Misra & Gries 1982) from an
+    * exact `(tokenCol, cnt)` table: subtract the (k+1)-th largest
+    * count from every counter and keep the positives — at most k
+    * counters, with the deterministic guarantee
+    * `true − N/(k+1) ≤ cnt ≤ true`, so every item with frequency
+    * above N/(k+1) survives. The trim form IS a valid MG summary of
+    * the counted stream (Agarwal et al. 2012), which also makes it
+    * MERGEABLE: pointwise-add two summaries and trim again, and the
+    * union's guarantee still holds with N the combined total — the
+    * property [[graft.streaming.Streaming.mgSink]] folds on. The
+    * complementary tool to [[cmsBuild]]: CMS answers point queries
+    * over-estimating, MG returns the actual heavy-hitter SET with an
+    * under-estimate bound, in k counters where the exact histogram
+    * grows with the vocabulary.
+    *
+    * Scale: one TakeOrderedAndProject for the (k+1)-th largest (a
+    * k+1-row collect — the one driver touch, bounded by k) and one
+    * filtered pass over the counts. Callers looping per micro-batch
+    * should localCheckpoint `counts` so the two passes share one
+    * aggregation. */
+  def mgSummary(counts: DataFrame, tokenCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = counts.select(col(tokenCol), col("cnt").cast("long"))
+      .orderBy(col("cnt").desc, col(tokenCol)).limit(k + 1).collect()
+    val dec = if (top.length <= k) 0L else top(k).getLong(1)
+    counts.where(col("cnt").cast("long") > lit(dec))
+      .select(col(tokenCol), (col("cnt").cast("long") - lit(dec)).as("cnt"))
+  }
 }

@@ -1393,6 +1393,72 @@ object Streaming {
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/holt")
       .withColumn("forecast_1", col("level") + col("trend"))
 
+  /** Stream-maintained Misra-Gries heavy hitters: per micro-batch,
+    * count the batch's tokens exactly, trim to a k-counter summary
+    * ([[graft.ops.Sketch.mgSummary]]), and fold into the standing
+    * `mg/` table by pointwise-add + re-trim — the MERGEABLE-summaries
+    * composition (Agarwal et al. 2012), so after any number of
+    * batches every item with total frequency above N/(k+1) is present
+    * with `true − N/(k+1) ≤ cnt ≤ true`. A `meta/` row accumulates N
+    * (total occurrences) so readers can state the bound. State is k
+    * counters + one meta row FOREVER, where [[wordHistSink]] grows
+    * with the vocabulary — this is the store for "what dominates the
+    * stream" (hot domains, boilerplate n-grams, trending queries)
+    * when the full histogram is not worth its footprint.
+    *
+    * Exactly-once via [[mergeStoreBatch]]'s `_batch` mark (essential:
+    * re-folding a batch would double-count). The per-batch driver
+    * touch is one (k+1)-row collect for the trim threshold; the
+    * standing merge unions ≤ 2k counter rows. */
+  def mgSink(rows: DataFrame, tokenCol: String, k: Int,
+             statsDir: String, checkpoint: String) =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeMgBatch(batch, tokenCol, k, statsDir, batchId)
+        ()
+      }
+
+  private[graft] def mergeMgBatch(batch: DataFrame, tokenCol: String,
+      k: Int, statsDir: String, batchId: Long): Unit = {
+    // one aggregation pass shared by the trim's two consumers
+    // (threshold top-k and the filtered counters)
+    val counts = batch.groupBy(tokenCol)
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val nTotal = batch.sparkSession.range(1).toDF()
+      .select(lit(k).as("sk"),
+        lit(counts.agg(sum("cnt")).first().getLong(0)).as("n_total"))
+    mergeStoreBatch(statsDir, batchId, Seq(
+      StorePart("mg", Seq(tokenCol), Nil) ->
+        graft.ops.Sketch.mgSummary(counts, tokenCol, k),
+      StorePart("meta", Seq("sk"), Seq("n_total")) -> nTotal),
+      customMerge = Map("mg" -> { (prior, delta) =>
+        prior match {
+          case None => delta
+          case Some(p) => graft.ops.Sketch.mgSummary(
+            p.unionByName(delta).groupBy(tokenCol)
+              .agg(sum("cnt").as("cnt")),
+            tokenCol, k)
+        }
+      }))
+  }
+
+  /** Read a [[mgSink]] store: (tokenCol, cnt_min, cnt_max) — the
+    * under-estimated counter and the guarantee ceiling
+    * cnt + ⌊N/(k+1)⌋. Every item whose true frequency exceeds
+    * N/(k+1) has a row. Side-effect-free (see [[readableStoreDir]]). */
+  def readMgHeavyHitters(spark: SparkSession, statsDir: String): DataFrame = {
+    val root = readableStoreDir(spark, statsDir)
+    val meta = spark.read.parquet(s"$root/meta").first()
+    val bound = meta.getLong(1) / (meta.getInt(0) + 1L)
+    spark.read.parquet(s"$root/mg")
+      .select(col("*"), col("cnt").as("cnt_min"),
+        (col("cnt") + lit(bound)).as("cnt_max"))
+      .drop("cnt")
+  }
+
   /** Stream-maintained exact-n weighted sample WITHOUT replacement —
     * the A-Res reservoir (Efraimidis & Spirakis 2006) as a stats
     * store: per micro-batch, rank the batch by the deterministic

@@ -660,6 +660,48 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmpH/index/batch=2").exists())
   }
 
+  test("mgSink: streamed Misra-Gries store keeps every token above " +
+      "N/(k+1) within the under-estimate bound, in k-bounded state; " +
+      "crash-replay is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mg").toString
+    val words = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.ops.Text.tokens(col("text"))).as("word"))
+    val k = 20
+    val in = MemoryStream[String]
+    val q = Streaming.mgSink(in.toDF().toDF("word"), "word", k,
+      s"$tmp/stats", s"$tmp/ckpt").start()
+    try {
+      val all = words.as[String].collect()
+      val batches = all.grouped((all.length + 2) / 3).toSeq
+      batches.foreach { g =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val store = Streaming.readMgHeavyHitters(spark, s"$tmp/stats")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      assert(store.size <= k) // bounded state, forever
+      val exact = all.groupBy(identity).view.mapValues(_.length.toLong)
+      val bound = all.length.toLong / (k + 1)
+      // the MG guarantee after ANY merge tree: every heavy item
+      // present, counters under-estimate by at most N/(k+1)
+      exact.filter(_._2 > bound).foreach { case (w, n) =>
+        assert(store.contains(w), s"heavy item '$w' ($n > $bound) missing")
+      }
+      store.foreach { case (w, (lo, hi)) =>
+        val n = exact(w)
+        assert(lo <= n && n <= hi, s"'$w': true $n outside [$lo, $hi]")
+      }
+      // crash replay of the last batch: `_batch` mark skips the fold
+      Streaming.mergeMgBatch(batches.last.toSeq.toDF("word"), "word", k,
+        s"$tmp/stats", (batches.size - 1).toLong)
+      val after = Streaming.readMgHeavyHitters(spark, s"$tmp/stats")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      assert(after === store)
+    } finally q.stop()
+  }
+
   test("prioritySampleSink: streamed A-Res reservoir equals the batch " +
       "weighted sample over the union; crash-replay is a no-op; state " +
       "bounded at n") {
