@@ -544,13 +544,12 @@ object CurationQueries {
         |  FROM cum),
         |lam AS (
         |  SELECT *,
-        |    CASE WHEN sum(CASE WHEN saturated THEN w ELSE 0.0 END)
-        |           OVER () >= 1.0 - 1e-12 THEN NULL
+        |    CASE WHEN sum(CASE WHEN saturated THEN 0.0 ELSE w END)
+        |           OVER () = 0.0 THEN NULL
         |      ELSE (100000.0 -
         |          sum(CASE WHEN saturated THEN tokens_avail ELSE 0.0 END)
         |            OVER ()) /
-        |        (1.0 - sum(CASE WHEN saturated THEN w ELSE 0.0 END)
-        |            OVER ())
+        |        sum(CASE WHEN saturated THEN 0.0 ELSE w END) OVER ()
         |    END AS lambda
         |  FROM sat),
         |alloc AS (

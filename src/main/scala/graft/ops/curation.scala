@@ -414,8 +414,12 @@ object Curation {
     val caps = docs
       .groupBy(sourceCol.as("source"))
       .agg(sum(tokensCol.cast("double")).as("tokens_avail"))
-      .join(weights.select(col("source"),
-        col("weight").cast("double").as("__wr")), Seq("source"))
+      // weights collapse to source grain BEFORE the join: a duplicate
+      // source row would otherwise fan the capacity row out and charge
+      // phantom capacity against the budget (duplicate weights sum —
+      // two grants of share — rather than silently corrupting)
+      .join(weights.groupBy("source")
+        .agg(sum(col("weight").cast("double")).as("__wr")), Seq("source"))
     caps
       .where(col("__wr") > 0)
       .withColumn("__w", col("__wr") / sum("__wr").over(all))
@@ -431,12 +435,16 @@ object Curation {
       .withColumn("__satT",
         sum(when(col("saturated"), col("tokens_avail")).otherwise(0.0))
           .over(all))
-      .withColumn("__satW",
-        sum(when(col("saturated"), col("__w")).otherwise(0.0)).over(all))
+      // the unsaturated-weight mass SUMMED DIRECTLY, not 1 − Σw_sat:
+      // with a ~1e12:1 weight skew the complement cancels to 0 in
+      // doubles, λ blows up (or nulls) and an unsaturated source
+      // would take its whole capacity, overspending the budget; the
+      // direct sum is exact — zero iff no unsaturated source exists
+      .withColumn("__unsatW",
+        sum(when(col("saturated"), 0.0).otherwise(col("__w"))).over(all))
       .withColumn("__lambda",
-        when(col("__satW") >= 1.0 - 1e-12, lit(null).cast("double"))
-          .otherwise((lit(budget) - col("__satT")) /
-            (lit(1.0) - col("__satW"))))
+        when(col("__unsatW") === 0.0, lit(null).cast("double"))
+          .otherwise((lit(budget) - col("__satT")) / col("__unsatW")))
       .withColumn("allocation", round(
         when(col("saturated"), col("tokens_avail"))
           .otherwise(least(col("tokens_avail"),

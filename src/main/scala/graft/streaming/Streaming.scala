@@ -1423,36 +1423,45 @@ object Streaming {
 
   private[graft] def mergeMgBatch(batch: DataFrame, tokenCol: String,
       k: Int, statsDir: String, batchId: Long): Unit = {
-    // one aggregation pass shared by the trim's two consumers
-    // (threshold top-k and the filtered counters)
-    val counts = batch.groupBy(tokenCol)
-      .agg(count(lit(1)).as("cnt")).localCheckpoint()
-    val nTotal = batch.sparkSession.range(1).toDF()
-      .select(lit(k).as("sk"),
-        lit(counts.agg(sum("cnt")).first().getLong(0)).as("n_total"))
+    // both deltas stay LAZY: every eager action (the count shuffle,
+    // the trim's top-(k+1) collect) runs inside the custom merge,
+    // AFTER mergeStoreBatch's `_batch` replay check — a replayed
+    // batch skips at the mark without re-aggregating anything
+    val counts = batch.groupBy(tokenCol).agg(count(lit(1)).as("cnt"))
+    val nTotal = batch.agg(count(lit(1)).as("n_total"))
+      .select(lit(k).as("sk"), col("n_total"))
     mergeStoreBatch(statsDir, batchId, Seq(
-      StorePart("mg", Seq(tokenCol), Nil) ->
-        graft.ops.Sketch.mgSummary(counts, tokenCol, k),
+      StorePart("mg", Seq(tokenCol), Nil) -> counts,
       StorePart("meta", Seq("sk"), Seq("n_total")) -> nTotal),
       customMerge = Map("mg" -> { (prior, delta) =>
-        prior match {
+        // exact batch counts ARE an error-0 MG summary, so one trim of
+        // the summed union is the mergeable-summaries composition
+        // (tighter than pre-trimming the batch); checkpointed so the
+        // trim's threshold collect and filtered output share one
+        // aggregation (the mgSummary contract)
+        val u = prior match {
           case None => delta
-          case Some(p) => graft.ops.Sketch.mgSummary(
-            p.unionByName(delta).groupBy(tokenCol)
-              .agg(sum("cnt").as("cnt")),
-            tokenCol, k)
+          case Some(p) => p.unionByName(delta).groupBy(tokenCol)
+            .agg(sum("cnt").as("cnt"))
         }
+        graft.ops.Sketch.mgSummary(u.localCheckpoint(), tokenCol, k)
       }))
   }
 
   /** Read a [[mgSink]] store: (tokenCol, cnt_min, cnt_max) — the
     * under-estimated counter and the guarantee ceiling
     * cnt + ⌊N/(k+1)⌋. Every item whose true frequency exceeds
-    * N/(k+1) has a row. Side-effect-free (see [[readableStoreDir]]). */
+    * N/(k+1) has a row. Fails loudly if the store was fed under more
+    * than one k (the meta key): summaries trimmed under mixed ks have
+    * no single stated bound — pin k per statsDir.
+    * Side-effect-free (see [[readableStoreDir]]). */
   def readMgHeavyHitters(spark: SparkSession, statsDir: String): DataFrame = {
     val root = readableStoreDir(spark, statsDir)
-    val meta = spark.read.parquet(s"$root/meta").first()
-    val bound = meta.getLong(1) / (meta.getInt(0) + 1L)
+    val meta = spark.read.parquet(s"$root/meta").collect()
+    require(meta.length == 1,
+      s"mg store at $statsDir was fed under ${meta.length} distinct k " +
+        "values; the N/(k+1) guarantee requires one k per store")
+    val bound = meta(0).getLong(1) / (meta(0).getInt(0) + 1L)
     spark.read.parquet(s"$root/mg")
       .select(col("*"), col("cnt").as("cnt_min"),
         (col("cnt") + lit(bound)).as("cnt_max"))

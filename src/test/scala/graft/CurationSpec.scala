@@ -230,5 +230,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(x => (x.getDouble(3), x.getDouble(4), x.getBoolean(5)))
     assert(all.forall { case (alloc, rate, sat) => sat && rate === 1.0 })
     assert(all.map(_._1).sum === 730.0)            // = total capacity
+    // duplicate weight rows collapse (summed) instead of fanning the
+    // capacity row out and charging phantom capacity
+    val wdup = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0))
+      .toDF("source", "weight")
+    val docsAb = (Seq.fill(3)(("a", 10.0)) ++ Seq.fill(4)(("b", 50.0)))
+      .toDF("source", "tok")
+    val dup = Curation.tokenBudgetAllocation(docsAb, $"source", $"tok",
+        wdup, 100.0)
+      .collect().map(x => x.getString(0) -> (x.getDouble(3))).toMap
+    assert(dup.size === 2)                 // one row per source
+    assert(dup("a") === 30.0 && dup("b") === 70.0) // budget spent once
+    // extreme weight skew: the saturated mass sums to ~1 in doubles,
+    // but the unsaturated source must take λ·w, not its capacity
+    val wskew = Seq(("a", 1e13), ("b", 1.0)).toDF("source", "weight")
+    val skewDocs = (Seq.fill(1)(("a", 50.0)) ++ Seq.fill(1)(("b", 1000.0)))
+      .toDF("source", "tok")
+    val skew = Curation.tokenBudgetAllocation(skewDocs, $"source", $"tok",
+        wskew, 100.0)
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(3), x.getBoolean(5))).toMap
+    assert(skew("a") === ((50.0, true)))
+    assert(skew("b")._2 === false)
+    assert(math.abs(skew.values.map(_._1).sum - 100.0) < 1e-3,
+      s"budget overspent under weight skew: $skew")
   }
 }
