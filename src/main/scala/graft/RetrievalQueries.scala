@@ -328,6 +328,22 @@ object RetrievalQueries {
       top.join(Sketch.cmsEstimate(cms, top, "tok", d = CmsD), "tok")
         .select(col("tok"), col("n_exact"), col("n_cms"))
         .orderBy(col("n_exact").desc, col("tok").asc)
+    }),
+
+    // Misra-Gries k-counter heavy hitters: exact corpus counts trimmed
+    // by the (k+1)-th largest count — every token above N/(k+1) kept
+    // with a bounded under-estimate, in k counters where the exact
+    // histogram is vocabulary-sized. The complementary sketch to
+    // q171's CMS (actual heavy-hitter SET + under-estimate vs point
+    // queries + over-estimate); the streaming fold lives in
+    // Streaming.mgSink. One TakeOrderedAndProject for the threshold.
+    "q206_mg_heavy_hitters" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok")
+        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+      Sketch.mgSummary(counts, "tok", k = 30)
+        .orderBy(col("cnt").desc, col("tok").asc)
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -691,5 +707,17 @@ object RetrievalQueries {
          |  GROUP BY t.tok)
          |SELECT t.tok, t.n_exact, e.n_cms
          |FROM top t JOIN est e USING (tok)
-         |ORDER BY n_exact DESC, tok""".stripMargin)
+         |ORDER BY n_exact DESC, tok""".stripMargin,
+
+    "q206_mg_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |dec AS (
+         |  SELECT coalesce(max(cnt), 0) AS d FROM (
+         |    SELECT cnt FROM counts
+         |    ORDER BY cnt DESC, tok LIMIT 1 OFFSET 30))
+         |SELECT tok, CAST(cnt - d AS BIGINT) AS cnt
+         |FROM counts, dec WHERE cnt > d
+         |ORDER BY cnt DESC, tok""".stripMargin)
 }
