@@ -20,6 +20,43 @@ object CurationQueries {
 
   /** DuckDB replica of Sampling.splitBucket: first md5 hex byte of the
     * stringified id as an integer in [0, 256). */
+  /** Shared water-filling CTE chain (q205 reports it, q207 samples by
+    * it) — ends at `alloc` (source, tokens_avail, weight, allocation,
+    * saturated). */
+  private def tokenBudgetCtes: String =
+    """caps AS (
+      |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tokens_avail,
+      |    1.0 + (CAST(substr(source, 4) AS INT) % 7) AS wr
+      |  FROM documents GROUP BY source),
+      |norm AS (
+      |  SELECT *, wr / sum(wr) OVER () AS w FROM caps WHERE wr > 0),
+      |cum AS (
+      |  SELECT *,
+      |    sum(tokens_avail) OVER (ORDER BY tokens_avail / w, source)
+      |      AS cumT,
+      |    sum(w) OVER (ORDER BY tokens_avail / w, source) AS cumW
+      |  FROM norm),
+      |sat AS (
+      |  SELECT *, tokens_avail * (1.0 - cumW + w) <=
+      |    (100000.0 - cumT + tokens_avail) * w AS saturated
+      |  FROM cum),
+      |lam AS (
+      |  SELECT *,
+      |    CASE WHEN sum(CASE WHEN saturated THEN 0.0 ELSE w END)
+      |           OVER () = 0.0 THEN NULL
+      |      ELSE (100000.0 -
+      |          sum(CASE WHEN saturated THEN tokens_avail ELSE 0.0 END)
+      |            OVER ()) /
+      |        sum(CASE WHEN saturated THEN 0.0 ELSE w END) OVER ()
+      |    END AS lambda
+      |  FROM sat),
+      |alloc AS (
+      |  SELECT source, tokens_avail, round(w, 6) AS weight,
+      |    round(CASE WHEN saturated THEN tokens_avail
+      |      ELSE least(tokens_avail, lambda * w) END, 6) AS allocation,
+      |    saturated
+      |  FROM lam)""".stripMargin
+
   private def bucketSql(id: String): String =
     s"""((strpos('0123456789abcdef',
        |    md5(CAST($id AS VARCHAR))[1:1]) - 1) * 16
@@ -81,6 +118,27 @@ object CurationQueries {
           lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 7))
       Curation.tokenBudgetAllocation(rd(s, dir, "documents"),
           col("source"), col("n_chars"), weights, budget = 100000.0)
+        .orderBy("source")
+    }),
+
+    // Materialize the q205 plan: per-source md5-coin sampling at the
+    // planned take_rate (saturated sources keep everything), then the
+    // per-source audit a mixture run reports — docs/chars kept vs the
+    // planned allocation. Coin is per document, rate on tokens, so
+    // kept chars track the allocation in expectation.
+    "q207_budgeted_sample" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 7))
+      val alloc = Curation.tokenBudgetAllocation(docs,
+        col("source"), col("n_chars"), weights, budget = 100000.0)
+      Curation.budgetedSample(docs, col("source"), col("doc_id"), alloc)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("chars_kept"))
+        .join(alloc.select(col("source"), col("allocation"),
+          col("saturated")), Seq("source"))
         .orderBy("source")
     }),
 
@@ -526,41 +584,27 @@ object CurationQueries {
     },
 
     "q205_token_budget" ->
-      """WITH caps AS (
-        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tokens_avail,
-        |    1.0 + (CAST(substr(source, 4) AS INT) % 7) AS wr
-        |  FROM documents GROUP BY source),
-        |norm AS (
-        |  SELECT *, wr / sum(wr) OVER () AS w FROM caps WHERE wr > 0),
-        |cum AS (
-        |  SELECT *,
-        |    sum(tokens_avail) OVER (ORDER BY tokens_avail / w, source)
-        |      AS cumT,
-        |    sum(w) OVER (ORDER BY tokens_avail / w, source) AS cumW
-        |  FROM norm),
-        |sat AS (
-        |  SELECT *, tokens_avail * (1.0 - cumW + w) <=
-        |    (100000.0 - cumT + tokens_avail) * w AS saturated
-        |  FROM cum),
-        |lam AS (
-        |  SELECT *,
-        |    CASE WHEN sum(CASE WHEN saturated THEN 0.0 ELSE w END)
-        |           OVER () = 0.0 THEN NULL
-        |      ELSE (100000.0 -
-        |          sum(CASE WHEN saturated THEN tokens_avail ELSE 0.0 END)
-        |            OVER ()) /
-        |        sum(CASE WHEN saturated THEN 0.0 ELSE w END) OVER ()
-        |    END AS lambda
-        |  FROM sat),
-        |alloc AS (
-        |  SELECT source, tokens_avail, round(w, 6) AS weight,
-        |    round(CASE WHEN saturated THEN tokens_avail
-        |      ELSE least(tokens_avail, lambda * w) END, 6) AS allocation,
-        |    saturated
-        |  FROM lam)
+      s"""WITH $tokenBudgetCtes
         |SELECT source, tokens_avail, weight, allocation,
         |  round(allocation / tokens_avail, 6) AS take_rate, saturated
         |FROM alloc ORDER BY source""".stripMargin,
+
+    "q207_budgeted_sample" ->
+      s"""WITH $tokenBudgetCtes,
+        |rates AS (
+        |  SELECT source, allocation, saturated,
+        |    round(allocation / tokens_avail, 6) AS take_rate
+        |  FROM alloc),
+        |kept AS (
+        |  SELECT d.source, d.n_chars, r.allocation, r.saturated
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE ${bucketSql("doc_id")} <
+        |    least(256.0, floor(256.0 * r.take_rate)))
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+        |  allocation, saturated
+        |FROM kept GROUP BY source, allocation, saturated
+        |ORDER BY source""".stripMargin,
 
     "q84_domain_cap" ->
       """WITH r AS (

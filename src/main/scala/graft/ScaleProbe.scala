@@ -139,6 +139,26 @@ object ScaleProbe {
         }
       }
     }
+    // END-TO-END curation ingest (gate -> dedup -> payload -> stats,
+    // one exactly-once pass): the full production sink fed the same
+    // base-doc slices; per-batch wall time must track BATCH size while
+    // the corpus, the banded index and the stats stores all grow
+    locally {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ingestprobe").toString
+      val nb = 8
+      (0 until nb).foreach { i =>
+        val b = corpus.where(
+          pmod(floor(col("doc_id") / replicas), lit(nb)) === i)
+        val t0 = System.nanoTime()
+        graft.streaming.Streaming.curationIngestBatch(
+          b, "text", "doc_id", tmp, i.toLong,
+          minQuality = 0.0, lenLo = 0.0, lenHi = 5000.0,
+          numHashes = 8, bands = 4, shingleSize = 3)
+        println(f"[probe] curation ingest batch $i%2d " +
+          f"(standing ~ $i/$nb of corpus)  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      }
+    }
     // decontamination: 1% of docs stand in for the benchmark set;
     // broadcast-semi-join inside the scan, so docs/s ~ text family
     time("decontaminate (1% bench)", total, "docs/s")(

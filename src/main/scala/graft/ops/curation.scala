@@ -455,4 +455,25 @@ object Curation {
         round(col("__w"), 6).as("weight"), col("allocation"),
         col("take_rate"), col("saturated"))
   }
+
+  /** Materialize a [[tokenBudgetAllocation]] plan: keep each document
+    * with probability its source's planned `take_rate`, decided by the
+    * row's stable md5 coin ([[rebalanceMix]]'s discipline — same ids →
+    * same sample on every run and engine). The rate is planned on the
+    * capacity unit (tokens) while the coin is per DOCUMENT, so a
+    * source's kept tokens hit its allocation in expectation; exact
+    * token-grain spend needs chunk-level rows ([[chunkDocs]]) fed as
+    * the docs. Saturated sources (take_rate 1) keep everything.
+    *
+    * Scale: the allocation table is source-cardinality — broadcast;
+    * the coin is row-local, so the pass rides the scan like every
+    * deterministic sampler here. */
+  def budgetedSample(docs: DataFrame, sourceCol: Column, id: Column,
+                     alloc: DataFrame): DataFrame =
+    docs.join(broadcast(alloc
+        .select(col("source").as("__bs_src"), col("take_rate"))),
+        sourceCol === col("__bs_src"))
+      .filter(Sampling.splitBucket(id) <
+        least(lit(256.0), floor(lit(256.0) * col("take_rate"))))
+      .drop("__bs_src", "take_rate")
 }
