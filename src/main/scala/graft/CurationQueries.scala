@@ -18,8 +18,16 @@ object CurationQueries {
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     SparkEntry.t(s, dir, name)
 
-  /** DuckDB replica of Sampling.splitBucket: first md5 hex byte of the
-    * stringified id as an integer in [0, 256). */
+  /** Deterministic per-source mix weights for q205/q207 — the ONE
+    * Spark-side home of the formula whose oracle twin lives inside
+    * [[tokenBudgetCtes]] (`1.0 + (CAST(substr(source, 4) AS INT)
+    * % 7)`); both queries must derive weights from here or the shared
+    * oracle CTE silently diverges. */
+  private def mixWeights(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("source")).distinct()
+      .withColumn("weight",
+        lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 7))
+
   /** Shared water-filling CTE chain (q205 reports it, q207 samples by
     * it) — ends at `alloc` (source, tokens_avail, weight, allocation,
     * saturated). */
@@ -57,6 +65,8 @@ object CurationQueries {
       |    saturated
       |  FROM lam)""".stripMargin
 
+  /** DuckDB replica of Sampling.splitBucket: first md5 hex byte of the
+    * stringified id as an integer in [0, 256). */
   private def bucketSql(id: String): String =
     s"""((strpos('0123456789abcdef',
        |    md5(CAST($id AS VARCHAR))[1:1]) - 1) * 16
@@ -112,27 +122,23 @@ object CurationQueries {
     // training mix runs before sampling. At sf0.01 high-weight sources
     // saturate and low-weight ones take λ·w.
     "q205_token_budget" -> ((s, dir) => {
-      val weights = rd(s, dir, "documents")
-        .select(col("source")).distinct()
-        .withColumn("weight",
-          lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 7))
-      Curation.tokenBudgetAllocation(rd(s, dir, "documents"),
-          col("source"), col("n_chars"), weights, budget = 100000.0)
+      val docs = rd(s, dir, "documents")
+      Curation.tokenBudgetAllocation(docs,
+          col("source"), col("n_chars"), mixWeights(docs),
+          budget = 100000.0)
         .orderBy("source")
     }),
 
-    // Materialize the q205 plan: per-source md5-coin sampling at the
-    // planned take_rate (saturated sources keep everything), then the
-    // per-source audit a mixture run reports — docs/chars kept vs the
-    // planned allocation. Coin is per document, rate on tokens, so
-    // kept chars track the allocation in expectation.
+    // Materialize the q205 plan: per-source 24-bit md5-coin sampling
+    // at the planned take_rate (saturated sources keep everything),
+    // then the per-source audit a mixture run reports — docs/chars
+    // kept vs the planned allocation. Coin is per document, rate on
+    // tokens, so kept chars track the allocation in expectation.
     "q207_budgeted_sample" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-      val weights = docs.select(col("source")).distinct()
-        .withColumn("weight",
-          lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 7))
       val alloc = Curation.tokenBudgetAllocation(docs,
-        col("source"), col("n_chars"), weights, budget = 100000.0)
+        col("source"), col("n_chars"), mixWeights(docs),
+        budget = 100000.0)
       Curation.budgetedSample(docs, col("source"), col("doc_id"), alloc)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
@@ -598,8 +604,8 @@ object CurationQueries {
         |kept AS (
         |  SELECT d.source, d.n_chars, r.allocation, r.saturated
         |  FROM documents d JOIN rates r USING (source)
-        |  WHERE ${bucketSql("doc_id")} <
-        |    least(256.0, floor(256.0 * r.take_rate)))
+        |  WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) < r.take_rate * 16777216.0)
         |SELECT source, count(*) AS n_kept,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
         |  allocation, saturated

@@ -340,8 +340,12 @@ object RetrievalQueries {
     "q206_mg_heavy_hitters" -> ((s, dir) => {
       val toks = rd(s, dir, "documents")
         .select(explode(Text.tokens(col("text"))).as("tok"))
+      // cache, not localCheckpoint: the two trim passes share the
+      // aggregation after the threshold collect materializes it, and
+      // cached blocks are LRU-evictable — a checkpoint here would pin
+      // a vocabulary-sized table for the life of the harness session
       val counts = toks.groupBy("tok")
-        .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        .agg(count(lit(1)).as("cnt")).cache()
       Sketch.mgSummary(counts, "tok", k = 30)
         .orderBy(col("cnt").desc, col("tok").asc)
     }))

@@ -116,20 +116,24 @@ object ScaleProbe {
     // grows) and report per-batch wall time — the bh= partition prune
     // plus the broadcast-streamed index join must keep it ~flat while
     // the standing index grows ~linearly
-    locally {
+    // shared scaffold for the two standing-store ingestion probes:
+    // slice by BASE doc (doc_id / replicas) so each batch is mostly
+    // novel and the standing store genuinely grows — the load-bearing
+    // predicate lives ONCE; per-batch wall time is reported so
+    // flatness-while-the-store-grows is visible
+    def ingestSlices(label: String, tmpPrefix: String)(
+        merge: (org.apache.spark.sql.DataFrame, String, Int) => Unit): Unit = {
       val tmp = java.nio.file.Files
-        .createTempDirectory("graft-dixprobe").toString
+        .createTempDirectory(tmpPrefix).toString
       val nb = 8
       (0 until nb).foreach { i =>
         val b = corpus.where(
           pmod(floor(col("doc_id") / replicas), lit(nb)) === i)
         val t0 = System.nanoTime()
-        graft.streaming.Streaming.mergeDedupIndexBatch(
-          b, "text", "doc_id", s"$tmp/index", i.toLong)
-        val s = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] dedup-index merge batch $i%2d " +
-          f"(standing ~ $i/$nb of corpus)   $s%7.1f s")
-        if (i == nb / 2 - 1) {
+        merge(b, tmp, i)
+        println(f"[probe] $label batch $i%2d " +
+          f"(standing ~ $i/$nb of corpus)  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+        if (label == "dedup-index merge" && i == nb / 2 - 1) {
           // mid-run maintenance: collapse the per-batch dirs; later
           // merges then list/open one compacted tree + their own dirs
           val c0 = System.nanoTime()
@@ -139,25 +143,19 @@ object ScaleProbe {
         }
       }
     }
+    ingestSlices("dedup-index merge", "graft-dixprobe") { (b, tmp, i) =>
+      graft.streaming.Streaming.mergeDedupIndexBatch(
+        b, "text", "doc_id", s"$tmp/index", i.toLong)
+      ()
+    }
     // END-TO-END curation ingest (gate -> dedup -> payload -> stats,
-    // one exactly-once pass): the full production sink fed the same
-    // base-doc slices; per-batch wall time must track BATCH size while
-    // the corpus, the banded index and the stats stores all grow
-    locally {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-ingestprobe").toString
-      val nb = 8
-      (0 until nb).foreach { i =>
-        val b = corpus.where(
-          pmod(floor(col("doc_id") / replicas), lit(nb)) === i)
-        val t0 = System.nanoTime()
-        graft.streaming.Streaming.curationIngestBatch(
-          b, "text", "doc_id", tmp, i.toLong,
-          minQuality = 0.0, lenLo = 0.0, lenHi = 5000.0,
-          numHashes = 8, bands = 4, shingleSize = 3)
-        println(f"[probe] curation ingest batch $i%2d " +
-          f"(standing ~ $i/$nb of corpus)  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
-      }
+    // one exactly-once pass): per-batch wall time must track BATCH
+    // size while the corpus, the banded index and the stats all grow
+    ingestSlices("curation ingest", "graft-ingestprobe") { (b, tmp, i) =>
+      graft.streaming.Streaming.curationIngestBatch(
+        b, "text", "doc_id", tmp, i.toLong,
+        minQuality = 0.0, lenLo = 0.0, lenHi = 5000.0,
+        numHashes = 8, bands = 4, shingleSize = 3)
     }
     // decontamination: 1% of docs stand in for the benchmark set;
     // broadcast-semi-join inside the scan, so docs/s ~ text family

@@ -458,8 +458,12 @@ object Curation {
 
   /** Materialize a [[tokenBudgetAllocation]] plan: keep each document
     * with probability its source's planned `take_rate`, decided by the
-    * row's stable md5 coin ([[rebalanceMix]]'s discipline — same ids →
-    * same sample on every run and engine). The rate is planned on the
+    * row's stable 24-bit md5 draw ([[Sampling.uniform24]] — same ids →
+    * same sample on every run and engine). The 24-bit coin, not the
+    * 8-bit [[Sampling.splitBucket]]: a small budget over a huge corpus
+    * plans take_rates far below 1/256, where an 8-bit floor would keep
+    * ZERO documents and strand the source's whole allocation;
+    * quantization error here is ≤ 2⁻²⁴. The rate is planned on the
     * capacity unit (tokens) while the coin is per DOCUMENT, so a
     * source's kept tokens hit its allocation in expectation; exact
     * token-grain spend needs chunk-level rows ([[chunkDocs]]) fed as
@@ -473,7 +477,7 @@ object Curation {
     docs.join(broadcast(alloc
         .select(col("source").as("__bs_src"), col("take_rate"))),
         sourceCol === col("__bs_src"))
-      .filter(Sampling.splitBucket(id) <
-        least(lit(256.0), floor(lit(256.0) * col("take_rate"))))
+      .filter(Sampling.uniform24(id) <
+        col("take_rate") * lit((1 << 24).toDouble))
       .drop("__bs_src", "take_rate")
 }
