@@ -115,6 +115,24 @@ class PlanAuditSpec extends SparkSpec {
       s"admission plan grew a window:\n$plan")
   }
 
+  test("budgeted sampling broadcasts the source-grain rate table; " +
+      "the corpus side rides the scan") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = SparkEntry.queries("q207_budgeted_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the allocation/take_rate table is source-cardinality: the doc
+    // join must be a broadcast hash join keyed on the renamed rate
+    // column, with the row-local md5 coin fused into its condition —
+    // the corpus never sort-merge-joins to meet the rate table (its
+    // only exchanges are the audit aggregation's own source-grain
+    // partials)
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("__bs_src"),
+      s"rate table not broadcast-joined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus sort-merge-joined the rate table:\n$plan")
+  }
+
   test("grid range join is an equi-shuffle join, not a nested loop") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val plan = SparkEntry.queries("q193_range_join")(spark, sfDir)
