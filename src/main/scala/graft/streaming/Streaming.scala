@@ -1703,6 +1703,30 @@ object Streaming {
         .parquet(s"$tmp/batch=-1")
     }
 
+  /** Offline compaction for a [[jaccardIndexSink]] index: collapse
+    * BOTH trees' per-batch dirs — `prefix/batch=<id>/jb=<k>/` into a
+    * single `prefix/batch=-1/jb=<k>/` (sorted by digest, so point
+    * probes prune parquet row groups) and `arrays/batch=<id>/ab=<k>/`
+    * into `arrays/batch=-1/ab=<k>/` (sorted by id, for the
+    * verification fetch) — under ONE atomic swap of the index root,
+    * so a reader never sees one tree compacted and the other not.
+    * Same stopped-stream contract and admission-parity guarantee as
+    * [[compactDedupIndex]] (StreamingSpec asserts a fresh batch's
+    * admitted set is identical across compaction). */
+  def compactJaccardIndex(spark: SparkSession, indexDir: String): Unit =
+    swapInCompacted(spark, indexDir) { (tmp, _) =>
+      spark.read.parquet(s"$indexDir/prefix").drop("batch")
+        .repartition(DedupIndexBuckets, col("jb"))
+        .sortWithinPartitions("jb", "h")
+        .write.mode("overwrite").partitionBy("jb")
+        .parquet(s"$tmp/prefix/batch=-1")
+      spark.read.parquet(s"$indexDir/arrays").drop("batch")
+        .repartition(DedupIndexBuckets, col("ab"))
+        .sortWithinPartitions("ab", "id")
+        .write.mode("overwrite").partitionBy("ab")
+        .parquet(s"$tmp/arrays/batch=-1")
+    }
+
   /** Offline compaction (and optional re-centering) for a
     * [[vectorIndexSink]] index: merge the `batch=<id>/cluster=<cid>/`
     * directories into `batch=-1/cluster=<cid>/`, one coalesced file

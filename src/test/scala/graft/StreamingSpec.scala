@@ -481,6 +481,31 @@ class StreamingSpec extends SparkSpec {
       val after = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
         .collect().map(_.toSeq).toSet
       assert(after === before)
+      // compaction: both trees collapse to batch=-1 under ONE atomic
+      // swap; standing rows and a fresh batch's admission decision are
+      // identical before and after
+      val b3 = Seq((20L, d3.replace("walls", "cliffs")), (21L, d1))
+        .toDF("doc_id", "text")
+      def admit3() = graft.ops.Dedup.admitAgainstJaccardIndex(b3, "text",
+          "doc_id",
+          spark.read.parquet(s"$tmp/index/arrays").drop("batch", "ab"),
+          spark.read.parquet(s"$tmp/index/prefix").drop("batch", "jb"),
+          3, 0.5, frozen)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val rowsPre = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .drop("batch", "ab").collect().map(_.toSeq).toSet
+      val admitPre = admit3()
+      Streaming.compactJaccardIndex(spark, s"$tmp/index")
+      assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .drop("batch", "ab").collect().map(_.toSeq).toSet === rowsPre)
+      assert(admit3() === admitPre)
+      // a post-compaction merge appends above batch=-1 and decides
+      // identically (21 is stored 1's exact dup -> suppressed)
+      Streaming.mergeJaccardIndexBatch(b3, "text", "doc_id",
+        s"$tmp/index", 2L, frozen, 3, 0.5)
+      val idsAfter = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idsAfter === Set(1L, 2L, 12L) ++ admitPre)
     } finally q.stop()
   }
 
