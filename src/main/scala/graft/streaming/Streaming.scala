@@ -709,6 +709,22 @@ object Streaming {
                              indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/arrays")
 
+  /** Persist the frozen [[graft.ops.Dedup.shingleDfTable]] under the
+    * index root (`df_table/`) — the cross-session form of the pin the
+    * in-session cache() provides: an index's prefix invariants are
+    * only valid under the EXACT order it was built with, so the order
+    * must be stored WITH the index, written once at index creation
+    * and re-read ([[readJaccardDfTable]]) by every later session's
+    * sink or admission call. */
+  def writeJaccardDfTable(dfTable: DataFrame, indexDir: String): Unit =
+    dfTable.write.mode("overwrite").parquet(s"$indexDir/df_table")
+
+  /** Re-read a [[writeJaccardDfTable]] snapshot, cached like a fresh
+    * [[graft.ops.Dedup.shingleDfTable]] so per-batch consumers share
+    * one read. */
+  def readJaccardDfTable(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/df_table").cache()
+
   /** END-TO-END streaming corpus curation in ONE exactly-once sink:
     * per micro-batch, (1) quality-gate on
     * [[graft.ops.Text.qualityScore]] ≥ `minQuality`, (2) near-dup
@@ -1714,7 +1730,7 @@ object Streaming {
     * [[compactDedupIndex]] (StreamingSpec asserts a fresh batch's
     * admitted set is identical across compaction). */
   def compactJaccardIndex(spark: SparkSession, indexDir: String): Unit =
-    swapInCompacted(spark, indexDir) { (tmp, _) =>
+    swapInCompacted(spark, indexDir) { (tmp, fs) =>
       spark.read.parquet(s"$indexDir/prefix").drop("batch")
         .repartition(DedupIndexBuckets, col("jb"))
         .sortWithinPartitions("jb", "h")
@@ -1725,6 +1741,14 @@ object Streaming {
         .sortWithinPartitions("ab", "id")
         .write.mode("overwrite").partitionBy("ab")
         .parquet(s"$tmp/arrays/batch=-1")
+      // the persisted frozen order ([[writeJaccardDfTable]]) lives
+      // under the same root and must survive the swap — it IS the
+      // index's validity contract
+      val dfT = new HPath(s"$indexDir/df_table")
+      if (fs.exists(dfT))
+        org.apache.hadoop.fs.FileUtil.copy(fs, dfT, fs,
+          new HPath(s"$tmp/df_table"), false,
+          spark.sparkContext.hadoopConfiguration)
     }
 
   /** Offline compaction (and optional re-centering) for a

@@ -495,10 +495,24 @@ class StreamingSpec extends SparkSpec {
       val rowsPre = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
         .drop("batch", "ab").collect().map(_.toSeq).toSet
       val admitPre = admit3()
+      // the frozen order persisted WITH the index round-trips: a later
+      // session re-reading it decides admission identically
+      Streaming.writeJaccardDfTable(frozen, s"$tmp/index")
+      val reread = Streaming.readJaccardDfTable(spark, s"$tmp/index")
+      assert(graft.ops.Dedup.admitAgainstJaccardIndex(b3, "text",
+          "doc_id",
+          spark.read.parquet(s"$tmp/index/arrays").drop("batch", "ab"),
+          spark.read.parquet(s"$tmp/index/prefix").drop("batch", "jb"),
+          3, 0.5, reread)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === admitPre)
       Streaming.compactJaccardIndex(spark, s"$tmp/index")
       assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
         .drop("batch", "ab").collect().map(_.toSeq).toSet === rowsPre)
       assert(admit3() === admitPre)
+      // the persisted frozen order survives the root swap
+      assert(Streaming.readJaccardDfTable(spark, s"$tmp/index")
+        .collect().map(_.toSeq).toSet ===
+        frozen.collect().map(_.toSeq).toSet)
       // a post-compaction merge appends above batch=-1 and decides
       // identically (21 is stored 1's exact dup -> suppressed)
       Streaming.mergeJaccardIndexBatch(b3, "text", "doc_id",
