@@ -368,9 +368,11 @@ object Dedup {
     * it. cache(), not localCheckpoint(): cached blocks lost to
     * executor decommission recompute from lineage, where a
     * checkpoint-block loss would fail every later micro-batch of a
-    * long-lived sink. Long-lived production indexes should persist
-    * the table to the index directory and re-read it across sessions;
-    * this in-session pin covers one index lifetime. */
+    * long-lived sink. Long-lived production indexes persist the table
+    * WITH the index and re-read it across sessions
+    * ([[graft.streaming.Streaming.writeJaccardDfTable]] /
+    * `readJaccardDfTable` — compaction carries it through the root
+    * swap); this in-session pin covers one index lifetime. */
   def shingleDfTable(df: DataFrame, textCol: String, n: Int): DataFrame =
     Scale.widen(df).where(col(textCol).isNotNull)
       .select(explode(array_distinct(transform(
