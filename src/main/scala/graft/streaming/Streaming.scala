@@ -1719,6 +1719,21 @@ object Streaming {
         .parquet(s"$tmp/batch=-1")
     }
 
+  /** Offline compaction for a [[curationIngestSink]]'s corpus tree:
+    * collapse the per-batch `corpus/batch=<id>/` payload dirs into one
+    * `corpus/batch=-1/` — the file-count maintenance the ingest root
+    * needs alongside [[compactDedupIndex]] (run that on
+    * `<root>/index`); the `stats/` stores are swap-maintained and
+    * never accumulate dirs. Same stopped-stream contract; a resuming
+    * stream appends new batch dirs above `-1` and a replayed batch
+    * rewrites identical payload content against the compacted index
+    * state. */
+  def compactCurationCorpus(spark: SparkSession, rootDir: String): Unit =
+    swapInCompacted(spark, s"$rootDir/corpus") { (tmp, _) =>
+      spark.read.parquet(s"$rootDir/corpus").drop("batch")
+        .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    }
+
   /** Offline compaction for a [[jaccardIndexSink]] index: collapse
     * BOTH trees' per-batch dirs — `prefix/batch=<id>/jb=<k>/` into a
     * single `prefix/batch=-1/jb=<k>/` (sorted by digest, so point

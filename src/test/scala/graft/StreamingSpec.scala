@@ -570,6 +570,24 @@ class StreamingSpec extends SparkSpec {
         Streaming.readWordHistogram(spark, s"$tmp/stats")
           .collect().map(_.toSeq).toSet)
       assert(after === before)
+      // corpus + index compaction: payload rows, admitted ids and the
+      // stats stores are identical; a post-compaction ingest appends
+      val payloadPre = Streaming.readCurationCorpus(spark, tmp)
+        .drop("batch").collect().map(_.toSeq).toSet
+      Streaming.compactCurationCorpus(spark, tmp)
+      Streaming.compactDedupIndex(spark, s"$tmp/index")
+      assert(Streaming.readCurationCorpus(spark, tmp)
+        .drop("batch").collect().map(_.toSeq).toSet === payloadPre)
+      assert(Streaming.readWordHistogram(spark, s"$tmp/stats")
+        .collect().map(_.toSeq).toSet === before._2)
+      val prose4 = "terraced vineyards stepped down the valley toward " +
+        "the slow bend of the river"
+      Streaming.curationIngestBatch(Seq((20L, prose4))
+        .toDF("doc_id", "text"), "text", "doc_id", tmp, 2L, minQ,
+        0.0, 1000.0, 8, 4, 3)
+      assert(Streaming.readCurationCorpus(spark, tmp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+        === Set(1L, 3L, 11L, 20L))
     } finally q.stop()
   }
 
