@@ -715,15 +715,34 @@ object Streaming {
     * only valid under the EXACT order it was built with, so the order
     * must be stored WITH the index, written once at index creation
     * and re-read ([[readJaccardDfTable]]) by every later session's
-    * sink or admission call. */
-  def writeJaccardDfTable(dfTable: DataFrame, indexDir: String): Unit =
-    dfTable.write.mode("overwrite").parquet(s"$indexDir/df_table")
+    * sink or admission call. Written under the
+    * [[graft.ops.Warehouse.atomicSwap]] discipline — a plain
+    * overwrite crashing mid-write could leave the order absent or
+    * TRUNCATED, silently invalidating every stored prefix. */
+  def writeJaccardDfTable(dfTable: DataFrame, indexDir: String): Unit = {
+    val dir = new HPath(s"$indexDir/df_table")
+    val spark = dfTable.sparkSession
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new HPath(dir.getParent, ".df_table.old")
+    val tmp = new HPath(dir.getParent, ".df_table.tmp")
+    graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
+    fs.delete(tmp, true)
+    dfTable.write.mode("overwrite").parquet(tmp.toString)
+    graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+  }
 
-  /** Re-read a [[writeJaccardDfTable]] snapshot, cached like a fresh
+  /** Re-read a [[writeJaccardDfTable]] snapshot (falling back to the
+    * swap backup if a writer crashed mid-rename — reads never heal,
+    * per the store-read discipline), cached like a fresh
     * [[graft.ops.Dedup.shingleDfTable]] so per-batch consumers share
     * one read. */
-  def readJaccardDfTable(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/df_table").cache()
+  def readJaccardDfTable(spark: SparkSession, indexDir: String): DataFrame = {
+    val dir = new HPath(s"$indexDir/df_table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new HPath(dir.getParent, ".df_table.old")
+    val p = if (fs.exists(dir)) dir else backup
+    spark.read.parquet(p.toString).cache()
+  }
 
   /** END-TO-END streaming corpus curation in ONE exactly-once sink:
     * per micro-batch, (1) quality-gate on
@@ -1678,14 +1697,43 @@ object Streaming {
     graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
   }
 
-  /** Offline compaction for a [[dedupIndexSink]] index: merge every
-    * accumulated `batch=<id>/` directory into a single `batch=-1/`
+  /** `batch=<id>` dir ids under `tree` (empty if the tree does not
+    * exist — compactors no-op instead of failing schema inference on
+    * a store that has not received data yet). */
+  private def batchDirIds(fs: org.apache.hadoop.fs.FileSystem,
+                          tree: HPath): Seq[Long] =
+    if (!fs.exists(tree)) Seq.empty
+    else fs.listStatus(tree).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+
+  /** Copy `tree/batch=<id>` into the compaction tmp root unchanged. */
+  private def carryBatchDir(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, src: HPath,
+      dst: HPath): Unit =
+    if (fs.exists(src)) {
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      ()
+    }
+
+  /** Offline compaction for a [[dedupIndexSink]] index: merge the
+    * accumulated `batch=<id>/` directories into a single `batch=-1/`
     * tree — same `bh=` bucket partitioning, ~one file per bucket,
     * rows sorted by `band_hash` within each so parquet row-group
     * min/max stats prune point probes. Without this the per-batch
     * directories accumulate forever and file listing/opening comes to
     * dominate every admission probe (the sinks' docstrings defer
     * exactly this chore here).
+    *
+    * The HIGHEST batch id is carried through UNCHANGED, never folded:
+    * if the stream stopped mid-crash, that trailing batch may be
+    * uncommitted in the checkpoint, and its replay must still be able
+    * to delete-and-redecide its own dir — folding it into `batch=-1`
+    * would make the replay's delete a no-op and the batch's own
+    * standing rows would suppress its own documents. Committed
+    * trailing batches just wait one compaction cycle.
     *
     * Safe against readers via the [[graft.ops.Warehouse.atomicSwap]]
     * rename discipline, and against the stream via the batch-id space:
@@ -1696,43 +1744,65 @@ object Streaming {
     * concurrent merge racing the same root is the one unsupported
     * interleaving. */
   def compactDedupIndex(spark: SparkSession, indexDir: String): Unit =
-    swapInCompacted(spark, indexDir) { (tmp, _) =>
-      spark.read.parquet(indexDir).drop("batch")
-        .repartition(DedupIndexBuckets, col("bh"))
-        .sortWithinPartitions("bh", "band_hash")
-        .write.mode("overwrite").partitionBy("bh")
-        .parquet(s"$tmp/batch=-1")
-    }
+    compactBandedIndex(spark, indexDir, "bh", Seq("bh", "band_hash"))
 
   /** Offline compaction for a [[hashIndexSink]] index: collapse the
     * per-batch `batch=<id>/hb=<k>/` trees into one sorted
-    * `batch=-1/hb=<k>/` tree — same atomic-swap discipline and
-    * stopped-stream contract as [[compactDedupIndex]], and admission
-    * decisions are identical across compaction (the probe reads the
-    * same rows from fewer, sorted files; StreamingSpec asserts it). */
+    * `batch=-1/hb=<k>/` tree — same atomic-swap discipline,
+    * stopped-stream contract and keep-last-batch rule as
+    * [[compactDedupIndex]], and admission decisions are identical
+    * across compaction (the probe reads the same rows from fewer,
+    * sorted files; StreamingSpec asserts it). */
   def compactHashIndex(spark: SparkSession, indexDir: String): Unit =
-    swapInCompacted(spark, indexDir) { (tmp, _) =>
-      spark.read.parquet(indexDir).drop("batch")
-        .repartition(DedupIndexBuckets, col("hb"))
-        .sortWithinPartitions("hb", "band_idx", "band_value")
-        .write.mode("overwrite").partitionBy("hb")
+    compactBandedIndex(spark, indexDir, "hb",
+      Seq("hb", "band_idx", "band_value"))
+
+  private def compactBandedIndex(spark: SparkSession, indexDir: String,
+      bucketCol: String, sortCols: Seq[String]): Unit = {
+    val fs = new HPath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = batchDirIds(fs, new HPath(indexDir))
+    if (ids.size <= 1) return // nothing to fold (or no data yet)
+    val keep = ids.max
+    swapInCompacted(spark, indexDir) { (tmp, fsi) =>
+      spark.read.parquet(indexDir)
+        .where(col("batch") =!= keep).drop("batch")
+        .repartition(DedupIndexBuckets, col(bucketCol))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(bucketCol)
         .parquet(s"$tmp/batch=-1")
+      carryBatchDir(spark, fsi, new HPath(s"$indexDir/batch=$keep"),
+        new HPath(s"$tmp/batch=$keep"))
     }
+  }
 
   /** Offline compaction for a [[curationIngestSink]]'s corpus tree:
-    * collapse the per-batch `corpus/batch=<id>/` payload dirs into one
-    * `corpus/batch=-1/` — the file-count maintenance the ingest root
-    * needs alongside [[compactDedupIndex]] (run that on
-    * `<root>/index`); the `stats/` stores are swap-maintained and
-    * never accumulate dirs. Same stopped-stream contract; a resuming
-    * stream appends new batch dirs above `-1` and a replayed batch
-    * rewrites identical payload content against the compacted index
-    * state. */
-  def compactCurationCorpus(spark: SparkSession, rootDir: String): Unit =
-    swapInCompacted(spark, s"$rootDir/corpus") { (tmp, _) =>
-      spark.read.parquet(s"$rootDir/corpus").drop("batch")
+    * collapse the per-batch `corpus/batch=<id>/` payload dirs into a
+    * size-targeted `corpus/batch=-1/` file set — the file-count
+    * maintenance the ingest root needs alongside [[compactDedupIndex]]
+    * (run that on `<root>/index`); the `stats/` stores are
+    * swap-maintained and never accumulate dirs. Same stopped-stream
+    * contract and keep-last-batch rule as [[compactDedupIndex]]: the
+    * highest batch dir is carried unchanged so a crash-interrupted
+    * trailing batch replays against exactly the state it wrote. */
+  def compactCurationCorpus(spark: SparkSession, rootDir: String): Unit = {
+    val tree = new HPath(s"$rootDir/corpus")
+    val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = batchDirIds(fs, tree)
+    if (ids.size <= 1) return
+    val keep = ids.max
+    // one file per ~128 MB of folded payload, like Warehouse.compact
+    val nFiles = math.max(1, math.ceil(
+      fs.getContentSummary(tree).getLength / 128e6).toInt)
+    swapInCompacted(spark, s"$rootDir/corpus") { (tmp, fsi) =>
+      spark.read.parquet(s"$rootDir/corpus")
+        .where(col("batch") =!= keep).drop("batch")
+        .coalesce(nFiles)
         .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+      carryBatchDir(spark, fsi, new HPath(s"$rootDir/corpus/batch=$keep"),
+        new HPath(s"$tmp/batch=$keep"))
     }
+  }
 
   /** Offline compaction for a [[jaccardIndexSink]] index: collapse
     * BOTH trees' per-batch dirs — `prefix/batch=<id>/jb=<k>/` into a
@@ -1741,30 +1811,48 @@ object Streaming {
     * into `arrays/batch=-1/ab=<k>/` (sorted by id, for the
     * verification fetch) — under ONE atomic swap of the index root,
     * so a reader never sees one tree compacted and the other not.
-    * Same stopped-stream contract and admission-parity guarantee as
-    * [[compactDedupIndex]] (StreamingSpec asserts a fresh batch's
-    * admitted set is identical across compaction). */
-  def compactJaccardIndex(spark: SparkSession, indexDir: String): Unit =
-    swapInCompacted(spark, indexDir) { (tmp, fs) =>
-      spark.read.parquet(s"$indexDir/prefix").drop("batch")
-        .repartition(DedupIndexBuckets, col("jb"))
-        .sortWithinPartitions("jb", "h")
-        .write.mode("overwrite").partitionBy("jb")
-        .parquet(s"$tmp/prefix/batch=-1")
-      spark.read.parquet(s"$indexDir/arrays").drop("batch")
-        .repartition(DedupIndexBuckets, col("ab"))
-        .sortWithinPartitions("ab", "id")
-        .write.mode("overwrite").partitionBy("ab")
-        .parquet(s"$tmp/arrays/batch=-1")
+    * Same stopped-stream contract, admission-parity guarantee and
+    * keep-last-batch rule as [[compactDedupIndex]]; the highest id
+    * over BOTH trees is the carried batch, so a merge that crashed
+    * between its arrays and prefix writes replays cleanly (its orphan
+    * arrays dir is deleted-and-redecided, never folded). */
+  def compactJaccardIndex(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new HPath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pIds = batchDirIds(fs, new HPath(s"$indexDir/prefix"))
+    val aIds = batchDirIds(fs, new HPath(s"$indexDir/arrays"))
+    if ((pIds ++ aIds).isEmpty) return // no data yet (df_table-only ok)
+    val keep = (pIds ++ aIds).max
+    if (pIds.filterNot(_ == keep).isEmpty &&
+      aIds.filterNot(_ == keep).isEmpty) return // single batch: no-op
+    swapInCompacted(spark, indexDir) { (tmp, fsi) =>
+      def fold(tree: String, ids: Seq[Long], bucket: String,
+               sort: Seq[String]): Unit = {
+        // never write an EMPTY batch=-1 (a _SUCCESS-only partitioned
+        // dir would wedge later schema inference)
+        if (ids.filterNot(_ == keep).nonEmpty)
+          spark.read.parquet(s"$indexDir/$tree")
+            .where(col("batch") =!= keep).drop("batch")
+            .repartition(DedupIndexBuckets, col(bucket))
+            .sortWithinPartitions(sort.map(col): _*)
+            .write.mode("overwrite").partitionBy(bucket)
+            .parquet(s"$tmp/$tree/batch=-1")
+        carryBatchDir(spark, fsi,
+          new HPath(s"$indexDir/$tree/batch=$keep"),
+          new HPath(s"$tmp/$tree/batch=$keep"))
+      }
+      fold("prefix", pIds, "jb", Seq("jb", "h"))
+      fold("arrays", aIds, "ab", Seq("ab", "id"))
       // the persisted frozen order ([[writeJaccardDfTable]]) lives
       // under the same root and must survive the swap — it IS the
       // index's validity contract
       val dfT = new HPath(s"$indexDir/df_table")
-      if (fs.exists(dfT))
-        org.apache.hadoop.fs.FileUtil.copy(fs, dfT, fs,
+      if (fsi.exists(dfT))
+        org.apache.hadoop.fs.FileUtil.copy(fsi, dfT, fsi,
           new HPath(s"$tmp/df_table"), false,
           spark.sparkContext.hadoopConfiguration)
     }
+  }
 
   /** Offline compaction (and optional re-centering) for a
     * [[vectorIndexSink]] index: merge the `batch=<id>/cluster=<cid>/`
@@ -1778,7 +1866,11 @@ object Streaming {
     * re-centering the input centroids are returned unchanged and the
     * on-disk assignment is preserved byte-for-byte (search parity
     * asserted in StreamingSpec). Same stopped-stream contract as
-    * [[compactDedupIndex]]. */
+    * [[compactDedupIndex]], but run it only after a CLEAN stop: this
+    * compactor folds EVERY batch dir (re-centering must cover all
+    * vectors, so the keep-last-batch rule cannot apply), and a
+    * crash-interrupted trailing batch folded into `batch=-1` would be
+    * duplicated by its replay's overwrite of `batch=<id>`. */
   def compactVectorIndex(spark: SparkSession, indexDir: String,
                          centroids: DataFrame, recenter: Boolean = false,
                          idCol: String = "id",

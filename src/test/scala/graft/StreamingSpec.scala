@@ -513,6 +513,13 @@ class StreamingSpec extends SparkSpec {
       assert(Streaming.readJaccardDfTable(spark, s"$tmp/index")
         .collect().map(_.toSeq).toSet ===
         frozen.collect().map(_.toSeq).toSet)
+      // replay of the carried latest batch (1) after compaction:
+      // its dir was NOT folded, so delete-and-redecide reproduces
+      // identical standing content
+      Streaming.mergeJaccardIndexBatch(b2.toDF("doc_id", "text"), "text",
+        "doc_id", s"$tmp/index", 1L, frozen, 3, 0.5)
+      assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .drop("batch", "ab").collect().map(_.toSeq).toSet === rowsPre)
       // a post-compaction merge appends above batch=-1 and decides
       // identically (21 is stored 1's exact dup -> suppressed)
       Streaming.mergeJaccardIndexBatch(b3, "text", "doc_id",
@@ -580,6 +587,13 @@ class StreamingSpec extends SparkSpec {
         .drop("batch").collect().map(_.toSeq).toSet === payloadPre)
       assert(Streaming.readWordHistogram(spark, s"$tmp/stats")
         .collect().map(_.toSeq).toSet === before._2)
+      // replay of the carried latest batch (1) after compaction: the
+      // corpus and stats replay to identical state (index batch dir
+      // was carried, not folded; stats skip at the mark)
+      Streaming.curationIngestBatch(b2.toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 1L, minQ, 0.0, 1000.0, 8, 4, 3)
+      assert(Streaming.readCurationCorpus(spark, tmp)
+        .drop("batch").collect().map(_.toSeq).toSet === payloadPre)
       val prose4 = "terraced vineyards stepped down the valley toward " +
         "the slow bend of the river"
       Streaming.curationIngestBatch(Seq((20L, prose4))
@@ -1166,10 +1180,17 @@ class StreamingSpec extends SparkSpec {
     assert(admitted() === admBefore)
     assert(files() < filesBefore,
       s"compaction did not collapse files: ${files()} vs $filesBefore")
-    // only the compacted batch=-1 tree remains, and the sink can keep
-    // appending to it afterwards: a new batch id lands alongside
+    // batch=-1 plus the CARRIED latest batch dir (never folded: a
+    // crash-interrupted trailing batch must keep its own dir so its
+    // replay can delete-and-redecide), and the sink keeps appending
     assert(new java.io.File(indexDir).listFiles()
-      .count(_.getName.startsWith("batch=")) === 1)
+      .count(_.getName.startsWith("batch=")) === 2)
+    // replay of the carried latest batch after compaction: identical
+    // standing content (the fixed folding hazard)
+    Streaming.mergeDedupIndexBatch(
+      slices.init.last.toIndexedSeq.toDF("doc_id", "text"),
+      "text", "doc_id", indexDir, (slices.init.size - 1).toLong)
+    assert(indexed() === idxBefore)
     Streaming.mergeDedupIndexBatch(probeBatch, "text", "doc_id",
       indexDir, 97L)
     assert(Streaming.readDedupIndex(spark, indexDir)
