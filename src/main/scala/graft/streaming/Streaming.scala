@@ -719,28 +719,26 @@ object Streaming {
     * [[graft.ops.Warehouse.atomicSwap]] discipline — a plain
     * overwrite crashing mid-write could leave the order absent or
     * TRUNCATED, silently invalidating every stored prefix. */
-  def writeJaccardDfTable(dfTable: DataFrame, indexDir: String): Unit = {
-    val dir = new HPath(s"$indexDir/df_table")
-    val spark = dfTable.sparkSession
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup = new HPath(dir.getParent, ".df_table.old")
-    val tmp = new HPath(dir.getParent, ".df_table.tmp")
-    graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
-    fs.delete(tmp, true)
-    dfTable.write.mode("overwrite").parquet(tmp.toString)
-    graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
-  }
+  def writeJaccardDfTable(dfTable: DataFrame, indexDir: String): Unit =
+    // one swap discipline, one backup-naming scheme: the shared
+    // heal + tmp-write + atomicSwap helper, applied to the df_table
+    // subdir (backup `.df_table.compact.old`, which
+    // [[readJaccardDfTable]] and [[compactJaccardIndex]] both know)
+    swapInCompacted(dfTable.sparkSession, s"$indexDir/df_table") {
+      (tmp, _) => dfTable.write.mode("overwrite").parquet(tmp)
+    }
 
   /** Re-read a [[writeJaccardDfTable]] snapshot (falling back to the
     * swap backup if a writer crashed mid-rename — reads never heal,
-    * per the store-read discipline), cached like a fresh
+    * per the store-read discipline; a table missing from BOTH
+    * locations errors against the primary path), cached like a fresh
     * [[graft.ops.Dedup.shingleDfTable]] so per-batch consumers share
     * one read. */
   def readJaccardDfTable(spark: SparkSession, indexDir: String): DataFrame = {
     val dir = new HPath(s"$indexDir/df_table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup = new HPath(dir.getParent, ".df_table.old")
-    val p = if (fs.exists(dir)) dir else backup
+    val backup = new HPath(dir.getParent, ".df_table.compact.old")
+    val p = if (!fs.exists(dir) && fs.exists(backup)) backup else dir
     spark.read.parquet(p.toString).cache()
   }
 
@@ -1707,6 +1705,21 @@ object Streaming {
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
 
+  /** Heal a possibly-crashed previous compaction of `root` BEFORE a
+    * compactor inspects the tree: a crash between [[graft.ops
+    * .Warehouse.atomicSwap]]'s two renames leaves the data only in
+    * `.<name>.compact.old`, and a crash after the second rename
+    * leaves a stale full-size backup — both must be resolved (rename
+    * back / delete) before any no-op-if-few-batches decision, or the
+    * backup is never consumed and a later swap DESTROYS it. */
+  private def healCompactRoot(spark: SparkSession, root: String): Unit = {
+    val dir = new HPath(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Warehouse.restoreFromBackup(fs, dir,
+      new HPath(dir.getParent, s".${dir.getName}.compact.old"))
+    ()
+  }
+
   /** Copy `tree/batch=<id>` into the compaction tmp root unchanged. */
   private def carryBatchDir(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, src: HPath,
@@ -1759,11 +1772,14 @@ object Streaming {
 
   private def compactBandedIndex(spark: SparkSession, indexDir: String,
       bucketCol: String, sortCols: Seq[String]): Unit = {
+    healCompactRoot(spark, indexDir)
     val fs = new HPath(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = batchDirIds(fs, new HPath(indexDir))
-    if (ids.size <= 1) return // nothing to fold (or no data yet)
-    val keep = ids.max
+    val keep = if (ids.isEmpty) -1L else ids.max
+    // no-op unless there is something to CONSOLIDATE: a tree that is
+    // already {batch=-1, latest} would only be identity-rewritten
+    if (ids.filterNot(id => id == keep || id == -1L).isEmpty) return
     swapInCompacted(spark, indexDir) { (tmp, fsi) =>
       spark.read.parquet(indexDir)
         .where(col("batch") =!= keep).drop("batch")
@@ -1786,14 +1802,17 @@ object Streaming {
     * highest batch dir is carried unchanged so a crash-interrupted
     * trailing batch replays against exactly the state it wrote. */
   def compactCurationCorpus(spark: SparkSession, rootDir: String): Unit = {
+    healCompactRoot(spark, s"$rootDir/corpus")
     val tree = new HPath(s"$rootDir/corpus")
     val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = batchDirIds(fs, tree)
-    if (ids.size <= 1) return
-    val keep = ids.max
-    // one file per ~128 MB of folded payload, like Warehouse.compact
-    val nFiles = math.max(1, math.ceil(
-      fs.getContentSummary(tree).getLength / 128e6).toInt)
+    val keep = if (ids.isEmpty) -1L else ids.max
+    if (ids.filterNot(id => id == keep || id == -1L).isEmpty) return
+    // one file per ~128 MB of FOLDED payload (the carried batch's
+    // size must not inflate the target), like Warehouse.compact
+    val foldedBytes = ids.filterNot(_ == keep).map(id =>
+      fs.getContentSummary(new HPath(tree, s"batch=$id")).getLength).sum
+    val nFiles = math.max(1, math.ceil(foldedBytes / 128e6).toInt)
     swapInCompacted(spark, s"$rootDir/corpus") { (tmp, fsi) =>
       spark.read.parquet(s"$rootDir/corpus")
         .where(col("batch") =!= keep).drop("batch")
@@ -1817,20 +1836,33 @@ object Streaming {
     * between its arrays and prefix writes replays cleanly (its orphan
     * arrays dir is deleted-and-redecided, never folded). */
   def compactJaccardIndex(spark: SparkSession, indexDir: String): Unit = {
+    healCompactRoot(spark, indexDir)
+    // also heal a crashed writeJaccardDfTable swap NOW (compaction is
+    // a writer, so healing is allowed): the root swap below only
+    // carries what it copies — an unconsumed `.df_table.compact.old`
+    // would be renamed away with the old root and destroyed
+    healCompactRoot(spark, s"$indexDir/df_table")
     val fs = new HPath(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pIds = batchDirIds(fs, new HPath(s"$indexDir/prefix"))
     val aIds = batchDirIds(fs, new HPath(s"$indexDir/arrays"))
     if ((pIds ++ aIds).isEmpty) return // no data yet (df_table-only ok)
     val keep = (pIds ++ aIds).max
-    if (pIds.filterNot(_ == keep).isEmpty &&
-      aIds.filterNot(_ == keep).isEmpty) return // single batch: no-op
+    if ((pIds ++ aIds).filterNot(id => id == keep || id == -1L).isEmpty)
+      return // {batch=-1, latest} only: nothing to consolidate
     swapInCompacted(spark, indexDir) { (tmp, fsi) =>
       def fold(tree: String, ids: Seq[Long], bucket: String,
                sort: Seq[String]): Unit = {
-        // never write an EMPTY batch=-1 (a _SUCCESS-only partitioned
-        // dir would wedge later schema inference)
-        if (ids.filterNot(_ == keep).nonEmpty)
+        val foldIds = ids.filterNot(_ == keep)
+        if (foldIds.toSet == Set(-1L))
+          // this tree is already consolidated — carry batch=-1
+          // unchanged instead of an identity rewrite
+          carryBatchDir(spark, fsi,
+            new HPath(s"$indexDir/$tree/batch=-1"),
+            new HPath(s"$tmp/$tree/batch=-1"))
+        else if (foldIds.nonEmpty)
+          // (never write an EMPTY batch=-1: a _SUCCESS-only
+          // partitioned dir would wedge later schema inference)
           spark.read.parquet(s"$indexDir/$tree")
             .where(col("batch") =!= keep).drop("batch")
             .repartition(DedupIndexBuckets, col(bucket))

@@ -1198,6 +1198,46 @@ class StreamingSpec extends SparkSpec {
       idxBefore.map(_._1) ++ admBefore)
   }
 
+  test("compactors heal a crashed previous compaction before deciding " +
+      "anything: a mid-swap crash restores from backup, a stale backup " +
+      "is consumed, a consolidated tree is not identity-rewritten") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val tmp = JFiles.createTempDirectory("graft-heal").toString
+    val indexDir = s"$tmp/index"
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "glass furnaces along the coast burned driftwood and kelp"))
+    Streaming.mergeDedupIndexBatch(Seq(d(0)).toDF("doc_id", "text"),
+      "text", "doc_id", indexDir, 0L)
+    Streaming.mergeDedupIndexBatch(Seq(d(1)).toDF("doc_id", "text"),
+      "text", "doc_id", indexDir, 1L)
+    val rows = Streaming.readDedupIndex(spark, indexDir)
+      .drop("batch", "bh").collect().map(_.toSeq).toSet
+    // crash BETWEEN atomicSwap's two renames: the data lives only in
+    // the backup; the next compactor call must restore it before its
+    // few-batches no-op check (the old early return skipped the heal
+    // and a later swap would have DESTROYED the backup)
+    JFiles.move(Paths.get(indexDir), Paths.get(s"$tmp/.index.compact.old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Streaming.compactDedupIndex(spark, indexDir)
+    assert(Streaming.readDedupIndex(spark, indexDir)
+      .drop("batch", "bh").collect().map(_.toSeq).toSet === rows)
+    // compacted layout: batch=-1 + carried latest
+    assert(new java.io.File(indexDir).listFiles()
+      .map(_.getName).count(_.startsWith("batch=")) === 2)
+    // stale backup alongside a live target: consumed on the next call,
+    // which otherwise no-ops ({batch=-1, latest} has nothing to fold —
+    // dir mtimes prove no rewrite happened)
+    JFiles.createDirectory(Paths.get(s"$tmp/.index.compact.old"))
+    val mtime = new java.io.File(s"$indexDir/batch=-1").lastModified()
+    Streaming.compactDedupIndex(spark, indexDir)
+    assert(!new java.io.File(s"$tmp/.index.compact.old").exists())
+    assert(new java.io.File(s"$indexDir/batch=-1").lastModified()
+      === mtime)
+    assert(Streaming.readDedupIndex(spark, indexDir)
+      .drop("batch", "bh").collect().map(_.toSeq).toSet === rows)
+  }
+
   test("compactVectorIndex: search parity without recenter; recenter " +
        "returns usable centroids") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cvx").toString
