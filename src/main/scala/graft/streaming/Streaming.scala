@@ -737,7 +737,7 @@ object Streaming {
   def readJaccardDfTable(spark: SparkSession, indexDir: String): DataFrame = {
     val dir = new HPath(s"$indexDir/df_table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup = new HPath(dir.getParent, ".df_table.compact.old")
+    val backup = compactBackupPath(dir)
     val p = if (!fs.exists(dir) && fs.exists(backup)) backup else dir
     spark.read.parquet(p.toString).cache()
   }
@@ -1683,16 +1683,22 @@ object Streaming {
   /** Swap a freshly-written `<indexDir>.compact.tmp` tree into place
     * with [[graft.ops.Warehouse.atomicSwap]] discipline (heal first,
     * backup-rename window, crash-recoverable). */
+  /** The ONE definition of the compaction-swap backup path — shared
+    * by [[swapInCompacted]], [[healCompactRoot]] and
+    * [[readJaccardDfTable]]'s crash-fallback so the scheme cannot
+    * drift between writer, healer and reader. */
+  private def compactBackupPath(dir: HPath): HPath =
+    new HPath(dir.getParent, s".${dir.getName}.compact.old")
+
   private def swapInCompacted(spark: SparkSession, indexDir: String)(
       write: (String, org.apache.hadoop.fs.FileSystem) => Unit): Unit = {
     val dir = new HPath(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val backup = new HPath(dir.getParent, s".${dir.getName}.compact.old")
     val tmp = new HPath(dir.getParent, s".${dir.getName}.compact.tmp")
-    graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
+    graft.ops.Warehouse.restoreFromBackup(fs, dir, compactBackupPath(dir))
     fs.delete(tmp, true)
     write(tmp.toString, fs)
-    graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+    graft.ops.Warehouse.atomicSwap(fs, dir, tmp, compactBackupPath(dir))
   }
 
   /** `batch=<id>` dir ids under `tree` (empty if the tree does not
@@ -1715,8 +1721,7 @@ object Streaming {
   private def healCompactRoot(spark: SparkSession, root: String): Unit = {
     val dir = new HPath(root)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.ops.Warehouse.restoreFromBackup(fs, dir,
-      new HPath(dir.getParent, s".${dir.getName}.compact.old"))
+    graft.ops.Warehouse.restoreFromBackup(fs, dir, compactBackupPath(dir))
     ()
   }
 
@@ -1907,6 +1912,10 @@ object Streaming {
                          centroids: DataFrame, recenter: Boolean = false,
                          idCol: String = "id",
                          embCol: String = "emb"): DataFrame = {
+    // heal a crashed previous compaction BEFORE the root read — the
+    // read would otherwise fail on a mid-swap state and the backup
+    // holding the only copy would stay unreachable forever
+    healCompactRoot(spark, indexDir)
     val all = spark.read.parquet(indexDir).drop("batch")
     val newCents =
       if (!recenter) centroids

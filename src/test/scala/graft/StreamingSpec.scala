@@ -520,6 +520,24 @@ class StreamingSpec extends SparkSpec {
         "doc_id", s"$tmp/index", 1L, frozen, 3, 0.5)
       assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
         .drop("batch", "ab").collect().map(_.toSeq).toSet === rowsPre)
+      // crashed writeJaccardDfTable swap (order only in the backup):
+      // the reader falls back, and a subsequent compaction heals the
+      // backup BEFORE the root swap instead of destroying it
+      import java.nio.file.{Files => JF, Paths, StandardCopyOption}
+      JF.move(Paths.get(s"$tmp/index/df_table"),
+        Paths.get(s"$tmp/index/.df_table.compact.old"),
+        StandardCopyOption.ATOMIC_MOVE)
+      assert(Streaming.readJaccardDfTable(spark, s"$tmp/index")
+        .collect().map(_.toSeq).toSet ===
+        frozen.collect().map(_.toSeq).toSet)
+      Streaming.mergeJaccardIndexBatch(
+        Seq((30L, d2 + " entirely new words appended here"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", s"$tmp/index", 3L, frozen, 3, 0.5)
+      Streaming.compactJaccardIndex(spark, s"$tmp/index")
+      assert(Streaming.readJaccardDfTable(spark, s"$tmp/index")
+        .collect().map(_.toSeq).toSet ===
+        frozen.collect().map(_.toSeq).toSet)
       // a post-compaction merge appends above batch=-1 and decides
       // identically (21 is stored 1's exact dup -> suppressed)
       Streaming.mergeJaccardIndexBatch(b3, "text", "doc_id",
