@@ -1828,6 +1828,47 @@ object Streaming {
     }
   }
 
+  /** Offline (re)build of a [[jaccardIndexSink]] index from its
+    * ADMITTED corpus under a NEW frozen order — the drift path the
+    * sink pins away: as the corpus grows past the reference snapshot
+    * the original [[graft.ops.Dedup.shingleDfTable]] described,
+    * prefix lengths derive from stale document frequencies, so
+    * now-common shingles sit in prefixes and candidate counts creep
+    * up (decisions stay EXACT — DedupSpec asserts admission is
+    * order-independent — only the pruning the order exists for
+    * degrades). Re-deriving the order and re-indexing from source is
+    * the honest refresh, the [[rebuildPqIndex]] analogue for the
+    * exact-dedup store: writes the sink's `prefix/batch=-1/jb=` +
+    * `arrays/batch=-1/ab=` layout plus the new `df_table/` under ONE
+    * atomic swap. A resuming stream appends above `-1` — pass it the
+    * NEW order ([[readJaccardDfTable]]). `corpus` must be the
+    * admitted documents (e.g. the payloads backing
+    * `readJaccardIndexArrays` ids) — rebuild re-indexes, it does not
+    * re-dedup. Run with the stream stopped, like all maintenance
+    * here. */
+  def rebuildJaccardIndex(spark: SparkSession, corpus: DataFrame,
+                          textCol: String, idCol: String,
+                          indexDir: String, n: Int = 3,
+                          minJaccard: Double = 0.5): Unit = {
+    healCompactRoot(spark, indexDir)
+    val frozen = graft.ops.Dedup.shingleDfTable(corpus, textCol, n)
+    val (arrays, prefix) = graft.ops.Dedup.jaccardIndexTables(
+      corpus, textCol, idCol, n, minJaccard, frozen)
+    swapInCompacted(spark, indexDir) { (tmp, _) =>
+      arrays.withColumn("ab", jaccardArrayBucket(col("id")))
+        .repartition(DedupIndexBuckets, col("ab"))
+        .sortWithinPartitions("ab", "id")
+        .write.mode("overwrite").partitionBy("ab")
+        .parquet(s"$tmp/arrays/batch=-1")
+      prefix.withColumn("jb", jaccardPrefixBucket(col("h")))
+        .repartition(DedupIndexBuckets, col("jb"))
+        .sortWithinPartitions("jb", "h")
+        .write.mode("overwrite").partitionBy("jb")
+        .parquet(s"$tmp/prefix/batch=-1")
+      frozen.write.mode("overwrite").parquet(s"$tmp/df_table")
+    }
+  }
+
   /** Offline compaction for a [[jaccardIndexSink]] index: collapse
     * BOTH trees' per-batch dirs — `prefix/batch=<id>/jb=<k>/` into a
     * single `prefix/batch=-1/jb=<k>/` (sorted by digest, so point

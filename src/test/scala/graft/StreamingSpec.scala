@@ -545,6 +545,26 @@ class StreamingSpec extends SparkSpec {
       val idsAfter = Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
         .select("id").distinct().collect().map(_.getLong(0)).toSet
       assert(idsAfter === Set(1L, 2L, 12L) ++ admitPre)
+      // OFFLINE REBUILD under a freshly-derived order: the admitted
+      // corpus re-indexes into the batch=-1 layout + new df_table
+      // under one swap; admission stays EXACT (order-independent)
+      // and the stream appends above -1 with the new order
+      val admittedDocs = (b1 ++ b2).toDF("doc_id", "text")
+        .join(idsAfter.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+      Streaming.rebuildJaccardIndex(spark, admittedDocs, "text",
+        "doc_id", s"$tmp/index", 3, 0.5)
+      assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+        === idsAfter)
+      val frozen2 = Streaming.readJaccardDfTable(spark, s"$tmp/index")
+      Streaming.mergeJaccardIndexBatch(
+        Seq((40L, d1),                           // dup of stored 1
+          (41L, "brand new unrelated content about migratory geese"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", s"$tmp/index", 5L, frozen2, 3, 0.5)
+      assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+        === idsAfter + 41L)
     } finally q.stop()
   }
 
