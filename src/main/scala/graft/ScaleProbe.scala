@@ -157,6 +157,21 @@ object ScaleProbe {
         minQuality = 0.0, lenLo = 0.0, lenHi = 5000.0,
         numHashes = 8, bands = 4, shingleSize = 3)
     }
+    // EXACT-Jaccard streaming admission (the q204 machinery as a
+    // sink): frozen order pinned once over the full corpus, then the
+    // same slices merge against the growing two-tree store — the
+    // jb=/ab= bucket prunes must keep per-batch cost tracking batch
+    // size, not standing-index size
+    locally {
+      val frozen = Dedup.shingleDfTable(corpus, "text", 3)
+      frozen.count() // materialize the pin outside the timed loop
+      ingestSlices("jaccard-index merge", "graft-jixprobe") {
+        (b, tmp, i) =>
+          graft.streaming.Streaming.mergeJaccardIndexBatch(
+            b, "text", "doc_id", s"$tmp/index", i.toLong, frozen,
+            n = 3, minJaccard = 0.8)
+      }
+    }
     // decontamination: 1% of docs stand in for the benchmark set;
     // broadcast-semi-join inside the scan, so docs/s ~ text family
     time("decontaminate (1% bench)", total, "docs/s")(
