@@ -218,6 +218,11 @@ object GraftExtensions {
     lift("graft_nfc", 1)(cs => GraftFunctions.nfcNormalize(cs.head)),
     lift("graft_deflate_ratio", 1)(cs => GraftFunctions.deflateRatio(cs.head)),
     lift("graft_l2sq", 2)(cs => GraftFunctions.l2Sq(cs(0), cs(1))),
+    // distinct-common-element count of two string arrays (the exact-
+    // similarity verify inner loop; null ELEMENTS never match — see
+    // IntersectCountExpression's contract)
+    lift("graft_intersect_count", 2)(cs =>
+      GraftFunctions.intersectCount(cs(0), cs(1))),
     // md5 bucket in [0,256): the primitive under split labels, stratified
     // sampling and sharding — graft_split_bucket(id) % n is a shard id
     lift("graft_split_bucket", 1)(cs =>

@@ -263,7 +263,9 @@ class FunctionsSpec extends SparkSpec {
         |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)),
         |  graft_l2sq(array(1.0d, 2.0d), array(3.0d, 4.0d)),
         |  graft_split_bucket(42),
-        |  graft_nfc('café')""".stripMargin).head()
+        |  graft_nfc('café'),
+        |  graft_intersect_count(array('a', 'b', 'c'),
+        |    array('b', 'c', 'd'))""".stripMargin).head()
     val d = spark.range(1).select(
       Curation.normalizeText(lit("  Hey, YOU!! (x=1) ")),
       graft.functions.GraftFunctions.dotProduct(
@@ -271,12 +273,16 @@ class FunctionsSpec extends SparkSpec {
       graft.functions.GraftFunctions.l2Sq(
         array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))),
       Sampling.splitBucket(lit(42)),
-      graft.functions.GraftFunctions.nfcNormalize(lit("café"))).head()
+      graft.functions.GraftFunctions.nfcNormalize(lit("café")),
+      graft.functions.GraftFunctions.intersectCount(
+        array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d")))).head()
     assert(r === d)
     assert(r.getString(0) === "hey you x 1")
     assert(r.getDouble(1) === 11.0)
     assert(r.getDouble(2) === 8.0)
     assert(r.getString(4) === "café")
+    assert(r.getLong(5) === 2L)
   }
 
   test("graft_wordpiece / graft_linear_score: SQL matches the DataFrame ops") {
