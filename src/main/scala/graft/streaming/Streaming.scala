@@ -1850,10 +1850,17 @@ object Streaming {
                           textCol: String, idCol: String,
                           indexDir: String, n: Int = 3,
                           minJaccard: Double = 0.5): Unit = {
-    healCompactRoot(spark, indexDir)
     val frozen = graft.ops.Dedup.shingleDfTable(corpus, textCol, n)
-    val (arrays, prefix) = graft.ops.Dedup.jaccardIndexTables(
+    val (arrays0, prefix) = graft.ops.Dedup.jaccardIndexTables(
       corpus, textCol, idCol, n, minJaccard, frozen)
+    // materialized so the corpus-ordering shuffle feeds both tree
+    // writes from one pass; and a corpus with nothing indexable must
+    // FAIL here, not write _SUCCESS-only partitioned batch=-1 dirs
+    // that would wedge every later merge's schema inference
+    val arrays = arrays0.localCheckpoint()
+    require(!arrays.isEmpty,
+      "rebuildJaccardIndex: corpus yields no shingle sets (empty, or " +
+        "all-null text) — refusing to write an empty index layout")
     swapInCompacted(spark, indexDir) { (tmp, _) =>
       arrays.withColumn("ab", jaccardArrayBucket(col("id")))
         .repartition(DedupIndexBuckets, col("ab"))
