@@ -1460,8 +1460,11 @@ object Streaming {
     // the trim's top-(k+1) collect) runs inside the custom merge,
     // AFTER mergeStoreBatch's `_batch` replay check — a replayed
     // batch skips at the mark without re-aggregating anything
-    val counts = batch.groupBy(tokenCol).agg(count(lit(1)).as("cnt"))
-    val nTotal = batch.agg(count(lit(1)).as("n_total"))
+    // null tokens never count (they are absent rows, not a "null"
+    // heavy hitter) and are excluded from N so the bound stays tight
+    val occ = batch.where(col(tokenCol).isNotNull)
+    val counts = occ.groupBy(tokenCol).agg(count(lit(1)).as("cnt"))
+    val nTotal = occ.agg(count(lit(1)).as("n_total"))
       .select(lit(k).as("sk"), col("n_total"))
     mergeStoreBatch(statsDir, batchId, Seq(
       StorePart("mg", Seq(tokenCol), Nil) -> counts,

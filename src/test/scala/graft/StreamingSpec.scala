@@ -846,6 +846,14 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id", "priority").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(after === got)
+      // a batch whose weights are all <= 0 contributes nothing and the
+      // standing reservoir survives the merge untouched
+      Streaming.mergePrioritySampleBatch(
+        Seq((9999L, 0L), (9998L, -5L)).toDF("doc_id", "n_chars"),
+        "doc_id", "n_chars", 25, s"$tmp/stats", batches.size.toLong)
+      assert(Streaming.readPrioritySample(spark, s"$tmp/stats")
+        .select("doc_id", "priority").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet === got)
     } finally q.stop()
   }
 
