@@ -128,9 +128,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(col("__c") / ((col("__sa") + col("__sb")) / (2.0 * k)), 6)
           .as("margin"))
-      .withColumn("__r", row_number().over(
-        Window.orderBy(col("margin").desc, col("id_a"), col("id_b"))))
-      .where(col("__r") <= topPairs)
+      // global top-pairs as orderBy+limit, which plans as
+      // TakeOrderedAndProject (per-task bounded heaps merged on the
+      // driver) — a partition-less row_number window here would funnel
+      // the whole scored cross through one WindowExec task
+      .orderBy(col("margin").desc, col("id_a"), col("id_b"))
+      .limit(topPairs)
       .select("id_a", "id_b", "margin")
   }
 

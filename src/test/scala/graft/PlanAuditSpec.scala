@@ -26,6 +26,44 @@ class PlanAuditSpec extends SparkSpec {
       s"queries planning a cartesian product: ${offenders.mkString(", ")}")
   }
 
+  test("no registered query plans a partition-less window over unbounded input") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A Window with an empty partition spec funnels its ENTIRE input
+    // through one task — the anti-pattern class residualAdcTopK and
+    // marginMining were individually fixed for. Sweep every registered
+    // query's optimized logical plan (stable node shape; the physical
+    // WindowExec prints ambiguously). Allowlist: windows whose input is
+    // provably bounded by construction.
+    val allowlisted = Set(
+      "q124_zipf_fit",          // rank over the top-100 token rows only
+      "q142_heaps_fit",         // regression over ≤ |docs| cumulative points, driver-bounded fit
+      "q201_ks_drift",          // CDF window over the nBuckets-grain (10-row) histogram
+      "q205_token_budget",      // water-filling windows run at SOURCE cardinality (~20 rows)
+      "q207_budgeted_sample"    // same allocation substrate as q205
+    )
+    // A window whose unary input chain bottoms out in a Limit is
+    // bounded by construction (rank-over-top-k after orderBy+limit) —
+    // structurally provable, no allowlist entry needed
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    def limitBounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case u if u.children.size == 1 => limitBounded(u.children.head)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowlisted(name) =>
+        val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow
+              if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+        }
+        if (globals.nonEmpty) Some(name) else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a global window: ${offenders.mkString(", ")}")
+  }
+
   test("filters and projections reach the parquet scan") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // q01: the shipdate predicate must appear in PushedFilters, not just
@@ -72,6 +110,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
     assert(!plan.contains("Window"),
       s"residual rank fell back to a window:\n$plan")
+  }
+
+  test("margin-mining top-pairs is a distributed top-k, not a global window") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plan = SparkEntry.queries("q178_margin_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-pairs did not plan as TakeOrderedAndProject:\n$plan")
   }
 
   test("priority sampling plans as a distributed top-k") {
