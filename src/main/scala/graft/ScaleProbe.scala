@@ -158,18 +158,43 @@ object ScaleProbe {
         numHashes = 8, bands = 4, shingleSize = 3)
     }
     // EXACT-Jaccard streaming admission (the q204 machinery as a
-    // sink): frozen order pinned once over the full corpus, then the
-    // same slices merge against the growing two-tree store — the
-    // jb=/ab= bucket prunes must keep per-batch cost tracking batch
-    // size, not standing-index size
+    // sink): frozen order pinned once over the full corpus, then
+    // LENGTH-OCTILE batches merge against the growing two-tree store.
+    // Slicing by length gives each batch a narrow size envelope — the
+    // case the szb= band dirs serve: however many jb= digest buckets
+    // a batch touches, its reads skip every band outside
+    // [t·mn, mx/t], so per-batch admission I/O stays bounded by the
+    // batch, not index age. (A batch whose sizes span the whole
+    // corpus — the old base-id slicing — reads every band and falls
+    // back to the jb= prune.) Mid-run compaction folds the per-batch
+    // dirs like the dedup-index probe, the production maintenance
+    // posture.
     locally {
       val frozen = Dedup.shingleDfTable(corpus, "text", 3)
       frozen.count() // materialize the pin outside the timed loop
-      ingestSlices("jaccard-index merge", "graft-jixprobe") {
-        (b, tmp, i) =>
-          graft.streaming.Streaming.mergeJaccardIndexBatch(
-            b, "text", "doc_id", s"$tmp/index", i.toLong, frozen,
-            n = 3, minJaccard = 0.8)
+      val nb = 8
+      val cuts = corpus.select(length(col("text")).cast("double").as("l"))
+        .stat.approxQuantile("l", (1 until nb).map(_.toDouble / nb).toArray,
+          0.001)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jixprobe").toString
+      (0 until nb).foreach { i =>
+        val lo = if (i == 0) Double.MinValue else cuts(i - 1)
+        val hi = if (i == nb - 1) Double.MaxValue else cuts(i)
+        val b = corpus.where(length(col("text")) > lo &&
+          length(col("text")) <= hi)
+        val t0 = System.nanoTime()
+        graft.streaming.Streaming.mergeJaccardIndexBatch(
+          b, "text", "doc_id", s"$tmp/index", i.toLong, frozen,
+          n = 3, minJaccard = 0.8)
+        println(f"[probe] jaccard-index merge batch $i%2d " +
+          f"(standing ~ $i/$nb of corpus)  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+        if (i == nb / 2 - 1) {
+          val c0 = System.nanoTime()
+          graft.streaming.Streaming.compactJaccardIndex(spark, s"$tmp/index")
+          println(f"[probe] jaccard-index compaction " +
+            f"after batch $i%2d          ${(System.nanoTime() - c0) / 1e9}%7.1f s")
+        }
       }
     }
     // decontamination: 1% of docs stand in for the benchmark set;

@@ -441,6 +441,33 @@ object Dedup {
                                     t: Double): Column =
     sb * t <= sa + lit(1e-9) && sa * t <= sb + lit(1e-9)
 
+  /** Log2 size band of a shingle-set size — the secondary partition
+    * dimension of the standing prefix tree (`szb=` under `jb=`):
+    * `length(bin(sz)) - 1` is an EXACT integer ⌊log2 sz⌋ (no
+    * floating-point log whose representation error could misplace a
+    * power-of-two row). A size-compatibility envelope then prunes
+    * whole band directories: a batch whose sizes span [mn, mx] can
+    * only match store rows with sz in [t·mn, mx/t], i.e. bands
+    * [⌊log2(t·mn)⌋, ⌊log2(mx/t)⌋] — read I/O bounded by the batch's
+    * size envelope, not index age. */
+  private[graft] def jaccardSizeBand(sz: Column): Column =
+    (length(bin(sz.cast("long"))) - 1).cast("int")
+
+  /** The store-side size envelope [lo, hi] implied by a batch whose
+    * set sizes span [mn, mx] at threshold `t` — the directory-grain
+    * form of [[sizeCompatible]], slack widened so the coarse prune can
+    * only ADD rows the per-pair filter then discards. */
+  private[graft] def sizeEnvelope(mn: Long, mx: Long,
+                                  t: Double): (Long, Long) =
+    (math.max(1L, math.floor(mn * t - 1e-6).toLong),
+      math.ceil(mx / t + 1e-6).toLong)
+
+  /** Driver-side ⌊log2 x⌋ for x ≥ 1 — the Scala twin of
+    * [[jaccardSizeBand]] (bit-exact: both are the position of the
+    * highest set bit). */
+  private[graft] def jaccardSizeBandOf(x: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x))
+
   /** Exploded prefix rows `(h, id, pos, sz)` of an
     * [[orderedShingleSets]] frame — the probe/index row shape shared
     * by [[jaccardIndexTables]], [[admitAgainstJaccardIndex]] and the
@@ -596,7 +623,22 @@ object Dedup {
       s"minJaccard must be in (0, 1], got $minJaccard")
     val bsets = orderedShingleSets(batch, textCol, idCol, n,
       Some(dfTable)).localCheckpoint()
-    val cand = storeCandidates(prefix, prefixRows(bsets, minJaccard),
+    // size-envelope prune BEFORE the probe: store rows outside
+    // [t·mn, mx/t] cannot be size-compatible with ANY batch row, so
+    // the filter is semantics-free; on a parquet-backed prefix it
+    // prunes szb= band directories (and row groups via the pushed sz
+    // range), bounding read I/O by the batch's size envelope
+    val pruned = bsets.agg(min("__sz"), max("__sz")).collect()
+      .headOption.filter(!_.isNullAt(0)).map { r =>
+        val (lo, hi) = sizeEnvelope(r.getAs[Number](0).longValue,
+          r.getAs[Number](1).longValue, minJaccard)
+        val bySz = prefix.where(col("sz").between(lo, hi))
+        if (prefix.columns.contains("szb"))
+          bySz.where(col("szb").between(
+            jaccardSizeBandOf(lo), jaccardSizeBandOf(hi)))
+        else bySz
+      }.getOrElse(prefix)
+    val cand = storeCandidates(pruned, prefixRows(bsets, minJaccard),
       minJaccard)
     val byStore = verifySuppressed(cand,
       arrays.select(col("id").as("id_store"), col("ord").as("__A")),

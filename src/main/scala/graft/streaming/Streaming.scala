@@ -587,13 +587,19 @@ object Streaming {
     * against every stored document and every earlier batch document
     * ([[graft.ops.Dedup]]'s prefix-filter machinery — recall exactly
     * 1.0), and append the admitted rows to the standing two-table
-    * layout: `prefix/batch=<id>/jb=<k>/` (candidate probe rows,
-    * bucketed by digest) and `arrays/batch=<id>/ab=<k>/` (packed
-    * digest sets for verification, bucketed by id). Reads prune BOTH
-    * trees: the probe touches only the `jb=` buckets the batch's
-    * prefix digests hash into, and verification touches only the
-    * `ab=` buckets of candidate store ids — per-batch I/O is
-    * O(batch + matched rows), never O(index).
+    * layout: `prefix/batch=<id>/jb=<k>/szb=<b>/` (candidate probe
+    * rows, bucketed by digest with a ⌊log2 sz⌋ size-band subdir) and
+    * `arrays/batch=<id>/ab=<k>/` (packed digest sets for
+    * verification, bucketed by id). Reads prune BOTH trees: the probe
+    * touches only the `jb=` buckets the batch's prefix digests hash
+    * into AND only the `szb=` bands inside the batch's
+    * size-compatibility envelope [t·mn, mx/t] (a large batch whose
+    * digests touch every `jb=` bucket still skips the band dirs its
+    * sizes cannot match — read I/O bounded by the batch's size
+    * envelope, not index age; a batch whose sizes span the whole
+    * corpus distribution degrades gracefully to the `jb=` prune), and
+    * verification touches only the `ab=` buckets of candidate store
+    * ids — per-batch I/O is O(batch + matched rows), never O(index).
     *
     * `dfTable` must be the frozen [[graft.ops.Dedup.shingleDfTable]]
     * snapshot pinned at index creation. Exactly-once by the
@@ -646,13 +652,29 @@ object Streaming {
           .select(col("id_b").as(idCol)).distinct()
         batch.join(inBatch, Seq(idCol), "left_anti")
       } else {
-        // probe tree pruned to the jb= buckets the batch touches
+        // probe tree pruned on BOTH partition dimensions: the jb=
+        // buckets the batch's digests hash into AND the szb= size
+        // bands its size-compatibility envelope can reach — a large
+        // batch that touches all digest buckets still reads only the
+        // band dirs inside [t·mn, mx/t], so admission I/O is bounded
+        // by the batch's size envelope, not index age
         val touched = bpref
           .select(jaccardPrefixBucket(col("h")).as("jb"))
           .distinct().collect().map(_.getInt(0))
+        val szr = bsets.agg(min("__sz"), max("__sz")).collect().head
+        // an all-null-text batch has no sets (null min): the jb prune
+        // already selects nothing, any envelope works
+        val (szLo, szHi) =
+          if (szr.isNullAt(0)) (1L, 1L)
+          else graft.ops.Dedup.sizeEnvelope(
+            szr.getAs[Number](0).longValue,
+            szr.getAs[Number](1).longValue, minJaccard)
         val standingPrefix = spark.read.parquet(s"$indexDir/prefix")
-          .where(col("jb").isin(touched.toSeq: _*))
-          .drop("batch", "jb")
+          .where(col("jb").isin(touched.toSeq: _*) &&
+            col("szb").between(graft.ops.Dedup.jaccardSizeBandOf(szLo),
+              graft.ops.Dedup.jaccardSizeBandOf(szHi)) &&
+            col("sz").between(szLo, szHi))
+          .drop("batch", "jb", "szb")
         // candidate store ids first (cheap fixed-width joins), then
         // fetch ONLY their ab= buckets for verification
         val cand = graft.ops.Dedup
@@ -694,12 +716,13 @@ object Streaming {
       .localCheckpoint()
     val prefRows = bpref.join(admittedIds, Seq("id"), "left_semi")
       .withColumn("jb", jaccardPrefixBucket(col("h")))
+      .withColumn("szb", graft.ops.Dedup.jaccardSizeBand(col("sz")))
       .localCheckpoint()
     if (!arrRows.isEmpty)
       arrRows.write.mode("overwrite").partitionBy("ab")
         .parquet(s"$indexDir/arrays/batch=$batchId")
     if (!prefRows.isEmpty)
-      prefRows.write.mode("overwrite").partitionBy("jb")
+      prefRows.write.mode("overwrite").partitionBy("jb", "szb")
         .parquet(s"$indexDir/prefix/batch=$batchId")
   }
 
@@ -1871,9 +1894,10 @@ object Streaming {
         .write.mode("overwrite").partitionBy("ab")
         .parquet(s"$tmp/arrays/batch=-1")
       prefix.withColumn("jb", jaccardPrefixBucket(col("h")))
+        .withColumn("szb", graft.ops.Dedup.jaccardSizeBand(col("sz")))
         .repartition(DedupIndexBuckets, col("jb"))
-        .sortWithinPartitions("jb", "h")
-        .write.mode("overwrite").partitionBy("jb")
+        .sortWithinPartitions("jb", "szb", "h")
+        .write.mode("overwrite").partitionBy("jb", "szb")
         .parquet(s"$tmp/prefix/batch=-1")
       frozen.write.mode("overwrite").parquet(s"$tmp/df_table")
     }
@@ -1908,7 +1932,7 @@ object Streaming {
       return // {batch=-1, latest} only: nothing to consolidate
     swapInCompacted(spark, indexDir) { (tmp, fsi) =>
       def fold(tree: String, ids: Seq[Long], bucket: String,
-               sort: Seq[String]): Unit = {
+               partCols: Seq[String], sort: Seq[String]): Unit = {
         val foldIds = ids.filterNot(_ == keep)
         if (foldIds.toSet == Set(-1L))
           // this tree is already consolidated — carry batch=-1
@@ -1923,14 +1947,14 @@ object Streaming {
             .where(col("batch") =!= keep).drop("batch")
             .repartition(DedupIndexBuckets, col(bucket))
             .sortWithinPartitions(sort.map(col): _*)
-            .write.mode("overwrite").partitionBy(bucket)
+            .write.mode("overwrite").partitionBy(partCols: _*)
             .parquet(s"$tmp/$tree/batch=-1")
         carryBatchDir(spark, fsi,
           new HPath(s"$indexDir/$tree/batch=$keep"),
           new HPath(s"$tmp/$tree/batch=$keep"))
       }
-      fold("prefix", pIds, "jb", Seq("jb", "h"))
-      fold("arrays", aIds, "ab", Seq("ab", "id"))
+      fold("prefix", pIds, "jb", Seq("jb", "szb"), Seq("jb", "szb", "h"))
+      fold("arrays", aIds, "ab", Seq("ab"), Seq("ab", "id"))
       // the persisted frozen order ([[writeJaccardDfTable]]) lives
       // under the same root and must survive the swap — it IS the
       // index's validity contract
