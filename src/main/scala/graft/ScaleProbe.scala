@@ -187,8 +187,28 @@ object ScaleProbe {
         graft.streaming.Streaming.mergeJaccardIndexBatch(
           b, "text", "doc_id", s"$tmp/index", i.toLong, frozen,
           n = 3, minJaccard = 0.8)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // read-I/O isolation (untimed): standing prefix rows the
+        // NEXT batch's prune would scan vs the whole tree — wall
+        // time above also carries the batch's own shingling cost,
+        // which grows with doc length across octiles; this pair is
+        // the store-read trend on its own
+        val bsets = Dedup.orderedShingleSets(b, "text", "doc_id", 3,
+          Some(frozen))
+        val szr = bsets.agg(min("__sz"), max("__sz")).collect().head
+        val pref = spark.read.parquet(s"$tmp/index/prefix")
+        val total = pref.count()
+        val read = if (szr.isNullAt(0)) 0L else {
+          val (slo, shi) = Dedup.sizeEnvelope(
+            szr.getAs[Number](0).longValue,
+            szr.getAs[Number](1).longValue, 0.8)
+          pref.where(col("szb").between(Dedup.jaccardSizeBandOf(slo),
+              Dedup.jaccardSizeBandOf(shi)) &&
+              col("sz").between(slo, shi)).count()
+        }
         println(f"[probe] jaccard-index merge batch $i%2d " +
-          f"(standing ~ $i/$nb of corpus)  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+          f"(standing ~ $i/$nb of corpus)  $wall%7.1f s  " +
+          f"read $read%9d of $total%9d standing rows")
         if (i == nb / 2 - 1) {
           val c0 = System.nanoTime()
           graft.streaming.Streaming.compactJaccardIndex(spark, s"$tmp/index")

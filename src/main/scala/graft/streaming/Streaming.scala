@@ -528,7 +528,16 @@ object Streaming {
     * re-running the admission joins. */
   private[graft] def mergeDedupIndexBatch(batch: DataFrame, textCol: String,
       idCol: String, indexDir: String, batchId: Long,
-      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 8, bands: Int = 4, shingleSize: Int = 3): DataFrame =
+    withStoreLock(batch.sparkSession, Seq(indexDir)) {
+      healCompactRoot(batch.sparkSession, indexDir)
+      mergeDedupIndexBody(batch, textCol, idCol, indexDir, batchId,
+        numHashes, bands, shingleSize)
+    }
+
+  private def mergeDedupIndexBody(batch: DataFrame, textCol: String,
+      idCol: String, indexDir: String, batchId: Long,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
     val spark = batch.sparkSession
     val dir = new HPath(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -626,6 +635,15 @@ object Streaming {
     pmod(crc32(id.cast("string")), lit(DedupIndexBuckets)).cast("int")
 
   private[graft] def mergeJaccardIndexBatch(batch: DataFrame,
+      textCol: String, idCol: String, indexDir: String, batchId: Long,
+      dfTable: DataFrame, n: Int, minJaccard: Double): Unit =
+    withStoreLock(batch.sparkSession, Seq(indexDir)) {
+      healCompactRoot(batch.sparkSession, indexDir)
+      mergeJaccardIndexBody(batch, textCol, idCol, indexDir, batchId,
+        dfTable, n, minJaccard)
+    }
+
+  private def mergeJaccardIndexBody(batch: DataFrame,
       textCol: String, idCol: String, indexDir: String, batchId: Long,
       dfTable: DataFrame, n: Int, minJaccard: Double): Unit = {
     val spark = batch.sparkSession
@@ -746,9 +764,13 @@ object Streaming {
     // one swap discipline, one backup-naming scheme: the shared
     // heal + tmp-write + atomicSwap helper, applied to the df_table
     // subdir (backup `.df_table.compact.old`, which
-    // [[readJaccardDfTable]] and [[compactJaccardIndex]] both know)
-    swapInCompacted(dfTable.sparkSession, s"$indexDir/df_table") {
-      (tmp, _) => dfTable.write.mode("overwrite").parquet(tmp)
+    // [[readJaccardDfTable]] and [[compactJaccardIndex]] both know);
+    // under the INDEX root's lease — the order pin must not race a
+    // compaction that copies df_table through its root swap
+    withStoreLock(dfTable.sparkSession, Seq(indexDir)) {
+      swapInCompacted(dfTable.sparkSession, s"$indexDir/df_table") {
+        (tmp, _) => dfTable.write.mode("overwrite").parquet(tmp)
+      }
     }
 
   /** Re-read a [[writeJaccardDfTable]] snapshot (falling back to the
@@ -816,7 +838,11 @@ object Streaming {
     // same empty set, so the skip is deterministic; the stats
     // high-water mark advances with the next non-empty batch)
     if (gated.isEmpty) return
-    val admitted = mergeDedupIndexBatch(gated, textCol, idCol,
+    withStoreLock(batch.sparkSession,
+        Seq(s"$rootDir/index", s"$rootDir/corpus")) {
+    healCompactRoot(batch.sparkSession, s"$rootDir/index")
+    healCompactRoot(batch.sparkSession, s"$rootDir/corpus")
+    val admitted = mergeDedupIndexBody(gated, textCol, idCol,
       s"$rootDir/index", batchId, numHashes, bands, shingleSize)
     admitted.write.mode("overwrite")
       .parquet(s"$rootDir/corpus/batch=$batchId")
@@ -828,6 +854,7 @@ object Streaming {
           length(col(textCol)).cast("double"), lenLo, lenHi, 10)
           .as("bucket"))
           .agg(count(lit(1)).as("n"))))
+    }
   }
 
   /** The admitted corpus of a [[curationIngestSink]] (payload rows +
@@ -874,6 +901,15 @@ object Streaming {
       lit(DedupIndexBuckets)).cast("int")
 
   private[graft] def mergeHashIndexBatch(batch: DataFrame, hashCol: String,
+      idCol: String, indexDir: String, batchId: Long, bits: Int,
+      bands: Int, maxHamming: Int): Unit =
+    withStoreLock(batch.sparkSession, Seq(indexDir)) {
+      healCompactRoot(batch.sparkSession, indexDir)
+      mergeHashIndexBody(batch, hashCol, idCol, indexDir, batchId,
+        bits, bands, maxHamming)
+    }
+
+  private def mergeHashIndexBody(batch: DataFrame, hashCol: String,
       idCol: String, indexDir: String, batchId: Long, bits: Int,
       bands: Int, maxHamming: Int): Unit = {
     val spark = batch.sparkSession
@@ -943,10 +979,13 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          graft.ops.Similarity.assignToCentroids(
-              batch, embCol, idCol, centroids)
-            .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$indexDir/batch=$batchId")
+          withStoreLock(batch.sparkSession, Seq(indexDir)) {
+            healCompactRoot(batch.sparkSession, indexDir)
+            graft.ops.Similarity.assignToCentroids(
+                batch, embCol, idCol, centroids)
+              .write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$indexDir/batch=$batchId")
+          }
         ()
       }
 
@@ -976,10 +1015,13 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          encodePqRows(batch, embCol, idCol, centroids, codebook,
-              m, dim, residual)
-            .write.mode("overwrite").partitionBy("cluster")
-            .parquet(s"$indexDir/batch=$batchId")
+          withStoreLock(batch.sparkSession, Seq(indexDir)) {
+            healCompactRoot(batch.sparkSession, indexDir)
+            encodePqRows(batch, embCol, idCol, centroids, codebook,
+                m, dim, residual)
+              .write.mode("overwrite").partitionBy("cluster")
+              .parquet(s"$indexDir/batch=$batchId")
+          }
         ()
       }
 
@@ -1029,8 +1071,11 @@ object Streaming {
     * micro-batch id, so a resuming stream appends new batches on top
     * exactly as after [[compactVectorIndex]], and the per-id
     * latest-wins window keeps preferring streamed updates over the
-    * rebuilt baseline. Run with the stream stopped, like all
-    * maintenance here.
+    * rebuilt baseline. Runs under the index root's store lease
+    * ([[withStoreLock]]) so a live stream's merges queue behind the
+    * swap — note the rebuild holds the lease for its whole corpus
+    * pass, so size the waiting merges' patience (or schedule rebuilds
+    * in quiet windows) accordingly.
     *
     * Scale: one corpus pass — assignment is row-local against the
     * broadcast centroid table, encoding shuffles one row per (vector,
@@ -1043,12 +1088,14 @@ object Streaming {
                      centroids: DataFrame, codebook: DataFrame,
                      m: Int, dim: Int, indexDir: String,
                      residual: Boolean = false): Unit =
-    swapInCompacted(spark, indexDir) { (tmp, _) =>
-      encodePqRows(corpus, embCol, idCol, centroids, codebook,
-          m, dim, residual)
-        .repartition(col("cluster"))
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(s"$tmp/batch=-1")
+    withStoreLock(spark, Seq(indexDir)) {
+      swapInCompacted(spark, indexDir) { (tmp, _) =>
+        encodePqRows(corpus, embCol, idCol, centroids, codebook,
+            m, dim, residual)
+          .repartition(col("cluster"))
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(s"$tmp/batch=-1")
+      }
     }
 
   /** Query a [[pqIndexSink]] index: probe the `nprobe` best coarse
@@ -1706,6 +1753,63 @@ object Streaming {
 
   // ------------------------------------------------ index maintenance
 
+  /** The ONE definition of a store root's lease path —
+    * `.<name>.lock` SIBLING to the root (the maintenance swap renames
+    * the root itself, so the lease must live outside it). */
+  private[graft] def storeLockPath(dir: HPath): HPath =
+    new HPath(dir.getParent, s".${dir.getName}.lock")
+
+  /** Mutual exclusion between a store's per-batch merges and its
+    * offline maintenance (compaction / rebuild), so maintenance can
+    * run against a LIVE stream: every mutator — sink merge bodies for
+    * one batch, compactors/rebuilds for the whole fold+swap — wraps
+    * its root mutation in this lease. Acquisition is
+    * create-if-absent of the sibling `.lock` file (atomic on HDFS;
+    * object stores need conditional-put semantics), `roots` acquired
+    * in sorted order so multi-root holders (the curation ingest)
+    * cannot deadlock each other. A holder that DIED leaves a stale
+    * lease: waiters break leases older than `staleAfterMs` (the
+    * crashed holder's tree state heals separately via the
+    * swap-backup discipline), and give up with a pointer to the file
+    * after `timeoutMs` — a stream wedged behind an unbreakable lease
+    * should fail loudly, not silently skip its batch. */
+  private[graft] def withStoreLock[T](spark: SparkSession,
+      roots: Seq[String], timeoutMs: Long = 600000L,
+      staleAfterMs: Long = 1800000L)(body: => T): T = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val locks = roots.sorted.map { r =>
+      val p = storeLockPath(new HPath(r))
+      (p.getFileSystem(conf), p)
+    }
+    def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: HPath): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var held = false
+      while (!held) {
+        try { fs.create(lock, false).close(); held = true }
+        catch { case _: java.io.IOException =>
+          val stale = try {
+            System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > staleAfterMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) { fs.delete(lock, false); () } // break; retry create
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"store lease $lock held past $timeoutMs ms — if its " +
+                "holder is dead, delete the file to break the lease")
+          else Thread.sleep(50)
+        }
+      }
+    }
+    val taken = scala.collection.mutable.ListBuffer
+      .empty[(org.apache.hadoop.fs.FileSystem, HPath)]
+    try {
+      locks.foreach { case (fs, p) => acquire(fs, p); taken += ((fs, p)) }
+      body
+    } finally taken.reverseIterator.foreach { case (fs, p) =>
+      fs.delete(p, false)
+    }
+  }
+
   /** Swap a freshly-written `<indexDir>.compact.tmp` tree into place
     * with [[graft.ops.Warehouse.atomicSwap]] discipline (heal first,
     * backup-rename window, crash-recoverable). */
@@ -1784,16 +1888,21 @@ object Streaming {
     * `-1` is below any micro-batch id, so a replaying batch never
     * deletes the compacted tree and admission/probe results are
     * IDENTICAL before and after (StreamingSpec asserts cell-exact
-    * parity). Run it while the stream is stopped — compaction and a
-    * concurrent merge racing the same root is the one unsupported
-    * interleaving. */
+    * parity). Safe against a LIVE stream via the store lease
+    * ([[withStoreLock]]): the compactor holds the root's lease for
+    * the whole fold+swap and each sink merge holds it for its batch,
+    * so the two serialize instead of racing — a batch admitted while
+    * compaction waits sees the pre-fold tree, the next batch the
+    * folded one, and both decide identically (the parity above).
+    * StreamingSpec's interleaving test runs compaction mid-stream and
+    * asserts the admitted set equals the sequential replay. */
   def compactDedupIndex(spark: SparkSession, indexDir: String): Unit =
     compactBandedIndex(spark, indexDir, "bh", Seq("bh", "band_hash"))
 
   /** Offline compaction for a [[hashIndexSink]] index: collapse the
     * per-batch `batch=<id>/hb=<k>/` trees into one sorted
     * `batch=-1/hb=<k>/` tree — same atomic-swap discipline,
-    * stopped-stream contract and keep-last-batch rule as
+    * live-stream lease and keep-last-batch rule as
     * [[compactDedupIndex]], and admission decisions are identical
     * across compaction (the probe reads the same rows from fewer,
     * sorted files; StreamingSpec asserts it). */
@@ -1802,6 +1911,12 @@ object Streaming {
       Seq("hb", "band_idx", "band_value"))
 
   private def compactBandedIndex(spark: SparkSession, indexDir: String,
+      bucketCol: String, sortCols: Seq[String]): Unit =
+    withStoreLock(spark, Seq(indexDir)) {
+      compactBandedIndexBody(spark, indexDir, bucketCol, sortCols)
+    }
+
+  private def compactBandedIndexBody(spark: SparkSession, indexDir: String,
       bucketCol: String, sortCols: Seq[String]): Unit = {
     healCompactRoot(spark, indexDir)
     val fs = new HPath(indexDir)
@@ -1828,11 +1943,19 @@ object Streaming {
     * size-targeted `corpus/batch=-1/` file set — the file-count
     * maintenance the ingest root needs alongside [[compactDedupIndex]]
     * (run that on `<root>/index`); the `stats/` stores are
-    * swap-maintained and never accumulate dirs. Same stopped-stream
-    * contract and keep-last-batch rule as [[compactDedupIndex]]: the
+    * swap-maintained and never accumulate dirs. Same live-stream
+    * lease (on the `corpus` subtree — the ingest merge holds the
+    * index and corpus leases together) and keep-last-batch rule as
+    * [[compactDedupIndex]]: the
     * highest batch dir is carried unchanged so a crash-interrupted
     * trailing batch replays against exactly the state it wrote. */
-  def compactCurationCorpus(spark: SparkSession, rootDir: String): Unit = {
+  def compactCurationCorpus(spark: SparkSession, rootDir: String): Unit =
+    withStoreLock(spark, Seq(s"$rootDir/corpus")) {
+      compactCurationCorpusBody(spark, rootDir)
+    }
+
+  private def compactCurationCorpusBody(spark: SparkSession,
+      rootDir: String): Unit = {
     healCompactRoot(spark, s"$rootDir/corpus")
     val tree = new HPath(s"$rootDir/corpus")
     val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1870,12 +1993,24 @@ object Streaming {
     * NEW order ([[readJaccardDfTable]]). `corpus` must be the
     * admitted documents (e.g. the payloads backing
     * `readJaccardIndexArrays` ids) — rebuild re-indexes, it does not
-    * re-dedup. Run with the stream stopped, like all maintenance
-    * here. */
+    * re-dedup — documents admitted between the `corpus` snapshot and
+    * the rebuild's lease acquisition are absent from the rebuilt
+    * index, so snapshot as close to the rebuild as practical (merges
+    * that queue BEHIND the lease are safe: they re-run after the swap
+    * and append above `batch=-1`). Runs under the index root's store
+    * lease for its whole corpus pass, like [[rebuildPqIndex]]. */
   def rebuildJaccardIndex(spark: SparkSession, corpus: DataFrame,
                           textCol: String, idCol: String,
                           indexDir: String, n: Int = 3,
-                          minJaccard: Double = 0.5): Unit = {
+                          minJaccard: Double = 0.5): Unit =
+    withStoreLock(spark, Seq(indexDir)) {
+      rebuildJaccardIndexBody(spark, corpus, textCol, idCol, indexDir,
+        n, minJaccard)
+    }
+
+  private def rebuildJaccardIndexBody(spark: SparkSession,
+      corpus: DataFrame, textCol: String, idCol: String,
+      indexDir: String, n: Int, minJaccard: Double): Unit = {
     val frozen = graft.ops.Dedup.shingleDfTable(corpus, textCol, n)
     val (arrays0, prefix) = graft.ops.Dedup.jaccardIndexTables(
       corpus, textCol, idCol, n, minJaccard, frozen)
@@ -1910,12 +2045,18 @@ object Streaming {
     * into `arrays/batch=-1/ab=<k>/` (sorted by id, for the
     * verification fetch) — under ONE atomic swap of the index root,
     * so a reader never sees one tree compacted and the other not.
-    * Same stopped-stream contract, admission-parity guarantee and
+    * Same live-stream lease, admission-parity guarantee and
     * keep-last-batch rule as [[compactDedupIndex]]; the highest id
     * over BOTH trees is the carried batch, so a merge that crashed
     * between its arrays and prefix writes replays cleanly (its orphan
     * arrays dir is deleted-and-redecided, never folded). */
-  def compactJaccardIndex(spark: SparkSession, indexDir: String): Unit = {
+  def compactJaccardIndex(spark: SparkSession, indexDir: String): Unit =
+    withStoreLock(spark, Seq(indexDir)) {
+      compactJaccardIndexBody(spark, indexDir)
+    }
+
+  private def compactJaccardIndexBody(spark: SparkSession,
+      indexDir: String): Unit = {
     healCompactRoot(spark, indexDir)
     // also heal a crashed writeJaccardDfTable swap NOW (compaction is
     // a writer, so healing is allowed): the root swap below only
@@ -1977,16 +2118,27 @@ object Streaming {
     * [[vectorIndexSink]] / [[ivfSearchIndex]] calls. Without
     * re-centering the input centroids are returned unchanged and the
     * on-disk assignment is preserved byte-for-byte (search parity
-    * asserted in StreamingSpec). Same stopped-stream contract as
-    * [[compactDedupIndex]], but run it only after a CLEAN stop: this
-    * compactor folds EVERY batch dir (re-centering must cover all
-    * vectors, so the keep-last-batch rule cannot apply), and a
-    * crash-interrupted trailing batch folded into `batch=-1` would be
-    * duplicated by its replay's overwrite of `batch=<id>`. */
+    * asserted in StreamingSpec). Same live-stream lease as
+    * [[compactDedupIndex]], with one extra caveat: this compactor
+    * folds EVERY batch dir (re-centering must cover all vectors, so
+    * the keep-last-batch rule cannot apply), so after a CRASHED
+    * stream run the trailing uncommitted batch folded into `batch=-1`
+    * is duplicated by its replay's overwrite of `batch=<id>` — the
+    * per-id latest-wins read absorbs identical duplicates, but run it
+    * after a clean stop (or behind a drained checkpoint) to keep the
+    * tree canonical. */
   def compactVectorIndex(spark: SparkSession, indexDir: String,
                          centroids: DataFrame, recenter: Boolean = false,
                          idCol: String = "id",
-                         embCol: String = "emb"): DataFrame = {
+                         embCol: String = "emb"): DataFrame =
+    withStoreLock(spark, Seq(indexDir)) {
+      compactVectorIndexBody(spark, indexDir, centroids, recenter,
+        idCol, embCol)
+    }
+
+  private def compactVectorIndexBody(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, recenter: Boolean,
+      idCol: String, embCol: String): DataFrame = {
     // heal a crashed previous compaction BEFORE the root read — the
     // read would otherwise fail on a mid-swap state and the backup
     // holding the only copy would stay unreachable forever

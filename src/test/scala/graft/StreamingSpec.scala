@@ -1244,6 +1244,68 @@ class StreamingSpec extends SparkSpec {
       idxBefore.map(_._1) ++ admBefore)
   }
 
+  test("store lease: compaction interleaved with LIVE merges loses and " +
+      "duplicates nothing; contended and stale leases behave") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lease").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val all = docs.as[(Long, String)].collect()
+    val slices = all.grouped((all.length + 7) / 8).toSeq
+    // sequential reference run (no compaction) — admission decisions
+    // must be compaction-invariant, so this is the ground truth
+    slices.zipWithIndex.foreach { case (g, i) =>
+      Streaming.mergeDedupIndexBatch(g.toIndexedSeq.toDF("doc_id", "text"),
+        "text", "doc_id", s"$tmp/ref", i.toLong)
+    }
+    val refIds = Streaming.readDedupIndex(spark, s"$tmp/ref")
+      .select("id").as[Long].collect().toSet
+    // interleaved run: a maintenance thread hammers the compactor in a
+    // loop WHILE the merges run — the lease serializes each pair, so
+    // every interleaving decides like some sequential order
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    @volatile var stop = false
+    val maint = new Thread(() => {
+      while (!stop) {
+        try Streaming.compactDedupIndex(spark, s"$tmp/live")
+        catch { case e: Throwable => errs.add(e); () }
+        Thread.sleep(5)
+      }
+    })
+    maint.start()
+    try slices.zipWithIndex.foreach { case (g, i) =>
+      Streaming.mergeDedupIndexBatch(g.toIndexedSeq.toDF("doc_id", "text"),
+        "text", "doc_id", s"$tmp/live", i.toLong)
+    } finally { stop = true; maint.join() }
+    assert(errs.isEmpty, s"maintenance thread failed: ${errs.peek()}")
+    val liveIds = Streaming.readDedupIndex(spark, s"$tmp/live")
+      .select("id").as[Long].collect().toSeq
+    assert(liveIds.toSet === refIds, "admissions diverged under interleaving")
+    // row-count parity with the sequential run: a batch folded into
+    // batch=-1 AND still present in its own dir would double its rows
+    val refRows = Streaming.readDedupIndex(spark, s"$tmp/ref").count()
+    assert(liveIds.size.toLong === refRows,
+      "an admitted id's band rows appear twice in the index")
+    // every lease released
+    assert(!new java.io.File(s"$tmp/.live.lock").exists())
+    assert(!new java.io.File(s"$tmp/.ref.lock").exists())
+
+    // contended lease: a FRESH foreign lock makes the next mutator wait
+    // and then fail loudly past its timeout (never silently skip)
+    val lock = new java.io.File(s"$tmp/.live.lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      Streaming.withStoreLock(spark, Seq(s"$tmp/live"),
+        timeoutMs = 300L)(fail("body must not run under a held lease"))
+    }
+    assert(e.getMessage.contains(".live.lock"))
+    // stale lease (dead holder): broken and the mutation proceeds
+    assert(lock.setLastModified(System.currentTimeMillis() - 7200000L))
+    var ran = false
+    Streaming.withStoreLock(spark, Seq(s"$tmp/live"),
+      timeoutMs = 2000L) { ran = true }
+    assert(ran && !lock.exists())
+  }
+
   test("compactors heal a crashed previous compaction before deciding " +
       "anything: a mid-swap crash restores from backup, a stale backup " +
       "is consumed, a consolidated tree is not identity-rewritten") {
