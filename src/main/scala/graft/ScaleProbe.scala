@@ -173,7 +173,15 @@ object ScaleProbe {
       val frozen = Dedup.shingleDfTable(corpus, "text", 3)
       frozen.count() // materialize the pin outside the timed loop
       val nb = 8
-      val cuts = corpus.select(length(col("text")).cast("double").as("l"))
+      // slice by EXACT shingle-set size octile (computed once,
+      // untimed): char-length octiles map to heavily-overlapping sz
+      // ranges, which would blur the size-envelope prune this probe
+      // exists to measure
+      val szByDoc = Dedup.orderedShingleSets(corpus, "text", "doc_id", 3,
+          Some(frozen))
+        .select(col("__id").as("doc_id"), col("__sz").cast("double").as("l"))
+        .localCheckpoint()
+      val cuts = szByDoc
         .stat.approxQuantile("l", (1 until nb).map(_.toDouble / nb).toArray,
           0.001)
       val tmp = java.nio.file.Files
@@ -181,8 +189,9 @@ object ScaleProbe {
       (0 until nb).foreach { i =>
         val lo = if (i == 0) Double.MinValue else cuts(i - 1)
         val hi = if (i == nb - 1) Double.MaxValue else cuts(i)
-        val b = corpus.where(length(col("text")) > lo &&
-          length(col("text")) <= hi)
+        val b = corpus.join(
+          szByDoc.where(col("l") > lo && col("l") <= hi)
+            .select("doc_id"), Seq("doc_id"), "left_semi")
         val t0 = System.nanoTime()
         graft.streaming.Streaming.mergeJaccardIndexBatch(
           b, "text", "doc_id", s"$tmp/index", i.toLong, frozen,

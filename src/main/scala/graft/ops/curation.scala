@@ -349,8 +349,11 @@ object Curation {
   /** Deterministic EPOCH-AWARE upsampling — the weight > 1 side of
     * source mixing that [[rebalanceMix]] (downsample-only) refuses:
     * emit each row ⌊w⌋ guaranteed copies plus one extra copy with
-    * probability frac(w), decided by the row's stable md5 bucket — so
-    * E[copies] = w exactly, and the SAME rows get the extra epoch on
+    * probability frac(w), decided by the row's stable 24-bit md5 draw
+    * ([[Sampling.uniform24]], the [[budgetedSample]] coin — NOT the
+    * 8-bit split bucket, whose 1/256 grid would bias E[copies] by up
+    * to ~0.4% per row) — so E[copies] = w up to 2⁻²⁴ quantization,
+    * and the SAME rows get the extra epoch on
     * every run and every engine (the q191 oracle replays it). This is
     * how pretraining mixes oversample high-quality sources (e.g.
     * Wikipedia at 2.5 epochs in GPT-3's mix) without an RNG in the
@@ -368,9 +371,9 @@ object Curation {
       .where(col("__w") > 0)
       .withColumn("rep", explode(expr("sequence(1, int(ceil(__w)))")))
       .where(col("rep") <= floor(col("__w")) ||
-        Sampling.splitBucket(concat(id.cast("string"), lit("#"),
+        Sampling.uniform24(concat(id.cast("string"), lit("#"),
           col("rep").cast("string"))) <
-          (col("__w") - floor(col("__w"))) * lit(256.0))
+          (col("__w") - floor(col("__w"))) * lit((1 << 24).toDouble))
       .drop("__w")
   }
 
@@ -405,15 +408,31 @@ object Curation {
     * corpus rows never shuffle beyond the partial-agg exchange. */
   def tokenBudgetAllocation(docs: DataFrame, sourceCol: Column,
                             tokensCol: Column, weights: DataFrame,
-                            budget: Double): DataFrame = {
+                            budget: Double): DataFrame =
+    tokenBudgetAllocationFromCapacity(
+      docs.groupBy(sourceCol.as("source"))
+        .agg(sum(tokensCol.cast("double")).as("tokens_avail")),
+      weights, budget)
+
+  /** The store-fed form of [[tokenBudgetAllocation]]: `capacity` is
+    * the per-source capacity table (source, tokens_avail) directly —
+    * e.g. the standing
+    * [[graft.streaming.Streaming.sourceStatsSink]] store a streaming
+    * ingest maintains — so planning runs over O(sources) rows with NO
+    * corpus rescan (the reference's pre-computed daily-rollup
+    * pattern, README.md:15). The corpus-fed overload above is this
+    * plus one map-side-combined aggregation; both produce identical
+    * plans on the same capacity facts (spec-asserted). */
+  def tokenBudgetAllocationFromCapacity(capacity: DataFrame,
+                                        weights: DataFrame,
+                                        budget: Double): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val all = Window.partitionBy(lit(0))
     // total order (ratio, source): ties broken so the RANGE-frame
     // cumulative sums are identical in any engine replaying this
     val ord = all.orderBy(col("__ratio"), col("source"))
-    val caps = docs
-      .groupBy(sourceCol.as("source"))
-      .agg(sum(tokensCol.cast("double")).as("tokens_avail"))
+    val caps = capacity
+      .select(col("source"), col("tokens_avail").cast("double"))
       // weights collapse to source grain BEFORE the join: a duplicate
       // source row would otherwise fan the capacity row out and charge
       // phantom capacity against the budget (duplicate weights sum —

@@ -182,8 +182,12 @@ object Graph {
         .groupBy("node", "label")
         .agg(count(lit(1)).as("__c"))
         .groupBy("node")
-        // most frequent neighbor label; ties -> smallest label
-        .agg(max_by(col("label"), struct(col("__c"), -col("label")))
+        // most frequent neighbor label; ties -> smallest label.
+        // min_by over (-count, label) is TYPE-AGNOSTIC in the label:
+        // the earlier max_by over (count, -label) negated the label,
+        // which silently cast string ids to double (null), turning
+        // "smallest label wins" into an arbitrary pick
+        .agg(min_by(col("label"), struct(-col("__c"), col("label")))
           .as("label"))
         .localCheckpoint()
       Scale.releaseLocalCheckpoint(prev)

@@ -413,6 +413,45 @@ object Streaming {
     graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
   }
 
+  /** Per-source CAPACITY store for mixture planning: maintains
+    * (source, tokens_avail, n_docs) additively per micro-batch under
+    * the shared exactly-once store discipline ([[mergeStoreBatch]] —
+    * `_batch` mark, wholesale swap). Feed the standing table to
+    * [[graft.ops.Curation.tokenBudgetAllocationFromCapacity]] and the
+    * mixture-planning step is O(sources) — the 100 TB corpus is
+    * tokenized once as it streams past, never rescanned at planning
+    * time. `tokensExpr` is evaluated per batch row (e.g.
+    * `size(Text.tokens(col("text")))`); pass the SAME expression every
+    * session or the accumulated capacities silently mix units. */
+  def sourceStatsSink(docs: DataFrame, sourceCol: String,
+                      tokensExpr: Column, statsDir: String,
+                      checkpoint: String) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeSourceStatsBatch(batch, sourceCol, tokensExpr, statsDir,
+            batchId)
+        ()
+      }
+
+  private[graft] def mergeSourceStatsBatch(batch: DataFrame,
+      sourceCol: String, tokensExpr: Column, statsDir: String,
+      batchId: Long): Unit =
+    mergeStoreBatch(statsDir, batchId, Seq(
+      StorePart("capacity", Seq("source"),
+        Seq("tokens_avail", "n_docs")) ->
+        batch.groupBy(col(sourceCol).as("source"))
+          .agg(sum(tokensExpr.cast("double")).as("tokens_avail"),
+            count(lit(1)).as("n_docs"))))
+
+  /** The standing (source, tokens_avail, n_docs) table of a
+    * [[sourceStatsSink]] — the `capacity` input of
+    * [[graft.ops.Curation.tokenBudgetAllocationFromCapacity]]. */
+  def readSourceCapacity(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/capacity")
+
   private[graft] def mergeTermStatsBatch(batch: DataFrame, idCol: String,
       textCol: String, statsDir: String, batchId: Long): Unit = {
     val (dTerms, dGlobals) =
@@ -636,7 +675,7 @@ object Streaming {
 
   private[graft] def mergeJaccardIndexBatch(batch: DataFrame,
       textCol: String, idCol: String, indexDir: String, batchId: Long,
-      dfTable: DataFrame, n: Int, minJaccard: Double): Unit =
+      dfTable: DataFrame, n: Int, minJaccard: Double): DataFrame =
     withStoreLock(batch.sparkSession, Seq(indexDir)) {
       healCompactRoot(batch.sparkSession, indexDir)
       mergeJaccardIndexBody(batch, textCol, idCol, indexDir, batchId,
@@ -645,7 +684,7 @@ object Streaming {
 
   private def mergeJaccardIndexBody(batch: DataFrame,
       textCol: String, idCol: String, indexDir: String, batchId: Long,
-      dfTable: DataFrame, n: Int, minJaccard: Double): Unit = {
+      dfTable: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     val spark = batch.sparkSession
     val dir = new HPath(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -662,7 +701,12 @@ object Streaming {
     // fetches (bucket-pruned reads) live here
     val bpref = graft.ops.Dedup.prefixRows(bsets, minJaccard)
       .localCheckpoint()
-    val admitted: DataFrame =
+    // materialized BEFORE the tree writes below: the admission plan
+    // reads the standing trees, and a caller (the exact curation
+    // ingest) actions the returned frame AFTER this batch's own dirs
+    // land — a lazy plan re-listing the tree then could suppress the
+    // batch against itself
+    val admitted: DataFrame = (
       if (!hasPrior) {
         // first batch: in-batch dedup only (over the already-ordered
         // sets — no re-shingling)
@@ -717,7 +761,7 @@ object Streaming {
           .select(col("id_b").as(idCol))
         batch.join(byStore.unionByName(inBatch).distinct(), Seq(idCol),
           "left_anti")
-      }
+      }).localCheckpoint()
     // guard on the WRITE FRAMES themselves: a batch that contributes
     // no indexable rows (all-null-text batch, or only shingle-less
     // docs among the admitted) must write NOTHING — a batch= dir
@@ -742,6 +786,7 @@ object Streaming {
     if (!prefRows.isEmpty)
       prefRows.write.mode("overwrite").partitionBy("jb", "szb")
         .parquet(s"$indexDir/prefix/batch=$batchId")
+    admitted
   }
 
   /** The admitted (id, ord, sz) sets of a [[jaccardIndexSink]] (plus
@@ -840,10 +885,22 @@ object Streaming {
     if (gated.isEmpty) return
     withStoreLock(batch.sparkSession,
         Seq(s"$rootDir/index", s"$rootDir/corpus")) {
-    healCompactRoot(batch.sparkSession, s"$rootDir/index")
-    healCompactRoot(batch.sparkSession, s"$rootDir/corpus")
-    val admitted = mergeDedupIndexBody(gated, textCol, idCol,
-      s"$rootDir/index", batchId, numHashes, bands, shingleSize)
+      healCompactRoot(batch.sparkSession, s"$rootDir/index")
+      healCompactRoot(batch.sparkSession, s"$rootDir/corpus")
+      ingestTail(mergeDedupIndexBody(gated, textCol, idCol,
+          s"$rootDir/index", batchId, numHashes, bands, shingleSize),
+        textCol, rootDir, batchId, lenLo, lenHi)
+    }
+  }
+
+  /** The payload + stats tail every curation-ingest variant shares
+    * (the LSH gate above, the exact-Jaccard gate below): write the
+    * admitted rows under `corpus/batch=<id>/` and fold them into the
+    * standing word-histogram and length-drift stats — stats see
+    * exactly the corpus that survived, whatever gate decided it. */
+  private def ingestTail(admitted: DataFrame, textCol: String,
+      rootDir: String, batchId: Long, lenLo: Double,
+      lenHi: Double): Unit = {
     admitted.write.mode("overwrite")
       .parquet(s"$rootDir/corpus/batch=$batchId")
     mergeStoreBatch(s"$rootDir/stats", batchId, Seq(
@@ -854,6 +911,50 @@ object Streaming {
           length(col(textCol)).cast("double"), lenLo, lenHi, 10)
           .as("bucket"))
           .agg(count(lit(1)).as("n"))))
+  }
+
+  /** [[curationIngestSink]] with the EXACT-Jaccard admission gate in
+    * place of the LSH one — the quality-over-throughput composition:
+    * gate → [[jaccardIndexSink]]'s standing-index admission (recall
+    * exactly 1.0 at `minJaccard`, no band-coincidence suppression) →
+    * payload → stats, all four effects exactly-once under one replay
+    * discipline. `dfTable` is the frozen order pinned at index
+    * creation ([[writeJaccardDfTable]] / [[readJaccardDfTable]]).
+    * Costs more per batch than the LSH gate (ordering pass + exact
+    * verification); pick it when a missed near-dup is worse than the
+    * extra compute. */
+  def curationIngestSinkExact(docs: DataFrame, textCol: String,
+      idCol: String, rootDir: String, checkpoint: String,
+      dfTable: DataFrame, minQuality: Double = 0.5,
+      lenLo: Double = 0.0, lenHi: Double = 5000.0, n: Int = 3,
+      minJaccard: Double = 0.5) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          curationIngestBatchExact(batch, textCol, idCol, rootDir,
+            batchId, minQuality, lenLo, lenHi, dfTable, n, minJaccard)
+        ()
+      }
+
+  private[graft] def curationIngestBatchExact(batch: DataFrame,
+      textCol: String, idCol: String, rootDir: String, batchId: Long,
+      minQuality: Double, lenLo: Double, lenHi: Double,
+      dfTable: DataFrame, n: Int, minJaccard: Double): Unit = {
+    val gated = batch.where(
+      graft.ops.Text.qualityScore(col(textCol)) >= minQuality)
+      .localCheckpoint()
+    // same deterministic skip as the LSH form: a fully gated-out batch
+    // performs NO effects
+    if (gated.isEmpty) return
+    withStoreLock(batch.sparkSession,
+        Seq(s"$rootDir/index", s"$rootDir/corpus")) {
+      healCompactRoot(batch.sparkSession, s"$rootDir/index")
+      healCompactRoot(batch.sparkSession, s"$rootDir/corpus")
+      ingestTail(mergeJaccardIndexBody(gated, textCol, idCol,
+          s"$rootDir/index", batchId, dfTable, n, minJaccard),
+        textCol, rootDir, batchId, lenLo, lenHi)
     }
   }
 
@@ -1589,9 +1690,12 @@ object Streaming {
     *
     * Exactly-once via [[mergeStoreBatch]]'s `_batch` mark; priorities
     * are deterministic, so even a replayed merge reproduces the same
-    * reservoir — the mark keeps the store bytes deterministic (and a
-    * duplicate-id union can never double-fill the reservoir on
-    * replay). Rows with weight ≤ 0 never enter. */
+    * reservoir — the mark keeps the store bytes deterministic. An id
+    * genuinely re-streamed in a DIFFERENT batch (at-least-once
+    * upstream source) is dropped by an id-dedup in the merge before
+    * the top-n, so the reservoir always holds n DISTINCT ids (the
+    * duplicate's payload is the first-seen row's — ids are assumed to
+    * identify one payload). Rows with weight ≤ 0 never enter. */
   def prioritySampleSink(rows: DataFrame, idCol: String,
                          weightCol: String, n: Int,
                          statsDir: String, checkpoint: String) =
@@ -1616,7 +1720,18 @@ object Streaming {
     mergeStoreBatch(statsDir, batchId, Seq(
       StorePart("sample", Seq(idCol), Nil) -> delta),
       customMerge = Map("sample" -> { (prior, d) =>
-        prior.map(_.unionByName(d)).getOrElse(d)
+        // dedupe by id BEFORE the top-n: an id genuinely streamed in
+        // two different batches (at-least-once upstream, not a replay
+        // — the _batch mark already absorbs those) re-enters the
+        // union with its identical deterministic priority, and
+        // keeping both rows would over-represent the id while
+        // shrinking the DISTINCT sample below n. The STANDING row
+        // wins (delta anti-joined on the reservoir's ids), so which
+        // payload survives is deterministic: first-seen
+        val dd = d.dropDuplicates(idCol)
+        prior.map(p => p.unionByName(
+            dd.join(p.select(idCol), Seq(idCol), "left_anti")))
+          .getOrElse(dd)
           .orderBy(col("__pri").desc, col(idCol)).limit(n)
       }))
   }
@@ -1645,7 +1760,12 @@ object Streaming {
     *
     * Exactly-once via [[mergeStoreBatch]]'s `_batch` mark. HLL union
     * is idempotent, so a replayed merge would not even over-count —
-    * the mark keeps the store bytes deterministic. */
+    * the mark keeps the store bytes deterministic. The store records
+    * its `lgK` in a `meta/` row and a sink configured with a
+    * DIFFERENT lgK fails its first merge with a per-store message
+    * (mismatched sketch configs cannot union; without the guard
+    * `hll_union` would throw opaquely and wedge the stream on every
+    * replay of that batch). */
   def hllSink(rows: DataFrame, keyCol: String, valueCol: String,
               statsDir: String, checkpoint: String, lgK: Int = 12) =
     rows.writeStream
@@ -1653,11 +1773,34 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
+          // the meta part comes FIRST: a store fed under a different
+          // lgK in an earlier session must fail with the per-store
+          // message below, not hll_union's opaque sketch-config error
+          // mid-merge (which would wedge the stream on every replay
+          // of this batch with no pointer to the cause)
           mergeStoreBatch(statsDir, batchId, Seq(
+            StorePart("meta", Seq("lg_k"), Seq("n_batches")) ->
+              batch.sparkSession.range(1)
+                .select(lit(lgK).as("lg_k"), lit(1L).as("n_batches")),
             StorePart("hll", Seq(keyCol), Nil) ->
               batch.groupBy(keyCol)
                 .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))),
-            customMerge = Map("hll" -> { (prior, delta) =>
+            customMerge = Map(
+              "meta" -> { (prior, delta) =>
+                prior.foreach { p =>
+                  val ks = p.select("lg_k").collect()
+                    .map(_.getInt(0)).toSeq
+                  require(ks == Seq(lgK),
+                    s"hll store at $statsDir was built with lgK=" +
+                      s"${ks.mkString(",")} but this sink is configured " +
+                      s"with lgK=$lgK — sketches with different configs " +
+                      "cannot union; match lgK or rebuild the store")
+                }
+                prior.map(p => graft.ops.Warehouse.mergeAggDelta(
+                    p, delta, Seq("lg_k"), Seq("n_batches")))
+                  .getOrElse(delta)
+              },
+              "hll" -> { (prior, delta) =>
               prior match {
                 case None => delta
                 case Some(p) =>
@@ -1963,9 +2106,20 @@ object Streaming {
     val keep = if (ids.isEmpty) -1L else ids.max
     if (ids.filterNot(id => id == keep || id == -1L).isEmpty) return
     // one file per ~128 MB of FOLDED payload (the carried batch's
-    // size must not inflate the target), like Warehouse.compact
-    val foldedBytes = ids.filterNot(_ == keep).map(id =>
-      fs.getContentSummary(new HPath(tree, s"batch=$id")).getLength).sum
+    // size must not inflate the target), like Warehouse.compact —
+    // sized from ONE recursive listing of the tree (object stores
+    // serve that as a single flat LIST), not a per-dir
+    // getContentSummary walk that is O(batch dirs) namenode calls
+    val foldedBytes = {
+      val it = fs.listFiles(tree, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.toString.contains(s"/batch=$keep/"))
+          sum += f.getLen
+      }
+      sum
+    }
     val nFiles = math.max(1, math.ceil(foldedBytes / 128e6).toInt)
     swapInCompacted(spark, s"$rootDir/corpus") { (tmp, fsi) =>
       spark.read.parquet(s"$rootDir/corpus")
@@ -2031,7 +2185,7 @@ object Streaming {
       prefix.withColumn("jb", jaccardPrefixBucket(col("h")))
         .withColumn("szb", graft.ops.Dedup.jaccardSizeBand(col("sz")))
         .repartition(DedupIndexBuckets, col("jb"))
-        .sortWithinPartitions("jb", "szb", "h")
+        .sortWithinPartitions("jb", "szb", "sz", "h")
         .write.mode("overwrite").partitionBy("jb", "szb")
         .parquet(s"$tmp/prefix/batch=-1")
       frozen.write.mode("overwrite").parquet(s"$tmp/df_table")
@@ -2094,7 +2248,12 @@ object Streaming {
           new HPath(s"$indexDir/$tree/batch=$keep"),
           new HPath(s"$tmp/$tree/batch=$keep"))
       }
-      fold("prefix", pIds, "jb", Seq("jb", "szb"), Seq("jb", "szb", "h"))
+      // prefix rows sort by (szb, sz) within each jb bucket: the
+      // admission read pushes an `sz BETWEEN` envelope filter, so
+      // sz-ordered row groups let parquet min/max stats skip the
+      // out-of-envelope span of every compacted file (the digest join
+      // is a join, not a filter — h-ordering could not prune reads)
+      fold("prefix", pIds, "jb", Seq("jb", "szb"), Seq("jb", "szb", "sz", "h"))
       fold("arrays", aIds, "ab", Seq("ab"), Seq("ab", "id"))
       // the persisted frozen order ([[writeJaccardDfTable]]) lives
       // under the same root and must survive the swap — it IS the

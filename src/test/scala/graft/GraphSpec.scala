@@ -120,4 +120,30 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === labels)
   }
+
+  test("labelPropagation: string node ids keep the smallest-label " +
+      "tie-break (no silent numeric cast)") {
+    import spark.implicits._
+    // node x sees labels "a" and "b" once each after one round — the
+    // documented tie-break must pick "a"; the earlier -label tie-break
+    // cast string labels to double (null), making the pick arbitrary
+    val edges = Seq(("a", "x"), ("b", "x")).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("x") === "a", s"tie not broken to smallest: $labels")
+    assert(labels("a") === "x" && labels("b") === "x")
+    // deterministic under re-layout, same property on a larger graph
+    def clique(ids: Seq[String]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val big = (clique(Seq("n1", "n2", "n3", "n4")) ++
+      clique(Seq("p1", "p2", "p3", "p4")) :+ (("n4", "p1")))
+      .toDF("src", "dst")
+    val l1 = Graph.labelPropagation(big, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val l2 = Graph.labelPropagation(big.repartition(5), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(l1 === l2)
+    assert(Seq("n1", "n2", "n3").map(l1).toSet.size === 1)
+    assert(Seq("p2", "p3", "p4").map(l1).toSet.size === 1)
+  }
 }

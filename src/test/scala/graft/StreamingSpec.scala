@@ -437,6 +437,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationIngestSinkExact: gate -> EXACT-Jaccard dedup -> payload " +
+      "-> stats; parity with the sequential batch admission; replay no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingestx").toString
+    val junk = "@@@@ #### !!!! %%%% @@@@ #### !!!! %%%%"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val scores = Seq(junk, prose1, prose2, prose3).toDF("t")
+      .select(graft.ops.Text.qualityScore(col("t")))
+      .collect().map(_.getDouble(0))
+    val minQ = (scores.head + scores.tail.min) / 2
+    val b1 = Seq((1L, prose1), (2L, junk), (3L, prose2))
+    val b2 = Seq((10L, prose1 + " x"), // near-dup of admitted 1 -> out
+      (11L, prose3),                   // novel -> admitted
+      (12L, junk))                     // gated out before dedup
+    val frozen = graft.ops.Dedup.shingleDfTable(
+      (b1 ++ b2).toDF("doc_id", "text"), "text", 3).localCheckpoint()
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.curationIngestSinkExact(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id", tmp,
+      s"$tmp/ckpt", frozen, minQuality = minQ, minJaccard = 0.5).start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val corpus = Streaming.readCurationCorpus(spark, tmp)
+      val ids = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      // parity with the SEQUENTIAL batch admission over the gated rows
+      val g1 = b1.toDF("doc_id", "text")
+        .where(graft.ops.Text.qualityScore(col("text")) >= minQ)
+      val g2 = b2.toDF("doc_id", "text")
+        .where(graft.ops.Text.qualityScore(col("text")) >= minQ)
+      val (ar1, pr1) = graft.ops.Dedup.jaccardIndexTables(
+        g1, "text", "doc_id", 3, 0.5, frozen)
+      val seq2 = graft.ops.Dedup.admitAgainstJaccardIndex(
+          g2, "text", "doc_id", ar1, pr1, 3, 0.5, frozen)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === g1.select("doc_id").collect().map(_.getLong(0)).toSet
+        ++ seq2)
+      assert(ids === Set(1L, 3L, 11L), s"exact gate admitted: $ids")
+      // the exact index holds exactly the admitted (shingled) docs
+      assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/index")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet === ids)
+      // stats saw exactly the admitted corpus
+      val hist = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      val expect = graft.ops.Bpe.wordHistogram(
+        corpus.select("doc_id", "text"), "text")
+      assert(hist.count() === expect.count())
+      assert(hist.unionAll(expect).distinct().count() === expect.count())
+      // end-to-end crash replay of batch 1: all four effects no-op
+      val before = (corpus.collect().map(_.toSeq).toSet,
+        hist.collect().map(_.toSeq).toSet)
+      Streaming.curationIngestBatchExact(b2.toDF("doc_id", "text"),
+        "text", "doc_id", tmp, 1L, minQ, 0.0, 1000.0, frozen, 3, 0.5)
+      assert((Streaming.readCurationCorpus(spark, tmp)
+          .collect().map(_.toSeq).toSet,
+        Streaming.readWordHistogram(spark, s"$tmp/stats")
+          .collect().map(_.toSeq).toSet) === before)
+      // the jaccard compactor composes with the exact ingest root
+      val payloadPre = Streaming.readCurationCorpus(spark, tmp)
+        .drop("batch").collect().map(_.toSeq).toSet
+      Streaming.compactCurationCorpus(spark, tmp)
+      Streaming.compactJaccardIndex(spark, s"$tmp/index")
+      assert(Streaming.readCurationCorpus(spark, tmp)
+        .drop("batch").collect().map(_.toSeq).toSet === payloadPre)
+      Streaming.curationIngestBatchExact(
+        Seq((20L, prose2.replace("green", "amber")))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", tmp, 2L, minQ, 0.0, 1000.0, frozen, 3, 0.5)
+      // near-dup of stored 3 at t=0.5 -> suppressed by the standing gate
+      assert(Streaming.readCurationCorpus(spark, tmp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === ids)
+    } finally q.stop()
+  }
+
   test("jaccardIndexSink: exact-threshold streaming dedup matches the " +
       "sequential batch-admission replay; crash-replay rewrites " +
       "identical content") {
@@ -1012,6 +1089,45 @@ class StreamingSpec extends SparkSpec {
         docs.limit(5), "doc_id", "text", s"$tmp/stats", batchId = 0L)
       val (_, gAfter) = Streaming.readTermStats(spark, s"$tmp/stats")
       assert(gAfter.collect().toSeq === statsBefore)
+    } finally q.stop()
+  }
+
+  test("sourceStatsSink: store-fed budget allocation equals the " +
+      "corpus-fed plan over the streamed-so-far corpus; replay is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-srcstats").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val tokExpr = size(graft.ops.Text.tokens(col("text")))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.sourceStatsSink(
+      in.toDF().toDF("doc_id", "source", "text"), "source", tokExpr,
+      s"$tmp/stats", s"$tmp/ckpt").start()
+    try {
+      val all = docs.as[(Long, String, String)].collect()
+      val weights = Seq(("web", 3.0), ("wiki", 1.0), ("books", 1.0),
+        ("code", 0.5), ("news", 1.5)).toDF("source", "weight")
+      val slices = all.grouped((all.length + 2) / 3).toSeq
+      slices.zipWithIndex.foreach { case (g, i) =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+        // store-fed == corpus-fed ON THE STREAMED-SO-FAR corpus,
+        // cell-exact, at every intermediate state
+        val soFar = slices.take(i + 1).flatten
+          .toDF("doc_id", "source", "text")
+        val fed = graft.ops.Curation.tokenBudgetAllocationFromCapacity(
+          Streaming.readSourceCapacity(spark, s"$tmp/stats"),
+          weights, budget = 5000.0)
+        val scan = graft.ops.Curation.tokenBudgetAllocation(
+          soFar, col("source"), tokExpr, weights, budget = 5000.0)
+        assert(fed.orderBy("source").collect().toSeq ===
+          scan.orderBy("source").collect().toSeq)
+      }
+      // a checkpoint-replayed batch id is rejected by the _batch mark
+      val before = Streaming.readSourceCapacity(spark, s"$tmp/stats")
+        .collect().toSeq
+      Streaming.mergeSourceStatsBatch(docs.limit(5), "source", tokExpr,
+        s"$tmp/stats", batchId = 0L)
+      assert(Streaming.readSourceCapacity(spark, s"$tmp/stats")
+        .collect().toSeq === before)
     } finally q.stop()
   }
 
