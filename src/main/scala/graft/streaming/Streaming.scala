@@ -1910,11 +1910,27 @@ object Streaming {
     * create-if-absent of the sibling `.lock` file (atomic on HDFS;
     * object stores need conditional-put semantics), `roots` acquired
     * in sorted order so multi-root holders (the curation ingest)
-    * cannot deadlock each other. A holder that DIED leaves a stale
-    * lease: waiters break leases older than `staleAfterMs` (the
-    * crashed holder's tree state heals separately via the
-    * swap-backup discipline), and give up with a pointer to the file
-    * after `timeoutMs` — a stream wedged behind an unbreakable lease
+    * cannot deadlock each other.
+    *
+    * Liveness is the lease file's modification time: a HEARTBEAT
+    * daemon refreshes every held lock's mtime each `staleAfterMs / 4`
+    * for as long as the body runs, so a legitimate holder of ANY
+    * duration — a whole-corpus [[rebuildJaccardIndex]] pass included
+    * — never reads as dead; only a lock whose mtime has STOPPED
+    * advancing for `staleAfterMs` is stale (its holder crashed — the
+    * tree state heals separately via the swap-backup discipline).
+    * Waiters break a stale lease by CLAIM-BY-RENAME, never
+    * delete-then-create: rename the lock to a waiter-unique
+    * `.break.<uuid>` claim path (rename is atomic — exactly one of N
+    * racing waiters wins; the losers' renames fail and they re-poll),
+    * then verify the claimed file IS the one observed stale (its
+    * mtime is unchanged by the rename; a FRESH lock created by a
+    * competing breaker in the observe→rename window has mtime ≈ now,
+    * so the mismatch is detected and the claim is renamed back — the
+    * rightful holder keeps its lease). Only a verified claim is
+    * discarded, after which the waiter competes normally for the
+    * create. Waiters give up with a pointer to the file after
+    * `timeoutMs` — a stream wedged behind an unbreakable lease
     * should fail loudly, not silently skip its batch. */
   private[graft] def withStoreLock[T](spark: SparkSession,
       roots: Seq[String], timeoutMs: Long = 600000L,
@@ -1924,32 +1940,108 @@ object Streaming {
       val p = storeLockPath(new HPath(r))
       (p.getFileSystem(conf), p)
     }
+    def mtimeOf(fs: org.apache.hadoop.fs.FileSystem,
+                p: HPath): Option[Long] =
+      try Some(fs.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    // Break `lock`, OBSERVED stale at mtime `m`, by claim-by-rename.
+    def breakStale(fs: org.apache.hadoop.fs.FileSystem, lock: HPath,
+                   m: Long): Unit = {
+      // re-observe immediately before the rename: if the mtime moved
+      // (heartbeat, or a competing breaker's fresh lock) this waiter
+      // must not touch the file at all
+      if (!mtimeOf(fs, lock).contains(m)) return
+      val claim = new HPath(lock.getParent,
+        s"${lock.getName}.break.${java.util.UUID.randomUUID()}")
+      val renamed =
+        try fs.rename(lock, claim)
+        catch { case _: java.io.IOException => false }
+      if (renamed) {
+        // verify the claim IS the file observed stale (rename
+        // preserves mtime): a fresh lock stolen in the residual
+        // stat→rename window reads a different mtime and is restored
+        if (mtimeOf(fs, claim).contains(m)) fs.delete(claim, false)
+        else if (!fs.rename(claim, lock))
+          // a new lock beat the restore: drop the claim — the frame
+          // it held is the broken STALE lease only if mtimes matched,
+          // which they did not, so nothing holds a live lease here
+          fs.delete(claim, false)
+      }
+    }
     def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: HPath): Unit = {
       val deadline = System.currentTimeMillis() + timeoutMs
       var held = false
       while (!held) {
-        try { fs.create(lock, false).close(); held = true }
-        catch { case _: java.io.IOException =>
-          val stale = try {
-            System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime > staleAfterMs
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) { fs.delete(lock, false); () } // break; retry create
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"store lease $lock held past $timeoutMs ms — if its " +
-                "holder is dead, delete the file to break the lease")
+        try {
+          // create-if-absent, then VERIFY ownership by reading back a
+          // unique token: `create(_, overwrite = false)` is not atomic
+          // on every FileSystem (the local FS exists-checks then
+          // creates), so two simultaneous creators can both "succeed"
+          // — the token settles them to at most one verified owner;
+          // the loser falls through to the poll path below
+          val token = java.util.UUID.randomUUID().toString
+          val out = fs.create(lock, false)
+          try out.write(token.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          val in = fs.open(lock)
+          val seen = try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            if (n <= 0) ""
+            else new String(buf, 0, n,
+              java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+          if (seen == token) held = true
           else Thread.sleep(50)
+        }
+        catch { case _: java.io.IOException =>
+          mtimeOf(fs, lock) match {
+            case Some(m)
+                if System.currentTimeMillis() - m > staleAfterMs =>
+              breakStale(fs, lock, m) // then retry create
+            case Some(_) if System.currentTimeMillis() > deadline =>
+              throw new IllegalStateException(
+                s"store lease $lock held past $timeoutMs ms — if its " +
+                  "holder is dead, delete the file to break the lease")
+            case _ => Thread.sleep(50) // live lock, or vanished: re-poll
+          }
         }
       }
     }
     val taken = scala.collection.mutable.ListBuffer
       .empty[(org.apache.hadoop.fs.FileSystem, HPath)]
+    // heartbeat: advance every HELD lock's mtime so a long-running
+    // body never looks stale to waiters; errors are swallowed (a
+    // missed beat only matters if repeated for staleAfterMs)
+    val hbInterval = math.max(25L, staleAfterMs / 4)
+    @volatile var hbStop = false
+    val hb = new Thread(() => {
+      try while (!hbStop) {
+        Thread.sleep(hbInterval)
+        if (!hbStop) taken.synchronized {
+          taken.foreach { case (fs, p) =>
+            try fs.setTimes(p, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () }
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-store-lease-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
     try {
-      locks.foreach { case (fs, p) => acquire(fs, p); taken += ((fs, p)) }
+      locks.foreach { case (fs, p) =>
+        acquire(fs, p)
+        taken.synchronized { taken += ((fs, p)) }
+      }
       body
-    } finally taken.reverseIterator.foreach { case (fs, p) =>
-      fs.delete(p, false)
+    } finally {
+      hbStop = true
+      hb.interrupt()
+      hb.join(1000L)
+      taken.reverseIterator.foreach { case (fs, p) =>
+        fs.delete(p, false)
+      }
     }
   }
 

@@ -1422,6 +1422,86 @@ class StreamingSpec extends SparkSpec {
     assert(ran && !lock.exists())
   }
 
+  test("store lease: racing waiters break ONE stale lease without ever " +
+      "overlapping in the critical section") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lease-race")
+      .toString
+    val root = s"$tmp/store"
+    val lock = new java.io.File(s"$tmp/.store.lock")
+    assert(lock.createNewFile())
+    // a dead holder's lease: mtime far past staleAfterMs
+    assert(lock.setLastModified(System.currentTimeMillis() - 60000L))
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        try Streaming.withStoreLock(spark, Seq(root),
+            timeoutMs = 10000L, staleAfterMs = 500L) {
+          val now = inside.incrementAndGet()
+          maxInside.getAndUpdate(m => math.max(m, now))
+          entries.incrementAndGet()
+          Thread.sleep(40) // widen any overlap window
+          inside.decrementAndGet()
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"waiter failed: ${errs.peek()}")
+    // every waiter eventually entered, but never two at once — the
+    // claim-by-rename break admits exactly one mutator at a time
+    assert(entries.get() === 4)
+    assert(maxInside.get() === 1,
+      s"${maxInside.get()} mutators overlapped in the critical section")
+    assert(!lock.exists())
+    // no orphaned break-claim files linger
+    assert(new java.io.File(tmp).listFiles()
+      .count(_.getName.contains(".lock.break.")) === 0)
+  }
+
+  test("store lease: a live holder running PAST staleAfterMs heartbeats " +
+      "and is never broken") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lease-hb")
+      .toString
+    val root = s"$tmp/store"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var holderDone = 0L
+    @volatile var waiterEntered = 0L
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // holder: staleAfterMs=200ms, body runs 1s — five stale windows
+    // long; heartbeats (every 50ms) must keep the lease alive
+    val holder = new Thread(() => {
+      try Streaming.withStoreLock(spark, Seq(root),
+          timeoutMs = 10000L, staleAfterMs = 200L) {
+        inside.incrementAndGet()
+        Thread.sleep(1000)
+        if (inside.decrementAndGet() != 0) overlapped.set(true)
+        holderDone = System.nanoTime()
+        ()
+      } catch { case e: Throwable => errs.add(e); () }
+    })
+    holder.start()
+    Thread.sleep(100) // let the holder acquire
+    val waiter = new Thread(() => {
+      try Streaming.withStoreLock(spark, Seq(root),
+          timeoutMs = 10000L, staleAfterMs = 200L) {
+        waiterEntered = System.nanoTime()
+        if (inside.get() != 0) overlapped.set(true)
+        ()
+      } catch { case e: Throwable => errs.add(e); () }
+    })
+    waiter.start()
+    holder.join(); waiter.join()
+    assert(errs.isEmpty, s"lease participant failed: ${errs.peek()}")
+    assert(!overlapped.get(),
+      "waiter broke a HEARTBEATING holder's lease and entered concurrently")
+    assert(waiterEntered > holderDone,
+      "waiter entered before the live holder released")
+  }
+
   test("compactors heal a crashed previous compaction before deciding " +
       "anything: a mid-swap crash restores from backup, a stale backup " +
       "is consumed, a consolidated tree is not identity-rewritten") {
