@@ -468,6 +468,37 @@ object Dedup {
   private[graft] def jaccardSizeBandOf(x: Long): Int =
     63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x))
 
+  /** The standing-prefix prune predicate for a batch of ordered sets:
+    * PER-BAND size envelopes, OR'd. Grouping the batch by its own
+    * ⌊log2 sz⌋ band and deriving one [t·mn, mx/t] envelope per band
+    * bounds the store read even for a MIXED-size batch — one tiny plus
+    * one huge document no longer widens a single global envelope to
+    * the whole store (each contributes only its own band's envelope).
+    * At most 64 bands exist, so the OR chain stays trivially small;
+    * partition pruning evaluates it against `szb=` directory values
+    * and parquet row-group min/max stats evaluate the `sz BETWEEN`
+    * ranges. `hasSzb = false` (a store written before the size-banded
+    * layout) keeps the row-level `sz` ranges and drops the directory
+    * dimension. An empty batch (no shingleable docs) yields `false` —
+    * nothing in the store can match it. */
+  private[graft] def sizeEnvelopePredicate(bsets: DataFrame,
+      minJaccard: Double, hasSzb: Boolean): Column = {
+    val bands = bsets
+      .groupBy(jaccardSizeBand(col("__sz")).as("__b"))
+      .agg(min("__sz").as("mn"), max("__sz").as("mx"))
+      .collect()
+    if (bands.isEmpty) lit(false)
+    else bands.map { r =>
+      val (lo, hi) = sizeEnvelope(r.getAs[Number]("mn").longValue,
+        r.getAs[Number]("mx").longValue, minJaccard)
+      val bySz = col("sz").between(lo, hi)
+      if (hasSzb)
+        bySz && col("szb").between(
+          jaccardSizeBandOf(lo), jaccardSizeBandOf(hi))
+      else bySz
+    }.reduce(_ || _)
+  }
+
   /** Exploded prefix rows `(h, id, pos, sz)` of an
     * [[orderedShingleSets]] frame — the probe/index row shape shared
     * by [[jaccardIndexTables]], [[admitAgainstJaccardIndex]] and the
@@ -623,21 +654,14 @@ object Dedup {
       s"minJaccard must be in (0, 1], got $minJaccard")
     val bsets = orderedShingleSets(batch, textCol, idCol, n,
       Some(dfTable)).localCheckpoint()
-    // size-envelope prune BEFORE the probe: store rows outside
-    // [t·mn, mx/t] cannot be size-compatible with ANY batch row, so
-    // the filter is semantics-free; on a parquet-backed prefix it
-    // prunes szb= band directories (and row groups via the pushed sz
-    // range), bounding read I/O by the batch's size envelope
-    val pruned = bsets.agg(min("__sz"), max("__sz")).collect()
-      .headOption.filter(!_.isNullAt(0)).map { r =>
-        val (lo, hi) = sizeEnvelope(r.getAs[Number](0).longValue,
-          r.getAs[Number](1).longValue, minJaccard)
-        val bySz = prefix.where(col("sz").between(lo, hi))
-        if (prefix.columns.contains("szb"))
-          bySz.where(col("szb").between(
-            jaccardSizeBandOf(lo), jaccardSizeBandOf(hi)))
-        else bySz
-      }.getOrElse(prefix)
+    // size-envelope prune BEFORE the probe: store rows outside every
+    // batch band's [t·mn, mx/t] cannot be size-compatible with ANY
+    // batch row, so the filter is semantics-free; on a parquet-backed
+    // prefix it prunes szb= band directories (and row groups via the
+    // pushed sz ranges), bounding read I/O by the batch's PER-BAND
+    // size envelopes even when the batch itself mixes sizes
+    val pruned = prefix.where(sizeEnvelopePredicate(bsets, minJaccard,
+      prefix.columns.contains("szb")))
     val cand = storeCandidates(pruned, prefixRows(bsets, minJaccard),
       minJaccard)
     val byStore = verifySuppressed(cand,

@@ -693,6 +693,12 @@ object Streaming {
     val hasPrior = fs.exists(new HPath(dir, "prefix")) &&
       fs.listStatus(new HPath(dir, "prefix"))
         .exists(_.getPath.getName.startsWith("batch="))
+    // the tree's prefix layout is FIXED at its first write: a store
+    // created before the size-banded (`szb=`) layout keeps jb=-only
+    // dirs — mixing partition depths under one tree would break
+    // partition discovery; rebuildJaccardIndex migrates old stores
+    val bandedLayout = !hasPrior ||
+      spark.read.parquet(s"$indexDir/prefix").columns.contains("szb")
     val bsets = graft.ops.Dedup.orderedShingleSets(batch, textCol, idCol,
       n, Some(dfTable)).localCheckpoint()
     // candidate generation / size / positional / verify logic is the
@@ -723,20 +729,14 @@ object Streaming {
         val touched = bpref
           .select(jaccardPrefixBucket(col("h")).as("jb"))
           .distinct().collect().map(_.getInt(0))
-        val szr = bsets.agg(min("__sz"), max("__sz")).collect().head
-        // an all-null-text batch has no sets (null min): the jb prune
-        // already selects nothing, any envelope works
-        val (szLo, szHi) =
-          if (szr.isNullAt(0)) (1L, 1L)
-          else graft.ops.Dedup.sizeEnvelope(
-            szr.getAs[Number](0).longValue,
-            szr.getAs[Number](1).longValue, minJaccard)
+        // an old (jb=-only) store prunes on jb + the row-level sz
+        // ranges alone — no szb= directory dimension to push
         val standingPrefix = spark.read.parquet(s"$indexDir/prefix")
           .where(col("jb").isin(touched.toSeq: _*) &&
-            col("szb").between(graft.ops.Dedup.jaccardSizeBandOf(szLo),
-              graft.ops.Dedup.jaccardSizeBandOf(szHi)) &&
-            col("sz").between(szLo, szHi))
-          .drop("batch", "jb", "szb")
+            graft.ops.Dedup.sizeEnvelopePredicate(bsets, minJaccard,
+              bandedLayout))
+          .drop((Seq("batch", "jb") ++
+            (if (bandedLayout) Seq("szb") else Nil)): _*)
         // candidate store ids first (cheap fixed-width joins), then
         // fetch ONLY their ab= buckets for verification
         val cand = graft.ops.Dedup
@@ -776,15 +776,19 @@ object Streaming {
       .join(admittedIds, Seq("id"), "left_semi")
       .withColumn("ab", jaccardArrayBucket(col("id")))
       .localCheckpoint()
-    val prefRows = bpref.join(admittedIds, Seq("id"), "left_semi")
+    val prefRows0 = bpref.join(admittedIds, Seq("id"), "left_semi")
       .withColumn("jb", jaccardPrefixBucket(col("h")))
-      .withColumn("szb", graft.ops.Dedup.jaccardSizeBand(col("sz")))
-      .localCheckpoint()
+    val prefRows = (
+      if (bandedLayout) prefRows0.withColumn("szb",
+        graft.ops.Dedup.jaccardSizeBand(col("sz")))
+      else prefRows0).localCheckpoint()
     if (!arrRows.isEmpty)
       arrRows.write.mode("overwrite").partitionBy("ab")
         .parquet(s"$indexDir/arrays/batch=$batchId")
     if (!prefRows.isEmpty)
-      prefRows.write.mode("overwrite").partitionBy("jb", "szb")
+      prefRows.write.mode("overwrite")
+        .partitionBy((if (bandedLayout) Seq("jb", "szb")
+          else Seq("jb")): _*)
         .parquet(s"$indexDir/prefix/batch=$batchId")
     admitted
   }
@@ -2344,8 +2348,17 @@ object Streaming {
       // admission read pushes an `sz BETWEEN` envelope filter, so
       // sz-ordered row groups let parquet min/max stats skip the
       // out-of-envelope span of every compacted file (the digest join
-      // is a join, not a filter — h-ordering could not prune reads)
-      fold("prefix", pIds, "jb", Seq("jb", "szb"), Seq("jb", "szb", "sz", "h"))
+      // is a join, not a filter — h-ordering could not prune reads).
+      // A store written before the size-banded layout stays on its
+      // jb=-only layout (same guard as the streaming merge — a
+      // rebuildJaccardIndex migrates it)
+      val bandedLayout = pIds.isEmpty ||
+        spark.read.parquet(s"$indexDir/prefix").columns
+          .contains("szb")
+      val (pParts, pSort) =
+        if (bandedLayout) (Seq("jb", "szb"), Seq("jb", "szb", "sz", "h"))
+        else (Seq("jb"), Seq("jb", "sz", "h"))
+      fold("prefix", pIds, "jb", pParts, pSort)
       fold("arrays", aIds, "ab", Seq("ab"), Seq("ab", "id"))
       // the persisted frozen order ([[writeJaccardDfTable]]) lives
       // under the same root and must survive the swap — it IS the

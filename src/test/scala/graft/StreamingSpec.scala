@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.Streaming
+import org.apache.hadoop.fs.{Path => HPath}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -643,6 +644,79 @@ class StreamingSpec extends SparkSpec {
         .select("id").distinct().collect().map(_.getLong(0)).toSet
         === idsAfter + 41L)
     } finally q.stop()
+  }
+
+  test("jaccard index written before the size-banded layout: merges and " +
+      "compaction fall back to the jb=-only prune and keep the layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jbc").toString
+    val d1 = "the quick brown fox jumps over the lazy dog tonight again"
+    val d2 = "glass furnaces along the coast burned driftwood and kelp ash"
+    val d3 = "rivers carve canyons slowly through layered sandstone walls"
+    val d4 = "brand new unrelated content about migratory geese flying"
+    val all = Seq((1L, d1), (2L, d2), (10L, d1.replace("dog", "cat")),
+      (12L, d3), (20L, d2), (21L, d4))
+    val frozen = graft.ops.Dedup.shingleDfTable(
+      all.toDF("doc_id", "text"), "text", 3).localCheckpoint()
+    def run(dir: String, downgradeAfterTwo: Boolean): Set[Long] = {
+      Streaming.mergeJaccardIndexBatch(
+        Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+        "text", "doc_id", dir, 0L, frozen, 3, 0.5)
+      Streaming.mergeJaccardIndexBatch(
+        Seq((10L, d1.replace("dog", "cat")), (12L, d3))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", dir, 1L, frozen, 3, 0.5)
+      if (downgradeAfterTwo) {
+        // rewrite the prefix tree to the PRE-szb layout: jb=-only
+        // dirs, no szb column — the store an older build left behind
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        new java.io.File(s"$dir/prefix").listFiles()
+          .filter(_.getName.startsWith("batch=")).foreach { bd =>
+            val side = s"$dir/.downgrade.tmp"
+            spark.read.parquet(bd.toString).drop("szb")
+              .write.mode("overwrite").partitionBy("jb").parquet(side)
+            fs.delete(new HPath(bd.toString), true)
+            assert(fs.rename(new HPath(side), new HPath(bd.toString)))
+          }
+        assert(!spark.read.parquet(s"$dir/prefix").columns
+          .contains("szb"))
+      }
+      // resumed stream: 20 is stored 2's exact dup (suppressed via
+      // the standing read — the path that crashed on unresolved szb),
+      // 21 is novel
+      Streaming.mergeJaccardIndexBatch(
+        Seq((20L, d2), (21L, d4)).toDF("doc_id", "text"),
+        "text", "doc_id", dir, 2L, frozen, 3, 0.5)
+      Streaming.compactJaccardIndex(spark, dir)
+      // a post-compaction merge replays cleanly too (carried batch)
+      Streaming.mergeJaccardIndexBatch(
+        Seq((20L, d2), (21L, d4)).toDF("doc_id", "text"),
+        "text", "doc_id", dir, 2L, frozen, 3, 0.5)
+      Streaming.readJaccardIndexArrays(spark, dir)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    val bandedIds = run(s"$tmp/banded", downgradeAfterTwo = false)
+    val oldIds = run(s"$tmp/old", downgradeAfterTwo = true)
+    // admission decisions are layout-invariant (the szb= dimension is
+    // an I/O prune, never semantics)
+    assert(oldIds === bandedIds)
+    assert(oldIds === Set(1L, 2L, 12L, 21L))
+    // the old store STAYED on its layout: new batch dirs and the
+    // compacted batch=-1 are jb=-only (no mixed partition depths)
+    assert(!spark.read.parquet(s"$tmp/old/prefix").columns
+      .contains("szb"))
+    assert(spark.read.parquet(s"$tmp/banded/prefix").columns
+      .contains("szb"))
+    // rebuildJaccardIndex migrates the old store to the banded layout
+    val adm = all.toDF("doc_id", "text")
+      .join(oldIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    Streaming.rebuildJaccardIndex(spark, adm, "text", "doc_id",
+      s"$tmp/old", 3, 0.5)
+    assert(spark.read.parquet(s"$tmp/old/prefix").columns
+      .contains("szb"))
+    assert(Streaming.readJaccardIndexArrays(spark, s"$tmp/old")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+      === oldIds)
   }
 
   test("curationIngestSink: gate -> dedup -> payload -> stats in one " +
