@@ -421,8 +421,14 @@ object Streaming {
     * mixture-planning step is O(sources) — the 100 TB corpus is
     * tokenized once as it streams past, never rescanned at planning
     * time. `tokensExpr` is evaluated per batch row (e.g.
-    * `size(Text.tokens(col("text")))`); pass the SAME expression every
-    * session or the accumulated capacities silently mix units. */
+    * `size(Text.tokens(col("text")))`) and its SQL form is persisted
+    * in a `meta/` row at the first merge: a later session configured
+    * with a DIFFERENT expression fails loudly instead of silently
+    * mixing units into the accumulated capacities (the [[hllSink]]
+    * lgK discipline applied to this sink's unit). A store created
+    * before the guard carries no fingerprint to check — its first
+    * post-upgrade merge stamps the CURRENT expression, so keep the
+    * expression stable across that upgrade yourself. */
   def sourceStatsSink(docs: DataFrame, sourceCol: String,
                       tokensExpr: Column, statsDir: String,
                       checkpoint: String) =
@@ -438,13 +444,35 @@ object Streaming {
 
   private[graft] def mergeSourceStatsBatch(batch: DataFrame,
       sourceCol: String, tokensExpr: Column, statsDir: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // the unit fingerprint: the expression's rendered form — equal
+    // expressions render equally, and a CHANGED expression is exactly
+    // the mixed-units hazard the guard exists to catch
+    val fp = tokensExpr.toString
     mergeStoreBatch(statsDir, batchId, Seq(
+      StorePart("meta", Seq("tokens_expr"), Seq("n_batches")) ->
+        batch.sparkSession.range(1)
+          .select(lit(fp).as("tokens_expr"), lit(1L).as("n_batches")),
       StorePart("capacity", Seq("source"),
         Seq("tokens_avail", "n_docs")) ->
         batch.groupBy(col(sourceCol).as("source"))
           .agg(sum(tokensExpr.cast("double")).as("tokens_avail"),
-            count(lit(1)).as("n_docs"))))
+            count(lit(1)).as("n_docs"))),
+      customMerge = Map("meta" -> { (prior, delta) =>
+        prior.foreach { p =>
+          val fps = p.select("tokens_expr").collect()
+            .map(_.getString(0)).toSeq
+          require(fps == Seq(fp),
+            s"source-capacity store at $statsDir accumulated tokens " +
+              s"under ${fps.mkString(",")} but this sink is configured " +
+              s"with $fp — the capacities would silently mix units; " +
+              "pass the original expression or rebuild the store")
+        }
+        prior.map(p => graft.ops.Warehouse.mergeAggDelta(
+            p, delta, Seq("tokens_expr"), Seq("n_batches")))
+          .getOrElse(delta)
+      }))
+  }
 
   /** The standing (source, tokens_avail, n_docs) table of a
     * [[sourceStatsSink]] — the `capacity` input of
@@ -1697,9 +1725,10 @@ object Streaming {
     * reservoir — the mark keeps the store bytes deterministic. An id
     * genuinely re-streamed in a DIFFERENT batch (at-least-once
     * upstream source) is dropped by an id-dedup in the merge before
-    * the top-n, so the reservoir always holds n DISTINCT ids (the
-    * duplicate's payload is the first-seen row's — ids are assumed to
-    * identify one payload). Rows with weight ≤ 0 never enter. */
+    * the top-n, so the reservoir always holds n DISTINCT ids; the
+    * surviving payload is deterministic — first-seen across batches,
+    * least-content-hash within one batch (micro-batch rows carry no
+    * order to be "first" in). Rows with weight ≤ 0 never enter. */
   def prioritySampleSink(rows: DataFrame, idCol: String,
                          weightCol: String, n: Int,
                          statsDir: String, checkpoint: String) =
@@ -1730,9 +1759,18 @@ object Streaming {
         // union with its identical deterministic priority, and
         // keeping both rows would over-represent the id while
         // shrinking the DISTINCT sample below n. The STANDING row
-        // wins (delta anti-joined on the reservoir's ids), so which
-        // payload survives is deterministic: first-seen
-        val dd = d.dropDuplicates(idCol)
+        // wins (delta anti-joined on the reservoir's ids), so the
+        // cross-batch survivor is first-seen; WITHIN a batch carrying
+        // one id twice with different payloads there is no "first"
+        // (micro-batch rows are unordered), so the survivor is the
+        // payload with the least content hash — deterministic across
+        // shuffles and replays, unlike dropDuplicates' arbitrary pick
+        val payload = d.columns.filterNot(_ == idCol)
+        val dd = d.withColumn("__rn",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col(idCol))
+              .orderBy(xxhash64(payload.map(col).toIndexedSeq: _*))))
+          .where(col("__rn") === 1).drop("__rn")
         prior.map(p => p.unionByName(
             dd.join(p.select(idCol), Seq(idCol), "left_anti")))
           .getOrElse(dd)
@@ -1769,7 +1807,11 @@ object Streaming {
     * DIFFERENT lgK fails its first merge with a per-store message
     * (mismatched sketch configs cannot union; without the guard
     * `hll_union` would throw opaquely and wedge the stream on every
-    * replay of that batch). */
+    * replay of that batch). A store created before the guard — hll
+    * data, no meta row — is probed instead: one stored sketch's
+    * lgConfigK is read and the same check applies, so the meta row
+    * stamped by the first post-upgrade merge records the store's TRUE
+    * config. */
   def hllSink(rows: DataFrame, keyCol: String, valueCol: String,
               statsDir: String, checkpoint: String, lgK: Int = 12) =
     rows.writeStream
@@ -1791,15 +1833,34 @@ object Streaming {
                 .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))),
             customMerge = Map(
               "meta" -> { (prior, delta) =>
-                prior.foreach { p =>
-                  val ks = p.select("lg_k").collect()
-                    .map(_.getInt(0)).toSeq
-                  require(ks == Seq(lgK),
-                    s"hll store at $statsDir was built with lgK=" +
-                      s"${ks.mkString(",")} but this sink is configured " +
-                      s"with lgK=$lgK — sketches with different configs " +
-                      "cannot union; match lgK or rebuild the store")
+                val storedLgK = prior match {
+                  case Some(p) =>
+                    p.select("lg_k").collect().map(_.getInt(0)).toSeq
+                  case None =>
+                    // a store created BEFORE the meta guard has hll
+                    // data but no meta row: probe ONE stored sketch's
+                    // lgConfigK instead of letting hll_union throw its
+                    // opaque config error — and so the meta row this
+                    // merge stamps records the store's TRUE config,
+                    // never mislabels it with the sink's
+                    val spark = delta.sparkSession
+                    val hllPath = new HPath(
+                      s"${readableStoreDir(spark, statsDir)}/hll")
+                    val fs = hllPath.getFileSystem(
+                      spark.sparkContext.hadoopConfiguration)
+                    if (!fs.exists(hllPath)) Nil
+                    else spark.read.parquet(hllPath.toString)
+                      .select("sketch").limit(1).collect()
+                      .map(r => org.apache.datasketches.hll.HllSketch
+                        .heapify(r.getAs[Array[Byte]](0))
+                        .getLgConfigK).toSeq
                 }
+                require(storedLgK.isEmpty || storedLgK == Seq(lgK),
+                  s"hll store at $statsDir was built with lgK=" +
+                    s"${storedLgK.mkString(",")} but this sink is " +
+                    s"configured with lgK=$lgK — sketches with " +
+                    "different configs cannot union; match lgK or " +
+                    "rebuild the store")
                 prior.map(p => graft.ops.Warehouse.mergeAggDelta(
                     p, delta, Seq("lg_k"), Seq("n_batches")))
                   .getOrElse(delta)

@@ -1202,7 +1202,91 @@ class StreamingSpec extends SparkSpec {
         s"$tmp/stats", batchId = 0L)
       assert(Streaming.readSourceCapacity(spark, s"$tmp/stats")
         .collect().toSeq === before)
+      // unit guard: a later session with a DIFFERENT tokens expression
+      // fails loudly instead of silently mixing units
+      val e = intercept[IllegalArgumentException] {
+        Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
+          length(col("text")), s"$tmp/stats", batchId = 99L)
+      }
+      assert(e.getMessage.contains("mix units"))
+      // ... while the SAME expression (rebuilt, not the same object)
+      // keeps accumulating
+      Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
+        size(graft.ops.Text.tokens(col("text"))), s"$tmp/stats",
+        batchId = 100L)
+      // a store from BEFORE the guard (no meta part) is adopted: the
+      // first merge stamps the current fingerprint
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new HPath(s"$tmp/stats/meta"), true)
+      Streaming.mergeSourceStatsBatch(docs.limit(5), "source", tokExpr,
+        s"$tmp/stats", batchId = 101L)
+      assert(spark.read.parquet(s"$tmp/stats/meta")
+        .select("tokens_expr").collect().map(_.getString(0)).toSeq
+        === Seq(tokExpr.toString))
     } finally q.stop()
+  }
+
+  test("hllSink lgK guard: mismatched config fails per-store, and a " +
+      "pre-guard store (data, no meta) is probed, not mislabeled") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
+    val docs = Seq(("de", 1L), ("de", 2L), ("en", 3L))
+    def feed(dir: String, ck: String, lgK: Int, bid: Long = 0L): Unit = {
+      val in = MemoryStream[(String, Long)]
+      val q = Streaming.hllSink(in.toDF().toDF("lang", "doc_id"),
+        "lang", "doc_id", dir, ck, lgK = lgK).start()
+      try { in.addData(docs: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    feed(s"$tmp/stats", s"$tmp/ck1", lgK = 12)
+    // second session under a different lgK: the meta row fails the
+    // merge with the per-store message, not hll_union's opaque error
+    val e = intercept[Exception] {
+      feed(s"$tmp/stats", s"$tmp/ck2", lgK = 11)
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(e).contains("was built with lgK=12"))
+    // pre-guard store: hll data but NO meta row — the probe reads one
+    // stored sketch's lgConfigK, so the mismatch is still caught ...
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new HPath(s"$tmp/stats/meta"), true)
+    val e2 = intercept[Exception] {
+      feed(s"$tmp/stats", s"$tmp/ck3", lgK = 11)
+    }
+    assert(rootMsg(e2).contains("was built with lgK=12"))
+    // ... and a MATCHING sink adopts the store, stamping the true
+    // config into meta; estimates keep accumulating correctly
+    feed(s"$tmp/stats", s"$tmp/ck4", lgK = 12)
+    assert(spark.read.parquet(s"$tmp/stats/meta")
+      .select("lg_k").collect().map(_.getInt(0)).toSeq === Seq(12))
+    assert(Streaming.readHllDistinct(spark, s"$tmp/stats")
+      .orderBy("lang").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq === Seq(("de", 2L), ("en", 1L)))
+  }
+
+  test("prioritySampleSink: an id twice in ONE batch with different " +
+      "payloads keeps a deterministic survivor") {
+    // same rows, opposite arrival order -> identical store bytes
+    val rows = Seq((1L, 50L, "a"), (1L, 50L, "b"), (2L, 30L, "c"))
+    def run(dir: String, data: Seq[(Long, Long, String)]): Seq[Seq[Any]] = {
+      Streaming.mergePrioritySampleBatch(
+        data.toDF("doc_id", "n_chars", "payload"),
+        "doc_id", "n_chars", 10, dir, 0L)
+      Streaming.readPrioritySample(spark, dir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    }
+    val fwd = run(java.nio.file.Files
+      .createTempDirectory("graft-ares-d1").toString + "/s", rows)
+    val rev = run(java.nio.file.Files
+      .createTempDirectory("graft-ares-d2").toString + "/s", rows.reverse)
+    assert(fwd === rev)
+    assert(fwd.map(_.head) === Seq(1L, 2L)) // n DISTINCT ids
   }
 
   test("stats-store reads survive a mid-swap crash state WITHOUT mutating it") {
