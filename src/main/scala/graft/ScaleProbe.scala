@@ -225,6 +225,65 @@ object ScaleProbe {
             f"after batch $i%2d          ${(System.nanoTime() - c0) / 1e9}%7.1f s")
         }
       }
+      // MIXED-size batch against the full standing store — the
+      // per-band envelope's whole point. A BIMODAL batch (smallest +
+      // largest octile together, re-idd so every doc is a 1.0-Jaccard
+      // near-dup of its stored original) makes a single global
+      // [t·mn, mx/t] envelope cover essentially the entire store,
+      // while the per-band OR reads only the two end bands' ranges.
+      // Both counts are reported (untimed) next to the timed merge.
+      locally {
+        val bi = corpus.join(
+            szByDoc.where(col("l") <= cuts(0) || col("l") > cuts(nb - 2))
+              .select("doc_id"), Seq("doc_id"), "left_semi")
+          .select((col("doc_id") + lit((maxId + 1) * replicas * 2))
+            .as("doc_id"), col("text"))
+        val bsets = Dedup.orderedShingleSets(bi, "text", "doc_id", 3,
+          Some(frozen)).localCheckpoint()
+        val pref = spark.read.parquet(s"$tmp/index/prefix")
+        val totalRows = pref.count()
+        val szr = bsets.agg(min("__sz"), max("__sz")).collect().head
+        val (glo, ghi) = Dedup.sizeEnvelope(
+          szr.getAs[Number](0).longValue,
+          szr.getAs[Number](1).longValue, 0.8)
+        val readGlobal = pref.where(
+          col("szb").between(Dedup.jaccardSizeBandOf(glo),
+            Dedup.jaccardSizeBandOf(ghi)) &&
+          col("sz").between(glo, ghi)).count()
+        val readBanded = pref.where(
+          Dedup.sizeEnvelopePredicate(bsets, 0.8,
+            pref.columns.contains("szb"))).count()
+        val t0 = System.nanoTime()
+        graft.streaming.Streaming.mergeJaccardIndexBatch(
+          bi, "text", "doc_id", s"$tmp/index", nb.toLong, frozen,
+          n = 3, minJaccard = 0.8)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] jaccard-index BIMODAL batch      $wall%7.1f s  " +
+          f"read banded $readBanded%9d vs global $readGlobal%9d " +
+          f"of $totalRows%9d standing rows")
+      }
+      // END-TO-END exact-Jaccard curation ingest (gate -> frozen-order
+      // exact dedup admission -> payload -> stats, one exactly-once
+      // pass per batch): the curationIngestSinkExact cost figure, same
+      // octile slicing so the szb= prune is exercised in-store
+      locally {
+        val tmpE = java.nio.file.Files
+          .createTempDirectory("graft-ingestprobe-exact").toString
+        (0 until nb).foreach { i =>
+          val lo = if (i == 0) Double.MinValue else cuts(i - 1)
+          val hi = if (i == nb - 1) Double.MaxValue else cuts(i)
+          val b = corpus.join(
+            szByDoc.where(col("l") > lo && col("l") <= hi)
+              .select("doc_id"), Seq("doc_id"), "left_semi")
+          val t0 = System.nanoTime()
+          graft.streaming.Streaming.curationIngestBatchExact(
+            b, "text", "doc_id", tmpE, i.toLong,
+            minQuality = 0.0, lenLo = 0.0, lenHi = 1e9,
+            dfTable = frozen, n = 3, minJaccard = 0.8)
+          println(f"[probe] exact curation ingest batch $i%2d " +
+            f"(standing ~ $i/$nb of corpus)  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+        }
+      }
     }
     // decontamination: 1% of docs stand in for the benchmark set;
     // broadcast-semi-join inside the scan, so docs/s ~ text family

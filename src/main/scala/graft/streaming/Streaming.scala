@@ -386,7 +386,20 @@ object Streaming {
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         finally in.close()
       } else -1L
-    if (batchId <= mark) return // checkpoint replay of a merged batch
+    if (batchId <= mark) {
+      // A replayed id is the normal exactly-once skip. But batchId 0
+      // against an advanced mark is the FRESH-CHECKPOINT signature: a
+      // new stream pointed at an existing store silently no-ops every
+      // merge until its ids pass the mark — data loss by
+      // misconfiguration, so say it loudly instead of swallowing it.
+      if (batchId == 0L && mark > 0L)
+        System.err.println(s"[store] WARNING: batch 0 <= _batch mark " +
+          s"$mark at $statsDir — this looks like a FRESH checkpoint " +
+          "pointed at an existing store; its batches will be silently " +
+          s"skipped until ids exceed $mark. Use the original " +
+          "checkpoint, or a new store directory.")
+      return // checkpoint replay of a merged batch
+    }
     deltas.foreach { case (part, delta) =>
       // a part's merge is additive (mergeAggDelta) unless the caller
       // supplies a custom fold — e.g. the Holt store's state carry,
@@ -442,12 +455,24 @@ object Streaming {
         ()
       }
 
+  /** Strip Catalyst's fresh lambda-variable ids from a rendered
+    * expression before fingerprint comparison. The Scala functions API
+    * names higher-order-function lambda variables `x`/`y`/`z` plus a
+    * GLOBAL counter (`x_1636`), so the SAME expression rebuilt in a
+    * later session renders differently — a raw string compare would
+    * falsely reject an identical restart. SQL-parsed lambdas keep
+    * their literal names and are untouched. */
+  private[graft] def normalizeLambdaIds(rendered: String): String =
+    rendered.replaceAll("""\b([xyz])_\d+\b""", "$1")
+
   private[graft] def mergeSourceStatsBatch(batch: DataFrame,
       sourceCol: String, tokensExpr: Column, statsDir: String,
       batchId: Long): Unit = {
-    // the unit fingerprint: the expression's rendered form — equal
-    // expressions render equally, and a CHANGED expression is exactly
-    // the mixed-units hazard the guard exists to catch
+    // the unit fingerprint: the expression's rendered form — a CHANGED
+    // expression is exactly the mixed-units hazard the guard exists to
+    // catch. Comparison is modulo [[normalizeLambdaIds]]: equal
+    // expressions render equally EXCEPT for Catalyst's global lambda
+    // counter, which must not fail a legitimate restart
     val fp = tokensExpr.toString
     mergeStoreBatch(statsDir, batchId, Seq(
       StorePart("meta", Seq("tokens_expr"), Seq("n_batches")) ->
@@ -459,18 +484,23 @@ object Streaming {
           .agg(sum(tokensExpr.cast("double")).as("tokens_avail"),
             count(lit(1)).as("n_docs"))),
       customMerge = Map("meta" -> { (prior, delta) =>
-        prior.foreach { p =>
-          val fps = p.select("tokens_expr").collect()
-            .map(_.getString(0)).toSeq
-          require(fps == Seq(fp),
-            s"source-capacity store at $statsDir accumulated tokens " +
-              s"under ${fps.mkString(",")} but this sink is configured " +
-              s"with $fp — the capacities would silently mix units; " +
-              "pass the original expression or rebuild the store")
+        prior match {
+          case Some(p) =>
+            val fps = p.select("tokens_expr").collect()
+              .map(_.getString(0)).toSeq
+            require(fps.map(normalizeLambdaIds) ==
+                Seq(normalizeLambdaIds(fp)),
+              s"source-capacity store at $statsDir accumulated tokens " +
+                s"under ${fps.mkString(",")} but this sink is configured " +
+                s"with $fp — the capacities would silently mix units; " +
+                "pass the original expression or rebuild the store")
+            // keep the store's ORIGINAL rendering (first writer wins):
+            // re-stamping this session's lambda ids would fork the
+            // meta key and mergeAggDelta would grow a second row
+            p.select(col("tokens_expr"),
+              (col("n_batches") + lit(1L)).as("n_batches"))
+          case None => delta
         }
-        prior.map(p => graft.ops.Warehouse.mergeAggDelta(
-            p, delta, Seq("tokens_expr"), Seq("n_batches")))
-          .getOrElse(delta)
       }))
   }
 
@@ -1819,12 +1849,19 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          // the meta part comes FIRST: a store fed under a different
-          // lgK in an earlier session must fail with the per-store
-          // message below, not hll_union's opaque sketch-config error
-          // mid-merge (which would wedge the stream on every replay
-          // of this batch with no pointer to the cause)
-          mergeStoreBatch(statsDir, batchId, Seq(
+          mergeHllBatch(batch, keyCol, valueCol, statsDir, lgK, batchId)
+        ()
+      }
+
+  private[graft] def mergeHllBatch(batch: DataFrame, keyCol: String,
+      valueCol: String, statsDir: String, lgK: Int,
+      batchId: Long): Unit = {
+    // the meta part comes FIRST: a store fed under a different
+    // lgK in an earlier session must fail with the per-store
+    // message below, not hll_union's opaque sketch-config error
+    // mid-merge (which would wedge the stream on every replay
+    // of this batch with no pointer to the cause)
+    mergeStoreBatch(statsDir, batchId, Seq(
             StorePart("meta", Seq("lg_k"), Seq("n_batches")) ->
               batch.sparkSession.range(1)
                 .select(lit(lgK).as("lg_k"), lit(1L).as("n_batches")),
@@ -1879,8 +1916,7 @@ object Streaming {
                         .as("sketch"))
               }
             }))
-        ()
-      }
+  }
 
   /** Read a [[hllSink]] store as (key, n_distinct) estimates.
     * Side-effect-free (see [[readableStoreDir]]). */
@@ -2026,17 +2062,51 @@ object Streaming {
         // preserves mtime): a fresh lock stolen in the residual
         // stat→rename window reads a different mtime and is restored
         if (mtimeOf(fs, claim).contains(m)) fs.delete(claim, false)
-        else if (!fs.rename(claim, lock))
-          // a new lock beat the restore: drop the claim — the frame
-          // it held is the broken STALE lease only if mtimes matched,
-          // which they did not, so nothing holds a live lease here
-          fs.delete(claim, false)
+        else {
+          // the mtime mismatch PROVES the claim is a FRESH lease whose
+          // holder is alive — it must be restored, never deleted. If a
+          // competing lock beat the restore, retry: the competitor's
+          // release (or its own break) frees the path eventually
+          val restoreDeadline = System.currentTimeMillis() + 10000L
+          var restored = fs.rename(claim, lock)
+          while (!restored &&
+              System.currentTimeMillis() < restoreDeadline) {
+            Thread.sleep(25)
+            restored = fs.rename(claim, lock)
+          }
+          if (!restored) {
+            // park, don't delete: the quarantined file is the live
+            // holder's lease evidence for a human to adjudicate
+            val orphan = new HPath(lock.getParent,
+              s"${lock.getName}.orphan.${java.util.UUID.randomUUID()}")
+            fs.rename(claim, orphan)
+            throw new IllegalStateException(
+              s"store lease break claimed a LIVE lock $lock and could " +
+                s"not restore it (path stayed occupied); parked it at " +
+                s"$orphan — resolve by hand before resuming")
+          }
+        }
       }
     }
-    def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: HPath): Unit = {
+    def readToken(fs: org.apache.hadoop.fs.FileSystem,
+                  lock: HPath): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          Some(if (n <= 0) ""
+            else new String(buf, 0, n,
+              java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    // returns the unique token written into the held lock — the fence
+    // the release path checks before deleting
+    def acquire(fs: org.apache.hadoop.fs.FileSystem,
+                lock: HPath): String = {
       val deadline = System.currentTimeMillis() + timeoutMs
-      var held = false
-      while (!held) {
+      var held: Option[String] = None
+      while (held.isEmpty) {
         try {
           // create-if-absent, then VERIFY ownership by reading back a
           // unique token: `create(_, overwrite = false)` is not atomic
@@ -2049,15 +2119,14 @@ object Streaming {
           try out.write(token.getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          val in = fs.open(lock)
-          val seen = try {
-            val buf = new Array[Byte](64)
-            val n = in.read(buf)
-            if (n <= 0) ""
-            else new String(buf, 0, n,
-              java.nio.charset.StandardCharsets.UTF_8)
-          } finally in.close()
-          if (seen == token) held = true
+          // SETTLE before the ownership read-back: two creators who
+          // both slipped through the exists-check (maximally likely
+          // right after a stale break frees the path for N waiters at
+          // once) must both observe the LAST write — reading back
+          // immediately lets the first creator verify its own token
+          // before the second's overwrite lands, granting two leases
+          Thread.sleep(30)
+          if (readToken(fs, lock).contains(token)) held = Some(token)
           else Thread.sleep(50)
         }
         catch { case _: java.io.IOException =>
@@ -2073,9 +2142,10 @@ object Streaming {
           }
         }
       }
+      held.get
     }
     val taken = scala.collection.mutable.ListBuffer
-      .empty[(org.apache.hadoop.fs.FileSystem, HPath)]
+      .empty[(org.apache.hadoop.fs.FileSystem, HPath, String)]
     // heartbeat: advance every HELD lock's mtime so a long-running
     // body never looks stale to waiters; errors are swallowed (a
     // missed beat only matters if repeated for staleAfterMs)
@@ -2085,7 +2155,7 @@ object Streaming {
       try while (!hbStop) {
         Thread.sleep(hbInterval)
         if (!hbStop) taken.synchronized {
-          taken.foreach { case (fs, p) =>
+          taken.foreach { case (fs, p, _) =>
             try fs.setTimes(p, System.currentTimeMillis(), -1)
             catch { case _: java.io.IOException => () }
           }
@@ -2096,16 +2166,22 @@ object Streaming {
     hb.start()
     try {
       locks.foreach { case (fs, p) =>
-        acquire(fs, p)
-        taken.synchronized { taken += ((fs, p)) }
+        val token = acquire(fs, p)
+        taken.synchronized { taken += ((fs, p, token)) }
       }
       body
     } finally {
       hbStop = true
       hb.interrupt()
       hb.join(1000L)
-      taken.reverseIterator.foreach { case (fs, p) =>
-        fs.delete(p, false)
+      taken.reverseIterator.foreach { case (fs, p, token) =>
+        // fenced release: delete only a lock still bearing OUR token.
+        // A holder paused past staleAfterMs whose lease was broken and
+        // re-granted must not delete the new holder's live lock
+        if (readToken(fs, p).contains(token)) fs.delete(p, false)
+        else System.err.println(s"[lease] lock $p no longer bears " +
+          "this holder's token at release (lease was broken and " +
+          "re-granted while paused) — leaving the new holder's lock")
       }
     }
   }
@@ -2443,15 +2519,17 @@ object Streaming {
     * [[vectorIndexSink]] / [[ivfSearchIndex]] calls. Without
     * re-centering the input centroids are returned unchanged and the
     * on-disk assignment is preserved byte-for-byte (search parity
-    * asserted in StreamingSpec). Same live-stream lease as
-    * [[compactDedupIndex]], with one extra caveat: this compactor
-    * folds EVERY batch dir (re-centering must cover all vectors, so
-    * the keep-last-batch rule cannot apply), so after a CRASHED
-    * stream run the trailing uncommitted batch folded into `batch=-1`
-    * is duplicated by its replay's overwrite of `batch=<id>` — the
-    * per-id latest-wins read absorbs identical duplicates, but run it
-    * after a clean stop (or behind a drained checkpoint) to keep the
-    * tree canonical. */
+    * asserted in StreamingSpec). Same live-stream lease AND
+    * keep-last-batch rule as [[compactDedupIndex]]: the highest real
+    * batch dir is carried unchanged, so a crash-interrupted trailing
+    * batch replays into exactly the dir it wrote (deterministic-path
+    * overwrite) instead of being folded into `batch=-1` AND rewritten
+    * — no duplicate ids after a crash. Consequently re-centering
+    * covers the FOLDED set only: the carried batch's vectors join the
+    * Lloyd update at the next compaction (by then it is no longer the
+    * trailing dir), and keep their old assignment until a replay or
+    * that compaction reassigns them — an approximation-quality
+    * transient, never a correctness one. */
   def compactVectorIndex(spark: SparkSession, indexDir: String,
                          centroids: DataFrame, recenter: Boolean = false,
                          idCol: String = "id",
@@ -2468,14 +2546,29 @@ object Streaming {
     // read would otherwise fail on a mid-swap state and the backup
     // holding the only copy would stay unreachable forever
     healCompactRoot(spark, indexDir)
-    val all = spark.read.parquet(indexDir).drop("batch")
+    val fs = new HPath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = batchDirIds(fs, new HPath(indexDir))
+    // keep-last-batch: the highest REAL batch dir is carried unchanged
+    // (a crashed stream's replay overwrites it in place); everything
+    // else folds into batch=-1
+    val keep = ids.filter(_ >= 0L).foldLeft(-1L)(math.max)
+    if (!recenter &&
+        ids.filterNot(id => id == keep || id == -1L).isEmpty)
+      return centroids // already {batch=-1, latest}: nothing to fold
+    val folded = {
+      val t = spark.read.parquet(indexDir)
+      (if (keep >= 0L) t.where(col("batch") =!= keep) else t)
+        .drop("batch")
+    }
+    if (folded.isEmpty) return centroids // only the carried batch exists
     val newCents =
       if (!recenter) centroids
       else {
-        // one Lloyd update over the accumulated members: mean per
+        // one Lloyd update over the FOLDED members: mean per
         // (cluster, dimension) then repack — an n×d-row shuffle, the
         // right cost center for an offline maintenance op
-        all.select(col("cluster").as("cid"),
+        folded.select(col("cluster").as("cid"),
             posexplode(col(embCol)).as(Seq("__p", "__v")))
           .groupBy("cid", "__p").agg(avg("__v").as("__m"))
           .groupBy("cid")
@@ -2486,12 +2579,15 @@ object Streaming {
       }
     val rows =
       if (recenter) graft.ops.Similarity.assignToCentroids(
-        all.drop("cluster"), embCol, idCol, newCents)
-      else all
-    swapInCompacted(spark, indexDir) { (tmp, _) =>
+        folded.drop("cluster"), embCol, idCol, newCents)
+      else folded
+    swapInCompacted(spark, indexDir) { (tmp, fsi) =>
       rows.repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(s"$tmp/batch=-1")
+      if (keep >= 0L)
+        carryBatchDir(spark, fsi, new HPath(s"$indexDir/batch=$keep"),
+          new HPath(s"$tmp/batch=$keep"))
     }
     newCents
   }

@@ -35,8 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     // WindowExec prints ambiguously). Allowlist: windows whose input is
     // provably bounded by construction.
     val allowlisted = Set(
-      "q124_zipf_fit",          // rank over the top-100 token rows only
-      "q142_heaps_fit",         // regression over ≤ |docs| cumulative points, driver-bounded fit
+      // q124 zipf needs no entry: its rank window sits on a unary
+      // chain over limit(100), which limitBounded proves directly
       "q201_ks_drift",          // CDF window over the nBuckets-grain (10-row) histogram
       "q205_token_budget",      // water-filling windows run at SOURCE cardinality (~20 rows)
       "q207_budgeted_sample"    // same allocation substrate as q205
@@ -51,17 +51,26 @@ class PlanAuditSpec extends SparkSpec {
       case u if u.children.size == 1 => limitBounded(u.children.head)
       case _ => false
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !allowlisted(name) =>
+    val hasGlobal = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
         val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
           case w: LWindow
               if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
         }
-        if (globals.nonEmpty) Some(name) else None
-      case _ => None
-    }
+        name -> globals.nonEmpty
+    }.toMap
+    val offenders = hasGlobal.collect {
+      case (name, true) if !allowlisted(name) => name
+    }.toSeq.sorted
     assert(offenders.isEmpty,
       s"queries planning a global window: ${offenders.mkString(", ")}")
+    // the allowlist is TWO-sided: an entry whose query no longer plans
+    // a partition-less window is a pre-excused hole — prune it
+    val stale = allowlisted.filterNot(q => hasGlobal.getOrElse(q, false))
+      .toSeq.sorted
+    assert(stale.isEmpty,
+      "stale allowlist entries (query no longer plans a global " +
+        s"window — remove them): ${stale.mkString(", ")}")
   }
 
   test("filters and projections reach the parquet scan") {

@@ -1231,38 +1231,48 @@ class StreamingSpec extends SparkSpec {
       "pre-guard store (data, no meta) is probed, not mislabeled") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
     val docs = Seq(("de", 1L), ("de", 2L), ("en", 3L))
-    def feed(dir: String, ck: String, lgK: Int, bid: Long = 0L): Unit = {
-      val in = MemoryStream[(String, Long)]
-      val q = Streaming.hllSink(in.toDF().toDF("lang", "doc_id"),
-        "lang", "doc_id", dir, ck, lgK = lgK).start()
-      try { in.addData(docs: _*); q.processAllAvailable() }
-      finally q.stop()
-    }
-    feed(s"$tmp/stats", s"$tmp/ck1", lgK = 12)
-    // second session under a different lgK: the meta row fails the
-    // merge with the per-store message, not hll_union's opaque error
-    val e = intercept[Exception] {
-      feed(s"$tmp/stats", s"$tmp/ck2", lgK = 11)
-    }
+      .toDF("lang", "doc_id")
+    // first session establishes the store through the REAL streaming
+    // path (batch 0 against a fresh store)
+    val in = MemoryStream[(String, Long)]
+    val q = Streaming.hllSink(in.toDF().toDF("lang", "doc_id"),
+      "lang", "doc_id", s"$tmp/stats", s"$tmp/ck1", lgK = 12).start()
+    try {
+      in.addData(("de", 1L), ("de", 2L), ("en", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // later sessions drive the merge DIRECTLY with explicit batch ids
+    // past the store's _batch mark — a fresh checkpoint would replay
+    // batch 0 and be skipped before any guard runs
     def rootMsg(t: Throwable): String = {
       var c: Throwable = t
       val sb = new StringBuilder
       while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
       sb.toString
     }
+    // branch 1 — meta present, mismatched lgK: fails with the
+    // per-store message, not hll_union's opaque error
+    val e = intercept[Exception] {
+      Streaming.mergeHllBatch(docs, "lang", "doc_id", s"$tmp/stats",
+        lgK = 11, batchId = 99L)
+    }
     assert(rootMsg(e).contains("was built with lgK=12"))
-    // pre-guard store: hll data but NO meta row — the probe reads one
-    // stored sketch's lgConfigK, so the mismatch is still caught ...
+    // branch 2 — pre-guard store: hll data but NO meta row. The probe
+    // heapifies one stored sketch, reads its lgConfigK=12, and the
+    // same mismatch is caught — the store is never mislabeled
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new HPath(s"$tmp/stats/meta"), true)
     val e2 = intercept[Exception] {
-      feed(s"$tmp/stats", s"$tmp/ck3", lgK = 11)
+      Streaming.mergeHllBatch(docs, "lang", "doc_id", s"$tmp/stats",
+        lgK = 11, batchId = 100L)
     }
     assert(rootMsg(e2).contains("was built with lgK=12"))
-    // ... and a MATCHING sink adopts the store, stamping the true
-    // config into meta; estimates keep accumulating correctly
-    feed(s"$tmp/stats", s"$tmp/ck4", lgK = 12)
+    // branch 3 — a MATCHING sink adopts the meta-less store, stamping
+    // the TRUE config into meta; estimates keep accumulating (same
+    // values union idempotently, so the counts are unchanged)
+    Streaming.mergeHllBatch(docs, "lang", "doc_id", s"$tmp/stats",
+      lgK = 12, batchId = 101L)
     assert(spark.read.parquet(s"$tmp/stats/meta")
       .select("lg_k").collect().map(_.getInt(0)).toSeq === Seq(12))
     assert(Streaming.readHllDistinct(spark, s"$tmp/stats")
@@ -1660,6 +1670,31 @@ class StreamingSpec extends SparkSpec {
       "waiter entered before the live holder released")
   }
 
+  test("store lease: release is token-fenced — a holder whose lease " +
+      "was broken mid-body does NOT delete the new holder's lock") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lease-fence")
+      .toString
+    val root = s"$tmp/store"
+    val lock = new java.io.File(s"$tmp/.store.lock")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Streaming.withStoreLock(spark, Seq(root), timeoutMs = 2000L) {
+      // simulate the heartbeat-starved case: while this holder is
+      // paused, a waiter broke the (apparently stale) lease and a NEW
+      // holder wrote its own token (via the same FS the release path
+      // reads through, so the token COMPARISON branch is what runs)
+      fs.delete(new HPath(lock.getPath), false)
+      val out = fs.create(new HPath(lock.getPath), false)
+      try out.write("new-holder-token".getBytes("UTF-8"))
+      finally out.close()
+      ()
+    }
+    // the fenced release saw a foreign token and left the lock alone
+    assert(lock.exists(), "release deleted the new holder's live lock")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath),
+      "UTF-8") === "new-holder-token")
+  }
+
   test("compactors heal a crashed previous compaction before deciding " +
       "anything: a mid-swap crash restores from backup, a stale backup " +
       "is consumed, a consolidated tree is not identity-rewritten") {
@@ -1745,8 +1780,12 @@ class StreamingSpec extends SparkSpec {
     assert(sameCents eq centroids)
     // compaction preserves probe results exactly -> recall identical
     assert(recall(centroids) === recallBefore)
-    assert(new java.io.File(indexDir).listFiles()
-      .count(_.getName.startsWith("batch=")) === 1)
+    // keep-last layout: the consolidated batch=-1 plus the carried
+    // highest batch dir (crash-replay target), nothing else
+    val dirsAfter = new java.io.File(indexDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(dirsAfter.length === 2 && dirsAfter.head === "batch=-1" &&
+      dirsAfter(1).stripPrefix("batch=").toLong >= 0L)
     // re-centering: every vector survives, centroids move to member
     // means, and the returned frame drives the search
     val newCents = Streaming.compactVectorIndex(spark, indexDir, centroids,
@@ -1775,6 +1814,42 @@ class StreamingSpec extends SparkSpec {
       widenMargin = 0.05)
     info(s"widened (margin 0.05) recall@5: $recallWide")
     assert(recallWide >= recallAfter)
+  }
+
+  test("compactVectorIndex keep-last: a crash-interrupted trailing " +
+      "batch survives compact + replay with no duplicate ids") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cvx-crash")
+      .toString
+    val indexDir = s"$tmp/index"
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val groups = emb.as[(Long, Array[Float])].collect()
+      .grouped(300).toSeq
+    def writeBatch(i: Int): Unit =
+      graft.ops.Similarity.assignToCentroids(
+          groups(i).toIndexedSeq.toDF("vec_id", "embedding"),
+          "embedding", "vec_id", centroids)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$indexDir/batch=$i")
+    (0 until groups.length).foreach(writeBatch)
+    // the last batch dir simulates a CRASH: fully written but its
+    // checkpoint offset never committed, so the resumed stream will
+    // replay it
+    val before = spark.read.parquet(indexDir).drop("batch")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    Streaming.compactVectorIndex(spark, indexDir, centroids,
+      recenter = false, idCol = "vec_id", embCol = "embedding")
+    // replay of the trailing batch: deterministic-path overwrite of
+    // the CARRIED dir — not a second copy next to a folded one
+    writeBatch(groups.length - 1)
+    val after = spark.read.parquet(indexDir)
+    assert(after.select("vec_id").distinct().count() === after.count(),
+      "replayed trailing batch duplicated ids in the compacted tree")
+    assert(after.drop("batch").orderBy("vec_id").collect()
+      .map(_.toSeq).toSeq === before)
   }
 
   test("vectorIndexSink builds a partition-pruned IVF index across batches") {
@@ -1936,7 +2011,10 @@ class StreamingSpec extends SparkSpec {
       assert(pqRecall(3) === recallBefore)
       val batchDirs = new java.io.File(s"$tmp/index").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      assert(batchDirs.map(_.getName).toSeq === Seq("batch=-1"))
+        .map(_.getName).sorted
+      // keep-last layout: batch=-1 plus the carried highest batch dir
+      assert(batchDirs.length === 2 && batchDirs.head === "batch=-1" &&
+        batchDirs(1).stripPrefix("batch=").toLong >= 0L)
     } finally { q.stop(); codebook.unpersist() }
   }
 
