@@ -1045,16 +1045,36 @@ object Dedup {
     * digests, never as strings. */
   def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String, n: Int,
-                         minHits: Long = 1L): DataFrame = {
-    val shs = array_distinct(Text.shingles(col(textCol), n))
-    val benchGrams = benchmark
-      .select(explode(shs).as("__g")).select(fastMd5(col("__g")).as("__h"))
+                         minHits: Long = 1L): DataFrame =
+    contaminationAgainstGrams(corpus,
+      benchGramDigests(benchmark, textCol, n), textCol, idCol, n,
+      minHits)
+
+  /** The distinct n-gram digest set of a benchmark frame — the unit
+    * [[ngramContamination]] broadcasts and the standing
+    * [[graft.streaming.Streaming.benchmarkIndexSink]] store persists,
+    * shared so the batch and store-fed probes cannot drift. One `__h`
+    * column of md5 digests. */
+  private[graft] def benchGramDigests(benchmark: DataFrame,
+      textCol: String, n: Int): DataFrame =
+    benchmark
+      .select(explode(array_distinct(Text.shingles(col(textCol), n)))
+        .as("__g"))
+      .select(fastMd5(col("__g")).as("__h"))
       .distinct()
-      .withColumn("__hit", lit(1))
+
+  /** Contamination scoring of a corpus against an already-digested
+    * benchmark gram set (`__h` column) — the one scorer behind the
+    * batch and store-fed decontamination paths. */
+  private[graft] def contaminationAgainstGrams(corpus: DataFrame,
+      benchGrams: DataFrame, textCol: String, idCol: String, n: Int,
+      minHits: Long): DataFrame = {
+    val shs = array_distinct(Text.shingles(col(textCol), n))
     Scale.widen(corpus)
       .select(col(idCol), explode_outer(shs).as("__g"))
       .select(col(idCol), fastMd5(col("__g")).as("__h"))
-      .join(broadcast(benchGrams), Seq("__h"), "left")
+      .join(broadcast(benchGrams.select(col("__h"))
+        .withColumn("__hit", lit(1))), Seq("__h"), "left")
       .groupBy(idCol)
       .agg(count(col("__h")).as("n_ngrams"),
         count(col("__hit")).as("n_hit"))

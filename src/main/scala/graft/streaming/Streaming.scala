@@ -510,6 +510,91 @@ object Streaming {
   def readSourceCapacity(spark: SparkSession, statsDir: String): DataFrame =
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/capacity")
 
+  /** Standing BENCHMARK n-gram registry for decontamination: stream
+    * evaluation sets in as they are registered (benchmarks arrive over
+    * time — new eval suites, held-out splits, customer test sets) and
+    * the store accumulates their distinct n-gram digests additively
+    * behind the `_batch` mark. [[decontaminateAgainstIndex]] then
+    * scores ANY corpus frame against everything registered so far
+    * without re-reading a single benchmark document — the standing-
+    * store form of [[graft.ops.Dedup.ngramContamination]], sharing its
+    * digest and scoring code so the two paths cannot drift.
+    *
+    * State is the registry's distinct gram set — benchmark-sized
+    * (thousands of documents, ≪ corpus), which is what makes the probe
+    * side a broadcast: the 100 TB corpus is scored in ONE scan-stage
+    * pass with zero corpus shuffle beyond the doc-grain aggregation.
+    * The gram width `n` is a UNIT (an n=8 store probed at n=13 would
+    * silently match nothing), so it is stamped into a `meta/` row at
+    * the first merge; a sink configured with a different `n` fails
+    * loudly (the [[hllSink]] lgK discipline), and the reader takes `n`
+    * from the store rather than trusting the caller. */
+  def benchmarkIndexSink(docs: DataFrame, textCol: String,
+                         statsDir: String, checkpoint: String,
+                         n: Int = 8) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeBenchmarkNgramBatch(batch, textCol, statsDir, batchId, n)
+        ()
+      }
+
+  private[graft] def mergeBenchmarkNgramBatch(batch: DataFrame,
+      textCol: String, statsDir: String, batchId: Long,
+      n: Int): Unit =
+    mergeStoreBatch(statsDir, batchId, Seq(
+      StorePart("meta", Seq("n"), Seq("n_batches")) ->
+        batch.sparkSession.range(1)
+          .select(lit(n).as("n"), lit(1L).as("n_batches")),
+      StorePart("ngrams", Seq("h"), Seq("n_docs")) ->
+        graft.ops.Dedup.benchGramDigests(batch, textCol, n)
+          .groupBy(col("__h").as("h"))
+          .agg(count(lit(1)).as("n_docs"))),
+      customMerge = Map("meta" -> { (prior, delta) =>
+        prior.foreach { p =>
+          val stored = p.select("n").collect().map(_.getInt(0)).toSeq
+          require(stored == Seq(n),
+            s"benchmark n-gram store at $statsDir was built with n=" +
+              s"${stored.mkString(",")} but this sink is configured " +
+              s"with n=$n — the digests would silently never match; " +
+              "match n or rebuild the store")
+        }
+        prior.map(p => graft.ops.Warehouse.mergeAggDelta(
+            p, delta, Seq("n"), Seq("n_batches")))
+          .getOrElse(delta)
+      }))
+
+  /** The standing (h, n_docs) benchmark gram-digest table of a
+    * [[benchmarkIndexSink]]. */
+  def readBenchmarkNgrams(spark: SparkSession, statsDir: String): DataFrame =
+    spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/ngrams")
+
+  /** Score a corpus frame against the standing benchmark registry —
+    * identical output to [[graft.ops.Dedup.ngramContamination]] over
+    * the union of every benchmark batch streamed so far (StreamingSpec
+    * asserts cell equality at each intermediate state). The gram width
+    * comes from the store's own meta row, so a caller cannot probe an
+    * n=8 registry with n=13 grams. */
+  def decontaminateAgainstIndex(spark: SparkSession, corpus: DataFrame,
+                                textCol: String, idCol: String,
+                                statsDir: String,
+                                minHits: Long = 1L): DataFrame = {
+    val root = readableStoreDir(spark, statsDir)
+    val n = spark.read.parquet(s"$root/meta")
+      .select("n").collect().map(_.getInt(0)).toSeq match {
+        case Seq(one) => one
+        case other => throw new IllegalStateException(
+          s"benchmark n-gram store at $statsDir has no single n in " +
+            s"meta (found ${other.mkString(",")}) — not a " +
+            "benchmarkIndexSink store?")
+      }
+    graft.ops.Dedup.contaminationAgainstGrams(corpus,
+      spark.read.parquet(s"$root/ngrams").select(col("h").as("__h")),
+      textCol, idCol, n, minHits)
+  }
+
   private[graft] def mergeTermStatsBatch(batch: DataFrame, idCol: String,
       textCol: String, statsDir: String, batchId: Long): Unit = {
     val (dTerms, dGlobals) =
@@ -2526,22 +2611,29 @@ object Streaming {
     * overwrite) instead of being folded into `batch=-1` AND rewritten
     * — no duplicate ids after a crash. Consequently re-centering
     * covers the FOLDED set only: the carried batch's vectors join the
-    * Lloyd update at the next compaction (by then it is no longer the
-    * trailing dir), and keep their old assignment until a replay or
-    * that compaction reassigns them — an approximation-quality
-    * transient, never a correctness one. */
+    * Lloyd update at the next compaction (once newer batches arrive it
+    * is no longer the trailing dir), and keep their old assignment
+    * until a replay or that compaction reassigns them — an
+    * approximation-quality transient, never a correctness one. A
+    * stream that has STOPPED appending leaves its last batch carried
+    * forever; after a clean stop (checkpoint drained, no replay
+    * possible) pass `assumeCleanStop = true` to fold every dir and
+    * re-center over all vectors — the caller asserts what the
+    * compactor cannot observe. */
   def compactVectorIndex(spark: SparkSession, indexDir: String,
                          centroids: DataFrame, recenter: Boolean = false,
                          idCol: String = "id",
-                         embCol: String = "emb"): DataFrame =
+                         embCol: String = "emb",
+                         assumeCleanStop: Boolean = false): DataFrame =
     withStoreLock(spark, Seq(indexDir)) {
       compactVectorIndexBody(spark, indexDir, centroids, recenter,
-        idCol, embCol)
+        idCol, embCol, assumeCleanStop)
     }
 
   private def compactVectorIndexBody(spark: SparkSession, indexDir: String,
       centroids: DataFrame, recenter: Boolean,
-      idCol: String, embCol: String): DataFrame = {
+      idCol: String, embCol: String,
+      assumeCleanStop: Boolean = false): DataFrame = {
     // heal a crashed previous compaction BEFORE the root read — the
     // read would otherwise fail on a mid-swap state and the backup
     // holding the only copy would stay unreachable forever
@@ -2551,8 +2643,11 @@ object Streaming {
     val ids = batchDirIds(fs, new HPath(indexDir))
     // keep-last-batch: the highest REAL batch dir is carried unchanged
     // (a crashed stream's replay overwrites it in place); everything
-    // else folds into batch=-1
-    val keep = ids.filter(_ >= 0L).foldLeft(-1L)(math.max)
+    // else folds into batch=-1. assumeCleanStop folds it too — the
+    // caller has asserted no replay can arrive
+    val keep =
+      if (assumeCleanStop) -1L
+      else ids.filter(_ >= 0L).foldLeft(-1L)(math.max)
     if (!recenter &&
         ids.filterNot(id => id == keep || id == -1L).isEmpty)
       return centroids // already {batch=-1, latest}: nothing to fold

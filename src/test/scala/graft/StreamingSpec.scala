@@ -1209,6 +1209,15 @@ class StreamingSpec extends SparkSpec {
           length(col("text")), s"$tmp/stats", batchId = 99L)
       }
       assert(e.getMessage.contains("mix units"))
+      // a DIFFERENT lambda-bearing expression must also fail: the
+      // lambda-id normalization may not blur genuinely distinct units
+      // into a false accept
+      val e2 = intercept[IllegalArgumentException] {
+        Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
+          size(filter(graft.ops.Text.tokens(col("text")),
+            t => length(t) > lit(3))), s"$tmp/stats", batchId = 99L)
+      }
+      assert(e2.getMessage.contains("mix units"))
       // ... while the SAME expression (rebuilt, not the same object)
       // keeps accumulating
       Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
@@ -1224,6 +1233,55 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$tmp/stats/meta")
         .select("tokens_expr").collect().map(_.getString(0)).toSeq
         === Seq(tokExpr.toString))
+    } finally q.stop()
+  }
+
+  test("benchmarkIndexSink: store-fed decontamination equals the batch " +
+      "scorer over the benchmarks registered so far; n is a guarded unit") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bix").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // corpus = odd ids; benchmark sets arrive over time as even-id slices
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val benches = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .as[(Long, String)].collect()
+    val slices = benches.grouped((benches.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.benchmarkIndexSink(
+      in.toDF().toDF("doc_id", "text"), "text",
+      s"$tmp/stats", s"$tmp/ckpt", n = 8).start()
+    try {
+      slices.zipWithIndex.foreach { case (g, i) =>
+        in.addData(g.toIndexedSeq: _*); q.processAllAvailable()
+        // store-fed == batch scorer over the REGISTERED-SO-FAR union,
+        // cell-exact at every intermediate state
+        val soFar = slices.take(i + 1).flatten.toDF("doc_id", "text")
+        val fed = Streaming.decontaminateAgainstIndex(spark, corpus,
+          "text", "doc_id", s"$tmp/stats")
+        val scan = graft.ops.Dedup.ngramContamination(corpus, soFar,
+          "text", "doc_id", n = 8)
+        assert(fed.orderBy("doc_id").collect().toSeq ===
+          scan.orderBy("doc_id").collect().toSeq)
+      }
+      // some doc must actually be contaminated for the parity to bite
+      // (benchmark texts are drawn from the same corpus fixture, which
+      // contains near/exact dups across the odd/even split)
+      assert(Streaming.decontaminateAgainstIndex(spark, corpus, "text",
+        "doc_id", s"$tmp/stats").where(col("contaminated")).count() > 0)
+      // checkpoint-replayed batch id: no-op behind the _batch mark
+      val before = Streaming.readBenchmarkNgrams(spark, s"$tmp/stats")
+        .collect().toSeq
+      Streaming.mergeBenchmarkNgramBatch(docs.limit(5), "text",
+        s"$tmp/stats", batchId = 0L, n = 8)
+      assert(Streaming.readBenchmarkNgrams(spark, s"$tmp/stats")
+        .collect().toSeq === before)
+      // the gram width is a UNIT: a later session with a different n
+      // fails loudly instead of silently never matching
+      val e = intercept[IllegalArgumentException] {
+        Streaming.mergeBenchmarkNgramBatch(docs.limit(5), "text",
+          s"$tmp/stats", batchId = 99L, n = 5)
+      }
+      assert(e.getMessage.contains("built with n=8"))
     } finally q.stop()
   }
 
@@ -1850,6 +1908,17 @@ class StreamingSpec extends SparkSpec {
       "replayed trailing batch duplicated ids in the compacted tree")
     assert(after.drop("batch").orderBy("vec_id").collect()
       .map(_.toSeq).toSeq === before)
+    // after a CLEAN stop the caller can assert no replay is possible:
+    // assumeCleanStop folds the carried batch too — one consolidated
+    // dir, same rows
+    Streaming.compactVectorIndex(spark, indexDir, centroids,
+      recenter = false, idCol = "vec_id", embCol = "embedding",
+      assumeCleanStop = true)
+    assert(new java.io.File(indexDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+      === Seq("batch=-1"))
+    assert(spark.read.parquet(indexDir).drop("batch")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq === before)
   }
 
   test("vectorIndexSink builds a partition-pruned IVF index across batches") {
