@@ -581,18 +581,37 @@ object Streaming {
                                 textCol: String, idCol: String,
                                 statsDir: String,
                                 minHits: Long = 1L): DataFrame = {
-    val root = readableStoreDir(spark, statsDir)
-    val n = spark.read.parquet(s"$root/meta")
-      .select("n").collect().map(_.getInt(0)).toSeq match {
-        case Seq(one) => one
-        case other => throw new IllegalStateException(
-          s"benchmark n-gram store at $statsDir has no single n in " +
-            s"meta (found ${other.mkString(",")}) — not a " +
-            "benchmarkIndexSink store?")
-      }
-    graft.ops.Dedup.contaminationAgainstGrams(corpus,
-      spark.read.parquet(s"$root/ngrams").select(col("h").as("__h")),
+    val (n, grams) = benchmarkRegistry(spark, statsDir).getOrElse(
+      throw new IllegalStateException(
+        s"no benchmark n-gram store at $statsDir — register at least " +
+          "one benchmark batch through benchmarkIndexSink first"))
+    graft.ops.Dedup.contaminationAgainstGrams(corpus, grams,
       textCol, idCol, n, minHits)
+  }
+
+  /** The standing registry's (n, gram-digest frame with one `__h`
+    * column) — None when the store does not exist yet, so a pipeline
+    * can wire a decontamination gate before the first benchmark is
+    * registered. Errors on a meta row that is not a single `n` (a dir
+    * that exists but is not a [[benchmarkIndexSink]] store). */
+  private def benchmarkRegistry(spark: SparkSession,
+      statsDir: String): Option[(Int, DataFrame)] = {
+    val root = readableStoreDir(spark, statsDir)
+    val meta = new HPath(s"$root/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) None
+    else {
+      val n = spark.read.parquet(meta.toString)
+        .select("n").collect().map(_.getInt(0)).toSeq match {
+          case Seq(one) => one
+          case other => throw new IllegalStateException(
+            s"benchmark n-gram store at $statsDir has no single n in " +
+              s"meta (found ${other.mkString(",")}) — not a " +
+              "benchmarkIndexSink store?")
+        }
+      Some((n,
+        spark.read.parquet(s"$root/ngrams").select(col("h").as("__h"))))
+    }
   }
 
   private[graft] def mergeTermStatsBatch(batch: DataFrame, idCol: String,
@@ -991,7 +1010,12 @@ object Streaming {
     * The composition — gate before dedup, dedup before stats — is the
     * order a production ingest runs: stats and tokenizers must see
     * exactly the corpus that survived, or they train on what was
-    * thrown away.
+    * thrown away. Passing `benchmarkDir` inserts a DECONTAMINATION
+    * gate between (1) and (2) — rows hitting ≥ `deconMinHits` n-grams
+    * of the standing [[benchmarkIndexSink]] registry are dropped
+    * before admission, with the per-batch decision PINNED under
+    * `decon/batch=<id>/` so replays stay deterministic even as the
+    * registry grows ([[deconGatePinned]]).
     *
     * Exactly-once across ALL FOUR effects under one replay: the index
     * and payload writes are deterministic per-batch paths (crash
@@ -1006,22 +1030,26 @@ object Streaming {
                          minQuality: Double,
                          lenLo: Double = 0.0, lenHi: Double = 1000.0,
                          numHashes: Int = 8, bands: Int = 4,
-                         shingleSize: Int = 3) =
+                         shingleSize: Int = 3,
+                         benchmarkDir: Option[String] = None,
+                         deconMinHits: Long = 1L) =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           curationIngestBatch(batch, textCol, idCol, rootDir, batchId,
-            minQuality, lenLo, lenHi, numHashes, bands, shingleSize)
+            minQuality, lenLo, lenHi, numHashes, bands, shingleSize,
+            benchmarkDir, deconMinHits)
         ()
       }
 
   private[graft] def curationIngestBatch(batch: DataFrame, textCol: String,
       idCol: String, rootDir: String, batchId: Long, minQuality: Double,
       lenLo: Double, lenHi: Double, numHashes: Int, bands: Int,
-      shingleSize: Int): Unit = {
-    val gated = batch.where(
+      shingleSize: Int, benchmarkDir: Option[String] = None,
+      deconMinHits: Long = 1L): Unit = {
+    val qualGated = batch.where(
       graft.ops.Text.qualityScore(col(textCol)) >= minQuality)
       .localCheckpoint()
     // a fully quality-gated-out batch performs NO effects: writing an
@@ -1029,6 +1057,14 @@ object Streaming {
     // on the next batch's standing reads (a replay re-gates to the
     // same empty set, so the skip is deterministic; the stats
     // high-water mark advances with the next non-empty batch)
+    if (qualGated.isEmpty) return
+    // decontamination rides between the quality gate and the dedup
+    // admission: the standing index must never admit (and so protect)
+    // a document the registry says is benchmark-contaminated. The
+    // pinned decision keeps the skip below deterministic under replay
+    val gated = benchmarkDir.fold(qualGated)(bd =>
+      deconGatePinned(qualGated, textCol, idCol, rootDir, batchId,
+        bd, deconMinHits).localCheckpoint())
     if (gated.isEmpty) return
     withStoreLock(batch.sparkSession,
         Seq(s"$rootDir/index", s"$rootDir/corpus")) {
@@ -1038,6 +1074,55 @@ object Streaming {
           s"$rootDir/index", batchId, numHashes, bands, shingleSize),
         textCol, rootDir, batchId, lenLo, lenHi)
     }
+  }
+
+  /** Pinned per-batch decontamination gate for the curation-ingest
+    * sinks: drop batch rows sharing ≥ `minHits` n-grams with the
+    * standing benchmark registry at `benchmarkDir`
+    * ([[benchmarkIndexSink]]), and PIN the dropped-id set under
+    * `rootDir/decon/batch=<id>/` so a crash replay re-applies the
+    * ORIGINAL decision even if the registry grew in between. The
+    * quality and dedup gates are deterministic functions of the batch
+    * and the ingest's own stores; this gate reads a store OTHER
+    * writers advance, so without the pin a replay could admit a
+    * different set than the index/stats the crash already committed
+    * describe — the one nondeterminism the exactly-once argument
+    * cannot absorb. Commit protocol: the pin parquet's `_SUCCESS`
+    * marker is the commit point (Spark writes it last); a pin without
+    * it is a crash leftover, deleted and recomputed against the
+    * then-current registry (safe — the missing marker proves no
+    * downstream effect consumed the half-written decision). Registry
+    * absent → nothing dropped, and the EMPTY decision is still
+    * pinned, so a benchmark registered between original run and
+    * replay never rewrites history. The dropped set (≤ batch,
+    * typically ≪) is broadcast into a left-anti join — zero batch
+    * shuffle; the registry scoring itself is
+    * [[graft.ops.Dedup.contaminationAgainstGrams]]'s broadcast-join
+    * scan pass. */
+  private[graft] def deconGatePinned(gated: DataFrame, textCol: String,
+      idCol: String, rootDir: String, batchId: Long,
+      benchmarkDir: String, minHits: Long): DataFrame = {
+    val spark = gated.sparkSession
+    val pin = new HPath(s"$rootDir/decon/batch=$batchId")
+    val fs = pin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // read with the id schema pinned explicitly: an all-clean batch's
+    // pin can hold zero part files, which schema inference rejects
+    val idSchema = org.apache.spark.sql.types.StructType(
+      Seq(gated.schema(idCol)))
+    if (!fs.exists(new HPath(pin, "_SUCCESS"))) {
+      if (fs.exists(pin)) fs.delete(pin, true)
+      val dropped = benchmarkRegistry(spark, benchmarkDir) match {
+        case None => gated.select(col(idCol)).limit(0)
+        case Some((n, grams)) =>
+          graft.ops.Dedup.contaminationAgainstGrams(gated, grams,
+              textCol, idCol, n, minHits)
+            .where(col("contaminated")).select(col(idCol))
+      }
+      dropped.write.mode("overwrite").parquet(pin.toString)
+    }
+    gated.join(
+      broadcast(spark.read.schema(idSchema).parquet(pin.toString)),
+      Seq(idCol), "left_anti")
   }
 
   /** The payload + stats tail every curation-ingest variant shares
@@ -1074,26 +1159,37 @@ object Streaming {
       idCol: String, rootDir: String, checkpoint: String,
       dfTable: DataFrame, minQuality: Double = 0.5,
       lenLo: Double = 0.0, lenHi: Double = 5000.0, n: Int = 3,
-      minJaccard: Double = 0.5) =
+      minJaccard: Double = 0.5,
+      benchmarkDir: Option[String] = None,
+      deconMinHits: Long = 1L) =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           curationIngestBatchExact(batch, textCol, idCol, rootDir,
-            batchId, minQuality, lenLo, lenHi, dfTable, n, minJaccard)
+            batchId, minQuality, lenLo, lenHi, dfTable, n, minJaccard,
+            benchmarkDir, deconMinHits)
         ()
       }
 
   private[graft] def curationIngestBatchExact(batch: DataFrame,
       textCol: String, idCol: String, rootDir: String, batchId: Long,
       minQuality: Double, lenLo: Double, lenHi: Double,
-      dfTable: DataFrame, n: Int, minJaccard: Double): Unit = {
-    val gated = batch.where(
+      dfTable: DataFrame, n: Int, minJaccard: Double,
+      benchmarkDir: Option[String] = None,
+      deconMinHits: Long = 1L): Unit = {
+    val qualGated = batch.where(
       graft.ops.Text.qualityScore(col(textCol)) >= minQuality)
       .localCheckpoint()
     // same deterministic skip as the LSH form: a fully gated-out batch
     // performs NO effects
+    if (qualGated.isEmpty) return
+    // same pinned decontamination ride as the LSH form (the pin keys
+    // on the INGEST batch id, so the two gate variants share it)
+    val gated = benchmarkDir.fold(qualGated)(bd =>
+      deconGatePinned(qualGated, textCol, idCol, rootDir, batchId,
+        bd, deconMinHits).localCheckpoint())
     if (gated.isEmpty) return
     withStoreLock(batch.sparkSession,
         Seq(s"$rootDir/index", s"$rootDir/corpus")) {

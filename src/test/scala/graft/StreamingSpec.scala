@@ -1285,6 +1285,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationIngestSink decontamination gate: registry hits are " +
+      "dropped before admission; the pinned decision keeps replays " +
+      "deterministic while the registry grows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val bdir = s"$tmp/bench"
+    val junk = "@@@@ #### !!!! %%%% @@@@ #### !!!! %%%%"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose4 = "terraced vineyards stepped down the valley toward " +
+      "the slow bend of the river under a late sun"
+    val minQ = {
+      val scores = Seq(junk, prose1, prose2, prose3, prose4).toDF("t")
+        .select(graft.ops.Text.qualityScore(col("t")))
+        .collect().map(_.getDouble(0))
+      assert(scores.tail.forall(_ > scores.head))
+      (scores.head + scores.tail.min) / 2
+    }
+    // the registry knows prose3 (one benchmark doc, n=8 word-grams)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose3)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    // batch 0: 1 clean, 2 junk (quality gate), 3 quotes prose3 at
+    // length ≥ 8 words (decon gate), 4 clean
+    val b0 = Seq((1L, prose1), (2L, junk),
+      (3L, "as the archivist noted " + prose3), (4L, prose2))
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.curationIngestSink(in.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", tmp, s"$tmp/ckpt", minQuality = minQ,
+      benchmarkDir = Some(bdir)).start()
+    try {
+      in.addData(b0.toIndexedSeq: _*); q.processAllAvailable()
+      assert(Streaming.readCurationCorpus(spark, tmp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+        === Set(1L, 4L))
+      // the decision is pinned with a commit marker
+      assert(new java.io.File(s"$tmp/decon/batch=0/_SUCCESS").exists())
+      // the registry now learns prose1 — making already-admitted doc 1
+      // retroactively "contaminated"...
+      Streaming.mergeBenchmarkNgramBatch(
+        Seq((101L, prose1)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+      // ...but a crash replay of batch 0 re-applies the PINNED
+      // decision: corpus and stats byte-identical, doc 1 stays
+      val before = (Streaming.readCurationCorpus(spark, tmp)
+        .collect().map(_.toSeq).toSet,
+        Streaming.readWordHistogram(spark, s"$tmp/stats")
+          .collect().map(_.toSeq).toSet)
+      Streaming.curationIngestBatch(b0.toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 0L, minQ, 0.0, 1000.0, 8, 4, 3, Some(bdir))
+      assert((Streaming.readCurationCorpus(spark, tmp)
+        .collect().map(_.toSeq).toSet,
+        Streaming.readWordHistogram(spark, s"$tmp/stats")
+          .collect().map(_.toSeq).toSet) === before)
+      // a NEW batch is gated by the grown registry: a prose1 quote is
+      // dropped, novel prose4 admitted
+      in.addData((10L, "in the almanac entry " + prose1), (11L, prose4))
+      q.processAllAvailable()
+      assert(Streaming.readCurationCorpus(spark, tmp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+        === Set(1L, 4L, 11L))
+    } finally q.stop()
+    // registry-absent path: the gate admits everything and still pins
+    // the (empty) decision, so a later registration cannot rewrite a
+    // replay of this batch
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-decon2")
+      .toString
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose4)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp2, 0L, minQ, 0.0, 1000.0, 8, 4, 3,
+      Some(s"$tmp2/bench"))
+    assert(Streaming.readCurationCorpus(spark, tmp2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    assert(new java.io.File(s"$tmp2/decon/batch=0/_SUCCESS").exists())
+  }
+
   test("hllSink lgK guard: mismatched config fails per-store, and a " +
       "pre-guard store (data, no meta) is probed, not mislabeled") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
