@@ -551,20 +551,42 @@ object Streaming {
       StorePart("ngrams", Seq("h"), Seq("n_docs")) ->
         graft.ops.Dedup.benchGramDigests(batch, textCol, n)
           .groupBy(col("__h").as("h"))
-          .agg(count(lit(1)).as("n_docs"))),
-      customMerge = Map("meta" -> { (prior, delta) =>
-        prior.foreach { p =>
-          val stored = p.select("n").collect().map(_.getInt(0)).toSeq
-          require(stored == Seq(n),
-            s"benchmark n-gram store at $statsDir was built with n=" +
-              s"${stored.mkString(",")} but this sink is configured " +
-              s"with n=$n — the digests would silently never match; " +
-              "match n or rebuild the store")
-        }
-        prior.map(p => graft.ops.Warehouse.mergeAggDelta(
-            p, delta, Seq("n"), Seq("n_batches")))
-          .getOrElse(delta)
-      }))
+          .agg(count(lit(1)).as("n_docs"))
+          // first_batch = the registry batch that INTRODUCED the gram
+          // — the watermark column [[retroDecontaminate]] prunes on,
+          // so each sweep broadcasts only the grams registered since
+          // the previous sweep. min-merged below: a gram re-registered
+          // by a later benchmark keeps its earliest batch (it was
+          // already sweepable then; re-scanning it would be redundant)
+          .withColumn("first_batch", lit(batchId))),
+      customMerge = Map(
+        "meta" -> { (prior, delta) =>
+          prior.foreach { p =>
+            val stored = p.select("n").collect().map(_.getInt(0)).toSeq
+            require(stored == Seq(n),
+              s"benchmark n-gram store at $statsDir was built with n=" +
+                s"${stored.mkString(",")} but this sink is configured " +
+                s"with n=$n — the digests would silently never match; " +
+                "match n or rebuild the store")
+          }
+          prior.map(p => graft.ops.Warehouse.mergeAggDelta(
+              p, delta, Seq("n"), Seq("n_batches")))
+            .getOrElse(delta)
+        },
+        "ngrams" -> { (prior, delta) =>
+          prior match {
+            case Some(p0) =>
+              // a pre-watermark store carries no first_batch: stamp 0
+              // ("registered since forever") so the first sweep over
+              // an upgraded store still scans every gram
+              val p = if (p0.columns.contains("first_batch")) p0
+                else p0.withColumn("first_batch", lit(0L))
+              p.unionByName(delta).groupBy("h")
+                .agg(sum("n_docs").as("n_docs"),
+                  min("first_batch").as("first_batch"))
+            case None => delta
+          }
+        }))
 
   /** The standing (h, n_docs) benchmark gram-digest table of a
     * [[benchmarkIndexSink]]. */
@@ -1123,6 +1145,124 @@ object Streaming {
     gated.join(
       broadcast(spark.read.schema(idSchema).parquet(pin.toString)),
       Seq(idCol), "left_anti")
+  }
+
+  /** RETROACTIVE decontamination sweep — the third leg of the
+    * decontamination lifecycle. The ingest gate ([[deconGatePinned]])
+    * protects the corpus against benchmarks registered BEFORE a
+    * document arrives; its pin deliberately freezes each batch's
+    * decision so replays stay deterministic. That leaves exactly one
+    * hole: a benchmark registered AFTER documents were admitted (the
+    * production reality — eval suites are published on their own
+    * schedule, long after a crawl lands). This sweep closes it with
+    * TOMBSTONES: scan the admitted corpus against the registry grams
+    * added since the last sweep and record contaminated ids under
+    * `rootDir/decon/tombstones/sweep=<mark>/`. [[readCleanCorpus]]
+    * serves the corpus minus tombstones; payload files are untouched
+    * (history is preserved — the corpus store stays replay-exact, and
+    * a tombstone can be audited back to the sweep that wrote it).
+    *
+    * Incremental by registry watermark: `decon/_sweep` records the
+    * registry `_batch` mark as of the last sweep, and each gram
+    * carries the `first_batch` that introduced it, so sweep k
+    * broadcasts ONLY grams with `first_batch` in (w, m] — a new
+    * benchmark costs one corpus scan against its own grams, never a
+    * rescan of the whole registry, and already-tombstoned documents
+    * are anti-joined out before the scan. An up-to-date store
+    * (m ≤ w) returns without touching the corpus. The corpus-side
+    * scan is the same single broadcast-join pass as
+    * [[decontaminateAgainstIndex]] — at 100 TB the sweep is one
+    * read of the corpus with zero shuffle beyond the doc-grain
+    * aggregation.
+    *
+    * Crash-safe, not replay-pinned: the `_sweep` marker is written
+    * only after the tombstone parquet commits, and a rerun overwrites
+    * the same `sweep=<m>` path idempotently. Unlike the gate pin,
+    * tombstones need no determinism guarantee — they are anti-entropy
+    * (a rerun that catches MORE contaminated docs, e.g. rows admitted
+    * by a gate-less ingest in between, is strictly better), so the
+    * sweep recomputes against the live corpus rather than pinning.
+    * Returns the number of newly-tombstoned ids. */
+  def retroDecontaminate(spark: SparkSession, rootDir: String,
+      textCol: String, idCol: String, benchmarkDir: String,
+      minHits: Long = 1L): Long = {
+    val root = readableStoreDir(spark, benchmarkDir)
+    val markFile = new HPath(s"$root/_batch")
+    val fs = markFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markFile)) return 0L // nothing registered yet
+    val m = {
+      val in = fs.open(markFile)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+    val deconDir = new HPath(s"$rootDir/decon")
+    val sweepFile = new HPath(deconDir, "_sweep")
+    val w: Long =
+      if (fs.exists(sweepFile)) {
+        val in = fs.open(sweepFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else -1L
+    if (m <= w) return 0L // registry unchanged since last sweep
+    val n = benchmarkRegistry(spark, benchmarkDir).get._1
+    val grams0 = spark.read.parquet(s"$root/ngrams")
+    val grams = (if (grams0.columns.contains("first_batch")) grams0
+      else grams0.withColumn("first_batch", lit(0L)))
+      // pin the window to the mark read above: a registry batch that
+      // lands mid-sweep belongs to the NEXT sweep, so the marker we
+      // write below is exact
+      .where(col("first_batch") > w && col("first_batch") <= m)
+      .select(col("h").as("__h"))
+    val out = new HPath(deconDir, s"tombstones/sweep=$m")
+    // the _sweep marker is the COMMIT POINT: a sweep=<m> dir that
+    // exists while the marker still reads < m is a crash leftover.
+    // Delete it BEFORE reading prior tombstones — otherwise the rerun
+    // would anti-join its own half-committed ids out of the corpus
+    // and overwrite the dir with an empty set, losing them
+    if (fs.exists(out)) fs.delete(out, true)
+    val live = readCurationCorpus(spark, rootDir)
+    val corpus = readCurationTombstones(spark, rootDir)
+      .fold(live)(t => live.join(t, Seq(idCol), "left_anti"))
+    graft.ops.Dedup.contaminationAgainstGrams(corpus, grams,
+        textCol, idCol, n, minHits)
+      .where(col("contaminated")).select(col(idCol))
+      .write.mode("overwrite").parquet(out.toString)
+    val outMark = fs.create(sweepFile, true)
+    try outMark.write(m.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally outMark.close()
+    // count from the committed files, not a recompute of the plan
+    spark.read.parquet(out.toString).count()
+  }
+
+  /** The accumulated tombstone set of [[retroDecontaminate]] — one id
+    * column (under the ingest's own id name) plus the `sweep`
+    * partition — or None before the first sweep. Self-describing: the
+    * id column name is read from the tombstone schema, so
+    * [[readCleanCorpus]] needs no idCol parameter. */
+  def readCurationTombstones(spark: SparkSession,
+      rootDir: String): Option[DataFrame] = {
+    val dir = new HPath(s"$rootDir/decon/tombstones")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    // an all-clean history can leave every sweep dir without part
+    // files (Spark writes none for an empty frame); unreadable schema
+    // then MEANS "no tombstones", not an error
+    else try Some(spark.read.parquet(dir.toString).drop("sweep"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** [[readCurationCorpus]] minus every tombstoned id — the view a
+    * training-data consumer reads. The join key is taken from the
+    * tombstone schema itself; no broadcast hint (tombstones are
+    * usually tiny and AQE will broadcast them, but an adversarially
+    * large tombstone set must not be forced onto the driver). */
+  def readCleanCorpus(spark: SparkSession, rootDir: String): DataFrame = {
+    val live = readCurationCorpus(spark, rootDir)
+    readCurationTombstones(spark, rootDir).fold(live)(t =>
+      live.join(t, t.columns.toSeq, "left_anti"))
   }
 
   /** The payload + stats tail every curation-ingest variant shares
@@ -2506,19 +2646,39 @@ object Streaming {
     * [[compactDedupIndex]]: the
     * highest batch dir is carried unchanged so a crash-interrupted
     * trailing batch replays against exactly the state it wrote. */
-  def compactCurationCorpus(spark: SparkSession, rootDir: String): Unit =
+  /** `purgeTombstoned` additionally drops [[retroDecontaminate]]'s
+    * tombstoned rows from the FOLDED payload — the physical-delete
+    * path for benchmark-contaminated documents (the logical view,
+    * [[readCleanCorpus]], already excludes them; at 100 TB the bytes
+    * should eventually go too). The carried trailing batch is never
+    * purged — a crashed stream's replay rewrites it wholesale, so
+    * purging it would be undone anyway; its tombstoned rows fall out
+    * at the NEXT compaction once it folds. Tombstones themselves are
+    * retained (benchmark-hit-sized): they keep excluding replay-
+    * reintroduced rows and keep the clean view stable across the
+    * purge. */
+  def compactCurationCorpus(spark: SparkSession, rootDir: String,
+      purgeTombstoned: Boolean = false): Unit =
     withStoreLock(spark, Seq(s"$rootDir/corpus")) {
-      compactCurationCorpusBody(spark, rootDir)
+      compactCurationCorpusBody(spark, rootDir, purgeTombstoned)
     }
 
   private def compactCurationCorpusBody(spark: SparkSession,
-      rootDir: String): Unit = {
+      rootDir: String, purgeTombstoned: Boolean = false): Unit = {
     healCompactRoot(spark, s"$rootDir/corpus")
     val tree = new HPath(s"$rootDir/corpus")
     val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = batchDirIds(fs, tree)
     val keep = if (ids.isEmpty) -1L else ids.max
-    if (ids.filterNot(id => id == keep || id == -1L).isEmpty) return
+    val tomb =
+      if (purgeTombstoned) readCurationTombstones(spark, rootDir)
+      else None
+    if (ids.filterNot(_ == keep).isEmpty) return // only the trailing batch
+    // with no purge requested (or nothing tombstoned), an
+    // already-folded store has no work; a purge re-folds batch=-1 to
+    // physically drop its tombstoned rows
+    if (ids.filterNot(id => id == keep || id == -1L).isEmpty &&
+      tomb.isEmpty) return
     // one file per ~128 MB of FOLDED payload (the carried batch's
     // size must not inflate the target), like Warehouse.compact —
     // sized from ONE recursive listing of the tree (object stores
@@ -2536,8 +2696,9 @@ object Streaming {
     }
     val nFiles = math.max(1, math.ceil(foldedBytes / 128e6).toInt)
     swapInCompacted(spark, s"$rootDir/corpus") { (tmp, fsi) =>
-      spark.read.parquet(s"$rootDir/corpus")
+      val folded = spark.read.parquet(s"$rootDir/corpus")
         .where(col("batch") =!= keep).drop("batch")
+      tomb.fold(folded)(t => folded.join(t, t.columns.toSeq, "left_anti"))
         .coalesce(nFiles)
         .write.mode("overwrite").parquet(s"$tmp/batch=-1")
       carryBatchDir(spark, fsi, new HPath(s"$rootDir/corpus/batch=$keep"),

@@ -1363,6 +1363,155 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp2/decon/batch=0/_SUCCESS").exists())
   }
 
+  test("retroDecontaminate: benchmarks registered AFTER admission " +
+      "tombstone contaminated docs incrementally; crash reruns are " +
+      "idempotent and history stays readable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retro")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose4 = "terraced vineyards stepped down the valley toward " +
+      "the slow bend of the river under a late sun"
+    def cleanIds() = Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // two ingest batches land BEFORE any benchmark exists
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (4L, prose4)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // no registry yet: sweep is a no-op and the clean view is whole
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    assert(cleanIds() === Set(1L, 2L, 3L, 4L))
+    // a benchmark quoting prose2 registers AFTER doc 2 was admitted
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(cleanIds() === Set(1L, 3L, 4L))
+    // history preserved: the payload store still holds doc 2
+    assert(Streaming.readCurationCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L))
+    // unchanged registry: watermark short-circuits, no new sweep dir
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    val sweepDirs = new java.io.File(s"$tmp/decon/tombstones")
+      .listFiles().filter(_.getName.startsWith("sweep=")).map(_.getName)
+    assert(sweepDirs.toSet === Set("sweep=0"))
+    // benchmark batch 1 re-registers prose2 AND adds prose4: the
+    // incremental window (w, m] plus the min-merged first_batch means
+    // sweep 1 records ONLY doc 4 — doc 2 is neither rescanned (its
+    // grams keep first_batch=0) nor re-tombstoned (anti-joined out)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose2), (102L, prose4)).toDF("bid", "text"), "text",
+      bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(cleanIds() === Set(1L, 3L))
+    assert(spark.read.parquet(s"$tmp/decon/tombstones/sweep=1")
+      .collect().map(_.getLong(0)).toSet === Set(4L))
+    // crash window: sweep=1 committed but the _sweep marker still
+    // reads 0 — the rerun must delete the leftover (NOT anti-join its
+    // own ids out and overwrite it empty) and land identically
+    val mkPath = new org.apache.hadoop.fs.Path(s"$tmp/decon/_sweep")
+    val mkFs = mkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = mkFs.create(mkPath, true)
+    mk.write("0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    mk.close()
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(cleanIds() === Set(1L, 3L))
+    assert(spark.read.parquet(s"$tmp/decon/tombstones/sweep=1")
+      .collect().map(_.getLong(0)).toSet === Set(4L))
+    // pre-watermark registry upgrade: strip first_batch (a store
+    // written before this round's schema), register prose1 on top —
+    // the merge stamps missing priors first_batch=0, and the sweep's
+    // window (1, 2] scans ONLY the new benchmark's grams
+    val stripped = spark.read.parquet(s"$bdir/ngrams")
+      .drop("first_batch").collect()
+    val schema0 = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$bdir/ngrams").drop("first_batch").schema)
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(stripped: _*)),
+        schema0)
+      .write.mode("overwrite").parquet(s"$bdir/ngrams")
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((103L, prose1)).toDF("bid", "text"), "text", bdir, 2L, n = 8)
+    assert(spark.read.parquet(s"$bdir/ngrams")
+      .agg(min("first_batch"), max("first_batch"))
+      .collect().head.toSeq === Seq(0L, 2L))
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(cleanIds() === Set(3L))
+  }
+
+  test("compactCurationCorpus purgeTombstoned: folded payload drops " +
+      "tombstoned rows physically, the carried batch waits its turn, " +
+      "and the clean view never moves") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-purge")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose4 = "terraced vineyards stepped down the valley toward " +
+      "the slow bend of the river under a late sun"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    def rawIds() = Streaming.readCurationCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def cleanIds() = Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (4L, prose4)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    // purge folds batch=0 minus doc 2 and carries trailing batch=1:
+    // the payload physically loses doc 2, the clean view is unmoved
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(rawIds() === Set(1L, 3L, 4L))
+    assert(cleanIds() === Set(1L, 3L, 4L))
+    // doc 4 is tombstoned while sitting in the CARRIED batch: a purge
+    // now must not touch it (a replay would rewrite the dir anyway) —
+    // it stays physically present, logically excluded
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose4)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(rawIds() === Set(1L, 3L, 4L))
+    assert(cleanIds() === Set(1L, 3L))
+    // once batch=1 folds (a newer trailing batch exists), the purge
+    // catches doc 4 too
+    Streaming.curationIngestBatch(
+      Seq((5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(rawIds() === Set(1L, 3L, 5L))
+    assert(cleanIds() === Set(1L, 3L, 5L))
+    // the purge preserves the keep-last layout contract
+    val layout = new java.io.File(s"$tmp/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(layout === Set("batch=-1", "batch=2"))
+  }
+
   test("hllSink lgK guard: mismatched config fails per-store, and a " +
       "pre-guard store (data, no meta) is probed, not mislabeled") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
