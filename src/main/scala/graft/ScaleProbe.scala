@@ -292,6 +292,35 @@ object ScaleProbe {
         corpus.where(pmod(col("doc_id"), lit(100)) =!= 0),
         corpus.where(pmod(col("doc_id"), lit(100)) === 0),
         "text", "doc_id", n = 8))
+    // RETROACTIVE sweep over a standing curation payload: each new
+    // benchmark costs ONE corpus read against its own grams broadcast
+    // — registry growth moves the broadcast, never the scan. Two
+    // sweeps book the incremental claim (sweep 2 scans only batch-1
+    // grams, with sweep-1's dead anti-joined out up front). Replicas
+    // share 8-grams with their base, so a benchmarked doc takes its
+    // whole replica cluster with it — contamination hits in clusters,
+    // which is the production shape
+    locally {
+      val tmpR = java.nio.file.Files
+        .createTempDirectory("graft-retroprobe").toString
+      corpus.write.parquet(s"$tmpR/corpus/batch=0")
+      graft.streaming.Streaming.mergeBenchmarkNgramBatch(
+        corpus.where(pmod(col("doc_id"), lit(100)) === 0),
+        "text", s"$tmpR/bench", 0L, n = 8)
+      var t0 = System.nanoTime()
+      val s1 = graft.streaming.Streaming.retroDecontaminate(
+        spark, tmpR, "text", "doc_id", s"$tmpR/bench")
+      println(f"[probe] retro sweep 1 (1%% bench)      $s1%10d dead " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      graft.streaming.Streaming.mergeBenchmarkNgramBatch(
+        corpus.where(pmod(col("doc_id"), lit(100)) === 1),
+        "text", s"$tmpR/bench", 1L, n = 8)
+      t0 = System.nanoTime()
+      val s2 = graft.streaming.Streaming.retroDecontaminate(
+        spark, tmpR, "text", "doc_id", s"$tmpR/bench")
+      println(f"[probe] retro sweep 2 (+1%% bench)     $s2%10d dead " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+    }
     // greedy subword segmentation: fold (O(|V|) per position) vs the
     // trie expression (O(piece length)) on the same curated vocab, plus
     // the trie at a 10k-piece production-scale vocab the fold can't touch

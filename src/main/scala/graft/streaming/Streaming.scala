@@ -1182,7 +1182,14 @@ object Streaming {
     * (a rerun that catches MORE contaminated docs, e.g. rows admitted
     * by a gate-less ingest in between, is strictly better), so the
     * sweep recomputes against the live corpus rather than pinning.
-    * Returns the number of newly-tombstoned ids. */
+    * Returns the number of newly-tombstoned ids.
+    *
+    * Tombstoned documents deliberately REMAIN in the dedup index: a
+    * future near-duplicate of a contaminated document is itself
+    * contaminated (it near-matches the same benchmark text), so the
+    * index entry keeps doing exactly the right thing — rejecting it
+    * at admission, cheaper than letting it through to be tombstoned
+    * by the next sweep. */
   def retroDecontaminate(spark: SparkSession, rootDir: String,
       textCol: String, idCol: String, benchmarkDir: String,
       minHits: Long = 1L): Long = {
@@ -1241,29 +1248,136 @@ object Streaming {
     * column (under the ingest's own id name) plus the `sweep`
     * partition — or None before the first sweep. Self-describing: the
     * id column name is read from the tombstone schema, so
-    * [[readCleanCorpus]] needs no idCol parameter. */
-  def readCurationTombstones(spark: SparkSession,
-      rootDir: String): Option[DataFrame] = {
+    * [[readCleanCorpus]] needs no idCol parameter.
+    *
+    * `asOfSweep` keeps only tombstones whose sweep mark is ≤ the
+    * given registry mark (partition-pruned on the `sweep=` dirs) —
+    * the time-travel axis [[readCleanCorpus]] exposes. */
+  def readCurationTombstones(spark: SparkSession, rootDir: String,
+      asOfSweep: Option[Long] = None): Option[DataFrame] = {
     val dir = new HPath(s"$rootDir/decon/tombstones")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
     // an all-clean history can leave every sweep dir without part
     // files (Spark writes none for an empty frame); unreadable schema
     // then MEANS "no tombstones", not an error
-    else try Some(spark.read.parquet(dir.toString).drop("sweep"))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    else try {
+      val t = spark.read.parquet(dir.toString)
+      Some(asOfSweep.fold(t)(s => t.where(col("sweep") <= s))
+        .drop("sweep"))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
   /** [[readCurationCorpus]] minus every tombstoned id — the view a
     * training-data consumer reads. The join key is taken from the
     * tombstone schema itself; no broadcast hint (tombstones are
     * usually tiny and AQE will broadcast them, but an adversarially
-    * large tombstone set must not be forced onto the driver). */
-  def readCleanCorpus(spark: SparkSession, rootDir: String): DataFrame = {
+    * large tombstone set must not be forced onto the driver).
+    *
+    * `asOfSweep` reconstructs the HISTORICAL clean view: the corpus
+    * minus only the tombstones known at registry mark ≤ s — i.e. what
+    * a consumer read before later benchmark registrations tombstoned
+    * more documents (pass s = -1 for the pre-sweep view). Two bounds
+    * on the reconstruction, both inherent: (a) corpus batches
+    * admitted AFTER that sweep still appear — the sweep axis freezes
+    * decontamination state, not ingest history (an exact training-run
+    * snapshot is the consumer's export of this view at run time);
+    * (b) a [[compactCurationCorpus]] purge physically drops ALL
+    * tombstoned rows, including later-sweep ones — after a purge,
+    * as-of views older than it cannot resurrect the purged payload.
+    * Purge when bytes matter more than reproducibility. */
+  def readCleanCorpus(spark: SparkSession, rootDir: String,
+      asOfSweep: Option[Long] = None): DataFrame = {
     val live = readCurationCorpus(spark, rootDir)
-    readCurationTombstones(spark, rootDir).fold(live)(t =>
+    readCurationTombstones(spark, rootDir, asOfSweep).fold(live)(t =>
       live.join(t, t.columns.toSeq, "left_anti"))
   }
+
+  /** Decontamination audit: one row per completed sweep — its registry
+    * mark, how many documents it tombstoned, and the running total —
+    * plus the registered-benchmark gram count as context. The ops
+    * answer to "what did each benchmark registration cost the corpus".
+    * Reads only the (benchmark-hit-sized) tombstone tree; the corpus
+    * is never touched. */
+  def deconAudit(spark: SparkSession, rootDir: String): DataFrame = {
+    val empty = spark.range(0)
+      .select(col("id").as("sweep"), col("id").as("n_tombstoned"),
+        col("id").as("cumulative"))
+    val dir = new HPath(s"$rootDir/decon/tombstones")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) empty
+    else try {
+      val t = spark.read.parquet(dir.toString)
+      // the global window is over the groupBy's output — one row per
+      // SWEEP (dozens at most), not per tombstone — so the
+      // single-partition exchange is a no-op by construction
+      // the `sweep=` partition dirs infer as int; cast to long so the
+      // audit schema matches the Long sweep marks of the writer API
+      t.groupBy(col("sweep").cast("long").as("sweep"))
+        .agg(count(lit(1)).as("n_tombstoned"))
+        .withColumn("cumulative", sum("n_tombstoned")
+          .over(org.apache.spark.sql.expressions.Window.orderBy("sweep")
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .orderBy("sweep")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => empty
+    }
+  }
+
+  /** Re-derive the curation stats store from the CLEAN corpus — the
+    * coherence repair after [[retroDecontaminate]]. The ingest's
+    * invariant is "stats see exactly the corpus that survived", and a
+    * tombstone breaks it: the word histogram and length buckets still
+    * carry the contributions folded in when the now-tombstoned rows
+    * were admitted. Subtracting those contributions incrementally
+    * cannot be made crash-safe (a rerun would double-subtract), so the
+    * repair is the honest idempotent form: recompute both parts from
+    * [[readCleanCorpus]] in one scan and swap the store wholesale —
+    * the [[rebuildJaccardIndex]] discipline applied to stats. Pass the
+    * SAME `textCol`/`lenLo`/`lenHi` the sink was configured with, or
+    * the length buckets change unit.
+    *
+    * The store's `_batch` high-water mark is PRESERVED: it names which
+    * ingest batches are folded, and the clean corpus holds exactly
+    * those batches' admitted rows minus tombstones — so a resuming
+    * stream's next batch folds incrementally on top, and a replay of
+    * an already-merged batch is still skipped. Serializes with live
+    * ingest by taking the same locks the ingest holds. */
+  def rebuildCurationStats(spark: SparkSession, rootDir: String,
+      textCol: String, lenLo: Double = 0.0,
+      lenHi: Double = 1000.0): Unit =
+    withStoreLock(spark, Seq(s"$rootDir/index", s"$rootDir/corpus")) {
+      val statsDir = s"$rootDir/stats"
+      val dir = new HPath(statsDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val backup = new HPath(dir.getParent, s".${dir.getName}.stats.old")
+      val tmp = new HPath(dir.getParent, s".${dir.getName}.stats.tmp")
+      graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
+      if (!fs.exists(dir)) return // nothing folded yet, nothing stale
+      val markFile = new HPath(dir, "_batch")
+      val mark = {
+        val in = fs.open(markFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+      fs.delete(tmp, true)
+      val clean = readCleanCorpus(spark, rootDir)
+      graft.ops.Bpe.wordHistogram(clean, textCol)
+        .write.parquet(s"$tmp/hist")
+      clean.groupBy(graft.ops.Profiling.psiBucket(
+          length(col(textCol)).cast("double"), lenLo, lenHi, 10)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .write.parquet(s"$tmp/lens")
+      val out = fs.create(new HPath(tmp, "_batch"), true)
+      try out.write(mark.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+    }
 
   /** The payload + stats tail every curation-ingest variant shares
     * (the LSH gate above, the exact-Jaccard gate below): write the

@@ -1512,6 +1512,110 @@ class StreamingSpec extends SparkSpec {
     assert(layout === Set("batch=-1", "batch=2"))
   }
 
+  test("rebuildCurationStats: stats re-derived from the clean corpus " +
+      "after a sweep; the _batch mark survives so replays stay no-ops " +
+      "and the stream folds on top") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rebst")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    def storedHist() = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      .collect().map(_.toSeq).toSet
+    def cleanHist() = graft.ops.Bpe.wordHistogram(
+      Streaming.readCleanCorpus(spark, tmp), "text")
+      .collect().map(_.toSeq).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    // the sweep broke the stats invariant: the store still counts
+    // doc 2's words
+    assert(storedHist() !== cleanHist())
+    Streaming.rebuildCurationStats(spark, tmp, "text")
+    assert(storedHist() === cleanHist())
+    // mark preserved: a crash replay of the last folded batch is
+    // still a stats no-op
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(storedHist() === cleanHist())
+    // and the stream folds incrementally on top of the rebuilt store
+    Streaming.curationIngestBatch(
+      Seq((5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(storedHist() === cleanHist())
+    // idempotent: a second rebuild lands identically
+    Streaming.rebuildCurationStats(spark, tmp, "text")
+    assert(storedHist() === cleanHist())
+  }
+
+  test("readCleanCorpus asOfSweep: historical clean views reconstruct " +
+      "per sweep; deconAudit books each sweep's cost; a purge " +
+      "truncates as-of fidelity as documented") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose4 = "terraced vineyards stepped down the valley toward " +
+      "the slow bend of the river under a late sun"
+    def cleanIds(asOf: Option[Long]) =
+      Streaming.readCleanCorpus(spark, tmp, asOf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // before any sweep the audit is empty and every as-of view is the
+    // whole corpus
+    assert(Streaming.deconAudit(spark, tmp).collect().isEmpty)
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (4L, prose4)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // sweep 0 tombstones doc 2, sweep 1 tombstones doc 4
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose4)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    // the time-travel axis: today, as-of sweep 0, and pre-sweep
+    assert(cleanIds(None) === Set(1L, 3L))
+    assert(cleanIds(Some(1L)) === Set(1L, 3L))
+    assert(cleanIds(Some(0L)) === Set(1L, 3L, 4L))
+    assert(cleanIds(Some(-1L)) === Set(1L, 2L, 3L, 4L))
+    // audit: one row per sweep with a running total
+    assert(Streaming.deconAudit(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((0L, 1L, 1L), (1L, 1L, 2L)))
+    // a physical purge folds batch 0 and drops doc 2's bytes (doc 4
+    // rides the carried trailing batch, so only pre-purge history is
+    // affected): the documented fidelity bound — as-of views older
+    // than the purge cannot resurrect the purged payload
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(cleanIds(None) === Set(1L, 3L))
+    assert(cleanIds(Some(0L)) === Set(1L, 3L, 4L))
+    assert(cleanIds(Some(-1L)) === Set(1L, 3L, 4L))
+  }
+
   test("hllSink lgK guard: mismatched config fails per-store, and a " +
       "pre-guard store (data, no meta) is probed, not mislabeled") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
