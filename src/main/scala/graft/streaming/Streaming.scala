@@ -1254,7 +1254,14 @@ object Streaming {
     * given registry mark (partition-pruned on the `sweep=` dirs) —
     * the time-travel axis [[readCleanCorpus]] exposes. */
   def readCurationTombstones(spark: SparkSession, rootDir: String,
-      asOfSweep: Option[Long] = None): Option[DataFrame] = {
+      asOfSweep: Option[Long] = None): Option[DataFrame] =
+    tombstonesWhere(spark, rootDir,
+      s => asOfSweep.fold(lit(true))(m => s <= m))
+
+  /** Tombstones whose `sweep` mark satisfies `pred` (partition-pruned
+    * on the `sweep=` dirs), or None before the first sweep. */
+  private def tombstonesWhere(spark: SparkSession, rootDir: String,
+      pred: Column => Column): Option[DataFrame] = {
     val dir = new HPath(s"$rootDir/decon/tombstones")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
@@ -1263,8 +1270,7 @@ object Streaming {
     // then MEANS "no tombstones", not an error
     else try {
       val t = spark.read.parquet(dir.toString)
-      Some(asOfSweep.fold(t)(s => t.where(col("sweep") <= s))
-        .drop("sweep"))
+      Some(t.where(pred(col("sweep").cast("long"))).drop("sweep"))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
   }
 
@@ -1378,6 +1384,216 @@ object Streaming {
       finally out.close()
       graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
     }
+
+  /** ZERO-COPY named snapshot of the clean corpus — the reproducible
+    * training-run export [[readCleanCorpus]]'s `asOfSweep` cannot be:
+    * the sweep axis freezes decontamination state but not ingest
+    * history, so a later batch changes what `asOfSweep` returns. A
+    * snapshot pins BOTH axes by manifest alone — the set of
+    * `corpus/batch=` dirs present and the committed `decon/_sweep`
+    * mark at snapshot time — so [[readSnapshot]] reconstructs the
+    * exact view forever, at O(metadata) cost: no corpus byte is
+    * copied, whatever the corpus size. (Pinning DIRS, not part files:
+    * a crashed trailing batch's replay rewrites its dir with
+    * byte-identical content under fresh part-file names, so file-level
+    * pins would break on the one rewrite that is legal.)
+    *
+    * Pinned dirs are RETAINED by [[compactCurationCorpus]]: it folds
+    * and purges around them, and defers entirely when a snapshot pins
+    * `batch=-1` (the fold target). The cost of a standing snapshot is
+    * therefore deferred compaction/purge over its pinned dirs — drop
+    * snapshots when their training runs no longer need reproducing.
+    * Commit point is the rename of the manifest dir; a crash before it
+    * leaves only a dotted tmp dir that the next snapshot overwrites.
+    * Serializes with ingest/compaction via the corpus lease. */
+  def snapshotCorpus(spark: SparkSession, rootDir: String,
+      name: String): Unit = {
+    require(name.nonEmpty && !name.startsWith(".") &&
+      !name.contains("/"),
+      s"snapshot name '$name' must be non-empty, not dotted, no '/'")
+    withStoreLock(spark, Seq(s"$rootDir/corpus")) {
+      healCompactRoot(spark, s"$rootDir/corpus")
+      val tree = new HPath(s"$rootDir/corpus")
+      val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ids = batchDirIds(fs, tree).sorted
+      require(ids.nonEmpty, s"no corpus batches under $rootDir/corpus")
+      val sweepFile = new HPath(s"$rootDir/decon/_sweep")
+      val sweep: Long =
+        if (!fs.exists(sweepFile)) -1L
+        else {
+          val in = fs.open(sweepFile)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      val snapDir = new HPath(s"$rootDir/snapshots/$name")
+      require(!fs.exists(snapDir),
+        s"snapshot '$name' already exists (snapshots are immutable — " +
+          "drop it first to re-point the name)")
+      val tmp = new HPath(s"$rootDir/snapshots/.$name.tmp")
+      fs.delete(tmp, true)
+      val out = fs.create(new HPath(tmp, "manifest"), true)
+      try out.write(
+        (s"batches=${ids.mkString(",")}\nsweep=$sweep\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, snapDir),
+        s"could not commit snapshot '$name' (concurrent create?)")
+    }
+  }
+
+  /** Parse one snapshot manifest → (pinned batch ids, sweep mark). */
+  private def readSnapshotManifest(
+      fs: org.apache.hadoop.fs.FileSystem, rootDir: String,
+      name: String): (Seq[Long], Long) = {
+    val mf = new HPath(s"$rootDir/snapshots/$name/manifest")
+    require(fs.exists(mf), s"no snapshot '$name' under $rootDir")
+    val in = fs.open(mf)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim }
+      .toMap
+    (kv("batches").split(",").map(_.trim.toLong).toSeq,
+      kv("sweep").toLong)
+  }
+
+  /** The exact clean view [[snapshotCorpus]] froze: the pinned batch
+    * dirs minus tombstones at the pinned sweep mark. Lock-free like
+    * every reader (retention keeps the pinned dirs in place; the
+    * tombstone tree is append-only). Fails loudly, naming the missing
+    * dirs, if the pins were broken — which only a manual delete or a
+    * pre-retention compaction can do. */
+  def readSnapshot(spark: SparkSession, rootDir: String,
+      name: String): DataFrame = {
+    val tree = new HPath(s"$rootDir/corpus")
+    val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (batches, sweep) = readSnapshotManifest(fs, rootDir, name)
+    val missing = batches.filterNot(b =>
+      fs.exists(new HPath(s"$rootDir/corpus/batch=$b")))
+    require(missing.isEmpty,
+      s"snapshot '$name' pins corpus dirs that no longer exist " +
+        s"(batch=${missing.mkString(", batch=")}) — a compaction ran " +
+        "without retention or the dirs were deleted by hand; the " +
+        "snapshot cannot be reconstructed")
+    val live = spark.read.option("basePath", s"$rootDir/corpus")
+      .parquet(batches.map(b => s"$rootDir/corpus/batch=$b"): _*)
+    readCurationTombstones(spark, rootDir, asOfSweep = Some(sweep))
+      .fold(live)(t => live.join(t, t.columns.toSeq, "left_anti"))
+  }
+
+  /** Every committed snapshot, sorted by name: (name, pinned batch
+    * ids, pinned sweep mark). Driver-side listing of a dir with one
+    * entry per snapshot — snapshots are human-scale. */
+  def listSnapshots(spark: SparkSession,
+      rootDir: String): Seq[(String, Seq[Long], Long)] = {
+    val dir = new HPath(s"$rootDir/snapshots")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+      .map { n =>
+        val (b, s) = readSnapshotManifest(fs, rootDir, n)
+        (n, b, s)
+      }
+  }
+
+  /** Delete a snapshot's manifest — its pins lapse and the next
+    * [[compactCurationCorpus]] is free to fold/purge the dirs it held
+    * (the data itself is untouched here; only the pin goes). */
+  def dropSnapshot(spark: SparkSession, rootDir: String,
+      name: String): Unit = {
+    val dir = new HPath(s"$rootDir/snapshots/$name")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    ()
+  }
+
+  /** Union of every committed snapshot's pinned batch ids — the
+    * retention set [[compactCurationCorpus]] must not fold or purge. */
+  private def snapshotPinnedBatches(
+      fs: org.apache.hadoop.fs.FileSystem,
+      rootDir: String): Set[Long] = {
+    val dir = new HPath(s"$rootDir/snapshots")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => readSnapshotManifest(fs, rootDir, n)._1).toSet
+  }
+
+  /** Document-level provenance between two training runs: the ids that
+    * entered and left the clean view from snapshot `from` to snapshot
+    * `to` — one row per changed id, columns (idCol, `change` ∈
+    * 'added' | 'removed').
+    *
+    * Ingest is append-only and decontamination is tombstone-only, so
+    * when `to` still pins every dir `from` pinned (no compaction
+    * folded them away between the runs) the diff NEVER READS THE
+    * SHARED BULK: ADDED = an id-pruned scan of only the dirs `to`
+    * added, minus `to`'s tombstones; REMOVED = the tombstones swept in
+    * (fromMark, toMark] — an id is swept at most once, each sweep
+    * scans the already-clean corpus — semi-joined against an id-pruned
+    * scan of `from`'s dirs (a sweep also kills docs admitted after
+    * `from`, which were never in its view). Both joins broadcast the
+    * benchmark-hit-sized tombstone side: at 100 TB the cost is the new
+    * batches plus one single-column pass over `from`'s dirs, zero
+    * corpus shuffle. The fast path reports at id granularity and so
+    * assumes `idCol` unique across the corpus (the admission
+    * pipeline's contract). If a fold DID rewrite `from`'s dirs — or
+    * the snapshots were taken out of order — falls back to the direct
+    * two-sided anti-join of the materialized views: a full shuffle,
+    * correct unconditionally. */
+  def diffSnapshots(spark: SparkSession, rootDir: String,
+      from: String, to: String, idCol: String): DataFrame = {
+    val fs = new HPath(s"$rootDir/corpus")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (bFrom, sFrom) = readSnapshotManifest(fs, rootDir, from)
+    val (bTo, sTo) = readSnapshotManifest(fs, rootDir, to)
+    def tag(df: DataFrame, change: String) =
+      df.select(col(idCol)).withColumn("change", lit(change))
+    if (!(bFrom.toSet.subsetOf(bTo.toSet) && sFrom <= sTo)) {
+      val a = readSnapshot(spark, rootDir, from).select(idCol)
+      val b = readSnapshot(spark, rootDir, to).select(idCol)
+      return tag(b.join(a, Seq(idCol), "left_anti"), "added")
+        .unionByName(tag(a.join(b, Seq(idCol), "left_anti"), "removed"))
+        .distinct()
+    }
+    def idScan(batches: Seq[Long]) =
+      spark.read.option("basePath", s"$rootDir/corpus")
+        .parquet(batches.map(b => s"$rootDir/corpus/batch=$b"): _*)
+        .select(idCol)
+    val newDirs = bTo.filterNot(bFrom.toSet)
+    val added =
+      if (newDirs.isEmpty) None
+      else {
+        val fresh = idScan(newDirs)
+        Some(readCurationTombstones(spark, rootDir, Some(sTo))
+          .fold(fresh)(t =>
+            fresh.join(broadcast(t.select(idCol)), Seq(idCol),
+              "left_anti")))
+      }
+    val removed =
+      if (sFrom == sTo) None
+      else tombstonesWhere(spark, rootDir, s => s > sFrom && s <= sTo)
+        .map(t => idScan(bFrom)
+          .join(broadcast(t.select(idCol)), Seq(idCol), "left_semi"))
+    (added.map(tag(_, "added")).toSeq ++
+      removed.map(tag(_, "removed")).toSeq)
+      .reduceOption(_ unionByName _)
+      .fold(tag(idScan(bTo).limit(0), "none").limit(0))(identity)
+      .distinct()
+  }
+
+  /** Materialize a snapshot as deterministically-sharded JSON-Lines —
+    * the physical hand-off of a reproducible training run to the
+    * training stack ([[graft.ops.Warehouse.writeJsonlShards]]:
+    * md5-stable shard membership, so re-exporting the same snapshot
+    * produces byte-identical shard contents). */
+  def exportSnapshot(spark: SparkSession, rootDir: String, name: String,
+      outPath: String, idCol: String, nShards: Int): Unit =
+    graft.ops.Warehouse.writeJsonlShards(
+      readSnapshot(spark, rootDir, name).drop("batch"), idCol, outPath,
+      nShards)
 
   /** The payload + stats tail every curation-ingest variant shares
     * (the LSH gate above, the exact-Jaccard gate below): write the
@@ -2770,7 +2986,12 @@ object Streaming {
     * at the NEXT compaction once it folds. Tombstones themselves are
     * retained (benchmark-hit-sized): they keep excluding replay-
     * reintroduced rows and keep the clean view stable across the
-    * purge. */
+    * purge.
+    *
+    * [[snapshotCorpus]] retention: batch dirs pinned by a committed
+    * snapshot manifest are carried unchanged — neither folded nor
+    * purged — and if a snapshot pins `batch=-1` (the fold target) the
+    * compaction defers wholesale until the snapshot drops. */
   def compactCurationCorpus(spark: SparkSession, rootDir: String,
       purgeTombstoned: Boolean = false): Unit =
     withStoreLock(spark, Seq(s"$rootDir/corpus")) {
@@ -2784,26 +3005,41 @@ object Streaming {
     val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = batchDirIds(fs, tree)
     val keep = if (ids.isEmpty) -1L else ids.max
+    // snapshot retention: dirs pinned by a committed [[snapshotCorpus]]
+    // manifest are carried unchanged — never folded, never purged
+    // (their tombstoned bytes wait for the snapshot to drop). The
+    // trailing batch is carried anyway, so drop it from the pin set
+    val pinned = snapshotPinnedBatches(fs, rootDir) - keep
+    val foldable = ids.filterNot(id => id == keep || pinned.contains(id))
     val tomb =
       if (purgeTombstoned) readCurationTombstones(spark, rootDir)
       else None
     if (ids.filterNot(_ == keep).isEmpty) return // only the trailing batch
+    if (foldable.isEmpty) return // everything else pinned — no work
     // with no purge requested (or nothing tombstoned), an
     // already-folded store has no work; a purge re-folds batch=-1 to
     // physically drop its tombstoned rows
-    if (ids.filterNot(id => id == keep || id == -1L).isEmpty &&
-      tomb.isEmpty) return
-    // one file per ~128 MB of FOLDED payload (the carried batch's
-    // size must not inflate the target), like Warehouse.compact —
-    // sized from ONE recursive listing of the tree (object stores
-    // serve that as a single flat LIST), not a per-dir
+    if (foldable.filterNot(_ == -1L).isEmpty && tomb.isEmpty) return
+    if (pinned.contains(-1L)) {
+      // the fold target itself is pinned: folding would rewrite it.
+      // Defer wholesale — compaction resumes when the snapshot drops
+      System.err.println("[snapshot] compaction of " +
+        s"$rootDir/corpus deferred: a snapshot pins batch=-1 " +
+        "(the fold target); drop the snapshot to let compaction run")
+      return
+    }
+    // one file per ~128 MB of FOLDED payload (the carried and pinned
+    // batches' size must not inflate the target), like
+    // Warehouse.compact — sized from ONE recursive listing of the tree
+    // (object stores serve that as a single flat LIST), not a per-dir
     // getContentSummary walk that is O(batch dirs) namenode calls
+    val foldSeg = foldable.map(id => s"/batch=$id/").toSet
     val foldedBytes = {
       val it = fs.listFiles(tree, true)
       var sum = 0L
       while (it.hasNext) {
         val f = it.next()
-        if (!f.getPath.toString.contains(s"/batch=$keep/"))
+        if (foldSeg.exists(f.getPath.toString.contains))
           sum += f.getLen
       }
       sum
@@ -2811,12 +3047,15 @@ object Streaming {
     val nFiles = math.max(1, math.ceil(foldedBytes / 128e6).toInt)
     swapInCompacted(spark, s"$rootDir/corpus") { (tmp, fsi) =>
       val folded = spark.read.parquet(s"$rootDir/corpus")
-        .where(col("batch") =!= keep).drop("batch")
+        .where(col("batch").isInCollection(foldable)).drop("batch")
       tomb.fold(folded)(t => folded.join(t, t.columns.toSeq, "left_anti"))
         .coalesce(nFiles)
         .write.mode("overwrite").parquet(s"$tmp/batch=-1")
       carryBatchDir(spark, fsi, new HPath(s"$rootDir/corpus/batch=$keep"),
         new HPath(s"$tmp/batch=$keep"))
+      pinned.foreach(p =>
+        carryBatchDir(spark, fsi, new HPath(s"$rootDir/corpus/batch=$p"),
+          new HPath(s"$tmp/batch=$p")))
     }
   }
 

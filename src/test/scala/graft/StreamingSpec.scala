@@ -1616,6 +1616,216 @@ class StreamingSpec extends SparkSpec {
     assert(cleanIds(Some(-1L)) === Set(1L, 3L, 4L))
   }
 
+  test("snapshotCorpus: a named snapshot pins both the ingest and " +
+      "sweep axes at zero copy; later batches and sweeps leave it " +
+      "unmoved; names are immutable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose4 = "terraced vineyards stepped down the valley toward " +
+      "the slow bend of the river under a late sun"
+    def snapIds(name: String) =
+      Streaming.readSnapshot(spark, tmp, name)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.snapshotCorpus(spark, tmp, "run1")
+    assert(snapIds("run1") === Set(1L))
+    // a later ingest AND a later sweep both leave the snapshot unmoved
+    // — the two axes asOfSweep alone cannot pin together
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (4L, prose4)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose4)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(snapIds("run1") === Set(1L))
+    assert(Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L))
+    // second snapshot sees today's state; listing shows both manifests
+    Streaming.snapshotCorpus(spark, tmp, "run2")
+    assert(snapIds("run2") === Set(1L, 3L))
+    assert(Streaming.listSnapshots(spark, tmp)
+      === Seq(("run1", Seq(0L), 0L), ("run2", Seq(0L, 1L), 1L)))
+    // immutable names, validated names
+    intercept[IllegalArgumentException] {
+      Streaming.snapshotCorpus(spark, tmp, "run1")
+    }
+    intercept[IllegalArgumentException] {
+      Streaming.snapshotCorpus(spark, tmp, ".hidden")
+    }
+  }
+
+  test("snapshot retention: compaction folds and purges around pinned " +
+      "dirs, defers when batch=-1 is pinned, and resumes after " +
+      "dropSnapshot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snret")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    def layout() = new java.io.File(s"$tmp/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    def snapIds(name: String) =
+      Streaming.readSnapshot(spark, tmp, name)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.snapshotCorpus(spark, tmp, "pin0")
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // purge-compaction folds batch=1 but carries pinned batch=0
+    // unchanged (doc 2's bytes stay — retention defers the purge) and
+    // the trailing batch=2
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(layout() === Set("batch=-1", "batch=0", "batch=2"))
+    assert(snapIds("pin0") === Set(1L))
+    assert(spark.read.parquet(s"$tmp/corpus/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    // a snapshot taken now pins batch=-1 (among others): once new
+    // unpinned batches exist, the next compaction defers wholesale
+    // (layout unmoved) because its fold target is pinned
+    Streaming.snapshotCorpus(spark, tmp, "pinfold")
+    Streaming.dropSnapshot(spark, tmp, "pin0")
+    val prose6 = "lighthouse keepers logged every passing sail and " +
+      "trimmed the wicks twice in a winter night"
+    val prose7 = "the mill race was cleared of leaves each morning " +
+      "before the stones were set to turn"
+    Streaming.curationIngestBatch(
+      Seq((6L, prose6)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 3L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((7L, prose7)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 4L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(layout() ===
+      Set("batch=-1", "batch=0", "batch=2", "batch=3", "batch=4"))
+    assert(snapIds("pinfold") === Set(1L, 3L, 5L))
+    // pins lapsed: compaction folds everything below the trailing
+    // batch and the purge finally drops doc 2's bytes
+    Streaming.dropSnapshot(spark, tmp, "pinfold")
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(layout() === Set("batch=-1", "batch=4"))
+    assert(spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 5L, 6L, 7L))
+    // the broken-pin failure is loud and names the missing dir
+    val e = intercept[IllegalArgumentException] {
+      Streaming.readSnapshot(spark, tmp, "pin0")
+    }
+    assert(e.getMessage.contains("no snapshot 'pin0'"))
+  }
+
+  test("diffSnapshots: the fast path reads only the delta and matches " +
+      "the brute-force view diff; add-then-tombstoned docs appear in " +
+      "neither leg; a reversed diff takes the fallback") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdiff")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose4 = "terraced vineyards stepped down the valley toward " +
+      "the slow bend of the river under a late sun"
+    def changes(a: String, b: String) =
+      Streaming.diffSnapshots(spark, tmp, a, b, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def brute(a: String, b: String) = {
+      val va = Streaming.readSnapshot(spark, tmp, a).select("doc_id")
+      val vb = Streaming.readSnapshot(spark, tmp, b).select("doc_id")
+      vb.join(va, Seq("doc_id"), "left_anti").collect()
+        .map(r => (r.getLong(0), "added")).toSet ++
+        va.join(vb, Seq("doc_id"), "left_anti").collect()
+          .map(r => (r.getLong(0), "removed")).toSet
+    }
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L) // doc 2 tombstoned at mark 0
+    Streaming.snapshotCorpus(spark, tmp, "t0") // view {1}
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (4L, prose4)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose4)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L) // doc 4 added-then-tombstoned: in NEITHER view
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((102L, prose1)).toDF("bid", "text"), "text", bdir, 2L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L) // doc 1 removed from t0's view at mark 2
+    Streaming.snapshotCorpus(spark, tmp, "t2") // view {3}
+    assert(changes("t0", "t2") === Set((3L, "added"), (1L, "removed")))
+    assert(changes("t0", "t2") === brute("t0", "t2"))
+    // same-snapshot diff is empty both ways
+    assert(changes("t0", "t0") === Set.empty)
+    // reversed order (sweep marks out of order) takes the fallback —
+    // and the fallback mirrors the fast path
+    assert(changes("t2", "t0") === Set((1L, "added"), (3L, "removed")))
+    assert(changes("t2", "t0") === brute("t2", "t0"))
+  }
+
+  test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
+      "view with md5-stable shard membership across re-exports") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sexp")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "run")
+    Streaming.exportSnapshot(spark, tmp, "run", s"$tmp/out1", "doc_id", 4)
+    Streaming.exportSnapshot(spark, tmp, "run", s"$tmp/out2", "doc_id", 4)
+    def slurp(p: String) = spark.read.json(p)
+      .select(col("doc_id").cast("long"), col("text"),
+        col("shard").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val o1 = slurp(s"$tmp/out1")
+    val o2 = slurp(s"$tmp/out2")
+    assert(o1 === o2) // deterministic shard membership
+    assert(o1.map(t => (t._1, t._2)) ===
+      Set((1L, prose1), (3L, prose3)))
+    assert(o1.map(_._3).forall(s => s >= 0 && s < 4))
+  }
+
   test("hllSink lgK guard: mismatched config fails per-store, and a " +
       "pre-guard store (data, no meta) is probed, not mislabeled") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
