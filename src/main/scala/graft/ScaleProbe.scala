@@ -320,6 +320,46 @@ object ScaleProbe {
         spark, tmpR, "text", "doc_id", s"$tmpR/bench")
       println(f"[probe] retro sweep 2 (+1%% bench)     $s2%10d dead " +
         f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      // SNAPSHOT lifecycle on the same standing corpus: creation is
+      // manifest-only (O(metadata) at any corpus size), and the
+      // run-to-run diff's fast path reads only the delta — booked
+      // against the brute-force two-anti-join it falls back to
+      t0 = System.nanoTime()
+      graft.streaming.Streaming.snapshotCorpus(spark, tmpR, "t0")
+      println(f"[probe] snapshot create (105k corpus) " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      // second epoch: 1/8 of the corpus re-idd into batch=1, one more
+      // benchmark registered and swept, then snapshot t1
+      corpus.where(pmod(col("doc_id"), lit(8)) === 0)
+        .select((col("doc_id") + lit((maxId + 1) * replicas * 3))
+          .as("doc_id"), col("text"))
+        .write.parquet(s"$tmpR/corpus/batch=1")
+      // residue 37 lands in replica cliques the first two benchmarks
+      // did NOT touch (cliques are 20 consecutive ids, so residues
+      // 0/1 share cliques; 37 hits a disjoint fifth) — the sweep
+      // between the snapshots tombstones fresh docs and the diff's
+      // removed leg is non-trivial
+      graft.streaming.Streaming.mergeBenchmarkNgramBatch(
+        corpus.where(pmod(col("doc_id"), lit(100)) === 37),
+        "text", s"$tmpR/bench", 2L, n = 8)
+      graft.streaming.Streaming.retroDecontaminate(
+        spark, tmpR, "text", "doc_id", s"$tmpR/bench")
+      graft.streaming.Streaming.snapshotCorpus(spark, tmpR, "t1")
+      t0 = System.nanoTime()
+      val nFast = graft.streaming.Streaming.diffSnapshots(
+        spark, tmpR, "t0", "t1", "doc_id").queryExecution.toRdd.count()
+      val fastS = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val va = graft.streaming.Streaming.readSnapshot(spark, tmpR, "t0")
+        .select("doc_id")
+      val vb = graft.streaming.Streaming.readSnapshot(spark, tmpR, "t1")
+        .select("doc_id")
+      val nBrute = vb.join(va, Seq("doc_id"), "left_anti")
+        .unionByName(va.join(vb, Seq("doc_id"), "left_anti"))
+        .distinct().queryExecution.toRdd.count()
+      println(f"[probe] snapshot diff fast-path       $nFast%10d rows " +
+        f"$fastS%7.1f s  vs brute $nBrute%10d rows " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
     }
     // greedy subword segmentation: fold (O(|V|) per position) vs the
     // trie expression (O(piece length)) on the same curated vocab, plus

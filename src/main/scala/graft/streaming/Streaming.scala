@@ -1595,6 +1595,158 @@ object Streaming {
       readSnapshot(spark, rootDir, name).drop("batch"), idCol, outPath,
       nShards)
 
+  /** O(metadata) integrity audit of a whole curation store — the fsck
+    * an operator runs before trusting a 100 TB root after a crash, a
+    * migration, or a by-hand cleanup. One driver-side listing pass
+    * (no corpus byte read); returns one row per FINDING, columns
+    * (`area`, `path`, `status`, `detail`) — an empty frame is a clean
+    * bill of health. Statuses:
+    *
+    *  - `error` — a reader or invariant is actually broken: a
+    *    compaction died between its two renames (only the dotted
+    *    backup holds the last complete tree), a snapshot pins corpus
+    *    dirs that no longer exist or a sweep mark ahead of the decon
+    *    state, a manifest that does not parse, or a COMMITTED
+    *    tombstone sweep dir with no `_SUCCESS` marker.
+    *  - `warn` — crash leftovers the next maintenance write heals by
+    *    itself (compaction scratch/stale-backup dirs, a tombstone
+    *    sweep dir ahead of the committed `_sweep` mark, an
+    *    uncommitted snapshot tmp, a corpus batch dir with no
+    *    `_SUCCESS` — the replayable-trailing-batch signature).
+    *  - `info` — expected-but-notable: a pinned decon decision whose
+    *    corpus batch has since folded (harmless; the pin only matters
+    *    to a replay of that batch id).
+    *
+    * Every detail string says what heals the finding, so the fsck is
+    * a runbook, not just a red light. With `heal = true` the SAFE
+    * heals — exactly the ones the store's own lazy recovery paths
+    * perform — are applied inline and the finding's `healed` column
+    * reads true: a mid-swap backup is restored over its missing tree,
+    * swap scratch / stale backups / uncommitted snapshot tmps are
+    * deleted, an ahead-of-mark tombstone sweep is dropped (the rerun
+    * recomputes it). Findings whose repair needs an operator decision
+    * (torn committed data, broken snapshot pins) or a stream replay
+    * (a `_SUCCESS`-less trailing batch) are never auto-healed. */
+  def fsckCurationStore(spark: SparkSession, rootDir: String,
+      heal: Boolean = false): DataFrame = {
+    val fs = new HPath(rootDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Boolean)]
+    def exists(p: String) = fs.exists(new HPath(p))
+    def names(p: String): Seq[String] =
+      if (!exists(p)) Seq.empty
+      else fs.listStatus(new HPath(p)).toSeq.map(_.getPath.getName)
+    def readLong(p: String): Option[Long] =
+      if (!exists(p)) None
+      else {
+        val in = fs.open(new HPath(p))
+        val s = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        scala.util.Try(s.toLong).toOption
+      }
+    // the two safe heal verbs; both report false when heal is off so
+    // the healed column always states what THIS pass did
+    def healDelete(p: String): Boolean =
+      heal && fs.delete(new HPath(p), true)
+    def healRestore(backup: String, target: String): Boolean =
+      heal && fs.rename(new HPath(backup), new HPath(target))
+    // ---- maintained trees: the atomicSwap rename pair leaves dotted
+    // siblings exactly when a maintenance write crashed
+    for (tree <- Seq("corpus", "index", "stats")) {
+      val backup = s"$rootDir/.$tree.compact.old"
+      val tmp = s"$rootDir/.$tree.compact.tmp"
+      if (exists(backup) && !exists(s"$rootDir/$tree"))
+        out += (("swap", backup, "error",
+          s"compaction of $tree died between its two renames; the " +
+            "backup holds the last complete tree — any maintenance " +
+            "write (or healCompactRoot) restores it",
+          healRestore(backup, s"$rootDir/$tree")))
+      else if (exists(backup))
+        out += (("swap", backup, "warn",
+          "stale backup from a completed swap; deleted at the next " +
+            "compaction, safe to remove by hand", healDelete(backup)))
+      if (exists(tmp))
+        out += (("swap", tmp, "warn",
+          "crashed compaction scratch; never read, overwritten by " +
+            "the next compaction", healDelete(tmp)))
+    }
+    // ---- corpus batch dirs: _SUCCESS marks a complete write; a bare
+    // dir is the replayable-trailing-batch signature
+    for (n <- names(s"$rootDir/corpus")
+        if n.startsWith("batch=")
+        if !exists(s"$rootDir/corpus/$n/_SUCCESS"))
+      out += (("corpus", s"$rootDir/corpus/$n", "warn",
+        "batch dir without _SUCCESS — a torn write; the stream's " +
+          "replay of this batch id deletes and rewrites it", false))
+    // ---- decon: tombstone sweeps vs the committed _sweep mark
+    val sweepMark = readLong(s"$rootDir/decon/_sweep")
+    for (n <- names(s"$rootDir/decon/tombstones") if n.startsWith("sweep=")) {
+      val m = scala.util.Try(n.stripPrefix("sweep=").toLong).toOption
+      val p = s"$rootDir/decon/tombstones/$n"
+      (m, sweepMark) match {
+        case (Some(mm), mk) if mm > mk.getOrElse(-1L) =>
+          out += (("decon", p, "warn",
+            "tombstone sweep ahead of the committed _sweep mark — a " +
+              "crashed sweep's leftover; the next retroDecontaminate " +
+              "deletes and recomputes it", healDelete(p)))
+        case (Some(_), _) if !exists(s"$p/_SUCCESS") =>
+          out += (("decon", p, "error",
+            "COMMITTED tombstone sweep without _SUCCESS — torn " +
+              "tombstone data behind the mark; rerun the sweep after " +
+              "rolling _sweep back to the previous mark", false))
+        case (None, _) =>
+          out += (("decon", p, "error",
+            "unparseable sweep dir name; not written by " +
+              "retroDecontaminate — remove or rename by hand", false))
+        case _ => ()
+      }
+    }
+    // ---- decon: pinned gate decisions whose corpus batch has folded
+    val corpusIds = names(s"$rootDir/corpus")
+      .filter(_.startsWith("batch="))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption).toSet
+    for (n <- names(s"$rootDir/decon") if n.startsWith("batch=")) {
+      val id = scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+      if (id.exists(i => !corpusIds.contains(i)))
+        out += (("decon", s"$rootDir/decon/$n", "info",
+          "pinned gate decision for a corpus batch that has folded " +
+            "(or never committed) — harmless; only a replay of that " +
+            "batch id reads it", false))
+    }
+    // ---- snapshots: manifests must parse, their pins must hold, and
+    // their sweep mark must not be ahead of the decon state
+    for (n <- names(s"$rootDir/snapshots")) {
+      val p = s"$rootDir/snapshots/$n"
+      if (n.startsWith("."))
+        out += (("snapshot", p, "warn",
+          "uncommitted snapshot tmp — a crashed snapshotCorpus; the " +
+            "next create of that name overwrites it", healDelete(p)))
+      else scala.util.Try(readSnapshotManifest(fs, rootDir, n)) match {
+        case scala.util.Failure(e) =>
+          out += (("snapshot", p, "error",
+            s"manifest unreadable (${e.getMessage}); the snapshot " +
+              "cannot be reconstructed — drop it", false))
+        case scala.util.Success((batches, sweep)) =>
+          for (b <- batches if !corpusIds.contains(b))
+            out += (("snapshot", p, "error",
+              s"pinned corpus dir batch=$b no longer exists — a " +
+                "compaction ran without retention or the dir was " +
+                "deleted by hand; readSnapshot of this name fails",
+              false))
+          if (sweep > sweepMark.getOrElse(-1L))
+            out += (("snapshot", p, "error",
+              s"pinned sweep mark $sweep is ahead of the decon " +
+                "state — decon/ was rolled back or deleted; the " +
+                "snapshot's tombstone set is gone", false))
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("area", "path", "status", "detail", "healed")
+  }
+
   /** The payload + stats tail every curation-ingest variant shares
     * (the LSH gate above, the exact-Jaccard gate below): write the
     * admitted rows under `corpus/batch=<id>/` and fold them into the

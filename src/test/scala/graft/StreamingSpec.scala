@@ -1826,6 +1826,98 @@ class StreamingSpec extends SparkSpec {
     assert(o1.map(_._3).forall(s => s >= 0 && s < 4))
   }
 
+  test("fsckCurationStore: a clean store audits empty; every planted " +
+      "defect class is flagged with the right area/status and nothing " +
+      "else") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fsck")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "s")
+    // a healthy store audits EMPTY — findings-only contract
+    assert(Streaming.fsckCurationStore(spark, tmp).isEmpty)
+    // plant one defect per class
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(s"$tmp/.corpus.compact.tmp"))
+    Files.createDirectories(Paths.get(s"$tmp/.stats.compact.old"))
+    Files.move(Paths.get(s"$tmp/index"),
+      Paths.get(s"$tmp/.index.compact.old"))
+    Files.delete(Paths.get(s"$tmp/corpus/batch=0/_SUCCESS"))
+    Files.createDirectories(
+      Paths.get(s"$tmp/decon/tombstones/sweep=99"))
+    Files.delete(Paths.get(s"$tmp/decon/tombstones/sweep=0/_SUCCESS"))
+    Files.createDirectories(Paths.get(s"$tmp/decon/batch=7"))
+    Files.createDirectories(Paths.get(s"$tmp/snapshots/.z.tmp"))
+    def rmr(p: String): Unit = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).foreach(_.foreach(f => rmr(f.getPath)))
+      d.delete(); ()
+    }
+    rmr(s"$tmp/corpus/batch=1") // breaks snapshot s's pin
+    Files.createDirectories(Paths.get(s"$tmp/snapshots/ahead"))
+    Files.write(Paths.get(s"$tmp/snapshots/ahead/manifest"),
+      "batches=0\nsweep=5\n".getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(s"$tmp/snapshots/broken"))
+    val got = Streaming.fsckCurationStore(spark, tmp)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2),
+        r.getString(1).stripPrefix(s"$tmp/")))
+      .toSet
+    assert(got === Set(
+      ("swap", "warn", ".corpus.compact.tmp"),
+      ("swap", "warn", ".stats.compact.old"),
+      ("swap", "error", ".index.compact.old"),
+      ("corpus", "warn", "corpus/batch=0"),
+      ("decon", "warn", "decon/tombstones/sweep=99"),
+      ("decon", "error", "decon/tombstones/sweep=0"),
+      ("decon", "info", "decon/batch=7"),
+      ("snapshot", "warn", "snapshots/.z.tmp"),
+      ("snapshot", "error", "snapshots/s"),
+      ("snapshot", "error", "snapshots/ahead"),
+      ("snapshot", "error", "snapshots/broken")))
+    // every detail names its heal path — the fsck is a runbook
+    assert(Streaming.fsckCurationStore(spark, tmp).collect()
+      .forall(_.getString(3).nonEmpty))
+    // plain audits never heal
+    assert(Streaming.fsckCurationStore(spark, tmp).collect()
+      .forall(!_.getBoolean(4)))
+    // heal pass: exactly the safe classes repair (scratch, stale
+    // backup, mid-swap restore, ahead-of-mark sweep, snapshot tmp) —
+    // operator-decision and replay findings stay put
+    val healed = Streaming.fsckCurationStore(spark, tmp, heal = true)
+      .where(col("healed")).collect()
+      .map(_.getString(1).stripPrefix(s"$tmp/")).toSet
+    assert(healed === Set(".corpus.compact.tmp", ".stats.compact.old",
+      ".index.compact.old", "decon/tombstones/sweep=99",
+      "snapshots/.z.tmp"))
+    assert(new java.io.File(s"$tmp/index").isDirectory) // restored
+    val after = Streaming.fsckCurationStore(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(2),
+        r.getString(1).stripPrefix(s"$tmp/"))).toSet
+    assert(after === Set(
+      ("corpus", "warn", "corpus/batch=0"),
+      ("decon", "error", "decon/tombstones/sweep=0"),
+      ("decon", "info", "decon/batch=7"),
+      ("snapshot", "error", "snapshots/s"),
+      ("snapshot", "error", "snapshots/ahead"),
+      ("snapshot", "error", "snapshots/broken")))
+  }
+
   test("hllSink lgK guard: mismatched config fails per-store, and a " +
       "pre-guard store (data, no meta) is probed, not mislabeled") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
