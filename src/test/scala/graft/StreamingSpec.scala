@@ -1800,6 +1800,42 @@ class StreamingSpec extends SparkSpec {
     assert(changes("t2", "t0") === brute("t2", "t0"))
   }
 
+  test("diffSnapshots across a compaction fold: the fold target lands " +
+      "in the delta dirs and its folded post-from ingests read as " +
+      "added; retention keeps the fast path valid") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdfold")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    def changes(a: String, b: String) =
+      Streaming.diffSnapshots(spark, tmp, a, b, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "t0") // pins {0}, no -1 yet
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // folds post-t0 batch 1 into batch=-1; t0's pinned batch=0 and the
+    // trailing batch=2 are carried
+    Streaming.compactCurationCorpus(spark, tmp)
+    assert(new java.io.File(s"$tmp/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+      === Set("batch=-1", "batch=0", "batch=2"))
+    Streaming.snapshotCorpus(spark, tmp, "t1") // pins {-1, 0, 2}
+    // fast path holds (bTo superset of bFrom): the folded doc 3 and
+    // the trailing doc 5 both read as added through the delta dirs
+    assert(changes("t0", "t1") === Set((3L, "added"), (5L, "added")))
+  }
+
   test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
       "view with md5-stable shard membership across re-exports") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sexp")
