@@ -387,17 +387,18 @@ object Streaming {
         finally in.close()
       } else -1L
     if (batchId <= mark) {
-      // A replayed id is the normal exactly-once skip. But batchId 0
-      // against an advanced mark is the FRESH-CHECKPOINT signature: a
-      // new stream pointed at an existing store silently no-ops every
-      // merge until its ids pass the mark — data loss by
-      // misconfiguration, so say it loudly instead of swallowing it.
-      if (batchId == 0L && mark > 0L)
-        System.err.println(s"[store] WARNING: batch 0 <= _batch mark " +
-          s"$mark at $statsDir — this looks like a FRESH checkpoint " +
-          "pointed at an existing store; its batches will be silently " +
-          s"skipped until ids exceed $mark. Use the original " +
-          "checkpoint, or a new store directory.")
+      // batchId == mark is the normal exactly-once skip (the last
+      // merged batch replaying after a crash). Anything BELOW the
+      // mark is the FRESH-CHECKPOINT signature: a new stream pointed
+      // at an existing store silently no-ops every merge until its
+      // ids pass the mark — data loss by misconfiguration, so say it
+      // loudly on every skipped batch, not only batch 0.
+      if (batchId < mark)
+        System.err.println(s"[store] WARNING: batch $batchId < _batch " +
+          s"mark $mark at $statsDir — this looks like a FRESH " +
+          "checkpoint pointed at an existing store; its batches are " +
+          s"being silently skipped until ids exceed $mark. Use the " +
+          "original checkpoint, or a new store directory.")
       return // checkpoint replay of a merged batch
     }
     deltas.foreach { case (part, delta) =>
@@ -461,19 +462,66 @@ object Streaming {
     * GLOBAL counter (`x_1636`), so the SAME expression rebuilt in a
     * later session renders differently — a raw string compare would
     * falsely reject an identical restart. SQL-parsed lambdas keep
-    * their literal names and are untouched. */
+    * their literal names and are untouched.
+    *
+    * LEGACY ONLY: string-level erasure cannot tell Catalyst's counter
+    * from a real column that happens to be named `y_2020` — two
+    * genuinely different columns of that shape would compare equal,
+    * false-accepting exactly the mixed-units hazard the guard exists
+    * for. New stores stamp [[tokensFingerprint]] (a tree-level
+    * rename that touches only lambda-variable NODES); this normalizer
+    * remains solely to keep pre-canonical stores readable. */
   private[graft] def normalizeLambdaIds(rendered: String): String =
     rendered.replaceAll("""\b([xyz])_\d+\b""", "$1")
+
+  /** Canonical fingerprint of a tokenizer expression: rename the
+    * lambda-variable nodes in the EXPRESSION TREE (deterministic
+    * traversal order), then render. Column references are different
+    * node types and pass through untouched — `col("y_2020")` and
+    * `col("y_2021")` stay distinct where the legacy string erasure
+    * conflated them, while the same lambda rebuilt under a fresh
+    * global counter canonicalizes identically. */
+  private[graft] def tokensFingerprint(frame: DataFrame,
+      c: Column): String = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, ExprId, NamedLambdaVariable}
+    var i = 0
+    val renames = scala.collection.mutable.Map.empty[String, String]
+    def canon(old: String): String =
+      renames.getOrElseUpdate(old, { i += 1; s"__lv$i" })
+    // the Column's Expression via public plan surface: the ANALYZED
+    // one-column select carries it under an auto-alias (whose NAME
+    // embeds the session-variant lambda ids — unwrap it). Rendering
+    // is toString AFTER zeroing every exprId: attribute/lambda NAMES
+    // must survive (they are the units being guarded — .sql would
+    // erase lambda identity entirely), but the per-session id
+    // counters must not
+    val zero = ExprId(0, new java.util.UUID(0L, 0L))
+    val expr = frame.select(c).queryExecution.analyzed
+      .expressions.head match {
+        case a: Alias => a.child
+        case e => e
+      }
+    expr.transformUp {
+      case v: NamedLambdaVariable =>
+        v.copy(name = canon(s"${v.name}#${v.exprId.id}"), exprId = zero)
+      case a: AttributeReference => a.withExprId(zero)
+    }.toString
+  }
 
   private[graft] def mergeSourceStatsBatch(batch: DataFrame,
       sourceCol: String, tokensExpr: Column, statsDir: String,
       batchId: Long): Unit = {
-    // the unit fingerprint: the expression's rendered form — a CHANGED
-    // expression is exactly the mixed-units hazard the guard exists to
-    // catch. Comparison is modulo [[normalizeLambdaIds]]: equal
-    // expressions render equally EXCEPT for Catalyst's global lambda
-    // counter, which must not fail a legitimate restart
-    val fp = tokensExpr.toString
+    // the unit fingerprint: the expression's CANONICAL rendered form
+    // ([[tokensFingerprint]] — lambda nodes renamed in the tree, so a
+    // rebuilt identical expression matches while a different real
+    // column does not). A CHANGED expression is exactly the
+    // mixed-units hazard the guard exists to catch. Stores stamped
+    // before the canonical form keep their legacy rendering (first
+    // writer wins) and are compared modulo [[normalizeLambdaIds]]
+    // against this session's legacy rendering
+    val fp = tokensFingerprint(batch, tokensExpr)
+    val fpLegacy = tokensExpr.toString
     mergeStoreBatch(statsDir, batchId, Seq(
       StorePart("meta", Seq("tokens_expr"), Seq("n_batches")) ->
         batch.sparkSession.range(1)
@@ -488,8 +536,23 @@ object Streaming {
           case Some(p) =>
             val fps = p.select("tokens_expr").collect()
               .map(_.getString(0)).toSeq
-            require(fps.map(normalizeLambdaIds) ==
-                Seq(normalizeLambdaIds(fp)),
+            // acceptance, narrowest first: canonical match (new
+            // stores); exact legacy match (pre-canonical store, no
+            // session-varying parts); normalized legacy match ONLY
+            // for lambda-bearing stored fps — the one shape whose
+            // rendering legitimately varies per session. Lambda-free
+            // fps never take the erasure path, so real columns named
+            // like lambda ids (x_1 vs x_2) stay distinct
+            // a legacy fp is lambda-bearing iff it contains the
+            // rendered lambda ARROW (`x_17 -> …`) — a real column
+            // merely NAMED x_17 never precedes an arrow, so it stays
+            // on the exact-match path and x_1 vs x_2 cannot blur
+            val legacyLambda =
+              fps.exists(_.matches("""(?s).*\b[xyz]_\d+\s*->.*"""))
+            require(fps == Seq(fp) || fps == Seq(fpLegacy) ||
+                (legacyLambda &&
+                  fps.map(normalizeLambdaIds) ==
+                    Seq(normalizeLambdaIds(fpLegacy))),
               s"source-capacity store at $statsDir accumulated tokens " +
                 s"under ${fps.mkString(",")} but this sink is configured " +
                 s"with $fp — the capacities would silently mix units; " +
@@ -1162,27 +1225,52 @@ object Streaming {
     * (history is preserved — the corpus store stays replay-exact, and
     * a tombstone can be audited back to the sweep that wrote it).
     *
-    * Incremental by registry watermark: `decon/_sweep` records the
-    * registry `_batch` mark as of the last sweep, and each gram
-    * carries the `first_batch` that introduced it, so sweep k
-    * broadcasts ONLY grams with `first_batch` in (w, m] — a new
-    * benchmark costs one corpus scan against its own grams, never a
-    * rescan of the whole registry, and already-tombstoned documents
-    * are anti-joined out before the scan. An up-to-date store
-    * (m ≤ w) returns without touching the corpus. The corpus-side
-    * scan is the same single broadcast-join pass as
-    * [[decontaminateAgainstIndex]] — at 100 TB the sweep is one
-    * read of the corpus with zero shuffle beyond the doc-grain
-    * aggregation.
+    * Incremental along BOTH axes, because both sides grow: benchmarks
+    * register over time AND documents keep arriving (possibly through
+    * a gate-less ingest). `decon/_sweep` records the registry
+    * `_batch` mark as of the last sweep and each gram carries the
+    * `first_batch` that introduced it; `decon/_sweep_corpus` records
+    * the highest corpus batch id the last sweep scanned. Each sweep
+    * then covers every unscanned (document, gram) pair in two legs —
+    * (a) the WHOLE clean corpus against only the grams registered
+    * since the last sweep, and (b) only the corpus batches ingested
+    * since the last sweep against the OLDER grams — so a document
+    * admitted without the gate after benchmark X was swept is still
+    * caught at the next sweep, not leaked forever. A new benchmark
+    * costs one corpus scan against its own grams; new documents cost
+    * one scan of themselves against the standing registry; neither
+    * ever rescans the whole registry × whole corpus. Already-
+    * tombstoned documents are anti-joined out before either leg. An
+    * up-to-date store (registry mark m ≤ w) returns without touching
+    * the corpus — sweeps are registry-triggered, so to force the
+    * corpus-side closure after a gate-less backfill, re-register any
+    * benchmark batch (the mark advances, leg (a) is empty, leg (b)
+    * scans the backfill). Both legs are the same single
+    * broadcast-join pass as [[decontaminateAgainstIndex]] — zero
+    * corpus shuffle beyond the doc-grain aggregation.
+    *
+    * `minHits > 1` cannot be windowed — a document's hits may split
+    * across registry batches (or across the two legs), and windowed
+    * counting would under-count every split — so that configuration
+    * scans the whole clean corpus against the WHOLE registry each
+    * sweep: correct, at the non-incremental price; keep the default
+    * `minHits = 1` for the incremental path.
     *
     * Crash-safe, not replay-pinned: the `_sweep` marker is written
-    * only after the tombstone parquet commits, and a rerun overwrites
-    * the same `sweep=<m>` path idempotently. Unlike the gate pin,
-    * tombstones need no determinism guarantee — they are anti-entropy
-    * (a rerun that catches MORE contaminated docs, e.g. rows admitted
-    * by a gate-less ingest in between, is strictly better), so the
-    * sweep recomputes against the live corpus rather than pinning.
-    * Returns the number of newly-tombstoned ids.
+    * only after the tombstone parquet commits (and `_sweep_corpus`
+    * after `_sweep` — a crash between them only makes the next sweep
+    * rescan rows that are already tombstoned, which the anti-join
+    * absorbs), and a rerun deletes EVERY tombstone dir above the
+    * committed marker — including one stranded at an intermediate
+    * mark by a crash that predates further registry growth — before
+    * recomputing. Unlike the gate pin, tombstones need no determinism
+    * guarantee — they are anti-entropy (a rerun that catches MORE
+    * contaminated docs is strictly better), so the sweep recomputes
+    * against the live corpus rather than pinning. Serializes with
+    * ingest/compaction/snapshotting via the corpus lease (the swap
+    * discipline alone would let a compaction rename the corpus out
+    * from under a mid-sweep scan). Returns the number of
+    * newly-tombstoned ids.
     *
     * Tombstoned documents deliberately REMAIN in the dedup index: a
     * future near-duplicate of a contaminated document is itself
@@ -1192,54 +1280,110 @@ object Streaming {
     * by the next sweep. */
   def retroDecontaminate(spark: SparkSession, rootDir: String,
       textCol: String, idCol: String, benchmarkDir: String,
-      minHits: Long = 1L): Long = {
+      minHits: Long = 1L): Long =
+    withStoreLock(spark, Seq(s"$rootDir/corpus")) {
+      retroDecontaminateLocked(spark, rootDir, textCol, idCol,
+        benchmarkDir, minHits)
+    }
+
+  private def retroDecontaminateLocked(spark: SparkSession,
+      rootDir: String, textCol: String, idCol: String,
+      benchmarkDir: String, minHits: Long): Long = {
+    // the sweep reads the whole corpus: reclaim any move-carry crash
+    // leftover first or the scan (and the corpus watermark) would
+    // miss the relocated dirs
+    healCurationCorpusRoot(spark, s"$rootDir/corpus")
     val root = readableStoreDir(spark, benchmarkDir)
     val markFile = new HPath(s"$root/_batch")
     val fs = markFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(markFile)) return 0L // nothing registered yet
-    val m = {
-      val in = fs.open(markFile)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
+    def readMark(p: HPath): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    val m = readMark(markFile).get
     val deconDir = new HPath(s"$rootDir/decon")
     val sweepFile = new HPath(deconDir, "_sweep")
-    val w: Long =
-      if (fs.exists(sweepFile)) {
-        val in = fs.open(sweepFile)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      } else -1L
+    val corpusSweepFile = new HPath(deconDir, "_sweep_corpus")
+    val w = readMark(sweepFile).getOrElse(-1L)
+    // highest corpus batch id already scanned against grams ≤ w; a
+    // pre-watermark store reads -1 and leg (b) self-heals by scanning
+    // the whole corpus (including batch=-1 folds) once
+    val cw = readMark(corpusSweepFile).getOrElse(-1L)
     if (m <= w) return 0L // registry unchanged since last sweep
     val n = benchmarkRegistry(spark, benchmarkDir).get._1
     val grams0 = spark.read.parquet(s"$root/ngrams")
     val grams = (if (grams0.columns.contains("first_batch")) grams0
       else grams0.withColumn("first_batch", lit(0L)))
-      // pin the window to the mark read above: a registry batch that
-      // lands mid-sweep belongs to the NEXT sweep, so the marker we
-      // write below is exact
-      .where(col("first_batch") > w && col("first_batch") <= m)
-      .select(col("h").as("__h"))
+    // pin both windows to the marks read above: a registry batch (or
+    // an ingest batch) that lands mid-sweep belongs to the NEXT sweep,
+    // so the markers written below are exact
+    def gramSlice(pred: Column): DataFrame =
+      grams.where(pred).select(col("h").as("__h"))
+    val corpusIds = batchDirIds(fs, new HPath(s"$rootDir/corpus"))
+    val cm = math.max(cw,
+      corpusIds.filter(_ >= 0L).foldLeft(-1L)(math.max))
     val out = new HPath(deconDir, s"tombstones/sweep=$m")
-    // the _sweep marker is the COMMIT POINT: a sweep=<m> dir that
-    // exists while the marker still reads < m is a crash leftover.
-    // Delete it BEFORE reading prior tombstones — otherwise the rerun
-    // would anti-join its own half-committed ids out of the corpus
-    // and overwrite the dir with an empty set, losing them
-    if (fs.exists(out)) fs.delete(out, true)
+    // the _sweep marker is the COMMIT POINT: ANY sweep=<k> dir with
+    // k > the committed marker is a crash leftover — including one at
+    // an INTERMEDIATE mark (crashed at k, registry then grew to m, so
+    // the rerun's own target dir is no longer k). Delete them all
+    // BEFORE reading prior tombstones — otherwise the rerun would
+    // anti-join half-committed ids out of the corpus and lose them
+    // (and an intermediate leftover would linger forever, reading as
+    // torn committed data to fsck)
+    val tombRoot = new HPath(deconDir, "tombstones")
+    if (fs.exists(tombRoot))
+      fs.listStatus(tombRoot).toSeq.map(_.getPath)
+        .filter { p =>
+          val nm = p.getName
+          nm.startsWith("sweep=") &&
+            scala.util.Try(nm.stripPrefix("sweep=").toLong)
+              .toOption.exists(_ > w)
+        }
+        .foreach(p => fs.delete(p, true))
     val live = readCurationCorpus(spark, rootDir)
-    val corpus = readCurationTombstones(spark, rootDir)
+    val clean = readCurationTombstones(spark, rootDir)
       .fold(live)(t => live.join(t, Seq(idCol), "left_anti"))
-    graft.ops.Dedup.contaminationAgainstGrams(corpus, grams,
-        textCol, idCol, n, minHits)
-      .where(col("contaminated")).select(col(idCol))
-      .write.mode("overwrite").parquet(out.toString)
-    val outMark = fs.create(sweepFile, true)
-    try outMark.write(m.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally outMark.close()
+    def hits(docs: DataFrame, gs: DataFrame): DataFrame =
+      graft.ops.Dedup.contaminationAgainstGrams(docs, gs,
+          textCol, idCol, n, minHits)
+        .where(col("contaminated")).select(col(idCol))
+    val dead =
+      if (minHits > 1L)
+        // hit counts cannot be windowed (a doc's hits may split
+        // across registry batches or across the two legs): pay the
+        // full-registry scan for correctness
+        hits(clean, gramSlice(col("first_batch") <= m))
+      else {
+        // leg (a): everything clean vs the grams this sweep adds
+        val legA = hits(clean,
+          gramSlice(col("first_batch") > w && col("first_batch") <= m))
+        // leg (b): only the batches ingested since the last sweep vs
+        // the OLDER grams — the gate-less-ingest closure. cw = -1
+        // (first sweep, or a pre-watermark store upgrading in place)
+        // scans the whole corpus, folds included, once
+        val newDocs =
+          if (cw < 0L) clean else clean.where(col("batch") > cw)
+        val legB =
+          if (w < 0L) None // no older grams yet
+          else Some(hits(newDocs, gramSlice(col("first_batch") <= w)))
+        legB.fold(legA)(b => legA.unionByName(b).distinct())
+      }
+    dead.write.mode("overwrite").parquet(out.toString)
+    // commit order matters: _sweep first (the tombstones' commit
+    // point), _sweep_corpus second — a crash between them only makes
+    // the next sweep rescan already-tombstoned rows
+    for ((f, v) <- Seq(sweepFile -> m, corpusSweepFile -> cm)) {
+      val o = fs.create(f, true)
+      try o.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally o.close()
+    }
     // count from the committed files, not a recompute of the plan
     spark.read.parquet(out.toString).count()
   }
@@ -1312,23 +1456,49 @@ object Streaming {
     val dir = new HPath(s"$rootDir/decon/tombstones")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) empty
-    else try {
-      val t = spark.read.parquet(dir.toString)
-      // the global window is over the groupBy's output — one row per
-      // SWEEP (dozens at most), not per tombstone — so the
-      // single-partition exchange is a no-op by construction
-      // the `sweep=` partition dirs infer as int; cast to long so the
-      // audit schema matches the Long sweep marks of the writer API
-      t.groupBy(col("sweep").cast("long").as("sweep"))
-        .agg(count(lit(1)).as("n_tombstoned"))
+    else {
+      // an ALL-CLEAN sweep leaves a committed dir with zero rows —
+      // "this benchmark cost nothing" is itself an audit fact, so the
+      // sweep axis comes from the DIR LISTING and the counts join in
+      // (a row-only groupBy would silently omit the zero sweeps)
+      import spark.implicits._
+      // only COMMITTED sweeps audit (≤ the _sweep marker): a crash
+      // leftover above the mark is garbage the next sweep deletes
+      val committed: Long = {
+        val f = new HPath(s"$rootDir/decon/_sweep")
+        if (!fs.exists(f)) -1L
+        else {
+          val in = fs.open(f)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
+      }
+      val sweeps = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("sweep="))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("sweep=").toLong).toOption)
+        .filter(_ <= committed)
+        .toDF("sweep")
+      val counts = try {
+        spark.read.parquet(dir.toString)
+          .groupBy(col("sweep").cast("long").as("sweep"))
+          .agg(count(lit(1)).as("n_tombstoned"))
+      } catch { // every sweep dir empty: unreadable schema = no rows
+        case _: org.apache.spark.sql.AnalysisException =>
+          empty.select("sweep", "n_tombstoned")
+      }
+      // the global window is over one row per SWEEP (dozens at most),
+      // not per tombstone — the single-partition exchange is a no-op
+      sweeps.join(counts, Seq("sweep"), "left")
+        .select(col("sweep"),
+          coalesce(col("n_tombstoned"), lit(0L)).as("n_tombstoned"))
         .withColumn("cumulative", sum("n_tombstoned")
           .over(org.apache.spark.sql.expressions.Window.orderBy("sweep")
             .rowsBetween(
               org.apache.spark.sql.expressions.Window.unboundedPreceding,
               org.apache.spark.sql.expressions.Window.currentRow)))
         .orderBy("sweep")
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => empty
     }
   }
 
@@ -1345,12 +1515,17 @@ object Streaming {
     * SAME `textCol`/`lenLo`/`lenHi` the sink was configured with, or
     * the length buckets change unit.
     *
-    * The store's `_batch` high-water mark is PRESERVED: it names which
-    * ingest batches are folded, and the clean corpus holds exactly
-    * those batches' admitted rows minus tombstones — so a resuming
-    * stream's next batch folds incrementally on top, and a replay of
-    * an already-merged batch is still skipped. Serializes with live
-    * ingest by taking the same locks the ingest holds. */
+    * The store's `_batch` mark is written as max(stored mark, highest
+    * committed corpus batch id). Usually those agree, but a crash
+    * BETWEEN the payload write and the stats fold leaves a committed
+    * `corpus/batch=k` the stats never saw with the mark still at k-1
+    * — the rebuild's corpus scan has already counted batch k's rows,
+    * so preserving the stale mark would let the resuming stream's
+    * replay of k fold them a SECOND time. Advancing the mark makes
+    * that replay a stats no-op (its payload rewrite stays
+    * byte-identical), keeping exactly-once through the repair.
+    * Serializes with live ingest by taking the same locks the ingest
+    * holds. */
   def rebuildCurationStats(spark: SparkSession, rootDir: String,
       textCol: String, lenLo: Double = 0.0,
       lenHi: Double = 1000.0): Unit =
@@ -1363,12 +1538,19 @@ object Streaming {
       graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
       if (!fs.exists(dir)) return // nothing folded yet, nothing stale
       val markFile = new HPath(dir, "_batch")
-      val mark = {
+      val storedMark = {
         val in = fs.open(markFile)
         try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
         finally in.close()
       }
+      // cover any committed payload batch the stats never folded (a
+      // crash between payload write and stats fold): the corpus scan
+      // below counts its rows, so its replay must become a stats no-op
+      val committedIds = batchDirIds(fs, new HPath(s"$rootDir/corpus"))
+        .filter(_ >= 0L)
+      val mark = math.max(storedMark,
+        if (committedIds.isEmpty) -1L else committedIds.max).toString
       fs.delete(tmp, true)
       val clean = readCleanCorpus(spark, rootDir)
       graft.ops.Bpe.wordHistogram(clean, textCol)
@@ -1412,7 +1594,7 @@ object Streaming {
       !name.contains("/"),
       s"snapshot name '$name' must be non-empty, not dotted, no '/'")
     withStoreLock(spark, Seq(s"$rootDir/corpus")) {
-      healCompactRoot(spark, s"$rootDir/corpus")
+      healCurationCorpusRoot(spark, s"$rootDir/corpus")
       val tree = new HPath(s"$rootDir/corpus")
       val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val ids = batchDirIds(fs, tree).sorted
@@ -1473,9 +1655,11 @@ object Streaming {
       fs.exists(new HPath(s"$rootDir/corpus/batch=$b")))
     require(missing.isEmpty,
       s"snapshot '$name' pins corpus dirs that no longer exist " +
-        s"(batch=${missing.mkString(", batch=")}) — a compaction ran " +
-        "without retention or the dirs were deleted by hand; the " +
-        "snapshot cannot be reconstructed")
+        s"(batch=${missing.mkString(", batch=")}) — either a " +
+        "compaction swap is in flight this instant (retry; the " +
+        "move-carry window is a few metadata ops), or a compaction " +
+        "ran without retention / the dirs were deleted by hand and " +
+        "the snapshot cannot be reconstructed")
     val live = spark.read.option("basePath", s"$rootDir/corpus")
       .parquet(batches.map(b => s"$rootDir/corpus/batch=$b"): _*)
     readCurationTombstones(spark, rootDir, asOfSweep = Some(sweep))
@@ -1484,7 +1668,10 @@ object Streaming {
 
   /** Every committed snapshot, sorted by name: (name, pinned batch
     * ids, pinned sweep mark). Driver-side listing of a dir with one
-    * entry per snapshot — snapshots are human-scale. */
+    * entry per snapshot — snapshots are human-scale. A snapshot whose
+    * manifest does not parse is SKIPPED with a stderr note (one
+    * damaged entry must not hide the rest); [[fsckCurationStore]]
+    * reports it as an error. */
   def listSnapshots(spark: SparkSession,
       rootDir: String): Seq[(String, Seq[Long], Long)] = {
     val dir = new HPath(s"$rootDir/snapshots")
@@ -1492,9 +1679,15 @@ object Streaming {
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filterNot(_.startsWith(".")).sorted
-      .map { n =>
-        val (b, s) = readSnapshotManifest(fs, rootDir, n)
-        (n, b, s)
+      .flatMap { n =>
+        scala.util.Try(readSnapshotManifest(fs, rootDir, n)) match {
+          case scala.util.Success((b, s)) => Some((n, b, s))
+          case scala.util.Failure(_) =>
+            System.err.println(s"[snapshot] skipping '$n' in " +
+              s"listSnapshots: manifest unreadable (fsck flags it; " +
+              "dropSnapshot clears it)")
+            None
+        }
       }
   }
 
@@ -1510,15 +1703,32 @@ object Streaming {
   }
 
   /** Union of every committed snapshot's pinned batch ids — the
-    * retention set [[compactCurationCorpus]] must not fold or purge. */
+    * retention set [[compactCurationCorpus]] must not fold or purge.
+    * None when ANY manifest is unreadable: its pins are unknowable,
+    * so the caller must treat everything as pinned (defer) rather
+    * than risk purging dirs a damaged-but-droppable manifest still
+    * names — and must say which snapshot to drop, not throw. */
   private def snapshotPinnedBatches(
       fs: org.apache.hadoop.fs.FileSystem,
-      rootDir: String): Set[Long] = {
+      rootDir: String): Option[Set[Long]] = {
     val dir = new HPath(s"$rootDir/snapshots")
-    if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filterNot(_.startsWith("."))
-      .flatMap(n => readSnapshotManifest(fs, rootDir, n)._1).toSet
+    if (!fs.exists(dir)) Some(Set.empty)
+    else {
+      val reads = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+        .map(n => n -> scala.util.Try(
+          readSnapshotManifest(fs, rootDir, n)._1))
+      reads.collect { case (n, scala.util.Failure(_)) => n } match {
+        case Seq() =>
+          Some(reads.flatMap(_._2.get).toSet)
+        case broken =>
+          System.err.println("[snapshot] unreadable manifest(s) " +
+            s"under $rootDir/snapshots: ${broken.mkString(", ")} — " +
+            "their pins are unknowable, so compaction defers; " +
+            "fsckCurationStore flags them, dropSnapshot clears them")
+          None
+      }
+    }
   }
 
   /** Document-level provenance between two training runs: the ids that
@@ -1652,25 +1862,30 @@ object Streaming {
       heal && fs.delete(new HPath(p), true)
     def healRestore(backup: String, target: String): Boolean =
       heal && fs.rename(new HPath(backup), new HPath(target))
-    // ---- maintained trees: the atomicSwap rename pair leaves dotted
-    // siblings exactly when a maintenance write crashed
-    for (tree <- Seq("corpus", "index", "stats")) {
-      val backup = s"$rootDir/.$tree.compact.old"
-      val tmp = s"$rootDir/.$tree.compact.tmp"
+    // ---- maintained trees: an atomicSwap rename pair leaves dotted
+    // siblings exactly when a maintenance write crashed. Two swap
+    // families exist: compactions use `.<tree>.compact.*` and the
+    // per-batch stats merge (mergeStoreBatch / rebuildCurationStats)
+    // uses `.<tree>.stats.*` — audit both for every tree
+    for (tree <- Seq("corpus", "index", "stats");
+        fam <- Seq("compact", "stats")) {
+      val backup = s"$rootDir/.$tree.$fam.old"
+      val tmp = s"$rootDir/.$tree.$fam.tmp"
       if (exists(backup) && !exists(s"$rootDir/$tree"))
         out += (("swap", backup, "error",
-          s"compaction of $tree died between its two renames; the " +
-            "backup holds the last complete tree — any maintenance " +
-            "write (or healCompactRoot) restores it",
+          s"a $fam swap of $tree died between its two renames; the " +
+            "backup holds the last complete tree — the next " +
+            "maintenance write restores it",
           healRestore(backup, s"$rootDir/$tree")))
       else if (exists(backup))
         out += (("swap", backup, "warn",
           "stale backup from a completed swap; deleted at the next " +
-            "compaction, safe to remove by hand", healDelete(backup)))
+            "maintenance write, safe to remove by hand",
+          healDelete(backup)))
       if (exists(tmp))
         out += (("swap", tmp, "warn",
-          "crashed compaction scratch; never read, overwritten by " +
-            "the next compaction", healDelete(tmp)))
+          "crashed swap scratch; never read, overwritten by the " +
+            "next maintenance write", healDelete(tmp)))
     }
     // ---- corpus batch dirs: _SUCCESS marks a complete write; a bare
     // dir is the replayable-trailing-batch signature
@@ -2980,11 +3195,21 @@ object Streaming {
       taken.reverseIterator.foreach { case (fs, p, token) =>
         // fenced release: delete only a lock still bearing OUR token.
         // A holder paused past staleAfterMs whose lease was broken and
-        // re-granted must not delete the new holder's live lock
-        if (readToken(fs, p).contains(token)) fs.delete(p, false)
-        else System.err.println(s"[lease] lock $p no longer bears " +
-          "this holder's token at release (lease was broken and " +
-          "re-granted while paused) — leaving the new holder's lock")
+        // re-granted must not delete the new holder's live lock. A
+        // TRANSIENT read failure is retried — treating it as
+        // token-mismatch would leak the lease and stall every waiter
+        // for staleAfterMs
+        var tok = readToken(fs, p)
+        var tries = 0
+        while (tok.isEmpty && tries < 5 && mtimeOf(fs, p).nonEmpty) {
+          Thread.sleep(25); tok = readToken(fs, p); tries += 1
+        }
+        if (tok.contains(token)) fs.delete(p, false)
+        else if (mtimeOf(fs, p).nonEmpty)
+          System.err.println(s"[lease] lock $p no longer bears " +
+            "this holder's token at release (lease was broken and " +
+            "re-granted while paused, or the token stayed " +
+            "unreadable) — leaving the lock in place")
       }
     }
   }
@@ -3044,6 +3269,58 @@ object Streaming {
         spark.sparkContext.hadoopConfiguration)
       ()
     }
+
+  /** MOVE `tree/batch=<id>` into the compaction tmp root — the
+    * O(metadata) carry [[compactCurationCorpusBody]] uses for
+    * retained dirs, where [[carryBatchDir]]'s byte copy would make
+    * every compaction of a snapshot-pinned corpus re-copy the pinned
+    * payload wholesale (at 100 TB, most of the corpus, every run).
+    * The move opens a short reader-visible window — the dir is absent
+    * from the live tree between its rename and the swap, a few
+    * metadata ops rather than the copy's full write — and requires
+    * [[healCurationCorpusRoot]]'s reclaim on crash, because a
+    * leftover scratch now holds the ONLY copy of the moved dirs. */
+  private def moveBatchDir(fs: org.apache.hadoop.fs.FileSystem,
+      src: HPath, dst: HPath): Unit =
+    if (fs.exists(src)) {
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"could not move $src to $dst")
+    }
+
+  /** Crash recovery for the curation corpus's MOVE-carry compaction:
+    * a leftover `.corpus.compact.tmp` may hold the ONLY copy of the
+    * retained dirs [[moveBatchDir]] relocated, so before the scratch
+    * is discarded every `batch=` dir EXCEPT the freshly-written fold
+    * target `batch=-1` is renamed back into the live tree — or into
+    * the backup, when the crash landed between the swap's two renames
+    * — and only then does the standard backup restore run. Discarding
+    * the scratch `batch=-1` is always safe: its fold sources were
+    * never removed from the old tree. Idempotent (a dir already home
+    * is skipped), and a pre-move-era scratch (dirs copied, originals
+    * intact) degrades to exactly the old delete. */
+  private def healCurationCorpusRoot(spark: SparkSession,
+      root: String): Unit = {
+    val dir = new HPath(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new HPath(dir.getParent, s".${dir.getName}.compact.tmp")
+    val backup = compactBackupPath(dir)
+    if (fs.exists(tmp)) {
+      val target =
+        if (!fs.exists(dir) && fs.exists(backup)) backup else dir
+      fs.mkdirs(target)
+      fs.listStatus(tmp).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          p.getName != "batch=-1")
+        .foreach { p =>
+          val dst = new HPath(target, p.getName)
+          if (!fs.exists(dst)) { fs.rename(p, dst); () }
+        }
+      fs.delete(tmp, true)
+      ()
+    }
+    graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
+    ()
+  }
 
   /** Offline compaction for a [[dedupIndexSink]] index: merge the
     * accumulated `batch=<id>/` directories into a single `batch=-1/`
@@ -3143,7 +3420,16 @@ object Streaming {
     * [[snapshotCorpus]] retention: batch dirs pinned by a committed
     * snapshot manifest are carried unchanged — neither folded nor
     * purged — and if a snapshot pins `batch=-1` (the fold target) the
-    * compaction defers wholesale until the snapshot drops. */
+    * compaction defers wholesale until the snapshot drops. Batches
+    * above the decon corpus-sweep watermark are likewise retained
+    * until the next sweep scans them (their ids are the closure
+    * leg's only provenance). All retained dirs and the trailing
+    * batch are carried by RENAME, not byte copy — O(metadata)
+    * however much payload they hold — with crash reclaim in
+    * [[healCurationCorpusRoot]]; `decon/_purge` records the sweep
+    * mark last physically purged from `batch=-1`, so a scheduled
+    * purge of an already-clean folded store is a no-op instead of a
+    * full rewrite. */
   def compactCurationCorpus(spark: SparkSession, rootDir: String,
       purgeTombstoned: Boolean = false): Unit =
     withStoreLock(spark, Seq(s"$rootDir/corpus")) {
@@ -3152,7 +3438,7 @@ object Streaming {
 
   private def compactCurationCorpusBody(spark: SparkSession,
       rootDir: String, purgeTombstoned: Boolean = false): Unit = {
-    healCompactRoot(spark, s"$rootDir/corpus")
+    healCurationCorpusRoot(spark, s"$rootDir/corpus")
     val tree = new HPath(s"$rootDir/corpus")
     val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = batchDirIds(fs, tree)
@@ -3161,17 +3447,59 @@ object Streaming {
     // manifest are carried unchanged — never folded, never purged
     // (their tombstoned bytes wait for the snapshot to drop). The
     // trailing batch is carried anyway, so drop it from the pin set
-    val pinned = snapshotPinnedBatches(fs, rootDir) - keep
-    val foldable = ids.filterNot(id => id == keep || pinned.contains(id))
+    val pinned = snapshotPinnedBatches(fs, rootDir) match {
+      case Some(p) => p - keep
+      case None => return // unreadable manifest: pins unknowable,
+      // defer wholesale (already said loudly on stderr)
+    }
+    // decon-sweep retention: [[retroDecontaminate]]'s leg (b) selects
+    // "batches ingested since the last sweep" by batch id — folding
+    // an UNSWEPT batch into batch=-1 would erase that provenance and
+    // its rows would never be scanned against the older grams. Carry
+    // ids above the committed corpus-sweep watermark; they fold right
+    // after the next sweep. (No watermark file = either decon is
+    // unused or a pre-watermark store whose next sweep rescans the
+    // whole corpus anyway — fold freely.)
+    val unswept: Set[Long] = {
+      val f = new HPath(s"$rootDir/decon/_sweep_corpus")
+      if (!fs.exists(f)) Set.empty
+      else {
+        val in = fs.open(f)
+        val cw = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+        ids.filter(id => id >= 0L && id > cw).toSet - keep
+      }
+    }
+    val retained = pinned ++ unswept
+    val foldable = ids.filterNot(id => id == keep || retained.contains(id))
     val tomb =
       if (purgeTombstoned) readCurationTombstones(spark, rootDir)
       else None
     if (ids.filterNot(_ == keep).isEmpty) return // only the trailing batch
     if (foldable.isEmpty) return // everything else pinned — no work
-    // with no purge requested (or nothing tombstoned), an
-    // already-folded store has no work; a purge re-folds batch=-1 to
-    // physically drop its tombstoned rows
-    if (foldable.filterNot(_ == -1L).isEmpty && tomb.isEmpty) return
+    // purge high-water: `decon/_purge` records the sweep mark whose
+    // tombstones the folded batch=-1 last physically dropped. Without
+    // it, every scheduled purge of an already-folded store re-reads
+    // and rewrites the WHOLE folded payload to drop zero rows — an
+    // unbounded repeated full-corpus rewrite at 100 TB
+    def deconMark(name: String): Long = {
+      val f = new HPath(s"$rootDir/decon/$name")
+      if (!fs.exists(f)) -1L
+      else {
+        val in = fs.open(f)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    }
+    val sweepMark = deconMark("_sweep")
+    // with no purge requested (or nothing tombstoned, or the folded
+    // payload already purged up to the current sweep mark), an
+    // already-folded store has no work; otherwise a purge re-folds
+    // batch=-1 to physically drop its tombstoned rows
+    if (foldable.filterNot(_ == -1L).isEmpty &&
+      (tomb.isEmpty || sweepMark <= deconMark("_purge"))) return
     if (pinned.contains(-1L)) {
       // the fold target itself is pinned: folding would rewrite it.
       // Defer wholesale — compaction resumes when the snapshot drops
@@ -3197,17 +3525,33 @@ object Streaming {
       sum
     }
     val nFiles = math.max(1, math.ceil(foldedBytes / 128e6).toInt)
+    // purge-marker discipline, crash-safe in the re-purge direction:
+    // a fold WITHOUT the tombstone anti-join can merge tombstoned
+    // rows into batch=-1, so the claim is dropped BEFORE that fold
+    // commits; a purging fold re-establishes it AFTER the swap. A
+    // crash between either marker touch and its fold only ever makes
+    // a later purge do redundant work, never skip needed work
+    val purgeFile = new HPath(s"$rootDir/decon/_purge")
+    if (tomb.isEmpty) fs.delete(purgeFile, true)
     swapInCompacted(spark, s"$rootDir/corpus") { (tmp, fsi) =>
       val folded = spark.read.parquet(s"$rootDir/corpus")
         .where(col("batch").isInCollection(foldable)).drop("batch")
       tomb.fold(folded)(t => folded.join(t, t.columns.toSeq, "left_anti"))
         .coalesce(nFiles)
         .write.mode("overwrite").parquet(s"$tmp/batch=-1")
-      carryBatchDir(spark, fsi, new HPath(s"$rootDir/corpus/batch=$keep"),
-        new HPath(s"$tmp/batch=$keep"))
-      pinned.foreach(p =>
-        carryBatchDir(spark, fsi, new HPath(s"$rootDir/corpus/batch=$p"),
+      // retained dirs (trailing + snapshot pins + unswept) MOVE, not
+      // copy: O(metadata) however large they are — see moveBatchDir;
+      // the fold above reads only `foldable`, so the sources it needs
+      // stay in place until the swap
+      (retained + keep).foreach(p =>
+        moveBatchDir(fsi, new HPath(s"$rootDir/corpus/batch=$p"),
           new HPath(s"$tmp/batch=$p")))
+    }
+    if (tomb.nonEmpty && fs.exists(new HPath(s"$rootDir/decon"))) {
+      val o = fs.create(purgeFile, true)
+      try o.write(sweepMark.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally o.close()
     }
   }
 

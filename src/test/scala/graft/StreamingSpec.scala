@@ -1232,7 +1232,35 @@ class StreamingSpec extends SparkSpec {
         s"$tmp/stats", batchId = 101L)
       assert(spark.read.parquet(s"$tmp/stats/meta")
         .select("tokens_expr").collect().map(_.getString(0)).toSeq
-        === Seq(tokExpr.toString))
+        === Seq(Streaming.tokensFingerprint(docs, tokExpr)))
+      // a fresh store keyed on a REAL column that happens to be named
+      // like a Catalyst lambda id: a same-shaped expression over a
+      // DIFFERENT such column must be rejected — string-level lambda
+      // erasure would have conflated x_1 and x_2 into a false accept
+      val d2 = docs.limit(5)
+        .withColumn("x_1", length(col("text")).cast("double"))
+        .withColumn("x_2", (length(col("text")) * 2).cast("double"))
+      Streaming.mergeSourceStatsBatch(d2, "source", col("x_1"),
+        s"$tmp/stats2", batchId = 0L)
+      val e3 = intercept[IllegalArgumentException] {
+        Streaming.mergeSourceStatsBatch(d2, "source", col("x_2"),
+          s"$tmp/stats2", batchId = 1L)
+      }
+      assert(e3.getMessage.contains("mix units"))
+      // the same real-column expression keeps accumulating, of course
+      Streaming.mergeSourceStatsBatch(d2, "source", col("x_1"),
+        s"$tmp/stats2", batchId = 1L)
+      // back-compat: a legacy lambda-bearing fingerprint (stamped as
+      // the raw rendering by a pre-canonical build) still accepts the
+      // rebuilt identical expression via the normalized fallback
+      val legacyFs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      legacyFs.delete(new HPath(s"$tmp/stats/meta"), true)
+      Seq((tokExpr.toString, 1L)).toDF("tokens_expr", "n_batches")
+        .write.parquet(s"$tmp/stats/meta")
+      Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
+        size(graft.ops.Text.tokens(col("text"))), s"$tmp/stats",
+        batchId = 102L)
     } finally q.stop()
   }
 
@@ -1451,6 +1479,310 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
       bdir) === 1L)
     assert(cleanIds() === Set(3L))
+  }
+
+  test("retroDecontaminate corpus leg: a gate-less doc admitted AFTER " +
+      "its benchmark was swept is caught by the next sweep; a " +
+      "mark-only re-registration forces the closure; compaction " +
+      "retains unswept batches until then") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gateless")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    def cleanIds() = Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    // doc 2 QUOTES the already-swept benchmark and arrives through a
+    // gate-less ingest: nothing stops it at admission, and an
+    // unchanged registry short-circuits the sweep — it leaks, for now
+    Streaming.curationIngestBatch(
+      Seq((2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    assert(cleanIds() === Set(1L, 2L))
+    // compaction must NOT fold the unswept batch=1: its id is the
+    // only provenance the closure leg has
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.compactCurationCorpus(spark, tmp)
+    def layout() = new java.io.File(s"$tmp/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    // the SWEPT batch 0 folds; the unswept batch 1 is carried
+    assert(layout() === Set("batch=-1", "batch=1", "batch=2"))
+    // mark-only re-registration: same benchmark, no new grams — the
+    // registry mark advances, leg (a) is empty, and leg (b) scans the
+    // post-sweep batches against the standing grams: doc 2 dies
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(cleanIds() === Set(1L, 3L))
+    // the audit books the earlier ALL-CLEAN sweep as an explicit
+    // zero row — "this benchmark cost nothing" is an audit fact
+    assert(Streaming.deconAudit(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((0L, 0L, 0L), (1L, 1L, 1L)))
+    // swept now: the next compaction folds batch 1 freely too
+    Streaming.compactCurationCorpus(spark, tmp)
+    assert(layout() === Set("batch=-1", "batch=2"))
+    assert(cleanIds() === Set(1L, 3L))
+  }
+
+  test("retroDecontaminate minHits > 1: hits split across registry " +
+      "batches still count (full-registry pass), where a windowed " +
+      "count would leak the doc") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-minhits")
+      .toString
+    val bdir = s"$tmp/bench"
+    val benchA = "amber lanterns swung gently above the harbour steps"
+    val benchB = "copper kettles whistled beside the miller's oak bench"
+    // doc D contains ONE 8-gram from each benchmark — 2 hits total,
+    // but never 2 within a single registry batch's grams
+    val docD = benchA + " meanwhile across the square " + benchB
+    def cleanIds() = Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, docD)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, benchA)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir, minHits = 2L) === 0L) // one hit < 2: survives, correctly
+    assert(cleanIds() === Set(1L))
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, benchB)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    // the second hit lives in a DIFFERENT registry batch: only the
+    // full-registry pass can see both at once
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir, minHits = 2L) === 1L)
+    assert(cleanIds() === Set.empty)
+  }
+
+  test("retroDecontaminate rerun deletes a crash leftover stranded at " +
+      "an INTERMEDIATE mark, not just at the current one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-interm")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose1)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L) // committed sweep=0, marker 0
+    // a sweep at registry mark 1 crashed mid-write (dir exists, no
+    // marker advance), and the registry then grew to mark 2 before
+    // the rerun — the rerun's own target is sweep=2, so only the
+    // delete-everything-above-the-marker rule can clean sweep=1
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/decon/tombstones/sweep=1"))
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose2)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((102L, "unrelated filler benchmark text nobody ever quotes " +
+        "anywhere")).toDF("bid", "text"), "text", bdir, 2L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L) // doc 2, via sweep=2
+    val dirs = new java.io.File(s"$tmp/decon/tombstones")
+      .listFiles().map(_.getName).filter(_.startsWith("sweep=")).toSet
+    assert(dirs === Set("sweep=0", "sweep=2")) // the stranded dir is gone
+    assert(Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set.empty)
+  }
+
+  test("purge high-water: re-running a purge over an already-clean " +
+      "folded store is a no-op (same files untouched); a new sweep " +
+      "re-arms it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-purgehw")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    def foldedFiles() = new java.io.File(s"$tmp/corpus/batch=-1")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // closure sweep so batch 0 may fold, then purge: doc 2 leaves
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    val first = foldedFiles()
+    assert(spark.read.parquet(s"$tmp/corpus/batch=-1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+    // the tombstone set is retained forever — without the high-water
+    // marker this second purge would rewrite the whole folded payload
+    // to drop zero rows; with it, the SAME part files survive
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(foldedFiles() === first)
+    // a new sweep (new tombstone inside the folded payload) re-arms
+    // the purge: the fold rewrites and the bytes leave
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose1)).toDF("bid", "text"), "text", bdir, 2L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(foldedFiles() !== first)
+    assert(spark.read.parquet(s"$tmp/corpus/batch=-1")
+      .select("doc_id").collect().isEmpty)
+    // still stable after the re-arm settled
+    val second = foldedFiles()
+    Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
+    assert(foldedFiles() === second)
+  }
+
+  test("move-carry crash reclaim: a leftover compaction scratch " +
+      "holding MOVED dirs is reclaimed before any maintenance pass, " +
+      "in both crash windows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-movecr")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    import java.nio.file.{Files, Paths}
+    def ids() = Streaming.readCurationCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // window 1: crash mid-carry — batch=2 already moved into the
+    // scratch (its ONLY copy), a partial fold target beside it
+    Files.createDirectories(Paths.get(s"$tmp/.corpus.compact.tmp"))
+    Files.move(Paths.get(s"$tmp/corpus/batch=2"),
+      Paths.get(s"$tmp/.corpus.compact.tmp/batch=2"))
+    Files.createDirectories(
+      Paths.get(s"$tmp/.corpus.compact.tmp/batch=-1"))
+    Streaming.compactCurationCorpus(spark, tmp) // heals, then folds
+    assert(ids() === Set(1L, 3L, 5L))
+    assert(!Files.exists(Paths.get(s"$tmp/.corpus.compact.tmp")))
+    // window 2: crash between the swap's two renames — the live tree
+    // is GONE (renamed to the backup), the scratch holds a moved dir
+    // as its only copy. The next maintenance op reunites scratch dirs
+    // with the backup, then restores the backup
+    Files.createDirectories(Paths.get(s"$tmp/.corpus.compact.tmp"))
+    Files.move(Paths.get(s"$tmp/corpus/batch=2"),
+      Paths.get(s"$tmp/.corpus.compact.tmp/batch=2"))
+    Files.move(Paths.get(s"$tmp/corpus"),
+      Paths.get(s"$tmp/.corpus.compact.old"))
+    Streaming.snapshotCorpus(spark, tmp, "after") // heals first
+    assert(ids() === Set(1L, 3L, 5L))
+    assert(!Files.exists(Paths.get(s"$tmp/.corpus.compact.tmp")))
+    assert(!Files.exists(Paths.get(s"$tmp/.corpus.compact.old")))
+    assert(Streaming.readSnapshot(spark, tmp, "after")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 5L))
+  }
+
+  test("rebuildCurationStats advances the mark over a committed " +
+      "payload batch the stats never folded, so its replay cannot " +
+      "double-count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rbmark")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    def storedHist() = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      .collect().map(_.toSeq).toSet
+    def cleanHist() = graft.ops.Bpe.wordHistogram(
+      Streaming.readCleanCorpus(spark, tmp), "text")
+      .collect().map(_.toSeq).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // simulate the crash window: corpus/batch=1 committed, stats fold
+    // never ran (the stats mark still reads 0)
+    Seq((3L, prose3)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus/batch=1")
+    assert(storedHist() !== cleanHist()) // stats are behind the corpus
+    Streaming.rebuildCurationStats(spark, tmp, "text")
+    assert(storedHist() === cleanHist()) // rebuild counted batch 1
+    // the resuming stream replays batch 1: with a preserved stale
+    // mark this fold would land TWICE; the advanced mark makes it a
+    // stats no-op while the payload rewrite stays idempotent
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(storedHist() === cleanHist())
+    assert(Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L))
+  }
+
+  test("a corrupt snapshot manifest defers compaction loudly instead " +
+      "of throwing, and listSnapshots skips it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cmani")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "good")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/snapshots/mangled")) // no manifest
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.curationIngestBatch(
+      Seq((5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    def layout() = new java.io.File(s"$tmp/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    // pins unknowable -> compaction defers (no exception, no fold)
+    Streaming.compactCurationCorpus(spark, tmp)
+    assert(layout() === Set("batch=0", "batch=1", "batch=2"))
+    // one damaged entry does not hide the healthy one
+    assert(Streaming.listSnapshots(spark, tmp).map(_._1) === Seq("good"))
+    // dropping the damaged entry lets maintenance resume
+    Streaming.dropSnapshot(spark, tmp, "mangled")
+    Streaming.compactCurationCorpus(spark, tmp)
+    assert(layout() === Set("batch=-1", "batch=0", "batch=2"))
   }
 
   test("compactCurationCorpus purgeTombstoned: folded payload drops " +
@@ -1702,6 +2034,13 @@ class StreamingSpec extends SparkSpec {
     Streaming.curationIngestBatch(
       Seq((5L, prose5)).toDF("doc_id", "text"), "text",
       "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // closure sweep over the post-sweep ingests (re-register advances
+    // the mark; no new grams) — without it compaction would RETAIN
+    // the unswept batches instead of folding them
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
     // purge-compaction folds batch=1 but carries pinned batch=0
     // unchanged (doc 2's bytes stay — retention defers the purge) and
     // the trailing batch=2
@@ -1730,9 +2069,14 @@ class StreamingSpec extends SparkSpec {
     assert(layout() ===
       Set("batch=-1", "batch=0", "batch=2", "batch=3", "batch=4"))
     assert(snapIds("pinfold") === Set(1L, 3L, 5L))
-    // pins lapsed: compaction folds everything below the trailing
-    // batch and the purge finally drops doc 2's bytes
+    // pins lapsed: after a closure sweep over batches 3-4, compaction
+    // folds everything below the trailing batch and the purge finally
+    // drops doc 2's bytes
     Streaming.dropSnapshot(spark, tmp, "pinfold")
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 2L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
     Streaming.compactCurationCorpus(spark, tmp, purgeTombstoned = true)
     assert(layout() === Set("batch=-1", "batch=4"))
     assert(spark.read.parquet(s"$tmp/corpus")
@@ -1890,7 +2234,9 @@ class StreamingSpec extends SparkSpec {
     // plant one defect per class
     import java.nio.file.{Files, Paths}
     Files.createDirectories(Paths.get(s"$tmp/.corpus.compact.tmp"))
-    Files.createDirectories(Paths.get(s"$tmp/.stats.compact.old"))
+    // the stats store swaps under the .stats.* family (mergeStoreBatch
+    // / rebuildCurationStats), NOT .compact.* — plant the real name
+    Files.createDirectories(Paths.get(s"$tmp/.stats.stats.old"))
     Files.move(Paths.get(s"$tmp/index"),
       Paths.get(s"$tmp/.index.compact.old"))
     Files.delete(Paths.get(s"$tmp/corpus/batch=0/_SUCCESS"))
@@ -1916,7 +2262,7 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(got === Set(
       ("swap", "warn", ".corpus.compact.tmp"),
-      ("swap", "warn", ".stats.compact.old"),
+      ("swap", "warn", ".stats.stats.old"),
       ("swap", "error", ".index.compact.old"),
       ("corpus", "warn", "corpus/batch=0"),
       ("decon", "warn", "decon/tombstones/sweep=99"),
@@ -1938,7 +2284,7 @@ class StreamingSpec extends SparkSpec {
     val healed = Streaming.fsckCurationStore(spark, tmp, heal = true)
       .where(col("healed")).collect()
       .map(_.getString(1).stripPrefix(s"$tmp/")).toSet
-    assert(healed === Set(".corpus.compact.tmp", ".stats.compact.old",
+    assert(healed === Set(".corpus.compact.tmp", ".stats.stats.old",
       ".index.compact.old", "decon/tombstones/sweep=99",
       "snapshots/.z.tmp"))
     assert(new java.io.File(s"$tmp/index").isDirectory) // restored
