@@ -543,12 +543,15 @@ object Streaming {
             // rendering legitimately varies per session. Lambda-free
             // fps never take the erasure path, so real columns named
             // like lambda ids (x_1 vs x_2) stay distinct
-            // a legacy fp is lambda-bearing iff it contains the
-            // rendered lambda ARROW (`x_17 -> …`) — a real column
-            // merely NAMED x_17 never precedes an arrow, so it stays
-            // on the exact-match path and x_1 vs x_2 cannot blur
-            val legacyLambda =
-              fps.exists(_.matches("""(?s).*\b[xyz]_\d+\s*->.*"""))
+            // a legacy fp is lambda-bearing iff it renders a lambda
+            // ARROW somewhere AND a counter-named variable — single-
+            // arg lambdas render `x_17 -> …`, multi-arg ones
+            // `(x_17, y_18) -> …`. A real column merely NAMED x_17
+            // never renders an arrow, so it stays on the exact-match
+            // path and x_1 vs x_2 cannot blur
+            val legacyLambda = fps.exists(f =>
+              f.contains("->") &&
+                f.matches("""(?s).*\b[xyz]_\d+\b.*"""))
             require(fps == Seq(fp) || fps == Seq(fpLegacy) ||
                 (legacyLambda &&
                   fps.map(normalizeLambdaIds) ==
@@ -1154,7 +1157,7 @@ object Streaming {
     withStoreLock(batch.sparkSession,
         Seq(s"$rootDir/index", s"$rootDir/corpus")) {
       healCompactRoot(batch.sparkSession, s"$rootDir/index")
-      healCompactRoot(batch.sparkSession, s"$rootDir/corpus")
+      healCurationCorpusRoot(batch.sparkSession, s"$rootDir/corpus")
       ingestTail(mergeDedupIndexBody(gated, textCol, idCol,
           s"$rootDir/index", batchId, numHashes, bands, shingleSize),
         textCol, rootDir, batchId, lenLo, lenHi)
@@ -1297,23 +1300,15 @@ object Streaming {
     val markFile = new HPath(s"$root/_batch")
     val fs = markFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(markFile)) return 0L // nothing registered yet
-    def readMark(p: HPath): Option[Long] =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
-      }
-    val m = readMark(markFile).get
+    val m = readLongMarker(fs, markFile).get
     val deconDir = new HPath(s"$rootDir/decon")
     val sweepFile = new HPath(deconDir, "_sweep")
     val corpusSweepFile = new HPath(deconDir, "_sweep_corpus")
-    val w = readMark(sweepFile).getOrElse(-1L)
+    val w = readLongMarker(fs, sweepFile).getOrElse(-1L)
     // highest corpus batch id already scanned against grams ≤ w; a
     // pre-watermark store reads -1 and leg (b) self-heals by scanning
     // the whole corpus (including batch=-1 folds) once
-    val cw = readMark(corpusSweepFile).getOrElse(-1L)
+    val cw = readLongMarker(fs, corpusSweepFile).getOrElse(-1L)
     if (m <= w) return 0L // registry unchanged since last sweep
     val n = benchmarkRegistry(spark, benchmarkDir).get._1
     val grams0 = spark.read.parquet(s"$root/ngrams")
@@ -1324,7 +1319,10 @@ object Streaming {
     // so the markers written below are exact
     def gramSlice(pred: Column): DataFrame =
       grams.where(pred).select(col("h").as("__h"))
-    val corpusIds = batchDirIds(fs, new HPath(s"$rootDir/corpus"))
+    // watermark only over COMMITTED dirs: a torn trailing batch's
+    // replay rewrites it with MORE rows, which leg (b) must still
+    // scan — advancing past it would freeze the partial view in
+    val corpusIds = committedBatchDirIds(fs, new HPath(s"$rootDir/corpus"))
     val cm = math.max(cw,
       corpusIds.filter(_ >= 0L).foldLeft(-1L)(math.max))
     val out = new HPath(deconDir, s"tombstones/sweep=$m")
@@ -1464,16 +1462,9 @@ object Streaming {
       import spark.implicits._
       // only COMMITTED sweeps audit (≤ the _sweep marker): a crash
       // leftover above the mark is garbage the next sweep deletes
-      val committed: Long = {
-        val f = new HPath(s"$rootDir/decon/_sweep")
-        if (!fs.exists(f)) -1L
-        else {
-          val in = fs.open(f)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
-      }
+      val committed: Long =
+        readLongMarker(fs, new HPath(s"$rootDir/decon/_sweep"))
+          .getOrElse(-1L)
       val sweeps = fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("sweep="))
         .flatMap(n => scala.util.Try(
@@ -1530,6 +1521,10 @@ object Streaming {
       textCol: String, lenLo: Double = 0.0,
       lenHi: Double = 1000.0): Unit =
     withStoreLock(spark, Seq(s"$rootDir/index", s"$rootDir/corpus")) {
+      // the rebuild reads the whole corpus: reclaim any move-carry
+      // crash scratch first, or the recompute would durably commit
+      // stats missing the relocated dirs
+      healCurationCorpusRoot(spark, s"$rootDir/corpus")
       val statsDir = s"$rootDir/stats"
       val dir = new HPath(statsDir)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1538,21 +1533,20 @@ object Streaming {
       graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
       if (!fs.exists(dir)) return // nothing folded yet, nothing stale
       val markFile = new HPath(dir, "_batch")
-      val storedMark = {
-        val in = fs.open(markFile)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      }
-      // cover any committed payload batch the stats never folded (a
+      val storedMark = readLongMarker(fs, markFile).get
+      // cover any COMMITTED payload batch the stats never folded (a
       // crash between payload write and stats fold): the corpus scan
-      // below counts its rows, so its replay must become a stats no-op
-      val committedIds = batchDirIds(fs, new HPath(s"$rootDir/corpus"))
-        .filter(_ >= 0L)
+      // below counts its rows, so its replay must become a stats
+      // no-op. A TORN (no _SUCCESS) trailing dir is the opposite
+      // case: its replay adds rows, so it is excluded from BOTH the
+      // scan and the mark — the replay's full fold lands on top
+      val okIds = committedBatchDirIds(fs, new HPath(s"$rootDir/corpus"))
+      val committedIds = okIds.filter(_ >= 0L)
       val mark = math.max(storedMark,
         if (committedIds.isEmpty) -1L else committedIds.max).toString
       fs.delete(tmp, true)
       val clean = readCleanCorpus(spark, rootDir)
+        .where(col("batch").isInCollection(okIds))
       graft.ops.Bpe.wordHistogram(clean, textCol)
         .write.parquet(s"$tmp/hist")
       clean.groupBy(graft.ops.Profiling.psiBucket(
@@ -1599,15 +1593,8 @@ object Streaming {
       val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val ids = batchDirIds(fs, tree).sorted
       require(ids.nonEmpty, s"no corpus batches under $rootDir/corpus")
-      val sweepFile = new HPath(s"$rootDir/decon/_sweep")
-      val sweep: Long =
-        if (!fs.exists(sweepFile)) -1L
-        else {
-          val in = fs.open(sweepFile)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+      val sweep: Long = readLongMarker(fs,
+        new HPath(s"$rootDir/decon/_sweep")).getOrElse(-1L)
       val snapDir = new HPath(s"$rootDir/snapshots/$name")
       require(!fs.exists(snapDir),
         s"snapshot '$name' already exists (snapshots are immutable — " +
@@ -1848,14 +1835,7 @@ object Streaming {
       if (!exists(p)) Seq.empty
       else fs.listStatus(new HPath(p)).toSeq.map(_.getPath.getName)
     def readLong(p: String): Option[Long] =
-      if (!exists(p)) None
-      else {
-        val in = fs.open(new HPath(p))
-        val s = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-        scala.util.Try(s.toLong).toOption
-      }
+      scala.util.Try(readLongMarker(fs, new HPath(p))).toOption.flatten
     // the two safe heal verbs; both report false when heal is off so
     // the healed column always states what THIS pass did
     def healDelete(p: String): Boolean =
@@ -1866,26 +1846,45 @@ object Streaming {
     // siblings exactly when a maintenance write crashed. Two swap
     // families exist: compactions use `.<tree>.compact.*` and the
     // per-batch stats merge (mergeStoreBatch / rebuildCurationStats)
-    // uses `.<tree>.stats.*` — audit both for every tree
+    // uses `.<tree>.stats.*` — audit both for every tree. The CORPUS
+    // compaction scratch is special: the move-carry compaction
+    // relocates retained dirs into it, so it can hold their ONLY copy
+    // — its heal is the reclaim (dirs renamed home), NEVER a delete
     for (tree <- Seq("corpus", "index", "stats");
         fam <- Seq("compact", "stats")) {
       val backup = s"$rootDir/.$tree.$fam.old"
       val tmp = s"$rootDir/.$tree.$fam.tmp"
+      val corpusCarry = tree == "corpus" && fam == "compact"
+      def healCorpus(): Boolean = {
+        if (heal) healCurationCorpusRoot(spark, s"$rootDir/$tree")
+        heal
+      }
       if (exists(backup) && !exists(s"$rootDir/$tree"))
         out += (("swap", backup, "error",
           s"a $fam swap of $tree died between its two renames; the " +
             "backup holds the last complete tree — the next " +
-            "maintenance write restores it",
-          healRestore(backup, s"$rootDir/$tree")))
+            "maintenance write restores it" +
+            (if (corpusCarry) " (reclaiming any move-carried dirs " +
+              "from the scratch first)" else ""),
+          if (corpusCarry) healCorpus()
+          else healRestore(backup, s"$rootDir/$tree")))
       else if (exists(backup))
         out += (("swap", backup, "warn",
           "stale backup from a completed swap; deleted at the next " +
             "maintenance write, safe to remove by hand",
-          healDelete(backup)))
+          if (corpusCarry) healCorpus() else healDelete(backup)))
       if (exists(tmp))
-        out += (("swap", tmp, "warn",
-          "crashed swap scratch; never read, overwritten by the " +
-            "next maintenance write", healDelete(tmp)))
+        out += ((
+          "swap", tmp, "warn",
+          if (corpusCarry)
+            "crashed compaction scratch that MAY hold the only copy " +
+              "of move-carried batch dirs; any maintenance pass (or " +
+              "heal) renames them home before discarding it — never " +
+              "delete it by hand"
+          else
+            "crashed swap scratch; never read, overwritten by the " +
+              "next maintenance write",
+          if (corpusCarry) healCorpus() else healDelete(tmp)))
     }
     // ---- corpus batch dirs: _SUCCESS marks a complete write; a bare
     // dir is the replayable-trailing-batch signature
@@ -2031,7 +2030,7 @@ object Streaming {
     withStoreLock(batch.sparkSession,
         Seq(s"$rootDir/index", s"$rootDir/corpus")) {
       healCompactRoot(batch.sparkSession, s"$rootDir/index")
-      healCompactRoot(batch.sparkSession, s"$rootDir/corpus")
+      healCurationCorpusRoot(batch.sparkSession, s"$rootDir/corpus")
       ingestTail(mergeJaccardIndexBody(gated, textCol, idCol,
           s"$rootDir/index", batchId, dfTable, n, minJaccard),
         textCol, rootDir, batchId, lenLo, lenHi)
@@ -3245,6 +3244,29 @@ object Streaming {
       .filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong)
 
+  /** [[batchDirIds]] restricted to dirs whose write COMMITTED (the
+    * `_SUCCESS` marker is present). Watermarks and marks must only
+    * ever advance over committed dirs: a torn trailing batch will be
+    * rewritten wholesale by its replay, and anything derived from its
+    * partial content (a sweep's corpus watermark, a rebuilt stats
+    * mark) would otherwise freeze that partial view in. */
+  private def committedBatchDirIds(fs: org.apache.hadoop.fs.FileSystem,
+                                   tree: HPath): Seq[Long] =
+    batchDirIds(fs, tree).filter(id =>
+      fs.exists(new HPath(tree, s"batch=$id/_SUCCESS")))
+
+  /** The ONE reader of a little Long marker file (`_batch`, `_sweep`,
+    * `_sweep_corpus`, `_purge`): UTF-8, trimmed, None when absent. */
+  private def readLongMarker(fs: org.apache.hadoop.fs.FileSystem,
+                             p: HPath): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+
   /** Heal a possibly-crashed previous compaction of `root` BEFORE a
     * compactor inspects the tree: a crash between [[graft.ops
     * .Warehouse.atomicSwap]]'s two renames leaves the data only in
@@ -3460,17 +3482,10 @@ object Streaming {
     // after the next sweep. (No watermark file = either decon is
     // unused or a pre-watermark store whose next sweep rescans the
     // whole corpus anyway — fold freely.)
-    val unswept: Set[Long] = {
-      val f = new HPath(s"$rootDir/decon/_sweep_corpus")
-      if (!fs.exists(f)) Set.empty
-      else {
-        val in = fs.open(f)
-        val cw = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-        ids.filter(id => id >= 0L && id > cw).toSet - keep
-      }
-    }
+    val unswept: Set[Long] =
+      readLongMarker(fs, new HPath(s"$rootDir/decon/_sweep_corpus"))
+        .fold(Set.empty[Long])(cw =>
+          ids.filter(id => id >= 0L && id > cw).toSet - keep)
     val retained = pinned ++ unswept
     val foldable = ids.filterNot(id => id == keep || retained.contains(id))
     val tomb =
@@ -3483,16 +3498,9 @@ object Streaming {
     // it, every scheduled purge of an already-folded store re-reads
     // and rewrites the WHOLE folded payload to drop zero rows — an
     // unbounded repeated full-corpus rewrite at 100 TB
-    def deconMark(name: String): Long = {
-      val f = new HPath(s"$rootDir/decon/$name")
-      if (!fs.exists(f)) -1L
-      else {
-        val in = fs.open(f)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      }
-    }
+    def deconMark(name: String): Long =
+      readLongMarker(fs, new HPath(s"$rootDir/decon/$name"))
+        .getOrElse(-1L)
     val sweepMark = deconMark("_sweep")
     // with no purge requested (or nothing tombstoned, or the folded
     // payload already purged up to the current sweep mark), an

@@ -1261,6 +1261,20 @@ class StreamingSpec extends SparkSpec {
       Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
         size(graft.ops.Text.tokens(col("text"))), s"$tmp/stats",
         batchId = 102L)
+      // MULTI-ARG lambdas render '(x_1, y_2) -> …' in legacy stamps
+      // (parenthesis between the counter id and the arrow): the
+      // lambda-bearing gate must still classify them and accept the
+      // rebuilt identical expression
+      def aggExpr() = aggregate(split(col("text"), " "), lit(0),
+        (acc, x) => acc + length(x))
+      Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
+        aggExpr(), s"$tmp/stats3", batchId = 0L)
+      legacyFs.delete(new HPath(s"$tmp/stats3/meta"), true)
+      assert(aggExpr().toString.contains("->")) // legacy shape sanity
+      Seq((aggExpr().toString, 1L)).toDF("tokens_expr", "n_batches")
+        .write.parquet(s"$tmp/stats3/meta")
+      Streaming.mergeSourceStatsBatch(docs.limit(5), "source",
+        aggExpr(), s"$tmp/stats3", batchId = 1L)
     } finally q.stop()
   }
 
@@ -1712,6 +1726,110 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.readSnapshot(spark, tmp, "after")
       .select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(1L, 3L, 5L))
+    // window 3: fsck's HEAL must reclaim the scratch's moved dirs,
+    // never delete them (they are the only copy)
+    Files.createDirectories(Paths.get(s"$tmp/.corpus.compact.tmp"))
+    Files.move(Paths.get(s"$tmp/corpus/batch=2"),
+      Paths.get(s"$tmp/.corpus.compact.tmp/batch=2"))
+    val f = Streaming.fsckCurationStore(spark, tmp, heal = true)
+      .collect().map(r => (r.getString(1).stripPrefix(s"$tmp/"),
+        r.getBoolean(4))).toSet
+    assert(f === Set((".corpus.compact.tmp", true)))
+    assert(ids() === Set(1L, 3L, 5L)) // dir renamed home, not deleted
+    assert(!Files.exists(Paths.get(s"$tmp/.corpus.compact.tmp")))
+  }
+
+  test("torn trailing batch and the sweep watermark: leg (b) does not " +
+      "advance over a _SUCCESS-less dir, so rows its replay adds are " +
+      "still scanned against older grams") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tornsw")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    import java.nio.file.{Files, Paths}
+    def cleanIds() = Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def sweepCorpusMark() = new String(Files.readAllBytes(
+      Paths.get(s"$tmp/decon/_sweep_corpus")), "UTF-8").trim.toLong
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    assert(sweepCorpusMark() === 0L)
+    // the ingest of batch 1 crashes mid payload-write: dir exists
+    // with doc 3 only, no _SUCCESS
+    Seq((3L, prose3)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus/batch=1")
+    Files.delete(Paths.get(s"$tmp/corpus/batch=1/_SUCCESS"))
+    // a sweep runs while the stream is down: it may scan the partial
+    // rows but must NOT advance the corpus watermark over them
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    assert(sweepCorpusMark() === 0L) // torn dir excluded
+    // the stream restarts and replays batch 1 WHOLESALE — now with
+    // doc 2, which quotes the long-registered benchmark
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(cleanIds() === Set(1L, 2L, 3L)) // leaked, for now
+    // next sweep's leg (b) still covers batch 1 and catches doc 2 —
+    // a watermark advanced over the torn dir would have frozen the
+    // partial view in and leaked it forever
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 2L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(cleanIds() === Set(1L, 3L))
+    assert(sweepCorpusMark() === 1L) // committed now, watermark moves
+  }
+
+  test("rebuildCurationStats over a torn trailing batch: its partial " +
+      "rows are excluded from the rebuild and the mark, so the " +
+      "replay's full fold lands exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rbtorn")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    import java.nio.file.{Files, Paths}
+    def storedHist() = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      .collect().map(_.toSeq).toSet
+    def cleanHist() = graft.ops.Bpe.wordHistogram(
+      Streaming.readCleanCorpus(spark, tmp), "text")
+      .collect().map(_.toSeq).toSet
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // torn batch=1: doc 3 present, no _SUCCESS; the replay will also
+    // carry doc 5
+    Seq((3L, prose3)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus/batch=1")
+    Files.delete(Paths.get(s"$tmp/corpus/batch=1/_SUCCESS"))
+    Streaming.rebuildCurationStats(spark, tmp, "text")
+    // rebuilt from the COMMITTED corpus only; mark not advanced
+    assert(storedHist() === graft.ops.Bpe.wordHistogram(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text")
+      .collect().map(_.toSeq).toSet)
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$tmp/stats/_batch")), "UTF-8").trim === "0")
+    // the replay rewrites batch 1 wholesale and folds it ONCE
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(storedHist() === cleanHist())
   }
 
   test("rebuildCurationStats advances the mark over a committed " +
