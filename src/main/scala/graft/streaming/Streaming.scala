@@ -1855,6 +1855,9 @@ object Streaming {
       val backup = s"$rootDir/.$tree.$fam.old"
       val tmp = s"$rootDir/.$tree.$fam.tmp"
       val corpusCarry = tree == "corpus" && fam == "compact"
+      // observe BEFORE healing: the corpus reclaim consumes backup
+      // and scratch together, and both findings must still report
+      val hadTmp = exists(tmp)
       def healCorpus(): Boolean = {
         if (heal) healCurationCorpusRoot(spark, s"$rootDir/$tree")
         heal
@@ -1873,7 +1876,7 @@ object Streaming {
           "stale backup from a completed swap; deleted at the next " +
             "maintenance write, safe to remove by hand",
           if (corpusCarry) healCorpus() else healDelete(backup)))
-      if (exists(tmp))
+      if (hadTmp)
         out += ((
           "swap", tmp, "warn",
           if (corpusCarry)

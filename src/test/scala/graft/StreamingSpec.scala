@@ -1727,16 +1727,20 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(1L, 3L, 5L))
     // window 3: fsck's HEAL must reclaim the scratch's moved dirs,
-    // never delete them (they are the only copy)
+    // never delete them (they are the only copy); a stale backup
+    // beside it heals in the same pass and BOTH findings report
     Files.createDirectories(Paths.get(s"$tmp/.corpus.compact.tmp"))
     Files.move(Paths.get(s"$tmp/corpus/batch=2"),
       Paths.get(s"$tmp/.corpus.compact.tmp/batch=2"))
+    Files.createDirectories(Paths.get(s"$tmp/.corpus.compact.old"))
     val f = Streaming.fsckCurationStore(spark, tmp, heal = true)
       .collect().map(r => (r.getString(1).stripPrefix(s"$tmp/"),
         r.getBoolean(4))).toSet
-    assert(f === Set((".corpus.compact.tmp", true)))
+    assert(f === Set((".corpus.compact.tmp", true),
+      (".corpus.compact.old", true)))
     assert(ids() === Set(1L, 3L, 5L)) // dir renamed home, not deleted
     assert(!Files.exists(Paths.get(s"$tmp/.corpus.compact.tmp")))
+    assert(!Files.exists(Paths.get(s"$tmp/.corpus.compact.old")))
   }
 
   test("torn trailing batch and the sweep watermark: leg (b) does not " +
