@@ -1785,12 +1785,27 @@ object Streaming {
     * the physical hand-off of a reproducible training run to the
     * training stack ([[graft.ops.Warehouse.writeJsonlShards]]:
     * md5-stable shard membership, so re-exporting the same snapshot
-    * produces byte-identical shard contents). */
+    * produces byte-identical shard contents). A `_MANIFEST` JSON file
+    * lands beside the shards carrying the provenance a training run
+    * needs to audit what it consumed — snapshot name, pinned batch
+    * ids, sweep mark, document count, shard count — so the export is
+    * self-describing even after it leaves the warehouse. */
   def exportSnapshot(spark: SparkSession, rootDir: String, name: String,
-      outPath: String, idCol: String, nShards: Int): Unit =
+      outPath: String, idCol: String, nShards: Int): Unit = {
+    val view = readSnapshot(spark, rootDir, name)
     graft.ops.Warehouse.writeJsonlShards(
-      readSnapshot(spark, rootDir, name).drop("batch"), idCol, outPath,
-      nShards)
+      view.drop("batch"), idCol, outPath, nShards)
+    val fs = new HPath(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (batches, sweep) = readSnapshotManifest(fs, rootDir, name)
+    val nDocs = view.count() // one column-pruned pass over the pins
+    val json = s"""{"snapshot":"$name",""" +
+      s""""batches":[${batches.mkString(",")}],""" +
+      s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$nShards}"""
+    val o = fs.create(new HPath(outPath, "_MANIFEST"), true)
+    try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+  }
 
   /** O(metadata) integrity audit of a whole curation store — the fsck
     * an operator runs before trusting a 100 TB root after a crash, a
@@ -1888,6 +1903,27 @@ object Streaming {
             "crashed swap scratch; never read, overwritten by the " +
               "next maintenance write",
           if (corpusCarry) healCorpus() else healDelete(tmp)))
+    }
+    // ---- the exact-Jaccard index's frozen-order df_table has its
+    // own swap pair INSIDE the index tree (writeJaccardDfTable)
+    locally {
+      val target = s"$rootDir/index/df_table"
+      val backup = s"$rootDir/index/.df_table.compact.old"
+      val tmp = s"$rootDir/index/.df_table.compact.tmp"
+      if (exists(backup) && !exists(target))
+        out += (("swap", backup, "error",
+          "a df_table swap died between its two renames; the backup " +
+            "holds the frozen-order table — the next jaccard " +
+            "compaction restores it", healRestore(backup, target)))
+      else if (exists(backup))
+        out += (("swap", backup, "warn",
+          "stale df_table backup from a completed swap; deleted at " +
+            "the next jaccard compaction, safe to remove by hand",
+          healDelete(backup)))
+      if (exists(tmp))
+        out += (("swap", tmp, "warn",
+          "crashed df_table swap scratch; never read, overwritten " +
+            "by the next rebuild", healDelete(tmp)))
     }
     // ---- corpus batch dirs: _SUCCESS marks a complete write; a bare
     // dir is the replayable-trailing-batch signature

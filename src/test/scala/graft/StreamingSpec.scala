@@ -2326,6 +2326,13 @@ class StreamingSpec extends SparkSpec {
     assert(o1.map(t => (t._1, t._2)) ===
       Set((1L, prose1), (3L, prose3)))
     assert(o1.map(_._3).forall(s => s >= 0 && s < 4))
+    // the export is self-describing: a _MANIFEST beside the shards
+    // carries the provenance (and Spark readers ignore _ files)
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/out1/_MANIFEST")), "UTF-8")
+    assert(mf ===
+      """{"snapshot":"run","batches":[0],"sweep":-1,""" +
+        """"n_docs":2,"n_shards":4}""")
   }
 
   test("fsckCurationStore: a clean store audits empty; every planted " +
@@ -2359,8 +2366,11 @@ class StreamingSpec extends SparkSpec {
     // the stats store swaps under the .stats.* family (mergeStoreBatch
     // / rebuildCurationStats), NOT .compact.* — plant the real name
     Files.createDirectories(Paths.get(s"$tmp/.stats.stats.old"))
-    Files.move(Paths.get(s"$tmp/index"),
-      Paths.get(s"$tmp/.index.compact.old"))
+    Files.createDirectories(Paths.get(s"$tmp/.index.compact.old"))
+    // the exact-sink's df_table swaps INSIDE the index tree; with no
+    // df_table present, its backup is the mid-swap error state
+    Files.createDirectories(
+      Paths.get(s"$tmp/index/.df_table.compact.old"))
     Files.delete(Paths.get(s"$tmp/corpus/batch=0/_SUCCESS"))
     Files.createDirectories(
       Paths.get(s"$tmp/decon/tombstones/sweep=99"))
@@ -2385,7 +2395,8 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(
       ("swap", "warn", ".corpus.compact.tmp"),
       ("swap", "warn", ".stats.stats.old"),
-      ("swap", "error", ".index.compact.old"),
+      ("swap", "warn", ".index.compact.old"),
+      ("swap", "error", "index/.df_table.compact.old"),
       ("corpus", "warn", "corpus/batch=0"),
       ("decon", "warn", "decon/tombstones/sweep=99"),
       ("decon", "error", "decon/tombstones/sweep=0"),
@@ -2407,9 +2418,10 @@ class StreamingSpec extends SparkSpec {
       .where(col("healed")).collect()
       .map(_.getString(1).stripPrefix(s"$tmp/")).toSet
     assert(healed === Set(".corpus.compact.tmp", ".stats.stats.old",
-      ".index.compact.old", "decon/tombstones/sweep=99",
-      "snapshots/.z.tmp"))
-    assert(new java.io.File(s"$tmp/index").isDirectory) // restored
+      ".index.compact.old", "index/.df_table.compact.old",
+      "decon/tombstones/sweep=99", "snapshots/.z.tmp"))
+    // the mid-swap df_table backup was RESTORED, not deleted
+    assert(new java.io.File(s"$tmp/index/df_table").isDirectory)
     val after = Streaming.fsckCurationStore(spark, tmp).collect()
       .map(r => (r.getString(0), r.getString(2),
         r.getString(1).stripPrefix(s"$tmp/"))).toSet
