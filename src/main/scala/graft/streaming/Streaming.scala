@@ -2000,6 +2000,77 @@ object Streaming {
     out.toSeq.toDF("area", "path", "status", "detail", "healed")
   }
 
+  /** O(metadata) integrity audit of ONE standing store directory —
+    * the generic form of [[fsckCurationStore]] for stores that live
+    * outside a curation root: aggregate stores fed by
+    * [[mergeStoreBatch]] (HLL, source-capacity, drift histograms, the
+    * benchmark n-gram registry) and batch-dir index stores
+    * (dedup / exact-Jaccard / vector). Checks both swap families, the
+    * `_batch` mark's readability, `batch=` dirs without `_SUCCESS`
+    * (the replayable-trailing-batch signature), and the exact index's
+    * embedded `df_table` swap pair. Same finding schema and heal
+    * discipline as [[fsckCurationStore]] — and safe to heal here: no
+    * store outside the curation corpus is compacted by move-carry, so
+    * these scratches never hold an only copy. */
+  def fsckStore(spark: SparkSession, storeDir: String,
+      heal: Boolean = false): DataFrame = {
+    val dir = new HPath(storeDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = dir.getParent
+    val name = dir.getName
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Boolean)]
+    def exists(p: String) = fs.exists(new HPath(p))
+    def healDelete(p: String): Boolean =
+      heal && fs.delete(new HPath(p), true)
+    def healRestore(backup: String, target: String): Boolean =
+      heal && fs.rename(new HPath(backup), new HPath(target))
+    def swapPair(backup: String, tmp: String, target: String,
+        what: String): Unit = {
+      if (exists(backup) && !exists(target))
+        out += (("swap", backup, "error",
+          s"a $what swap died between its two renames; the backup " +
+            "holds the last complete tree — the next maintenance " +
+            "write restores it", healRestore(backup, target)))
+      else if (exists(backup))
+        out += (("swap", backup, "warn",
+          "stale backup from a completed swap; deleted at the next " +
+            "maintenance write, safe to remove by hand",
+          healDelete(backup)))
+      if (exists(tmp))
+        out += (("swap", tmp, "warn",
+          "crashed swap scratch; never read, overwritten by the " +
+            "next maintenance write", healDelete(tmp)))
+    }
+    for (fam <- Seq("stats", "compact"))
+      swapPair(s"$parent/.$name.$fam.old", s"$parent/.$name.$fam.tmp",
+        storeDir, fam)
+    swapPair(s"$storeDir/.df_table.compact.old",
+      s"$storeDir/.df_table.compact.tmp", s"$storeDir/df_table",
+      "df_table")
+    if (exists(s"$storeDir/_batch") &&
+        scala.util.Try(readLongMarker(fs,
+          new HPath(s"$storeDir/_batch"))).toOption.flatten.isEmpty)
+      out += (("store", s"$storeDir/_batch", "error",
+        "unreadable _batch mark — every merge will fail to parse it; " +
+          "restore it from the highest committed batch id (or the " +
+          "last known mark) by hand", false))
+    // batch dirs live directly under the store (dedup/vector index)
+    // or under the exact index's prefix/ and arrays/ subtrees
+    for (sub <- Seq("", "/prefix", "/arrays");
+        root = s"$storeDir$sub"
+        if fs.exists(new HPath(root));
+        n <- fs.listStatus(new HPath(root)).toSeq
+          .map(_.getPath.getName)
+        if n.startsWith("batch=")
+        if !exists(s"$root/$n/_SUCCESS"))
+      out += (("store", s"$root/$n", "warn",
+        "batch dir without _SUCCESS — a torn write; the stream's " +
+          "replay of this batch id deletes and rewrites it", false))
+    import spark.implicits._
+    out.toSeq.toDF("area", "path", "status", "detail", "healed")
+  }
+
   /** The payload + stats tail every curation-ingest variant shares
     * (the LSH gate above, the exact-Jaccard gate below): write the
     * admitted rows under `corpus/batch=<id>/` and fold them into the

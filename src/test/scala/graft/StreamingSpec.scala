@@ -2434,6 +2434,72 @@ class StreamingSpec extends SparkSpec {
       ("snapshot", "error", "snapshots/broken")))
   }
 
+  test("fsckStore: healthy standing stores (registry, dedup index, " +
+      "compacted exact index) audit EMPTY; planted swap leftovers, " +
+      "an unreadable mark, and a torn batch dir are flagged and the " +
+      "safe ones healed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fsckst")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    val docs = Seq((1L, prose1), (3L, prose3), (5L, prose5))
+      .toDF("doc_id", "text")
+    // an aggregate store, a banded dedup index, and a compacted
+    // exact-Jaccard index — all healthy, all must audit EMPTY (the
+    // real false-positive test: _SUCCESS placement, df_table pair)
+    Streaming.mergeBenchmarkNgramBatch(
+      docs.toDF("bid", "text"), "text", s"$tmp/reg", 0L, n = 8)
+    Streaming.mergeDedupIndexBatch(docs, "text", "doc_id",
+      s"$tmp/dix", 0L)
+    Streaming.mergeDedupIndexBatch(
+      Seq((7L, prose5 + " entirely new tail")).toDF("doc_id", "text"),
+      "text", "doc_id", s"$tmp/dix", 1L)
+    val frozen = graft.ops.Dedup.shingleDfTable(docs, "text", 3)
+    Streaming.mergeJaccardIndexBatch(docs, "text", "doc_id",
+      s"$tmp/jix", 0L, frozen, n = 3, minJaccard = 0.8)
+    Streaming.mergeJaccardIndexBatch(
+      Seq((9L, prose1 + " with a divergent ending")).toDF(
+        "doc_id", "text"),
+      "text", "doc_id", s"$tmp/jix", 1L, frozen, n = 3,
+      minJaccard = 0.8)
+    Streaming.compactJaccardIndex(spark, s"$tmp/jix")
+    for (s <- Seq("reg", "dix", "jix"))
+      assert(Streaming.fsckStore(spark, s"$tmp/$s").isEmpty,
+        s"store $s should audit clean")
+    // plant one defect per class
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(s"$tmp/.reg.stats.old"))
+    Files.write(Paths.get(s"$tmp/reg/_batch"),
+      "not-a-number".getBytes("UTF-8"))
+    val dixBatch = new java.io.File(s"$tmp/dix").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).head
+    Files.delete(Paths.get(s"$tmp/dix/$dixBatch/_SUCCESS"))
+    Files.createDirectories(
+      Paths.get(s"$tmp/jix/.df_table.compact.tmp"))
+    def got(s: String) = Streaming.fsckStore(spark, s"$tmp/$s")
+      .collect().map(r => (r.getString(0), r.getString(2),
+        r.getString(1).stripPrefix(s"$tmp/"))).toSet
+    assert(got("reg") === Set(
+      ("swap", "warn", ".reg.stats.old"),
+      ("store", "error", "reg/_batch")))
+    assert(got("dix") === Set(
+      ("store", "warn", s"dix/$dixBatch")))
+    assert(got("jix") === Set(
+      ("swap", "warn", "jix/.df_table.compact.tmp")))
+    // heal clears the safe classes; the mark and torn dir stay put
+    val healed = Streaming.fsckStore(spark, s"$tmp/reg", heal = true)
+      .where(col("healed")).collect().map(_.getString(1)).toSet
+    assert(healed === Set(s"$tmp/.reg.stats.old"))
+    Streaming.fsckStore(spark, s"$tmp/jix", heal = true)
+    assert(got("jix") === Set.empty)
+    assert(got("reg") === Set(("store", "error", "reg/_batch")))
+    assert(got("dix") === Set(("store", "warn", s"dix/$dixBatch")))
+  }
+
   test("hllSink lgK guard: mismatched config fails per-store, and a " +
       "pre-guard store (data, no meta) is probed, not mislabeled") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-hllg").toString
