@@ -1969,6 +1969,10 @@ object Streaming {
             "(or never committed) — harmless; only a replay of that " +
             "batch id reads it", false))
     }
+    // ---- stale leases on the curation store roots
+    for (tree <- Seq("corpus", "index");
+        f <- leaseFinding(fs, s"$rootDir/$tree"))
+      out += f
     // ---- snapshots: manifests must parse, their pins must hold, and
     // their sweep mark must not be ahead of the decon state
     for (n <- names(s"$rootDir/snapshots")) {
@@ -2055,6 +2059,10 @@ object Streaming {
         "unreadable _batch mark — every merge will fail to parse it; " +
           "restore it from the highest committed batch id (or the " +
           "last known mark) by hand", false))
+    // a stale lease (mtime past the default staleAfterMs, heartbeat
+    // dead) blocks nothing forever — waiters break it — but it IS the
+    // crashed-holder signature worth surfacing
+    leaseFinding(fs, storeDir).foreach(out += _)
     // batch dirs live directly under the store (dedup/vector index)
     // or under the exact index's prefix/ and arrays/ subtrees
     for (sub <- Seq("", "/prefix", "/arrays");
@@ -3129,6 +3137,29 @@ object Streaming {
     * the root itself, so the lease must live outside it). */
   private[graft] def storeLockPath(dir: HPath): HPath =
     new HPath(dir.getParent, s".${dir.getName}.lock")
+
+  /** One fsck finding (or none) for a store's lease file: a lock
+    * whose mtime is past the default staleAfterMs means its holder
+    * died without release (the heartbeat would have advanced it) —
+    * waiters break it on their own, but it is the crashed-holder
+    * signature an audit should surface. A FRESH lock is a live
+    * holder, not a finding. */
+  private def leaseFinding(fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Option[(String, String, String, String,
+        Boolean)] = {
+    val lock = storeLockPath(new HPath(storeDir))
+    try {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      if (age > 1800000L)
+        Some(("lease", lock.toString, "warn",
+          s"lease file ${age / 60000} min stale — its holder died " +
+            "without release (a live holder heartbeats); the next " +
+            "waiter breaks it after the stale window, or delete it " +
+            "by hand to unblock immediately", false))
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
 
   /** Mutual exclusion between a store's per-batch merges and its
     * offline maintenance (compaction / rebuild), so maintenance can

@@ -2480,14 +2480,22 @@ class StreamingSpec extends SparkSpec {
     Files.delete(Paths.get(s"$tmp/dix/$dixBatch/_SUCCESS"))
     Files.createDirectories(
       Paths.get(s"$tmp/jix/.df_table.compact.tmp"))
+    // a STALE lease (crashed holder) is surfaced; a FRESH one is a
+    // live holder and is not
+    Files.write(Paths.get(s"$tmp/.reg.lock"), "tok".getBytes("UTF-8"))
+    Files.setLastModifiedTime(Paths.get(s"$tmp/.reg.lock"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 31 * 60 * 1000L))
+    Files.write(Paths.get(s"$tmp/.dix.lock"), "tok".getBytes("UTF-8"))
     def got(s: String) = Streaming.fsckStore(spark, s"$tmp/$s")
       .collect().map(r => (r.getString(0), r.getString(2),
         r.getString(1).stripPrefix(s"$tmp/"))).toSet
     assert(got("reg") === Set(
       ("swap", "warn", ".reg.stats.old"),
-      ("store", "error", "reg/_batch")))
+      ("store", "error", "reg/_batch"),
+      ("lease", "warn", ".reg.lock")))
     assert(got("dix") === Set(
-      ("store", "warn", s"dix/$dixBatch")))
+      ("store", "warn", s"dix/$dixBatch"))) // fresh lock: no finding
     assert(got("jix") === Set(
       ("swap", "warn", "jix/.df_table.compact.tmp")))
     // heal clears the safe classes; the mark and torn dir stay put
@@ -2496,7 +2504,10 @@ class StreamingSpec extends SparkSpec {
     assert(healed === Set(s"$tmp/.reg.stats.old"))
     Streaming.fsckStore(spark, s"$tmp/jix", heal = true)
     assert(got("jix") === Set.empty)
-    assert(got("reg") === Set(("store", "error", "reg/_batch")))
+    // the mark, the torn dir and the stale lease need an operator (or
+    // a waiter's break) — never auto-healed
+    assert(got("reg") === Set(("store", "error", "reg/_batch"),
+      ("lease", "warn", ".reg.lock")))
     assert(got("dix") === Set(("store", "warn", s"dix/$dixBatch")))
   }
 
