@@ -27,14 +27,20 @@ object Warehouse {
     * design's window), and every crash point leaves a COMPLETE table
     * recoverable by [[restoreFromBackup]]: before the first rename
     * nothing moved; between the renames the backup holds the old table;
-    * after the second the target holds the new one. A missing `tmp`
-    * means "the new state is empty" — the target is removed. */
+    * after the second the target holds the new one. The backup is
+    * discarded only once the NEW target is in place: if `tmp` went
+    * missing (every caller writes it immediately before swapping, so
+    * that means an external actor raced the swap — e.g. a misguided
+    * by-hand cleanup), the backup is retained as the last complete
+    * table and the next [[restoreFromBackup]] restores it, instead of
+    * the final delete destroying the only copy. */
   private[graft] def atomicSwap(fs: HFs, target: HPath, tmp: HPath,
                                 backup: HPath): Unit = {
     fs.delete(backup, true) // stale backup from a crashed PREVIOUS swap
     if (fs.exists(target)) fs.rename(target, backup)
     if (fs.exists(tmp)) fs.rename(tmp, target)
-    fs.delete(backup, true)
+    if (fs.exists(target)) fs.delete(backup, true)
+    ()
   }
 
   /** Crash recovery for [[atomicSwap]]: if `target` is missing but a

@@ -379,13 +379,7 @@ object Streaming {
     graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
     fs.delete(tmp, true)
     val markFile = new HPath(dir, "_batch")
-    val mark: Long =
-      if (fs.exists(markFile)) {
-        val in = fs.open(markFile)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      } else -1L
+    val mark: Long = readLongMarker(fs, markFile).getOrElse(-1L)
     if (batchId <= mark) {
       // batchId == mark is the normal exactly-once skip (the last
       // merged batch replaying after a crash). Anything BELOW the
@@ -543,15 +537,18 @@ object Streaming {
             // rendering legitimately varies per session. Lambda-free
             // fps never take the erasure path, so real columns named
             // like lambda ids (x_1 vs x_2) stay distinct
-            // a legacy fp is lambda-bearing iff it renders a lambda
-            // ARROW somewhere AND a counter-named variable — single-
-            // arg lambdas render `x_17 -> …`, multi-arg ones
-            // `(x_17, y_18) -> …`. A real column merely NAMED x_17
-            // never renders an arrow, so it stays on the exact-match
-            // path and x_1 vs x_2 cannot blur
+            // a legacy fp is lambda-bearing iff a counter-named
+            // variable sits in a lambda PARAMETER position — directly
+            // before the arrow (`x_17 -> …`) or inside the paren
+            // group before it (`(x_17, y_18) -> …`). Adjacency
+            // matters: a real column named x_1 elsewhere in an
+            // expression that also has a SQL-parsed lambda
+            // (`(acc, e) -> …`) must NOT unlock the erasure path, or
+            // x_1 vs x_2 reconfigurations would blur
             val legacyLambda = fps.exists(f =>
-              f.contains("->") &&
-                f.matches("""(?s).*\b[xyz]_\d+\b.*"""))
+              f.matches("""(?s).*\b[xyz]_\d+\s*->.*""") ||
+                f.matches(
+                  """(?s).*\([^()]*\b[xyz]_\d+[^()]*\)\s*->.*"""))
             require(fps == Seq(fp) || fps == Seq(fpLegacy) ||
                 (legacyLambda &&
                   fps.map(normalizeLambdaIds) ==
@@ -1584,15 +1581,20 @@ object Streaming {
     * Serializes with ingest/compaction via the corpus lease. */
   def snapshotCorpus(spark: SparkSession, rootDir: String,
       name: String): Unit = {
-    require(name.nonEmpty && !name.startsWith(".") &&
-      !name.contains("/"),
-      s"snapshot name '$name' must be non-empty, not dotted, no '/'")
+    // the name is a path component AND a _MANIFEST JSON value — keep
+    // it to a charset that needs no escaping in either
+    require(name.matches("""[A-Za-z0-9][A-Za-z0-9._-]*"""),
+      s"snapshot name '$name' must be alphanumeric-led [A-Za-z0-9._-]")
     withStoreLock(spark, Seq(s"$rootDir/corpus")) {
       healCurationCorpusRoot(spark, s"$rootDir/corpus")
       val tree = new HPath(s"$rootDir/corpus")
       val fs = tree.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val ids = batchDirIds(fs, tree).sorted
-      require(ids.nonEmpty, s"no corpus batches under $rootDir/corpus")
+      // pin only COMMITTED dirs: a torn trailing batch's replay
+      // rewrites it with MORE rows, which would silently change what
+      // the "immutable" snapshot returns after the fact
+      val ids = committedBatchDirIds(fs, tree).sorted
+      require(ids.nonEmpty,
+        s"no committed corpus batches under $rootDir/corpus")
       val sweep: Long = readLongMarker(fs,
         new HPath(s"$rootDir/decon/_sweep")).getOrElse(-1L)
       val snapDir = new HPath(s"$rootDir/snapshots/$name")
@@ -1795,14 +1797,22 @@ object Streaming {
     val view = readSnapshot(spark, rootDir, name)
     graft.ops.Warehouse.writeJsonlShards(
       view.drop("batch"), idCol, outPath, nShards)
-    val fs = new HPath(outPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (batches, sweep) = readSnapshotManifest(fs, rootDir, name)
-    val nDocs = view.count() // one column-pruned pass over the pins
+    // the warehouse and the export target can live on DIFFERENT
+    // filesystems (hdfs root, local hand-off mount) — resolve each
+    // path against its own
+    val conf = spark.sparkContext.hadoopConfiguration
+    val storeFs = new HPath(rootDir).getFileSystem(conf)
+    val outFs = new HPath(outPath).getFileSystem(conf)
+    val (batches, sweep) = readSnapshotManifest(storeFs, rootDir, name)
+    // count from the COMMITTED shard files, not a second full pass
+    // over the pinned corpus (JSONL = one line per document; Spark
+    // ignores the underscore manifest written below on re-reads)
+    val nDocs = spark.read.option("recursiveFileLookup", "true")
+      .textFile(outPath).count()
     val json = s"""{"snapshot":"$name",""" +
       s""""batches":[${batches.mkString(",")}],""" +
       s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$nShards}"""
-    val o = fs.create(new HPath(outPath, "_MANIFEST"), true)
+    val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
   }
@@ -1840,7 +1850,20 @@ object Streaming {
     * (torn committed data, broken snapshot pins) or a stream replay
     * (a `_SUCCESS`-less trailing batch) are never auto-healed. */
   def fsckCurationStore(spark: SparkSession, rootDir: String,
-      heal: Boolean = false): DataFrame = {
+      heal: Boolean = false): DataFrame =
+    // a read-only audit stays lock-free like every reader; the HEAL
+    // mutates swap state, so it serializes with the mutators — a heal
+    // racing a LIVE compaction would delete the scratch that
+    // compaction is about to swap in (and atomicSwap would then
+    // retire the backup holding the only complete tree)
+    if (!heal) fsckCurationStoreBody(spark, rootDir, heal = false)
+    else withStoreLock(spark, Seq(s"$rootDir/corpus",
+        s"$rootDir/index", s"$rootDir/stats")) {
+      fsckCurationStoreBody(spark, rootDir, heal = true)
+    }
+
+  private def fsckCurationStoreBody(spark: SparkSession,
+      rootDir: String, heal: Boolean): DataFrame = {
     val fs = new HPath(rootDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = scala.collection.mutable.ArrayBuffer
@@ -1871,11 +1894,13 @@ object Streaming {
       val tmp = s"$rootDir/.$tree.$fam.tmp"
       val corpusCarry = tree == "corpus" && fam == "compact"
       // observe BEFORE healing: the corpus reclaim consumes backup
-      // and scratch together, and both findings must still report
+      // and scratch together, and both findings must still report.
+      // healed reports the POST-state (the dotted path actually
+      // gone), not merely that a heal was attempted
       val hadTmp = exists(tmp)
-      def healCorpus(): Boolean = {
+      def healCorpus(path: String): Boolean = {
         if (heal) healCurationCorpusRoot(spark, s"$rootDir/$tree")
-        heal
+        heal && !exists(path)
       }
       if (exists(backup) && !exists(s"$rootDir/$tree"))
         out += (("swap", backup, "error",
@@ -1884,13 +1909,13 @@ object Streaming {
             "maintenance write restores it" +
             (if (corpusCarry) " (reclaiming any move-carried dirs " +
               "from the scratch first)" else ""),
-          if (corpusCarry) healCorpus()
+          if (corpusCarry) healCorpus(backup)
           else healRestore(backup, s"$rootDir/$tree")))
       else if (exists(backup))
         out += (("swap", backup, "warn",
           "stale backup from a completed swap; deleted at the next " +
             "maintenance write, safe to remove by hand",
-          if (corpusCarry) healCorpus() else healDelete(backup)))
+          if (corpusCarry) healCorpus(backup) else healDelete(backup)))
       if (hadTmp)
         out += ((
           "swap", tmp, "warn",
@@ -1902,7 +1927,7 @@ object Streaming {
           else
             "crashed swap scratch; never read, overwritten by the " +
               "next maintenance write",
-          if (corpusCarry) healCorpus() else healDelete(tmp)))
+          if (corpusCarry) healCorpus(tmp) else healDelete(tmp)))
     }
     // ---- the exact-Jaccard index's frozen-order df_table has its
     // own swap pair INSIDE the index tree (writeJaccardDfTable)
@@ -2017,7 +2042,16 @@ object Streaming {
     * store outside the curation corpus is compacted by move-carry, so
     * these scratches never hold an only copy. */
   def fsckStore(spark: SparkSession, storeDir: String,
-      heal: Boolean = false): DataFrame = {
+      heal: Boolean = false): DataFrame =
+    // same discipline as [[fsckCurationStore]]: audits are lock-free,
+    // heals serialize with the store's mutators
+    if (!heal) fsckStoreBody(spark, storeDir, heal = false)
+    else withStoreLock(spark, Seq(storeDir)) {
+      fsckStoreBody(spark, storeDir, heal = true)
+    }
+
+  private def fsckStoreBody(spark: SparkSession, storeDir: String,
+      heal: Boolean): DataFrame = {
     val dir = new HPath(storeDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = dir.getParent
@@ -3151,7 +3185,7 @@ object Streaming {
     try {
       val age = System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime
-      if (age > 1800000L)
+      if (age > DefaultLeaseStaleMs)
         Some(("lease", lock.toString, "warn",
           s"lease file ${age / 60000} min stale — its holder died " +
             "without release (a live holder heartbeats); the next " +
@@ -3191,9 +3225,14 @@ object Streaming {
     * create. Waiters give up with a pointer to the file after
     * `timeoutMs` — a stream wedged behind an unbreakable lease
     * should fail loudly, not silently skip its batch. */
+  /** The default stale window shared by [[withStoreLock]] and the
+    * fsck lease audit — one constant so the audit's idea of "stale"
+    * cannot drift from the break window waiters actually use. */
+  private[graft] val DefaultLeaseStaleMs = 1800000L
+
   private[graft] def withStoreLock[T](spark: SparkSession,
       roots: Seq[String], timeoutMs: Long = 600000L,
-      staleAfterMs: Long = 1800000L)(body: => T): T = {
+      staleAfterMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     val conf = spark.sparkContext.hadoopConfiguration
     val locks = roots.sorted.map { r =>
       val p = storeLockPath(new HPath(r))
@@ -3478,6 +3517,15 @@ object Streaming {
           val dst = new HPath(target, p.getName)
           if (!fs.exists(dst)) { fs.rename(p, dst); () }
         }
+      // VERIFY before discarding: a failed rename (quota, permissions)
+      // must not let the delete below destroy the only copy
+      val left = fs.listStatus(tmp).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("batch=") && n != "batch=-1")
+      if (left.nonEmpty)
+        throw new IllegalStateException(
+          s"could not reclaim ${left.mkString(", ")} from $tmp into " +
+            s"$target — the scratch holds their only copy, so it is " +
+            "NOT deleted; resolve the rename failure and re-run")
       fs.delete(tmp, true)
       ()
     }

@@ -2123,6 +2123,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("snapshotCorpus skips a torn trailing batch: the replay's " +
+      "extra rows cannot move an 'immutable' snapshot after the fact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sntorn")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose5 = "cartwrights seasoned elm for a full year before " +
+      "turning hubs that would outlast the iron tyres"
+    import java.nio.file.{Files, Paths}
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Seq((3L, prose3)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus/batch=1")
+    Files.delete(Paths.get(s"$tmp/corpus/batch=1/_SUCCESS"))
+    Streaming.snapshotCorpus(spark, tmp, "s")
+    assert(Streaming.listSnapshots(spark, tmp)
+      === Seq(("s", Seq(0L), -1L))) // torn batch=1 NOT pinned
+    def snapIds() = Streaming.readSnapshot(spark, tmp, "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snapIds() === Set(1L))
+    // the replay rewrites batch 1 with MORE rows; the snapshot is
+    // unmoved because it never pinned the torn dir
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3), (5L, prose5)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(snapIds() === Set(1L))
+  }
+
   test("snapshot retention: compaction folds and purges around pinned " +
       "dirs, defers when batch=-1 is pinned, and resumes after " +
       "dropSnapshot") {
@@ -2504,10 +2535,11 @@ class StreamingSpec extends SparkSpec {
     assert(healed === Set(s"$tmp/.reg.stats.old"))
     Streaming.fsckStore(spark, s"$tmp/jix", heal = true)
     assert(got("jix") === Set.empty)
-    // the mark, the torn dir and the stale lease need an operator (or
-    // a waiter's break) — never auto-healed
-    assert(got("reg") === Set(("store", "error", "reg/_batch"),
-      ("lease", "warn", ".reg.lock")))
+    // the mark and the torn dir need an operator / a replay — never
+    // auto-healed. The stale lease is gone as a SIDE EFFECT of the
+    // heal's own serialization: acquiring the store lock breaks a
+    // stale lease exactly the way any waiter would
+    assert(got("reg") === Set(("store", "error", "reg/_batch")))
     assert(got("dix") === Set(("store", "warn", s"dix/$dixBatch")))
   }
 
