@@ -2113,6 +2113,42 @@ object Streaming {
     out.toSeq.toDF("area", "path", "status", "detail", "healed")
   }
 
+  /** Incremental hand-off between two training runs — what
+    * [[exportSnapshot]] is to a full run, this is to a refresh: the
+    * documents that ENTERED the clean view between snapshots `from`
+    * and `to` land as md5-stable JSONL shards under `added/`, the ids
+    * that LEFT (decontaminated between the runs) as one-column JSONL
+    * under `removed/`, and a `_MANIFEST` records both counts with the
+    * snapshot pair. A consumer applies removals, then appends the
+    * added shards. The delta itself comes from [[diffSnapshots]]'
+    * fast path (new dirs + sweep-window tombstones — no bulk read);
+    * fetching the added payloads is one semi-join of the to-view
+    * against the added ids, which AQE broadcasts whenever the delta
+    * is small — the normal case for a refresh. */
+  def exportSnapshotDelta(spark: SparkSession, rootDir: String,
+      from: String, to: String, outPath: String, idCol: String,
+      nShards: Int): Unit = {
+    val d = diffSnapshots(spark, rootDir, from, to, idCol)
+      .localCheckpoint() // computed once, consumed three times below
+    val added = d.where(col("change") === "added").select(idCol)
+    val removed = d.where(col("change") === "removed").select(idCol)
+    graft.ops.Warehouse.writeJsonlShards(
+      readSnapshot(spark, rootDir, to).drop("batch")
+        .join(added, Seq(idCol), "left_semi"),
+      idCol, s"$outPath/added", nShards)
+    removed.write.mode("overwrite").json(s"$outPath/removed")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val outFs = new HPath(outPath).getFileSystem(conf)
+    val nAdded = added.count()
+    val nRemoved = removed.count()
+    val json = s"""{"from":"$from","to":"$to",""" +
+      s""""n_added":$nAdded,"n_removed":$nRemoved,""" +
+      s""""n_shards":$nShards}"""
+    val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
+    try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+  }
+
   /** The payload + stats tail every curation-ingest variant shares
     * (the LSH gate above, the exact-Jaccard gate below): write the
     * admitted rows under `corpus/batch=<id>/` and fold them into the

@@ -2333,6 +2333,49 @@ class StreamingSpec extends SparkSpec {
     assert(changes("t0", "t1") === Set((3L, "added"), (5L, "added")))
   }
 
+  test("exportSnapshotDelta: the incremental hand-off carries exactly " +
+      "the entered payloads and the departed ids, with a manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdexp")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "t0") // view {1}
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose1)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L) // doc 1 leaves the view
+    Streaming.snapshotCorpus(spark, tmp, "t1") // view {3}
+    Streaming.exportSnapshotDelta(spark, tmp, "t0", "t1",
+      s"$tmp/delta", "doc_id", 2)
+    val addedRows = spark.read.json(s"$tmp/delta/added")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(addedRows === Set((3L, prose3)))
+    val removedIds = spark.read.json(s"$tmp/delta/removed")
+      .select(col("doc_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(removedIds === Set(1L))
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/delta/_MANIFEST")), "UTF-8")
+    assert(mf === """{"from":"t0","to":"t1",""" +
+      """"n_added":1,"n_removed":1,"n_shards":2}""")
+    // applying the delta to t0's view reproduces t1's view exactly
+    val t0v = Streaming.readSnapshot(spark, tmp, "t0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((t0v -- removedIds) ++ addedRows.map(_._1) ===
+      Streaming.readSnapshot(spark, tmp, "t1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
       "view with md5-stable shard membership across re-exports") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sexp")
