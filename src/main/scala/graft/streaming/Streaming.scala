@@ -611,10 +611,14 @@ object Streaming {
       StorePart("meta", Seq("n"), Seq("n_batches")) ->
         batch.sparkSession.range(1)
           .select(lit(n).as("n"), lit(1L).as("n_batches")),
-      StorePart("ngrams", Seq("h"), Seq("n_docs")) ->
+      // n_batches, not n_docs: benchGramDigests distincts per delta,
+      // so the per-gram count here is always 1 and the sum-merge
+      // yields the number of registry BATCHES containing the gram —
+      // the column is named for what it actually counts
+      StorePart("ngrams", Seq("h"), Seq("n_batches")) ->
         graft.ops.Dedup.benchGramDigests(batch, textCol, n)
           .groupBy(col("__h").as("h"))
-          .agg(count(lit(1)).as("n_docs"))
+          .agg(count(lit(1)).as("n_batches"))
           // first_batch = the registry batch that INTRODUCED the gram
           // — the watermark column [[retroDecontaminate]] prunes on,
           // so each sweep broadcasts only the grams registered since
@@ -641,18 +645,25 @@ object Streaming {
             case Some(p0) =>
               // a pre-watermark store carries no first_batch: stamp 0
               // ("registered since forever") so the first sweep over
-              // an upgraded store still scans every gram
-              val p = if (p0.columns.contains("first_batch")) p0
-                else p0.withColumn("first_batch", lit(0L))
+              // an upgraded store still scans every gram. A pre-rename
+              // store carries the count as n_docs: adopt it as
+              // n_batches (it always WAS the batch count — see the
+              // sink's comment)
+              val p1 = if (p0.columns.contains("n_batches")) p0
+                else p0.withColumnRenamed("n_docs", "n_batches")
+              val p = if (p1.columns.contains("first_batch")) p1
+                else p1.withColumn("first_batch", lit(0L))
               p.unionByName(delta).groupBy("h")
-                .agg(sum("n_docs").as("n_docs"),
+                .agg(sum("n_batches").as("n_batches"),
                   min("first_batch").as("first_batch"))
             case None => delta
           }
         }))
 
-  /** The standing (h, n_docs) benchmark gram-digest table of a
-    * [[benchmarkIndexSink]]. */
+  /** The standing (h, n_batches) benchmark gram-digest table of a
+    * [[benchmarkIndexSink]] — n_batches counts the registry BATCHES
+    * containing the gram (digests are distinct per delta), not
+    * documents. */
   def readBenchmarkNgrams(spark: SparkSession, statsDir: String): DataFrame =
     spark.read.parquet(s"${readableStoreDir(spark, statsDir)}/ngrams")
 
@@ -1295,17 +1306,24 @@ object Streaming {
     healCurationCorpusRoot(spark, s"$rootDir/corpus")
     val root = readableStoreDir(spark, benchmarkDir)
     val markFile = new HPath(s"$root/_batch")
-    val fs = markFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(markFile)) return 0L // nothing registered yet
-    val m = readLongMarker(fs, markFile).get
+    // the benchmark store and the curation root can live on DIFFERENT
+    // Hadoop filesystems (exportSnapshot already supports the split):
+    // resolve each side's paths against its OWN fs — reusing the
+    // benchmark-side handle for rootDir paths throws "Wrong FS" (or,
+    // same-scheme/different-authority, operates on the wrong cluster)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bfs = markFile.getFileSystem(conf)
+    val rfs = new HPath(rootDir).getFileSystem(conf)
+    if (!bfs.exists(markFile)) return 0L // nothing registered yet
+    val m = readLongMarker(bfs, markFile).get
     val deconDir = new HPath(s"$rootDir/decon")
     val sweepFile = new HPath(deconDir, "_sweep")
     val corpusSweepFile = new HPath(deconDir, "_sweep_corpus")
-    val w = readLongMarker(fs, sweepFile).getOrElse(-1L)
+    val w = readLongMarker(rfs, sweepFile).getOrElse(-1L)
     // highest corpus batch id already scanned against grams ≤ w; a
     // pre-watermark store reads -1 and leg (b) self-heals by scanning
     // the whole corpus (including batch=-1 folds) once
-    val cw = readLongMarker(fs, corpusSweepFile).getOrElse(-1L)
+    val cw = readLongMarker(rfs, corpusSweepFile).getOrElse(-1L)
     if (m <= w) return 0L // registry unchanged since last sweep
     val n = benchmarkRegistry(spark, benchmarkDir).get._1
     val grams0 = spark.read.parquet(s"$root/ngrams")
@@ -1319,7 +1337,7 @@ object Streaming {
     // watermark only over COMMITTED dirs: a torn trailing batch's
     // replay rewrites it with MORE rows, which leg (b) must still
     // scan — advancing past it would freeze the partial view in
-    val corpusIds = committedBatchDirIds(fs, new HPath(s"$rootDir/corpus"))
+    val corpusIds = committedBatchDirIds(rfs, new HPath(s"$rootDir/corpus"))
     val cm = math.max(cw,
       corpusIds.filter(_ >= 0L).foldLeft(-1L)(math.max))
     val out = new HPath(deconDir, s"tombstones/sweep=$m")
@@ -1332,15 +1350,15 @@ object Streaming {
     // (and an intermediate leftover would linger forever, reading as
     // torn committed data to fsck)
     val tombRoot = new HPath(deconDir, "tombstones")
-    if (fs.exists(tombRoot))
-      fs.listStatus(tombRoot).toSeq.map(_.getPath)
+    if (rfs.exists(tombRoot))
+      rfs.listStatus(tombRoot).toSeq.map(_.getPath)
         .filter { p =>
           val nm = p.getName
           nm.startsWith("sweep=") &&
             scala.util.Try(nm.stripPrefix("sweep=").toLong)
               .toOption.exists(_ > w)
         }
-        .foreach(p => fs.delete(p, true))
+        .foreach(p => rfs.delete(p, true))
     val live = readCurationCorpus(spark, rootDir)
     val clean = readCurationTombstones(spark, rootDir)
       .fold(live)(t => live.join(t, Seq(idCol), "left_anti"))
@@ -1374,7 +1392,7 @@ object Streaming {
     // point), _sweep_corpus second — a crash between them only makes
     // the next sweep rescan already-tombstoned rows
     for ((f, v) <- Seq(sweepFile -> m, corpusSweepFile -> cm)) {
-      val o = fs.create(f, true)
+      val o = rfs.create(f, true)
       try o.write(v.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally o.close()
@@ -1766,10 +1784,14 @@ object Streaming {
       if (newDirs.isEmpty) None
       else {
         val fresh = idScan(newDirs)
+        // no broadcast hint: this leg anti-joins the FULL tombstone
+        // set at sweep sTo, which [[readCleanCorpus]] deliberately
+        // leaves to AQE (an adversarially large tombstone set must
+        // not be forced onto the driver); AQE still broadcasts the
+        // ordinary small case on its own
         Some(readCurationTombstones(spark, rootDir, Some(sTo))
           .fold(fresh)(t =>
-            fresh.join(broadcast(t.select(idCol)), Seq(idCol),
-              "left_anti")))
+            fresh.join(t.select(idCol), Seq(idCol), "left_anti")))
       }
     val removed =
       if (sFrom == sTo) None
