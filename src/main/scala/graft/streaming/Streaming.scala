@@ -3230,36 +3230,76 @@ object Streaming {
   private[graft] def storeLockPath(dir: HPath): HPath =
     new HPath(dir.getParent, s".${dir.getName}.lock")
 
-  /** One fsck finding (or none) for a store's lease file: a lock
-    * whose mtime is past the default staleAfterMs means its holder
-    * died without release (the heartbeat would have advanced it) —
-    * waiters break it on their own, but it is the crashed-holder
-    * signature an audit should surface. A FRESH lock is a live
-    * holder, not a finding. */
+  /** Fsck findings for a store's lease file and its break/release
+    * debris. A lock whose mtime is past the default staleAfterMs
+    * means its holder died without release (the heartbeat would have
+    * advanced it) — waiters break it on their own, but it is the
+    * crashed-holder signature an audit should surface; a FRESH lock
+    * is a live holder, not a finding. A `.lock.orphan.<uuid>` sibling
+    * is a parked LIVE lock from a break/restore conflict — an ERROR a
+    * human must adjudicate. Stale `.lock.break.<uuid>` /
+    * `.lock.release.<uuid>` siblings are claims captured by a breaker
+    * or releaser that crashed before the final delete — verified
+    * husks, safe to delete by hand. */
   private def leaseFinding(fs: org.apache.hadoop.fs.FileSystem,
-      storeDir: String): Option[(String, String, String, String,
+      storeDir: String): Seq[(String, String, String, String,
         Boolean)] = {
     val lock = storeLockPath(new HPath(storeDir))
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(String, String, String, String, Boolean)]
     try {
       val age = System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime
       if (age > DefaultLeaseStaleMs)
-        Some(("lease", lock.toString, "warn",
+        out += (("lease", lock.toString, "warn",
           s"lease file ${age / 60000} min stale — its holder died " +
             "without release (a live holder heartbeats); the next " +
             "waiter breaks it after the stale window, or delete it " +
             "by hand to unblock immediately", false))
-      else None
-    } catch { case _: java.io.FileNotFoundException => None }
+    } catch { case _: java.io.FileNotFoundException => () }
+    try {
+      fs.listStatus(lock.getParent).toSeq
+        .filter(_.getPath.getName.startsWith(s"${lock.getName}."))
+        .foreach { st =>
+          val nm = st.getPath.getName
+          // report under the caller's own path form (listStatus
+          // returns fully-qualified paths; the lock finding above and
+          // every other fsck finding use the unqualified input form)
+          val shown = new HPath(lock.getParent, nm).toString
+          val age = System.currentTimeMillis() -
+            st.getModificationTime
+          if (nm.contains(".orphan."))
+            out += (("lease", shown, "error",
+              "parked lock from a break/restore conflict — it was a " +
+                "LIVE holder's lease evidence when parked; confirm " +
+                "no holder is alive, then delete it by hand", false))
+          else if ((nm.contains(".break.") || nm.contains(".release."))
+              && age > DefaultLeaseStaleMs)
+            out += (("lease", shown, "warn",
+              s"claim file ${age / 60000} min old — a breaker/" +
+                "releaser crashed after capturing the lock but " +
+                "before the final delete; the lock path itself is " +
+                "free, the husk is safe to delete by hand", false))
+        }
+    } catch { case _: java.io.IOException => () }
+    out.toSeq
   }
 
   /** Mutual exclusion between a store's per-batch merges and its
     * offline maintenance (compaction / rebuild), so maintenance can
     * run against a LIVE stream: every mutator — sink merge bodies for
     * one batch, compactors/rebuilds for the whole fold+swap — wraps
-    * its root mutation in this lease. Acquisition is
-    * create-if-absent of the sibling `.lock` file (atomic on HDFS;
-    * object stores need conditional-put semantics), `roots` acquired
+    * its root mutation in this lease. Acquisition is an ATOMIC
+    * create-if-absent of the sibling `.lock` file through the
+    * resolved [[LockBackend]] (kernel `O_EXCL` on local filesystems,
+    * namenode-arbitrated create on HDFS; other schemes settle and
+    * double-verify a read-back). Known flat-namespace object stores
+    * (s3a and friends) are REJECTED at acquire — their create/rename
+    * are not atomic, so the lease cannot guarantee mutual exclusion
+    * there; point standing stores at HDFS/posix, plug a
+    * conditional-put backend (`graft.lease.backend=<FQCN>` hadoop
+    * conf), or accept the risk explicitly
+    * (`graft.lease.assumeAtomicCreate=true`). `roots` are acquired
     * in sorted order so multi-root holders (the curation ingest)
     * cannot deadlock each other.
     *
@@ -3270,19 +3310,16 @@ object Streaming {
     * — never reads as dead; only a lock whose mtime has STOPPED
     * advancing for `staleAfterMs` is stale (its holder crashed — the
     * tree state heals separately via the swap-backup discipline).
-    * Waiters break a stale lease by CLAIM-BY-RENAME, never
-    * delete-then-create: rename the lock to a waiter-unique
-    * `.break.<uuid>` claim path (rename is atomic — exactly one of N
-    * racing waiters wins; the losers' renames fail and they re-poll),
-    * then verify the claimed file IS the one observed stale (its
-    * mtime is unchanged by the rename; a FRESH lock created by a
-    * competing breaker in the observe→rename window has mtime ≈ now,
-    * so the mismatch is detected and the claim is renamed back — the
-    * rightful holder keeps its lease). Only a verified claim is
-    * discarded, after which the waiter competes normally for the
-    * create. Waiters give up with a pointer to the file after
-    * `timeoutMs` — a stream wedged behind an unbreakable lease
-    * should fail loudly, not silently skip its batch. */
+    * Waiters break a stale lease via [[LockBackend.breakStale]]'s
+    * claim-by-rename (exactly one of N racing waiters wins; a fresh
+    * lock stolen in the observe→rename window is detected by its
+    * mtime and restored to the rightful holder), then compete
+    * normally for the create. Releases are token-fenced through
+    * [[LockBackend.release]]'s rename-capture (a holder paused past
+    * the stale window cannot delete the new holder's live lock).
+    * Waiters give up with a pointer to the file after `timeoutMs` —
+    * a stream wedged behind an unbreakable lease should fail loudly,
+    * not silently skip its batch. */
   /** The default stale window shared by [[withStoreLock]] and the
     * fsck lease audit — one constant so the audit's idea of "stale"
     * cannot drift from the break window waiters actually use. */
@@ -3292,69 +3329,32 @@ object Streaming {
       roots: Seq[String], timeoutMs: Long = 600000L,
       staleAfterMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val backend = LockBackend.resolve(conf)
     val locks = roots.sorted.map { r =>
       val p = storeLockPath(new HPath(r))
       (p.getFileSystem(conf), p)
     }
-    def mtimeOf(fs: org.apache.hadoop.fs.FileSystem,
-                p: HPath): Option[Long] =
-      try Some(fs.getFileStatus(p).getModificationTime)
-      catch { case _: java.io.FileNotFoundException => None }
-    // Break `lock`, OBSERVED stale at mtime `m`, by claim-by-rename.
-    def breakStale(fs: org.apache.hadoop.fs.FileSystem, lock: HPath,
-                   m: Long): Unit = {
-      // re-observe immediately before the rename: if the mtime moved
-      // (heartbeat, or a competing breaker's fresh lock) this waiter
-      // must not touch the file at all
-      if (!mtimeOf(fs, lock).contains(m)) return
-      val claim = new HPath(lock.getParent,
-        s"${lock.getName}.break.${java.util.UUID.randomUUID()}")
-      val renamed =
-        try fs.rename(lock, claim)
-        catch { case _: java.io.IOException => false }
-      if (renamed) {
-        // verify the claim IS the file observed stale (rename
-        // preserves mtime): a fresh lock stolen in the residual
-        // stat→rename window reads a different mtime and is restored
-        if (mtimeOf(fs, claim).contains(m)) fs.delete(claim, false)
-        else {
-          // the mtime mismatch PROVES the claim is a FRESH lease whose
-          // holder is alive — it must be restored, never deleted. If a
-          // competing lock beat the restore, retry: the competitor's
-          // release (or its own break) frees the path eventually
-          val restoreDeadline = System.currentTimeMillis() + 10000L
-          var restored = fs.rename(claim, lock)
-          while (!restored &&
-              System.currentTimeMillis() < restoreDeadline) {
-            Thread.sleep(25)
-            restored = fs.rename(claim, lock)
-          }
-          if (!restored) {
-            // park, don't delete: the quarantined file is the live
-            // holder's lease evidence for a human to adjudicate
-            val orphan = new HPath(lock.getParent,
-              s"${lock.getName}.orphan.${java.util.UUID.randomUUID()}")
-            fs.rename(claim, orphan)
-            throw new IllegalStateException(
-              s"store lease break claimed a LIVE lock $lock and could " +
-                s"not restore it (path stayed occupied); parked it at " +
-                s"$orphan — resolve by hand before resuming")
-          }
-        }
+    // capability probe: the built-in backend's safety rests on atomic
+    // create-if-absent + rename, which flat-namespace object stores
+    // do not provide — fail LOUDLY at acquire instead of handing out
+    // a lease that only usually excludes. A custom backend owns its
+    // own semantics and skips the probe.
+    if (backend eq HadoopLockBackend)
+      locks.foreach { case (fs, p) =>
+        val scheme = fs.getUri.getScheme
+        if (LockBackend.unsafeSchemes.contains(scheme) &&
+            !conf.getBoolean("graft.lease.assumeAtomicCreate", false))
+          throw new IllegalStateException(
+            s"store lease $p lives on '$scheme://', a flat-namespace " +
+              "object store without atomic create-if-absent/rename — " +
+              "the lease cannot guarantee mutual exclusion there. " +
+              "Keep standing stores on HDFS/posix, plug a " +
+              "conditional-put lock via graft.lease.backend=<FQCN of " +
+              "a graft.streaming.LockBackend>, or accept the risk " +
+              "explicitly with graft.lease.assumeAtomicCreate=true " +
+              "(hadoop conf). See README 'Operating the standing " +
+              "stores'.")
       }
-    }
-    def readToken(fs: org.apache.hadoop.fs.FileSystem,
-                  lock: HPath): Option[String] =
-      try {
-        val in = fs.open(lock)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          Some(if (n <= 0) ""
-            else new String(buf, 0, n,
-              java.nio.charset.StandardCharsets.UTF_8))
-        } finally in.close()
-      } catch { case _: java.io.IOException => None }
     // returns the unique token written into the held lock — the fence
     // the release path checks before deleting
     def acquire(fs: org.apache.hadoop.fs.FileSystem,
@@ -3362,39 +3362,16 @@ object Streaming {
       val deadline = System.currentTimeMillis() + timeoutMs
       var held: Option[String] = None
       while (held.isEmpty) {
-        try {
-          // create-if-absent, then VERIFY ownership by reading back a
-          // unique token: `create(_, overwrite = false)` is not atomic
-          // on every FileSystem (the local FS exists-checks then
-          // creates), so two simultaneous creators can both "succeed"
-          // — the token settles them to at most one verified owner;
-          // the loser falls through to the poll path below
-          val token = java.util.UUID.randomUUID().toString
-          val out = fs.create(lock, false)
-          try out.write(token.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          // SETTLE before the ownership read-back: two creators who
-          // both slipped through the exists-check (maximally likely
-          // right after a stale break frees the path for N waiters at
-          // once) must both observe the LAST write — reading back
-          // immediately lets the first creator verify its own token
-          // before the second's overwrite lands, granting two leases
-          Thread.sleep(30)
-          if (readToken(fs, lock).contains(token)) held = Some(token)
-          else Thread.sleep(50)
-        }
-        catch { case _: java.io.IOException =>
-          mtimeOf(fs, lock) match {
-            case Some(m)
-                if System.currentTimeMillis() - m > staleAfterMs =>
-              breakStale(fs, lock, m) // then retry create
-            case Some(_) if System.currentTimeMillis() > deadline =>
-              throw new IllegalStateException(
-                s"store lease $lock held past $timeoutMs ms — if its " +
-                  "holder is dead, delete the file to break the lease")
-            case _ => Thread.sleep(50) // live lock, or vanished: re-poll
-          }
+        held = backend.tryAcquire(fs, lock)
+        if (held.isEmpty) backend.mtime(fs, lock) match {
+          case Some(m)
+              if System.currentTimeMillis() - m > staleAfterMs =>
+            backend.breakStale(fs, lock, m) // then retry create
+          case Some(_) if System.currentTimeMillis() > deadline =>
+            throw new IllegalStateException(
+              s"store lease $lock held past $timeoutMs ms — if its " +
+                "holder is dead, delete the file to break the lease")
+          case _ => Thread.sleep(50) // live lock, or vanished: re-poll
         }
       }
       held.get
@@ -3411,7 +3388,7 @@ object Streaming {
         Thread.sleep(hbInterval)
         if (!hbStop) taken.synchronized {
           taken.foreach { case (fs, p, _) =>
-            try fs.setTimes(p, System.currentTimeMillis(), -1)
+            try backend.heartbeat(fs, p)
             catch { case _: java.io.IOException => () }
           }
         }
@@ -3430,23 +3407,7 @@ object Streaming {
       hb.interrupt()
       hb.join(1000L)
       taken.reverseIterator.foreach { case (fs, p, token) =>
-        // fenced release: delete only a lock still bearing OUR token.
-        // A holder paused past staleAfterMs whose lease was broken and
-        // re-granted must not delete the new holder's live lock. A
-        // TRANSIENT read failure is retried — treating it as
-        // token-mismatch would leak the lease and stall every waiter
-        // for staleAfterMs
-        var tok = readToken(fs, p)
-        var tries = 0
-        while (tok.isEmpty && tries < 5 && mtimeOf(fs, p).nonEmpty) {
-          Thread.sleep(25); tok = readToken(fs, p); tries += 1
-        }
-        if (tok.contains(token)) fs.delete(p, false)
-        else if (mtimeOf(fs, p).nonEmpty)
-          System.err.println(s"[lease] lock $p no longer bears " +
-            "this holder's token at release (lease was broken and " +
-            "re-granted while paused, or the token stayed " +
-            "unreadable) — leaving the lock in place")
+        backend.release(fs, p, token)
       }
     }
   }

@@ -2561,16 +2561,33 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 31 * 60 * 1000L))
     Files.write(Paths.get(s"$tmp/.dix.lock"), "tok".getBytes("UTF-8"))
+    // lease debris: a parked orphan (ERROR — was a live holder's
+    // lease evidence), old break/release husks (warn — crashed after
+    // capture, safe to delete), and a FRESH break claim (an active
+    // breaker mid-operation: NOT a finding)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 31 * 60 * 1000L)
+    Files.write(Paths.get(s"$tmp/.reg.lock.orphan.aaaa"),
+      "tok".getBytes("UTF-8"))
+    for (husk <- Seq(".dix.lock.break.bbbb", ".dix.lock.release.cccc")) {
+      Files.write(Paths.get(s"$tmp/$husk"), "tok".getBytes("UTF-8"))
+      Files.setLastModifiedTime(Paths.get(s"$tmp/$husk"), old)
+    }
+    Files.write(Paths.get(s"$tmp/.jix.lock.break.dddd"),
+      "tok".getBytes("UTF-8"))
     def got(s: String) = Streaming.fsckStore(spark, s"$tmp/$s")
       .collect().map(r => (r.getString(0), r.getString(2),
         r.getString(1).stripPrefix(s"$tmp/"))).toSet
     assert(got("reg") === Set(
       ("swap", "warn", ".reg.stats.old"),
       ("store", "error", "reg/_batch"),
-      ("lease", "warn", ".reg.lock")))
+      ("lease", "warn", ".reg.lock"),
+      ("lease", "error", ".reg.lock.orphan.aaaa")))
     assert(got("dix") === Set(
-      ("store", "warn", s"dix/$dixBatch"))) // fresh lock: no finding
-    assert(got("jix") === Set(
+      ("store", "warn", s"dix/$dixBatch"), // fresh lock: no finding
+      ("lease", "warn", ".dix.lock.break.bbbb"),
+      ("lease", "warn", ".dix.lock.release.cccc")))
+    assert(got("jix") === Set( // fresh break claim: no finding
       ("swap", "warn", "jix/.df_table.compact.tmp")))
     // heal clears the safe classes; the mark and torn dir stay put
     val healed = Streaming.fsckStore(spark, s"$tmp/reg", heal = true)
@@ -2578,12 +2595,15 @@ class StreamingSpec extends SparkSpec {
     assert(healed === Set(s"$tmp/.reg.stats.old"))
     Streaming.fsckStore(spark, s"$tmp/jix", heal = true)
     assert(got("jix") === Set.empty)
-    // the mark and the torn dir need an operator / a replay — never
-    // auto-healed. The stale lease is gone as a SIDE EFFECT of the
-    // heal's own serialization: acquiring the store lock breaks a
-    // stale lease exactly the way any waiter would
-    assert(got("reg") === Set(("store", "error", "reg/_batch")))
-    assert(got("dix") === Set(("store", "warn", s"dix/$dixBatch")))
+    // the mark, the torn dir, and the lease debris need an operator /
+    // a replay — never auto-healed. The stale lease is gone as a SIDE
+    // EFFECT of the heal's own serialization: acquiring the store
+    // lock breaks a stale lease exactly the way any waiter would
+    assert(got("reg") === Set(("store", "error", "reg/_batch"),
+      ("lease", "error", ".reg.lock.orphan.aaaa")))
+    assert(got("dix") === Set(("store", "warn", s"dix/$dixBatch"),
+      ("lease", "warn", ".dix.lock.break.bbbb"),
+      ("lease", "warn", ".dix.lock.release.cccc")))
   }
 
   test("hllSink lgK guard: mismatched config fails per-store, and a " +
@@ -3052,6 +3072,89 @@ class StreamingSpec extends SparkSpec {
     assert(lock.exists(), "release deleted the new holder's live lock")
     assert(new String(java.nio.file.Files.readAllBytes(lock.toPath),
       "UTF-8") === "new-holder-token")
+  }
+
+  test("store lease: a lock on a flat-namespace object store is " +
+      "REJECTED at acquire; the explicit override and a pluggable " +
+      "backend both proceed") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lease-probe").toString
+    // a local-disk-backed FileSystem that REPORTS scheme s3a — the
+    // probe must reject on the scheme alone, before any IO
+    conf.set("fs.s3a.impl", classOf[FlatObjectStoreFs].getName)
+    conf.setBoolean("fs.s3a.impl.disable.cache", true)
+    val root = s"s3a://$tmp/store"
+    try {
+      val e = intercept[IllegalStateException] {
+        Streaming.withStoreLock(spark, Seq(root), timeoutMs = 500L) {
+          fail("body must not run on a rejected object-store lease")
+        }
+      }
+      assert(e.getMessage.contains("flat-namespace") &&
+        e.getMessage.contains("graft.lease.backend") &&
+        e.getMessage.contains("graft.lease.assumeAtomicCreate"),
+        s"rejection must name both escape hatches: ${e.getMessage}")
+
+      // explicit override: proceeds through the settle-verify
+      // fallback (the mock is local-disk-backed, so it really locks)
+      conf.setBoolean("graft.lease.assumeAtomicCreate", true)
+      conf.setLong("graft.lease.settleMs", 1L)
+      var ran = false
+      Streaming.withStoreLock(spark, Seq(root),
+        timeoutMs = 5000L) { ran = true }
+      assert(ran, "override did not run the body")
+      assert(!new java.io.File(s"$tmp/.store.lock").exists(),
+        "lock not released after override run")
+      conf.unset("graft.lease.assumeAtomicCreate")
+      conf.unset("graft.lease.settleMs")
+
+      // pluggable backend: owns its semantics, skips the probe; its
+      // acquire/release are actually invoked and fence correctly
+      CountingLockBackend.reset()
+      conf.set("graft.lease.backend",
+        classOf[CountingLockBackend].getName)
+      var ran2 = false
+      Streaming.withStoreLock(spark, Seq(root),
+        timeoutMs = 5000L) { ran2 = true }
+      assert(ran2, "custom backend did not run the body")
+      assert(CountingLockBackend.acquires.get() >= 1 &&
+        CountingLockBackend.releases.get() === 1,
+        "custom backend's acquire/release were not driven")
+    } finally {
+      conf.unset("graft.lease.backend")
+      conf.unset("graft.lease.assumeAtomicCreate")
+      conf.unset("graft.lease.settleMs")
+      conf.unset("fs.s3a.impl")
+      conf.unset("fs.s3a.impl.disable.cache")
+    }
+  }
+
+  test("store lease: local-FS acquisition is O_EXCL-atomic — 16 " +
+      "racing acquirers on one absent lock admit exactly one holder " +
+      "at a time and no grant is ever duplicated") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lease-excl").toString
+    val root = s"$tmp/store"
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ths = (1 to 16).map { _ =>
+      new Thread(() => {
+        try Streaming.withStoreLock(spark, Seq(root),
+          timeoutMs = 30000L, staleAfterMs = 60000L) {
+          val n = inBody.incrementAndGet()
+          maxSeen.getAndUpdate(m => math.max(m, n))
+          Thread.sleep(5)
+          inBody.decrementAndGet()
+          ()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join(60000L))
+    assert(errs.isEmpty, s"acquirer failed: ${errs.peek()}")
+    assert(maxSeen.get() === 1,
+      s"${maxSeen.get()} holders were inside the lease at once")
   }
 
   test("compactors heal a crashed previous compaction before deciding " +
@@ -3648,4 +3751,42 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
   }
+}
+
+/** A local-disk-backed FileSystem that REPORTS scheme `s3a` — the
+  * lease capability probe must reject it on the scheme alone, before
+  * any IO; with the explicit override it behaves like a real (local)
+  * filesystem so the fallback path can be driven end to end. */
+class FlatObjectStoreFs
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+  override def getScheme: String = "s3a"
+}
+
+/** A [[graft.streaming.LockBackend]] that counts its invocations —
+  * proves `graft.lease.backend` is resolved, skips the probe, and is
+  * actually driven for acquire/release. Locks on local disk via the
+  * default trait mechanics plus a plain create. */
+class CountingLockBackend extends graft.streaming.LockBackend {
+  override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[String] = {
+    CountingLockBackend.acquires.incrementAndGet()
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      val out = fs.create(lock, false)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      Some(token)
+    } catch { case _: java.io.IOException => None }
+  }
+  override def release(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath, token: String): Unit = {
+    CountingLockBackend.releases.incrementAndGet()
+    super.release(fs, lock, token)
+  }
+}
+
+object CountingLockBackend {
+  val acquires = new java.util.concurrent.atomic.AtomicInteger(0)
+  val releases = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { acquires.set(0); releases.set(0) }
 }
