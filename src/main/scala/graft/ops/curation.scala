@@ -221,10 +221,17 @@ object Curation {
   /** Deterministic shard id in [0, n) for writing a training corpus as n
     * stable shards — md5-keyed ([[Sampling.splitBucket]]) so shard
     * membership survives reruns and engine changes, unlike
-    * `pmod(hash(id), n)` whose murmur3 seed is Spark-private. Row-local. */
+    * `pmod(hash(id), n)` whose murmur3 seed is Spark-private. Row-local.
+    *
+    * n ≤ 256 keeps the original one-byte derivation so every shard
+    * mapping ever written stays reproducible; larger n draws 24 md5
+    * bits ([[Sampling.uniform24]]) — uniform to within modulo bias
+    * < n/2^24, i.e. negligible for any shard count a 100 TB export
+    * needs (n = 100k biases by 0.6 %). */
   def shard(id: Column, n: Int): Column = {
-    require(n > 0 && n <= 256, s"shard count must be in [1,256], got $n")
-    Sampling.splitBucket(id) % n
+    require(n > 0, s"shard count must be positive, got $n")
+    if (n <= 256) Sampling.splitBucket(id) % n
+    else (Sampling.uniform24(id) % n).cast("int")
   }
 
   /** Drop rows whose `domain` ends with any blocklisted suffix — the

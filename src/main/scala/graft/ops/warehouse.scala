@@ -92,13 +92,27 @@ object Warehouse {
     * interchange format LLM training stacks ingest. Shard membership is
     * md5-stable ([[Curation.shard]]), so reruns and engine changes
     * produce identical shard contents; `partitionBy` writes each shard
-    * as its own directory in one pass. */
+    * as its own directory in one pass. Any shard count (the shard
+    * column is what bounds a write task's slice — at 100 TB the count
+    * must be able to grow with the data, so there is no hard cap);
+    * `codec` compresses the lines (`"gzip"` / `"zstd"` — uncompressed
+    * JSON triples the bytes the training stack has to pull).
+    *
+    * Returns the number of documents written, measured by an
+    * [[org.apache.spark.sql.Observation]] ON the write itself — the
+    * caller's manifest does not need (and must not pay for) a second
+    * full read of its own output. */
   def writeJsonlShards(df: DataFrame, idCol: String, path: String,
-                       nShards: Int): Unit = {
-    require(nShards > 0 && nShards <= 256, s"nShards in [1,256], got $nShards")
-    df.withColumn("shard", Curation.shard(col(idCol), nShards))
+                       nShards: Int,
+                       codec: Option[String] = None): Long = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.withColumn("shard", Curation.shard(col(idCol), nShards))
+      .observe(obs, count(lit(1)).as("n_docs"))
       .repartition(col("shard"))
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(path)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+    obs.get("n_docs").asInstanceOf[Long]
   }
 
   /** Build SCD Type-2 validity intervals from a change log: one row per

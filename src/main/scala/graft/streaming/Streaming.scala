@@ -1813,12 +1813,20 @@ object Streaming {
     * lands beside the shards carrying the provenance a training run
     * needs to audit what it consumed — snapshot name, pinned batch
     * ids, sweep mark, document count, shard count — so the export is
-    * self-describing even after it leaves the warehouse. */
+    * self-describing even after it leaves the warehouse.
+    *
+    * `nShards = 0` (the default) derives the count from the pinned
+    * batch dirs' parquet bytes — one `getContentSummary` metadata
+    * pass — targeting ~512 MB of JSONL per shard (JSONL runs ≈ 3×
+    * the parquet bytes), so a 100 TB snapshot fans out to enough
+    * write tasks instead of wedging a fixed shard count into
+    * straggler/OOM territory. The document count in `_MANIFEST`
+    * comes from an Observation on the write itself — the export is
+    * never re-read for its own bookkeeping. `codec` compresses the
+    * shard files (`"gzip"` / `"zstd"`). */
   def exportSnapshot(spark: SparkSession, rootDir: String, name: String,
-      outPath: String, idCol: String, nShards: Int): Unit = {
-    val view = readSnapshot(spark, rootDir, name)
-    graft.ops.Warehouse.writeJsonlShards(
-      view.drop("batch"), idCol, outPath, nShards)
+      outPath: String, idCol: String, nShards: Int = 0,
+      codec: Option[String] = None): Unit = {
     // the warehouse and the export target can live on DIFFERENT
     // filesystems (hdfs root, local hand-off mount) — resolve each
     // path against its own
@@ -1826,14 +1834,22 @@ object Streaming {
     val storeFs = new HPath(rootDir).getFileSystem(conf)
     val outFs = new HPath(outPath).getFileSystem(conf)
     val (batches, sweep) = readSnapshotManifest(storeFs, rootDir, name)
-    // count from the COMMITTED shard files, not a second full pass
-    // over the pinned corpus (JSONL = one line per document; Spark
-    // ignores the underscore manifest written below on re-reads)
-    val nDocs = spark.read.option("recursiveFileLookup", "true")
-      .textFile(outPath).count()
+    val effShards =
+      if (nShards > 0) nShards
+      else {
+        val bytes = batches.map { b =>
+          storeFs.getContentSummary(
+            new HPath(s"$rootDir/corpus/batch=$b")).getLength
+        }.sum
+        math.max(1,
+          math.ceil(bytes * 3.0 / (512L << 20)).toInt)
+      }
+    val view = readSnapshot(spark, rootDir, name)
+    val nDocs = graft.ops.Warehouse.writeJsonlShards(
+      view.drop("batch"), idCol, outPath, effShards, codec)
     val json = s"""{"snapshot":"$name",""" +
       s""""batches":[${batches.mkString(",")}],""" +
-      s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$nShards}"""
+      s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$effShards}"""
     val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
@@ -2149,7 +2165,7 @@ object Streaming {
     * is small — the normal case for a refresh. */
   def exportSnapshotDelta(spark: SparkSession, rootDir: String,
       from: String, to: String, outPath: String, idCol: String,
-      nShards: Int): Unit = {
+      nShards: Int, codec: Option[String] = None): Unit = {
     val d = diffSnapshots(spark, rootDir, from, to, idCol)
       .localCheckpoint() // computed once, consumed three times below
     val added = d.where(col("change") === "added").select(idCol)
@@ -2157,8 +2173,10 @@ object Streaming {
     graft.ops.Warehouse.writeJsonlShards(
       readSnapshot(spark, rootDir, to).drop("batch")
         .join(added, Seq(idCol), "left_semi"),
-      idCol, s"$outPath/added", nShards)
-    removed.write.mode("overwrite").json(s"$outPath/removed")
+      idCol, s"$outPath/added", nShards, codec)
+    val rw = removed.write.mode("overwrite")
+    codec.fold(rw)(c => rw.option("compression", c))
+      .json(s"$outPath/removed")
     val conf = spark.sparkContext.hadoopConfiguration
     val outFs = new HPath(outPath).getFileSystem(conf)
     val nAdded = added.count()

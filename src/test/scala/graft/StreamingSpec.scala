@@ -2407,6 +2407,22 @@ class StreamingSpec extends SparkSpec {
     assert(mf ===
       """{"snapshot":"run","batches":[0],"sweep":-1,""" +
         """"n_docs":2,"n_shards":4}""")
+    // nShards omitted: the count is DERIVED from the pinned batch
+    // dirs' bytes (a tiny snapshot → 1 shard) and the codec option
+    // compresses the shard files; the manifest count still comes
+    // from the write itself
+    Streaming.exportSnapshot(spark, tmp, "run", s"$tmp/out3",
+      "doc_id", codec = Some("gzip"))
+    assert(slurp(s"$tmp/out3").map(t => (t._1, t._2)) ===
+      Set((1L, prose1), (3L, prose3)))
+    val gz = new java.io.File(s"$tmp/out3/shard=0").listFiles()
+      .map(_.getName).filter(_.endsWith(".json.gz"))
+    assert(gz.nonEmpty, "gzip codec was not applied to the shards")
+    val mf3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/out3/_MANIFEST")), "UTF-8")
+    assert(mf3 ===
+      """{"snapshot":"run","batches":[0],"sweep":-1,""" +
+        """"n_docs":2,"n_shards":1}""")
   }
 
   test("fsckCurationStore: a clean store audits empty; every planted " +

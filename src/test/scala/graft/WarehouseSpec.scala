@@ -253,9 +253,17 @@ class WarehouseSpec extends SparkSpec {
   test("writeJsonlShards: stable shard membership, jsonl round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
     val docs = (1L to 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
-    Warehouse.writeJsonlShards(docs, "doc_id", s"$tmp/corpus", nShards = 4)
+    val written =
+      Warehouse.writeJsonlShards(docs, "doc_id", s"$tmp/corpus", nShards = 4)
+    // the write itself reports the doc count (an Observation on the
+    // job — the caller never re-reads its own output to count it)
+    assert(written == 300L)
     val back = spark.read.json(s"$tmp/corpus")
     assert(back.count() == 300)
+    // the historical one-byte mapping is pinned for n <= 256:
+    // md5("1") starts c4 = 196, so doc 1 lands in shard 196 % 4 = 0
+    assert(back.where(col("doc_id") === 1).select("shard")
+      .head.getInt(0) == 0)
     assert(back.select("shard").distinct().count() == 4)
     // shard dirs exist on disk as partition directories
     val dirs = new java.io.File(s"$tmp/corpus").listFiles()
@@ -268,5 +276,18 @@ class WarehouseSpec extends SparkSpec {
     val again = spark.read.json(s"$tmp/corpus2")
     assert(rows(back.select("doc_id", "shard").orderBy("doc_id")) ==
       rows(again.select("doc_id", "shard").orderBy("doc_id")))
+    // shard counts past the old 256 cap (a 100 TB export needs the
+    // count to grow with the data): in range, and just as md5-stable
+    Warehouse.writeJsonlShards(docs, "doc_id", s"$tmp/big1",
+      nShards = 1000)
+    Warehouse.writeJsonlShards(docs.repartition(5), "doc_id",
+      s"$tmp/big2", nShards = 1000)
+    val b1 = spark.read.json(s"$tmp/big1")
+    assert(b1.count() == 300 &&
+      b1.agg(max("shard")).head.getInt(0) < 1000 &&
+      b1.agg(min("shard")).head.getInt(0) >= 0)
+    assert(rows(b1.select("doc_id", "shard").orderBy("doc_id")) ==
+      rows(spark.read.json(s"$tmp/big2")
+        .select("doc_id", "shard").orderBy("doc_id")))
   }
 }
