@@ -38,10 +38,13 @@ object Bpe {
 
   /** (word, cnt) histogram of `[a-z0-9]+` tokens — the frame BPE
     * actually trains on. */
-  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(Text.tokens(col(textCol))).as("word"))
+  def wordHistogram(docs: DataFrame, textCol: String,
+                    extraKeys: Seq[String] = Nil): DataFrame =
+    docs.select(extraKeys.map(col) :+
+        explode(Text.tokens(col(textCol))).as("word"): _*)
       .where(col("word").rlike("^[a-z0-9]+$"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .groupBy((extraKeys :+ "word").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
 
   /** Packed initial state: every character its own symbol —
     * "abc" → "##a##b##c##". */

@@ -414,6 +414,20 @@ object Streaming {
       }
       merged.write.parquet(s"$tmp/${part.name}")
     }
+    // carry top-level marker files OTHER maintainers own (e.g. the
+    // stats repair's _sweep_subtracted) across the swap — the merge
+    // rebuilds only its own parts and _batch, and dropping a foreign
+    // marker would silently reset that maintainer's progress
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
+          st.getPath.getName != "_batch" &&
+          st.getPath.getName != "_SUCCESS")
+        .foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new HPath(tmp, st.getPath.getName), false,
+            spark.sparkContext.hadoopConfiguration)
+        }
     val out = fs.create(new HPath(tmp, "_batch"), true)
     try out.write(batchId.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
@@ -1350,8 +1364,9 @@ object Streaming {
     // (and an intermediate leftover would linger forever, reading as
     // torn committed data to fsck)
     val tombRoot = new HPath(deconDir, "tombstones")
-    if (rfs.exists(tombRoot))
-      rfs.listStatus(tombRoot).toSeq.map(_.getPath)
+    val deltaRoot = new HPath(deconDir, "statsdelta")
+    for (root <- Seq(tombRoot, deltaRoot) if rfs.exists(root))
+      rfs.listStatus(root).toSeq.map(_.getPath)
         .filter { p =>
           val nm = p.getName
           nm.startsWith("sweep=") &&
@@ -1388,6 +1403,39 @@ object Streaming {
         legB.fold(legA)(b => legA.unionByName(b).distinct())
       }
     dead.write.mode("overwrite").parquet(out.toString)
+    // pin the tombstoned docs' stats CONTRIBUTIONS, keyed by their
+    // corpus batch, under statsdelta/sweep=<m>/ — the O(tombstoned
+    // docs) input [[subtractTombstonedStats]] subtracts so a stats
+    // repair does not have to rescan the clean corpus. Keyed by batch
+    // so the subtract can hold back docs whose batch the stats have
+    // not folded yet (torn trailing batch, or a crash between payload
+    // and stats fold). Computed HERE, while the payload is guaranteed
+    // present (a later purge physically drops tombstoned bytes);
+    // commits by RENAME before the _sweep marker, so the marker
+    // commits tombstones and delta together. Skipped when the stats
+    // store predates its `units` stamp — the sweep cannot know the
+    // length-bucket bounds, and subtract will direct such stores to
+    // the full rebuild
+    readStatsUnits(spark, s"$rootDir/stats").foreach {
+      case (lenLo, lenHi) =>
+        val deadDocs = clean.join(
+            spark.read.parquet(out.toString).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          .select(col("batch"), col(textCol))
+          .localCheckpoint() // small (tombstoned docs); aggregated twice
+        val tmpD = new HPath(deltaRoot, s".sweep=$m.tmp")
+        rfs.delete(tmpD, true)
+        graft.ops.Bpe.wordHistogram(deadDocs, textCol, Seq("batch"))
+          .write.parquet(s"$tmpD/hist")
+        deadDocs.groupBy(col("batch"),
+            graft.ops.Profiling.psiBucket(
+              length(col(textCol)).cast("double"), lenLo, lenHi, 10)
+              .as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .write.parquet(s"$tmpD/lens")
+        rfs.mkdirs(deltaRoot)
+        rfs.rename(tmpD, new HPath(deltaRoot, s"sweep=$m"))
+    }
     // commit order matters: _sweep first (the tombstones' commit
     // point), _sweep_corpus second — a crash between them only makes
     // the next sweep rescan already-tombstoned rows
@@ -1513,13 +1561,15 @@ object Streaming {
     * invariant is "stats see exactly the corpus that survived", and a
     * tombstone breaks it: the word histogram and length buckets still
     * carry the contributions folded in when the now-tombstoned rows
-    * were admitted. Subtracting those contributions incrementally
-    * cannot be made crash-safe (a rerun would double-subtract), so the
-    * repair is the honest idempotent form: recompute both parts from
-    * [[readCleanCorpus]] in one scan and swap the store wholesale —
-    * the [[rebuildJaccardIndex]] discipline applied to stats. Pass the
-    * SAME `textCol`/`lenLo`/`lenHi` the sink was configured with, or
-    * the length buckets change unit.
+    * were admitted. This is the UNIVERSAL repair — recompute both
+    * parts from [[readCleanCorpus]] in one scan and swap the store
+    * wholesale (the [[rebuildJaccardIndex]] discipline applied to
+    * stats); it needs nothing pinned, so it also repairs stores whose
+    * sweeps predate the delta pins. The everyday repair is
+    * [[subtractTombstonedStats]] — O(tombstoned docs), no corpus
+    * scan, crash-safe via its swap-committed marker. Pass the SAME
+    * `textCol`/`lenLo`/`lenHi` the sink was configured with, or the
+    * length buckets change unit.
     *
     * The store's `_batch` mark is written as max(stored mark, highest
     * committed corpus batch id). Usually those agree, but a crash
@@ -1569,11 +1619,162 @@ object Streaming {
           .as("bucket"))
         .agg(count(lit(1)).as("n"))
         .write.parquet(s"$tmp/lens")
-      val out = fs.create(new HPath(tmp, "_batch"), true)
-      try out.write(mark.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // re-stamp the length-bucket unit from this repair's own params
+      // (also upgrades a pre-unit store in place) and mark every
+      // committed sweep as subtracted — the recompute read the CLEAN
+      // corpus, so all tombstones to date are already reflected and a
+      // later incremental subtract must not re-apply them
+      spark.range(1).select(lit(lenLo).as("len_lo"),
+          lit(lenHi).as("len_hi"), lit(1L).as("n_batches"))
+        .write.parquet(s"$tmp/units")
+      val sweepMark = readLongMarker(fs,
+        new HPath(s"$rootDir/decon/_sweep")).getOrElse(-1L)
+      for ((f, v) <- Seq("_batch" -> mark,
+          "_sweep_subtracted" -> sweepMark.toString)) {
+        val out = fs.create(new HPath(tmp, f), true)
+        try out.write(v.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+    }
+
+  /** The O(tombstoned-docs) sibling of [[rebuildCurationStats]]:
+    * subtract the stats contributions [[retroDecontaminate]] pinned
+    * for each sweep (`decon/statsdelta/sweep=<m>/`) instead of
+    * rescanning the clean corpus. Idempotent behind a
+    * `_sweep_subtracted` marker that travels INSIDE the stats tree —
+    * the subtracted counts and the marker commit in one atomic swap,
+    * so a crashed repair either happened entirely or not at all, and
+    * a rerun of an applied sweep is a no-op.
+    *
+    * Sweeps apply in order, and a sweep only applies once every
+    * corpus batch its delta touches has been FOLDED into the stats
+    * (committed dir, id ≤ the stats `_batch` mark): a sweep that
+    * tombstoned docs from a torn trailing batch holds the repair at
+    * that sweep until the batch's replay commits — subtracting a
+    * contribution the stats never added would corrupt them. Returns
+    * the number of sweeps applied; 0 means nothing pending (or the
+    * head sweep is holding, which the caller retries after the
+    * replay). A sweep with tombstones but NO pinned delta (it ran
+    * before the stats store carried its `units` stamp) fails loudly
+    * naming [[rebuildCurationStats]] — the one repair that needs no
+    * pin. */
+  def subtractTombstonedStats(spark: SparkSession,
+      rootDir: String): Long =
+    withStoreLock(spark, Seq(s"$rootDir/index", s"$rootDir/corpus")) {
+      val statsDir = s"$rootDir/stats"
+      val dir = new HPath(statsDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val backup = new HPath(dir.getParent, s".${dir.getName}.stats.old")
+      val tmp = new HPath(dir.getParent, s".${dir.getName}.stats.tmp")
+      graft.ops.Warehouse.restoreFromBackup(fs, dir, backup)
+      if (!fs.exists(dir)) return 0L // nothing folded yet
+      val sweepMark = readLongMarker(fs,
+        new HPath(s"$rootDir/decon/_sweep")).getOrElse(-1L)
+      val applied = readLongMarker(fs,
+        new HPath(dir, "_sweep_subtracted")).getOrElse(-1L)
+      if (sweepMark <= applied) return 0L // coherent already
+      val statsMark = readLongMarker(fs, new HPath(dir, "_batch")).get
+      val corpusRoot = new HPath(s"$rootDir/corpus")
+      val okIds = committedBatchDirIds(fs, corpusRoot)
+        .filter(_ >= 0L).toSet
+      // dirs PRESENT under the corpus, committed or torn — a delta
+      // batch whose dir is gone entirely was folded away by
+      // compaction (its rows, and its stats contributions, live on),
+      // which must not hold the repair the way a torn dir does
+      val presentIds =
+        if (!fs.exists(corpusRoot)) Set.empty[Long]
+        else fs.listStatus(corpusRoot).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("batch="))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("batch=").toLong).toOption)
+          .filter(_ >= 0L).toSet
+      // committed sweeps in (applied, sweepMark], ascending — the
+      // order their tombstones (and so their deltas) were decided in
+      val pending = {
+        val tombRoot = new HPath(s"$rootDir/decon/tombstones")
+        if (!fs.exists(tombRoot)) Seq.empty[Long]
+        else fs.listStatus(tombRoot).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("sweep="))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("sweep=").toLong).toOption)
+          .filter(k => k > applied && k <= sweepMark).sorted
+      }
+      if (pending.isEmpty) return 0L
+      // an unreadable (empty-write) delta part means the sweep
+      // tombstoned nothing — not an error
+      def readPart(path: String): Option[DataFrame] =
+        try Some(spark.read.parquet(path))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      var last = applied
+      val hists = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val lenss = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var holding = false
+      for (k <- pending if !holding) {
+        val d = new HPath(s"$rootDir/decon/statsdelta/sweep=$k")
+        if (!fs.exists(d)) {
+          // tombstones exist but no pinned delta: pre-unit-stamp sweep
+          val anyTomb = readPart(
+            s"$rootDir/decon/tombstones/sweep=$k").exists(!_.isEmpty)
+          if (anyTomb) throw new IllegalStateException(
+            s"sweep $k at $rootDir tombstoned documents but pinned no " +
+              "stats delta (it ran before the stats store carried its " +
+              "units stamp) — repair with rebuildCurationStats, which " +
+              "recomputes from the clean corpus and needs no pin")
+          last = k // an all-clean sweep subtracts nothing
+        } else {
+          val hist = readPart(s"$d/hist")
+          val lens = readPart(s"$d/lens")
+          // batches this sweep's delta touches, from BOTH parts (a doc
+          // with no ascii-word tokens contributes to lens only)
+          val touched = (hist.toSeq ++ lens.toSeq)
+            .flatMap(_.select(col("batch").cast("long")).distinct()
+              .collect().map(_.getLong(0))).toSet
+          if (touched.exists(b => b > statsMark ||
+              (presentIds.contains(b) && !okIds.contains(b))))
+            holding = true // stats have not folded that batch yet
+          else {
+            hist.foreach(hists += _.drop("batch"))
+            lens.foreach(lenss += _.drop("batch"))
+            last = k
+          }
+        }
+      }
+      if (last == applied) return 0L // head sweep is holding
+      def minus(store: DataFrame, deltas: Seq[DataFrame], key: String,
+          measure: String): DataFrame = deltas
+        .reduceOption(_ unionByName _) match {
+          case None => store
+          case Some(d0) =>
+            val d = d0.groupBy(key).agg(sum(measure).as("__d"))
+            val out = store.join(d, Seq(key), "full_outer")
+              .select(col(key),
+                (coalesce(col(measure), lit(0L)) -
+                  coalesce(col("__d"), lit(0L))).as(measure))
+            // a delta row the store cannot cover means the pin and the
+            // folds diverged — corrupt either way, never clamp it away
+            require(out.where(col(measure) < 0).isEmpty,
+              s"stats repair at $statsDir would drive '$key' counts " +
+                "negative — the pinned deltas no longer match the " +
+                "folded stats; repair with rebuildCurationStats")
+            out.where(col(measure) > 0)
+        }
+      fs.delete(tmp, true)
+      minus(spark.read.parquet(s"$statsDir/hist"), hists.toSeq,
+        "word", "cnt").write.parquet(s"$tmp/hist")
+      minus(spark.read.parquet(s"$statsDir/lens"), lenss.toSeq,
+        "bucket", "n").write.parquet(s"$tmp/lens")
+      spark.read.parquet(s"$statsDir/units").write.parquet(s"$tmp/units")
+      for ((f, v) <- Seq("_batch" -> statsMark.toString,
+          "_sweep_subtracted" -> last.toString)) {
+        val out = fs.create(new HPath(tmp, f), true)
+        try out.write(v.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      graft.ops.Warehouse.atomicSwap(fs, dir, tmp, backup)
+      pending.count(k => k <= last && k > applied).toLong
     }
 
   /** ZERO-COPY named snapshot of the clean corpus — the reproducible
@@ -2206,7 +2407,48 @@ object Streaming {
         admitted.groupBy(graft.ops.Profiling.psiBucket(
           length(col(textCol)).cast("double"), lenLo, lenHi, 10)
           .as("bucket"))
-          .agg(count(lit(1)).as("n"))))
+          .agg(count(lit(1)).as("n")),
+      // the length-bucket bounds are a UNIT (the hllSink lgK
+      // discipline): an ingest reconfigured mid-stream would silently
+      // mix bucket scales into the accumulated counts, and the sweep's
+      // stats-delta pin needs the bounds to bucket tombstoned docs the
+      // same way. A pre-unit store stamps them at its first
+      // post-upgrade merge
+      StorePart("units", Seq("len_lo", "len_hi"), Seq("n_batches")) ->
+        admitted.sparkSession.range(1)
+          .select(lit(lenLo).as("len_lo"), lit(lenHi).as("len_hi"),
+            lit(1L).as("n_batches"))),
+      customMerge = Map("units" -> { (prior, delta) =>
+        prior.foreach { p =>
+          val stored = p.select("len_lo", "len_hi").collect()
+            .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+          require(stored == Seq((lenLo, lenHi)),
+            s"curation stats store at $rootDir/stats was built with " +
+              s"length-bucket bounds ${stored.mkString(",")} but this " +
+              s"ingest is configured with ($lenLo,$lenHi) — the " +
+              "bucket units would silently diverge; match the bounds " +
+              "or rebuild the stats store")
+        }
+        prior.map(p => graft.ops.Warehouse.mergeAggDelta(
+            p, delta, Seq("len_lo", "len_hi"), Seq("n_batches")))
+          .getOrElse(delta)
+      }))
+  }
+
+  /** The length-bucket bounds stamped into a curation stats store's
+    * `units` part, or None for a store that predates the unit stamp
+    * (or no store at all). */
+  private def readStatsUnits(spark: SparkSession,
+      statsDir: String): Option[(Double, Double)] = {
+    val rootStr = readableStoreDir(spark, statsDir)
+    val units = new HPath(s"$rootStr/units")
+    val fs = units.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(units)) None
+    else spark.read.parquet(units.toString)
+      .select("len_lo", "len_hi").collect().toSeq match {
+        case Seq(one) => Some((one.getDouble(0), one.getDouble(1)))
+        case _ => None
+      }
   }
 
   /** [[curationIngestSink]] with the EXACT-Jaccard admission gate in

@@ -492,8 +492,10 @@ class StreamingSpec extends SparkSpec {
       // end-to-end crash replay of batch 1: all four effects no-op
       val before = (corpus.collect().map(_.toSeq).toSet,
         hist.collect().map(_.toSeq).toSet)
+      // same length-bucket bounds as the sink's default — the units
+      // guard rejects a reconfigured replay
       Streaming.curationIngestBatchExact(b2.toDF("doc_id", "text"),
-        "text", "doc_id", tmp, 1L, minQ, 0.0, 1000.0, frozen, 3, 0.5)
+        "text", "doc_id", tmp, 1L, minQ, 0.0, 5000.0, frozen, 3, 0.5)
       assert((Streaming.readCurationCorpus(spark, tmp)
           .collect().map(_.toSeq).toSet,
         Streaming.readWordHistogram(spark, s"$tmp/stats")
@@ -508,7 +510,7 @@ class StreamingSpec extends SparkSpec {
       Streaming.curationIngestBatchExact(
         Seq((20L, prose2.replace("green", "amber")))
           .toDF("doc_id", "text"),
-        "text", "doc_id", tmp, 2L, minQ, 0.0, 1000.0, frozen, 3, 0.5)
+        "text", "doc_id", tmp, 2L, minQ, 0.0, 5000.0, frozen, 3, 0.5)
       // near-dup of stored 3 at t=0.5 -> suppressed by the standing gate
       assert(Streaming.readCurationCorpus(spark, tmp)
         .select("doc_id").collect().map(_.getLong(0)).toSet === ids)
@@ -2014,6 +2016,116 @@ class StreamingSpec extends SparkSpec {
     // idempotent: a second rebuild lands identically
     Streaming.rebuildCurationStats(spark, tmp, "text")
     assert(storedHist() === cleanHist())
+  }
+
+  test("subtractTombstonedStats: the pinned-delta repair equals the " +
+      "full recompute cell-exact, is idempotent behind its marker, " +
+      "holds at an unfolded batch, and fails loudly without a pin") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-subst")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    val prose4 = "terraced vineyards stepped down the valley toward " +
+      "the slow bend of the river under a late sun"
+    def storedHist() = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      .collect().map(_.toSeq).toSet
+    def cleanHist() = graft.ops.Bpe.wordHistogram(
+      Streaming.readCleanCorpus(spark, tmp), "text")
+      .collect().map(_.toSeq).toSet
+    def storedLens() = spark.read.parquet(s"$tmp/stats/lens")
+      .collect().map(_.toSeq).toSet
+    def cleanLens() = Streaming.readCleanCorpus(spark, tmp)
+      .groupBy(graft.ops.Profiling.psiBucket(
+        length(col("text")).cast("double"), 0.0, 1000.0, 10)
+        .as("bucket"))
+      .agg(count(lit(1)).as("n")).collect().map(_.toSeq).toSet
+    for ((docs, b) <- Seq(Seq((1L, prose1), (2L, prose2)) -> 0L,
+        Seq((3L, prose3)) -> 1L, Seq((4L, prose4)) -> 2L))
+      Streaming.curationIngestBatch(docs.toDF("doc_id", "text"),
+        "text", "doc_id", tmp, b, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // sweep 0 tombstones doc 2; the incremental repair applies its
+    // pinned delta — no corpus rescan — and lands exactly where the
+    // full recompute would, in BOTH stats parts
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(storedHist() !== cleanHist())
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 1L)
+    assert(storedHist() === cleanHist())
+    assert(storedLens() === cleanLens())
+    // idempotent: the marker travels inside the swapped tree, so a
+    // replayed repair is a no-op
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 0L)
+    assert(storedHist() === cleanHist())
+    // sweep 1 tombstones doc 4 (corpus batch 2); tearing batch 2's
+    // _SUCCESS holds the repair — subtracting a contribution the
+    // stats (after a replay re-folds the batch) would double-drop.
+    // The marker must not advance past the held sweep
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, prose4)).toDF("bid", "text"), "text", bdir, 1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    val succ = java.nio.file.Paths.get(s"$tmp/corpus/batch=2/_SUCCESS")
+    val succBytes = java.nio.file.Files.readAllBytes(succ)
+    java.nio.file.Files.delete(succ)
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 0L)
+    java.nio.file.Files.write(succ, succBytes)
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 1L)
+    assert(storedHist() === cleanHist())
+    assert(storedLens() === cleanLens())
+    // the universal repair lands on the same store the everyday one
+    // produced
+    Streaming.rebuildCurationStats(spark, tmp, "text")
+    assert(storedHist() === cleanHist())
+    assert(storedLens() === cleanLens())
+    // a sweep with tombstones but no pinned delta (pre-unit-stamp
+    // history) fails loudly naming the universal repair — and that
+    // repair then fixes the store and re-arms the marker
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((102L, prose3)).toDF("bid", "text"), "text", bdir, 2L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    def rmTree(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmTree)); p.delete(); ()
+    }
+    rmTree(new java.io.File(s"$tmp/decon/statsdelta/sweep=2"))
+    val e = intercept[IllegalStateException] {
+      Streaming.subtractTombstonedStats(spark, tmp)
+    }
+    assert(e.getMessage.contains("rebuildCurationStats"))
+    Streaming.rebuildCurationStats(spark, tmp, "text")
+    assert(storedHist() === cleanHist())
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 0L)
+  }
+
+  test("curation stats units guard: an ingest reconfigured with " +
+      "different length-bucket bounds fails loudly instead of " +
+      "silently mixing bucket scales") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-units")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    val e = intercept[IllegalArgumentException] {
+      Streaming.curationIngestBatch(
+        Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 500.0, 8, 4, 3)
+    }
+    assert(e.getMessage.contains("length-bucket"))
+    // matched bounds proceed
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
   }
 
   test("readCleanCorpus asOfSweep: historical clean views reconstruct " +
