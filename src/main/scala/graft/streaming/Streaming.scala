@@ -1274,12 +1274,20 @@ object Streaming {
     * broadcast-join pass as [[decontaminateAgainstIndex]] — zero
     * corpus shuffle beyond the doc-grain aggregation.
     *
-    * `minHits > 1` cannot be windowed — a document's hits may split
-    * across registry batches (or across the two legs), and windowed
-    * counting would under-count every split — so that configuration
-    * scans the whole clean corpus against the WHOLE registry each
-    * sweep: correct, at the non-incremental price; keep the default
-    * `minHits = 1` for the incremental path.
+    * `minHits > 1` cannot THRESHOLD inside a window — a document's
+    * hits may split across registry batches (or across the two legs),
+    * and windowed thresholding would under-count every split — but
+    * window COUNTS sum exactly to the full-registry count (distinct
+    * gram digests partition by `first_batch`), so the sweep runs the
+    * same two window-sized legs, accumulates per-doc counts under
+    * `decon/hits/` (`base=<k>` full totals, `sweep=<k>` increments,
+    * committed by the same `_sweep` marker), and thresholds the
+    * cumulative total. A store whose increment history has a hole — a
+    * pre-upgrade store, or interleaved `minHits = 1` sweeps, which
+    * maintain no counts — pays ONE full-registry re-baseline pass,
+    * then is incremental again. Flipping minHits between >1 values
+    * across sweeps is sound (counts are config-independent; the
+    * threshold applies at sweep time).
     *
     * Crash-safe, not replay-pinned: the `_sweep` marker is written
     * only after the tombstone parquet commits (and `_sweep_corpus`
@@ -1365,14 +1373,13 @@ object Streaming {
     // torn committed data to fsck)
     val tombRoot = new HPath(deconDir, "tombstones")
     val deltaRoot = new HPath(deconDir, "statsdelta")
-    for (root <- Seq(tombRoot, deltaRoot) if rfs.exists(root))
+    val hitsRoot = new HPath(deconDir, "hits")
+    def dirMark(nm: String): Option[Long] =
+      Seq("sweep=", "base=").find(nm.startsWith)
+        .flatMap(p => scala.util.Try(nm.stripPrefix(p).toLong).toOption)
+    for (root <- Seq(tombRoot, deltaRoot, hitsRoot) if rfs.exists(root))
       rfs.listStatus(root).toSeq.map(_.getPath)
-        .filter { p =>
-          val nm = p.getName
-          nm.startsWith("sweep=") &&
-            scala.util.Try(nm.stripPrefix("sweep=").toLong)
-              .toOption.exists(_ > w)
-        }
+        .filter(p => dirMark(p.getName).exists(_ > w))
         .foreach(p => rfs.delete(p, true))
     val live = readCurationCorpus(spark, rootDir)
     val clean = readCurationTombstones(spark, rootDir)
@@ -1382,12 +1389,96 @@ object Streaming {
           textCol, idCol, n, minHits)
         .where(col("contaminated")).select(col(idCol))
     val dead =
-      if (minHits > 1L)
-        // hit counts cannot be windowed (a doc's hits may split
-        // across registry batches or across the two legs): pay the
-        // full-registry scan for correctness
-        hits(clean, gramSlice(col("first_batch") <= m))
-      else {
+      if (minHits > 1L) {
+        // a doc's hits may split across registry batches or across
+        // the two legs, so thresholding inside one window would miss
+        // split-hit docs — instead per-doc hit COUNTS accumulate
+        // under decon/hits/ (distinct gram digests partition by
+        // first_batch, so window counts sum exactly to the
+        // full-registry count) and the threshold applies to the
+        // cumulative total. `base=<k>` dirs carry full totals —
+        // written on the first sweep and whenever the increment
+        // history has a gap (a store upgrading in place, or
+        // interleaved minHits = 1 sweeps, which maintain no counts);
+        // `sweep=<k>` dirs carry window increments. Commit point is
+        // the _sweep marker, same as the tombstones
+        def hitCounts(docs: DataFrame, gs: DataFrame): DataFrame =
+          graft.ops.Dedup.contaminationAgainstGrams(docs, gs,
+              textCol, idCol, n, minHits)
+            .select(col(idCol), col("n_hit"))
+            .where(col("n_hit") > 0L)
+        def committedMarks(root: HPath, prefix: String): Seq[Long] =
+          if (!rfs.exists(root)) Nil
+          else rfs.listStatus(root).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(prefix))
+            .flatMap(dirMark).filter(_ <= w).sorted
+        def readHits(paths: Seq[String]): Option[DataFrame] = paths
+          .flatMap { p =>
+            try Some(spark.read.parquet(p))
+            catch { // an all-miss window writes no part files
+              case _: org.apache.spark.sql.AnalysisException => None
+            }
+          }
+          .reduceOption(_ unionByName _)
+        val base = committedMarks(hitsRoot, "base=")
+          .lastOption
+        val incs = committedMarks(hitsRoot, "sweep=")
+        // every committed sweep since the base must have maintained
+        // counts, or the cumulative history has a hole
+        val contiguous = base.exists(b =>
+          committedMarks(tombRoot, "sweep=").filter(_ > b)
+            .forall(k => incs.contains(k)))
+        val histPaths =
+          base.map(b => s"$hitsRoot/base=$b").toSeq ++
+            incs.filter(k => base.exists(k > _))
+              .map(k => s"$hitsRoot/sweep=$k")
+        val (newDir, newCounts) =
+          if (w < 0L || !contiguous) {
+            // ONE full-registry pass (re)establishes the totals; dirs
+            // it subsumes are dropped here — a crash before the
+            // marker reruns this same branch (the gap is still a gap)
+            if (rfs.exists(hitsRoot))
+              rfs.listStatus(hitsRoot).toSeq.map(_.getPath)
+                .filter(p => dirMark(p.getName).nonEmpty)
+                .foreach(p => rfs.delete(p, true))
+            (s"base=$m",
+              hitCounts(clean, gramSlice(col("first_batch") <= m)))
+          } else {
+            val legA = hitCounts(clean,
+              gramSlice(col("first_batch") > w &&
+                col("first_batch") <= m))
+            val newDocs =
+              if (cw < 0L) clean else clean.where(col("batch") > cw)
+            val legB = hitCounts(newDocs,
+              gramSlice(col("first_batch") <= w))
+            // a torn batch's replay makes its docs "new" at TWO
+            // sweeps: subtract what the history already recorded for
+            // a leg-B doc (its full count vs grams ≤ w — exactly what
+            // leg B just recomputed), so the recount adds zero and a
+            // genuinely new doc keeps its full count
+            val incB = readHits(histPaths).fold(legB)(h =>
+              legB.join(h.groupBy(idCol)
+                  .agg(sum("n_hit").as("__hist")),
+                  Seq(idCol), "left")
+                .select(col(idCol), (col("n_hit") -
+                  coalesce(col("__hist"), lit(0L))).as("n_hit"))
+                .where(col("n_hit") =!= 0L))
+            (s"sweep=$m", legA.unionByName(incB).groupBy(idCol)
+              .agg(sum("n_hit").as("n_hit")))
+          }
+        newCounts.write.mode("overwrite")
+          .parquet(new HPath(hitsRoot, newDir).toString)
+        val totalPaths =
+          (if (newDir.startsWith("base=")) Nil else histPaths) :+
+            new HPath(hitsRoot, newDir).toString
+        val over = readHits(totalPaths).map(_.groupBy(idCol)
+            .agg(sum("n_hit").as("n_hit"))
+            .where(col("n_hit") >= minHits).select(col(idCol)))
+          .getOrElse(clean.select(col(idCol)).limit(0))
+        // already-tombstoned docs stay over threshold forever
+        readCurationTombstones(spark, rootDir).fold(over)(t =>
+          over.join(t, Seq(idCol), "left_anti"))
+      } else {
         // leg (a): everything clean vs the grams this sweep adds
         val legA = hits(clean,
           gramSlice(col("first_batch") > w && col("first_batch") <= m))
@@ -1416,10 +1507,15 @@ object Streaming {
     // store predates its `units` stamp — the sweep cannot know the
     // length-bucket bounds, and subtract will direct such stores to
     // the full rebuild
-    readStatsUnits(spark, s"$rootDir/stats").foreach {
-      case (lenLo, lenHi) =>
-        val deadDocs = clean.join(
-            spark.read.parquet(out.toString).select(col(idCol)),
+    // an all-clean sweep writes a part-less tombstone dir whose
+    // schema cannot be read — that MEANS zero tombstones, not an
+    // error (same contract as tombstonesWhere)
+    def readCommitted(p: String): Option[DataFrame] =
+      try Some(spark.read.parquet(p))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    for ((lenLo, lenHi) <- readStatsUnits(spark, s"$rootDir/stats");
+        deadIds <- readCommitted(out.toString)) {
+        val deadDocs = clean.join(deadIds.select(col(idCol)),
             Seq(idCol), "left_semi")
           .select(col("batch"), col(textCol))
           .localCheckpoint() // small (tombstoned docs); aggregated twice
@@ -1446,7 +1542,7 @@ object Streaming {
       finally o.close()
     }
     // count from the committed files, not a recompute of the plan
-    spark.read.parquet(out.toString).count()
+    readCommitted(out.toString).map(_.count()).getOrElse(0L)
   }
 
   /** The accumulated tombstone set of [[retroDecontaminate]] — one id

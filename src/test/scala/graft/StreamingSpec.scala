@@ -2104,6 +2104,107 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.subtractTombstonedStats(spark, tmp) === 0L)
   }
 
+  test("retroDecontaminate minHits > 1: split hits across benchmarks " +
+      "are caught with window-sized scans via cumulative counts; a " +
+      "history gap re-baselines once; a torn-batch recount adds zero") {
+    val pa = "red kites circled the high chalk downs hunting"
+    val pb = "black barges slid beneath the iron bridge upstream"
+    val fill = "meanwhile the village fair spread bright awnings " +
+      "over wet cobbles"
+    val benchA = s"$pa over quiet farmland all afternoon long today"
+    val benchB = s"$pb toward open tide gates at dusk slowly"
+    val benchC = "nine grey herons waited motionless along the " +
+      "frozen millpond margin at first light"
+    // one 8-word run from each benchmark: exactly 1 hit vs A and 1 vs
+    // B — under minHits = 2 neither sweep alone may tombstone it
+    val docX = s"$pa $fill $pb"
+    val docY = "carpenters sawed seasoned oak planks beside the " +
+      "tithe barn doors all morning"
+    def mkRoot(): String = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-minhits").toString
+      Streaming.curationIngestBatch(
+        Seq((1L, docX), (2L, docY)).toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+      tmp
+    }
+    def hitsDirs(tmp: String) = Option(
+        new java.io.File(s"$tmp/decon/hits").listFiles())
+      .map(_.map(_.getName).filter(n =>
+        n.startsWith("base=") || n.startsWith("sweep=")).toSet)
+      .getOrElse(Set.empty[String])
+    def cleanIds(tmp: String) = Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ---- incremental split-hit: sweep per benchmark
+    val r1 = mkRoot()
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, benchA)).toDF("bid", "text"), "text", s"$r1/bench",
+      0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, r1, "text", "doc_id",
+      s"$r1/bench", minHits = 2L) === 0L) // 1 hit < 2: kept
+    assert(hitsDirs(r1) === Set("base=0")) // first sweep = full totals
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, benchB)).toDF("bid", "text"), "text", s"$r1/bench",
+      1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, r1, "text", "doc_id",
+      s"$r1/bench", minHits = 2L) === 1L) // 1 + 1 crosses the line
+    assert(hitsDirs(r1) === Set("base=0", "sweep=1")) // incremental
+    assert(cleanIds(r1) === Set(2L))
+    // ---- control: both benchmarks known before ONE sweep — the
+    // full-registry pass tombstones the same doc
+    val r2 = mkRoot()
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, benchA)).toDF("bid", "text"), "text", s"$r2/bench",
+      0L, n = 8)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, benchB)).toDF("bid", "text"), "text", s"$r2/bench",
+      1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, r2, "text", "doc_id",
+      s"$r2/bench", minHits = 2L) === 1L)
+    assert(cleanIds(r2) === cleanIds(r1))
+    // ---- gap: an interleaved minHits = 1 sweep maintains no counts,
+    // so the next minHits = 2 sweep re-baselines (one full pass) and
+    // still catches the split
+    val r3 = mkRoot()
+    for ((b, i) <- Seq(benchA, benchC, benchB).zipWithIndex) {
+      Streaming.mergeBenchmarkNgramBatch(
+        Seq((100L + i, b)).toDF("bid", "text"), "text", s"$r3/bench",
+        i.toLong, n = 8)
+      Streaming.retroDecontaminate(spark, r3, "text", "doc_id",
+        s"$r3/bench", minHits = if (i == 1) 1L else 2L)
+    }
+    assert(cleanIds(r3) === Set(2L))
+    assert(hitsDirs(r3) === Set("base=2")) // subsumed dirs dropped
+    // ---- torn-batch recount: doc Z (1 hit vs A) lives in a torn
+    // trailing batch, so leg B re-scans it at the NEXT sweep; the
+    // history subtraction must keep its count at 1 — a double count
+    // would tombstone it at minHits = 2
+    val r4 = mkRoot()
+    // exactly one hit vs benchA ("hunting over quiet ... today") with
+    // minimal overlap vs docX, so the LSH ingest gate admits it
+    val docZ = "hunting over quiet farmland all afternoon long today " +
+      "beside winter sheepfolds after a sudden thaw"
+    Streaming.curationIngestBatch(
+      Seq((3L, docZ)).toDF("doc_id", "text"), "text",
+      "doc_id", r4, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    val succ = java.nio.file.Paths.get(s"$r4/corpus/batch=1/_SUCCESS")
+    val succBytes = java.nio.file.Files.readAllBytes(succ)
+    java.nio.file.Files.delete(succ)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, benchA)).toDF("bid", "text"), "text", s"$r4/bench",
+      0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, r4, "text", "doc_id",
+      s"$r4/bench", minHits = 2L) === 0L) // Z counted once (1 hit)
+    java.nio.file.Files.write(succ, succBytes) // replay committed
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, benchC)).toDF("bid", "text"), "text", s"$r4/bench",
+      1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, r4, "text", "doc_id",
+      s"$r4/bench", minHits = 2L) === 0L,
+      "leg B's recount of the replayed batch was double-counted")
+    assert(cleanIds(r4) === Set(1L, 2L, 3L))
+  }
+
   test("curation stats units guard: an ingest reconfigured with " +
       "different length-bucket bounds fails loudly instead of " +
       "silently mixing bucket scales") {
