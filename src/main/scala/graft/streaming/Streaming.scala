@@ -1154,11 +1154,57 @@ object Streaming {
         ()
       }
 
+  /** The corpus's schema-evolution POLICY: a batch whose columns
+    * diverge from the standing corpus is REJECTED before any effect.
+    * Every corpus reader (corpus / clean view / snapshots / diff /
+    * export) scans the `batch=` dirs as ONE parquet table without
+    * `mergeSchema` — at 100 TB a per-read footer merge is a full
+    * metadata pass, and a silently-divergent batch would either drop
+    * its new column from every read or shadow the standing schema
+    * nondeterministically (inference samples footers). Rejecting at
+    * the ingest gate keeps the invariant the readers rely on; evolve
+    * a schema by exporting and re-ingesting under the new shape (or
+    * a new root). Checked BEFORE the index merge so a rejected batch
+    * leaves no store half-touched. */
+  private def requireCorpusSchema(batch: DataFrame,
+      rootDir: String): Unit = {
+    val root = new HPath(s"$rootDir/corpus")
+    val fs = root.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val standing =
+      try batch.sparkSession.read.parquet(root.toString).schema
+      catch { // part-less root: nothing standing to diverge from
+        case _: org.apache.spark.sql.AnalysisException => return
+      }
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.filterNot(_.name == "batch")
+        .map(f => (f.name, f.dataType)).toSet
+    val want = shape(standing)
+    val got = shape(batch.schema)
+    if (got != want) {
+      def fmt(d: Set[(String, org.apache.spark.sql.types.DataType)]) =
+        if (d.isEmpty) "-"
+        else d.map { case (n, t) => s"$n:${t.simpleString}" }
+          .toSeq.sorted.mkString(", ")
+      throw new IllegalStateException(
+        s"corpus batch schema diverges from the standing corpus at " +
+          s"$root — batch adds [${fmt(got -- want)}], drops " +
+          s"[${fmt(want -- got)}]. Schema evolution of a standing " +
+          "batch-dir store is rejected by policy: readers scan the " +
+          "root without mergeSchema, so a divergent batch would " +
+          "silently lose or shadow columns at read time. Evolve by " +
+          "re-ingesting under the new shape into a new root (or " +
+          "export + rewrite this one).")
+    }
+  }
+
   private[graft] def curationIngestBatch(batch: DataFrame, textCol: String,
       idCol: String, rootDir: String, batchId: Long, minQuality: Double,
       lenLo: Double, lenHi: Double, numHashes: Int, bands: Int,
       shingleSize: Int, benchmarkDir: Option[String] = None,
       deconMinHits: Long = 1L): Unit = {
+    requireCorpusSchema(batch, rootDir)
     val qualGated = batch.where(
       graft.ops.Text.qualityScore(col(textCol)) >= minQuality)
       .localCheckpoint()
@@ -2581,6 +2627,7 @@ object Streaming {
       dfTable: DataFrame, n: Int, minJaccard: Double,
       benchmarkDir: Option[String] = None,
       deconMinHits: Long = 1L): Unit = {
+    requireCorpusSchema(batch, rootDir)
     val qualGated = batch.where(
       graft.ops.Text.qualityScore(col(textCol)) >= minQuality)
       .localCheckpoint()

@@ -2205,6 +2205,64 @@ class StreamingSpec extends SparkSpec {
     assert(cleanIds(r4) === Set(1L, 2L, 3L))
   }
 
+  test("corpus schema policy: a batch whose columns diverge from the " +
+      "standing corpus is rejected BEFORE any effect, and every " +
+      "reader keeps serving the standing shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-schema")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "t0")
+    def allReads() = (
+      Streaming.readCurationCorpus(spark, tmp)
+        .collect().map(_.toSeq).toSet,
+      Streaming.readCleanCorpus(spark, tmp)
+        .collect().map(_.toSeq).toSet,
+      Streaming.readSnapshot(spark, tmp, "t0")
+        .collect().map(_.toSeq).toSet,
+      Option(new java.io.File(s"$tmp/index").listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String]))
+    val before = allReads()
+    // an added column is rejected with the policy named...
+    val eAdd = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq((3L, prose3, "en")).toDF("doc_id", "text", "lang"), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(eAdd.getMessage.contains("adds [lang:string]") &&
+      eAdd.getMessage.contains("mergeSchema"))
+    // ...a dropped column likewise...
+    val eDrop = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq(3L).toDF("doc_id"), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(eDrop.getMessage.contains("drops [text:string]"))
+    // ...and a changed TYPE under the same name
+    val eType = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq((3, prose3)).toDF("doc_id", "text")
+          .withColumn("doc_id", col("doc_id").cast("int")), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(eType.getMessage.contains("doc_id:int"))
+    // the rejections were effect-free: corpus, clean view, snapshot,
+    // and index all read exactly what stood before
+    assert(allReads() === before)
+    // a conforming batch (same columns, any order) still ingests
+    Streaming.curationIngestBatch(
+      Seq((prose3, 3L)).toDF("text", "doc_id"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(Streaming.readCurationCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
+  }
+
   test("curation stats units guard: an ingest reconfigured with " +
       "different length-bucket bounds fails loudly instead of " +
       "silently mixing bucket scales") {
