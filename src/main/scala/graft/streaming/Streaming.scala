@@ -2362,6 +2362,36 @@ object Streaming {
         case _ => ()
       }
     }
+    // ---- decon: stats-delta pins and cumulative hit counts share
+    // the tombstones' commit point (_sweep), so the same
+    // ahead-of-mark rule applies; a dotted dir is a pin that crashed
+    // before its commit rename
+    for (tree <- Seq("statsdelta", "hits");
+        n <- names(s"$rootDir/decon/$tree")) {
+      val p = s"$rootDir/decon/$tree/$n"
+      val prefixes =
+        if (tree == "hits") Seq("sweep=", "base=") else Seq("sweep=")
+      val mm = prefixes.find(n.startsWith)
+        .flatMap(pre => scala.util.Try(
+          n.stripPrefix(pre).toLong).toOption)
+      if (n.startsWith("."))
+        out += (("decon", p, "warn",
+          "crashed stats-delta pin scratch (died before its commit " +
+            "rename); never read, overwritten by the sweep's rerun",
+          healDelete(p)))
+      else mm match {
+        case Some(k) if k > sweepMark.getOrElse(-1L) =>
+          out += (("decon", p, "warn",
+            s"$tree dir ahead of the committed _sweep mark — a " +
+              "crashed sweep's leftover; the next retroDecontaminate " +
+              "deletes and recomputes it", healDelete(p)))
+        case None =>
+          out += (("decon", p, "error",
+            "unparseable dir name; not written by " +
+              "retroDecontaminate — remove or rename by hand", false))
+        case _ => ()
+      }
+    }
     // ---- decon: pinned gate decisions whose corpus batch has folded
     val corpusIds = names(s"$rootDir/corpus")
       .filter(_.startsWith("batch="))

@@ -2736,6 +2736,13 @@ class StreamingSpec extends SparkSpec {
     Files.createDirectories(
       Paths.get(s"$tmp/decon/tombstones/sweep=99"))
     Files.delete(Paths.get(s"$tmp/decon/tombstones/sweep=0/_SUCCESS"))
+    // stats-delta pins / hit counts: ahead-of-mark leftovers, a
+    // crashed pin scratch, and an unparseable dir
+    Files.createDirectories(Paths.get(s"$tmp/decon/statsdelta/sweep=99"))
+    Files.createDirectories(
+      Paths.get(s"$tmp/decon/statsdelta/.sweep=99.tmp"))
+    Files.createDirectories(Paths.get(s"$tmp/decon/hits/base=99"))
+    Files.createDirectories(Paths.get(s"$tmp/decon/hits/junk"))
     Files.createDirectories(Paths.get(s"$tmp/decon/batch=7"))
     Files.createDirectories(Paths.get(s"$tmp/snapshots/.z.tmp"))
     def rmr(p: String): Unit = {
@@ -2761,6 +2768,10 @@ class StreamingSpec extends SparkSpec {
       ("corpus", "warn", "corpus/batch=0"),
       ("decon", "warn", "decon/tombstones/sweep=99"),
       ("decon", "error", "decon/tombstones/sweep=0"),
+      ("decon", "warn", "decon/statsdelta/sweep=99"),
+      ("decon", "warn", "decon/statsdelta/.sweep=99.tmp"),
+      ("decon", "warn", "decon/hits/base=99"),
+      ("decon", "error", "decon/hits/junk"),
       ("decon", "info", "decon/batch=7"),
       ("snapshot", "warn", "snapshots/.z.tmp"),
       ("snapshot", "error", "snapshots/s"),
@@ -2780,7 +2791,9 @@ class StreamingSpec extends SparkSpec {
       .map(_.getString(1).stripPrefix(s"$tmp/")).toSet
     assert(healed === Set(".corpus.compact.tmp", ".stats.stats.old",
       ".index.compact.old", "index/.df_table.compact.old",
-      "decon/tombstones/sweep=99", "snapshots/.z.tmp"))
+      "decon/tombstones/sweep=99", "decon/statsdelta/sweep=99",
+      "decon/statsdelta/.sweep=99.tmp", "decon/hits/base=99",
+      "snapshots/.z.tmp"))
     // the mid-swap df_table backup was RESTORED, not deleted
     assert(new java.io.File(s"$tmp/index/df_table").isDirectory)
     val after = Streaming.fsckCurationStore(spark, tmp).collect()
@@ -2789,6 +2802,7 @@ class StreamingSpec extends SparkSpec {
     assert(after === Set(
       ("corpus", "warn", "corpus/batch=0"),
       ("decon", "error", "decon/tombstones/sweep=0"),
+      ("decon", "error", "decon/hits/junk"),
       ("decon", "info", "decon/batch=7"),
       ("snapshot", "error", "snapshots/s"),
       ("snapshot", "error", "snapshots/ahead"),
