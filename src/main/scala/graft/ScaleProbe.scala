@@ -303,7 +303,13 @@ object ScaleProbe {
     locally {
       val tmpR = java.nio.file.Files
         .createTempDirectory("graft-retroprobe").toString
-      corpus.write.parquet(s"$tmpR/corpus/batch=0")
+      // payload + stats through the ingest's own tail, so the sweeps
+      // pin stats deltas and the repair pair below can be booked
+      var t0i = System.nanoTime()
+      graft.streaming.Streaming.ingestTail(corpus, "text", tmpR, 0L,
+        0.0, 5000.0)
+      println(f"[probe] ingest tail (payload+stats)   $total%10d docs " +
+        f"${(System.nanoTime() - t0i) / 1e9}%7.1f s")
       graft.streaming.Streaming.mergeBenchmarkNgramBatch(
         corpus.where(pmod(col("doc_id"), lit(100)) === 0),
         "text", s"$tmpR/bench", 0L, n = 8)
@@ -330,10 +336,11 @@ object ScaleProbe {
         f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
       // second epoch: 1/8 of the corpus re-idd into batch=1, one more
       // benchmark registered and swept, then snapshot t1
-      corpus.where(pmod(col("doc_id"), lit(8)) === 0)
-        .select((col("doc_id") + lit((maxId + 1) * replicas * 3))
-          .as("doc_id"), col("text"))
-        .write.parquet(s"$tmpR/corpus/batch=1")
+      graft.streaming.Streaming.ingestTail(
+        corpus.where(pmod(col("doc_id"), lit(8)) === 0)
+          .select((col("doc_id") + lit((maxId + 1) * replicas * 3))
+            .as("doc_id"), col("text")),
+        "text", tmpR, 1L, 0.0, 5000.0)
       // residue 37 lands in replica cliques the first two benchmarks
       // did NOT touch (cliques are 20 consecutive ids, so residues
       // 0/1 share cliques; 37 hits a disjoint fifth) — the sweep
@@ -359,6 +366,47 @@ object ScaleProbe {
         .distinct().queryExecution.toRdd.count()
       println(f"[probe] snapshot diff fast-path       $nFast%10d rows " +
         f"$fastS%7.1f s  vs brute $nBrute%10d rows " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      // stats repair pair: the pinned-delta subtract (O(tombstoned
+      // docs)) vs the full clean-corpus recompute it replaces
+      t0 = System.nanoTime()
+      val nSub = graft.streaming.Streaming
+        .subtractTombstonedStats(spark, tmpR)
+      println(f"[probe] stats repair (subtract)       $nSub%10d swps " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      t0 = System.nanoTime()
+      graft.streaming.Streaming.rebuildCurationStats(
+        spark, tmpR, "text", 0.0, 5000.0)
+      println(f"[probe] stats repair (full rebuild)   " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      // export: derived shard count, codec'd, manifest from the write
+      t0 = System.nanoTime()
+      graft.streaming.Streaming.exportSnapshot(spark, tmpR, "t1",
+        s"$tmpR/export_t1", "doc_id", codec = Some("gzip"))
+      val expS = (System.nanoTime() - t0) / 1e9
+      val mf = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmpR/export_t1/_MANIFEST")), "UTF-8")
+      println(f"[probe] export t1 (gzip jsonl)        $expS%7.1f s  $mf")
+      // fsck the full lifecycle root: one driver-side metadata pass
+      t0 = System.nanoTime()
+      val nFsck = graft.streaming.Streaming
+        .fsckCurationStore(spark, tmpR).count()
+      println(f"[probe] fsck lifecycle root           $nFsck%10d find " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      // fsck cost is metadata-bound: a many-batch root (128 dirs +
+      // sweeps/snapshots above) books the per-dir price
+      val tmpM = java.nio.file.Files
+        .createTempDirectory("graft-fsckmany").toString
+      (0 until 128).foreach { b =>
+        spark.range(b * 10, b * 10 + 10)
+          .select(col("id").as("doc_id"), lit("tiny probe doc text")
+            .as("text"))
+          .coalesce(1).write.parquet(s"$tmpM/corpus/batch=$b")
+      }
+      t0 = System.nanoTime()
+      val nFsckM = graft.streaming.Streaming
+        .fsckCurationStore(spark, tmpM).count()
+      println(f"[probe] fsck 128-batch root           $nFsckM%10d find " +
         f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
     }
     // greedy subword segmentation: fold (O(|V|) per position) vs the

@@ -2567,7 +2567,7 @@ object Streaming {
     * admitted rows under `corpus/batch=<id>/` and fold them into the
     * standing word-histogram and length-drift stats — stats see
     * exactly the corpus that survived, whatever gate decided it. */
-  private def ingestTail(admitted: DataFrame, textCol: String,
+  private[graft] def ingestTail(admitted: DataFrame, textCol: String,
       rootDir: String, batchId: Long, lenLo: Double,
       lenHi: Double): Unit = {
     admitted.write.mode("overwrite")
