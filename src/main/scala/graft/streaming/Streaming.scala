@@ -1331,9 +1331,13 @@ object Streaming {
     * cumulative total. A store whose increment history has a hole — a
     * pre-upgrade store, or interleaved `minHits = 1` sweeps, which
     * maintain no counts — pays ONE full-registry re-baseline pass,
-    * then is incremental again. Flipping minHits between >1 values
-    * across sweeps is sound (counts are config-independent; the
-    * threshold applies at sweep time).
+    * then is incremental again; past `graft.decon.hitsCompactEvery`
+    * increment dirs (default 16) the sweep self-compacts the history
+    * into a fresh base by union-sum (no registry re-scan), so the
+    * per-sweep history read stays bounded for the store's whole
+    * life. Flipping minHits between >1 values across sweeps is sound
+    * (counts are config-independent; the threshold applies at sweep
+    * time).
     *
     * Crash-safe, not replay-pinned: the `_sweep` marker is written
     * only after the tombstone parquet commits (and `_sweep_corpus`
@@ -1480,13 +1484,7 @@ object Streaming {
               .map(k => s"$hitsRoot/sweep=$k")
         val (newDir, newCounts) =
           if (w < 0L || !contiguous) {
-            // ONE full-registry pass (re)establishes the totals; dirs
-            // it subsumes are dropped here — a crash before the
-            // marker reruns this same branch (the gap is still a gap)
-            if (rfs.exists(hitsRoot))
-              rfs.listStatus(hitsRoot).toSeq.map(_.getPath)
-                .filter(p => dirMark(p.getName).nonEmpty)
-                .foreach(p => rfs.delete(p, true))
+            // ONE full-registry pass (re)establishes the totals
             (s"base=$m",
               hitCounts(clean, gramSlice(col("first_batch") <= m)))
           } else {
@@ -1509,11 +1507,36 @@ object Streaming {
                 .select(col(idCol), (col("n_hit") -
                   coalesce(col("__hist"), lit(0L))).as("n_hit"))
                 .where(col("n_hit") =!= 0L))
-            (s"sweep=$m", legA.unionByName(incB).groupBy(idCol)
-              .agg(sum("n_hit").as("n_hit")))
+            val inc = legA.unionByName(incB).groupBy(idCol)
+              .agg(sum("n_hit").as("n_hit"))
+            // self-compaction: past graft.decon.hitsCompactEvery
+            // increment dirs (default 16), fold history + this window
+            // into a fresh base (counts are additive, so the fold is
+            // a union-sum — no registry re-scan), keeping the
+            // per-sweep history read bounded however many sweeps a
+            // store lives through
+            if (incs.size >= spark.sparkContext.hadoopConfiguration
+                .getInt("graft.decon.hitsCompactEvery", 16))
+              ("base=" + m,
+                readHits(histPaths).fold(inc)(h =>
+                  h.unionByName(inc).groupBy(idCol)
+                    .agg(sum("n_hit").as("n_hit"))
+                    .where(col("n_hit") =!= 0L)))
+            else (s"sweep=$m", inc)
           }
         newCounts.write.mode("overwrite")
           .parquet(new HPath(hitsRoot, newDir).toString)
+        // a fresh base subsumes every older dir: drop them AFTER the
+        // write (the fold's plan reads them lazily). Crash-safe in
+        // both orders — a crash before the marker deletes the
+        // uncommitted base at the rerun's leftover cleanup, and a
+        // partial old-dir deletion reads as a history gap, which
+        // re-baselines
+        if (newDir.startsWith("base="))
+          rfs.listStatus(hitsRoot).toSeq.map(_.getPath)
+            .filter(p => p.getName != newDir &&
+              dirMark(p.getName).nonEmpty)
+            .foreach(p => rfs.delete(p, true))
         val totalPaths =
           (if (newDir.startsWith("base=")) Nil else histPaths) :+
             new HPath(hitsRoot, newDir).toString

@@ -2203,6 +2203,36 @@ class StreamingSpec extends SparkSpec {
       s"$r4/bench", minHits = 2L) === 0L,
       "leg B's recount of the replayed batch was double-counted")
     assert(cleanIds(r4) === Set(1L, 2L, 3L))
+    // ---- self-compaction: past the (lowered) increment threshold,
+    // the sweep folds its history into a fresh base — bounded
+    // per-sweep history reads — and the cumulative split is STILL
+    // caught across the fold
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setInt("graft.decon.hitsCompactEvery", 2)
+    try {
+      val r5 = mkRoot()
+      val benches = Seq(benchA, benchC,
+        "millers hung new sailcloth on the post mill sweeps before " +
+          "the autumn gales arrived",
+        "drovers counted horned cattle through the toll gate bars " +
+          "at dawn each market day",
+        benchB)
+      for ((b, i) <- benches.zipWithIndex) {
+        Streaming.mergeBenchmarkNgramBatch(
+          Seq((100L + i, b)).toDF("bid", "text"), "text",
+          s"$r5/bench", i.toLong, n = 8)
+        Streaming.retroDecontaminate(spark, r5, "text", "doc_id",
+          s"$r5/bench", minHits = 2L)
+      }
+      // history folded: one base dir plus at most the threshold's
+      // worth of increments — never 5 sweeps of dirs
+      val dirs = hitsDirs(r5)
+      assert(dirs.count(_.startsWith("base=")) === 1 &&
+        dirs.size <= 3, s"history not folded: $dirs")
+      // docX's 1 (benchA) + 1 (benchB) hits straddle the fold and
+      // still cross the threshold at the last sweep
+      assert(cleanIds(r5) === Set(2L))
+    } finally conf.unset("graft.decon.hitsCompactEvery")
   }
 
   test("corpus schema policy: a batch whose columns diverge from the " +
