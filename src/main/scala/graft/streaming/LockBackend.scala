@@ -108,39 +108,50 @@ trait LockBackend {
     * path, and only a captured file verified to bear our token is
     * deleted (a captured foreign lock is restored). Never throws —
     * release runs in `finally` paths. */
-  def release(fs: FileSystem, lock: HPath, token: String): Unit = {
-    // a TRANSIENT read failure is retried — treating it as
-    // token-mismatch would leak the lease and stall every waiter
-    // for the stale window
-    var tok = readToken(fs, lock)
-    var tries = 0
-    while (tok.isEmpty && tries < 5 && mtime(fs, lock).nonEmpty) {
-      Thread.sleep(25); tok = readToken(fs, lock); tries += 1
-    }
-    if (tok.contains(token)) {
-      val cap = new HPath(lock.getParent,
-        s"${lock.getName}.release.${java.util.UUID.randomUUID()}")
-      val captured =
-        try fs.rename(lock, cap)
-        catch { case _: java.io.IOException => false }
-      if (captured) {
-        if (readToken(fs, cap).contains(token)) fs.delete(cap, false)
-        else LockBackend.restoreOrPark(fs, cap, lock).foreach { o =>
-          System.err.println(s"[lease] release of $lock captured a " +
-            s"FOREIGN live lock (lease was broken and re-granted in " +
-            s"the check→capture window) and could not restore it; " +
-            s"parked at $o — resolve by hand")
-        }
+  def release(fs: FileSystem, lock: HPath, token: String): Unit =
+    try {
+      // a TRANSIENT read failure is retried — treating it as
+      // token-mismatch would leak the lease and stall every waiter
+      // for the stale window
+      var tok = readToken(fs, lock)
+      var tries = 0
+      while (tok.isEmpty && tries < 5 && mtime(fs, lock).nonEmpty) {
+        Thread.sleep(25); tok = readToken(fs, lock); tries += 1
       }
-      // !captured: the lock vanished or was replaced mid-release —
-      // no longer ours to remove; the path's new state is someone
-      // else's lease (or absence)
-    } else if (mtime(fs, lock).nonEmpty)
-      System.err.println(s"[lease] lock $lock no longer bears " +
-        "this holder's token at release (lease was broken and " +
-        "re-granted while paused, or the token stayed " +
-        "unreadable) — leaving the lock in place")
-  }
+      if (tok.contains(token)) {
+        val cap = new HPath(lock.getParent,
+          s"${lock.getName}.release.${java.util.UUID.randomUUID()}")
+        val captured =
+          try fs.rename(lock, cap)
+          catch { case _: java.io.IOException => false }
+        if (captured) {
+          if (readToken(fs, cap).contains(token)) fs.delete(cap, false)
+          else LockBackend.restoreOrPark(fs, cap, lock).foreach { o =>
+            System.err.println(s"[lease] release of $lock captured a " +
+              s"FOREIGN live lock (lease was broken and re-granted in " +
+              s"the check→capture window) and could not restore it; " +
+              s"parked at $o — resolve by hand")
+          }
+        }
+        // !captured: the lock vanished or was replaced mid-release —
+        // no longer ours to remove; the path's new state is someone
+        // else's lease (or absence)
+      } else if (mtime(fs, lock).nonEmpty)
+        System.err.println(s"[lease] lock $lock no longer bears " +
+          "this holder's token at release (lease was broken and " +
+          "re-granted while paused, or the token stayed " +
+          "unreadable) — leaving the lock in place")
+    } catch {
+      // release runs in `finally` on the multi-root path: a transient
+      // IO failure here must not abort the remaining releases (that
+      // would leak every still-held lock for the stale window) nor
+      // mask the body's own exception. The worst case of swallowing
+      // is a lock the stale window reclaims; fsck surfaces the
+      // leftover .release. husk
+      case e: java.io.IOException =>
+        System.err.println(s"[lease] release of $lock failed with " +
+          s"$e — leaving it to the stale window / fsck")
+    }
 }
 
 object LockBackend {

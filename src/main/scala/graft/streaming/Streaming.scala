@@ -1166,20 +1166,38 @@ object Streaming {
     * a schema by exporting and re-ingesting under the new shape (or
     * a new root). Checked BEFORE the index merge so a rejected batch
     * leaves no store half-touched. */
+  private val corpusSchemaCache = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def requireCorpusSchema(batch: DataFrame,
       rootDir: String): Unit = {
     val root = new HPath(s"$rootDir/corpus")
     val fs = root.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val standing =
-      try batch.sparkSession.read.parquet(root.toString).schema
-      catch { // part-less root: nothing standing to diverge from
-        case _: org.apache.spark.sql.AnalysisException => return
-      }
+    // the standing shape comes from ONE committed dir's footer — not
+    // a whole-root listing (O(total files) per micro-batch on the
+    // hot ingest path) — and is cached for the session: the policy
+    // below is precisely that it can never change
+    val key = fs.makeQualified(root).toString
+    val standing = Option(corpusSchemaCache.get(key)).getOrElse {
+      if (!fs.exists(root)) return
+      val ids = committedBatchDirIds(fs, root)
+      if (ids.isEmpty) return
+      val sch =
+        try batch.sparkSession.read
+          .parquet(s"$root/batch=${ids.max}").schema
+        catch { // part-less dir: nothing standing to diverge from
+          case _: org.apache.spark.sql.AnalysisException => return
+        }
+      corpusSchemaCache.put(key, sch)
+      sch
+    }
+    // a single dir's footer carries no partition column, so the
+    // comparison is over the FULL batch schema — in particular a
+    // data column named `batch` diverges (it would collide with the
+    // partition column at read time) and is rejected like any other
     def shape(s: org.apache.spark.sql.types.StructType) =
-      s.fields.filterNot(_.name == "batch")
-        .map(f => (f.name, f.dataType)).toSet
+      s.fields.map(f => (f.name, f.dataType)).toSet
     val want = shape(standing)
     val got = shape(batch.schema)
     if (got != want) {
@@ -1427,9 +1445,14 @@ object Streaming {
     def dirMark(nm: String): Option[Long] =
       Seq("sweep=", "base=").find(nm.startsWith)
         .flatMap(p => scala.util.Try(nm.stripPrefix(p).toLong).toOption)
+    // above-mark dirs are crash leftovers; a DOTTED dir is a pin
+    // scratch that died before its commit rename — also reclaimed
+    // here (the crashed sweep's mark may since have moved, so the
+    // rerun's own tmp name no longer matches it)
     for (root <- Seq(tombRoot, deltaRoot, hitsRoot) if rfs.exists(root))
       rfs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => dirMark(p.getName).exists(_ > w))
+        .filter(p => dirMark(p.getName).exists(_ > w) ||
+          p.getName.startsWith("."))
         .foreach(p => rfs.delete(p, true))
     val live = readCurationCorpus(spark, rootDir)
     val clean = readCurationTombstones(spark, rootDir)
@@ -1463,12 +1486,7 @@ object Streaming {
             .filter(_.startsWith(prefix))
             .flatMap(dirMark).filter(_ <= w).sorted
         def readHits(paths: Seq[String]): Option[DataFrame] = paths
-          .flatMap { p =>
-            try Some(spark.read.parquet(p))
-            catch { // an all-miss window writes no part files
-              case _: org.apache.spark.sql.AnalysisException => None
-            }
-          }
+          .flatMap(readParquetIfReadable(spark, _))
           .reduceOption(_ unionByName _)
         val base = committedMarks(hitsRoot, "base=")
           .lastOption
@@ -1576,14 +1594,8 @@ object Streaming {
     // store predates its `units` stamp — the sweep cannot know the
     // length-bucket bounds, and subtract will direct such stores to
     // the full rebuild
-    // an all-clean sweep writes a part-less tombstone dir whose
-    // schema cannot be read — that MEANS zero tombstones, not an
-    // error (same contract as tombstonesWhere)
-    def readCommitted(p: String): Option[DataFrame] =
-      try Some(spark.read.parquet(p))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
     for ((lenLo, lenHi) <- readStatsUnits(spark, s"$rootDir/stats");
-        deadIds <- readCommitted(out.toString)) {
+        deadIds <- readParquetIfReadable(spark, out.toString)) {
         val deadDocs = clean.join(deadIds.select(col(idCol)),
             Seq(idCol), "left_semi")
           .select(col("batch"), col(textCol))
@@ -1611,7 +1623,8 @@ object Streaming {
       finally o.close()
     }
     // count from the committed files, not a recompute of the plan
-    readCommitted(out.toString).map(_.count()).getOrElse(0L)
+    readParquetIfReadable(spark, out.toString).map(_.count())
+      .getOrElse(0L)
   }
 
   /** The accumulated tombstone set of [[retroDecontaminate]] — one id
@@ -1627,6 +1640,15 @@ object Streaming {
       asOfSweep: Option[Long] = None): Option[DataFrame] =
     tombstonesWhere(spark, rootDir,
       s => asOfSweep.fold(lit(true))(m => s <= m))
+
+  /** `spark.read.parquet(path)`, or None when the dir's schema cannot
+    * be read. An all-miss write leaves a part-less dir (Spark writes
+    * no files for an empty frame), and every decon-tree reader shares
+    * the same contract: unreadable MEANS empty, not an error. */
+  private def readParquetIfReadable(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Tombstones whose `sweep` mark satisfies `pred` (partition-pruned
     * on the `sweep=` dirs), or None before the first sweep. */
@@ -1840,7 +1862,12 @@ object Streaming {
       val applied = readLongMarker(fs,
         new HPath(dir, "_sweep_subtracted")).getOrElse(-1L)
       if (sweepMark <= applied) return 0L // coherent already
-      val statsMark = readLongMarker(fs, new HPath(dir, "_batch")).get
+      val statsMark = scala.util.Try(
+          readLongMarker(fs, new HPath(dir, "_batch"))).toOption.flatten
+        .getOrElse(throw new IllegalStateException(
+          s"stats store at $statsDir has no readable _batch mark — " +
+            "the store is torn (fsckStore flags this state); repair " +
+            "with rebuildCurationStats, which rewrites the mark"))
       val corpusRoot = new HPath(s"$rootDir/corpus")
       val okIds = committedBatchDirIds(fs, corpusRoot)
         .filter(_ >= 0L).toSet
@@ -1867,11 +1894,8 @@ object Streaming {
           .filter(k => k > applied && k <= sweepMark).sorted
       }
       if (pending.isEmpty) return 0L
-      // an unreadable (empty-write) delta part means the sweep
-      // tombstoned nothing — not an error
       def readPart(path: String): Option[DataFrame] =
-        try Some(spark.read.parquet(path))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
+        readParquetIfReadable(spark, path)
       var last = applied
       val hists = scala.collection.mutable.ListBuffer.empty[DataFrame]
       val lenss = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -2203,10 +2227,17 @@ object Streaming {
     val effShards =
       if (nShards > 0) nShards
       else {
-        val bytes = batches.map { b =>
-          storeFs.getContentSummary(
-            new HPath(s"$rootDir/corpus/batch=$b")).getLength
-        }.sum
+        // ONE recursive listing filtered to the pinned dirs — not a
+        // getContentSummary per dir, which is O(batch dirs) namenode
+        // calls (the same stampede the compactor's sizing avoids)
+        val pinned = batches.map(b => s"batch=$b").toSet
+        var bytes = 0L
+        val it = storeFs.listFiles(new HPath(s"$rootDir/corpus"), true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (pinned.contains(st.getPath.getParent.getName))
+            bytes += st.getLen
+        }
         math.max(1,
           math.ceil(bytes * 3.0 / (512L << 20)).toInt)
       }
@@ -2428,8 +2459,9 @@ object Streaming {
             "(or never committed) — harmless; only a replay of that " +
             "batch id reads it", false))
     }
-    // ---- stale leases on the curation store roots
-    for (tree <- Seq("corpus", "index");
+    // ---- stale leases on the curation store roots (stats included:
+    // fsck-heal and the stats repairs lock it)
+    for (tree <- Seq("corpus", "index", "stats");
         f <- leaseFinding(fs, s"$rootDir/$tree"))
       out += f
     // ---- snapshots: manifests must parse, their pins must hold, and
@@ -3863,7 +3895,13 @@ object Streaming {
       hb.interrupt()
       hb.join(1000L)
       taken.reverseIterator.foreach { case (fs, p, token) =>
-        backend.release(fs, p, token)
+        // a custom backend's release may not honor the never-throws
+        // contract: one failure must not leak the remaining locks
+        try backend.release(fs, p, token)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[lease] release of $p threw $e — " +
+            "leaving it to the stale window / fsck")
+        }
       }
     }
   }

@@ -2266,6 +2266,14 @@ class StreamingSpec extends SparkSpec {
     }
     assert(eAdd.getMessage.contains("adds [lang:string]") &&
       eAdd.getMessage.contains("mergeSchema"))
+    // ...a data column NAMED like the partition column especially
+    // (it would collide with batch= at read time)...
+    val eBatch = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq((3L, prose3, 9L)).toDF("doc_id", "text", "batch"), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(eBatch.getMessage.contains("adds [batch:bigint]"))
     // ...a dropped column likewise...
     val eDrop = intercept[IllegalStateException] {
       Streaming.curationIngestBatch(
