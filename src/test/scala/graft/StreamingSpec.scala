@@ -2301,6 +2301,41 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("subtractTombstonedStats after corpus compaction: a delta " +
+      "batch folded away does not hold the repair the way a torn " +
+      "dir does") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-subcmp")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    for ((docs, b) <- Seq(Seq((1L, prose1), (2L, prose2)) -> 0L,
+        Seq((3L, prose3)) -> 1L))
+      Streaming.curationIngestBatch(docs.toDF("doc_id", "text"),
+        "text", "doc_id", tmp, b, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // sweep tombstones doc 2 (batch 0) and pins its delta keyed by
+    // batch 0; the compaction then FOLDS batch 0 into batch=-1 — the
+    // dir is gone, but its rows (and stats contributions) live on
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    Streaming.compactCurationCorpus(spark, tmp)
+    assert(!new java.io.File(s"$tmp/corpus/batch=0").exists(),
+      "compaction did not fold batch 0 — the scenario is not set up")
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 1L)
+    val stored = Streaming.readWordHistogram(spark, s"$tmp/stats")
+      .collect().map(_.toSeq).toSet
+    val clean = graft.ops.Bpe.wordHistogram(
+      Streaming.readCleanCorpus(spark, tmp), "text")
+      .collect().map(_.toSeq).toSet
+    assert(stored === clean)
+  }
+
   test("curation stats units guard: an ingest reconfigured with " +
       "different length-bucket bounds fails loudly instead of " +
       "silently mixing bucket scales") {
