@@ -23,25 +23,49 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // two rounds of driver BENCH files were pure load noise: do not
+    // START into a burst. Wait (bounded — default 10 min, tunable via
+    // SPARK_GRAFT_BENCH_WAIT_S) for the 1-minute loadavg to drop below
+    // the warn threshold; the wait itself is booked in the JSON so a
+    // still-flagged run shows it tried.
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_S", "600").toLong
+    val waitT0 = System.nanoTime()
+    while (loadavg() > 2.0 &&
+        (System.nanoTime() - waitT0) / 1e9 < maxWaitS)
+      Thread.sleep(10000L)
+    val waitedS = math.round((System.nanoTime() - waitT0) / 1e9)
     val loadBefore = loadavg()
     // absorb session/scheduler warm-up outside any measured query, and run
     // queries in name order so per-query numbers are comparable across runs
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // execute the PLANNED query (projections, sorts and all) and count
       // its rows — df.count() would let Catalyst prune every projected
-      // expression and eliminate sorts, timing only a parquet row count.
-      // Two timed runs, min reported: steady-state latency rather than
-      // whichever run a transient host-load burst happened to hit.
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      (name, times.min, times.max)
+      // expression and eliminate sorts, timing only a parquet row count
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        // two timed runs, min reported: steady-state latency rather than
+        // whichever run a transient host-load burst happened to hit
+        val times = (1 to 2).map(_ => timeOnce(fn))
+        (name, fn, times.min, times.max)
+    }
+    // a non-trivial query whose two runs spread >3x was hit by a burst
+    // (steady-state queries do not spread): give each ONE more run after
+    // the pass — by then the burst has usually moved on — and report the
+    // min, so the booked number converges toward the quiet-host figure.
+    // The spread flag itself stays (honesty about run conditions).
+    val results = firstPass.map { case (name, fn, mn, mx) =>
+      if (mn > 0.5 && mx / mn > 3.0) (name, math.min(mn, timeOnce(fn)), mx)
+      else (name, mn, mx)
+    }
+    val retried = firstPass.count { case (_, _, mn, mx) =>
+      mn > 0.5 && mx / mn > 3.0 }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -56,8 +80,11 @@ object Bench {
     val loadWarn =
       if (loadBefore > 2.0 || loadAfter > 2.0 || spreadHit)
         ",\"load_warning\":true" else ""
+    val waitNote =
+      if (waitedS > 0 || retried > 0)
+        s""","waited_s":$waitedS,"retried":$retried""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$loadWarn}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$loadWarn$waitNote}"""
     // the metric must survive log interleaving AND a bounded tail capture
     // (the harness keeps only the last ~2000 chars of stdout, and sbt
     // appends a "[success]" banner after us): persist the full JSON to a

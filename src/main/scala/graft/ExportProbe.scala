@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical export-sizing probe (dev tool, like ScaleProbe): builds
+  * a multi-GB curation corpus by replicating the documents fixture,
+  * snapshots it, runs [[graft.streaming.Streaming.exportSnapshot]]
+  * with derived shard counts (`nShards = 0`) for each codec, and
+  * prints the resulting shard-size histogram against the 512 MB
+  * target — the evidence that the codec-aware expansion factor lands
+  * shards near the target instead of 3× under it for compressed
+  * exports.
+  *
+  * Usage: runMain graft.ExportProbe [replicas] [sfDir] [workDir]
+  */
+object ExportProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.length > 0) args(0).toInt else 1000
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val work = if (args.length > 2) args(2) else "/tmp/graft-export-probe"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rmr(p: String): Unit = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).foreach(_.foreach(f => rmr(f.getPath)))
+      d.delete(); ()
+    }
+    rmr(work)
+    val root = s"$work/store"
+
+    // replicated corpus with perturbed ids/texts — the rep marker
+    // keeps rows distinct so parquet cannot collapse them to one page
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = base.crossJoin(spark.range(replicas).toDF("rep"))
+      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" replica marker "), col("rep"))
+          .as("text"))
+    // four committed batch dirs — the export's sizing listing walks
+    // the pinned dirs exactly as it would a real ingest history
+    for (b <- 0 to 3)
+      corpus.where(pmod(col("doc_id"), lit(4)) === b)
+        .repartition(8)
+        .write.parquet(s"$root/corpus/batch=$b")
+    val pq = {
+      var bytes = 0L
+      val it = new org.apache.hadoop.fs.Path(s"$root/corpus")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listFiles(new org.apache.hadoop.fs.Path(s"$root/corpus"), true)
+      while (it.hasNext) bytes += it.next().getLen
+      bytes
+    }
+    println(f"[probe] corpus parquet bytes: ${pq / 1e6}%.0f MB")
+    graft.streaming.Streaming.snapshotCorpus(spark, root, "p")
+
+    for (codec <- Seq(None, Some("gzip"))) {
+      val out = s"$work/export-${codec.getOrElse("plain")}"
+      val t0 = System.nanoTime()
+      graft.streaming.Streaming.exportSnapshot(spark, root, "p", out,
+        "doc_id", nShards = 0, codec = codec)
+      val s = (System.nanoTime() - t0) / 1e9
+      val sizes = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.length()).sorted
+      val tot = sizes.sum / 1e6
+      println(f"[probe] codec=${codec.getOrElse("plain")}%-5s " +
+        f"$s%6.1f s  shards=${sizes.length}%3d  total=$tot%7.0f MB  " +
+        f"min=${sizes.min / 1e6}%6.0f MB  " +
+        f"mean=${sizes.sum / sizes.length / 1e6}%6.0f MB  " +
+        f"max=${sizes.max / 1e6}%6.0f MB  (target 512 MB)")
+    }
+    spark.stop()
+  }
+}

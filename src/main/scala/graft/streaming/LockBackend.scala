@@ -40,15 +40,22 @@ trait LockBackend {
 
   /** The token `lock` currently bears, `None` if absent or
     * unreadable — the fence every destructive path checks before
-    * touching the file. */
+    * touching the file. Reads to EOF in a loop: the InputStream
+    * contract permits short reads, and a partially-read token would
+    * fail the release fence and leak the lease for the full stale
+    * window. */
   def readToken(fs: FileSystem, lock: HPath): Option[String] =
     try {
       val in = fs.open(lock)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(if (n <= 0) ""
-          else new String(buf, 0, n, StandardCharsets.UTF_8))
+        val buf = new Array[Byte](256)
+        var off = 0
+        var n = 0
+        while (n >= 0 && off < buf.length) {
+          n = in.read(buf, off, buf.length - off)
+          if (n > 0) off += n
+        }
+        Some(new String(buf, 0, off, StandardCharsets.UTF_8))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -155,6 +162,19 @@ trait LockBackend {
 }
 
 object LockBackend {
+  /** A fresh lease token: `<pid>@<host>/<uuid>`. The uuid makes it
+    * unique (the fence compares the WHOLE string); the pid@host
+    * prefix is operator telemetry — `cat .store.lock` (or the
+    * waiter's periodic "waiting on" log line) names the holder, so a
+    * live long hold is distinguishable from a leaked lease without
+    * running fsck. Truncated defensively so the token always fits
+    * [[LockBackend.readToken]]'s 256-byte fence read. */
+  private[streaming] def newToken(): String = {
+    val who = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.take(180)
+    s"$who/${java.util.UUID.randomUUID()}"
+  }
+
   /** Restore a claimed/captured file back to the lock path, retrying
     * while a competitor transiently occupies it; on persistent
     * failure park the file at a `.orphan.<uuid>` sibling (the live
@@ -206,7 +226,7 @@ object HadoopLockBackend extends LockBackend {
     new java.io.File(fs.makeQualified(lock).toUri.getPath)
 
   override def tryAcquire(fs: FileSystem, lock: HPath): Option[String] = {
-    val token = java.util.UUID.randomUUID().toString
+    val token = LockBackend.newToken()
     val bytes = token.getBytes(StandardCharsets.UTF_8)
     fs match {
       case _: LocalFileSystem | _: RawLocalFileSystem =>

@@ -1179,27 +1179,46 @@ object Streaming {
     // hot ingest path) — and is cached for the session: the policy
     // below is precisely that it can never change
     val key = fs.makeQualified(root).toString
-    val standing = Option(corpusSchemaCache.get(key)).getOrElse {
-      if (!fs.exists(root)) return
+    // None = nothing standing to diverge from (absent root, no
+    // committed dirs, or a part-less dir)
+    def readStanding(): Option[org.apache.spark.sql.types.StructType] = {
+      if (!fs.exists(root)) return None
       val ids = committedBatchDirIds(fs, root)
-      if (ids.isEmpty) return
-      val sch =
-        try batch.sparkSession.read
-          .parquet(s"$root/batch=${ids.max}").schema
-        catch { // part-less dir: nothing standing to diverge from
-          case _: org.apache.spark.sql.AnalysisException => return
-        }
-      corpusSchemaCache.put(key, sch)
-      sch
+      if (ids.isEmpty) return None
+      try Some(batch.sparkSession.read
+        .parquet(s"$root/batch=${ids.max}").schema)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     }
+    val cached = Option(corpusSchemaCache.get(key))
+    val standing = cached.orElse {
+      val s = readStanding()
+      s.foreach(corpusSchemaCache.put(key, _))
+      s
+    }.getOrElse(return)
     // a single dir's footer carries no partition column, so the
     // comparison is over the FULL batch schema — in particular a
     // data column named `batch` diverges (it would collide with the
     // partition column at read time) and is rejected like any other
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSet
-    val want = shape(standing)
+    var want = shape(standing)
     val got = shape(batch.schema)
+    if (got != want && cached.nonEmpty) {
+      // the cached shape may be STALE — the corpus was rebuilt under
+      // a new schema at the same path (readers re-list every call, so
+      // they already see the new shape; only this cache would not).
+      // Re-read the standing footer before judging, so a rebuilt
+      // store neither wrongly admits old-shape batches nor rejects
+      // conforming ones until driver restart
+      readStanding() match {
+        case None => corpusSchemaCache.remove(key); return
+        case Some(fresh) =>
+          corpusSchemaCache.put(key, fresh)
+          want = shape(fresh)
+      }
+    }
     if (got != want) {
       def fmt(d: Set[(String, org.apache.spark.sql.types.DataType)]) =
         if (d.isEmpty) "-"
@@ -1534,13 +1553,21 @@ object Streaming {
             // per-sweep history read bounded however many sweeps a
             // store lives through
             if (incs.size >= spark.sparkContext.hadoopConfiguration
-                .getInt("graft.decon.hitsCompactEvery", 16))
+                .getInt("graft.decon.hitsCompactEvery", 16)) {
+              val folded = readHits(histPaths).fold(inc)(h =>
+                h.unionByName(inc).groupBy(idCol)
+                  .agg(sum("n_hit").as("n_hit"))
+                  .where(col("n_hit") =!= 0L))
+              // an already-tombstoned doc can never cross the
+              // threshold again (the test below anti-joins tombstones
+              // regardless), so its positive rows are dead weight the
+              // base would otherwise carry forever — drop them at the
+              // fold. Docs THIS sweep tombstones are committed after
+              // the write and fall out at the next fold
               ("base=" + m,
-                readHits(histPaths).fold(inc)(h =>
-                  h.unionByName(inc).groupBy(idCol)
-                    .agg(sum("n_hit").as("n_hit"))
-                    .where(col("n_hit") =!= 0L)))
-            else (s"sweep=$m", inc)
+                readCurationTombstones(spark, rootDir).fold(folded)(t =>
+                  folded.join(t, Seq(idCol), "left_anti")))
+            } else (s"sweep=$m", inc)
           }
         newCounts.write.mode("overwrite")
           .parquet(new HPath(hitsRoot, newDir).toString)
@@ -1772,7 +1799,12 @@ object Streaming {
   def rebuildCurationStats(spark: SparkSession, rootDir: String,
       textCol: String, lenLo: Double = 0.0,
       lenHi: Double = 1000.0): Unit =
-    withStoreLock(spark, Seq(s"$rootDir/index", s"$rootDir/corpus")) {
+    // stats is in the lock set alongside ingest's two roots: a
+    // standalone fsckCurationStore(heal = true) holds corpus+index+
+    // stats, and without the stats lease its restore/delete heals
+    // could race this repair's own restoreFromBackup/atomicSwap
+    withStoreLock(spark, Seq(s"$rootDir/index", s"$rootDir/corpus",
+        s"$rootDir/stats")) {
       // the rebuild reads the whole corpus: reclaim any move-carry
       // crash scratch first, or the recompute would durably commit
       // stats missing the relocated dirs
@@ -1849,7 +1881,10 @@ object Streaming {
     * pin. */
   def subtractTombstonedStats(spark: SparkSession,
       rootDir: String): Long =
-    withStoreLock(spark, Seq(s"$rootDir/index", s"$rootDir/corpus")) {
+    // stats joins the lock set for the same reason as in
+    // [[rebuildCurationStats]]: fsck-heal takes the stats lease alone
+    withStoreLock(spark, Seq(s"$rootDir/index", s"$rootDir/corpus",
+        s"$rootDir/stats")) {
       val statsDir = s"$rootDir/stats"
       val dir = new HPath(statsDir)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1954,7 +1989,12 @@ object Streaming {
         "word", "cnt").write.parquet(s"$tmp/hist")
       minus(spark.read.parquet(s"$statsDir/lens"), lenss.toSeq,
         "bucket", "n").write.parquet(s"$tmp/lens")
-      spark.read.parquet(s"$statsDir/units").write.parquet(s"$tmp/units")
+      // a pre-unit-stamp store has no units part — preserve the
+      // absence rather than throwing a raw read error mid-repair (the
+      // deltas themselves never touch units; only rebuildCurationStats
+      // upgrades the stamp in place)
+      readParquetIfReadable(spark, s"$statsDir/units")
+        .foreach(_.write.parquet(s"$tmp/units"))
       for ((f, v) <- Seq("_batch" -> statsMark.toString,
           "_sweep_subtracted" -> last.toString)) {
         val out = fs.create(new HPath(tmp, f), true)
@@ -2238,8 +2278,21 @@ object Streaming {
           if (pinned.contains(st.getPath.getParent.getName))
             bytes += st.getLen
         }
+        // expansion factor = expected SHARD bytes per parquet byte,
+        // codec-aware: plain JSONL runs ≈ 3× the parquet bytes, but a
+        // compressed shard lands near parquet's own (compressed) size
+        // — gzip ≈ 1×, zstd ≈ 0.9× — so sizing compressed exports by
+        // the uncompressed-JSON factor would cut every shard to
+        // ~1/3 of the 512 MB target and triple the file count at
+        // 100 TB
+        val expand = codec.map(_.toLowerCase) match {
+          case Some("gzip") => 1.0
+          case Some("zstd") => 0.9
+          case Some(_) => 1.0 // unknown codec: assume it compresses
+          case None => 3.0
+        }
         math.max(1,
-          math.ceil(bytes * 3.0 / (512L << 20)).toInt)
+          math.ceil(bytes * expand / (512L << 20)).toInt)
       }
     val view = readSnapshot(spark, rootDir, name)
     val nDocs = graft.ops.Warehouse.writeJsonlShards(
@@ -2444,6 +2497,49 @@ object Streaming {
             "unparseable dir name; not written by " +
               "retroDecontaminate — remove or rename by hand", false))
         case _ => ()
+      }
+    }
+    // ---- decon: hits-history contiguity and stats-subtract lag —
+    // both INFO: the store heals itself (a re-baseline pass / a later
+    // repair), but each carries a cost the operator should see coming
+    // rather than discover as a surprise full-registry scan
+    locally {
+      val mk = sweepMark.getOrElse(-1L)
+      def committedDeconMarks(tree: String, prefix: String): Seq[Long] =
+        names(s"$rootDir/decon/$tree").filter(_.startsWith(prefix))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix(prefix).toLong).toOption)
+          .filter(_ <= mk)
+      committedDeconMarks("hits", "base=").sorted.lastOption
+        .foreach { b =>
+          val incs = committedDeconMarks("hits", "sweep=").toSet
+          val missing = committedDeconMarks("tombstones", "sweep=")
+            .filter(k => k > b && !incs.contains(k)).sorted
+          if (missing.nonEmpty)
+            out += (("decon", s"$rootDir/decon/hits", "info",
+              "cumulative hit-count history has a gap — committed " +
+                s"sweep(s) ${missing.mkString(", ")} since base=$b " +
+                "left no increment (interleaved minHits=1 sweeps " +
+                "maintain no counts). Correct but costly: the next " +
+                "minHits>1 sweep re-baselines with ONE full-registry " +
+                "pass instead of a window read", false))
+        }
+      if (exists(s"$rootDir/stats")) {
+        val sub = readLong(s"$rootDir/stats/_sweep_subtracted")
+          .getOrElse(-1L)
+        // only when committed sweep DIRS sit in the un-subtracted
+        // window — dir presence is metadata, so the audit stays
+        // O(listing); an all-clean sweep's subtract is a cheap no-op
+        val lagging = committedDeconMarks("tombstones", "sweep=")
+          .filter(k => k > sub)
+        if (sub < mk && lagging.nonEmpty)
+          out += (("stats", s"$rootDir/stats/_sweep_subtracted", "info",
+            "curation stats still count any documents tombstoned by " +
+              s"sweep(s) ${lagging.sorted.mkString(", ")} — " +
+              "word/length aggregates over-count until " +
+              "subtractTombstonedStats (O(tombstoned docs)) or " +
+              "rebuildCurationStats applies them (a no-op if those " +
+              "sweeps were clean)", false))
       }
     }
     // ---- decon: pinned gate decisions whose corpus batch has folded
@@ -3848,6 +3944,12 @@ object Streaming {
     def acquire(fs: org.apache.hadoop.fs.FileSystem,
                 lock: HPath): String = {
       val deadline = System.currentTimeMillis() + timeoutMs
+      // periodic "still waiting" telemetry: a waiter blocked behind a
+      // long LIVE hold (a whole-corpus rebuild) should be
+      // distinguishable from one wedged behind a leak without waiting
+      // for the timeout exception — the token's pid@host prefix names
+      // the holder, the mtime dates the last heartbeat
+      var nextWaitLog = System.currentTimeMillis() + 30000L
       var held: Option[String] = None
       while (held.isEmpty) {
         held = backend.tryAcquire(fs, lock)
@@ -3855,11 +3957,21 @@ object Streaming {
           case Some(m)
               if System.currentTimeMillis() - m > staleAfterMs =>
             backend.breakStale(fs, lock, m) // then retry create
-          case Some(_) if System.currentTimeMillis() > deadline =>
+          case Some(m) if System.currentTimeMillis() > deadline =>
             throw new IllegalStateException(
-              s"store lease $lock held past $timeoutMs ms — if its " +
-                "holder is dead, delete the file to break the lease")
-          case _ => Thread.sleep(50) // live lock, or vanished: re-poll
+              s"store lease $lock held past $timeoutMs ms by " +
+                s"${backend.readToken(fs, lock).getOrElse("<unreadable>")}" +
+                s" (last heartbeat ${new java.sql.Timestamp(m)}) — if " +
+                "its holder is dead, delete the file to break the lease")
+          case Some(m) =>
+            if (System.currentTimeMillis() >= nextWaitLog) {
+              System.err.println(s"[lease] waiting on $lock held by " +
+                s"${backend.readToken(fs, lock).getOrElse("<unreadable>")}" +
+                s", last heartbeat ${new java.sql.Timestamp(m)}")
+              nextWaitLog = System.currentTimeMillis() + 30000L
+            }
+            Thread.sleep(50) // live lock: re-poll
+          case _ => Thread.sleep(50) // vanished: re-poll
         }
       }
       held.get

@@ -2788,6 +2788,9 @@ class StreamingSpec extends SparkSpec {
       Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
     assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
       bdir) === 1L)
+    // apply the sweep's stats deltas — an unapplied sweep is itself an
+    // (info) finding, and the healthy baseline must be findings-free
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 1L)
     Streaming.curationIngestBatch(
       Seq((3L, prose3)).toDF("doc_id", "text"), "text",
       "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
@@ -4124,6 +4127,236 @@ class StreamingSpec extends SparkSpec {
     val batch = spark.read.parquet(src).groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed === batch)
+  }
+
+  test("fsck: a hits-history gap (interleaved minHits=1 sweep) is an " +
+      "INFO finding naming the re-baseline cost") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fsckgap")
+      .toString
+    val pa = "red kites circled the high chalk downs hunting"
+    val benchA = s"$pa over quiet farmland all afternoon long today"
+    val benchC = "nine grey herons waited motionless along the " +
+      "frozen millpond margin at first light"
+    Streaming.curationIngestBatch(
+      Seq((1L, s"$pa through a cold clear morning sky"),
+        (2L, "carpenters sawed seasoned oak planks beside the " +
+          "tithe barn doors all morning")).toDF("doc_id", "text"),
+      "text", "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, benchA)).toDF("bid", "text"), "text", s"$tmp/bench",
+      0L, n = 8)
+    // sweep 0 at minHits=2 establishes the hit-count base
+    Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      s"$tmp/bench", minHits = 2L)
+    assert(new java.io.File(s"$tmp/decon/hits/base=0").exists())
+    assert(Streaming.fsckCurationStore(spark, tmp)
+      .where(col("path").endsWith("decon/hits")).isEmpty,
+      "a contiguous history must not be flagged")
+    // sweep 1 at minHits=1 maintains NO counts — the history now has
+    // a committed sweep with no increment
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((101L, benchC)).toDF("bid", "text"), "text", s"$tmp/bench",
+      1L, n = 8)
+    Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      s"$tmp/bench", minHits = 1L)
+    val f = Streaming.fsckCurationStore(spark, tmp)
+      .where(col("path").endsWith("decon/hits")).collect()
+    assert(f.length === 1 && f(0).getString(2) === "info",
+      s"hits gap must surface as ONE info finding: ${f.toSeq}")
+    assert(f(0).getString(3).contains("sweep(s) 1") &&
+      f(0).getString(3).contains("full-registry"),
+      s"detail must name the gap and the re-baseline cost: ${f(0)}")
+  }
+
+  test("fsck: stats lagging the sweep mark (_sweep_subtracted behind " +
+      "_sweep with tombstone sweeps in the window) is an INFO finding " +
+      "naming the repair; applying the repair clears it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fscklag")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1), (2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", s"$tmp/bench",
+      0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      s"$tmp/bench") === 1L)
+    // the sweep tombstoned doc 2 but its stats deltas are unapplied
+    val f = Streaming.fsckCurationStore(spark, tmp)
+      .where(col("area") === "stats").collect()
+    assert(f.length === 1 && f(0).getString(2) === "info",
+      s"stats lag must surface as ONE info finding: ${f.toSeq}")
+    assert(f(0).getString(3).contains("subtractTombstonedStats"),
+      s"detail must name the O(tombstoned docs) repair: ${f(0)}")
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 1L)
+    assert(Streaming.fsckCurationStore(spark, tmp)
+      .where(col("area") === "stats").isEmpty,
+      "an applied repair must clear the lag finding")
+  }
+
+  test("hits base fold drops already-tombstoned docs — they can never " +
+      "cross the threshold again — and sweep results are unchanged") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setInt("graft.decon.hitsCompactEvery", 1)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hitsprune")
+        .toString
+      val pa = "red kites circled the high chalk downs hunting"
+      val pb = "black barges slid beneath the iron bridge upstream"
+      val docX = s"$pa meanwhile the village fair spread bright " +
+        s"awnings over wet cobbles $pb"
+      val docY = "carpenters sawed seasoned oak planks beside the " +
+        "tithe barn doors all morning"
+      Streaming.curationIngestBatch(
+        Seq((1L, docX), (2L, docY)).toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+      def cleanIds() = Streaming.readCleanCorpus(spark, tmp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      def baseIds(k: Long) =
+        try spark.read.parquet(s"$tmp/decon/hits/base=$k")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        catch { // part-less dir: an all-pruned (empty) base
+          case _: org.apache.spark.sql.AnalysisException => Set.empty[Long]
+        }
+      // sweeps 0-1 split docX's hits (1 vs A + 1 vs B → tombstoned at
+      // sweep 1); sweeps 3-4 split docY's the same way; sweep 2
+      // matches nothing. Folds land at sweeps 2 and 4 (threshold 1)
+      val benches = Seq(
+        s"$pa over quiet farmland all afternoon long today",
+        s"$pb toward open tide gates at dusk slowly",
+        "nine grey herons waited motionless along the frozen " +
+          "millpond margin at first light",
+        "carpenters sawed seasoned oak planks beside the tithe " +
+          "stone wall at noon",
+        "planks beside the tithe barn doors all morning before the " +
+          "rain arrived")
+      for ((b, i) <- benches.zipWithIndex) {
+        Streaming.mergeBenchmarkNgramBatch(
+          Seq((100L + i, b)).toDF("bid", "text"), "text",
+          s"$tmp/bench", i.toLong, n = 8)
+        Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+          s"$tmp/bench", minHits = 2L)
+        if (i == 1) assert(cleanIds() === Set(2L),
+          "split-hit docX not tombstoned at sweep 1")
+        if (i == 2) {
+          // the sweep-2 fold must NOT carry tombstoned doc 1's rows —
+          // dead weight a 100 TB store would otherwise accrete forever
+          assert(new java.io.File(s"$tmp/decon/hits/base=2").exists())
+          assert(!baseIds(2L).contains(1L),
+            s"folded base still carries tombstoned doc 1: ${baseIds(2L)}")
+        }
+      }
+      // post-fold sweeps still threshold correctly: docY's split hits
+      // (sweeps 3 + 4) straddle the pruned base and cross the line
+      assert(cleanIds() === Set.empty[Long],
+        "split-hit docY not caught across the pruned fold")
+      // the sweep-4 fold keeps docY (tombstoned only AFTER the fold's
+      // write commits) and still excludes doc 1 — pruning is selective
+      assert(baseIds(4L) === Set(2L))
+    } finally conf.unset("graft.decon.hitsCompactEvery")
+  }
+
+  test("corpus schema cache: a root REBUILT under a new schema at the " +
+      "same path is re-read, not judged by the stale cached shape") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-schemaevict")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // rebuild the store in place under an EVOLVED schema (the path the
+    // rejection error itself recommends: re-ingest under a new shape)
+    def rmr(p: String): Unit = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).foreach(_.foreach(f => rmr(f.getPath)))
+      d.delete(); ()
+    }
+    rmr(tmp)
+    // the cached old shape must not reject the new store's first batch
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1, "en")).toDF("doc_id", "text", "lang"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // nor admit an OLD-shape batch once the new shape stands
+    Streaming.curationIngestBatch(
+      Seq((2L, prose3, "en")).toDF("doc_id", "text", "lang"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    val e = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(e.getMessage.contains("drops [lang:string]"))
+    assert(Streaming.readCurationCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+  }
+
+  test("subtractTombstonedStats: a pre-unit-stamp store whose pending " +
+      "sweeps were all clean advances the marker without throwing and " +
+      "preserves the units part's absence") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nounits")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // simulate a store written before the units stamp existed
+    def rmr(p: String): Unit = {
+      val d = new java.io.File(p)
+      Option(d.listFiles).foreach(_.foreach(f => rmr(f.getPath)))
+      d.delete(); ()
+    }
+    rmr(s"$tmp/stats/units")
+    // a benchmark sharing no 8-gram with the corpus: the sweep commits
+    // an EMPTY tombstone set and (units-less) pins no stats delta
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, "nine grey herons waited motionless along the " +
+        "frozen millpond margin at first light")).toDF("bid", "text"),
+      "text", s"$tmp/bench", 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      s"$tmp/bench") === 0L)
+    val histBefore = spark.read.parquet(s"$tmp/stats/hist")
+      .collect().map(_.toSeq).toSet
+    // the all-clean sweep applies as a marker-only advance — no raw
+    // AnalysisException from the absent units part
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 1L)
+    assert(!new java.io.File(s"$tmp/stats/units").exists(),
+      "repair must not conjure a units part the store never had")
+    assert(spark.read.parquet(s"$tmp/stats/hist")
+      .collect().map(_.toSeq).toSet === histBefore)
+    assert(Streaming.subtractTombstonedStats(spark, tmp) === 0L)
+  }
+
+  test("store lease: the waiter's timeout exception names the holder " +
+      "(pid@host token) and its last heartbeat") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-leasewho")
+      .toString
+    val root = s"$tmp/store"
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val holder = new Thread(() => {
+      try Streaming.withStoreLock(spark, Seq(root)) {
+        Thread.sleep(1500); ()
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    holder.start()
+    Thread.sleep(200) // let the holder acquire
+    val e = intercept[IllegalStateException] {
+      Streaming.withStoreLock(spark, Seq(root), timeoutMs = 300L) { () }
+    }
+    holder.join()
+    assert(errs.isEmpty, s"holder failed: ${errs.peek()}")
+    assert(e.getMessage.contains("held past") &&
+      e.getMessage.matches("(?s).*\\d+@\\S+/[0-9a-f-]{36}.*") &&
+      e.getMessage.contains("last heartbeat"),
+      s"timeout must identify the holder: ${e.getMessage}")
   }
 }
 
