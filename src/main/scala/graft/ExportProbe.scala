@@ -61,14 +61,29 @@ object ExportProbe {
     println(f"[probe] corpus parquet bytes: ${pq / 1e6}%.0f MB")
     graft.streaming.Streaming.snapshotCorpus(spark, root, "p")
 
-    for (codec <- Seq(None, Some("gzip"))) {
+    for (codec <- Seq(None, Some("gzip"), Some("zstd"))) {
       val out = s"$work/export-${codec.getOrElse("plain")}"
       val t0 = System.nanoTime()
-      graft.streaming.Streaming.exportSnapshot(spark, root, "p", out,
+      // zstd for TEXT sinks rides Hadoop's ZStandardCodec, which needs
+      // native libhadoop — absent in some environments (this container
+      // included); report instead of aborting the probe
+      try graft.streaming.Streaming.exportSnapshot(spark, root, "p", out,
         "doc_id", nShards = 0, codec = codec)
+      catch {
+        case e: Exception
+            if e.getMessage != null &&
+              e.getMessage.contains("CODEC_NOT_AVAILABLE") =>
+          println(s"[probe] codec=${codec.getOrElse("plain")} " +
+            "unavailable in this environment (text-sink zstd needs " +
+            "native hadoop) — skipped")
+          spark.stop(); return
+      }
       val s = (System.nanoTime() - t0) / 1e9
+      // one size per shard = the sum of its shard=N dir's part files
       val sizes = new java.io.File(out).listFiles()
-        .filter(_.getName.startsWith("part-")).map(_.length()).sorted
+        .filter(_.getName.startsWith("shard="))
+        .map(d => Option(d.listFiles()).map(_.map(_.length()).sum)
+          .getOrElse(0L)).sorted
       val tot = sizes.sum / 1e6
       println(f"[probe] codec=${codec.getOrElse("plain")}%-5s " +
         f"$s%6.1f s  shards=${sizes.length}%3d  total=$tot%7.0f MB  " +

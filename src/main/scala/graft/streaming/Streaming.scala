@@ -2279,16 +2279,21 @@ object Streaming {
             bytes += st.getLen
         }
         // expansion factor = expected SHARD bytes per parquet byte,
-        // codec-aware: plain JSONL runs ≈ 3× the parquet bytes, but a
-        // compressed shard lands near parquet's own (compressed) size
-        // — gzip ≈ 1×, zstd ≈ 0.9× — so sizing compressed exports by
-        // the uncompressed-JSON factor would cut every shard to
-        // ~1/3 of the 512 MB target and triple the file count at
-        // 100 TB
+        // codec-aware: sizing compressed exports by the
+        // uncompressed-JSON factor would cut every shard to a
+        // fraction of the 512 MB target and multiply the file count
+        // at 100 TB. Factors are ExportProbe-measured on a multi-GB
+        // corpus (PERF.md round 12): plain JSONL ran 2.94× the
+        // snappy-parquet bytes, gzip 0.57× (cross-row text
+        // compression beats parquet's per-page snappy); zstd is
+        // gzip-pegged slightly tighter (text-sink zstd needs native
+        // hadoop, absent where the probe runs). Rounded UP from the
+        // measurement: an overestimated factor errs toward slightly
+        // smaller shards, never oversized ones
         val expand = codec.map(_.toLowerCase) match {
-          case Some("gzip") => 1.0
-          case Some("zstd") => 0.9
-          case Some(_) => 1.0 // unknown codec: assume it compresses
+          case Some("gzip") => 0.6
+          case Some("zstd") => 0.55
+          case Some(_) => 0.6 // unknown codec: assume it compresses
           case None => 3.0
         }
         math.max(1,
