@@ -16,10 +16,12 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *    `ifGenerationMatch=0`, Azure Blob `Put Blob` with
   *    `If-None-Match: *`.
   *  - `putIfMatches` — S3 `PutObject` with `If-Match: <etag>`, GCS
-  *    `ifGenerationMatch=<gen>`, Azure `If-Match`. (The lease only
-  *    ever rewrites the SAME bytes — a heartbeat — so "matches" is
-  *    keyed by content; an etag of an unmultipart PUT is the
-  *    content's md5, and a generation pins content exactly.)
+  *    `ifGenerationMatch=<gen>`, Azure `If-Match`. "Matches" is
+  *    keyed by content: an etag of an unmultipart PUT is the
+  *    content's md5, and a generation pins content exactly — which
+  *    is why [[ObjectStoreLockBackend]] makes every heartbeat CHANGE
+  *    the content (a beat serial), so the compare key moves with
+  *    each beat.
   *  - `deleteIfMatches` — S3 `DeleteObject` with `If-Match: <etag>`,
   *    GCS delete with `ifGenerationMatch=<gen>`, Azure `If-Match`.
   *  - `get` — plain read returning content + last-modified.
@@ -55,18 +57,30 @@ trait ConditionalPutClient {
   * where [[HadoopLockBackend]] is not. Where the filesystem backend
   * must capture-by-rename before destroying (rename is its only
   * atomic compare-like primitive), here every destructive step IS a
-  * server-side compare-and-act, so the observe→act windows close:
+  * server-side compare-and-act.
   *
-  *  - acquire: one `putIfAbsent` of a fresh token object.
-  *  - heartbeat: `putIfMatches(cur, cur)` — rewrite the same token,
-  *    bumping last-modified; a lease broken mid-beat fails the
-  *    precondition and the beat is a no-op on the new holder.
-  *  - break: re-read; only if last-modified still equals the
+  * The lock object's CONTENT is `<token>\n<beat serial>`, and every
+  * heartbeat rewrites it with the serial bumped. That is the load-
+  * bearing detail: the conditional verbs compare content (S3's etag
+  * is the content md5, so rewriting the SAME bytes would leave the
+  * compare key unchanged), and a breaker deletes conditionally on
+  * the content it OBSERVED as stale — a lease whose holder beat even
+  * once between the breaker's read and its delete carries a new
+  * serial, fails the precondition and survives. Without the serial,
+  * a holder waking from a long pause could heartbeat into exactly
+  * that window and still lose its live lease.
+  *
+  *  - acquire: one `putIfAbsent` of a fresh `token\n0` object.
+  *  - heartbeat: `putIfMatches(cur, token\n(serial+1))` — bumps the
+  *    compare key AND last-modified; a lease broken-and-re-granted
+  *    mid-beat fails the precondition, so the beat cannot freshen a
+  *    foreign lock it raced.
+  *  - break: re-read; only while last-modified still equals the
   *    observed-stale value, `deleteIfMatches` on the observed
-  *    content — a fresh lock created in the window bears a different
-  *    token and survives.
-  *  - release: `deleteIfMatches` on OUR token — a holder paused past
-  *    the stale window cannot delete the re-granted lease.
+  *    content.
+  *  - release: `deleteIfMatches` on the current content only while
+  *    its token line is OURS — a holder paused past the stale window
+  *    cannot delete the re-granted lease.
   *
   * Keys are the lock path's fully-qualified URI string. Bind a
   * production client by extending this class with a no-arg
@@ -80,43 +94,70 @@ class ObjectStoreLockBackend(client: ConditionalPutClient)
   protected def key(fs: FileSystem, lock: HPath): String =
     fs.makeQualified(lock).toUri.toString
 
+  private def body(token: String, serial: Long): Array[Byte] =
+    s"$token\n$serial".getBytes(StandardCharsets.UTF_8)
+
+  private def tokenLine(bytes: Array[Byte]): String =
+    new String(bytes, StandardCharsets.UTF_8).takeWhile(_ != '\n')
+
+  private def serialLine(bytes: Array[Byte]): Long = {
+    val s = new String(bytes, StandardCharsets.UTF_8)
+    val i = s.indexOf('\n')
+    if (i < 0) 0L
+    else scala.util.Try(s.substring(i + 1).trim.toLong).getOrElse(0L)
+  }
+
   override def tryAcquire(fs: FileSystem, lock: HPath): Option[String] = {
     val token = LockBackend.newToken()
-    if (client.putIfAbsent(key(fs, lock),
-        token.getBytes(StandardCharsets.UTF_8))) Some(token)
+    if (client.putIfAbsent(key(fs, lock), body(token, 0L))) Some(token)
     else None
   }
 
   override def readToken(fs: FileSystem, lock: HPath): Option[String] =
-    client.get(key(fs, lock))
-      .map { case (b, _) => new String(b, StandardCharsets.UTF_8) }
+    client.get(key(fs, lock)).map { case (b, _) => tokenLine(b) }
 
   override def mtime(fs: FileSystem, lock: HPath): Option[Long] =
     client.get(key(fs, lock)).map(_._2)
 
   override def heartbeat(fs: FileSystem, lock: HPath): Unit =
     client.get(key(fs, lock)).foreach { case (cur, _) =>
-      client.putIfMatches(key(fs, lock), cur, cur); ()
+      client.putIfMatches(key(fs, lock), cur,
+        body(tokenLine(cur), serialLine(cur) + 1L)); ()
     }
 
   override def breakStale(fs: FileSystem, lock: HPath, m: Long): Unit =
     client.get(key(fs, lock)).foreach { case (cur, mt) =>
-      // the content observed AT the stale mtime is the compare key:
-      // a fresh lease written between our read and the delete bears a
-      // different token, fails the precondition and survives — the
-      // filesystem backend needs claim-by-rename to get this
-      // guarantee; conditional delete gives it in one call
+      // the content observed AT the stale mtime is the compare key;
+      // any heartbeat or re-grant between this read and the delete
+      // changed the serial or the token, fails the precondition, and
+      // the live lease survives — the window claim-by-rename narrows
+      // on a filesystem is closed server-side here
       if (mt == m) { client.deleteIfMatches(key(fs, lock), cur); () }
     }
 
   override def release(fs: FileSystem, lock: HPath, token: String): Unit =
     try {
-      val mine = token.getBytes(StandardCharsets.UTF_8)
-      if (!client.deleteIfMatches(key(fs, lock), mine) &&
-          client.get(key(fs, lock)).nonEmpty)
-        System.err.println(s"[lease] lock $lock no longer bears this " +
-          "holder's token at release (lease was broken and re-granted " +
-          "while paused) — leaving the new holder's lock in place")
+      // the content moves with every heartbeat, so fence on the token
+      // LINE and compare-delete on the full observed content; a
+      // concurrent beat (possible when release is driven outside
+      // withStoreLock, which stops its heartbeat first) just means one
+      // retry
+      var tries = 0
+      var done = false
+      while (!done && tries < 5) {
+        tries += 1
+        client.get(key(fs, lock)) match {
+          case None => done = true // already gone: nothing ours to remove
+          case Some((cur, _)) if tokenLine(cur) == token =>
+            done = client.deleteIfMatches(key(fs, lock), cur)
+          case Some(_) =>
+            System.err.println(s"[lease] lock $lock no longer bears " +
+              "this holder's token at release (lease was broken and " +
+              "re-granted while paused) — leaving the new holder's " +
+              "lock in place")
+            done = true
+        }
+      }
     } catch {
       // never throws: release runs in `finally` paths — a failure
       // here is left to the stale window / fsck, like the default

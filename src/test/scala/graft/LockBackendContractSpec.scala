@@ -182,6 +182,28 @@ class InMemoryObjectStoreLockBackendContractSpec
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  test("object-store backend: every heartbeat CHANGES the lock " +
+      "object's content, so a breaker's conditional delete keyed on " +
+      "pre-beat content fails — the observe→delete window is closed " +
+      "server-side, not narrowed") {
+    val (fs, lock) = freshLock()
+    val t1 = backend.tryAcquire(fs, lock).get
+    val key = fs.makeQualified(lock).toUri.toString
+    val observed = InMemoryObjectStore.get(key).get._1
+    // the holder beats once between the breaker's observation and its
+    // delete — exactly the window a same-bytes heartbeat (or a
+    // filesystem backend without capture-by-rename) would lose
+    backend.heartbeat(fs, lock)
+    assert(!InMemoryObjectStore.deleteIfMatches(key, observed),
+      "a delete conditioned on pre-heartbeat content succeeded — the " +
+        "beat did not move the compare key")
+    assert(backend.readToken(fs, lock) === Some(t1),
+      "live lease lost to a stale-content break")
+    backend.release(fs, lock, t1)
+    assert(InMemoryObjectStore.get(key).isEmpty,
+      "fenced release failed after heartbeats moved the content")
+  }
+
   test("object-store backend: the lease lives in the object store, " +
       "not on the filesystem, and withStoreLock drives it end-to-end " +
       "with mutual exclusion") {
