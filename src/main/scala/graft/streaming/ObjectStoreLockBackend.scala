@@ -182,6 +182,13 @@ object InMemoryObjectStore extends ConditionalPutClient {
   /** Test hook: drop every object (a fresh bucket per spec). */
   private[graft] def clear(): Unit = objects.clear()
 
+  /** Test hook: rewind an object's last-modified by `ms` — staleness
+    * paths (fsck's lease audit, break windows) are time-based and
+    * cannot wait out a 30-minute window in a spec. */
+  private[graft] def backdate(key: String, ms: Long): Unit = {
+    objects.computeIfPresent(key, (_, cur) => (cur._1, cur._2 - ms)); ()
+  }
+
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     var won = false
     objects.compute(key, (_, cur) =>

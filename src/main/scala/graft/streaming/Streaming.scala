@@ -3819,33 +3819,43 @@ object Streaming {
   private[graft] def storeLockPath(dir: HPath): HPath =
     new HPath(dir.getParent, s".${dir.getName}.lock")
 
-  /** Fsck findings for a store's lease file and its break/release
+  /** Fsck findings for a store's lease and its break/release
     * debris. A lock whose mtime is past the default staleAfterMs
     * means its holder died without release (the heartbeat would have
     * advanced it) — waiters break it on their own, but it is the
     * crashed-holder signature an audit should surface; a FRESH lock
-    * is a live holder, not a finding. A `.lock.orphan.<uuid>` sibling
+    * is a live holder, not a finding. The staleness check goes
+    * through the RESOLVED [[LockBackend]], so a store leased via a
+    * conditional-put backend (`graft.lease.backend`) is audited in
+    * its object store rather than silently skipped because no lock
+    * FILE exists; the token's pid@host prefix names the dead holder
+    * in the detail. A `.lock.orphan.<uuid>` sibling
     * is a parked LIVE lock from a break/restore conflict — an ERROR a
     * human must adjudicate. Stale `.lock.break.<uuid>` /
     * `.lock.release.<uuid>` siblings are claims captured by a breaker
     * or releaser that crashed before the final delete — verified
-    * husks, safe to delete by hand. */
+    * husks, safe to delete by hand (filesystem-backend only: a
+    * conditional-put backend never creates them). */
   private def leaseFinding(fs: org.apache.hadoop.fs.FileSystem,
       storeDir: String): Seq[(String, String, String, String,
         Boolean)] = {
     val lock = storeLockPath(new HPath(storeDir))
+    val backend = LockBackend.resolve(fs.getConf)
     val out = scala.collection.mutable.ListBuffer
       .empty[(String, String, String, String, Boolean)]
     try {
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(lock).getModificationTime
-      if (age > DefaultLeaseStaleMs)
-        out += (("lease", lock.toString, "warn",
-          s"lease file ${age / 60000} min stale — its holder died " +
-            "without release (a live holder heartbeats); the next " +
-            "waiter breaks it after the stale window, or delete it " +
-            "by hand to unblock immediately", false))
-    } catch { case _: java.io.FileNotFoundException => () }
+      backend.mtime(fs, lock).foreach { m =>
+        val age = System.currentTimeMillis() - m
+        if (age > DefaultLeaseStaleMs)
+          out += (("lease", lock.toString, "warn",
+            s"lease ${age / 60000} min stale, held by " +
+              s"${backend.readToken(fs, lock).getOrElse("<unreadable>")}" +
+              " — its holder died without release (a live holder " +
+              "heartbeats); the next waiter breaks it after the stale " +
+              "window, or break it by hand to unblock immediately",
+            false))
+      }
+    } catch { case _: java.io.IOException => () }
     try {
       fs.listStatus(lock.getParent).toSeq
         .filter(_.getPath.getName.startsWith(s"${lock.getName}."))

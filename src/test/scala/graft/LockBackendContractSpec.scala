@@ -204,6 +204,39 @@ class InMemoryObjectStoreLockBackendContractSpec
       "fenced release failed after heartbeats moved the content")
   }
 
+  test("object-store backend: fsck's lease audit reads the OBJECT " +
+      "store — a stale conditional-put lease is flagged naming its " +
+      "holder, not silently skipped because no lock FILE exists") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-oslock-fsck").toString
+    val store = s"$tmp/store"
+    new java.io.File(store).mkdirs()
+    conf.set("graft.lease.backend",
+      classOf[InMemoryObjectStoreLockBackend].getName)
+    try {
+      val fs = new HPath(store)
+        .getFileSystem(conf)
+      val lock = new HPath(s"$tmp/.store.lock")
+      val be = new InMemoryObjectStoreLockBackend
+      val tok = be.tryAcquire(fs, lock).get
+      // a FRESH lease is a live holder, not a finding
+      assert(Streaming.fsckStore(spark, store)
+        .where(col("area") === "lease").isEmpty)
+      val key = fs.makeQualified(lock).toUri.toString
+      InMemoryObjectStore.backdate(key,
+        Streaming.DefaultLeaseStaleMs + 60000L)
+      val f = Streaming.fsckStore(spark, store)
+        .where(col("area") === "lease").collect()
+      assert(f.length === 1 && f(0).getString(2) === "warn",
+        s"stale object-store lease not flagged: ${f.toSeq}")
+      assert(f(0).getString(3).contains(tok),
+        s"finding must name the dead holder's token: ${f(0)}")
+      be.release(fs, lock, tok)
+    } finally conf.unset("graft.lease.backend")
+  }
+
   test("object-store backend: the lease lives in the object store, " +
       "not on the filesystem, and withStoreLock drives it end-to-end " +
       "with mutual exclusion") {
