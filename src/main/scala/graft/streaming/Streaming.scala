@@ -2563,7 +2563,8 @@ object Streaming {
     // ---- stale leases on the curation store roots (stats included:
     // fsck-heal and the stats repairs lock it)
     for (tree <- Seq("corpus", "index", "stats");
-        f <- leaseFinding(fs, s"$rootDir/$tree"))
+        f <- leaseFinding(fs, s"$rootDir/$tree",
+          spark.sparkContext.hadoopConfiguration))
       out += f
     // ---- snapshots: manifests must parse, their pins must hold, and
     // their sweep mark must not be ahead of the decon state
@@ -2663,7 +2664,8 @@ object Streaming {
     // a stale lease (mtime past the default staleAfterMs, heartbeat
     // dead) blocks nothing forever — waiters break it — but it IS the
     // crashed-holder signature worth surfacing
-    leaseFinding(fs, storeDir).foreach(out += _)
+    leaseFinding(fs, storeDir,
+      spark.sparkContext.hadoopConfiguration).foreach(out += _)
     // batch dirs live directly under the store (dedup/vector index)
     // or under the exact index's prefix/ and arrays/ subtrees
     for (sub <- Seq("", "/prefix", "/arrays");
@@ -3837,10 +3839,15 @@ object Streaming {
     * husks, safe to delete by hand (filesystem-backend only: a
     * conditional-put backend never creates them). */
   private def leaseFinding(fs: org.apache.hadoop.fs.FileSystem,
-      storeDir: String): Seq[(String, String, String, String,
-        Boolean)] = {
+      storeDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, String,
+        String, String, Boolean)] = {
     val lock = storeLockPath(new HPath(storeDir))
-    val backend = LockBackend.resolve(fs.getConf)
+    // resolve from the SESSION's conf, not fs.getConf: the FileSystem
+    // cache keeps the Configuration captured at first creation, which
+    // can predate (or differ from) the one carrying
+    // graft.lease.backend
+    val backend = LockBackend.resolve(conf)
     val out = scala.collection.mutable.ListBuffer
       .empty[(String, String, String, String, Boolean)]
     try {
