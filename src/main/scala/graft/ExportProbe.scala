@@ -64,32 +64,37 @@ object ExportProbe {
     for (codec <- Seq(None, Some("gzip"), Some("zstd"))) {
       val out = s"$work/export-${codec.getOrElse("plain")}"
       val t0 = System.nanoTime()
-      // zstd for TEXT sinks rides Hadoop's ZStandardCodec, which needs
-      // native libhadoop — absent in some environments (this container
-      // included); report instead of aborting the probe
-      try graft.streaming.Streaming.exportSnapshot(spark, root, "p", out,
-        "doc_id", nShards = 0, codec = codec)
-      catch {
-        case e: Exception
-            if e.getMessage != null &&
-              e.getMessage.contains("CODEC_NOT_AVAILABLE") =>
-          println(s"[probe] codec=${codec.getOrElse("plain")} " +
-            "unavailable in this environment (text-sink zstd needs " +
-            "native hadoop) — skipped")
-          spark.stop(); return
+      // a codec missing from THIS environment (text-sink zstd rides
+      // Hadoop's ZStandardCodec, which needs native libhadoop) skips
+      // its row and the probe continues to the next codec
+      val available =
+        try {
+          graft.streaming.Streaming.exportSnapshot(spark, root, "p",
+            out, "doc_id", nShards = 0, codec = codec)
+          true
+        } catch {
+          case e: Exception
+              if e.getMessage != null &&
+                e.getMessage.contains("CODEC_NOT_AVAILABLE") =>
+            println(s"[probe] codec=${codec.getOrElse("plain")} " +
+              "unavailable in this environment (text-sink zstd needs " +
+              "native hadoop) — skipped")
+            false
+        }
+      if (available) {
+        val s = (System.nanoTime() - t0) / 1e9
+        // one size per shard = the sum of its shard=N dir's part files
+        val sizes = new java.io.File(out).listFiles()
+          .filter(_.getName.startsWith("shard="))
+          .map(d => Option(d.listFiles()).map(_.map(_.length()).sum)
+            .getOrElse(0L)).sorted
+        val tot = sizes.sum / 1e6
+        println(f"[probe] codec=${codec.getOrElse("plain")}%-5s " +
+          f"$s%6.1f s  shards=${sizes.length}%3d  total=$tot%7.0f MB  " +
+          f"min=${sizes.min / 1e6}%6.0f MB  " +
+          f"mean=${sizes.sum / sizes.length / 1e6}%6.0f MB  " +
+          f"max=${sizes.max / 1e6}%6.0f MB  (target 512 MB)")
       }
-      val s = (System.nanoTime() - t0) / 1e9
-      // one size per shard = the sum of its shard=N dir's part files
-      val sizes = new java.io.File(out).listFiles()
-        .filter(_.getName.startsWith("shard="))
-        .map(d => Option(d.listFiles()).map(_.map(_.length()).sum)
-          .getOrElse(0L)).sorted
-      val tot = sizes.sum / 1e6
-      println(f"[probe] codec=${codec.getOrElse("plain")}%-5s " +
-        f"$s%6.1f s  shards=${sizes.length}%3d  total=$tot%7.0f MB  " +
-        f"min=${sizes.min / 1e6}%6.0f MB  " +
-        f"mean=${sizes.sum / sizes.length / 1e6}%6.0f MB  " +
-        f"max=${sizes.max / 1e6}%6.0f MB  (target 512 MB)")
     }
     spark.stop()
   }

@@ -65,11 +65,18 @@ trait LockBackend {
     try Some(fs.getFileStatus(lock).getModificationTime)
     catch { case _: java.io.FileNotFoundException => None }
 
-  /** Advance `lock`'s liveness signal. Called from the holder's
-    * heartbeat daemon; transient errors are swallowed by the caller
-    * (a missed beat only matters if repeated for the stale window). */
-  def heartbeat(fs: FileSystem, lock: HPath): Unit =
-    fs.setTimes(lock, System.currentTimeMillis(), -1)
+  /** Advance `lock`'s liveness signal — ONLY while it still bears
+    * `token`. A holder paused past the stale window whose lease was
+    * broken and re-granted must not freshen the NEW holder's lock:
+    * an unfenced beat from such a zombie would keep a dead re-granted
+    * lease reading as live for as long as the zombie's body runs,
+    * wedging every later waiter into the timeout. Called from the
+    * holder's heartbeat daemon; transient errors are swallowed by the
+    * caller (a missed beat only matters if repeated for the stale
+    * window). */
+  def heartbeat(fs: FileSystem, lock: HPath, token: String): Unit =
+    if (readToken(fs, lock).contains(token))
+      fs.setTimes(lock, System.currentTimeMillis(), -1)
 
   /** Break `lock`, OBSERVED stale at mtime `m`, by claim-by-rename —
     * never delete-then-create: rename the lock to a waiter-unique
@@ -167,11 +174,16 @@ object LockBackend {
     * prefix is operator telemetry — `cat .store.lock` (or the
     * waiter's periodic "waiting on" log line) names the holder, so a
     * live long hold is distinguishable from a leaked lease without
-    * running fsck. Truncated defensively so the token always fits
-    * [[LockBackend.readToken]]'s 256-byte fence read. */
+    * running fsck. The prefix is truncated by ENCODED UTF-8 bytes
+    * (not chars — a non-ASCII hostname could otherwise push the
+    * token past [[LockBackend.readToken]]'s 256-byte fence read,
+    * and a fence that never matches would leak every lease for the
+    * stale window). */
   private[streaming] def newToken(): String = {
-    val who = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName.take(180)
+    var who = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName
+    while (who.getBytes(StandardCharsets.UTF_8).length > 180)
+      who = who.dropRight(1)
     s"$who/${java.util.UUID.randomUUID()}"
   }
 

@@ -71,10 +71,11 @@ trait ConditionalPutClient {
   * that window and still lose its live lease.
   *
   *  - acquire: one `putIfAbsent` of a fresh `token\n0` object.
-  *  - heartbeat: `putIfMatches(cur, token\n(serial+1))` — bumps the
-  *    compare key AND last-modified; a lease broken-and-re-granted
-  *    mid-beat fails the precondition, so the beat cannot freshen a
-  *    foreign lock it raced.
+  *  - heartbeat: fenced on the holder's own token line, then
+  *    `putIfMatches(cur, token\n(serial+1))` — bumps the compare key
+  *    AND last-modified; a zombie holder cannot freshen a re-granted
+  *    lease (the fence), and a re-grant racing the beat's read→put
+  *    window fails the precondition server-side.
   *  - break: re-read; only while last-modified still equals the
   *    observed-stale value, `deleteIfMatches` on the observed
   *    content.
@@ -119,10 +120,15 @@ class ObjectStoreLockBackend(client: ConditionalPutClient)
   override def mtime(fs: FileSystem, lock: HPath): Option[Long] =
     client.get(key(fs, lock)).map(_._2)
 
-  override def heartbeat(fs: FileSystem, lock: HPath): Unit =
+  override def heartbeat(fs: FileSystem, lock: HPath,
+      token: String): Unit =
     client.get(key(fs, lock)).foreach { case (cur, _) =>
-      client.putIfMatches(key(fs, lock), cur,
-        body(tokenLine(cur), serialLine(cur) + 1L)); ()
+      // fenced on the token LINE (a zombie must not freshen a
+      // re-granted lease) AND conditioned on the full content (a
+      // re-grant between this read and the put fails server-side)
+      if (tokenLine(cur) == token)
+        client.putIfMatches(key(fs, lock), cur,
+          body(token, serialLine(cur) + 1L)); ()
     }
 
   override def breakStale(fs: FileSystem, lock: HPath, m: Long): Unit =

@@ -1167,7 +1167,8 @@ object Streaming {
     * a new root). Checked BEFORE the index merge so a rejected batch
     * leaves no store half-touched. */
   private val corpusSchemaCache = new java.util.concurrent
-    .ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    .ConcurrentHashMap[String,
+      (org.apache.spark.sql.types.StructType, String, Long)]()
 
   private def requireCorpusSchema(batch: DataFrame,
       rootDir: String): Unit = {
@@ -1175,50 +1176,52 @@ object Streaming {
     val fs = root.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     // the standing shape comes from ONE committed dir's footer — not
-    // a whole-root listing (O(total files) per micro-batch on the
-    // hot ingest path) — and is cached for the session: the policy
-    // below is precisely that it can never change
+    // a per-micro-batch footer merge (O(total files) on the hot
+    // ingest path) — and is cached for the session WITH the footer
+    // dir's identity (path + mtime). Each call revalidates the cache
+    // with a single getFileStatus: a corpus REBUILT in place under a
+    // new shape (even re-using the same batch ids — its dirs carry
+    // fresh mtimes) misses the cache and is re-read, in BOTH
+    // directions — a stale cache may neither reject a now-conforming
+    // batch nor silently admit an old-shape one
     val key = fs.makeQualified(root).toString
     // None = nothing standing to diverge from (absent root, no
     // committed dirs, or a part-less dir)
-    def readStanding(): Option[org.apache.spark.sql.types.StructType] = {
+    def readStanding():
+        Option[(org.apache.spark.sql.types.StructType, String, Long)] = {
       if (!fs.exists(root)) return None
       val ids = committedBatchDirIds(fs, root)
       if (ids.isEmpty) return None
-      try Some(batch.sparkSession.read
-        .parquet(s"$root/batch=${ids.max}").schema)
-      catch {
+      val dir = s"$root/batch=${ids.max}"
+      try {
+        val mt = fs.getFileStatus(new HPath(dir)).getModificationTime
+        Some((batch.sparkSession.read.parquet(dir).schema, dir, mt))
+      } catch {
         case _: org.apache.spark.sql.AnalysisException => None
+        case _: java.io.FileNotFoundException => None
       }
     }
-    val cached = Option(corpusSchemaCache.get(key))
-    val standing = cached.orElse {
-      val s = readStanding()
-      s.foreach(corpusSchemaCache.put(key, _))
-      s
-    }.getOrElse(return)
+    def dirUnchanged(dir: String, mt: Long): Boolean =
+      try fs.getFileStatus(new HPath(dir)).getModificationTime == mt
+      catch { case _: java.io.FileNotFoundException => false }
+    val standing = Option(corpusSchemaCache.get(key))
+      .filter { case (_, dir, mt) => dirUnchanged(dir, mt) }
+      .orElse {
+        val s = readStanding()
+        s match {
+          case Some(v) => corpusSchemaCache.put(key, v)
+          case None => corpusSchemaCache.remove(key)
+        }
+        s
+      }.getOrElse(return)._1
     // a single dir's footer carries no partition column, so the
     // comparison is over the FULL batch schema — in particular a
     // data column named `batch` diverges (it would collide with the
     // partition column at read time) and is rejected like any other
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSet
-    var want = shape(standing)
+    val want = shape(standing)
     val got = shape(batch.schema)
-    if (got != want && cached.nonEmpty) {
-      // the cached shape may be STALE — the corpus was rebuilt under
-      // a new schema at the same path (readers re-list every call, so
-      // they already see the new shape; only this cache would not).
-      // Re-read the standing footer before judging, so a rebuilt
-      // store neither wrongly admits old-shape batches nor rejects
-      // conforming ones until driver restart
-      readStanding() match {
-        case None => corpusSchemaCache.remove(key); return
-        case Some(fresh) =>
-          corpusSchemaCache.put(key, fresh)
-          want = shape(fresh)
-      }
-    }
     if (got != want) {
       def fmt(d: Set[(String, org.apache.spark.sql.types.DataType)]) =
         if (d.isEmpty) "-"
@@ -2246,14 +2249,18 @@ object Streaming {
     * self-describing even after it leaves the warehouse.
     *
     * `nShards = 0` (the default) derives the count from the pinned
-    * batch dirs' parquet bytes — one `getContentSummary` metadata
-    * pass — targeting ~512 MB of JSONL per shard (JSONL runs ≈ 3×
-    * the parquet bytes), so a 100 TB snapshot fans out to enough
-    * write tasks instead of wedging a fixed shard count into
+    * batch dirs' parquet bytes — ONE recursive metadata listing of
+    * the corpus root — targeting ~512 MB per SHARD FILE with a
+    * codec-aware expansion factor measured by `graft.ExportProbe`
+    * (plain JSONL ≈ 3× the parquet bytes; gzip ≈ 0.6×, zstd ≈ 0.55×
+    * — compressed shards land near parquet's own size, not the
+    * uncompressed-JSON size), so a 100 TB snapshot fans out to
+    * enough write tasks instead of wedging a fixed shard count into
     * straggler/OOM territory. The document count in `_MANIFEST`
     * comes from an Observation on the write itself — the export is
     * never re-read for its own bookkeeping. `codec` compresses the
-    * shard files (`"gzip"` / `"zstd"`). */
+    * shard files (`"gzip"` / `"zstd"`; zstd for text sinks requires
+    * native hadoop). */
   def exportSnapshot(spark: SparkSession, rootDir: String, name: String,
       outPath: String, idCol: String, nShards: Int = 0,
       codec: Option[String] = None): Unit = {
@@ -4009,8 +4016,8 @@ object Streaming {
       try while (!hbStop) {
         Thread.sleep(hbInterval)
         if (!hbStop) taken.synchronized {
-          taken.foreach { case (fs, p, _) =>
-            try backend.heartbeat(fs, p)
+          taken.foreach { case (fs, p, token) =>
+            try backend.heartbeat(fs, p, token)
             catch { case _: java.io.IOException => () }
           }
         }

@@ -81,12 +81,19 @@ abstract class LockBackendContractSpec extends SparkSpec {
   }
 
   test(s"$name: heartbeat advances the liveness mtime and preserves " +
-      "the token") {
+      "the token — and is token-fenced, so a ZOMBIE's beat cannot " +
+      "freshen a re-granted lease") {
     val (fs, lock) = freshLock()
     val t1 = backend.tryAcquire(fs, lock).get
     val m0 = backend.mtime(fs, lock).get
     Thread.sleep(30)
-    backend.heartbeat(fs, lock)
+    // a superseded holder's beat (foreign token) must be a no-op —
+    // otherwise a zombie's daemon keeps a dead re-granted lease
+    // reading live, wedging every waiter into the timeout
+    backend.heartbeat(fs, lock, "not-the-holder-token")
+    assert(backend.mtime(fs, lock).contains(m0),
+      "a foreign-token heartbeat freshened the lease")
+    backend.heartbeat(fs, lock, t1)
     assert(backend.mtime(fs, lock).exists(_ > m0),
       "heartbeat did not advance the lock's mtime")
     assert(backend.readToken(fs, lock) === Some(t1),
@@ -102,7 +109,7 @@ abstract class LockBackendContractSpec extends SparkSpec {
     // the holder is alive: its heartbeat moves the mtime between the
     // waiter's staleness observation and the break
     Thread.sleep(30)
-    backend.heartbeat(fs, lock)
+    backend.heartbeat(fs, lock, t1)
     backend.breakStale(fs, lock, m0)
     assert(backend.readToken(fs, lock) === Some(t1),
       "breakStale destroyed a lease whose mtime had moved (live holder)")
@@ -193,7 +200,7 @@ class InMemoryObjectStoreLockBackendContractSpec
     // the holder beats once between the breaker's observation and its
     // delete — exactly the window a same-bytes heartbeat (or a
     // filesystem backend without capture-by-rename) would lose
-    backend.heartbeat(fs, lock)
+    backend.heartbeat(fs, lock, t1)
     assert(!InMemoryObjectStore.deleteIfMatches(key, observed),
       "a delete conditioned on pre-heartbeat content succeeded — the " +
         "beat did not move the compare key")

@@ -4296,6 +4296,27 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.readCurationCorpus(spark, tmp)
       .select("doc_id").collect().map(_.getLong(0)).toSet
       === Set(1L, 2L))
+    // the OTHER staleness direction — the dangerous one: a FOREIGN
+    // rebuild (another driver) lands a new-shape corpus at the same
+    // path while this session's cache still holds the old shape; an
+    // old-shape batch MATCHES the stale cache, and admitting it would
+    // be exactly the silent column-shadowing the guard exists to
+    // prevent. The cache revalidates the footer dir's identity per
+    // call, so the fresh dir misses and the batch is judged against
+    // the rebuilt shape
+    rmr(tmp)
+    // foreign rebuild DROPS lang; the session cache still holds the
+    // lang shape, and the incoming batch matches the CACHE
+    Seq((1L, prose1)).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus/batch=0")
+    val e2 = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq((3L, prose3, "de")).toDF("doc_id", "text", "lang"), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(e2.getMessage.contains("adds [lang:string]"),
+      s"stale-cache-matching batch admitted into a rebuilt store: " +
+        e2.getMessage)
   }
 
   test("subtractTombstonedStats: a pre-unit-stamp store whose pending " +
