@@ -2273,39 +2273,8 @@ object Streaming {
     val (batches, sweep) = readSnapshotManifest(storeFs, rootDir, name)
     val effShards =
       if (nShards > 0) nShards
-      else {
-        // ONE recursive listing filtered to the pinned dirs — not a
-        // getContentSummary per dir, which is O(batch dirs) namenode
-        // calls (the same stampede the compactor's sizing avoids)
-        val pinned = batches.map(b => s"batch=$b").toSet
-        var bytes = 0L
-        val it = storeFs.listFiles(new HPath(s"$rootDir/corpus"), true)
-        while (it.hasNext) {
-          val st = it.next()
-          if (pinned.contains(st.getPath.getParent.getName))
-            bytes += st.getLen
-        }
-        // expansion factor = expected SHARD bytes per parquet byte,
-        // codec-aware: sizing compressed exports by the
-        // uncompressed-JSON factor would cut every shard to a
-        // fraction of the 512 MB target and multiply the file count
-        // at 100 TB. Factors are ExportProbe-measured on a multi-GB
-        // corpus (PERF.md round 12): plain JSONL ran 2.94× the
-        // snappy-parquet bytes, gzip 0.57× (cross-row text
-        // compression beats parquet's per-page snappy); zstd is
-        // gzip-pegged slightly tighter (text-sink zstd needs native
-        // hadoop, absent where the probe runs). Rounded UP from the
-        // measurement: an overestimated factor errs toward slightly
-        // smaller shards, never oversized ones
-        val expand = codec.map(_.toLowerCase) match {
-          case Some("gzip") => 0.6
-          case Some("zstd") => 0.55
-          case Some(_) => 0.6 // unknown codec: assume it compresses
-          case None => 3.0
-        }
-        math.max(1,
-          math.ceil(bytes * expand / (512L << 20)).toInt)
-      }
+      else derivedShardCount(
+        pinnedCorpusBytes(storeFs, rootDir, batches), codec)
     val view = readSnapshot(spark, rootDir, name)
     val nDocs = graft.ops.Warehouse.writeJsonlShards(
       view.drop("batch"), idCol, outPath, effShards, codec)
@@ -2315,6 +2284,46 @@ object Streaming {
     val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
+  }
+
+  /** Total parquet bytes of a snapshot's pinned `batch=` dirs — ONE
+    * recursive listing filtered to the pins, not a getContentSummary
+    * per dir (O(batch dirs) namenode calls — the same stampede the
+    * compactor's sizing avoids). */
+  private def pinnedCorpusBytes(storeFs: org.apache.hadoop.fs.FileSystem,
+      rootDir: String, batches: Seq[Long]): Long = {
+    val pinned = batches.map(b => s"batch=$b").toSet
+    var bytes = 0L
+    val it = storeFs.listFiles(new HPath(s"$rootDir/corpus"), true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (pinned.contains(st.getPath.getParent.getName))
+        bytes += st.getLen
+    }
+    bytes
+  }
+
+  /** Shard count targeting ~512 MB per SHARD FILE from source parquet
+    * bytes. The expansion factor (expected shard bytes per parquet
+    * byte) is codec-aware: sizing compressed exports by the
+    * uncompressed-JSON factor would cut every shard to a fraction of
+    * the target and multiply the file count at 100 TB. Factors are
+    * ExportProbe-measured on a multi-GB corpus (PERF.md round 12):
+    * plain JSONL ran 2.94× the snappy-parquet bytes, gzip 0.57×
+    * (cross-row text compression beats parquet's per-page snappy);
+    * zstd is gzip-pegged slightly tighter (text-sink zstd needs
+    * native hadoop, absent where the probe runs). Rounded UP from the
+    * measurement: an overestimated factor errs toward slightly
+    * smaller shards, never oversized ones. */
+  private def derivedShardCount(parquetBytes: Long,
+      codec: Option[String]): Int = {
+    val expand = codec.map(_.toLowerCase) match {
+      case Some("gzip") => 0.6
+      case Some("zstd") => 0.55
+      case Some(_) => 0.6 // unknown codec: assume it compresses
+      case None => 3.0
+    }
+    math.max(1, math.ceil(parquetBytes * expand / (512L << 20)).toInt)
   }
 
   /** O(metadata) integrity audit of a whole curation store — the fsck
@@ -2700,28 +2709,53 @@ object Streaming {
     * fast path (new dirs + sweep-window tombstones — no bulk read);
     * fetching the added payloads is one semi-join of the to-view
     * against the added ids, which AQE broadcasts whenever the delta
-    * is small — the normal case for a refresh. */
+    * is small — the normal case for a refresh. `nShards = 0` (the
+    * default) derives the added-leg's shard count the way
+    * [[exportSnapshot]] does, prorated to the delta's share of the
+    * to-snapshot's documents, with the same codec-aware expansion
+    * factor — a 100 TB store's refresh delta can itself be terabytes,
+    * and it should fan out accordingly rather than wedge into a
+    * guessed fixed count. */
   def exportSnapshotDelta(spark: SparkSession, rootDir: String,
       from: String, to: String, outPath: String, idCol: String,
-      nShards: Int, codec: Option[String] = None): Unit = {
+      nShards: Int = 0, codec: Option[String] = None): Unit = {
     val d = diffSnapshots(spark, rootDir, from, to, idCol)
       .localCheckpoint() // computed once, consumed three times below
     val added = d.where(col("change") === "added").select(idCol)
     val removed = d.where(col("change") === "removed").select(idCol)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val nAdded = added.count()
+    // `nShards = 0` derives the added-leg's shard count like
+    // exportSnapshot does for a full export, scaled to the delta: the
+    // to-snapshot's pinned parquet bytes prorated by the added-ids
+    // fraction of its documents (one recursive listing + one
+    // footer-driven count of the to-view — at 100 TB a refresh delta
+    // can itself be terabytes, and a caller has no better basis to
+    // pick a fixed count than the store does)
+    val effShards =
+      if (nShards > 0) nShards
+      else {
+        val storeFs = new HPath(rootDir).getFileSystem(conf)
+        val (batches, _) = readSnapshotManifest(storeFs, rootDir, to)
+        val toDocs = readSnapshot(spark, rootDir, to).count()
+        val addedBytes =
+          if (toDocs == 0L) 0L
+          else (pinnedCorpusBytes(storeFs, rootDir, batches)
+            * (nAdded.toDouble / toDocs)).toLong
+        derivedShardCount(addedBytes, codec)
+      }
     graft.ops.Warehouse.writeJsonlShards(
       readSnapshot(spark, rootDir, to).drop("batch")
         .join(added, Seq(idCol), "left_semi"),
-      idCol, s"$outPath/added", nShards, codec)
+      idCol, s"$outPath/added", effShards, codec)
     val rw = removed.write.mode("overwrite")
     codec.fold(rw)(c => rw.option("compression", c))
       .json(s"$outPath/removed")
-    val conf = spark.sparkContext.hadoopConfiguration
     val outFs = new HPath(outPath).getFileSystem(conf)
-    val nAdded = added.count()
     val nRemoved = removed.count()
     val json = s"""{"from":"$from","to":"$to",""" +
       s""""n_added":$nAdded,"n_removed":$nRemoved,""" +
-      s""""n_shards":$nShards}"""
+      s""""n_shards":$effShards}"""
     val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()

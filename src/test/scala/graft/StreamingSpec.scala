@@ -2718,6 +2718,17 @@ class StreamingSpec extends SparkSpec {
     assert((t0v -- removedIds) ++ addedRows.map(_._1) ===
       Streaming.readSnapshot(spark, tmp, "t1")
         .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // nShards = 0 (the default): the added-leg's shard count derives
+    // from the to-snapshot's pinned bytes prorated by the delta share
+    // — the tiny fixture lands at 1, booked in the manifest
+    Streaming.exportSnapshotDelta(spark, tmp, "t0", "t1",
+      s"$tmp/delta0", "doc_id")
+    assert(spark.read.json(s"$tmp/delta0/added")
+      .select(col("doc_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet === Set(3L))
+    val mf0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/delta0/_MANIFEST")), "UTF-8")
+    assert(mf0.contains(""""n_shards":1"""), mf0)
   }
 
   test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
