@@ -28,6 +28,12 @@ abstract class LockBackendContractSpec extends SparkSpec {
   /** A FRESH, absent lock location per call — tests never share one. */
   def freshLock(): (FileSystem, HPath)
 
+  /** Override to `false` if your backend mints its own token scheme —
+    * the pid@host/uuid shape is operator telemetry (the waiter log
+    * and fsck name the holder through it), not part of the mutual-
+    * exclusion contract; every other test here IS the contract. */
+  def requiresTelemetryTokens: Boolean = true
+
   private def name = this.getClass.getSimpleName
 
   test(s"$name: of 16 racing acquirers on one absent lock, EXACTLY " +
@@ -125,6 +131,8 @@ abstract class LockBackendContractSpec extends SparkSpec {
   test(s"$name: the granted token names its holder — pid@host/uuid — " +
       "so a waiter's log line and `cat <lock>` identify a long hold " +
       "without fsck") {
+    assume(requiresTelemetryTokens,
+      "backend opted out of telemetry-shaped tokens")
     val (fs, lock) = freshLock()
     val t1 = backend.tryAcquire(fs, lock).get
     assert(t1.matches("""\d+@[^/]+/[0-9a-f-]{36}"""),
