@@ -74,13 +74,10 @@ object Bench {
     // had to re-run benches whose spikes were host load, not code. High
     // loadavg at start, or a non-trivial query whose two timed runs
     // differ >3x (steady-state queries do not), both mean "re-run idle
-    // before comparing". Absent on an idle host. Computed from the
-    // FIRST pass, not the retried results: the retry converges the
-    // NUMBER, but the flag must keep recording that a burst happened
-    // (a retry min dipping under the 0.5 s guard would otherwise
-    // silently clear it).
-    val spreadHit = firstPass.exists { case (_, _, mn, mx) =>
-      mn > 0.5 && mx / mn > 3.0 }
+    // before comparing". Absent on an idle host. `retried` counts the
+    // FIRST pass's spread queries, so it IS the spread signal — the
+    // retry converges the number but must not clear the flag.
+    val spreadHit = retried > 0
     val loadWarn =
       if (loadBefore > 2.0 || loadAfter > 2.0 || spreadHit)
         ",\"load_warning\":true" else ""

@@ -184,6 +184,12 @@ object LockBackend {
       .getRuntimeMXBean.getName
     while (who.getBytes(StandardCharsets.UTF_8).length > 180)
       who = who.dropRight(1)
+    // the byte trim can cut a surrogate PAIR in half; a lone high
+    // surrogate does not round-trip through UTF-8 ('?' on encode), so
+    // the in-memory token would never equal its own read-back and
+    // every fence would fail — drop it
+    if (who.nonEmpty && Character.isHighSurrogate(who.last))
+      who = who.dropRight(1)
     s"$who/${java.util.UUID.randomUUID()}"
   }
 

@@ -1204,24 +1204,34 @@ object Streaming {
     def dirUnchanged(dir: String, mt: Long): Boolean =
       try fs.getFileStatus(new HPath(dir)).getModificationTime == mt
       catch { case _: java.io.FileNotFoundException => false }
-    val standing = Option(corpusSchemaCache.get(key))
+    def refresh():
+        Option[(org.apache.spark.sql.types.StructType, String, Long)] = {
+      val s = readStanding()
+      s match {
+        case Some(v) => corpusSchemaCache.put(key, v)
+        case None => corpusSchemaCache.remove(key)
+      }
+      s
+    }
+    val cached = Option(corpusSchemaCache.get(key))
       .filter { case (_, dir, mt) => dirUnchanged(dir, mt) }
-      .orElse {
-        val s = readStanding()
-        s match {
-          case Some(v) => corpusSchemaCache.put(key, v)
-          case None => corpusSchemaCache.remove(key)
-        }
-        s
-      }.getOrElse(return)._1
+    val standing = cached.orElse(refresh()).getOrElse(return)._1
     // a single dir's footer carries no partition column, so the
     // comparison is over the FULL batch schema — in particular a
     // data column named `batch` diverges (it would collide with the
     // partition column at read time) and is rejected like any other
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSet
-    val want = shape(standing)
+    var want = shape(standing)
     val got = shape(batch.schema)
+    if (got != want && cached.nonEmpty) {
+      // mismatch backstop on top of the mtime revalidation: a rebuild
+      // landing inside the filesystem's mtime granularity (1 s on
+      // some local/NFS setups) can pass dirUnchanged with a stale
+      // shape — before REJECTING, re-read the footer once so a
+      // conforming batch is never refused by a cache artifact
+      want = refresh().map(v => shape(v._1)).getOrElse(return)
+    }
     if (got != want) {
       def fmt(d: Set[(String, org.apache.spark.sql.types.DataType)]) =
         if (d.isEmpty) "-"
@@ -2712,7 +2722,8 @@ object Streaming {
     * is small — the normal case for a refresh. `nShards = 0` (the
     * default) derives the added-leg's shard count the way
     * [[exportSnapshot]] does, prorated to the delta's share of the
-    * to-snapshot's documents, with the same codec-aware expansion
+    * to-snapshot's pinned rows (a footer-weight zero-column count —
+    * no tombstone join), with the same codec-aware expansion
     * factor — a 100 TB store's refresh delta can itself be terabytes,
     * and it should fan out accordingly rather than wedge into a
     * guessed fixed count. */
@@ -2728,20 +2739,25 @@ object Streaming {
     // `nShards = 0` derives the added-leg's shard count like
     // exportSnapshot does for a full export, scaled to the delta: the
     // to-snapshot's pinned parquet bytes prorated by the added-ids
-    // fraction of its documents (one recursive listing + one
-    // footer-driven count of the to-view — at 100 TB a refresh delta
-    // can itself be terabytes, and a caller has no better basis to
-    // pick a fixed count than the store does)
+    // fraction of its PINNED rows. The denominator is a zero-column
+    // count of the pinned dirs alone (row counts come from parquet
+    // footers — no tombstone anti-join: tombstoned rows appear in
+    // both the bytes and the count, so the per-doc estimate stays
+    // consistent), keeping the default path's extra cost at one
+    // recursive listing + one metadata-weight count even at 100 TB
     val effShards =
       if (nShards > 0) nShards
       else {
         val storeFs = new HPath(rootDir).getFileSystem(conf)
         val (batches, _) = readSnapshotManifest(storeFs, rootDir, to)
-        val toDocs = readSnapshot(spark, rootDir, to).count()
+        val pinnedRows =
+          if (batches.isEmpty) 0L
+          else spark.read.parquet(
+            batches.map(b => s"$rootDir/corpus/batch=$b"): _*).count()
         val addedBytes =
-          if (toDocs == 0L) 0L
+          if (pinnedRows == 0L) 0L
           else (pinnedCorpusBytes(storeFs, rootDir, batches)
-            * (nAdded.toDouble / toDocs)).toLong
+            * (nAdded.toDouble / pinnedRows)).toLong
         derivedShardCount(addedBytes, codec)
       }
     graft.ops.Warehouse.writeJsonlShards(
@@ -4051,8 +4067,12 @@ object Streaming {
         Thread.sleep(hbInterval)
         if (!hbStop) taken.synchronized {
           taken.foreach { case (fs, p, token) =>
+            // NonFatal, not just IOException: a custom backend's
+            // client (an SDK whose errors are RuntimeExceptions) must
+            // not kill the daemon — a dead heartbeat thread lets a
+            // LIVE body's lease go stale and be broken mid-body
             try backend.heartbeat(fs, p, token)
-            catch { case _: java.io.IOException => () }
+            catch { case scala.util.control.NonFatal(_) => () }
           }
         }
       } catch { case _: InterruptedException => () }
