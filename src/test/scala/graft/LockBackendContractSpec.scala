@@ -170,6 +170,24 @@ abstract class LockBackendContractSpec extends SparkSpec {
   }
 }
 
+/** A backend whose heartbeat throws a RuntimeException on its first
+  * invocation (the shape of a cloud SDK's transient error) and
+  * delegates afterwards — proves the lease daemon survives a
+  * non-IOException beat. */
+class FlakyHeartbeatBackend extends graft.streaming.LockBackend {
+  override def tryAcquire(fs: FileSystem, lock: HPath): Option[String] =
+    graft.streaming.HadoopLockBackend.tryAcquire(fs, lock)
+  override def heartbeat(fs: FileSystem, lock: HPath,
+      token: String): Unit = {
+    if (FlakyHeartbeatBackend.beats.getAndIncrement() == 0)
+      throw new RuntimeException("transient SDK error")
+    super.heartbeat(fs, lock, token)
+  }
+}
+object FlakyHeartbeatBackend {
+  val beats = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** The filesystem default passes its own contract (local leg:
   * kernel-arbitrated O_EXCL create). */
 class HadoopLockBackendContractSpec extends LockBackendContractSpec {
@@ -217,6 +235,54 @@ class InMemoryObjectStoreLockBackendContractSpec
     backend.release(fs, lock, t1)
     assert(InMemoryObjectStore.get(key).isEmpty,
       "fenced release failed after heartbeats moved the content")
+  }
+
+  test("the lease heartbeat daemon survives a backend whose beat " +
+      "throws a RuntimeException — a LIVE holder keeps beating and a " +
+      "waiter never breaks it mid-body") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-flakybeat").toString
+    val root = s"$tmp/store"
+    FlakyHeartbeatBackend.beats.set(0)
+    conf.set("graft.lease.backend",
+      classOf[FlakyHeartbeatBackend].getName)
+    try {
+      val overlapped =
+        new java.util.concurrent.atomic.AtomicBoolean(false)
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      // staleAfterMs = 200 → heartbeat every 50 ms; the FIRST beat
+      // throws (pre-fix, that killed the daemon and the holder read
+      // stale after 200 ms); the hold spans 5 windows
+      val holder = new Thread(() => {
+        try Streaming.withStoreLock(spark, Seq(root),
+          timeoutMs = 10000L, staleAfterMs = 200L) {
+          inside.incrementAndGet()
+          Thread.sleep(1000)
+          if (inside.decrementAndGet() != 0) overlapped.set(true)
+          ()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      holder.start()
+      Thread.sleep(100) // let the holder acquire
+      val waiter = new Thread(() => {
+        try Streaming.withStoreLock(spark, Seq(root),
+          timeoutMs = 10000L, staleAfterMs = 200L) {
+          if (inside.get() != 0) overlapped.set(true)
+          ()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      waiter.start()
+      holder.join(); waiter.join()
+      assert(errs.isEmpty, s"lease participant failed: ${errs.peek()}")
+      assert(FlakyHeartbeatBackend.beats.get() > 1,
+        "daemon died after the throwing beat — the fix under test")
+      assert(!overlapped.get(),
+        "a throwing beat killed the daemon and a waiter broke the " +
+          "LIVE holder's lease")
+    } finally conf.unset("graft.lease.backend")
   }
 
   test("object-store backend: fsck's lease audit reads the OBJECT " +
