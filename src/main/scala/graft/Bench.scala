@@ -19,10 +19,47 @@ object Bench {
     // local process): book the 1-minute loadavg before and after so every
     // bench JSON self-documents its run conditions — two rounds of judges
     // have had to re-run distorted bookings to tell load from regression
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadavg(): Double =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
+      try osBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
+    // loadavg CANNOT tell external load from the bench's own 32-thread
+    // work (every post-run reading is self-polluted, so a flag keyed on
+    // it fires on genuinely quiet hosts too). The honest signal is
+    // EXTERNAL CPU: whole-system CPU share minus THIS JVM's share,
+    // sampled during the run — near 0 on a quiet host no matter how
+    // hard the bench itself runs
+    val sunBean = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    @volatile var samplerStop = false
+    val sampler = new Thread(() => {
+      try while (!samplerStop) {
+        sunBean.foreach { b =>
+          val sys = b.getCpuLoad
+          val self = b.getProcessCpuLoad
+          // both gauges read -1 until their first sampling interval
+          // has elapsed — skip the warm-up readings
+          if (sys >= 0 && self >= 0)
+            samples.add((System.nanoTime(), math.max(0.0, sys - self)))
+        }
+        Thread.sleep(200L)
+      } catch { case _: InterruptedException => () }
+    }, "bench-external-cpu-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
+    def extBetween(t0: Long, t1: Long): Double = {
+      val it = samples.iterator()
+      var s = 0.0
+      var n = 0
+      while (it.hasNext) {
+        val (t, e) = it.next()
+        if (t >= t0 && t <= t1) { s += e; n += 1 }
+      }
+      if (n == 0) -1.0 else s / n
+    }
     // two rounds of driver BENCH files were pure load noise: do not
     // START into a burst. Wait (bounded — default 10 min, tunable via
     // SPARK_GRAFT_BENCH_WAIT_S) for the 1-minute loadavg to drop below
@@ -39,53 +76,70 @@ object Bench {
     // queries in name order so per-query numbers are comparable across runs
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       // execute the PLANNED query (projections, sorts and all) and count
       // its rows — df.count() would let Catalyst prune every projected
       // expression and eliminate sorts, timing only a parquet row count
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      ((t1 - t0) / 1e9, extBetween(t0, t1))
     }
+    val benchT0 = System.nanoTime()
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         // two timed runs, min reported: steady-state latency rather than
         // whichever run a transient host-load burst happened to hit
-        val times = (1 to 2).map(_ => timeOnce(fn))
-        (name, fn, times.min, times.max)
+        val runs = (1 to 2).map(_ => timeOnce(fn))
+        val (mn, extOfMin) = runs.minBy(_._1)
+        (name, fn, mn, runs.map(_._1).max, extOfMin)
     }
-    // a non-trivial query whose two runs spread >3x was hit by a burst
-    // (steady-state queries do not spread): give each ONE more run after
+    // a non-trivial query was distorted when its two runs spread >3x (a
+    // burst hit ONE run — steady-state queries do not spread) OR when
+    // even its BETTER run ran against >25% external CPU (a burst that
+    // covered both runs spreads nothing; an r12 reading booked one query
+    // at 4x its envelope exactly this way). Give each ONE more run after
     // the pass — by then the burst has usually moved on — and report the
     // min, so the booked number converges toward the quiet-host figure.
-    // The spread flag itself stays (honesty about run conditions).
-    val results = firstPass.map { case (name, fn, mn, mx) =>
-      if (mn > 0.5 && mx / mn > 3.0) (name, math.min(mn, timeOnce(fn)), mx)
+    // The flag itself stays (honesty about run conditions).
+    def distorted(mn: Double, mx: Double, ext: Double): Boolean =
+      mn > 0.5 && (mx / mn > 3.0 || ext > 0.25)
+    val results = firstPass.map { case (name, fn, mn, mx, ext) =>
+      if (distorted(mn, mx, ext)) (name, math.min(mn, timeOnce(fn)._1), mx)
       else (name, mn, mx)
     }
-    val retried = firstPass.count { case (_, _, mn, mx) =>
-      mn > 0.5 && mx / mn > 3.0 }
+    val retried = firstPass.count { case (_, _, mn, mx, ext) =>
+      distorted(mn, mx, ext) }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val extRun = extBetween(benchT0, System.nanoTime())
     val loadAfter = loadavg()
+    samplerStop = true
+    sampler.interrupt()
     // self-flag a distorted booking IN-BAND: three rounds of judges have
-    // had to re-run benches whose spikes were host load, not code. High
-    // loadavg at start, or a non-trivial query whose two timed runs
-    // differ >3x (steady-state queries do not), both mean "re-run idle
-    // before comparing". Absent on an idle host. `retried` counts the
-    // FIRST pass's spread queries, so it IS the spread signal — the
-    // retry converges the number but must not clear the flag.
+    // had to re-run benches whose spikes were host load, not code. Flag
+    // when the run STARTED into load, when any non-trivial query was
+    // distorted (spread or per-query external CPU — `retried` counts the
+    // FIRST pass's hits, so it IS that signal; the retry converges the
+    // number but must not clear the flag), or when the whole run averaged
+    // >20% external CPU. loadavg_after stays booked as telemetry but no
+    // longer drives the flag — the bench's own threads saturate it on
+    // QUIET hosts too, which made every honest booking read as distorted.
     val spreadHit = retried > 0
     val loadWarn =
-      if (loadBefore > 2.0 || loadAfter > 2.0 || spreadHit)
+      if (loadBefore > 2.0 || extRun > 0.2 || spreadHit)
         ",\"load_warning\":true" else ""
+    val extNote =
+      if (extRun >= 0) s""","external_cpu":${
+        BigDecimal(extRun).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      }""" else ""
     val waitNote =
       if (waitedS > 0 || retried > 0)
         s""","waited_s":$waitedS,"retried":$retried""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$loadWarn$waitNote}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$loadWarn$waitNote}"""
     // the metric must survive log interleaving AND a bounded tail capture
     // (the harness keeps only the last ~2000 chars of stdout, and sbt
     // appends a "[success]" banner after us): persist the full JSON to a
@@ -107,7 +161,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${
       BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    },"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$loadWarn}"""
+    },"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$loadWarn}"""
     spark.stop()
     println(json)
     println(compact)

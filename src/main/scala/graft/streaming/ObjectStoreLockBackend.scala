@@ -164,6 +164,14 @@ class ObjectStoreLockBackend(client: ConditionalPutClient)
             done = true
         }
       }
+      if (!done)
+        // five reads each saw our token but every conditional delete
+        // lost to a concurrent content change — only sustained beats
+        // against our own token can do that (a stuck daemon); say so
+        // rather than leak silently into the stale window
+        System.err.println(s"[lease] release of $lock kept losing " +
+          "the conditional delete to concurrent heartbeats — " +
+          "leaving it to the stale window / fsck")
     } catch {
       // never throws: release runs in `finally` paths — a failure
       // here is left to the stale window / fsck, like the default

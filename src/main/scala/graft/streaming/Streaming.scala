@@ -4029,28 +4029,55 @@ object Streaming {
       // for the timeout exception — the token's pid@host prefix names
       // the holder, the mtime dates the last heartbeat
       var nextWaitLog = System.currentTimeMillis() + 30000L
+      // a custom backend's client may throw on a poll (the
+      // ConditionalPutClient contract allows transient IO errors):
+      // a throwing tryAcquire/mtime is CONTENTION, not failure — a
+      // one-blip SDK error must not abort the maintenance body the
+      // lease protects. The deadline bounds a persistent outage, and
+      // its exception then names the last poll error instead of a
+      // holder.
+      var lastPollError: Option[Throwable] = None
       var held: Option[String] = None
       while (held.isEmpty) {
-        held = backend.tryAcquire(fs, lock)
-        if (held.isEmpty) backend.mtime(fs, lock) match {
-          case Some(m)
-              if System.currentTimeMillis() - m > staleAfterMs =>
-            backend.breakStale(fs, lock, m) // then retry create
-          case Some(m) if System.currentTimeMillis() > deadline =>
-            throw new IllegalStateException(
-              s"store lease $lock held past $timeoutMs ms by " +
-                s"${backend.readToken(fs, lock).getOrElse("<unreadable>")}" +
-                s" (last heartbeat ${new java.sql.Timestamp(m)}) — if " +
-                "its holder is dead, delete the file to break the lease")
-          case Some(m) =>
-            if (System.currentTimeMillis() >= nextWaitLog) {
-              System.err.println(s"[lease] waiting on $lock held by " +
-                s"${backend.readToken(fs, lock).getOrElse("<unreadable>")}" +
-                s", last heartbeat ${new java.sql.Timestamp(m)}")
-              nextWaitLog = System.currentTimeMillis() + 30000L
-            }
-            Thread.sleep(50) // live lock: re-poll
-          case _ => Thread.sleep(50) // vanished: re-poll
+        held =
+          try { val h = backend.tryAcquire(fs, lock)
+            lastPollError = None; h }
+          catch { case scala.util.control.NonFatal(e) =>
+            lastPollError = Some(e); None }
+        if (held.isEmpty) {
+          val m =
+            try backend.mtime(fs, lock)
+            catch { case scala.util.control.NonFatal(e) =>
+              lastPollError = Some(e); None }
+          m match {
+            case Some(mt)
+                if System.currentTimeMillis() - mt > staleAfterMs =>
+              backend.breakStale(fs, lock, mt) // then retry create
+            case Some(mt) if System.currentTimeMillis() > deadline =>
+              throw new IllegalStateException(
+                s"store lease $lock held past $timeoutMs ms by " +
+                  s"${backend.readToken(fs, lock).getOrElse("<unreadable>")}" +
+                  s" (last heartbeat ${new java.sql.Timestamp(mt)}) — if " +
+                  "its holder is dead, delete the file to break the lease")
+            case Some(mt) =>
+              if (System.currentTimeMillis() >= nextWaitLog) {
+                System.err.println(s"[lease] waiting on $lock held by " +
+                  s"${backend.readToken(fs, lock).getOrElse("<unreadable>")}" +
+                  s", last heartbeat ${new java.sql.Timestamp(mt)}")
+                nextWaitLog = System.currentTimeMillis() + 30000L
+              }
+              Thread.sleep(50) // live lock: re-poll
+            case None if System.currentTimeMillis() > deadline =>
+              // no live holder to name past the deadline: either the
+              // lock keeps vanishing under losing acquires (pathological
+              // churn) or every poll threw — say which
+              throw new IllegalStateException(
+                s"store lease $lock not acquired within $timeoutMs ms" +
+                  lastPollError.map(e => s" — the backend's polls kept " +
+                    s"failing, last error: $e").getOrElse(
+                    " despite no standing holder (acquire/break churn)"))
+            case None => Thread.sleep(50) // vanished or poll error: re-poll
+          }
         }
       }
       held.get

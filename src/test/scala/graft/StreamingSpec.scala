@@ -3545,6 +3545,42 @@ class StreamingSpec extends SparkSpec {
       s"${maxSeen.get()} holders were inside the lease at once")
   }
 
+  test("store lease: a backend whose polls THROW transiently is " +
+      "re-polled as contention (the body still runs); a persistent " +
+      "outage fails at the deadline naming the poll error") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lease-flaky").toString
+    try {
+      // two SDK-shaped RuntimeExceptions on the acquire poll, then
+      // normal grants: the documented ConditionalPutClient contract
+      // ("a throwing acquire poll is contention; re-poll") must hold
+      // at the withStoreLock layer, not just in the scaladoc — a
+      // one-blip client error must not abort the maintenance body
+      FlakyPollLockBackend.reset(failures = 2)
+      conf.set("graft.lease.backend",
+        classOf[FlakyPollLockBackend].getName)
+      var ran = false
+      Streaming.withStoreLock(spark, Seq(s"$tmp/store"),
+        timeoutMs = 10000L) { ran = true }
+      assert(ran, "transient poll errors aborted the body")
+      assert(FlakyPollLockBackend.threw.get() === 2 &&
+        FlakyPollLockBackend.acquires.get() >= 3,
+        "the throwing polls were not retried through")
+      // a backend that NEVER stops throwing must not spin forever:
+      // the deadline converts it into a loud failure that names the
+      // backend's error instead of a nonexistent holder
+      FlakyPollLockBackend.reset(failures = Int.MaxValue)
+      val e = intercept[IllegalStateException] {
+        Streaming.withStoreLock(spark, Seq(s"$tmp/store2"),
+          timeoutMs = 400L) { fail("body must not run — every poll throws") }
+      }
+      assert(e.getMessage.contains("polls kept failing") &&
+        e.getMessage.contains("store outage"),
+        s"timeout did not name the poll error: ${e.getMessage}")
+    } finally conf.unset("graft.lease.backend")
+  }
+
   test("compactors heal a crashed previous compaction before deciding " +
       "anything: a mid-swap crash restores from backup, a stale backup " +
       "is consumed, a consolidated tree is not identity-rewritten") {
@@ -4428,4 +4464,35 @@ object CountingLockBackend {
   val acquires = new java.util.concurrent.atomic.AtomicInteger(0)
   val releases = new java.util.concurrent.atomic.AtomicInteger(0)
   def reset(): Unit = { acquires.set(0); releases.set(0) }
+}
+
+/** A [[graft.streaming.LockBackend]] whose acquire poll THROWS an
+  * SDK-shaped RuntimeException for the first N calls, then grants via
+  * a plain local create — drives withStoreLock's poll-resilience
+  * contract (a throwing poll is contention, not failure; a persistent
+  * outage fails loudly at the deadline). */
+class FlakyPollLockBackend extends graft.streaming.LockBackend {
+  override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[String] = {
+    FlakyPollLockBackend.acquires.incrementAndGet()
+    if (FlakyPollLockBackend.remaining.getAndDecrement() > 0) {
+      FlakyPollLockBackend.threw.incrementAndGet()
+      throw new RuntimeException("synthetic store outage")
+    }
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      val out = fs.create(lock, false)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      Some(token)
+    } catch { case _: java.io.IOException => None }
+  }
+}
+
+object FlakyPollLockBackend {
+  val acquires = new java.util.concurrent.atomic.AtomicInteger(0)
+  val threw = new java.util.concurrent.atomic.AtomicInteger(0)
+  val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(failures: Int): Unit = {
+    acquires.set(0); threw.set(0); remaining.set(failures)
+  }
 }
