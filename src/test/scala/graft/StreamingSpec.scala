@@ -3581,6 +3581,44 @@ class StreamingSpec extends SparkSpec {
     } finally conf.unset("graft.lease.backend")
   }
 
+  test("store lease: 8 contenders through a backend whose acquire AND " +
+      "mtime polls periodically throw still exclude mutually and every " +
+      "body eventually runs") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lease-chaos").toString
+    try {
+      ChaosPollLockBackend.reset()
+      conf.set("graft.lease.backend",
+        classOf[ChaosPollLockBackend].getName)
+      val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ths = (1 to 8).map { _ =>
+        new Thread(() => {
+          try Streaming.withStoreLock(spark, Seq(s"$tmp/store"),
+            timeoutMs = 30000L, staleAfterMs = 60000L) {
+            val n = inBody.incrementAndGet()
+            maxSeen.getAndUpdate(m => math.max(m, n))
+            Thread.sleep(3)
+            inBody.decrementAndGet()
+            done.incrementAndGet()
+            ()
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      ths.foreach(_.start()); ths.foreach(_.join(60000L))
+      assert(errs.isEmpty, s"contender failed: ${errs.peek()}")
+      assert(maxSeen.get() === 1,
+        s"${maxSeen.get()} holders were inside the lease at once")
+      assert(done.get() === 8,
+        s"only ${done.get()}/8 bodies ran — a poll error starved a waiter")
+      assert(ChaosPollLockBackend.threw.get() >= 1,
+        "chaos backend never actually threw — the test exercised nothing")
+    } finally conf.unset("graft.lease.backend")
+  }
+
   test("compactors heal a crashed previous compaction before deciding " +
       "anything: a mid-swap crash restores from backup, a stale backup " +
       "is consumed, a consolidated tree is not identity-rewritten") {
@@ -4494,5 +4532,49 @@ object FlakyPollLockBackend {
   val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
   def reset(failures: Int): Unit = {
     acquires.set(0); threw.set(0); remaining.set(failures)
+  }
+}
+
+/** A [[graft.streaming.LockBackend]] whose acquire poll throws every
+  * 3rd call and whose mtime poll throws every 5th — deterministic
+  * chaos for the mutual-exclusion-under-poll-errors test. Grants and
+  * releases are the plain local mechanics in between. */
+class ChaosPollLockBackend extends graft.streaming.LockBackend {
+  override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[String] = {
+    if (ChaosPollLockBackend.acquirePolls.incrementAndGet() % 3 == 0) {
+      ChaosPollLockBackend.threw.incrementAndGet()
+      throw new RuntimeException("chaos: acquire poll failed")
+    }
+    // O_EXCL create: 8 threads race THIS grant path, and hadoop's
+    // local create(overwrite = false) is check-then-create — a racy
+    // grant here would make the exclusion assertion flaky for the
+    // test backend's own reasons, not the lease layer's
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      val f = new java.io.File(fs.makeQualified(lock).toUri.getPath)
+      Option(f.getParentFile)
+        .foreach(p => java.nio.file.Files.createDirectories(p.toPath))
+      java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      Some(token)
+    } catch { case _: java.io.IOException => None }
+  }
+  override def mtime(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[Long] = {
+    if (ChaosPollLockBackend.mtimePolls.incrementAndGet() % 5 == 0) {
+      ChaosPollLockBackend.threw.incrementAndGet()
+      throw new RuntimeException("chaos: mtime poll failed")
+    }
+    super.mtime(fs, lock)
+  }
+}
+
+object ChaosPollLockBackend {
+  val acquirePolls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val mtimePolls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val threw = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = {
+    acquirePolls.set(0); mtimePolls.set(0); threw.set(0)
   }
 }
