@@ -1185,21 +1185,43 @@ object Streaming {
     // directions — a stale cache may neither reject a now-conforming
     // batch nor silently admit an old-shape one
     val key = fs.makeQualified(root).toString
-    // None = nothing standing to diverge from (absent root, no
-    // committed dirs, or a part-less dir)
+    // None = nothing standing to diverge from (absent root or no
+    // committed dirs). A COMMITTED dir whose footer will not read is
+    // never a waiver: this check runs before the ingest lock (so a
+    // rejected batch leaves no store half-touched), which means a
+    // live compaction's swap renames can momentarily take the dir
+    // out from under the read — retry past the race, re-listing each
+    // time (the fold may have merged our dir away into a new one).
+    // Still unreadable with committed dirs standing = a torn store;
+    // REJECT loudly rather than silently skip the schema policy for
+    // this batch (the exact old-shape admission the guard prevents).
     def readStanding():
         Option[(org.apache.spark.sql.types.StructType, String, Long)] = {
-      if (!fs.exists(root)) return None
-      val ids = committedBatchDirIds(fs, root)
-      if (ids.isEmpty) return None
-      val dir = s"$root/batch=${ids.max}"
-      try {
-        val mt = fs.getFileStatus(new HPath(dir)).getModificationTime
-        Some((batch.sparkSession.read.parquet(dir).schema, dir, mt))
-      } catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-        case _: java.io.FileNotFoundException => None
+      var tries = 0
+      while (true) {
+        if (!fs.exists(root)) return None
+        val ids = committedBatchDirIds(fs, root)
+        if (ids.isEmpty) return None
+        val dir = s"$root/batch=${ids.max}"
+        try {
+          val mt = fs.getFileStatus(new HPath(dir)).getModificationTime
+          return Some((batch.sparkSession.read.parquet(dir).schema, dir, mt))
+        } catch {
+          case e @ (_: org.apache.spark.sql.AnalysisException |
+              _: java.io.FileNotFoundException) =>
+            tries += 1
+            if (tries >= 3)
+              throw new IllegalStateException(
+                s"standing corpus at $root has committed batch dirs but " +
+                  s"$dir's footer stayed unreadable across $tries reads " +
+                  s"($e) — cannot verify the batch's schema against the " +
+                  "standing shape, so the batch is rejected rather than " +
+                  "admitted unchecked. If no compaction is live, run " +
+                  "fsckCurationStore: the dir is torn.")
+            Thread.sleep(100L)
+        }
       }
+      None // unreachable
     }
     def dirUnchanged(dir: String, mt: Long): Boolean =
       try fs.getFileStatus(new HPath(dir)).getModificationTime == mt

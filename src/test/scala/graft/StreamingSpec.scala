@@ -2301,6 +2301,36 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("corpus schema policy: a TORN standing footer (committed dir, " +
+      "no readable parts) rejects the batch loudly instead of " +
+      "silently waiving the check") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-schema-torn")
+      .toString
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // tear the committed dir: parts gone, _SUCCESS standing — the
+    // shape the schema guard can neither verify nor safely ignore
+    // (before this pin, the unreadable footer read as "no standing
+    // corpus" and the guard self-waived — an old-shape batch would
+    // have been admitted unchecked into a torn store)
+    val dir = new java.io.File(s"$tmp/corpus/batch=0")
+    dir.listFiles().filter(f => f.getName != "_SUCCESS")
+      .foreach(f => assert(f.delete(), s"could not tear $f"))
+    val e = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(e.getMessage.contains("unreadable") &&
+      e.getMessage.contains("fsckCurationStore"),
+      s"torn footer did not reject toward fsck: ${e.getMessage}")
+  }
+
   test("subtractTombstonedStats after corpus compaction: a delta " +
       "batch folded away does not hold the repair the way a torn " +
       "dir does") {
