@@ -1468,7 +1468,30 @@ object Streaming {
     // pre-watermark store reads -1 and leg (b) self-heals by scanning
     // the whole corpus (including batch=-1 folds) once
     val cw = readLongMarker(rfs, corpusSweepFile).getOrElse(-1L)
-    if (m <= w) return 0L // registry unchanged since last sweep
+    if (m <= w) {
+      // registry unchanged since last sweep: the sweep is a no-op BY
+      // DESIGN (tombstone/state trees are keyed by the registry mark,
+      // and snapshots pin that mark — a corpus-only sweep has no mark
+      // to commit under). But corpus batches ingested since the last
+      // sweep have then never been scanned against the standing
+      // registry: if they were ingested WITHOUT the decon gate,
+      // contaminated docs sit in the clean view until the registry
+      // grows. Say so instead of returning a silent 0 — the force is
+      // a mark-only re-registration (merge an EMPTY registry batch at
+      // the next id), which gives the scan a fresh mark to commit
+      // under. fsck surfaces the same gap as an info finding.
+      val unswept = committedBatchDirIds(rfs,
+          new HPath(s"$rootDir/corpus")).filter(_ > math.max(cw, -1L))
+      if (unswept.nonEmpty)
+        System.err.println(s"[decon] sweep at $rootDir is a no-op " +
+          s"(registry mark $m already swept) but committed corpus " +
+          s"batch(es) ${unswept.sorted.mkString(",")} landed after " +
+          "the last sweep and are NOT scanned against the standing " +
+          "registry — if they bypassed the ingest gate, force a " +
+          "sweep by re-registering the registry mark-only (empty " +
+          "batch at its next id)")
+      return 0L
+    }
     val n = benchmarkRegistry(spark, benchmarkDir).get._1
     val grams0 = spark.read.parquet(s"$root/ngrams")
     val grams = (if (grams0.columns.contains("first_batch")) grams0
@@ -2593,6 +2616,37 @@ object Streaming {
               "subtractTombstonedStats (O(tombstoned docs)) or " +
               "rebuildCurationStats applies them (a no-op if those " +
               "sweeps were clean)", false))
+      }
+      // post-sweep GATE-LESS ingests never scanned against the
+      // standing registry: a sweep with the registry unchanged is a
+      // no-op by design (its trees are keyed by the registry mark),
+      // so gate-less batches ingested after the last sweep carry any
+      // contamination into the clean view until the registry grows.
+      // Batches with a pinned gate decision (decon/batch=<id>) were
+      // decontaminated at admission and carry no gap — without that
+      // exclusion every live gated store would flag its normal
+      // ingest-ahead-of-sweep state. Same O(listing) visibility rule
+      // as above: say it BEFORE an operator discovers it in an
+      // eval-set leak
+      if (mk >= 0L) {
+        val cwm = readLong(s"$rootDir/decon/_sweep_corpus")
+          .getOrElse(-1L)
+        val unswept = names(s"$rootDir/corpus")
+          .filter(_.startsWith("batch="))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix("batch=").toLong).toOption)
+          .filter(b => b > cwm &&
+            exists(s"$rootDir/corpus/batch=$b/_SUCCESS") &&
+            !exists(s"$rootDir/decon/batch=$b"))
+        if (unswept.nonEmpty)
+          out += (("decon", s"$rootDir/decon/_sweep_corpus", "info",
+            s"committed corpus batch(es) ${unswept.sorted.mkString(", ")} " +
+              "landed after the last retro sweep and are not scanned " +
+              "against the standing registry — if they bypassed the " +
+              "ingest decon gate, contaminated documents sit in the " +
+              "clean view until the next sweep (registry growth, or " +
+              "force one by re-registering the registry mark-only at " +
+              "its next batch id)", false))
       }
     }
     // ---- decon: pinned gate decisions whose corpus batch has folded

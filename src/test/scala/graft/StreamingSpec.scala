@@ -2331,6 +2331,184 @@ class StreamingSpec extends SparkSpec {
       s"torn footer did not reject toward fsck: ${e.getMessage}")
   }
 
+  test("retroDecontaminate: a gate-less batch ingested AFTER the last " +
+      "sweep is invisible to an unchanged-registry sweep (no-op by " +
+      "design), fsck names the gap as info, and the mark-only " +
+      "re-registration force closes it") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-postsweep").toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose2 = "glass furnaces along the coast burned driftwood and " +
+      "kelp ash to melt sand into pale green bottles"
+    def cleanIds() = Streaming.readCleanCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def gapInfo() = Streaming.fsckCurationStore(spark, tmp)
+      .where(col("status") === "info" &&
+        col("path").endsWith("_sweep_corpus")).collect()
+    // batch 0 (clean) ingests; the benchmark quoting prose2 registers;
+    // the sweep runs — registry mark 0 swept, corpus watermark at 0
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose2)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    assert(gapInfo().isEmpty, "gap info fired with nothing unswept")
+    // a CONTAMINATED doc now ingests gate-less: the sweep is a no-op
+    // (registry unchanged — its trees are keyed by the registry mark)
+    // and the doc sits in the clean view; fsck must name the gap
+    Streaming.curationIngestBatch(
+      Seq((2L, prose2)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    assert(cleanIds() === Set(1L, 2L),
+      "unchanged-registry sweep unexpectedly scanned the new batch")
+    val info = gapInfo()
+    assert(info.length === 1 &&
+      info(0).getAs[String]("detail").contains("batch(es) 1") &&
+      info(0).getAs[String]("detail").contains("mark-only"),
+      s"gap not surfaced: ${info.mkString("; ")}")
+    // the documented force: an EMPTY registry batch at the next id
+    // advances the mark; the next sweep scans the gate-less batch
+    // against the standing grams and tombstones the contaminated doc
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq.empty[(Long, String)].toDF("bid", "text"), "text", bdir,
+      1L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L)
+    assert(cleanIds() === Set(1L), "force did not close the gap")
+    assert(gapInfo().isEmpty, "gap info survived the forced sweep")
+    // a GATED batch after the sweep carries no gap (decontaminated at
+    // admission, pinned decision) — fsck stays quiet
+    Streaming.curationIngestBatch(
+      Seq((3L, prose1 + " and the second meadow drains")).toDF(
+        "doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3, Some(bdir))
+    assert(gapInfo().isEmpty,
+      "gated post-sweep batch wrongly flagged as a decon gap")
+  }
+
+  test("lifecycle serializability fuzz: randomized maintenance racing " +
+      "a live sequential ingest converges to the sequential outcome " +
+      "(clean view, stats, fsck-clean) under ANY interleaving") {
+    // one ingest thread (batch ids must stay monotonic per the stats
+    // store's fresh-checkpoint guard) + three maintenance threads
+    // firing sweeps / compactions (incl. purge) / heals / snapshots /
+    // registrations at jittered times — the documented "maintenance
+    // against a LIVE stream" pattern. The lease serializes them; the
+    // invariant under test is that EVERY interleaving converges to
+    // the canonical sequential outcome once a final sweep lands.
+    val fz = java.nio.file.Files
+      .createTempDirectory("graft-fuzz").toString
+    val ct = java.nio.file.Files
+      .createTempDirectory("graft-fuzz-control").toString
+    val sentA = "alpha0 alpha1 alpha2 alpha3 alpha4 alpha5 alpha6 alpha7"
+    val sentB = "beta0 beta1 beta2 beta3 beta4 beta5 beta6 beta7"
+    def docText(i: Int): String = {
+      val own = (0 until 40).map(k => s"v${i}w$k").mkString(" ")
+      if (i % 5 == 0) s"$own $sentA"
+      else if (i % 7 == 0) s"$own $sentB"
+      else own
+    }
+    def ingestAll(root: String, jitter: Option[scala.util.Random],
+        onFirst: () => Unit): Unit =
+      for (b <- 0 until 8) {
+        val docs = (1 to 3).map(k => (b * 3 + k.toLong,
+          docText(b * 3 + k)))
+        Streaming.curationIngestBatch(docs.toDF("doc_id", "text"),
+          "text", "doc_id", root, b.toLong, 0.0, 0.0, 1000.0, 8, 4, 3)
+        if (b == 0) onFirst()
+        jitter.foreach(r => Thread.sleep(r.nextInt(150).toLong))
+      }
+    def register(root: String, batch: Long, text: String): Unit =
+      Streaming.mergeBenchmarkNgramBatch(
+        Seq((900L + batch, text)).toDF("bid", "text"), "text",
+        s"$root/bench", batch, n = 8)
+    def sweep(root: String): Long = Streaming.retroDecontaminate(
+      spark, root, "text", "doc_id", s"$root/bench")
+    def cleanIds(root: String): Set[Long] =
+      Streaming.readCleanCorpus(spark, root)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def hist(root: String): Set[(String, Long)] =
+      spark.read.parquet(s"$root/stats/hist")
+        .where(col("cnt") =!= 0L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // ---- canonical sequential control
+    ingestAll(ct, None, () => ())
+    register(ct, 0L, sentA); register(ct, 1L, sentB)
+    sweep(ct)
+    Streaming.subtractTombstonedStats(spark, ct)
+    val wantClean = cleanIds(ct)
+    assert(wantClean.nonEmpty && wantClean.size < 24,
+      s"control scenario degenerate: $wantClean")
+    // ---- fuzz root: ingest + 3 maintenance threads
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def th(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() => {
+        try { started.await(); body }
+        catch { case e: Throwable => errs.add(e) }
+      }, name)
+      t
+    }
+    val ingest = new Thread(() => {
+      try ingestAll(fz, Some(new scala.util.Random(7L)),
+        () => started.countDown())
+      catch { case e: Throwable => errs.add(e) }
+    }, "fuzz-ingest")
+    val m1 = th("fuzz-m1") {
+      val r = new scala.util.Random(11L)
+      sweep(fz); Thread.sleep(r.nextInt(200).toLong)
+      Streaming.compactCurationCorpus(spark, fz)
+      Thread.sleep(r.nextInt(200).toLong)
+      sweep(fz)
+      Streaming.snapshotCorpus(spark, fz, "fz1")
+    }
+    val m2 = th("fuzz-m2") {
+      val r = new scala.util.Random(13L)
+      Thread.sleep(r.nextInt(150).toLong)
+      register(fz, 0L, sentA)
+      Thread.sleep(r.nextInt(250).toLong)
+      register(fz, 1L, sentB)
+      sweep(fz)
+      Streaming.compactCurationCorpus(spark, fz, purgeTombstoned = true)
+    }
+    val m3 = th("fuzz-m3") {
+      val r = new scala.util.Random(17L)
+      Streaming.fsckCurationStore(spark, fz, heal = true).collect()
+      Thread.sleep(r.nextInt(200).toLong)
+      Streaming.snapshotCorpus(spark, fz, "fz2")
+      Thread.sleep(r.nextInt(200).toLong)
+      sweep(fz)
+      Streaming.fsckCurationStore(spark, fz, heal = true).collect()
+    }
+    val all = Seq(ingest, m1, m2, m3)
+    all.foreach(_.start()); all.foreach(_.join(600000L))
+    assert(errs.isEmpty, s"racing op failed: ${errs.peek()}")
+    // ---- convergence: batches ingested after the last racing sweep
+    // are gate-less, and a sweep with the registry unchanged is a
+    // no-op by design — the documented force is a mark-only
+    // re-registration (empty registry batch at the next id), which
+    // gives the final sweep a fresh mark to scan them under. The
+    // fsck info finding (spec'd separately) is the trap's visibility.
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq.empty[(Long, String)].toDF("bid", "text"), "text",
+      s"$fz/bench", 2L, n = 8)
+    sweep(fz)
+    Streaming.subtractTombstonedStats(spark, fz)
+    assert(cleanIds(fz) === wantClean,
+      "racing maintenance changed the converged clean view")
+    assert(hist(fz) === hist(ct),
+      "racing maintenance changed the converged word-histogram stats")
+    val findings = Streaming.fsckCurationStore(spark, fz)
+    assert(findings.where(col("status") === "error").count() === 0L,
+      s"fsck errors after the fuzz: ${findings.collect().mkString("; ")}")
+  }
+
   test("subtractTombstonedStats after corpus compaction: a delta " +
       "batch folded away does not hold the repair the way a torn " +
       "dir does") {
@@ -2832,9 +3010,12 @@ class StreamingSpec extends SparkSpec {
     // apply the sweep's stats deltas — an unapplied sweep is itself an
     // (info) finding, and the healthy baseline must be findings-free
     assert(Streaming.subtractTombstonedStats(spark, tmp) === 1L)
+    // the post-sweep batch ingests GATED: a gate-less batch behind a
+    // standing registry is a real exposure fsck now names (info), so
+    // the findings-free baseline must use the clean shape
     Streaming.curationIngestBatch(
       Seq((3L, prose3)).toDF("doc_id", "text"), "text",
-      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3, Some(bdir))
     Streaming.snapshotCorpus(spark, tmp, "s")
     // a healthy store audits EMPTY — findings-only contract
     assert(Streaming.fsckCurationStore(spark, tmp).isEmpty)
@@ -2890,6 +3071,7 @@ class StreamingSpec extends SparkSpec {
       ("decon", "warn", "decon/hits/base=99"),
       ("decon", "error", "decon/hits/junk"),
       ("decon", "info", "decon/batch=7"),
+      ("decon", "info", "decon/batch=1"),
       ("snapshot", "warn", "snapshots/.z.tmp"),
       ("snapshot", "error", "snapshots/s"),
       ("snapshot", "error", "snapshots/ahead"),
@@ -2921,6 +3103,7 @@ class StreamingSpec extends SparkSpec {
       ("decon", "error", "decon/tombstones/sweep=0"),
       ("decon", "error", "decon/hits/junk"),
       ("decon", "info", "decon/batch=7"),
+      ("decon", "info", "decon/batch=1"),
       ("snapshot", "error", "snapshots/s"),
       ("snapshot", "error", "snapshots/ahead"),
       ("snapshot", "error", "snapshots/broken")))
