@@ -1441,6 +1441,45 @@ object Streaming {
         benchmarkDir, minHits)
     }
 
+  /** The corpus-side closure [[retroDecontaminate]] cannot give you
+    * with the registry unchanged: gate-less batches ingested AFTER
+    * the last sweep are invisible to an unchanged-registry sweep (a
+    * no-op by design — tombstone/state trees and snapshot pins are
+    * keyed by the registry mark, so a corpus-only sweep has no mark
+    * to commit under). This forces one: it advances the registry
+    * mark with an EMPTY batch at its next id (no grams added — the
+    * "mark-only re-registration" the docs describe), then sweeps, so
+    * the new mark's leg B scans everything ingested since
+    * `_sweep_corpus` against ALL standing grams. Returns the number
+    * of newly tombstoned docs; a registry that does not exist yet is
+    * a no-op 0.
+    *
+    * CAVEAT — registries fed by a LIVE [[benchmarkIndexSink]] stream:
+    * the bump outruns the stream's checkpoint batch ids, and the
+    * exactly-once guard then SKIPS the stream's later registrations
+    * (loudly warned, but skipped) until its ids pass the bumped mark.
+    * Force only registries you register in batch (tracking ids from
+    * the store's own `_batch`), or stop the sink first. */
+  def forceRetroSweep(spark: SparkSession, rootDir: String,
+      textCol: String, idCol: String, benchmarkDir: String,
+      minHits: Long = 1L): Long = {
+    val root = readableStoreDir(spark, benchmarkDir)
+    val markFile = new HPath(s"$root/_batch")
+    val bfs = markFile.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!bfs.exists(markFile)) return 0L // nothing registered yet
+    val m = readLongMarker(bfs, markFile).get
+    val n = benchmarkRegistry(spark, benchmarkDir).get._1
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(textCol,
+          org.apache.spark.sql.types.StringType))))
+    mergeBenchmarkNgramBatch(empty, textCol, benchmarkDir, m + 1L, n)
+    retroDecontaminate(spark, rootDir, textCol, idCol, benchmarkDir,
+      minHits)
+  }
+
   private def retroDecontaminateLocked(spark: SparkSession,
       rootDir: String, textCol: String, idCol: String,
       benchmarkDir: String, minHits: Long): Long = {
@@ -1487,9 +1526,8 @@ object Streaming {
           s"(registry mark $m already swept) but committed corpus " +
           s"batch(es) ${unswept.sorted.mkString(",")} landed after " +
           "the last sweep and are NOT scanned against the standing " +
-          "registry — if they bypassed the ingest gate, force a " +
-          "sweep by re-registering the registry mark-only (empty " +
-          "batch at its next id)")
+          "registry — if they bypassed the ingest gate, run " +
+          "forceRetroSweep (a mark-only re-registration + sweep)")
       return 0L
     }
     val n = benchmarkRegistry(spark, benchmarkDir).get._1
@@ -2645,8 +2683,8 @@ object Streaming {
               "against the standing registry — if they bypassed the " +
               "ingest decon gate, contaminated documents sit in the " +
               "clean view until the next sweep (registry growth, or " +
-              "force one by re-registering the registry mark-only at " +
-              "its next batch id)", false))
+              "forceRetroSweep — a mark-only re-registration + " +
+              "sweep)", false))
       }
     }
     // ---- decon: pinned gate decisions whose corpus batch has folded

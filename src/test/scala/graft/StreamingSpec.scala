@@ -2370,15 +2370,13 @@ class StreamingSpec extends SparkSpec {
     val info = gapInfo()
     assert(info.length === 1 &&
       info(0).getAs[String]("detail").contains("batch(es) 1") &&
-      info(0).getAs[String]("detail").contains("mark-only"),
+      info(0).getAs[String]("detail").contains("forceRetroSweep"),
       s"gap not surfaced: ${info.mkString("; ")}")
-    // the documented force: an EMPTY registry batch at the next id
-    // advances the mark; the next sweep scans the gate-less batch
-    // against the standing grams and tombstones the contaminated doc
-    Streaming.mergeBenchmarkNgramBatch(
-      Seq.empty[(Long, String)].toDF("bid", "text"), "text", bdir,
-      1L, n = 8)
-    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+    // the first-class force: one call does the mark-only
+    // re-registration (empty registry batch at the next id) and the
+    // sweep, whose new mark scans the gate-less batch against ALL
+    // standing grams and tombstones the contaminated doc
+    assert(Streaming.forceRetroSweep(spark, tmp, "text", "doc_id",
       bdir) === 1L)
     assert(cleanIds() === Set(1L), "force did not close the gap")
     assert(gapInfo().isEmpty, "gap info survived the forced sweep")
