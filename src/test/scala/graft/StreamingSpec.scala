@@ -2505,6 +2505,21 @@ class StreamingSpec extends SparkSpec {
     val findings = Streaming.fsckCurationStore(spark, fz)
     assert(findings.where(col("status") === "error").count() === 0L,
       s"fsck errors after the fuzz: ${findings.collect().mkString("; ")}")
+    // the two snapshots taken at arbitrary points DURING the race
+    // must still read exactly (compaction retains their pinned dirs
+    // by rename; purge only rewrites folds), and the diff between
+    // them must agree set-wise with the views themselves
+    def snapIds(name: String): Set[Long] =
+      Streaming.readSnapshot(spark, fz, name)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (s1, s2) = (snapIds("fz1"), snapIds("fz2"))
+    val diff = Streaming.diffSnapshots(spark, fz, "fz1", "fz2",
+        "doc_id").collect()
+      .map(r => (r.getAs[String]("change"), r.getAs[Long]("doc_id")))
+    assert(diff.filter(_._1 == "added").map(_._2).toSet === (s2 -- s1),
+      "diffSnapshots 'added' disagrees with the snapshot views")
+    assert(diff.filter(_._1 == "removed").map(_._2).toSet === (s1 -- s2),
+      "diffSnapshots 'removed' disagrees with the snapshot views")
   }
 
   test("subtractTombstonedStats after corpus compaction: a delta " +
