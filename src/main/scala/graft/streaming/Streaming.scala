@@ -4166,7 +4166,22 @@ object Streaming {
           m match {
             case Some(mt)
                 if System.currentTimeMillis() - mt > staleAfterMs =>
-              backend.breakStale(fs, lock, mt) // then retry create
+              // then retry create; a THROWING break attempt is the
+              // same transient-client story as the polls above — the
+              // stale lock is still there, so the next cycle retries
+              // the break. Bounded here too: this branch precedes the
+              // deadline case, so without its own check a persistent
+              // outage would spin past the deadline forever
+              try backend.breakStale(fs, lock, mt)
+              catch { case scala.util.control.NonFatal(e) =>
+                lastPollError = Some(e)
+                if (System.currentTimeMillis() > deadline)
+                  throw new IllegalStateException(
+                    s"store lease $lock stayed stale past $timeoutMs " +
+                      s"ms — the backend's break attempts kept " +
+                      s"failing, last error: $e")
+                Thread.sleep(50)
+              }
             case Some(mt) if System.currentTimeMillis() > deadline =>
               throw new IllegalStateException(
                 s"store lease $lock held past $timeoutMs ms by " +

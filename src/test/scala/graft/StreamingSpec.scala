@@ -3807,6 +3807,45 @@ class StreamingSpec extends SparkSpec {
     } finally conf.unset("graft.lease.backend")
   }
 
+  test("store lease: a throwing breakStale is retried like a throwing " +
+      "poll — a one-blip break still frees the stale lease; a " +
+      "persistent one fails at the deadline naming the error") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lease-break").toString
+    def plantStale(root: String): Unit = {
+      val lf = new java.io.File(s"${new java.io.File(root).getParent}" +
+        s"/.${new java.io.File(root).getName}.lock")
+      java.nio.file.Files.write(lf.toPath,
+        "dead-holder/xyz".getBytes("UTF-8"))
+      assert(lf.setLastModified(System.currentTimeMillis() - 3600000L))
+    }
+    try {
+      conf.set("graft.lease.backend",
+        classOf[FlakyBreakLockBackend].getName)
+      FlakyBreakLockBackend.reset(failures = 1)
+      plantStale(s"$tmp/store")
+      var ran = false
+      Streaming.withStoreLock(spark, Seq(s"$tmp/store"),
+        timeoutMs = 10000L, staleAfterMs = 1000L) { ran = true }
+      assert(ran, "one throwing break aborted the waiter")
+      assert(FlakyBreakLockBackend.threw.get() === 1 &&
+        FlakyBreakLockBackend.breaks.get() >= 2,
+        "the throwing break was not retried")
+      FlakyBreakLockBackend.reset(failures = Int.MaxValue)
+      plantStale(s"$tmp/store2")
+      val e = intercept[IllegalStateException] {
+        Streaming.withStoreLock(spark, Seq(s"$tmp/store2"),
+          timeoutMs = 500L, staleAfterMs = 1000L) {
+          fail("body must not run — the stale lease is unbreakable")
+        }
+      }
+      assert(e.getMessage.contains("break attempts kept failing") &&
+        e.getMessage.contains("break outage"),
+        s"deadline did not name the break error: ${e.getMessage}")
+    } finally conf.unset("graft.lease.backend")
+  }
+
   test("store lease: 8 contenders through a backend whose acquire AND " +
       "mtime polls periodically throw still exclude mutually and every " +
       "body eventually runs") {
@@ -4802,5 +4841,42 @@ object ChaosPollLockBackend {
   val threw = new java.util.concurrent.atomic.AtomicInteger(0)
   def reset(): Unit = {
     acquirePolls.set(0); mtimePolls.set(0); threw.set(0)
+  }
+}
+
+/** A [[graft.streaming.LockBackend]] whose breakStale throws for the
+  * first N calls, then delegates — drives the stale-branch poll
+  * resilience (a throwing break is retried; a persistent one fails
+  * at the deadline naming the error). */
+class FlakyBreakLockBackend extends graft.streaming.LockBackend {
+  override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[String] = {
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      val f = new java.io.File(fs.makeQualified(lock).toUri.getPath)
+      Option(f.getParentFile)
+        .foreach(p => java.nio.file.Files.createDirectories(p.toPath))
+      java.nio.file.Files.write(f.toPath, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      Some(token)
+    } catch { case _: java.io.IOException => None }
+  }
+  override def breakStale(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath, m: Long): Unit = {
+    FlakyBreakLockBackend.breaks.incrementAndGet()
+    if (FlakyBreakLockBackend.remaining.getAndDecrement() > 0) {
+      FlakyBreakLockBackend.threw.incrementAndGet()
+      throw new RuntimeException("synthetic break outage")
+    }
+    super.breakStale(fs, lock, m)
+  }
+}
+
+object FlakyBreakLockBackend {
+  val breaks = new java.util.concurrent.atomic.AtomicInteger(0)
+  val threw = new java.util.concurrent.atomic.AtomicInteger(0)
+  val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(failures: Int): Unit = {
+    breaks.set(0); threw.set(0); remaining.set(failures)
   }
 }
