@@ -2380,6 +2380,10 @@ class StreamingSpec extends SparkSpec {
       bdir) === 1L)
     assert(cleanIds() === Set(1L), "force did not close the gap")
     assert(gapInfo().isEmpty, "gap info survived the forced sweep")
+    // the force's empty registry batch leaves a healthy store behind
+    // (mark advanced, no torn dirs, grams untouched)
+    assert(Streaming.fsckStore(spark, bdir).isEmpty,
+      "forceRetroSweep left registry debris")
     // a GATED batch after the sweep carries no gap (decontaminated at
     // admission, pinned decision) — fsck stays quiet
     Streaming.curationIngestBatch(
