@@ -1199,26 +1199,47 @@ object Streaming {
         Option[(org.apache.spark.sql.types.StructType, String, Long)] = {
       var tries = 0
       while (true) {
-        if (!fs.exists(root)) return None
-        val ids = committedBatchDirIds(fs, root)
-        if (ids.isEmpty) return None
-        val dir = s"$root/batch=${ids.max}"
-        try {
-          val mt = fs.getFileStatus(new HPath(dir)).getModificationTime
-          return Some((batch.sparkSession.read.parquet(dir).schema, dir, mt))
-        } catch {
-          case e @ (_: org.apache.spark.sql.AnalysisException |
-              _: java.io.FileNotFoundException) =>
-            tries += 1
-            if (tries >= 3)
-              throw new IllegalStateException(
-                s"standing corpus at $root has committed batch dirs but " +
-                  s"$dir's footer stayed unreadable across $tries reads " +
-                  s"($e) — cannot verify the batch's schema against the " +
-                  "standing shape, so the batch is rejected rather than " +
-                  "admitted unchecked. If no compaction is live, run " +
-                  "fsckCurationStore: the dir is torn.")
-            Thread.sleep(100L)
+        if (!fs.exists(root)) {
+          // a live compaction's atomicSwap renames the WHOLE corpus
+          // root aside (root → .corpus.compact.old) before renaming
+          // the compacted tree in: a vanished root with that backup
+          // standing is the mid-swap window, not a genuinely-new
+          // store — retry like an unreadable dir rather than waive
+          // the schema check (the old-shape admission this guard
+          // exists to prevent). A root absent with NO backup is a
+          // store that has never ingested: None immediately.
+          if (!fs.exists(compactBackupPath(root))) return None
+          tries += 1
+          if (tries >= 3)
+            throw new IllegalStateException(
+              s"corpus root $root is absent but its compaction backup " +
+                s"${compactBackupPath(root)} is standing across $tries " +
+                "reads — a compaction died between its two renames; " +
+                "any maintenance write (or fsckCurationStore with " +
+                "heal = true) restores the tree. The batch is " +
+                "rejected rather than admitted unchecked.")
+          Thread.sleep(100L)
+        } else {
+          val ids = committedBatchDirIds(fs, root)
+          if (ids.isEmpty) return None
+          val dir = s"$root/batch=${ids.max}"
+          try {
+            val mt = fs.getFileStatus(new HPath(dir)).getModificationTime
+            return Some((batch.sparkSession.read.parquet(dir).schema, dir, mt))
+          } catch {
+            case e @ (_: org.apache.spark.sql.AnalysisException |
+                _: java.io.FileNotFoundException) =>
+              tries += 1
+              if (tries >= 3)
+                throw new IllegalStateException(
+                  s"standing corpus at $root has committed batch dirs but " +
+                    s"$dir's footer stayed unreadable across $tries reads " +
+                    s"($e) — cannot verify the batch's schema against the " +
+                    "standing shape, so the batch is rejected rather than " +
+                    "admitted unchecked. If no compaction is live, run " +
+                    "fsckCurationStore: the dir is torn.")
+              Thread.sleep(100L)
+          }
         }
       }
       None // unreachable
@@ -1468,8 +1489,20 @@ object Streaming {
     val bfs = markFile.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!bfs.exists(markFile)) return 0L // nothing registered yet
-    val m = readLongMarker(bfs, markFile).get
-    val n = benchmarkRegistry(spark, benchmarkDir).get._1
+    // torn-store shapes surface as NAMED errors, not bare
+    // NoSuchElementExceptions: a _batch mark with no meta/ beside it
+    // (a crashed first merge) is a store fsckStore can diagnose
+    val m = scala.util.Try(readLongMarker(bfs, markFile)).toOption
+      .flatten.getOrElse(throw new IllegalStateException(
+        s"benchmark registry at $benchmarkDir has a _batch mark that " +
+          "would not read or parse — a torn store; run fsckStore on " +
+          "it before forcing a sweep"))
+    val n = benchmarkRegistry(spark, benchmarkDir).getOrElse(
+      throw new IllegalStateException(
+        s"benchmark registry at $benchmarkDir carries a _batch mark " +
+          "but no meta/ part — a crashed first merge; run fsckStore " +
+          "on it (or re-register the benchmark) before forcing a " +
+          "sweep"))._1
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -1519,8 +1552,14 @@ object Streaming {
       // a mark-only re-registration (merge an EMPTY registry batch at
       // the next id), which gives the scan a fresh mark to commit
       // under. fsck surfaces the same gap as an info finding.
+      // Batches with a pinned gate decision (decon/batch=<id>) were
+      // decontaminated at admission and carry no gap — the same
+      // exclusion fsck's info finding applies, and without it every
+      // healthy gated store would warn about its normal
+      // ingest-ahead-of-sweep state on every scheduled sweep.
       val unswept = committedBatchDirIds(rfs,
           new HPath(s"$rootDir/corpus")).filter(_ > math.max(cw, -1L))
+        .filterNot(id => rfs.exists(new HPath(s"$rootDir/decon/batch=$id")))
       if (unswept.nonEmpty)
         System.err.println(s"[decon] sweep at $rootDir is a no-op " +
           s"(registry mark $m already swept) but committed corpus " +

@@ -4733,6 +4733,103 @@ class StreamingSpec extends SparkSpec {
       e.getMessage.contains("last heartbeat"),
       s"timeout must identify the holder: ${e.getMessage}")
   }
+
+  test("the no-op-sweep warning excludes batches with a pinned gate " +
+      "decision — a scheduled sweep on a healthy gated store does not " +
+      "cry wolf about batches decontaminated at admission") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-noopwarn").toString
+    val bdir = s"$tmp/bench"
+    val prose = "the lighthouse keeper logged every passing ship in a " +
+      "ledger bound with sailcloth and tar"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, "benchmark prose that matches nothing here at all " +
+        "in any shared eight gram window")).toDF("bid", "text"),
+      "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 0L)
+    // batch 1 ingests GATED (pinned decision), batch 2 gate-less;
+    // the unchanged-registry sweep's warning must name ONLY batch 2
+    Streaming.curationIngestBatch(
+      Seq((2L, prose + " beside the northern shoal")).toDF(
+        "doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3, Some(bdir))
+    Streaming.curationIngestBatch(
+      Seq((3L, prose + " under the winter fog")).toDF(
+        "doc_id", "text"), "text",
+      "doc_id", tmp, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
+    try assert(Streaming.retroDecontaminate(spark, tmp, "text",
+      "doc_id", bdir) === 0L)
+    finally System.setErr(oldErr)
+    val warned = bos.toString("UTF-8")
+    assert(warned.contains("batch(es) 2 landed"),
+      s"gate-less batch 2 not named by the no-op-sweep warning: $warned")
+    assert(!warned.contains("1,2") && !warned.contains("batch(es) 1"),
+      s"gated batch 1 wrongly flagged by the no-op-sweep warning: $warned")
+  }
+
+  test("schema gate: a corpus root renamed aside mid-compaction (its " +
+      ".compact.old backup standing) REJECTS the batch after retries " +
+      "instead of self-waiving the schema check; a genuinely-new root " +
+      "still waives immediately") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-midswap").toString
+    Streaming.curationIngestBatch(
+      Seq((1L, "a perfectly ordinary standing document")).toDF(
+        "doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    val fs = new HPath(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // atomicSwap's first rename: the WHOLE corpus root moves aside
+    assert(fs.rename(new HPath(s"$tmp/corpus"),
+      new HPath(s"$tmp/.corpus.compact.old")))
+    val e = intercept[IllegalStateException] {
+      Streaming.curationIngestBatch(
+        Seq((2L, "an old-shape batch the waiver would have admitted"))
+          .toDF("doc_id", "text"), "text",
+        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    }
+    assert(e.getMessage.contains(".corpus.compact.old") &&
+      e.getMessage.contains("rejected"),
+      s"mid-swap rejection must name the standing backup: ${e.getMessage}")
+    assert(!fs.exists(new HPath(s"$tmp/corpus/batch=1")),
+      "a rejected batch left a corpus effect behind")
+    // restore (what the crashed compaction's heal does) — the same
+    // batch now admits against the standing schema
+    assert(fs.rename(new HPath(s"$tmp/.corpus.compact.old"),
+      new HPath(s"$tmp/corpus")))
+    Streaming.curationIngestBatch(
+      Seq((2L, "an old-shape batch the waiver would have admitted"))
+        .toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    assert(Streaming.readCurationCorpus(spark, tmp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+  }
+
+  test("forceRetroSweep on a torn registry (_batch mark but no meta/) " +
+      "throws a NAMED error pointing at fsckStore, not a bare " +
+      "NoSuchElementException") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-tornforce").toString
+    val bdir = s"$tmp/bench"
+    new java.io.File(bdir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bdir/_batch"), "0".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Streaming.forceRetroSweep(spark, tmp, "text", "doc_id", bdir)
+    }
+    assert(e.getMessage.contains(bdir) &&
+      e.getMessage.contains("meta") &&
+      e.getMessage.contains("fsckStore"),
+      s"torn registry must surface as a named error: ${e.getMessage}")
+  }
 }
 
 /** A local-disk-backed FileSystem that REPORTS scheme `s3a` — the
