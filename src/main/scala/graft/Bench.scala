@@ -49,7 +49,11 @@ object Bench {
       } catch { case _: InterruptedException => () }
     }, "bench-external-cpu-sampler")
     sampler.setDaemon(true)
-    sampler.start()
+    // a JVM whose platform bean is not com.sun.management has no CPU
+    // gauges: the sampler would loop forever collecting nothing, so
+    // don't start it — extBetween then reads -1 everywhere and the
+    // load_warning falls back to loadavg (see below)
+    if (sunBean.nonEmpty) sampler.start()
     def extBetween(t0: Long, t1: Long): Double = {
       val it = samples.iterator()
       var s = 0.0
@@ -72,6 +76,37 @@ object Bench {
       Thread.sleep(10000L)
     val waitedS = math.round((System.nanoTime() - waitT0) / 1e9)
     val loadBefore = loadavg()
+    // HOST-MODE PROBE: the external-CPU instrument is blind to the
+    // host's second distortion mode — hypervisor/neighbor
+    // memory-bandwidth contention (external_cpu ~0, loadavg quiet,
+    // in-guest steal <1%, yet shuffle-heavy queries run 1.2-1.8x
+    // their envelopes). A fixed single-threaded strided-sum over a
+    // 256 MB buffer is bandwidth-bound (one cacheline per access) and
+    // CPU-light, so its wall time moves with the contention the CPU
+    // gauges cannot see. Booked as membw_probe_s: compare across
+    // artifacts — a run whose probe reads well above the quiet
+    // envelope is degraded-host, not regression, even when every
+    // other instrument is clean.
+    def membwProbe(): Double = {
+      val n = 32 << 20 // 32M longs = 256 MB
+      val a = new Array[Long](n)
+      java.util.Arrays.fill(a, 3L)
+      var sink = 0L
+      def pass(offset: Int): Long = {
+        var s = 0L
+        var i = offset
+        while (i < n) { s += a(i); i += 8 } // 8 longs = one cacheline
+        s
+      }
+      sink += pass(0) // JIT warm-up outside the timed window
+      val t0 = System.nanoTime()
+      var p = 0
+      while (p < 16) { sink += pass(p % 8); p += 1 }
+      val t1 = System.nanoTime()
+      if (sink == 42L) println("") // keep the sum observable
+      (t1 - t0) / 1e9
+    }
+    val membwS = membwProbe()
     // absorb session/scheduler warm-up outside any measured query, and run
     // queries in name order so per-query numbers are comparable across runs
     try spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -99,15 +134,33 @@ object Bench {
     // burst hit ONE run — steady-state queries do not spread) OR when
     // even its BETTER run ran against >25% external CPU (a burst that
     // covered both runs spreads nothing; an r12 reading booked one query
-    // at 4x its envelope exactly this way). Give each ONE more run after
-    // the pass — by then the burst has usually moved on — and report the
-    // min, so the booked number converges toward the quiet-host figure.
-    // The flag itself stays (honesty about run conditions).
+    // at 4x its envelope exactly this way). A single post-pass retry
+    // converged transient bursts but NOT sustained ones (an r12 driver
+    // artifact still booked one query at 13x its quiet figure): so each
+    // distorted query now reruns until it CONVERGES — a fresh run
+    // landing within 1.5x of the best so far, with quiet external CPU
+    // during that run, means two independent measurements agree (steady
+    // state; a burst spreads them) — bounded at 3 extra runs so a
+    // never-quiet host cannot stall the suite. Min reported; the flag
+    // itself stays (honesty about run conditions).
     def distorted(mn: Double, mx: Double, ext: Double): Boolean =
       mn > 0.5 && (mx / mn > 3.0 || ext > 0.25)
+    var extraRuns = 0
     val results = firstPass.map { case (name, fn, mn, mx, ext) =>
-      if (distorted(mn, mx, ext)) (name, math.min(mn, timeOnce(fn)._1), mx)
-      else (name, mn, mx)
+      if (!distorted(mn, mx, ext)) (name, mn, mx)
+      else {
+        var best = mn
+        var converged = false
+        var tries = 0
+        while (!converged && tries < 3) {
+          tries += 1; extraRuns += 1
+          val (t, e) = timeOnce(fn)
+          converged = t <= best * 1.5 && best <= t * 1.5 &&
+            (e < 0 || e <= 0.25)
+          best = math.min(best, t)
+        }
+        (name, best, mx)
+      }
     }
     val retried = firstPass.count { case (_, _, mn, mx, ext) =>
       distorted(mn, mx, ext) }
@@ -128,18 +181,26 @@ object Bench {
     // longer drives the flag — the bench's own threads saturate it on
     // QUIET hosts too, which made every honest booking read as distorted.
     val spreadHit = retried > 0
+    // with no external-CPU instrument (extRun < 0: the platform bean
+    // is not com.sun.management) mid-run load has no better signal
+    // than loadavg_after — fall back to it there, even though on an
+    // instrumented host it would false-flag the bench's own threads
     val loadWarn =
-      if (loadBefore > 2.0 || extRun > 0.2 || spreadHit)
+      if (loadBefore > 2.0 || extRun > 0.2 || spreadHit ||
+          (extRun < 0 && loadAfter > 2.0))
         ",\"load_warning\":true" else ""
     val extNote =
       if (extRun >= 0) s""","external_cpu":${
         BigDecimal(extRun).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       }""" else ""
+    val membwNote = s""","membw_probe_s":${
+      BigDecimal(membwS).setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
     val waitNote =
       if (waitedS > 0 || retried > 0)
-        s""","waited_s":$waitedS,"retried":$retried""" else ""
+        s""","waited_s":$waitedS,"retried":$retried,"extra_runs":$extraRuns"""
+      else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$loadWarn$waitNote}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$membwNote$loadWarn$waitNote}"""
     // the metric must survive log interleaving AND a bounded tail capture
     // (the harness keeps only the last ~2000 chars of stdout, and sbt
     // appends a "[success]" banner after us): persist the full JSON to a
@@ -161,7 +222,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${
       BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    },"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$loadWarn}"""
+    },"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$membwNote$loadWarn}"""
     spark.stop()
     println(json)
     println(compact)
