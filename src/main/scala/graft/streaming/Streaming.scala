@@ -2382,13 +2382,17 @@ object Streaming {
     *
     * `nShards = 0` (the default) derives the count from the pinned
     * batch dirs' parquet bytes — ONE recursive metadata listing of
-    * the corpus root — targeting ~512 MB per SHARD FILE with a
-    * codec-aware expansion factor measured by `graft.ExportProbe`
-    * (plain JSONL ≈ 3× the parquet bytes; gzip ≈ 0.6×, zstd ≈ 0.55×
-    * — compressed shards land near parquet's own size, not the
-    * uncompressed-JSON size), so a 100 TB snapshot fans out to
-    * enough write tasks instead of wedging a fixed shard count into
-    * straggler/OOM territory. The document count in `_MANIFEST`
+    * the corpus root — targeting ~512 MB per SHARD FILE
+    * (`graft.export.shardTargetBytes` overrides) with a
+    * SELF-CALIBRATING expansion factor: [[measuredExpansion]]
+    * re-encodes one bounded pinned parquet file with the target codec
+    * and measures the actual ratio, so the sizing is exact for every
+    * codec and corpus shape forever (falling back to the
+    * ExportProbe-measured table — plain ≈ 3×, gzip ≈ 0.6×,
+    * zstd ≈ 0.55× — only when calibration cannot encode). A 100 TB
+    * snapshot thus fans out to enough write tasks instead of wedging
+    * a fixed or mis-guessed shard count into straggler/OOM
+    * territory. The document count in `_MANIFEST`
     * comes from an Observation on the write itself — the export is
     * never re-read for its own bookkeeping. `codec` compresses the
     * shard files (`"gzip"` / `"zstd"`; zstd for text sinks requires
@@ -2405,8 +2409,8 @@ object Streaming {
     val (batches, sweep) = readSnapshotManifest(storeFs, rootDir, name)
     val effShards =
       if (nShards > 0) nShards
-      else derivedShardCount(
-        pinnedCorpusBytes(storeFs, rootDir, batches), codec)
+      else calibratedShardCount(spark, storeFs, rootDir, batches,
+        codec, outPath, pinnedCorpusBytes(storeFs, rootDir, batches))
     val view = readSnapshot(spark, rootDir, name)
     val nDocs = graft.ops.Warehouse.writeJsonlShards(
       view.drop("batch"), idCol, outPath, effShards, codec)
@@ -2435,27 +2439,111 @@ object Streaming {
     bytes
   }
 
-  /** Shard count targeting ~512 MB per SHARD FILE from source parquet
-    * bytes. The expansion factor (expected shard bytes per parquet
-    * byte) is codec-aware: sizing compressed exports by the
-    * uncompressed-JSON factor would cut every shard to a fraction of
-    * the target and multiply the file count at 100 TB. Factors are
-    * ExportProbe-measured on a multi-GB corpus (PERF.md round 12):
-    * plain JSONL ran 2.94× the snappy-parquet bytes, gzip 0.57×
-    * (cross-row text compression beats parquet's per-page snappy);
-    * zstd is gzip-pegged slightly tighter (text-sink zstd needs
-    * native hadoop, absent where the probe runs). Rounded UP from the
-    * measurement: an overestimated factor errs toward slightly
-    * smaller shards, never oversized ones. */
+  /** The per-SHARD-FILE byte target export sizing aims at — ~512 MB
+    * by default, overridable per session (`graft.export.
+    * shardTargetBytes`) for stacks that want 1 GB shards (or for
+    * specs that pin the sizing arithmetic at test scale). */
+  private def shardTargetBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.export.shardTargetBytes")
+      .map(_.toLong).getOrElse(512L << 20)
+
+  /** FALLBACK shard count from source parquet bytes and a probe-table
+    * expansion factor (expected shard bytes per parquet byte) — used
+    * only when [[measuredExpansion]] cannot calibrate (nothing to
+    * measure, or a codec the runtime cannot encode). Codec-aware:
+    * sizing compressed exports by the uncompressed-JSON factor would
+    * cut every shard to a fraction of the target and multiply the
+    * file count at 100 TB. Factors are ExportProbe-measured on a
+    * multi-GB corpus (PERF.md round 12): plain JSONL ran 2.94× the
+    * snappy-parquet bytes, gzip 0.57× (cross-row text compression
+    * beats parquet's per-page snappy); zstd is gzip-pegged slightly
+    * tighter (text-sink zstd needs native hadoop, absent where the
+    * probe runs). Rounded UP from the measurement: an overestimated
+    * factor errs toward slightly smaller shards, never oversized
+    * ones. */
   private def derivedShardCount(parquetBytes: Long,
-      codec: Option[String]): Int = {
+      codec: Option[String], targetBytes: Long): Int = {
     val expand = codec.map(_.toLowerCase) match {
       case Some("gzip") => 0.6
       case Some("zstd") => 0.55
       case Some(_) => 0.6 // unknown codec: assume it compresses
       case None => 3.0
     }
-    math.max(1, math.ceil(parquetBytes * expand / (512L << 20)).toInt)
+    math.max(1, math.ceil(parquetBytes * expand / targetBytes).toInt)
+  }
+
+  /** MEASURED expansion factor (shard bytes per parquet byte) for
+    * THIS corpus and codec — the self-calibrating leg of export
+    * sizing. One pinned parquet data file (the smallest ≥ 8 MB, else
+    * the largest present — bounded work however large the corpus) is
+    * re-encoded as JSONL under `scratch` with the target codec and
+    * its output bytes measured, so the factor tracks the actual data
+    * shape and codec instead of a table of guesses — the r11 gzip
+    * guess was 1.75× off until ExportProbe measured it, and a factor
+    * measured on ONE corpus still drifts on another (compressibility
+    * is data-dependent). Padded ×1.1 so estimation error lands on
+    * slightly-small shards, never oversized ones. None when there is
+    * nothing to measure or the calibration write fails (e.g. zstd
+    * text sinks without native hadoop) — callers fall back to
+    * [[derivedShardCount]]'s probe table, warned on stderr. The
+    * scratch dir is always removed. Cost: one bounded file
+    * read + encode, O(1) in corpus size, no second pass over the
+    * data. */
+  private[graft] def measuredExpansion(spark: SparkSession,
+      storeFs: org.apache.hadoop.fs.FileSystem, rootDir: String,
+      batches: Seq[Long], codec: Option[String],
+      scratch: String): Option[Double] = {
+    val pinned = batches.map(b => s"batch=$b").toSet
+    var cand = Vector.empty[(String, Long)]
+    val corpusRoot = new HPath(s"$rootDir/corpus")
+    if (!storeFs.exists(corpusRoot)) return None
+    val it = storeFs.listFiles(corpusRoot, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val nm = st.getPath.getName
+      if (pinned.contains(st.getPath.getParent.getName) &&
+          !nm.startsWith("_") && !nm.startsWith(".") && st.getLen > 0L)
+        cand :+= ((st.getPath.toString, st.getLen))
+    }
+    if (cand.isEmpty) return None
+    val (file, parquetBytes) = cand.filter(_._2 >= (8L << 20))
+      .sortBy(_._2).headOption.getOrElse(cand.maxBy(_._2))
+    val sp = new HPath(scratch)
+    val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val w = spark.read.parquet(file).write.mode("overwrite")
+      codec.fold(w)(c => w.option("compression", c)).json(scratch)
+      var bytes = 0L
+      val oit = sfs.listFiles(sp, true)
+      while (oit.hasNext) {
+        val st = oit.next()
+        val nm = st.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) bytes += st.getLen
+      }
+      if (bytes <= 0L) None
+      else Some(bytes.toDouble / parquetBytes * 1.1)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println("[export] shard-size calibration could " +
+          s"not encode $file with codec ${codec.getOrElse("none")} " +
+          s"($e) — falling back to the probe-table expansion guess")
+        None
+    } finally { sfs.delete(sp, true); () }
+  }
+
+  /** Shard count for `parquetBytes` of pinned corpus: the measured
+    * factor when calibration succeeds, the probe-table guess
+    * otherwise. */
+  private def calibratedShardCount(spark: SparkSession,
+      storeFs: org.apache.hadoop.fs.FileSystem, rootDir: String,
+      batches: Seq[Long], codec: Option[String], outPath: String,
+      parquetBytes: Long): Int = {
+    val target = shardTargetBytes(spark)
+    measuredExpansion(spark, storeFs, rootDir, batches, codec,
+        s"$outPath/.calibrate")
+      .map(f => math.max(1,
+        math.ceil(parquetBytes * f / target).toInt))
+      .getOrElse(derivedShardCount(parquetBytes, codec, target))
   }
 
   /** O(metadata) integrity audit of a whole curation store — the fsck
@@ -2876,10 +2964,10 @@ object Streaming {
     * default) derives the added-leg's shard count the way
     * [[exportSnapshot]] does, prorated to the delta's share of the
     * to-snapshot's pinned rows (a footer-weight zero-column count —
-    * no tombstone join), with the same codec-aware expansion
-    * factor — a 100 TB store's refresh delta can itself be terabytes,
-    * and it should fan out accordingly rather than wedge into a
-    * guessed fixed count. */
+    * no tombstone join), with the same self-calibrating expansion
+    * factor ([[measuredExpansion]]) — a 100 TB store's refresh delta
+    * can itself be terabytes, and it should fan out accordingly
+    * rather than wedge into a guessed fixed count. */
   def exportSnapshotDelta(spark: SparkSession, rootDir: String,
       from: String, to: String, outPath: String, idCol: String,
       nShards: Int = 0, codec: Option[String] = None): Unit = {
@@ -2911,7 +2999,8 @@ object Streaming {
           if (pinnedRows == 0L) 0L
           else (pinnedCorpusBytes(storeFs, rootDir, batches)
             * (nAdded.toDouble / pinnedRows)).toLong
-        derivedShardCount(addedBytes, codec)
+        calibratedShardCount(spark, storeFs, rootDir, batches, codec,
+          outPath, addedBytes)
       }
     graft.ops.Warehouse.writeJsonlShards(
       readSnapshot(spark, rootDir, to).drop("batch")

@@ -4813,6 +4813,60 @@ class StreamingSpec extends SparkSpec {
       === Set(1L, 2L))
   }
 
+  test("export shard sizing self-calibrates: the derived count tracks " +
+      "a MEASURED on-corpus expansion factor at the configured target, " +
+      "the calibration scratch is removed, and a codec the runtime " +
+      "cannot encode falls back to the probe-table guess") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-calib").toString
+    // 200 mutually-distinct docs (no near-dups for the admission gate
+    // to drop) with enough bytes that a tiny shard target fans out
+    val docs = (1L to 200L).map(i => (i,
+      (1 to 30).map(k => s"w${(i * 31 + k * 7) % 997}").mkString(" ")))
+    Streaming.curationIngestBatch(docs.toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "run")
+    val out = s"$tmp/out"
+    withSqlConf("graft.export.shardTargetBytes" -> "4096") {
+      Streaming.exportSnapshot(spark, tmp, "run", out, "doc_id")
+    }
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/_MANIFEST")), "UTF-8")
+    val n = """"n_shards":(\d+)""".r.findFirstMatchIn(mf).get.group(1).toInt
+    def bytesUnder(d: java.io.File): Long =
+      Option(d.listFiles()).map(_.map(f =>
+        if (f.isDirectory) bytesUnder(f)
+        else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+          0L
+        else f.length()).sum).getOrElse(0L)
+    val actual = bytesUnder(new java.io.File(out))
+    val ideal = math.ceil(actual / 4096.0).toInt
+    assert(n >= math.max(1, ideal / 2) && n <= ideal * 2 + 1,
+      s"calibrated count $n is not near the measured ideal $ideal " +
+        s"($actual bytes at a 4096 target)")
+    assert(ideal > 2, s"fixture too small to exercise the sizing: $ideal")
+    assert(!new java.io.File(s"$out/.calibrate").exists(),
+      "calibration scratch left behind in the export")
+    // the factor itself: gzip must measure tighter than plain, and an
+    // unencodable codec (zstd text sinks need native hadoop, absent
+    // here) must fall back (None) instead of failing the export
+    val fs = new HPath(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fPlain = Streaming.measuredExpansion(spark, fs, tmp, Seq(0L),
+      None, s"$tmp/cal1")
+    val fGz = Streaming.measuredExpansion(spark, fs, tmp, Seq(0L),
+      Some("gzip"), s"$tmp/cal2")
+    assert(fPlain.exists(f => f > 0.5 && f < 20.0),
+      s"plain factor implausible: $fPlain")
+    assert(fGz.exists(f => f > 0.0 && f < fPlain.get),
+      s"gzip factor must be tighter than plain: $fGz vs $fPlain")
+    assert(Streaming.measuredExpansion(spark, fs, tmp, Seq(0L),
+      Some("zstd"), s"$tmp/calz").isEmpty,
+      "an unencodable codec must fall back, not fail")
+    assert(!new java.io.File(s"$tmp/calz").exists(),
+      "failed calibration left its scratch behind")
+  }
+
   test("forceRetroSweep on a torn registry (_batch mark but no meta/) " +
       "throws a NAMED error pointing at fsckStore, not a bare " +
       "NoSuchElementException") {
