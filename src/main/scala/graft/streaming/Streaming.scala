@@ -4136,7 +4136,10 @@ object Streaming {
     * `.lock.release.<uuid>` siblings are claims captured by a breaker
     * or releaser that crashed before the final delete — verified
     * husks, safe to delete by hand (filesystem-backend only: a
-    * conditional-put backend never creates them). */
+    * conditional-put backend never creates them). A custom backend
+    * whose audit read throws (cloud-SDK outage shape) degrades to a
+    * named lease-area `warn` — the rest of the fsck pass still
+    * reports. */
   private def leaseFinding(fs: org.apache.hadoop.fs.FileSystem,
       storeDir: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[(String, String,
@@ -4161,7 +4164,20 @@ object Streaming {
               "window, or break it by hand to unblock immediately",
             false))
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case _: java.io.IOException => ()
+      // a custom conditional-put backend's audit read can throw the
+      // way any cloud SDK does; the whole fsck pass must not abort on
+      // it — every OTHER finding still reports, and the lease area
+      // degrades to a named warn instead of a silent skip
+      case scala.util.control.NonFatal(e) =>
+        out += (("lease", lock.toString, "warn",
+          s"the configured lease backend (${backend.getClass.getName}) " +
+            s"threw while auditing this lock ($e) — lease state is " +
+            "UNKNOWN here; the rest of this fsck pass is unaffected. " +
+            "If the error persists, audit the lease in its own store " +
+            "directly", false))
+    }
     try {
       fs.listStatus(lock.getParent).toSeq
         .filter(_.getPath.getName.startsWith(s"${lock.getName}."))
