@@ -17,11 +17,16 @@ import org.apache.spark.sql.functions._
   *     against a standing store is the misconfiguration the store
   *     mark guards against) and run the retroactive sweep
   *  5. repair the stats store incrementally from the pinned deltas
-  *  6. snapshot `t1`; diff `t0 → t1` (fast path: new dirs +
+  *  6. a gate-less BACKFILL lands after the sweep — invisible to an
+  *     unchanged-registry sweep (no-op by design): fsck names the
+  *     gap as an `info` finding, and `forceRetroSweep` (mark-only
+  *     re-registration + sweep) closes it; the registry sink is
+  *     stopped FIRST, per its live-stream caveat
+  *  7. snapshot `t1`; diff `t0 → t1` (fast path: new dirs +
   *     sweep-window tombstones only)
-  *  7. export `t1` as deterministically-sharded gzip JSONL with a
+  *  8. export `t1` as deterministically-sharded gzip JSONL with a
   *     self-describing `_MANIFEST`
-  *  8. fsck the root — a clean lifecycle leaves zero findings
+  *  9. fsck the root — a clean lifecycle leaves zero findings
   *
   * Usage (the fixture ships in the repo):
   * {{{
@@ -31,11 +36,14 @@ import org.apache.spark.sql.functions._
   * Docs with `doc_id < 100` are the corpus; `doc_id = 100` is the
   * eval set known BEFORE ingest (its contaminated doc is gated out),
   * `doc_id = 101` the one that lands after (its contaminated doc is
-  * swept retroactively). LifecycleDemoSpec runs [[run]] against the
-  * same fixture, so this walk cannot rot. */
+  * swept retroactively), `doc_id = 102` the gate-less backfill doc
+  * quoting eval set B (tombstoned by the forced sweep).
+  * LifecycleDemoSpec runs [[run]] against the same fixture, so this
+  * walk cannot rot. */
 object LifecycleDemo {
 
   final case class Summary(admitted: Set[Long], tombstoned: Long,
+      gapBatches: Long, forcedTombstoned: Long, gapAfterForce: Long,
       removedInDiff: Set[Long], exportedDocs: Long, findings: Long)
 
   def main(args: Array[String]): Unit = {
@@ -115,14 +123,40 @@ object LifecycleDemo {
       log(s"   subtracted $sweepsApplied sweep delta(s) — no corpus " +
         "scan")
 
-      log("6. snapshot t1; diff t0 -> t1")
+      log("6. a gate-less backfill lands AFTER the sweep: fsck names " +
+        "the gap, forceRetroSweep closes it")
+      // the force bumps the registry mark, which would outrun a LIVE
+      // benchmarkIndexSink stream's checkpoint ids (its later
+      // registrations would be skipped by the exactly-once guard) —
+      // stop the sink first, exactly as the sweep docs instruct
+      registry.stop()
+      Streaming.curationIngestBatch(
+        docs.where(col("doc_id") === 102L), "text", "doc_id",
+        rootDir, 2L, 0.0, 0.0, 1000.0, 8, 4, 3)
+      def gapFindings(): Long = Streaming.fsckCurationStore(spark,
+          rootDir)
+        .where(col("status") === "info" &&
+          col("path").endsWith("_sweep_corpus")).count()
+      val gapBatches = gapFindings()
+      log(s"   fsck info findings naming the unswept backfill: " +
+        s"$gapBatches")
+      val forcedTombstoned = Streaming.forceRetroSweep(
+        spark, rootDir, "text", "doc_id", bench)
+      val gapAfterForce = gapFindings()
+      log(s"   forced sweep tombstoned $forcedTombstoned doc(s); " +
+        s"gap findings now: $gapAfterForce")
+      // the force pinned new stats deltas — apply them so the final
+      // fsck's stats view stays consistent
+      Streaming.subtractTombstonedStats(spark, rootDir)
+
+      log("7. snapshot t1; diff t0 -> t1")
       Streaming.snapshotCorpus(spark, rootDir, "t1")
       val diff = Streaming.diffSnapshots(spark, rootDir, "t0", "t1",
         "doc_id").collect()
         .map(r => (r.getLong(0), r.getString(1)))
       diff.foreach { case (id, ch) => log(s"   $ch doc $id") }
 
-      log("7. export t1: derived shard count, gzip, manifest from " +
+      log("8. export t1: derived shard count, gzip, manifest from " +
         "the write itself")
       Streaming.exportSnapshot(spark, rootDir, "t1",
         s"$rootDir/export_t1", "doc_id", codec = Some("gzip"))
@@ -138,14 +172,15 @@ object LifecycleDemo {
       log(s"   _MANIFEST $manifest")
       val exported = spark.read.json(s"$rootDir/export_t1").count()
 
-      log("8. fsck the root (O(metadata); empty = clean bill of " +
+      log("9. fsck the root (O(metadata); empty = clean bill of " +
         "health)")
       val findings = Streaming.fsckCurationStore(spark, rootDir)
       val nFind = findings.count()
       if (nFind > 0) findings.show(100, truncate = false)
       log(s"   findings: $nFind")
 
-      Summary(admitted, tombstoned,
+      Summary(admitted, tombstoned, gapBatches, forcedTombstoned,
+        gapAfterForce,
         diff.filter(_._2 == "removed").map(_._1).toSet, exported,
         nFind)
     } finally registry.stop()

@@ -9,7 +9,8 @@ class LifecycleDemoSpec extends SparkSpec {
 
   test("the documented lifecycle walk runs as written over the " +
       "shipped fixture: gate drops eval-A's doc, the sweep tombstones " +
-      "eval-B's, diff/export/fsck agree") {
+      "eval-B's, the gate-less backfill gap is named then force-closed, " +
+      "diff/export/fsck agree") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-lifedemo").toString
     val s = LifecycleDemo.run(spark,
@@ -20,6 +21,12 @@ class LifecycleDemoSpec extends SparkSpec {
     // doc 6 shares an 8-gram with eval set B (registered after) ->
     // swept retroactively, visible in the snapshot diff
     assert(s.tombstoned === 1L)
+    // doc 102 backfills gate-less after the sweep: fsck names the gap
+    // (one info finding), forceRetroSweep tombstones it, the finding
+    // clears
+    assert(s.gapBatches === 1L)
+    assert(s.forcedTombstoned === 1L)
+    assert(s.gapAfterForce === 0L)
     assert(s.removedInDiff === Set(6L))
     // the export carries exactly the clean t1 view
     assert(s.exportedDocs === 8L)
@@ -42,6 +49,9 @@ class LifecycleDemoSpec extends SparkSpec {
         "src/test/resources/lifecycle_docs.jsonl", s"$tmp/root")
       assert(s.admitted === Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
       assert(s.tombstoned === 1L)
+      assert(s.gapBatches === 1L)
+      assert(s.forcedTombstoned === 1L)
+      assert(s.gapAfterForce === 0L)
       assert(s.removedInDiff === Set(6L))
       assert(s.exportedDocs === 8L)
       assert(s.findings === 0L)

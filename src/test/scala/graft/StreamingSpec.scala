@@ -4813,6 +4813,32 @@ class StreamingSpec extends SparkSpec {
       === Set(1L, 2L))
   }
 
+  test("fsck degrades a THROWING lease backend to a named warn: the " +
+      "rest of the pass still reports its findings instead of the " +
+      "whole audit aborting on one SDK-shaped error") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-fsckthrow").toString
+    val store = s"$tmp/store"
+    new java.io.File(store).mkdirs()
+    // a planted non-lease finding the pass must still return: a stale
+    // swap backup beside the store
+    new java.io.File(s"$tmp/.store.stats.old").mkdirs()
+    conf.set("graft.lease.backend",
+      classOf[ThrowingAuditLockBackend].getName)
+    try {
+      val f = Streaming.fsckStore(spark, store).collect()
+        .map(r => (r.getString(0), r.getString(2), r.getString(3)))
+      val lease = f.filter(_._1 == "lease")
+      assert(lease.length === 1 && lease(0)._2 === "warn" &&
+        lease(0)._3.contains("ThrowingAuditLockBackend") &&
+        lease(0)._3.contains("UNKNOWN"),
+        s"throwing backend not degraded to a named warn: ${f.toSeq}")
+      assert(f.exists(x => x._1 == "swap" && x._2 == "warn"),
+        s"the non-lease finding was lost to the backend error: ${f.toSeq}")
+    } finally conf.unset("graft.lease.backend")
+  }
+
   test("export shard sizing self-calibrates: the derived count tracks " +
       "a MEASURED on-corpus expansion factor at the configured target, " +
       "the calibration scratch is removed, and a codec the runtime " +
@@ -5034,4 +5060,19 @@ object FlakyBreakLockBackend {
   def reset(failures: Int): Unit = {
     breaks.set(0); threw.set(0); remaining.set(failures)
   }
+}
+
+/** A backend whose every audit-side read throws (the persistent-SDK-
+  * outage shape) — fsck must degrade its lease finding to a named
+  * warn, not abort the pass. */
+class ThrowingAuditLockBackend extends graft.streaming.LockBackend {
+  override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[String] =
+    throw new RuntimeException("synthetic persistent SDK outage")
+  override def mtime(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[Long] =
+    throw new RuntimeException("synthetic persistent SDK outage")
+  override def readToken(fs: org.apache.hadoop.fs.FileSystem,
+      lock: HPath): Option[String] =
+    throw new RuntimeException("synthetic persistent SDK outage")
 }
