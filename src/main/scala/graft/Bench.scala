@@ -167,6 +167,12 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the pre-suite probe is point-in-time: bandwidth contention that
+    // ARRIVES mid-run (observed: a quiet 0.30 s probe before a run
+    // whose queries then sat 1.3-2.6x over envelope) would otherwise
+    // stay invisible. A second reading after the last query brackets
+    // the run from both ends.
+    val membwAfterS = membwProbe()
     val extRun = extBetween(benchT0, System.nanoTime())
     val loadAfter = loadavg()
     samplerStop = true
@@ -194,7 +200,9 @@ object Bench {
         BigDecimal(extRun).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       }""" else ""
     val membwNote = s""","membw_probe_s":${
-      BigDecimal(membwS).setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
+      BigDecimal(membwS).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    },"membw_probe_after_s":${
+      BigDecimal(membwAfterS).setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
     val waitNote =
       if (waitedS > 0 || retried > 0)
         s""","waited_s":$waitedS,"retried":$retried,"extra_runs":$extraRuns"""

@@ -3019,6 +3019,31 @@ object Streaming {
     finally o.close()
   }
 
+  /** Consumer-side application of an [[exportSnapshotDelta]] to a
+    * prior full [[exportSnapshot]] — the other half of the refresh
+    * hand-off contract, in-engine so the contract is testable end to
+    * end rather than prose for the training stack: apply `removed/`
+    * (anti-join on `idCol`), then append `added/`. The result equals
+    * reading the `to` snapshot's own full export (spec-pinned). Both
+    * delta legs are read under the BASE export's schema — a
+    * refresh's legs are legitimately empty (nothing added, or
+    * nothing removed), and schema inference over an empty JSONL dir
+    * would otherwise fail the whole apply. The anti-join's removed
+    * side is id-only and AQE-broadcast in the normal small-refresh
+    * case; nothing here shuffles the base payload beyond that join. */
+  def applyExportDelta(spark: SparkSession, baseExportDir: String,
+      deltaDir: String, idCol: String): DataFrame = {
+    val base = spark.read.json(baseExportDir).drop("shard")
+    val payloadSchema = base.schema
+    val added = spark.read.schema(payloadSchema)
+      .json(s"$deltaDir/added").drop("shard")
+    val removed = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        Seq(payloadSchema(idCol))))
+      .json(s"$deltaDir/removed")
+    base.join(removed, Seq(idCol), "left_anti").unionByName(added)
+  }
+
   /** The payload + stats tail every curation-ingest variant shares
     * (the LSH gate above, the exact-Jaccard gate below): write the
     * admitted rows under `corpus/batch=<id>/` and fold them into the

@@ -2956,6 +2956,49 @@ class StreamingSpec extends SparkSpec {
     assert(mf0.contains(""""n_shards":1"""), mf0)
   }
 
+  test("applyExportDelta: applying a delta export to the FROM full " +
+      "export reproduces the TO export exactly — including a " +
+      "no-change delta whose add/remove legs are EMPTY, which read " +
+      "under the base schema instead of failing inference") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-applyd")
+      .toString
+    val bdir = s"$tmp/bench"
+    val prose1 = "the river rises slowly through the spring and floods " +
+      "the lower meadows before the first haying"
+    val prose3 = "the survey marked every boundary stone and recorded " +
+      "the field names the parish had used for centuries"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose1)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.snapshotCorpus(spark, tmp, "t0") // view {1}
+    Streaming.curationIngestBatch(
+      Seq((3L, prose3)).toDF("doc_id", "text"), "text",
+      "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((100L, prose1)).toDF("bid", "text"), "text", bdir, 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      bdir) === 1L) // doc 1 leaves the view
+    Streaming.snapshotCorpus(spark, tmp, "t1") // view {3}
+    Streaming.exportSnapshot(spark, tmp, "t0", s"$tmp/exp0", "doc_id", 2)
+    Streaming.exportSnapshot(spark, tmp, "t1", s"$tmp/exp1", "doc_id", 2)
+    Streaming.exportSnapshotDelta(spark, tmp, "t0", "t1",
+      s"$tmp/d01", "doc_id", 2)
+    def docset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("long"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val toExport = docset(spark.read.json(s"$tmp/exp1").drop("shard"))
+    assert(docset(Streaming.applyExportDelta(spark, s"$tmp/exp0",
+      s"$tmp/d01", "doc_id")) === toExport)
+    assert(toExport === Set((3L, prose3)))
+    // a refresh with nothing changed: both delta legs land empty
+    // (dirs with _SUCCESS only) — the apply must read them under the
+    // base export's schema and return the base unchanged
+    Streaming.exportSnapshotDelta(spark, tmp, "t1", "t1",
+      s"$tmp/d11", "doc_id", 1)
+    assert(docset(Streaming.applyExportDelta(spark, s"$tmp/exp1",
+      s"$tmp/d11", "doc_id")) === toExport)
+  }
+
   test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
       "view with md5-stable shard membership across re-exports") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sexp")
