@@ -1207,8 +1207,16 @@ object Streaming {
           // store — retry like an unreadable dir rather than waive
           // the schema check (the old-shape admission this guard
           // exists to prevent). A root absent with NO backup is a
-          // store that has never ingested: None immediately.
-          if (!fs.exists(compactBackupPath(root))) return None
+          // store that has never ingested — but only after a RE-CHECK
+          // of the root: the swap keeps the invariant "root or backup
+          // exists at every instant", so observing both absent means
+          // the swap COMPLETED between our two reads (root is back).
+          // Concluding never-ingested from that interleaving would be
+          // the unchecked admission again, one TOCTOU window later.
+          if (!fs.exists(compactBackupPath(root))) {
+            if (!fs.exists(root)) return None
+            // swap finished between the two checks — loop re-reads
+          } else {
           tries += 1
           if (tries >= 3)
             throw new IllegalStateException(
@@ -1219,6 +1227,7 @@ object Streaming {
                 "heal = true) restores the tree. The batch is " +
                 "rejected rather than admitted unchecked.")
           Thread.sleep(100L)
+          }
         } else {
           val ids = committedBatchDirIds(fs, root)
           if (ids.isEmpty) return None
@@ -1492,11 +1501,16 @@ object Streaming {
     // torn-store shapes surface as NAMED errors, not bare
     // NoSuchElementExceptions: a _batch mark with no meta/ beside it
     // (a crashed first merge) is a store fsckStore can diagnose
-    val m = scala.util.Try(readLongMarker(bfs, markFile)).toOption
-      .flatten.getOrElse(throw new IllegalStateException(
+    // only SHAPE problems get the torn-store diagnosis (unparseable
+    // content, or the mark vanishing between the exists check and the
+    // read); a transient IOException from a cloud filesystem is a
+    // retryable blip, not corruption — it propagates with its cause
+    val m = (try readLongMarker(bfs, markFile)
+      catch { case _: NumberFormatException => None })
+      .getOrElse(throw new IllegalStateException(
         s"benchmark registry at $benchmarkDir has a _batch mark that " +
-          "would not read or parse — a torn store; run fsckStore on " +
-          "it before forcing a sweep"))
+          "would not parse (or vanished mid-read) — a torn store; " +
+          "run fsckStore on it before forcing a sweep"))
     val n = benchmarkRegistry(spark, benchmarkDir).getOrElse(
       throw new IllegalStateException(
         s"benchmark registry at $benchmarkDir carries a _batch mark " +
@@ -2409,8 +2423,11 @@ object Streaming {
     val (batches, sweep) = readSnapshotManifest(storeFs, rootDir, name)
     val effShards =
       if (nShards > 0) nShards
-      else calibratedShardCount(spark, storeFs, rootDir, batches,
-        codec, outPath, pinnedCorpusBytes(storeFs, rootDir, batches))
+      else {
+        val files = pinnedFiles(storeFs, rootDir, batches)
+        calibratedShardCount(spark, files, codec, outPath,
+          files.map(_._2).sum)
+      }
     val view = readSnapshot(spark, rootDir, name)
     val nDocs = graft.ops.Warehouse.writeJsonlShards(
       view.drop("batch"), idCol, outPath, effShards, codec)
@@ -2422,21 +2439,29 @@ object Streaming {
     finally o.close()
   }
 
-  /** Total parquet bytes of a snapshot's pinned `batch=` dirs — ONE
+  /** (path, bytes) of every pinned `batch=` dir's DATA files — ONE
     * recursive listing filtered to the pins, not a getContentSummary
     * per dir (O(batch dirs) namenode calls — the same stampede the
-    * compactor's sizing avoids). */
-  private def pinnedCorpusBytes(storeFs: org.apache.hadoop.fs.FileSystem,
-      rootDir: String, batches: Seq[Long]): Long = {
+    * compactor's sizing avoids). The single listing serves BOTH
+    * sizing needs of an export: the total bytes (sum) and the
+    * calibration candidate pick — exports never walk the corpus
+    * metadata twice. */
+  private[graft] def pinnedFiles(
+      storeFs: org.apache.hadoop.fs.FileSystem,
+      rootDir: String, batches: Seq[Long]): Vector[(String, Long)] = {
     val pinned = batches.map(b => s"batch=$b").toSet
-    var bytes = 0L
-    val it = storeFs.listFiles(new HPath(s"$rootDir/corpus"), true)
+    var files = Vector.empty[(String, Long)]
+    val corpusRoot = new HPath(s"$rootDir/corpus")
+    if (!storeFs.exists(corpusRoot)) return files
+    val it = storeFs.listFiles(corpusRoot, true)
     while (it.hasNext) {
       val st = it.next()
-      if (pinned.contains(st.getPath.getParent.getName))
-        bytes += st.getLen
+      val nm = st.getPath.getName
+      if (pinned.contains(st.getPath.getParent.getName) &&
+          !nm.startsWith("_") && !nm.startsWith(".") && st.getLen > 0L)
+        files :+= ((st.getPath.toString, st.getLen))
     }
-    bytes
+    files
   }
 
   /** The per-SHARD-FILE byte target export sizing aims at — ~512 MB
@@ -2474,8 +2499,9 @@ object Streaming {
 
   /** MEASURED expansion factor (shard bytes per parquet byte) for
     * THIS corpus and codec — the self-calibrating leg of export
-    * sizing. One pinned parquet data file (the smallest ≥ 8 MB, else
-    * the largest present — bounded work however large the corpus) is
+    * sizing. One candidate parquet data file (from [[pinnedFiles]]'s
+    * listing: the smallest ≥ 8 MB, else the largest present —
+    * bounded work however large the corpus) is
     * re-encoded as JSONL under `scratch` with the target codec and
     * its output bytes measured, so the factor tracks the actual data
     * shape and codec instead of a table of guesses — the r11 gzip
@@ -2490,21 +2516,8 @@ object Streaming {
     * read + encode, O(1) in corpus size, no second pass over the
     * data. */
   private[graft] def measuredExpansion(spark: SparkSession,
-      storeFs: org.apache.hadoop.fs.FileSystem, rootDir: String,
-      batches: Seq[Long], codec: Option[String],
+      cand: Seq[(String, Long)], codec: Option[String],
       scratch: String): Option[Double] = {
-    val pinned = batches.map(b => s"batch=$b").toSet
-    var cand = Vector.empty[(String, Long)]
-    val corpusRoot = new HPath(s"$rootDir/corpus")
-    if (!storeFs.exists(corpusRoot)) return None
-    val it = storeFs.listFiles(corpusRoot, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val nm = st.getPath.getName
-      if (pinned.contains(st.getPath.getParent.getName) &&
-          !nm.startsWith("_") && !nm.startsWith(".") && st.getLen > 0L)
-        cand :+= ((st.getPath.toString, st.getLen))
-    }
     if (cand.isEmpty) return None
     val (file, parquetBytes) = cand.filter(_._2 >= (8L << 20))
       .sortBy(_._2).headOption.getOrElse(cand.maxBy(_._2))
@@ -2531,16 +2544,14 @@ object Streaming {
     } finally { sfs.delete(sp, true); () }
   }
 
-  /** Shard count for `parquetBytes` of pinned corpus: the measured
-    * factor when calibration succeeds, the probe-table guess
-    * otherwise. */
+  /** Shard count for `parquetBytes` of pinned corpus (candidate
+    * `files` from [[pinnedFiles]]'s one listing): the measured factor
+    * when calibration succeeds, the probe-table guess otherwise. */
   private def calibratedShardCount(spark: SparkSession,
-      storeFs: org.apache.hadoop.fs.FileSystem, rootDir: String,
-      batches: Seq[Long], codec: Option[String], outPath: String,
-      parquetBytes: Long): Int = {
+      files: Seq[(String, Long)], codec: Option[String],
+      outPath: String, parquetBytes: Long): Int = {
     val target = shardTargetBytes(spark)
-    measuredExpansion(spark, storeFs, rootDir, batches, codec,
-        s"$outPath/.calibrate")
+    measuredExpansion(spark, files, codec, s"$outPath/.calibrate")
       .map(f => math.max(1,
         math.ceil(parquetBytes * f / target).toInt))
       .getOrElse(derivedShardCount(parquetBytes, codec, target))
@@ -2995,12 +3006,12 @@ object Streaming {
           if (batches.isEmpty) 0L
           else spark.read.parquet(
             batches.map(b => s"$rootDir/corpus/batch=$b"): _*).count()
+        val files = pinnedFiles(storeFs, rootDir, batches)
         val addedBytes =
           if (pinnedRows == 0L) 0L
-          else (pinnedCorpusBytes(storeFs, rootDir, batches)
+          else (files.map(_._2).sum
             * (nAdded.toDouble / pinnedRows)).toLong
-        calibratedShardCount(spark, storeFs, rootDir, batches, codec,
-          outPath, addedBytes)
+        calibratedShardCount(spark, files, codec, outPath, addedBytes)
       }
     graft.ops.Warehouse.writeJsonlShards(
       readSnapshot(spark, rootDir, to).drop("batch")
@@ -3024,19 +3035,52 @@ object Streaming {
     * hand-off contract, in-engine so the contract is testable end to
     * end rather than prose for the training stack: apply `removed/`
     * (anti-join on `idCol`), then append `added/`. The result equals
-    * reading the `to` snapshot's own full export (spec-pinned). Both
-    * delta legs are read under the BASE export's schema — a
-    * refresh's legs are legitimately empty (nothing added, or
-    * nothing removed), and schema inference over an empty JSONL dir
-    * would otherwise fail the whole apply. The anti-join's removed
-    * side is id-only and AQE-broadcast in the normal small-refresh
-    * case; nothing here shuffles the base payload beyond that join. */
+    * reading the `to` snapshot's own full export (spec-pinned).
+    * Either side can be legitimately EMPTY — a base export of a
+    * pre-ingest snapshot, a refresh with nothing added — and schema
+    * inference over an empty JSONL dir fails, so the non-empty side
+    * supplies the payload schema for the empty one (BOTH empty is a
+    * named error: no schema to shape the empty result in, and the
+    * caller holds a no-op refresh anyway). When both sides carry
+    * data their shapes must agree — a delta cannot express a schema
+    * change (applied base rows would silently lack the new columns),
+    * so a mismatch is a named error pointing at a full export, never
+    * a silent column drop. The anti-join's removed side is id-only
+    * and AQE-broadcast in the normal small-refresh case; nothing
+    * here shuffles the base payload beyond that join. */
   def applyExportDelta(spark: SparkSession, baseExportDir: String,
       deltaDir: String, idCol: String): DataFrame = {
-    val base = spark.read.json(baseExportDir).drop("shard")
-    val payloadSchema = base.schema
-    val added = spark.read.schema(payloadSchema)
-      .json(s"$deltaDir/added").drop("shard")
+    def inferred(path: String): Option[DataFrame] =
+      try Some(spark.read.json(path).drop("shard"))
+      catch {
+        // "unable to infer schema" — the empty-dir signature
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    val baseInf = inferred(baseExportDir)
+    val addedInf = inferred(s"$deltaDir/added")
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSet
+    for (b <- baseInf; a <- addedInf)
+      if (shape(b) != shape(a))
+        throw new IllegalStateException(
+          s"the delta's added leg at $deltaDir/added carries a " +
+            s"different payload shape than the base export at " +
+            s"$baseExportDir — a delta cannot express a schema " +
+            "change (applied base rows would silently lack the new " +
+            "columns); take a full export of the target snapshot " +
+            "instead")
+    val payloadSchema = baseInf.orElse(addedInf).map(_.schema)
+      .getOrElse(throw new IllegalStateException(
+        s"both the base export at $baseExportDir and the delta's " +
+          s"added leg at $deltaDir/added are empty — there is no " +
+          "schema to shape the (empty) result in, and applying this " +
+          "delta is a no-op; read the target snapshot's own export " +
+          "instead"))
+    def leg(inf: Option[DataFrame], path: String): DataFrame =
+      inf.getOrElse(
+        spark.read.schema(payloadSchema).json(path).drop("shard"))
+    val base = leg(baseInf, baseExportDir)
+    val added = leg(addedInf, s"$deltaDir/added")
     val removed = spark.read
       .schema(org.apache.spark.sql.types.StructType(
         Seq(payloadSchema(idCol))))
@@ -4190,11 +4234,13 @@ object Streaming {
             false))
       }
     } catch {
-      case _: java.io.IOException => ()
-      // a custom conditional-put backend's audit read can throw the
-      // way any cloud SDK does; the whole fsck pass must not abort on
-      // it — every OTHER finding still reports, and the lease area
-      // degrades to a named warn instead of a silent skip
+      // a backend's audit read can throw the way any cloud SDK does —
+      // and the common outage shape IS IOException (hadoop-aws wraps
+      // AWS errors in it; the repo's own S3 template client throws it
+      // on non-2xx), so IOException must degrade the same way, not be
+      // silently swallowed. The whole fsck pass must not abort: every
+      // OTHER finding still reports, and the lease area degrades to a
+      // named warn instead of a silent skip
       case scala.util.control.NonFatal(e) =>
         out += (("lease", lock.toString, "warn",
           s"the configured lease backend (${backend.getClass.getName}) " +

@@ -2997,6 +2997,33 @@ class StreamingSpec extends SparkSpec {
       s"$tmp/d11", "doc_id", 1)
     assert(docset(Streaming.applyExportDelta(spark, s"$tmp/exp1",
       s"$tmp/d11", "doc_id")) === toExport)
+    // an EMPTY base export (a pre-ingest snapshot's export: _SUCCESS
+    // only) takes its schema from the added leg instead of failing
+    // JSON inference
+    new java.io.File(s"$tmp/empty0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/empty0/_SUCCESS"),
+      Array.emptyByteArray)
+    assert(docset(Streaming.applyExportDelta(spark, s"$tmp/empty0",
+      s"$tmp/d01", "doc_id")) === Set((3L, prose3)))
+    // both sides empty: a NAMED no-op error, not an inference crash
+    val eEmpty = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/empty0",
+        s"$tmp/d11", "doc_id")
+    }
+    assert(eEmpty.getMessage.contains("are empty"), eEmpty.getMessage)
+    // a delta whose added leg carries a DIFFERENT payload shape than
+    // the base is a schema change a delta cannot express — named
+    // error, never a silent column drop
+    Seq((9L, "x", 1.0)).toDF("doc_id", "text", "extra").write
+      .json(s"$tmp/dbad/added")
+    Seq(Tuple1(1L)).toDF("doc_id").write.json(s"$tmp/dbad/removed")
+    val eShape = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/exp1",
+        s"$tmp/dbad", "doc_id")
+    }
+    assert(eShape.getMessage.contains("schema change"),
+      eShape.getMessage)
   }
 
   test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
@@ -4921,15 +4948,19 @@ class StreamingSpec extends SparkSpec {
     // here) must fall back (None) instead of failing the export
     val fs = new HPath(tmp).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val fPlain = Streaming.measuredExpansion(spark, fs, tmp, Seq(0L),
+    val cand = Streaming.pinnedFiles(fs, tmp, Seq(0L))
+    assert(cand.nonEmpty && cand.forall { case (p, len) =>
+      len > 0 && !new HPath(p).getName.startsWith("_") },
+      s"pinnedFiles must return only data files: $cand")
+    val fPlain = Streaming.measuredExpansion(spark, cand,
       None, s"$tmp/cal1")
-    val fGz = Streaming.measuredExpansion(spark, fs, tmp, Seq(0L),
+    val fGz = Streaming.measuredExpansion(spark, cand,
       Some("gzip"), s"$tmp/cal2")
     assert(fPlain.exists(f => f > 0.5 && f < 20.0),
       s"plain factor implausible: $fPlain")
     assert(fGz.exists(f => f > 0.0 && f < fPlain.get),
       s"gzip factor must be tighter than plain: $fGz vs $fPlain")
-    assert(Streaming.measuredExpansion(spark, fs, tmp, Seq(0L),
+    assert(Streaming.measuredExpansion(spark, cand,
       Some("zstd"), s"$tmp/calz").isEmpty,
       "an unencodable codec must fall back, not fail")
     assert(!new java.io.File(s"$tmp/calz").exists(),
@@ -5105,17 +5136,19 @@ object FlakyBreakLockBackend {
   }
 }
 
-/** A backend whose every audit-side read throws (the persistent-SDK-
-  * outage shape) — fsck must degrade its lease finding to a named
-  * warn, not abort the pass. */
+/** A backend whose every audit-side read throws IOException — the
+  * COMMON cloud-outage shape (hadoop-aws wraps AWS errors in it; the
+  * repo's S3 template client throws it on non-2xx) — fsck must
+  * degrade its lease finding to a named warn, not abort the pass or
+  * silently swallow the error. */
 class ThrowingAuditLockBackend extends graft.streaming.LockBackend {
   override def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
       lock: HPath): Option[String] =
-    throw new RuntimeException("synthetic persistent SDK outage")
+    throw new java.io.IOException("synthetic persistent SDK outage")
   override def mtime(fs: org.apache.hadoop.fs.FileSystem,
       lock: HPath): Option[Long] =
-    throw new RuntimeException("synthetic persistent SDK outage")
+    throw new java.io.IOException("synthetic persistent SDK outage")
   override def readToken(fs: org.apache.hadoop.fs.FileSystem,
       lock: HPath): Option[String] =
-    throw new RuntimeException("synthetic persistent SDK outage")
+    throw new java.io.IOException("synthetic persistent SDK outage")
 }
