@@ -167,16 +167,20 @@ object Bench {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // snapshot the run-condition telemetry FIRST: the window must
+    // close at the last query, or a burst arriving during the
+    // post-suite probe below would flip load_warning on a run whose
+    // every timed query ran quiet
+    val extRun = extBetween(benchT0, System.nanoTime())
+    val loadAfter = loadavg()
+    samplerStop = true
+    sampler.interrupt()
     // the pre-suite probe is point-in-time: bandwidth contention that
     // ARRIVES mid-run (observed: a quiet 0.30 s probe before a run
     // whose queries then sat 1.3-2.6x over envelope) would otherwise
     // stay invisible. A second reading after the last query brackets
     // the run from both ends.
     val membwAfterS = membwProbe()
-    val extRun = extBetween(benchT0, System.nanoTime())
-    val loadAfter = loadavg()
-    samplerStop = true
-    sampler.interrupt()
     // self-flag a distorted booking IN-BAND: three rounds of judges have
     // had to re-run benches whose spikes were host load, not code. Flag
     // when the run STARTED into load, when any non-trivial query was

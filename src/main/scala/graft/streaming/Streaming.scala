@@ -1198,6 +1198,7 @@ object Streaming {
     def readStanding():
         Option[(org.apache.spark.sql.types.StructType, String, Long)] = {
       var tries = 0
+      var bothAbsent = 0
       while (true) {
         if (!fs.exists(root)) {
           // a live compaction's atomicSwap renames the WHOLE corpus
@@ -1207,16 +1208,22 @@ object Streaming {
           // store — retry like an unreadable dir rather than waive
           // the schema check (the old-shape admission this guard
           // exists to prevent). A root absent with NO backup is a
-          // store that has never ingested — but only after a RE-CHECK
-          // of the root: the swap keeps the invariant "root or backup
-          // exists at every instant", so observing both absent means
-          // the swap COMPLETED between our two reads (root is back).
-          // Concluding never-ingested from that interleaving would be
-          // the unchecked admission again, one TOCTOU window later.
+          // store that has never ingested — but the swap keeps the
+          // invariant "root or backup exists at every instant", so a
+          // both-absent observation can also mean the swap COMPLETED
+          // between the two reads. Concluding never-ingested from one
+          // such interleaving would be the unchecked admission again,
+          // one TOCTOU window later; require TWO consecutive
+          // both-absent observations (a compaction holds the store
+          // lock for seconds — two full swaps cannot complete inside
+          // two 50 ms observation windows, while a genuinely-new
+          // store reads both-absent forever).
           if (!fs.exists(compactBackupPath(root))) {
-            if (!fs.exists(root)) return None
-            // swap finished between the two checks — loop re-reads
+            bothAbsent += 1
+            if (bothAbsent >= 2) return None
+            Thread.sleep(50L)
           } else {
+          bothAbsent = 0
           tries += 1
           if (tries >= 3)
             throw new IllegalStateException(
@@ -1229,6 +1236,7 @@ object Streaming {
           Thread.sleep(100L)
           }
         } else {
+          bothAbsent = 0
           val ids = committedBatchDirIds(fs, root)
           if (ids.isEmpty) return None
           val dir = s"$root/batch=${ids.max}"
@@ -1503,10 +1511,12 @@ object Streaming {
     // (a crashed first merge) is a store fsckStore can diagnose
     // only SHAPE problems get the torn-store diagnosis (unparseable
     // content, or the mark vanishing between the exists check and the
-    // read); a transient IOException from a cloud filesystem is a
-    // retryable blip, not corruption — it propagates with its cause
+    // open — FileNotFoundException); any other IOException from a
+    // cloud filesystem is a retryable blip, not corruption — it
+    // propagates with its cause
     val m = (try readLongMarker(bfs, markFile)
-      catch { case _: NumberFormatException => None })
+      catch { case _: NumberFormatException |
+          _: java.io.FileNotFoundException => None })
       .getOrElse(throw new IllegalStateException(
         s"benchmark registry at $benchmarkDir has a _batch mark that " +
           "would not parse (or vanished mid-read) — a torn store; " +
@@ -3041,15 +3051,32 @@ object Streaming {
     * inference over an empty JSONL dir fails, so the non-empty side
     * supplies the payload schema for the empty one (BOTH empty is a
     * named error: no schema to shape the empty result in, and the
-    * caller holds a no-op refresh anyway). When both sides carry
-    * data their shapes must agree — a delta cannot express a schema
-    * change (applied base rows would silently lack the new columns),
-    * so a mismatch is a named error pointing at a full export, never
-    * a silent column drop. The anti-join's removed side is id-only
-    * and AQE-broadcast in the normal small-refresh case; nothing
-    * here shuffles the base payload beyond that join. */
+    * caller holds a no-op refresh anyway; an ABSENT path is a named
+    * caller error, never read as empty). The added leg may infer
+    * FEWER columns than the base — the JSON writer omits null
+    * fields, so added docs all-null in an optional column
+    * legitimately lack it; the union fills the nulls back. Columns
+    * the base does not know (or a type conflict) are a real schema
+    * change a delta cannot express: a named error pointing at a full
+    * export, never a silent column drop. The anti-join's removed
+    * side is id-only and AQE-broadcast in the normal small-refresh
+    * case; nothing here shuffles the base payload beyond that
+    * join. */
   def applyExportDelta(spark: SparkSession, baseExportDir: String,
       deltaDir: String, idCol: String): DataFrame = {
+    // an ABSENT dir is a caller error (a typo'd path would otherwise
+    // read as "empty base" and silently drop the whole base corpus);
+    // only a dir that exists but holds no data files is "empty"
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (p <- Seq(baseExportDir, s"$deltaDir/added",
+        s"$deltaDir/removed")) {
+      val hp = new HPath(p)
+      if (!hp.getFileSystem(conf).exists(hp))
+        throw new IllegalStateException(
+          s"$p does not exist — not an export/delta pair (a " +
+            "legitimately empty leg is a dir holding only _SUCCESS, " +
+            "never an absent path); check the paths")
+    }
     def inferred(path: String): Option[DataFrame] =
       try Some(spark.read.json(path).drop("shard"))
       catch {
@@ -3060,15 +3087,25 @@ object Streaming {
     val addedInf = inferred(s"$deltaDir/added")
     def shape(df: DataFrame) =
       df.schema.fields.map(f => (f.name, f.dataType)).toSet
-    for (b <- baseInf; a <- addedInf)
-      if (shape(b) != shape(a))
+    // the added leg may carry FEWER columns than the base: the JSON
+    // writer omits null fields, so a small delta whose added docs all
+    // carry null in an optional column legitimately infers without it
+    // (union fills the nulls back — exactly what the target export
+    // holds for those rows). Columns the BASE does not know — or a
+    // type conflict on a shared name — are a real schema change a
+    // delta cannot express, named, never silently dropped.
+    for (b <- baseInf; a <- addedInf) {
+      val extra = shape(a) -- shape(b)
+      if (extra.nonEmpty)
         throw new IllegalStateException(
-          s"the delta's added leg at $deltaDir/added carries a " +
-            s"different payload shape than the base export at " +
-            s"$baseExportDir — a delta cannot express a schema " +
-            "change (applied base rows would silently lack the new " +
-            "columns); take a full export of the target snapshot " +
-            "instead")
+          s"the delta's added leg at $deltaDir/added carries " +
+            s"column(s) the base export at $baseExportDir does not " +
+            s"(${extra.map { case (n, t) => s"$n:${t.simpleString}" }
+              .toSeq.sorted.mkString(", ")}) — a delta cannot " +
+            "express a schema change (applied base rows would " +
+            "silently lack the new columns); take a full export of " +
+            "the target snapshot instead")
+    }
     val payloadSchema = baseInf.orElse(addedInf).map(_.schema)
       .getOrElse(throw new IllegalStateException(
         s"both the base export at $baseExportDir and the delta's " +
@@ -3076,6 +3113,11 @@ object Streaming {
           "schema to shape the (empty) result in, and applying this " +
           "delta is a no-op; read the target snapshot's own export " +
           "instead"))
+    if (!payloadSchema.fieldNames.contains(idCol))
+      throw new IllegalStateException(
+        s"id column '$idCol' is not in the export payload " +
+          s"(${payloadSchema.fieldNames.mkString(", ")}) — check " +
+          "the column name against the export")
     def leg(inf: Option[DataFrame], path: String): DataFrame =
       inf.getOrElse(
         spark.read.schema(payloadSchema).json(path).drop("shard"))
@@ -3085,7 +3127,8 @@ object Streaming {
       .schema(org.apache.spark.sql.types.StructType(
         Seq(payloadSchema(idCol))))
       .json(s"$deltaDir/removed")
-    base.join(removed, Seq(idCol), "left_anti").unionByName(added)
+    base.join(removed, Seq(idCol), "left_anti")
+      .unionByName(added, allowMissingColumns = true)
   }
 
   /** The payload + stats tail every curation-ingest variant shares

@@ -3012,9 +3012,9 @@ class StreamingSpec extends SparkSpec {
         s"$tmp/d11", "doc_id")
     }
     assert(eEmpty.getMessage.contains("are empty"), eEmpty.getMessage)
-    // a delta whose added leg carries a DIFFERENT payload shape than
-    // the base is a schema change a delta cannot express — named
-    // error, never a silent column drop
+    // a delta whose added leg carries columns the base does NOT know
+    // is a schema change a delta cannot express — named error, never
+    // a silent column drop
     Seq((9L, "x", 1.0)).toDF("doc_id", "text", "extra").write
       .json(s"$tmp/dbad/added")
     Seq(Tuple1(1L)).toDF("doc_id").write.json(s"$tmp/dbad/removed")
@@ -3022,8 +3022,28 @@ class StreamingSpec extends SparkSpec {
       Streaming.applyExportDelta(spark, s"$tmp/exp1",
         s"$tmp/dbad", "doc_id")
     }
-    assert(eShape.getMessage.contains("schema change"),
-      eShape.getMessage)
+    assert(eShape.getMessage.contains("schema change") &&
+      eShape.getMessage.contains("extra"), eShape.getMessage)
+    // the REVERSE subset is legitimate: the JSON writer omits null
+    // fields, so an added leg whose docs are all-null in an optional
+    // column infers without it — the union fills the nulls back
+    Seq(Tuple1(9L)).toDF("doc_id").write.json(s"$tmp/dsub/added")
+    Seq(Tuple1(999L)).toDF("doc_id").write.json(s"$tmp/dsub/removed")
+    assert(docset(Streaming.applyExportDelta(spark, s"$tmp/exp1",
+      s"$tmp/dsub", "doc_id")) === toExport + ((9L, null)))
+    // an ABSENT base path is a caller error, never "empty base" (a
+    // typo would otherwise silently drop the whole base corpus)
+    val eGone = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/no_such_export",
+        s"$tmp/d01", "doc_id")
+    }
+    assert(eGone.getMessage.contains("does not exist"), eGone.getMessage)
+    // a wrong id column is named, not a bare StructType lookup error
+    val eId = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/exp1",
+        s"$tmp/d01", "docId")
+    }
+    assert(eId.getMessage.contains("docId"), eId.getMessage)
   }
 
   test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
