@@ -201,9 +201,15 @@ class S3HttpConditionalPutClient(baseUri: String)
   * same at-most-one-grant contract as both shipped backends — the
   * four-verb mapping is load-bearing, not illustrative. */
 class S3HttpLockBackendContractSpec extends LockBackendContractSpec {
-  def backend: LockBackend =
+  // ONE client for the whole spec: `backend` is called per operation
+  // by the contract tests, and a fresh HttpClient per call spawns a
+  // selector thread each — under full-suite load that thread/fd
+  // pressure starved the churn test past its deadline (observed as a
+  // suite-only flake; a real holder reuses one client too)
+  private lazy val be: LockBackend =
     new ObjectStoreLockBackend(
       new S3HttpConditionalPutClient(S3HttpStubStore.baseUri))
+  def backend: LockBackend = be
 
   def freshLock(): (FileSystem, HPath) = {
     val tmp = java.nio.file.Files
