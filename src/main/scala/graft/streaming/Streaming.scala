@@ -1214,14 +1214,15 @@ object Streaming {
           // between the two reads. Concluding never-ingested from one
           // such interleaving would be the unchecked admission again,
           // one TOCTOU window later; require TWO consecutive
-          // both-absent observations (a compaction holds the store
-          // lock for seconds — two full swaps cannot complete inside
-          // two 50 ms observation windows, while a genuinely-new
-          // store reads both-absent forever).
+          // both-absent observations — no sleep between them: every
+          // pre-first-commit micro-batch takes this path, and two
+          // full compaction swaps (each lock-held for seconds)
+          // cannot complete inside the few RPCs separating two
+          // consecutive observations, while a genuinely-new store
+          // reads both-absent forever.
           if (!fs.exists(compactBackupPath(root))) {
             bothAbsent += 1
             if (bothAbsent >= 2) return None
-            Thread.sleep(50L)
           } else {
           bothAbsent = 0
           tries += 1
@@ -2439,15 +2440,26 @@ object Streaming {
           files.map(_._2).sum)
       }
     val view = readSnapshot(spark, rootDir, name)
+    val payload = view.drop("batch")
     val nDocs = graft.ops.Warehouse.writeJsonlShards(
-      view.drop("batch"), idCol, outPath, effShards, codec)
+      payload, idCol, outPath, effShards, codec)
+    // the payload schema rides in the manifest (DDL form) so a
+    // consumer — applyExportDelta in particular — never has to INFER
+    // it back from the JSONL: inference is a full decode pass, and
+    // the JSON writer omits null fields, so an inferred schema can
+    // lose all-null (even nested) optional columns the view actually
+    // has. The manifest is the view's exact shape, free.
     val json = s"""{"snapshot":"$name",""" +
       s""""batches":[${batches.mkString(",")}],""" +
-      s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$effShards}"""
+      s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$effShards,""" +
+      s""""schema":"${jsonEscape(payload.schema.toDDL)}"}"""
     val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
   }
+
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** (path, bytes) of every pinned `batch=` dir's DATA files — ONE
     * recursive listing filtered to the pins, not a getContentSummary
@@ -3023,18 +3035,22 @@ object Streaming {
             * (nAdded.toDouble / pinnedRows)).toLong
         calibratedShardCount(spark, files, codec, outPath, addedBytes)
       }
+    val addedPayload = readSnapshot(spark, rootDir, to).drop("batch")
+      .join(added, Seq(idCol), "left_semi")
     graft.ops.Warehouse.writeJsonlShards(
-      readSnapshot(spark, rootDir, to).drop("batch")
-        .join(added, Seq(idCol), "left_semi"),
-      idCol, s"$outPath/added", effShards, codec)
+      addedPayload, idCol, s"$outPath/added", effShards, codec)
     val rw = removed.write.mode("overwrite")
     codec.fold(rw)(c => rw.option("compression", c))
       .json(s"$outPath/removed")
     val outFs = new HPath(outPath).getFileSystem(conf)
     val nRemoved = removed.count()
+    // the to-view's payload schema rides along (see exportSnapshot):
+    // the delta's consumer must not have to infer it from JSONL that
+    // omits null fields
     val json = s"""{"from":"$from","to":"$to",""" +
       s""""n_added":$nAdded,"n_removed":$nRemoved,""" +
-      s""""n_shards":$effShards}"""
+      s""""n_shards":$effShards,""" +
+      s""""schema":"${jsonEscape(addedPayload.schema.toDDL)}"}"""
     val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
@@ -3052,13 +3068,18 @@ object Streaming {
     * supplies the payload schema for the empty one (BOTH empty is a
     * named error: no schema to shape the empty result in, and the
     * caller holds a no-op refresh anyway; an ABSENT path is a named
-    * caller error, never read as empty). The added leg may infer
-    * FEWER columns than the base — the JSON writer omits null
-    * fields, so added docs all-null in an optional column
-    * legitimately lack it; the union fills the nulls back. Columns
-    * the base does not know (or a type conflict) are a real schema
-    * change a delta cannot express: a named error pointing at a full
-    * export, never a silent column drop. The anti-join's removed
+    * caller error, never read as empty). The payload schema comes
+    * from the `_MANIFEST`s both exports carry (exact — the view's
+    * own shape, immune to the JSON writer's null-field omission, at
+    * zero read cost): a shape disagreement between the two manifests
+    * is a schema change a delta cannot express — a named error
+    * pointing at a full export, never a silent column drop. Exports
+    * from before the manifests carried a schema fall back to JSON
+    * inference (one decode pass per leg; only the empty-dir
+    * inference failure is treated as empty — any other read error
+    * propagates), where the added leg may legitimately infer FEWER
+    * top-level columns than the base (null-field omission; the union
+    * fills the nulls back) but never more. The anti-join's removed
     * side is id-only and AQE-broadcast in the normal small-refresh
     * case; nothing here shuffles the base payload beyond that
     * join. */
@@ -3077,58 +3098,98 @@ object Streaming {
             "legitimately empty leg is a dir holding only _SUCCESS, " +
             "never an absent path); check the paths")
     }
-    def inferred(path: String): Option[DataFrame] =
-      try Some(spark.read.json(path).drop("shard"))
-      catch {
-        // "unable to infer schema" — the empty-dir signature
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
-    val baseInf = inferred(baseExportDir)
-    val addedInf = inferred(s"$deltaDir/added")
-    def shape(df: DataFrame) =
-      df.schema.fields.map(f => (f.name, f.dataType)).toSet
-    // the added leg may carry FEWER columns than the base: the JSON
-    // writer omits null fields, so a small delta whose added docs all
-    // carry null in an optional column legitimately infers without it
-    // (union fills the nulls back — exactly what the target export
-    // holds for those rows). Columns the BASE does not know — or a
-    // type conflict on a shared name — are a real schema change a
-    // delta cannot express, named, never silently dropped.
-    for (b <- baseInf; a <- addedInf) {
-      val extra = shape(a) -- shape(b)
-      if (extra.nonEmpty)
-        throw new IllegalStateException(
-          s"the delta's added leg at $deltaDir/added carries " +
-            s"column(s) the base export at $baseExportDir does not " +
-            s"(${extra.map { case (n, t) => s"$n:${t.simpleString}" }
-              .toSeq.sorted.mkString(", ")}) — a delta cannot " +
-            "express a schema change (applied base rows would " +
-            "silently lack the new columns); take a full export of " +
-            "the target snapshot instead")
+    def manifestSchema(dir: String):
+        Option[org.apache.spark.sql.types.StructType] = {
+      val mp = new HPath(dir, "_MANIFEST")
+      val mfs = mp.getFileSystem(conf)
+      if (!mfs.exists(mp)) return None
+      val in = mfs.open(mp)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+        .map(m => org.apache.spark.sql.types.StructType.fromDDL(
+          m.group(1).replace("\\\\", "\u0000")
+            .replace("\\\"", "\"").replace("\u0000", "\\")))
     }
-    val payloadSchema = baseInf.orElse(addedInf).map(_.schema)
-      .getOrElse(throw new IllegalStateException(
-        s"both the base export at $baseExportDir and the delta's " +
-          s"added leg at $deltaDir/added are empty — there is no " +
-          "schema to shape the (empty) result in, and applying this " +
-          "delta is a no-op; read the target snapshot's own export " +
-          "instead"))
-    if (!payloadSchema.fieldNames.contains(idCol))
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSet
+    def requireId(
+        s: org.apache.spark.sql.types.StructType): Unit =
+      if (!s.fieldNames.contains(idCol))
+        throw new IllegalStateException(
+          s"id column '$idCol' is not in the export payload " +
+            s"(${s.fieldNames.mkString(", ")}) — check the column " +
+            "name against the export")
+    def schemaChange(what: String): Nothing =
       throw new IllegalStateException(
-        s"id column '$idCol' is not in the export payload " +
-          s"(${payloadSchema.fieldNames.mkString(", ")}) — check " +
-          "the column name against the export")
-    def leg(inf: Option[DataFrame], path: String): DataFrame =
-      inf.getOrElse(
-        spark.read.schema(payloadSchema).json(path).drop("shard"))
-    val base = leg(baseInf, baseExportDir)
-    val added = leg(addedInf, s"$deltaDir/added")
-    val removed = spark.read
-      .schema(org.apache.spark.sql.types.StructType(
-        Seq(payloadSchema(idCol))))
-      .json(s"$deltaDir/removed")
-    base.join(removed, Seq(idCol), "left_anti")
-      .unionByName(added, allowMissingColumns = true)
+        s"the delta at $deltaDir carries a different payload shape " +
+          s"than the base export at $baseExportDir ($what) — a " +
+          "delta cannot express a schema change (applied base rows " +
+          "would silently lack the new columns); take a full export " +
+          "of the target snapshot instead")
+    def assemble(baseDf: DataFrame, addedDf: DataFrame,
+        idField: org.apache.spark.sql.types.StructField): DataFrame = {
+      val removed = spark.read
+        .schema(org.apache.spark.sql.types.StructType(Seq(idField)))
+        .json(s"$deltaDir/removed")
+      baseDf.join(removed, Seq(idCol), "left_anti")
+        .unionByName(addedDf, allowMissingColumns = true)
+    }
+    (manifestSchema(baseExportDir), manifestSchema(deltaDir)) match {
+      case (Some(b), Some(d)) =>
+        // both manifests carry the exact payload shape: no inference,
+        // no decode pass, and null-omitted columns cannot distort the
+        // comparison (nested ones included)
+        if (shape(b) != shape(d)) {
+          val diff = ((shape(d) -- shape(b)) ++ (shape(b) -- shape(d)))
+            .map { case (n, t) => s"$n:${t.simpleString}" }
+            .toSeq.sorted.mkString(", ")
+          schemaChange(s"differing: $diff")
+        }
+        requireId(b)
+        assemble(
+          spark.read.schema(b).json(baseExportDir).drop("shard"),
+          spark.read.schema(b).json(s"$deltaDir/added").drop("shard"),
+          b(idCol))
+      case _ =>
+        // legacy exports (no schema in the manifest): infer. ONLY the
+        // empty-dir inference failure reads as empty — any other
+        // AnalysisException (a glob that matched nothing, a corrupt
+        // read) propagates loudly rather than silently dropping a leg
+        def inferred(path: String): Option[DataFrame] =
+          try Some(spark.read.json(path).drop("shard"))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if Option(e.getCondition)
+                  .exists(_.contains("UNABLE_TO_INFER_SCHEMA")) =>
+              None
+          }
+        val baseInf = inferred(baseExportDir)
+        val addedInf = inferred(s"$deltaDir/added")
+        // the added leg may carry FEWER top-level columns (the JSON
+        // writer omits null fields; the union fills them back) but
+        // never columns the base does not know
+        for (b <- baseInf; a <- addedInf) {
+          val extra = shape(a.schema) -- shape(b.schema)
+          if (extra.nonEmpty)
+            schemaChange("added-leg extra column(s) " +
+              extra.map { case (n, t) => s"$n:${t.simpleString}" }
+                .toSeq.sorted.mkString(", "))
+        }
+        val payloadSchema = baseInf.orElse(addedInf).map(_.schema)
+          .getOrElse(throw new IllegalStateException(
+            s"both the base export at $baseExportDir and the delta's " +
+              s"added leg at $deltaDir/added are empty — there is no " +
+              "schema to shape the (empty) result in, and applying " +
+              "this delta is a no-op; read the target snapshot's own " +
+              "export instead"))
+        requireId(payloadSchema)
+        def leg(inf: Option[DataFrame], path: String): DataFrame =
+          inf.getOrElse(
+            spark.read.schema(payloadSchema).json(path).drop("shard"))
+        assemble(leg(baseInf, baseExportDir),
+          leg(addedInf, s"$deltaDir/added"), payloadSchema(idCol))
+    }
   }
 
   /** The payload + stats tail every curation-ingest variant shares

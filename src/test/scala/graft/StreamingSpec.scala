@@ -2935,8 +2935,11 @@ class StreamingSpec extends SparkSpec {
     assert(removedIds === Set(1L))
     val mf = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$tmp/delta/_MANIFEST")), "UTF-8")
-    assert(mf === """{"from":"t0","to":"t1",""" +
-      """"n_added":1,"n_removed":1,"n_shards":2}""")
+    assert(mf.startsWith("""{"from":"t0","to":"t1",""" +
+      """"n_added":1,"n_removed":1,"n_shards":2,"schema":""""), mf)
+    // the payload schema rides in the manifest so consumers never
+    // infer it back from null-omitting JSONL
+    assert(mf.contains("doc_id") && mf.contains("text"), mf)
     // applying the delta to t0's view reproduces t1's view exactly
     val t0v = Streaming.readSnapshot(spark, tmp, "t0")
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -3074,9 +3077,9 @@ class StreamingSpec extends SparkSpec {
     // carries the provenance (and Spark readers ignore _ files)
     val mf = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$tmp/out1/_MANIFEST")), "UTF-8")
-    assert(mf ===
+    assert(mf.startsWith(
       """{"snapshot":"run","batches":[0],"sweep":-1,""" +
-        """"n_docs":2,"n_shards":4}""")
+        """"n_docs":2,"n_shards":4,"schema":""""), mf)
     // nShards omitted: the count is DERIVED from the pinned batch
     // dirs' bytes (a tiny snapshot → 1 shard) and the codec option
     // compresses the shard files; the manifest count still comes
@@ -3090,9 +3093,9 @@ class StreamingSpec extends SparkSpec {
     assert(gz.nonEmpty, "gzip codec was not applied to the shards")
     val mf3 = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$tmp/out3/_MANIFEST")), "UTF-8")
-    assert(mf3 ===
+    assert(mf3.startsWith(
       """{"snapshot":"run","batches":[0],"sweep":-1,""" +
-        """"n_docs":2,"n_shards":1}""")
+        """"n_docs":2,"n_shards":1,"schema":""""), mf3)
   }
 
   test("fsckCurationStore: a clean store audits empty; every planted " +
