@@ -2458,8 +2458,35 @@ object Streaming {
     finally o.close()
   }
 
+  /** Minimal JSON string escaping for manifest values — backslash,
+    * quote, AND control characters (a column name carrying a newline
+    * is legal in a DataFrame and must not produce a manifest no JSON
+    * parser can read). [[jsonUnescape]] is its exact inverse. */
   private def jsonEscape(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jsonUnescape(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'u' if i + 5 < v.length =>
+            sb.append(Integer.parseInt(
+              v.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** (path, bytes) of every pinned `batch=` dir's DATA files — ONE
     * recursive listing filtered to the pins, not a getContentSummary
@@ -3073,13 +3100,15 @@ object Streaming {
     * own shape, immune to the JSON writer's null-field omission, at
     * zero read cost): a shape disagreement between the two manifests
     * is a schema change a delta cannot express — a named error
-    * pointing at a full export, never a silent column drop. Exports
-    * from before the manifests carried a schema fall back to JSON
-    * inference (one decode pass per leg; only the empty-dir
-    * inference failure is treated as empty — any other read error
-    * propagates), where the added leg may legitimately infer FEWER
-    * top-level columns than the base (null-field omission; the union
-    * fills the nulls back) but never more. The anti-join's removed
+    * pointing at a full export, never a silent column drop. A LEG
+    * from before the manifests carried a schema falls back to JSON
+    * inference — but only that leg, and the big base side never
+    * infers when either manifest declares the shape (one root, one
+    * gate-pinned schema). Only the empty-dir inference failure is
+    * treated as empty — any other read error propagates — and a
+    * legacy added leg may legitimately infer FEWER top-level columns
+    * than the base (null-field omission; the union fills the nulls
+    * back) but never more. The anti-join's removed
     * side is id-only and AQE-broadcast in the normal small-refresh
     * case; nothing here shuffles the base payload beyond that
     * join. */
@@ -3108,9 +3137,30 @@ object Streaming {
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
         .map(m => org.apache.spark.sql.types.StructType.fromDDL(
-          m.group(1).replace("\\\\", "\u0000")
-            .replace("\\\"", "\"").replace("\u0000", "\\")))
+          jsonUnescape(m.group(1))))
     }
+    // "empty" = a dir holding only commit markers, the shape
+    // writeJsonlShards leaves for a zero-doc view (one listing each).
+    // BOTH sides empty is a named no-op in EVERY branch — the caller
+    // holds a refresh with nothing to refresh, and an empty frame
+    // would just defer the confusion downstream
+    def hasData(path: String): Boolean = {
+      val hp = new HPath(path)
+      val it = hp.getFileSystem(conf).listFiles(hp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".") && st.getLen > 0L)
+          return true
+      }
+      false
+    }
+    if (!hasData(baseExportDir) && !hasData(s"$deltaDir/added"))
+      throw new IllegalStateException(
+        s"both the base export at $baseExportDir and the delta's " +
+          s"added leg at $deltaDir/added are empty — applying this " +
+          "delta is a no-op; read the target snapshot's own export " +
+          "instead")
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSet
     def requireId(
@@ -3127,14 +3177,31 @@ object Streaming {
           "delta cannot express a schema change (applied base rows " +
           "would silently lack the new columns); take a full export " +
           "of the target snapshot instead")
-    def assemble(baseDf: DataFrame, addedDf: DataFrame,
-        idField: org.apache.spark.sql.types.StructField): DataFrame = {
+    // legacy legs (pre-schema manifests) fall back to inference; ONLY
+    // the empty-dir/no-parsable-records failure reads as empty — any
+    // other AnalysisException (a glob that matched nothing, a corrupt
+    // read) propagates loudly rather than silently dropping a leg
+    def inferred(path: String): Option[DataFrame] =
+      try Some(spark.read.json(path).drop("shard"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition)
+              .exists(_.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          None
+      }
+    def assemble(payloadSchema: org.apache.spark.sql.types.StructType,
+        baseDf: DataFrame, addedDf: DataFrame): DataFrame = {
+      requireId(payloadSchema)
       val removed = spark.read
-        .schema(org.apache.spark.sql.types.StructType(Seq(idField)))
+        .schema(org.apache.spark.sql.types.StructType(
+          Seq(payloadSchema(idCol))))
         .json(s"$deltaDir/removed")
       baseDf.join(removed, Seq(idCol), "left_anti")
         .unionByName(addedDf, allowMissingColumns = true)
     }
+    def readUnder(s: org.apache.spark.sql.types.StructType,
+        path: String): DataFrame =
+      spark.read.schema(s).json(path).drop("shard")
     (manifestSchema(baseExportDir), manifestSchema(deltaDir)) match {
       case (Some(b), Some(d)) =>
         // both manifests carry the exact payload shape: no inference,
@@ -3146,24 +3213,32 @@ object Streaming {
             .toSeq.sorted.mkString(", ")
           schemaChange(s"differing: $diff")
         }
-        requireId(b)
-        assemble(
-          spark.read.schema(b).json(baseExportDir).drop("shard"),
-          spark.read.schema(b).json(s"$deltaDir/added").drop("shard"),
-          b(idCol))
-      case _ =>
-        // legacy exports (no schema in the manifest): infer. ONLY the
-        // empty-dir inference failure reads as empty — any other
-        // AnalysisException (a glob that matched nothing, a corrupt
-        // read) propagates loudly rather than silently dropping a leg
-        def inferred(path: String): Option[DataFrame] =
-          try Some(spark.read.json(path).drop("shard"))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if Option(e.getCondition)
-                  .exists(_.contains("UNABLE_TO_INFER_SCHEMA")) =>
-              None
-          }
+        assemble(b, readUnder(b, baseExportDir),
+          readUnder(b, s"$deltaDir/added"))
+      case (Some(b), None) =>
+        // schema'd base + legacy delta: the base (the BIG side) reads
+        // under its exact shape with no inference; only the
+        // delta-sized added leg is inferred, and only for the
+        // extra-column guard (a read under b would silently DROP a
+        // column b does not know)
+        val addedInf = inferred(s"$deltaDir/added")
+        for (a <- addedInf) {
+          val extra = shape(a.schema) -- shape(b)
+          if (extra.nonEmpty)
+            schemaChange("added-leg extra column(s) " +
+              extra.map { case (n, t) => s"$n:${t.simpleString}" }
+                .toSeq.sorted.mkString(", "))
+        }
+        assemble(b, readUnder(b, baseExportDir),
+          addedInf.getOrElse(readUnder(b, s"$deltaDir/added")))
+      case (None, Some(d)) =>
+        // legacy base + schema'd delta: both snapshots live in ONE
+        // root whose ingest gate pins a single schema, so the delta's
+        // declared shape IS the base's — read the (possibly 100 TB)
+        // base under it instead of paying a full-corpus inference
+        assemble(d, readUnder(d, baseExportDir),
+          readUnder(d, s"$deltaDir/added"))
+      case (None, None) =>
         val baseInf = inferred(baseExportDir)
         val addedInf = inferred(s"$deltaDir/added")
         // the added leg may carry FEWER top-level columns (the JSON
@@ -3178,17 +3253,16 @@ object Streaming {
         }
         val payloadSchema = baseInf.orElse(addedInf).map(_.schema)
           .getOrElse(throw new IllegalStateException(
-            s"both the base export at $baseExportDir and the delta's " +
-              s"added leg at $deltaDir/added are empty — there is no " +
-              "schema to shape the (empty) result in, and applying " +
-              "this delta is a no-op; read the target snapshot's own " +
-              "export instead"))
-        requireId(payloadSchema)
+            s"neither the base export at $baseExportDir nor the " +
+              s"delta's added leg at $deltaDir/added yields a single " +
+              "parsable record to infer the payload schema from, and " +
+              "these legacy exports carry no schema in their " +
+              "manifests — re-export with a current binary or fix " +
+              "the corrupt legs"))
         def leg(inf: Option[DataFrame], path: String): DataFrame =
-          inf.getOrElse(
-            spark.read.schema(payloadSchema).json(path).drop("shard"))
-        assemble(leg(baseInf, baseExportDir),
-          leg(addedInf, s"$deltaDir/added"), payloadSchema(idCol))
+          inf.getOrElse(readUnder(payloadSchema, path))
+        assemble(payloadSchema, leg(baseInf, baseExportDir),
+          leg(addedInf, s"$deltaDir/added"))
     }
   }
 

@@ -3027,6 +3027,33 @@ class StreamingSpec extends SparkSpec {
     }
     assert(eShape.getMessage.contains("schema change") &&
       eShape.getMessage.contains("extra"), eShape.getMessage)
+    // manifest-vs-manifest disagreement is the same named error with
+    // zero inference: give the bad delta a manifest DECLARING the
+    // extra column
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/dbad/_MANIFEST"),
+      ("""{"from":"t0","to":"t1","n_added":1,"n_removed":1,""" +
+        """"n_shards":1,"schema":"`doc_id` BIGINT,`text` STRING,""" +
+        """`extra` DOUBLE"}""").getBytes("UTF-8"))
+    val eShapeM = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/exp1",
+        s"$tmp/dbad", "doc_id")
+    }
+    assert(eShapeM.getMessage.contains("differing") &&
+      eShapeM.getMessage.contains("extra"), eShapeM.getMessage)
+    // both-empty stays the named no-op even when BOTH sides carry
+    // schema'd manifests (an all-tombstoned snapshot's export)
+    new java.io.File(s"$tmp/emptyM").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/emptyM/_MANIFEST"),
+      ("""{"snapshot":"e","batches":[],"sweep":-1,"n_docs":0,""" +
+        """"n_shards":1,"schema":"`doc_id` BIGINT,`text` STRING"}""")
+        .getBytes("UTF-8"))
+    val eEmptyM = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/emptyM",
+        s"$tmp/d11", "doc_id")
+    }
+    assert(eEmptyM.getMessage.contains("are empty"), eEmptyM.getMessage)
     // the REVERSE subset is legitimate: the JSON writer omits null
     // fields, so an added leg whose docs are all-null in an optional
     // column infers without it — the union fills the nulls back
