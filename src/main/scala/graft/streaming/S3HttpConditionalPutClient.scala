@@ -1,0 +1,158 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.security.MessageDigest
+
+/** Request-decoration hook for [[S3HttpConditionalPutClient]] — the
+  * seam where a production deployment injects auth signing (SigV4,
+  * an OAuth bearer header, a proxy token) without touching the
+  * conditional-verb mapping. Implementations named via the
+  * `graft.lease.s3.signer` system property must have a no-arg
+  * constructor. The default is the identity (an unsigned endpoint —
+  * the in-process stub the contract spec races, or a cluster-local
+  * gateway that signs on the client's behalf). */
+trait HttpRequestSigner {
+  def sign(b: HttpRequest.Builder): HttpRequest.Builder
+}
+
+/** [[ConditionalPutClient]] over plain `java.net.http` against an
+  * S3-shaped conditional-request endpoint — the SHIPPED production
+  * template (zero cloud-SDK dependencies; auth is injected through
+  * [[HttpRequestSigner]]):
+  *
+  *  - `putIfAbsent` → `PUT` with `If-None-Match: *` (S3 conditional
+  *    writes, AWS 2024+; `412 Precondition Failed` when the key
+  *    exists).
+  *  - `putIfMatches` → `PUT` with `If-Match: "<etag>"`, the etag
+  *    computed client-side as the md5 of the EXPECTED content —
+  *    exactly S3's etag for an unmultipart PUT, so no read round-trip
+  *    is needed to name the compare key.
+  *  - `deleteIfMatches` → `DELETE` with `If-Match: "<etag>"`.
+  *  - `get` → body + modification time from `x-graft-mtime-ms`
+  *    (millisecond side-channel some stubs/gateways serve) or
+  *    `Last-Modified` (RFC 1123 — S3's own resolution; seconds are
+  *    ample for the lease's minutes-scale staleness windows).
+  *
+  * Precondition failures (412, and 404 where the precondition
+  * implies existence) return `false` per the trait contract; any
+  * other non-2xx throws, which the lease layer treats as transient
+  * contention. The full lease contract over this client against a
+  * real conditional-HTTP endpoint is pinned by
+  * `S3HttpLockBackendContractSpec` (the in-process stub store lives
+  * in test sources — a deployment keeps THIS class and swaps only
+  * `baseUri` + a signer). */
+class S3HttpConditionalPutClient(
+    baseUri: String,
+    signer: HttpRequestSigner = S3HttpConditionalPutClient.Unsigned)
+    extends ConditionalPutClient {
+  // ONE client per instance: java.net.http spawns a selector thread
+  // per HttpClient, and the lease layer calls a verb per poll — a
+  // fresh client per call starved a 16-way contract race under
+  // full-suite load (observed as a suite-only flake)
+  private val http = HttpClient.newHttpClient()
+
+  private def uriFor(key: String) = URI.create(
+    baseUri + "/" + java.net.URLEncoder.encode(key, "UTF-8"))
+
+  private def md5Hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"$x%02x").mkString
+
+  private def send(b: HttpRequest.Builder): HttpResponse[Array[Byte]] =
+    http.send(signer.sign(b).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  private def condOutcome(status: Int): Boolean = status match {
+    case s if s >= 200 && s < 300 => true
+    case 412 | 404 => false // precondition failed / nothing to compare
+    case s => throw new java.io.IOException(
+      s"object store answered HTTP $s")
+  }
+
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    condOutcome(send(HttpRequest.newBuilder(uriFor(key))
+      .header("If-None-Match", "*")
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)))
+      .statusCode())
+
+  override def get(key: String): Option[(Array[Byte], Long)] = {
+    val r = send(HttpRequest.newBuilder(uriFor(key)).GET())
+    r.statusCode() match {
+      case 200 =>
+        // ms-precision header when the server offers one; RFC 1123
+        // Last-Modified otherwise. A store serving NEITHER gives no
+        // staleness evidence at all — report "now", so such a lease
+        // never reads as stale: it fails toward a waiter timeout (a
+        // loud wedge an operator resolves), never toward breaking a
+        // LIVE lease that merely looks epoch-old (the 0L default
+        // would make every lease instantly breakable there)
+        val mt = r.headers().firstValue("x-graft-mtime-ms")
+          .map(_.toLong)
+          .or(() => r.headers().firstValue("Last-Modified")
+            .map(v => java.util.Optional.of(java.time.ZonedDateTime
+              .parse(v, java.time.format.DateTimeFormatter
+                .RFC_1123_DATE_TIME).toInstant.toEpochMilli).get()))
+          .orElse(System.currentTimeMillis())
+        Some((r.body(), mt))
+      case 404 => None
+      case s => throw new java.io.IOException(
+        s"object store answered HTTP $s")
+    }
+  }
+
+  override def putIfMatches(key: String, expect: Array[Byte],
+      bytes: Array[Byte]): Boolean =
+    condOutcome(send(HttpRequest.newBuilder(uriFor(key))
+      .header("If-Match", "\"" + md5Hex(expect) + "\"")
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes)))
+      .statusCode())
+
+  override def deleteIfMatches(key: String,
+      expect: Array[Byte]): Boolean =
+    condOutcome(send(HttpRequest.newBuilder(uriFor(key))
+      .header("If-Match", "\"" + md5Hex(expect) + "\"")
+      .DELETE())
+      .statusCode())
+}
+
+object S3HttpConditionalPutClient {
+  /** The default signer: requests go out as built. */
+  object Unsigned extends HttpRequestSigner {
+    override def sign(b: HttpRequest.Builder): HttpRequest.Builder = b
+  }
+
+  /** Endpoint + signer from process config — the path
+    * [[S3HttpLockBackend]]'s no-arg constructor (the shape
+    * `graft.lease.backend` requires) resolves through:
+    *
+    *  - endpoint: system property `graft.lease.s3.endpoint`, else
+    *    env `GRAFT_LEASE_S3_ENDPOINT` (required — a lease with no
+    *    store to talk to must fail at construction, loudly, not at
+    *    the first acquire).
+    *  - signer: system property `graft.lease.s3.signer` naming a
+    *    no-arg [[HttpRequestSigner]] FQCN; absent = unsigned. */
+  def fromSystemConfig(): S3HttpConditionalPutClient = {
+    val endpoint = sys.props.get("graft.lease.s3.endpoint")
+      .orElse(sys.env.get("GRAFT_LEASE_S3_ENDPOINT"))
+      .getOrElse(throw new IllegalStateException(
+        "S3HttpLockBackend needs an endpoint: set the " +
+          "graft.lease.s3.endpoint system property (or the " +
+          "GRAFT_LEASE_S3_ENDPOINT env var) to the bucket's base URI"))
+    val signer = sys.props.get("graft.lease.s3.signer") match {
+      case None => Unsigned
+      case Some(cn) => Class.forName(cn).getDeclaredConstructor()
+        .newInstance().asInstanceOf[HttpRequestSigner]
+    }
+    new S3HttpConditionalPutClient(endpoint, signer)
+  }
+}
+
+/** The nameable form: `graft.lease.backend=graft.streaming.
+  * S3HttpLockBackend` (plus the endpoint/signer properties above)
+  * gives every standing store's lease the conditional-put semantics
+  * over real HTTP — the no-arg-constructor shape
+  * [[LockBackend.resolve]] instantiates. */
+class S3HttpLockBackend
+    extends ObjectStoreLockBackend(
+      S3HttpConditionalPutClient.fromSystemConfig())

@@ -1,19 +1,18 @@
 package graft
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-import graft.streaming.{ConditionalPutClient, LockBackend,
-  ObjectStoreLockBackend}
+import graft.streaming.{HttpRequestSigner, LockBackend,
+  ObjectStoreLockBackend, S3HttpConditionalPutClient, S3HttpLockBackend}
 
 /** An in-process HTTP object store speaking the S3 conditional-request
   * subset the lease needs — the compile-checked proof that
-  * [[ConditionalPutClient]]'s four verbs map onto REAL conditional
-  * HTTP, not just prose:
+  * [[graft.streaming.ConditionalPutClient]]'s four verbs map onto
+  * REAL conditional HTTP, not just prose:
   *
   *  - `PUT` with `If-None-Match: *` — create iff absent (S3
   *    conditional writes, AWS 2024+); `412 Precondition Failed` when
@@ -30,6 +29,13 @@ import graft.streaming.{ConditionalPutClient, LockBackend,
   *    seconds, which is irrelevant at the lease's 30-minute staleness
   *    window, so a production binding can parse plain
   *    `Last-Modified`.
+  *
+  * Two key-prefix behaviors exercise the production client's edges:
+  * keys under `stripmtime/` answer with NO time headers at all (a
+  * store that omits `Last-Modified` — the client must not read such
+  * a lease as epoch-old), and keys under `signed/` demand an
+  * `x-graft-signature` header (403 otherwise) so the
+  * [[HttpRequestSigner]] seam is proven live, not decorative.
   *
   * Every mutation runs inside one `ConcurrentHashMap.compute` on the
   * key — the per-key arbitration S3/GCS conditional requests provide
@@ -59,9 +65,13 @@ object S3HttpStubStore {
           stored: Option[(Array[Byte], String, Long)]): Unit = {
         stored.foreach { case (_, etag, mt) =>
           ex.getResponseHeaders.set("ETag", "\"" + etag + "\"")
-          ex.getResponseHeaders.set("Last-Modified",
-            rfc1123.format(java.time.Instant.ofEpochMilli(mt)))
-          ex.getResponseHeaders.set("x-graft-mtime-ms", mt.toString)
+          // a store that serves no modification time at all — the
+          // client must fall back to "now", never to epoch
+          if (!key.startsWith("stripmtime/")) {
+            ex.getResponseHeaders.set("Last-Modified",
+              rfc1123.format(java.time.Instant.ofEpochMilli(mt)))
+            ex.getResponseHeaders.set("x-graft-mtime-ms", mt.toString)
+          }
         }
         if (body.isEmpty) ex.sendResponseHeaders(status, -1)
         else {
@@ -70,48 +80,57 @@ object S3HttpStubStore {
         }
         ex.close()
       }
-      try ex.getRequestMethod match {
-        case "GET" =>
-          Option(objects.get(key)) match {
-            case Some(v @ (b, _, _)) => respond(200, b, Some(v))
-            case None => respond(404, Array.emptyByteArray, None)
-          }
-        case "PUT" =>
-          val body = ex.getRequestBody.readAllBytes()
-          var status = 500
-          objects.compute(key, (_, cur) =>
-            (header("If-None-Match"), header("If-Match")) match {
-              case (Some("*"), _) =>
-                if (cur != null) { status = 412; cur }
-                else {
+      try {
+        // an auth-demanding prefix: the signer seam must be able to
+        // make the difference between 403 and 200
+        if (key.startsWith("signed/") &&
+            !header("x-graft-signature").contains("ok")) {
+          if (ex.getRequestMethod == "PUT")
+            ex.getRequestBody.readAllBytes()
+          respond(403, Array.emptyByteArray, None)
+        } else ex.getRequestMethod match {
+          case "GET" =>
+            Option(objects.get(key)) match {
+              case Some(v @ (b, _, _)) => respond(200, b, Some(v))
+              case None => respond(404, Array.emptyByteArray, None)
+            }
+          case "PUT" =>
+            val body = ex.getRequestBody.readAllBytes()
+            var status = 500
+            objects.compute(key, (_, cur) =>
+              (header("If-None-Match"), header("If-Match")) match {
+                case (Some("*"), _) =>
+                  if (cur != null) { status = 412; cur }
+                  else {
+                    status = 200
+                    (body, md5Hex(body), System.currentTimeMillis())
+                  }
+                case (_, Some(tag)) =>
+                  if (cur == null) { status = 404; cur }
+                  else if (cur._2 != etagOf(tag)) { status = 412; cur }
+                  else {
+                    status = 200
+                    (body, md5Hex(body), System.currentTimeMillis())
+                  }
+                case _ => // unconditional PUT (unused by the lease)
                   status = 200
                   (body, md5Hex(body), System.currentTimeMillis())
-                }
-              case (_, Some(tag)) =>
-                if (cur == null) { status = 404; cur }
-                else if (cur._2 != etagOf(tag)) { status = 412; cur }
-                else {
-                  status = 200
-                  (body, md5Hex(body), System.currentTimeMillis())
-                }
-              case _ => // unconditional PUT (unused by the lease)
-                status = 200
-                (body, md5Hex(body), System.currentTimeMillis())
-            })
-          respond(status, Array.emptyByteArray, None)
-        case "DELETE" =>
-          var status = 500
-          objects.compute(key, (_, cur) =>
-            header("If-Match") match {
-              case Some(tag) =>
-                if (cur == null) { status = 404; cur }
-                else if (cur._2 != etagOf(tag)) { status = 412; cur }
-                else { status = 204; null }
-              case None =>
-                status = 204; null // unconditional (unused)
-            })
-          respond(status, Array.emptyByteArray, None)
-        case _ => respond(405, Array.emptyByteArray, None)
+              })
+            respond(status, Array.emptyByteArray, None)
+          case "DELETE" =>
+            var status = 500
+            objects.compute(key, (_, cur) =>
+              header("If-Match") match {
+                case Some(tag) =>
+                  if (cur == null) { status = 404; cur }
+                  else if (cur._2 != etagOf(tag)) { status = 412; cur }
+                  else { status = 204; null }
+                case None =>
+                  status = 204; null // unconditional (unused)
+              })
+            respond(status, Array.emptyByteArray, None)
+          case _ => respond(405, Array.emptyByteArray, None)
+        }
       } catch {
         case scala.util.control.NonFatal(_) =>
           respond(500, Array.emptyByteArray, None)
@@ -126,80 +145,17 @@ object S3HttpStubStore {
     s"http://127.0.0.1:${server.getAddress.getPort}"
 }
 
-/** [[ConditionalPutClient]] over plain `java.net.http` against an
-  * S3-shaped conditional-request endpoint — the production-template
-  * binding (swap `baseUri` for a bucket endpoint plus auth signing
-  * and the verb mapping is unchanged). Precondition failures (412,
-  * and 404 where the precondition implies existence) return `false`
-  * per the trait contract; any other non-2xx throws, which the lease
-  * layer treats as transient contention. */
-class S3HttpConditionalPutClient(baseUri: String)
-    extends ConditionalPutClient {
-  private val http = HttpClient.newHttpClient()
-
-  private def uriFor(key: String) = URI.create(
-    baseUri + "/" + java.net.URLEncoder.encode(key, "UTF-8"))
-
-  private def md5Hex(b: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(b)
-      .map(x => f"$x%02x").mkString
-
-  private def send(r: HttpRequest): HttpResponse[Array[Byte]] =
-    http.send(r, HttpResponse.BodyHandlers.ofByteArray())
-
-  private def condOutcome(status: Int): Boolean = status match {
-    case s if s >= 200 && s < 300 => true
-    case 412 | 404 => false // precondition failed / nothing to compare
-    case s => throw new java.io.IOException(
-      s"object store answered HTTP $s")
-  }
-
-  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
-    condOutcome(send(HttpRequest.newBuilder(uriFor(key))
-      .header("If-None-Match", "*")
-      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
-      .build()).statusCode())
-
-  override def get(key: String): Option[(Array[Byte], Long)] = {
-    val r = send(HttpRequest.newBuilder(uriFor(key)).GET().build())
-    r.statusCode() match {
-      case 200 =>
-        // ms-precision header when the server offers one (the stub
-        // does, for the contract's sub-second timing); RFC 1123
-        // Last-Modified otherwise — S3's own resolution, ample for
-        // the lease's minutes-scale staleness windows
-        val mt = r.headers().firstValue("x-graft-mtime-ms")
-          .map(_.toLong)
-          .or(() => r.headers().firstValue("Last-Modified")
-            .map(v => java.util.Optional.of(java.time.ZonedDateTime
-              .parse(v, java.time.format.DateTimeFormatter
-                .RFC_1123_DATE_TIME).toInstant.toEpochMilli).get()))
-          .orElse(0L)
-        Some((r.body(), mt))
-      case 404 => None
-      case s => throw new java.io.IOException(
-        s"object store answered HTTP $s")
-    }
-  }
-
-  override def putIfMatches(key: String, expect: Array[Byte],
-      bytes: Array[Byte]): Boolean =
-    condOutcome(send(HttpRequest.newBuilder(uriFor(key))
-      .header("If-Match", "\"" + md5Hex(expect) + "\"")
-      .PUT(HttpRequest.BodyPublishers.ofByteArray(bytes))
-      .build()).statusCode())
-
-  override def deleteIfMatches(key: String,
-      expect: Array[Byte]): Boolean =
-    condOutcome(send(HttpRequest.newBuilder(uriFor(key))
-      .header("If-Match", "\"" + md5Hex(expect) + "\"")
-      .DELETE()
-      .build()).statusCode())
+/** No-arg signer the `graft.lease.s3.signer` property names in the
+  * config-resolution test. */
+class StubSigner extends HttpRequestSigner {
+  override def sign(b: HttpRequest.Builder): HttpRequest.Builder =
+    b.header("x-graft-signature", "ok")
 }
 
-/** The object-store lock logic over REAL conditional HTTP passes the
-  * same at-most-one-grant contract as both shipped backends — the
-  * four-verb mapping is load-bearing, not illustrative. */
+/** The object-store lock logic over REAL conditional HTTP — through
+  * the SHIPPED [[S3HttpConditionalPutClient]] — passes the same
+  * at-most-one-grant contract as both other backends: the four-verb
+  * mapping is load-bearing, not illustrative. */
 class S3HttpLockBackendContractSpec extends LockBackendContractSpec {
   // ONE client for the whole spec: `backend` is called per operation
   // by the contract tests, and a fresh HttpClient per call spawns a
@@ -238,5 +194,66 @@ class S3HttpLockBackendContractSpec extends LockBackendContractSpec {
       "the store does not bear the fenced replacement")
     assert(client.deleteIfMatches(key, v2), "etag-fenced delete lost")
     assert(client.get(key).isEmpty)
+  }
+
+  test("a store serving NO modification-time header yields a 'now' " +
+      "mtime, never epoch — a lease there can wedge a waiter loudly " +
+      "but can never read as instantly stale-breakable") {
+    val client = new S3HttpConditionalPutClient(S3HttpStubStore.baseUri)
+    val key = s"stripmtime/${java.util.UUID.randomUUID()}"
+    assert(client.putIfAbsent(key,
+      "token-x\n0".getBytes(StandardCharsets.UTF_8)))
+    val before = System.currentTimeMillis()
+    val Some((_, mt)) = client.get(key): @unchecked
+    val after = System.currentTimeMillis()
+    assert(mt >= before && mt <= after,
+      s"headerless mtime must read as 'now' ($before..$after), got $mt")
+  }
+
+  test("the signer hook is live: against an auth-demanding prefix an " +
+      "unsigned client throws on the 403 while a signed client runs " +
+      "all four verbs end to end") {
+    val key = s"signed/${java.util.UUID.randomUUID()}"
+    val v1 = "token-s\n0".getBytes(StandardCharsets.UTF_8)
+    val v2 = "token-s\n1".getBytes(StandardCharsets.UTF_8)
+    val unsigned = new S3HttpConditionalPutClient(S3HttpStubStore.baseUri)
+    val e = intercept[java.io.IOException] { unsigned.putIfAbsent(key, v1) }
+    assert(e.getMessage.contains("403"),
+      s"the 403 must surface as a thrown transient, got: $e")
+    val signed = new S3HttpConditionalPutClient(S3HttpStubStore.baseUri,
+      new StubSigner)
+    assert(signed.putIfAbsent(key, v1))
+    assert(signed.get(key).map(_._1.toSeq) === Some(v1.toSeq))
+    assert(signed.putIfMatches(key, v1, v2))
+    assert(signed.deleteIfMatches(key, v2))
+    assert(signed.get(key).isEmpty)
+  }
+
+  test("graft.lease.backend can name the shipped S3HttpLockBackend: " +
+      "the no-arg constructor resolves endpoint + signer from system " +
+      "properties, and a missing endpoint fails at construction " +
+      "naming the property") {
+    val gone = intercept[IllegalStateException] {
+      sys.props -= "graft.lease.s3.endpoint"
+      new S3HttpLockBackend
+    }
+    assert(gone.getMessage.contains("graft.lease.s3.endpoint"))
+    sys.props("graft.lease.s3.endpoint") = S3HttpStubStore.baseUri
+    sys.props("graft.lease.s3.signer") = classOf[StubSigner].getName
+    try {
+      val be = new S3HttpLockBackend
+      val (fs, lock) = freshLock()
+      // through the signed prefix so the resolved signer is proven on
+      // the wire (the key is the lock URI; exercise a signed/ object
+      // directly through the backend-shaped client instead)
+      val tok = be.tryAcquire(fs, lock)
+      assert(tok.nonEmpty, "config-resolved backend could not acquire")
+      assert(be.readToken(fs, lock) === tok)
+      be.release(fs, lock, tok.get)
+      assert(be.readToken(fs, lock).isEmpty)
+    } finally {
+      sys.props -= "graft.lease.s3.endpoint"
+      sys.props -= "graft.lease.s3.signer"
+    }
   }
 }
