@@ -61,6 +61,22 @@ object ExportProbe {
     println(f"[probe] corpus parquet bytes: ${pq / 1e6}%.0f MB")
     graft.streaming.Streaming.snapshotCorpus(spark, root, "p")
 
+    // the calibration factors on their own, including codecs whose
+    // TEXT sink cannot encode here (zstd → the parquet-side second
+    // fallback measures it through zstd-jni) — the PERF.md probe rows
+    val storeFs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned = graft.streaming.Streaming.pinnedFiles(
+      storeFs, root, Seq(0L, 1L, 2L, 3L))
+    for (codec <- Seq(None, Some("gzip"), Some("zstd"))) {
+      val f = graft.streaming.Streaming.measuredExpansion(
+        spark, pinned, codec, s"$work/.cal-${codec.getOrElse("plain")}")
+      println(f"[probe] calibrated expansion codec=" +
+        f"${codec.getOrElse("plain")}%-5s factor=" +
+        f.map(v => f"$v%.3f").getOrElse("(fallback)") +
+        " (×1.1 pad included)")
+    }
+
     for (codec <- Seq(None, Some("gzip"), Some("zstd"))) {
       val out = s"$work/export-${codec.getOrElse("plain")}"
       val t0 = System.nanoTime()

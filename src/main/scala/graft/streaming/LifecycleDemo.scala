@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *     sweep-window tombstones only)
   *  8. export `t1` as deterministically-sharded gzip JSONL with a
   *     self-describing `_MANIFEST`
-  *  9. fsck the root — a clean lifecycle leaves zero findings
+  *  9. the refresh hand-off, consumer side: export `t0` full, export
+  *     the `t0 → t1` delta, `applyExportDelta` — the applied corpus
+  *     equals `t1`'s own export (and the manifests' provenance pins
+  *     which delta belongs to which base)
+  * 10. fsck the root — a clean lifecycle leaves zero findings
   *
   * Usage (the fixture ships in the repo):
   * {{{
@@ -44,7 +48,8 @@ object LifecycleDemo {
 
   final case class Summary(admitted: Set[Long], tombstoned: Long,
       gapBatches: Long, forcedTombstoned: Long, gapAfterForce: Long,
-      removedInDiff: Set[Long], exportedDocs: Long, findings: Long)
+      removedInDiff: Set[Long], exportedDocs: Long,
+      appliedDocs: Set[Long], findings: Long)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
@@ -172,7 +177,19 @@ object LifecycleDemo {
       log(s"   _MANIFEST $manifest")
       val exported = spark.read.json(s"$rootDir/export_t1").count()
 
-      log("9. fsck the root (O(metadata); empty = clean bill of " +
+      log("9. the refresh hand-off: export t0 full, export the " +
+        "t0->t1 delta, apply it consumer-side — equals t1's export")
+      Streaming.exportSnapshot(spark, rootDir, "t0",
+        s"$rootDir/export_t0", "doc_id", codec = Some("gzip"))
+      Streaming.exportSnapshotDelta(spark, rootDir, "t0", "t1",
+        s"$rootDir/delta_t0_t1", "doc_id", codec = Some("gzip"))
+      val applied = Streaming.applyExportDelta(spark,
+        s"$rootDir/export_t0", s"$rootDir/delta_t0_t1", "doc_id")
+      val appliedDocs = applied.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      log(s"   applied corpus: ${appliedDocs.toSeq.sorted.mkString(",")}")
+
+      log("10. fsck the root (O(metadata); empty = clean bill of " +
         "health)")
       val findings = Streaming.fsckCurationStore(spark, rootDir)
       val nFind = findings.count()
@@ -182,7 +199,7 @@ object LifecycleDemo {
       Summary(admitted, tombstoned, gapBatches, forcedTombstoned,
         gapAfterForce,
         diff.filter(_._2 == "removed").map(_._1).toSet, exported,
-        nFind)
+        appliedDocs, nFind)
     } finally registry.stop()
   }
 }

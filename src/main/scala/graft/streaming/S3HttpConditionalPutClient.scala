@@ -46,11 +46,13 @@ class S3HttpConditionalPutClient(
     baseUri: String,
     signer: HttpRequestSigner = S3HttpConditionalPutClient.Unsigned)
     extends ConditionalPutClient {
-  // ONE client per instance: java.net.http spawns a selector thread
-  // per HttpClient, and the lease layer calls a verb per poll — a
-  // fresh client per call starved a 16-way contract race under
-  // full-suite load (observed as a suite-only flake)
-  private val http = HttpClient.newHttpClient()
+  // ONE process-wide client: java.net.http spawns a selector thread
+  // per HttpClient, and `LockBackend.resolve` constructs a fresh
+  // backend per maintenance operation — a client per instance would
+  // leak a selector thread per micro-batch on a streamed ingest
+  // (a per-call client already starved a 16-way contract race under
+  // full-suite load, observed as a suite-only flake)
+  private def http = S3HttpConditionalPutClient.sharedHttp
 
   private def uriFor(key: String) = URI.create(
     baseUri + "/" + java.net.URLEncoder.encode(key, "UTF-8"))
@@ -121,6 +123,8 @@ object S3HttpConditionalPutClient {
   object Unsigned extends HttpRequestSigner {
     override def sign(b: HttpRequest.Builder): HttpRequest.Builder = b
   }
+
+  private lazy val sharedHttp: HttpClient = HttpClient.newHttpClient()
 
   /** Endpoint + signer from process config — the path
     * [[S3HttpLockBackend]]'s no-arg constructor (the shape

@@ -1199,6 +1199,8 @@ object Streaming {
         Option[(org.apache.spark.sql.types.StructType, String, Long)] = {
       var tries = 0
       var bothAbsent = 0
+      var swapDeadline = -1L
+      var swapSleep = 100L
       while (true) {
         if (!fs.exists(root)) {
           // a live compaction's atomicSwap renames the WHOLE corpus
@@ -1225,16 +1227,36 @@ object Streaming {
             if (bothAbsent >= 2) return None
           } else {
           bothAbsent = 0
-          tries += 1
-          if (tries >= 3)
+          // root-absent-with-backup is EITHER a live compaction's
+          // swap window or a compaction that died between its two
+          // renames — indistinguishable from here. On an object
+          // store the swap's directory "renames" are O(data) copies,
+          // so a LIVE swap can hold this state for well over the few
+          // hundred ms a fixed 3×100 ms retry covers (a good batch
+          // would be rejected with a misleading crashed-compaction
+          // diagnosis). Wait with backoff for a realistic swap
+          // duration (graft.schemaGate.swapWaitMs, default 60 s —
+          // specs shrink it) before giving up; the give-up is still
+          // a REJECTION, never a waiver, and the message names both
+          // possibilities
+          if (swapDeadline < 0L) {
+            val waitMs = batch.sparkSession.conf
+              .getOption("graft.schemaGate.swapWaitMs")
+              .map(_.toLong).getOrElse(60000L)
+            swapDeadline = System.currentTimeMillis() + waitMs
+          }
+          if (System.currentTimeMillis() >= swapDeadline)
             throw new IllegalStateException(
-              s"corpus root $root is absent but its compaction backup " +
-                s"${compactBackupPath(root)} is standing across $tries " +
-                "reads — a compaction died between its two renames; " +
-                "any maintenance write (or fsckCurationStore with " +
-                "heal = true) restores the tree. The batch is " +
+              s"corpus root $root stayed absent with its compaction " +
+                s"backup ${compactBackupPath(root)} standing for the " +
+                "whole swap-wait window — a compaction is mid-swap " +
+                "(raise graft.schemaGate.swapWaitMs if your store's " +
+                "swap renames run longer) or died between its two " +
+                "renames (any maintenance write, or fsckCurationStore " +
+                "with heal = true, restores the tree). The batch is " +
                 "rejected rather than admitted unchecked.")
-          Thread.sleep(100L)
+          Thread.sleep(swapSleep)
+          swapSleep = math.min(swapSleep * 2L, 5000L)
           }
         } else {
           bothAbsent = 0
@@ -2572,24 +2594,64 @@ object Streaming {
       .sortBy(_._2).headOption.getOrElse(cand.maxBy(_._2))
     val sp = new HPath(scratch)
     val sfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val w = spark.read.parquet(file).write.mode("overwrite")
-      codec.fold(w)(c => w.option("compression", c)).json(scratch)
+    def bytesUnder(dir: String): Long = {
       var bytes = 0L
-      val oit = sfs.listFiles(sp, true)
+      val oit = sfs.listFiles(new HPath(dir), true)
       while (oit.hasNext) {
         val st = oit.next()
         val nm = st.getPath.getName
         if (!nm.startsWith("_") && !nm.startsWith(".")) bytes += st.getLen
       }
+      bytes
+    }
+    try {
+      val w = spark.read.parquet(file).write.mode("overwrite")
+      codec.fold(w)(c => w.option("compression", c)).json(s"$scratch/txt")
+      val bytes = bytesUnder(s"$scratch/txt")
       if (bytes <= 0L) None
       else Some(bytes.toDouble / parquetBytes * 1.1)
     } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println("[export] shard-size calibration could " +
-          s"not encode $file with codec ${codec.getOrElse("none")} " +
-          s"($e) — falling back to the probe-table expansion guess")
-        None
+        // the TEXT sink could not encode this codec (zstd text
+        // compression rides native hadoop, absent on plain-JVM
+        // containers). Second fallback before the probe-table guess:
+        // measure the plain-JSONL expansion (encodes everywhere) and
+        // scale it by the codec's compression ratio measured on the
+        // SAME data through parquet re-encodes — parquet codecs ship
+        // as bundled JNI/java libraries, so zstd COMPRESSES here even
+        // where the text sink cannot. An approximation (columnar
+        // pages compress a little differently than JSONL text) but
+        // measured on THIS corpus, where the r11/r12 rounds showed
+        // fixed guesses drift up to 1.75× across corpora
+        val viaParquet = codec.flatMap { c =>
+          try {
+            val df = spark.read.parquet(file)
+            df.write.mode("overwrite").json(s"$scratch/plain")
+            val plainBytes = bytesUnder(s"$scratch/plain")
+            df.write.mode("overwrite").option("compression", "none")
+              .parquet(s"$scratch/pq_none")
+            df.write.mode("overwrite").option("compression", c)
+              .parquet(s"$scratch/pq_codec")
+            val uBytes = bytesUnder(s"$scratch/pq_none")
+            val cBytes = bytesUnder(s"$scratch/pq_codec")
+            if (plainBytes <= 0L || uBytes <= 0L || cBytes <= 0L) None
+            else {
+              val f = plainBytes.toDouble / parquetBytes *
+                (cBytes.toDouble / uBytes) * 1.1
+              System.err.println("[export] shard-size calibration " +
+                s"could not encode $file with codec $c through the " +
+                s"text sink ($e) — using the parquet-side ratio " +
+                f"instead (plain ×${plainBytes.toDouble / parquetBytes}%.2f, " +
+                f"$c/none ×${cBytes.toDouble / uBytes}%.2f)")
+              Some(f)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        if (viaParquet.isEmpty)
+          System.err.println("[export] shard-size calibration could " +
+            s"not encode $file with codec ${codec.getOrElse("none")} " +
+            s"($e) — falling back to the probe-table expansion guess")
+        viaParquet
     } finally { sfs.delete(sp, true); () }
   }
 
@@ -3127,18 +3189,24 @@ object Streaming {
             "legitimately empty leg is a dir holding only _SUCCESS, " +
             "never an absent path); check the paths")
     }
-    def manifestSchema(dir: String):
-        Option[org.apache.spark.sql.types.StructType] = {
+    def manifestText(dir: String): Option[String] = {
       val mp = new HPath(dir, "_MANIFEST")
       val mfs = mp.getFileSystem(conf)
       if (!mfs.exists(mp)) return None
       val in = mfs.open(mp)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
-        .map(m => org.apache.spark.sql.types.StructType.fromDDL(
-          jsonUnescape(m.group(1))))
+      Some(try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close())
     }
+    def manifestField(txt: String, field: String): Option[String] =
+      (""""""" + java.util.regex.Pattern.quote(field) +
+        """":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(txt)
+        .map(m => jsonUnescape(m.group(1)))
+    def manifestSchema(txt: Option[String]):
+        Option[org.apache.spark.sql.types.StructType] =
+      txt.flatMap(manifestField(_, "schema"))
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val baseTxt = manifestText(baseExportDir)
+    val deltaTxt = manifestText(deltaDir)
     // "empty" = a dir holding only commit markers, the shape
     // writeJsonlShards leaves for a zero-doc view (one listing each).
     // BOTH sides empty is a named no-op in EVERY branch — the caller
@@ -3155,12 +3223,31 @@ object Streaming {
       }
       false
     }
-    if (!hasData(baseExportDir) && !hasData(s"$deltaDir/added"))
+    val baseHasData = hasData(baseExportDir)
+    if (!baseHasData && !hasData(s"$deltaDir/added"))
       throw new IllegalStateException(
         s"both the base export at $baseExportDir and the delta's " +
           s"added leg at $deltaDir/added are empty — applying this " +
           "delta is a no-op; read the target snapshot's own export " +
           "instead")
+    // PROVENANCE: schema shapes alone cannot tell two exports of the
+    // SAME store apart — a delta applied to the wrong same-schema
+    // base (an export of t2 handed a t0→t1 delta) would pass every
+    // shape check below and silently produce a corpus that is
+    // neither snapshot. Both manifests carry the lineage for free
+    // (the base's "snapshot", the delta's "from"): when both are
+    // present and disagree, fail naming the two snapshots. (After
+    // the both-empty guard — a no-op refresh is the more fundamental
+    // caller error and keeps its own named message.)
+    for (bs <- baseTxt.flatMap(manifestField(_, "snapshot"));
+        df <- deltaTxt.flatMap(manifestField(_, "from"))
+        if bs != df)
+      throw new IllegalStateException(
+        s"the delta at $deltaDir was taken from snapshot '$df' but " +
+          s"the base export at $baseExportDir is of snapshot '$bs' — " +
+          "applying it would produce a corpus that is neither " +
+          "snapshot; use the delta whose 'from' matches the base " +
+          "export's 'snapshot' (or take a full export of the target)")
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => (f.name, f.dataType)).toSet
     def requireId(
@@ -3202,7 +3289,7 @@ object Streaming {
     def readUnder(s: org.apache.spark.sql.types.StructType,
         path: String): DataFrame =
       spark.read.schema(s).json(path).drop("shard")
-    (manifestSchema(baseExportDir), manifestSchema(deltaDir)) match {
+    (manifestSchema(baseTxt), manifestSchema(deltaTxt)) match {
       case (Some(b), Some(d)) =>
         // both manifests carry the exact payload shape: no inference,
         // no decode pass, and null-omitted columns cannot distort the
@@ -3235,7 +3322,35 @@ object Streaming {
         // legacy base + schema'd delta: both snapshots live in ONE
         // root whose ingest gate pins a single schema, so the delta's
         // declared shape IS the base's — read the (possibly 100 TB)
-        // base under it instead of paying a full-corpus inference
+        // base under it instead of paying a full-corpus inference.
+        // But spark.read.schema(...).json silently DROPS any base
+        // field the declared schema does not know, which would break
+        // this function's no-silent-column-drop contract on exactly
+        // the mistaken input (a base export from a DIFFERENT root or
+        // a pre-evolution shape): sample ONE record — the first line
+        // of one shard, decoded through the hadoop codec factory, an
+        // O(1) read however large the base — and fail loudly on
+        // top-level keys the delta schema lacks. When the sample
+        // itself cannot be decoded (e.g. a zstd shard without native
+        // hadoop), the single-root trust assumption is stated in a
+        // warning rather than silently assumed
+        if (baseHasData) sampleBaseRecordKeys(conf, baseExportDir) match {
+          case Some(keys) =>
+            val extra = keys - "shard" -- d.fieldNames
+            if (extra.nonEmpty)
+              schemaChange("base-export field(s) " +
+                extra.toSeq.sorted.mkString(", ") +
+                " absent from the delta's declared schema — reading " +
+                "the base under it would silently drop them; this " +
+                "base is not an export of the delta's root")
+          case None =>
+            System.err.println("[export-delta] could not sample a " +
+              s"record from the legacy base export at $baseExportDir " +
+              "to cross-check its shape — proceeding on the " +
+              "single-root assumption (the delta's declared schema " +
+              "is taken as the base's; base-only fields, if any, " +
+              "would be dropped)")
+        }
         assemble(d, readUnder(d, baseExportDir),
           readUnder(d, s"$deltaDir/added"))
       case (None, None) =>
@@ -3265,6 +3380,51 @@ object Streaming {
           leg(addedInf, s"$deltaDir/added"))
     }
   }
+
+  /** Top-level JSON keys of ONE record of an export dir — the first
+    * parsable line of the first data file, decoded through the
+    * hadoop codec factory (gzip shards read fine without native
+    * hadoop). O(1) in export size: one listing + one line. `None`
+    * when nothing could be sampled (no data file, a codec this
+    * runtime cannot decode, a torn first line) — the caller decides
+    * whether that is a warning or an error. */
+  private def sampleBaseRecordKeys(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String): Option[Set[String]] =
+    try {
+      val hp = new HPath(dir)
+      val fs = hp.getFileSystem(conf)
+      val it = fs.listFiles(hp, true)
+      var first: Option[HPath] = None
+      while (first.isEmpty && it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".") && st.getLen > 0L)
+          first = Some(st.getPath)
+      }
+      first.flatMap { p =>
+        val codec = new org.apache.hadoop.io.compress
+          .CompressionCodecFactory(conf).getCodec(p)
+        val raw = fs.open(p)
+        val in = if (codec == null) raw else codec.createInputStream(raw)
+        val line =
+          try {
+            val br = new java.io.BufferedReader(
+              new java.io.InputStreamReader(in,
+                java.nio.charset.StandardCharsets.UTF_8))
+            Iterator.continually(br.readLine()).takeWhile(_ != null)
+              .find(_.trim.nonEmpty)
+          } finally in.close()
+        line.map { l =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(l)
+          val ks = scala.collection.mutable.Set.empty[String]
+          val fit = node.fieldNames()
+          while (fit.hasNext) ks += fit.next()
+          ks.toSet
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The payload + stats tail every curation-ingest variant shares
     * (the LSH gate above, the exact-Jaccard gate below): write the

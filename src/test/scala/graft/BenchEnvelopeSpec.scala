@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's quiet-envelope ledger logic: parse tolerance,
+  * the 1.5×-over flag with its sub-half-second floor, and the
+  * tighten-only merge that refreshes the committed file. */
+class BenchEnvelopeSpec extends AnyFunSuite {
+
+  test("parse reads the flat ledger shape and an absent/corrupt file " +
+      "degrades to no flags") {
+    val m = BenchEnvelope.parse(
+      "{\n  \"q01_pricing\": 1.25,\n  \"q02_topk\": 0.8,\n" +
+        "  \"q100_nll\": 2e-1\n}\n")
+    assert(m === Map("q01_pricing" -> 1.25, "q02_topk" -> 0.8,
+      "q100_nll" -> 0.2))
+    assert(BenchEnvelope.parse("") === Map.empty)
+    assert(BenchEnvelope.parse("not json at all") === Map.empty)
+  }
+
+  test("over flags exactly the >1.5x non-trivial queries, sorted; " +
+      "unknown queries and sub-half-second ones never flag") {
+    val ledger = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 0.2,
+      "qd" -> 2.0)
+    val results = Seq(
+      ("qb", 1.6), // 1.6x -> flagged
+      ("qa", 1.4), // within envelope
+      ("qc", 0.4), // 2x its envelope but under the 0.5 s floor
+      ("qd", 2.9), // 1.45x -> within
+      ("qe", 9.9)) // no ledger entry -> cannot flag
+    assert(BenchEnvelope.over(results, ledger) === Seq("qb"))
+    assert(BenchEnvelope.over(results, Map.empty) === Seq.empty)
+  }
+
+  test("merged only ever tightens, admits new queries at first " +
+      "reading, and drops errored (non-positive) times; render is " +
+      "sorted and re-parses to the same ledger") {
+    val ledger = Map("qa" -> 1.0, "qb" -> 2.0)
+    val m = BenchEnvelope.merged(ledger,
+      Seq(("qa", 1.5), ("qb", 1.2), ("qn", 0.7), ("qerr", -1.0)))
+    assert(m === Map("qa" -> 1.0, "qb" -> 1.2, "qn" -> 0.7))
+    val rendered = BenchEnvelope.render(m)
+    assert(rendered.linesIterator.toSeq.count(_.contains(":")) === 3)
+    assert(BenchEnvelope.parse(rendered) === m)
+  }
+}

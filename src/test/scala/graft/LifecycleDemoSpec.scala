@@ -30,6 +30,9 @@ class LifecycleDemoSpec extends SparkSpec {
     assert(s.removedInDiff === Set(6L))
     // the export carries exactly the clean t1 view
     assert(s.exportedDocs === 8L)
+    // the consumer-side hand-off: full t0 export + t0->t1 delta,
+    // applied, equals t1's own export
+    assert(s.appliedDocs === Set(1L, 2L, 4L, 5L, 7L, 8L, 9L, 10L))
     // a clean lifecycle leaves a clean root
     assert(s.findings === 0L)
   }
@@ -54,6 +57,7 @@ class LifecycleDemoSpec extends SparkSpec {
       assert(s.gapAfterForce === 0L)
       assert(s.removedInDiff === Set(6L))
       assert(s.exportedDocs === 8L)
+      assert(s.appliedDocs === Set(1L, 2L, 4L, 5L, 7L, 8L, 9L, 10L))
       assert(s.findings === 0L)
       // the lease lived in the object store: no .lock file anywhere
       // under the root's parent, and nothing left leased after the run

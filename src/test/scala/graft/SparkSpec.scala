@@ -26,7 +26,7 @@ abstract class SparkSpec extends AnyFunSuite {
     df.collect().toSeq.map(_.toSeq)
 
   /** Run `f` with SQL confs set, restoring prior values after. */
-  protected def withSqlConf(pairs: (String, String)*)(f: => Unit): Unit = {
+  protected def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
     pairs.foreach { case (k, v) => conf.set(k, v) }

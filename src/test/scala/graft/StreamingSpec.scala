@@ -3032,7 +3032,9 @@ class StreamingSpec extends SparkSpec {
     // extra column
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$tmp/dbad/_MANIFEST"),
-      ("""{"from":"t0","to":"t1","n_added":1,"n_removed":1,""" +
+      // 'from' matches exp1's snapshot so the SHAPE check (not the
+      // provenance check) is what this pins
+      ("""{"from":"t1","to":"t2","n_added":1,"n_removed":1,""" +
         """"n_shards":1,"schema":"`doc_id` BIGINT,`text` STRING,""" +
         """`extra` DOUBLE"}""").getBytes("UTF-8"))
     val eShapeM = intercept[IllegalStateException] {
@@ -3069,11 +3071,45 @@ class StreamingSpec extends SparkSpec {
     }
     assert(eGone.getMessage.contains("does not exist"), eGone.getMessage)
     // a wrong id column is named, not a bare StructType lookup error
+    // (exp0 is d01's actual base, so only the id column is wrong)
     val eId = intercept[IllegalStateException] {
-      Streaming.applyExportDelta(spark, s"$tmp/exp1",
+      Streaming.applyExportDelta(spark, s"$tmp/exp0",
         s"$tmp/d01", "docId")
     }
     assert(eId.getMessage.contains("docId"), eId.getMessage)
+    // PROVENANCE: a delta applied to the wrong SAME-SCHEMA base (the
+    // t1 export handed the t0->t1 delta) passes every shape check —
+    // only the manifests' lineage can catch it; the error names both
+    // snapshots
+    val eProv = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/exp1",
+        s"$tmp/d01", "doc_id")
+    }
+    assert(eProv.getMessage.contains("'t0'") &&
+      eProv.getMessage.contains("'t1'") &&
+      eProv.getMessage.contains("neither snapshot"), eProv.getMessage)
+    // a LEGACY base (no manifest) read under a schema'd delta's
+    // declared shape: one sampled record cross-checks conformance —
+    // base-only fields mean this is NOT an export of the delta's
+    // root, and reading under the delta schema would silently drop
+    // them
+    Seq((1L, "kept text", 7.5)).toDF("doc_id", "text", "extra")
+      .write.json(s"$tmp/legacywide")
+    val eWide = intercept[IllegalStateException] {
+      Streaming.applyExportDelta(spark, s"$tmp/legacywide",
+        s"$tmp/d01", "doc_id")
+    }
+    assert(eWide.getMessage.contains("base-export field") &&
+      eWide.getMessage.contains("extra"), eWide.getMessage)
+    // the same legacy-base path with CONFORMING records proceeds
+    // (gzip-sharded base: the sample decodes through the codec
+    // factory) — exp0 stripped of its manifest is exactly that shape
+    Streaming.exportSnapshot(spark, tmp, "t0", s"$tmp/exp0legacy",
+      "doc_id", 2, codec = Some("gzip"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$tmp/exp0legacy/_MANIFEST"))
+    assert(docset(Streaming.applyExportDelta(spark, s"$tmp/exp0legacy",
+      s"$tmp/d01", "doc_id")) === toExport)
   }
 
   test("exportSnapshot: JSONL shards round-trip the exact snapshot " +
@@ -4909,15 +4945,25 @@ class StreamingSpec extends SparkSpec {
     // atomicSwap's first rename: the WHOLE corpus root moves aside
     assert(fs.rename(new HPath(s"$tmp/corpus"),
       new HPath(s"$tmp/.corpus.compact.old")))
-    val e = intercept[IllegalStateException] {
-      Streaming.curationIngestBatch(
-        Seq((2L, "an old-shape batch the waiver would have admitted"))
-          .toDF("doc_id", "text"), "text",
-        "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // the production default waits 60 s for a realistic object-store
+    // swap to finish; the spec shrinks the window so the give-up
+    // path itself is what's pinned
+    val e = withSqlConf("graft.schemaGate.swapWaitMs" -> "500") {
+      intercept[IllegalStateException] {
+        Streaming.curationIngestBatch(
+          Seq((2L, "an old-shape batch the waiver would have admitted"))
+            .toDF("doc_id", "text"), "text",
+          "doc_id", tmp, 1L, 0.0, 0.0, 1000.0, 8, 4, 3)
+      }
     }
     assert(e.getMessage.contains(".corpus.compact.old") &&
       e.getMessage.contains("rejected"),
       s"mid-swap rejection must name the standing backup: ${e.getMessage}")
+    // the diagnosis must not overclaim a crash: a LIVE swap can hold
+    // this state past any bounded wait, and the message says so
+    assert(e.getMessage.contains("mid-swap") &&
+      e.getMessage.contains("died between its two renames"),
+      s"rejection must name BOTH possible causes: ${e.getMessage}")
     assert(!fs.exists(new HPath(s"$tmp/corpus/batch=1")),
       "a rejected batch left a corpus effect behind")
     // restore (what the crashed compaction's heal does) — the same
@@ -5010,10 +5056,31 @@ class StreamingSpec extends SparkSpec {
       s"plain factor implausible: $fPlain")
     assert(fGz.exists(f => f > 0.0 && f < fPlain.get),
       s"gzip factor must be tighter than plain: $fGz vs $fPlain")
-    assert(Streaming.measuredExpansion(spark, cand,
-      Some("zstd"), s"$tmp/calz").isEmpty,
-      "an unencodable codec must fall back, not fail")
+    // zstd text sinks need native hadoop (absent here) — but the
+    // parquet-side second fallback still MEASURES it: zstd-jni ships
+    // with Spark, so the plain-JSONL factor scaled by the parquet
+    // none→zstd ratio replaces the 0.55 guess with a number from
+    // THIS corpus
+    val bos = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
+    val fZstd =
+      try Streaming.measuredExpansion(spark, cand,
+        Some("zstd"), s"$tmp/calz")
+      finally System.setErr(oldErr)
+    assert(bos.toString("UTF-8").contains("parquet-side ratio"),
+      s"zstd calibration must say it went parquet-side: $bos")
+    assert(fZstd.exists(f => f > 0.0 && f < fPlain.get),
+      s"parquet-side zstd factor must be tighter than plain: " +
+        s"$fZstd vs $fPlain")
     assert(!new java.io.File(s"$tmp/calz").exists(),
+      "calibration left its scratch behind")
+    // a codec NOTHING can encode falls back to None (the probe-table
+    // guess) instead of failing the export
+    assert(Streaming.measuredExpansion(spark, cand,
+      Some("nosuchcodec"), s"$tmp/calx").isEmpty,
+      "an unencodable codec must fall back, not fail")
+    assert(!new java.io.File(s"$tmp/calx").exists(),
       "failed calibration left its scratch behind")
   }
 
