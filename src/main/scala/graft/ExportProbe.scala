@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object ExportProbe {
   def main(args: Array[String]): Unit = {
-    val replicas = if (args.length > 0) args(0).toInt else 1000
+    val replicas =
+      if (args.length > 0 && args(0) != "skew") args(0).toInt else 1000
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val work = if (args.length > 2) args(2) else "/tmp/graft-export-probe"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,15 +41,39 @@ object ExportProbe {
     // keeps rows distinct so parquet cannot collapse them to one page
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
-    val corpus = base.crossJoin(spark.range(replicas).toDF("rep"))
-      .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
-        concat(col("text"), lit(" replica marker "), col("rep"))
+    // skew mode (`ExportProbe skew [sfDir] [workDir]`): the
+    // compressibility-adversarial corpus — batch 0 all
+    // hyper-compressible (one repeated word), batches 1-3 all
+    // pseudo-random hex (incompressible), so the ONE calibration
+    // candidate file necessarily measures a mode the majority of the
+    // corpus does not have. Prices whether calibrated sizing can
+    // land shards >2× target on pathological skew (the case a
+    // size-capped shard split would exist for).
+    val skew = args.headOption.contains("skew")
+    val corpus =
+      if (!skew)
+        base.crossJoin(spark.range(replicas).toDF("rep"))
+          .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+            concat(col("text"), lit(" replica marker "), col("rep"))
+              .as("text"))
+      else spark.range(400000L).toDF("doc_id").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          // hyper-compressible: 9.6 KB of one row-unique 32-char unit
+          expr("repeat(md5(cast(doc_id as string)), 300)"))
+          .otherwise(expr(
+            // incompressible-ish: 9.6 KB of 75 DISTINCT sha512 hexes
+            "concat_ws('', transform(sequence(1, 75), " +
+              "i -> sha2(concat(cast(doc_id as string), '-', i), 512)))"))
           .as("text"))
     // four committed batch dirs — the export's sizing listing walks
     // the pinned dirs exactly as it would a real ingest history
+    // skew mode packs the compressible batch into fewer files so its
+    // parquet parts land ≥8 MB — making one of THEM the calibration
+    // candidate (smallest ≥8 MB) while the corpus majority is
+    // incompressible: the adversarial shape for one-file calibration
     for (b <- 0 to 3)
       corpus.where(pmod(col("doc_id"), lit(4)) === b)
-        .repartition(8)
+        .repartition(if (skew && b == 0) 4 else 8)
         .write.parquet(s"$root/corpus/batch=$b")
     val pq = {
       var bytes = 0L

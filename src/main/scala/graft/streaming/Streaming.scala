@@ -2463,8 +2463,8 @@ object Streaming {
       }
     val view = readSnapshot(spark, rootDir, name)
     val payload = view.drop("batch")
-    val nDocs = graft.ops.Warehouse.writeJsonlShards(
-      payload, idCol, outPath, effShards, codec)
+    val (nDocs, finalShards) = writeJsonlShardsSized(spark,
+      payload, idCol, outPath, effShards, codec, derived = nShards == 0)
     // the payload schema rides in the manifest (DDL form) so a
     // consumer — applyExportDelta in particular — never has to INFER
     // it back from the JSONL: inference is a full decode pass, and
@@ -2473,7 +2473,7 @@ object Streaming {
     // has. The manifest is the view's exact shape, free.
     val json = s"""{"snapshot":"$name",""" +
       s""""batches":[${batches.mkString(",")}],""" +
-      s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$effShards,""" +
+      s""""sweep":$sweep,"n_docs":$nDocs,"n_shards":$finalShards,""" +
       s""""schema":"${jsonEscape(payload.schema.toDDL)}"}"""
     val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2508,6 +2508,56 @@ object Streaming {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** [[graft.ops.Warehouse.writeJsonlShards]] plus a post-write size
+    * AUDIT for derived counts — the backstop for
+    * compressibility-adversarial corpora, where one-file calibration
+    * is structurally wrong however well it measures: the candidate
+    * file can only witness ITS batch's compressibility, and a corpus
+    * whose batches differ wildly (a replicated-boilerplate backfill
+    * beside random-ish hex dumps; ExportProbe's `skew` fixture
+    * measured a gzip export landing ONE 1.66 GB shard against the
+    * 512 MB target this way, and plain landing 117 shards of 33 MB —
+    * a 15× file-count explosion at the other extreme) can make the
+    * estimate land the mean shard far from target in either
+    * direction. The audit is one listing of the just-written output
+    * (actual bytes now KNOWN exactly): when the mean shard landed
+    * >2× target — or <¼ target across >1 shard — the export is
+    * re-encoded ONCE at `ceil(actual / target)`, which is exact by
+    * construction (same data + codec ⇒ same bytes), so no loop.
+    * Cost: one extra encode pass, paid only in the pathological
+    * case; a caller-pinned explicit count is respected untouched
+    * (`derived = false`). Deterministic across re-exports — same
+    * data ⇒ same actual bytes ⇒ same final count. */
+  private def writeJsonlShardsSized(spark: SparkSession,
+      payload: DataFrame, idCol: String, outPath: String, shards: Int,
+      codec: Option[String], derived: Boolean): (Long, Int) = {
+    val nDocs = graft.ops.Warehouse.writeJsonlShards(
+      payload, idCol, outPath, shards, codec)
+    if (!derived) return (nDocs, shards)
+    val target = shardTargetBytes(spark)
+    val hp = new HPath(outPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var actual = 0L
+    val it = fs.listFiles(hp, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val nm = st.getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith(".")) actual += st.getLen
+    }
+    val mean = actual.toDouble / shards
+    val ideal = math.max(1, math.ceil(actual.toDouble / target).toInt)
+    if (ideal != shards &&
+        (mean > 2.0 * target || (shards > 1 && mean < 0.25 * target))) {
+      System.err.println("[export] calibrated count " + shards +
+        f" landed a mean shard of ${mean / 1e6}%.0f MB against the " +
+        f"${target / 1e6}%.0f MB target (compressibility-skewed " +
+        "corpus vs its one calibration file) — re-encoding once at " +
+        s"the now-exact count $ideal")
+      (graft.ops.Warehouse.writeJsonlShards(
+        payload, idCol, outPath, ideal, codec), ideal)
+    } else (nDocs, shards)
   }
 
   /** (path, bytes) of every pinned `batch=` dir's DATA files — ONE
@@ -3126,8 +3176,9 @@ object Streaming {
       }
     val addedPayload = readSnapshot(spark, rootDir, to).drop("batch")
       .join(added, Seq(idCol), "left_semi")
-    graft.ops.Warehouse.writeJsonlShards(
-      addedPayload, idCol, s"$outPath/added", effShards, codec)
+    val (_, finalShards) = writeJsonlShardsSized(spark, addedPayload,
+      idCol, s"$outPath/added", effShards, codec,
+      derived = nShards == 0)
     val rw = removed.write.mode("overwrite")
     codec.fold(rw)(c => rw.option("compression", c))
       .json(s"$outPath/removed")
@@ -3138,7 +3189,7 @@ object Streaming {
     // omits null fields
     val json = s"""{"from":"$from","to":"$to",""" +
       s""""n_added":$nAdded,"n_removed":$nRemoved,""" +
-      s""""n_shards":$effShards,""" +
+      s""""n_shards":$finalShards,""" +
       s""""schema":"${jsonEscape(addedPayload.schema.toDDL)}"}"""
     val o = outFs.create(new HPath(outPath, "_MANIFEST"), true)
     try o.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -5084,6 +5084,75 @@ class StreamingSpec extends SparkSpec {
       "failed calibration left its scratch behind")
   }
 
+  test("export shard sizing SELF-HEALS on a compressibility-adversarial " +
+      "corpus: when the one calibration file's mode misprices the " +
+      "byte-majority and the mean shard lands >2x target, the export " +
+      "re-encodes once at the now-exact count; explicit counts are " +
+      "never touched") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-skewheal").toString
+    // batch 0: hyper-compressible under gzip-vs-snappy asymmetry
+    // (one row-unique 32-char unit repeated — snappy and gzip both
+    // crush it, gzip ~9x beyond snappy) and the LARGEST parquet file,
+    // so it IS the calibration candidate at test scale; batches 1-2:
+    // distinct sha512 hex (snappy near-1x, gzip ~0.55x) carrying the
+    // OUTPUT-byte majority — the exact shape the ExportProbe skew
+    // fixture measured landing one 3.2x-target shard at full scale
+    import spark.implicits._
+    val compressible = spark.range(9000L).toDF("doc_id")
+      .selectExpr("doc_id", "repeat(md5(cast(doc_id as string)), 200) as text")
+    compressible.coalesce(1)
+      .write.parquet(s"$tmp/corpus/batch=0")
+    for (b <- 1 to 2)
+      spark.range(b * 10000L, b * 10000L + 330L).toDF("doc_id")
+        .selectExpr("doc_id",
+          "concat_ws('', transform(sequence(1, 40), " +
+            "i -> sha2(concat(cast(doc_id as string), '-', i), 512))) as text")
+        .coalesce(1)
+        .write.parquet(s"$tmp/corpus/batch=$b")
+    Streaming.snapshotCorpus(spark, tmp, "sk")
+    val out = s"$tmp/out"
+    val bos = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
+    val target = 262144L // 256 KB
+    try withSqlConf("graft.export.shardTargetBytes" -> target.toString) {
+      Streaming.exportSnapshot(spark, tmp, "sk", out, "doc_id",
+        codec = Some("gzip"))
+    } finally System.setErr(oldErr)
+    assert(bos.toString("UTF-8").contains("re-encoding once at"),
+      s"the oversize audit did not fire on the skewed corpus: $bos")
+    def bytesUnder(d: java.io.File): Long =
+      Option(d.listFiles()).map(_.map(f =>
+        if (f.isDirectory) bytesUnder(f)
+        else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+          0L
+        else f.length()).sum).getOrElse(0L)
+    val actual = bytesUnder(new java.io.File(out))
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/_MANIFEST")), "UTF-8")
+    val n = """"n_shards":(\d+)""".r.findFirstMatchIn(mf).get.group(1).toInt
+    val ideal = math.max(1, math.ceil(actual.toDouble / target).toInt)
+    assert(math.abs(n - ideal) <= 1,
+      s"manifest count $n is not the exact post-audit count $ideal")
+    assert(actual.toDouble / n <= 2.0 * target,
+      s"mean shard ${actual / n} still exceeds 2x the $target target")
+    // the healed export still round-trips the exact snapshot view
+    assert(spark.read.json(out).count() === 9000L + 330L + 330L)
+    // an EXPLICIT count is a caller contract: no audit, no rewrite
+    val bos2 = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(bos2, true, "UTF-8"))
+    try withSqlConf("graft.export.shardTargetBytes" -> target.toString) {
+      Streaming.exportSnapshot(spark, tmp, "sk", s"$tmp/outx", "doc_id",
+        nShards = 1, codec = Some("gzip"))
+    } finally System.setErr(oldErr)
+    assert(!bos2.toString("UTF-8").contains("re-encoding"),
+      "an explicit nShards was second-guessed by the audit")
+    val mfx = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/outx/_MANIFEST")), "UTF-8")
+    assert(mfx.contains(""""n_shards":1"""), mfx)
+  }
+
   test("forceRetroSweep on a torn registry (_batch mark but no meta/) " +
       "throws a NAMED error pointing at fsckStore, not a bare " +
       "NoSuchElementException") {
