@@ -2555,6 +2555,12 @@ object Streaming {
         f"${target / 1e6}%.0f MB target (compressibility-skewed " +
         "corpus vs its one calibration file) — re-encoding once at " +
         s"the now-exact count $ideal")
+      // remove the first attempt explicitly: under
+      // spark.sql.sources.partitionOverwriteMode=dynamic an overwrite
+      // only replaces the shard= values it writes, and a DOWN-sized
+      // re-encode (117→8) would leave shards 8..116 standing beside
+      // the new ones — a silently duplicated corpus
+      fs.delete(hp, true)
       (graft.ops.Warehouse.writeJsonlShards(
         payload, idCol, outPath, ideal, codec), ideal)
     } else (nDocs, shards)

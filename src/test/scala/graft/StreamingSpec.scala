@@ -5116,7 +5116,14 @@ class StreamingSpec extends SparkSpec {
     val oldErr = System.err
     System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
     val target = 262144L // 256 KB
-    try withSqlConf("graft.export.shardTargetBytes" -> target.toString) {
+    // dynamic partition-overwrite is the NASTIER mode for the
+    // re-encode (an overwrite would only replace the shard values it
+    // writes, stranding the down-sized tail as duplicates) — the
+    // audit deletes the first attempt explicitly, so the round-trip
+    // count below stays exact even here
+    try withSqlConf(
+      "graft.export.shardTargetBytes" -> target.toString,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
       Streaming.exportSnapshot(spark, tmp, "sk", out, "doc_id",
         codec = Some("gzip"))
     } finally System.setErr(oldErr)
