@@ -22,14 +22,19 @@ object BenchEnvelope {
       .r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
-  /** Queries whose booked time exceeds 1.5× their ledger entry —
-    * sub-half-second queries are skipped (scheduler jitter dominates
-    * them, same floor as the retry logic's `distorted`). */
+  /** Queries whose booked time exceeds 1.5× their ledger entry AND
+    * by ≥0.3 s absolute — sub-half-second queries are skipped
+    * (scheduler jitter dominates them, same floor as the retry
+    * logic's `distorted`), and the absolute gap keeps a ~0.6 s query
+    * sitting 0.2 s over a lucky seed from reading as contention (a
+    * real mid-run contention episode moved its victims 0.5-1.4 s in
+    * the first live firing). */
   def over(results: Seq[(String, Double)],
       ledger: Map[String, Double]): Seq[String] =
     results.collect {
       case (name, t) if t > 0.5 &&
-        ledger.get(name).exists(e => e > 0 && t > e * 1.5) => name
+        ledger.get(name).exists(e =>
+          e > 0 && t > e * 1.5 && t - e > 0.3) => name
     }.sorted
 
   /** The refreshed ledger: elementwise min of the prior entries and

@@ -18,16 +18,18 @@ class BenchEnvelopeSpec extends AnyFunSuite {
     assert(BenchEnvelope.parse("not json at all") === Map.empty)
   }
 
-  test("over flags exactly the >1.5x non-trivial queries, sorted; " +
-      "unknown queries and sub-half-second ones never flag") {
+  test("over flags exactly the >1.5x AND >0.3s-over non-trivial " +
+      "queries, sorted; unknown queries, sub-half-second ones, and " +
+      "ratio-only misses on a lucky seed never flag") {
     val ledger = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 0.2,
-      "qd" -> 2.0)
+      "qd" -> 2.0, "qf" -> 0.4)
     val results = Seq(
-      ("qb", 1.6), // 1.6x -> flagged
+      ("qb", 1.6), // 1.6x, +0.6 s -> flagged
       ("qa", 1.4), // within envelope
       ("qc", 0.4), // 2x its envelope but under the 0.5 s floor
       ("qd", 2.9), // 1.45x -> within
-      ("qe", 9.9)) // no ledger entry -> cannot flag
+      ("qe", 9.9), // no ledger entry -> cannot flag
+      ("qf", 0.65)) // 1.63x but only +0.25 s -> jitter, not flagged
     assert(BenchEnvelope.over(results, ledger) === Seq("qb"))
     assert(BenchEnvelope.over(results, Map.empty) === Seq.empty)
   }
