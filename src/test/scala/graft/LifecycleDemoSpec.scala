@@ -68,4 +68,28 @@ class LifecycleDemoSpec extends SparkSpec {
         "object-store lease leaked a lock file onto the filesystem")
     } finally conf.unset("graft.lease.backend")
   }
+
+  test("the lifecycle walk also runs UNCHANGED on the SHIPPED " +
+      "S3HttpLockBackend, config-resolved by FQCN, with every lease " +
+      "verb a real conditional HTTP request against the S3-shaped " +
+      "endpoint") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    sys.props("graft.lease.s3.endpoint") = S3HttpStubStore.baseUri
+    conf.set("graft.lease.backend",
+      classOf[graft.streaming.S3HttpLockBackend].getName)
+    try {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-lifedemo-s3").toString
+      val s = LifecycleDemo.run(spark,
+        "src/test/resources/lifecycle_docs.jsonl", s"$tmp/root")
+      assert(s.admitted === Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+      assert(s.tombstoned === 1L)
+      assert(s.forcedTombstoned === 1L)
+      assert(s.appliedDocs === Set(1L, 2L, 4L, 5L, 7L, 8L, 9L, 10L))
+      assert(s.findings === 0L)
+    } finally {
+      conf.unset("graft.lease.backend")
+      sys.props -= "graft.lease.s3.endpoint"
+    }
+  }
 }
