@@ -55,7 +55,8 @@ class S3HttpConditionalPutClient(
   private def http = S3HttpConditionalPutClient.sharedHttp
 
   private def uriFor(key: String) = URI.create(
-    baseUri + "/" + java.net.URLEncoder.encode(key, "UTF-8"))
+    baseUri.stripSuffix("/") + "/" +
+      java.net.URLEncoder.encode(key, "UTF-8"))
 
   private def md5Hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b)
