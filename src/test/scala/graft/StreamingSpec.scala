@@ -2397,6 +2397,25 @@ class StreamingSpec extends SparkSpec {
   test("lifecycle serializability fuzz: randomized maintenance racing " +
       "a live sequential ingest converges to the sequential outcome " +
       "(clean view, stats, fsck-clean) under ANY interleaving") {
+    runLifecycleFuzz()
+  }
+
+  test("the SAME serializability fuzz runs green with every lease " +
+      "held through the SHIPPED S3HttpLockBackend — four racing " +
+      "threads' store leases contending as real conditional HTTP " +
+      "requests against the S3-shaped endpoint") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    sys.props("graft.lease.s3.endpoint") = S3HttpStubStore.baseUri
+    conf.set("graft.lease.backend",
+      classOf[graft.streaming.S3HttpLockBackend].getName)
+    try runLifecycleFuzz()
+    finally {
+      conf.unset("graft.lease.backend")
+      sys.props -= "graft.lease.s3.endpoint"
+    }
+  }
+
+  private def runLifecycleFuzz(): Unit = {
     // one ingest thread (batch ids must stay monotonic per the stats
     // store's fresh-checkpoint guard) + three maintenance threads
     // firing sweeps / compactions (incl. purge) / heals / snapshots /
