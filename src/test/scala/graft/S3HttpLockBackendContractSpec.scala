@@ -136,7 +136,11 @@ object S3HttpStubStore {
           respond(500, Array.emptyByteArray, None)
       }
     })
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // sized for three suites hitting the one shared stub concurrently
+    // (contract races, the lifecycle S3 walk, the S3 fuzz) — 8 was
+    // enough for the contract spec alone, and a starved pool shows up
+    // as spurious lease-timeout flakes under full-suite load
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
     s.start()
     s
   }
