@@ -34,6 +34,21 @@ class BenchEnvelopeSpec extends AnyFunSuite {
     assert(BenchEnvelope.over(results, Map.empty) === Seq.empty)
   }
 
+  test("the COMMITTED ledger parses and covers the query surface — " +
+      "a truncated or corrupt bench_envelope.json would silently " +
+      "disable the over_envelope instrument") {
+    val f = new java.io.File("bench_envelope.json")
+    assert(f.exists(), "committed ledger missing from the repo root")
+    val m = BenchEnvelope.parse(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(m.size >= 200,
+      s"ledger covers only ${m.size} queries — expected the full suite")
+    assert(m.values.forall(v => v > 0 && v < 600),
+      "ledger carries a non-positive or absurd entry")
+    assert(m.keys.forall(_.startsWith("q")),
+      "ledger carries a non-query key")
+  }
+
   test("merged only ever tightens, admits new queries at first " +
       "reading, and drops errored (non-positive) times; render is " +
       "sorted and re-parses to the same ledger") {
