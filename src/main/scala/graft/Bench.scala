@@ -318,9 +318,16 @@ object Bench {
         val short = k.takeWhile(_ != '_')
         s"\"" + short + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
+    // the compact line carries only the flag COUNT: a deeply-degraded
+    // run names dozens of queries (observed: 34), and the full list
+    // would push the line past the tail window it exists to fit —
+    // the names live in the file + the full line above
+    val envCompact =
+      if (ledger.isEmpty) ""
+      else s""","over_envelope_n":${overEnv.size}"""
     val compact = s"""{"metric":"total","value":${
       BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    },"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$membwNote$loadWarn$envNote}"""
+    },"unit":"sec","queries":$compactQs,"sf":"$sfDir","loadavg_before":$loadBefore,"loadavg_after":$loadAfter$extNote$membwNote$loadWarn$envCompact}"""
     spark.stop()
     println(json)
     println(compact)
