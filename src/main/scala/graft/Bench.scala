@@ -280,20 +280,40 @@ object Bench {
     // a reader carrying PERF.md's history
     val envPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENVELOPE",
       "bench_envelope.json")
-    val ledger =
+    val rawLedger =
       try BenchEnvelope.parse(new String(java.nio.file.Files
         .readAllBytes(java.nio.file.Paths.get(envPath)), "UTF-8"))
       catch { case scala.util.control.NonFatal(_) =>
         Map.empty[String, Double] }
+    // the ledger is SCALE-SPECIFIC (quiet sf0.1 times mean nothing at
+    // sf0.001, and a cross-scale WRITE would poison every later
+    // comparison): it carries its scale as the `_sf` entry, and a
+    // bench at a different parseable scale neither flags nor writes
+    def sfOf(dir: String): Option[Double] =
+      "sf([0-9.]+)/*$".r.findFirstMatchIn(dir)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    val curSf = sfOf(sfDir)
+    val sfMatches = (curSf, rawLedger.get("_sf")) match {
+      case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+      case _ => true // either side unknown: trust the caller
+    }
+    if (!sfMatches)
+      System.err.println(s"[bench] envelope ledger $envPath is for " +
+        s"sf ${rawLedger("_sf")} but this run reads $sfDir — " +
+        "skipping over_envelope flags and any ledger refresh")
+    val ledger = if (sfMatches) rawLedger - "_sf"
+      else Map.empty[String, Double]
     val perQuery = results.map { case (k, v, _) => (k, v) }
     val overEnv = BenchEnvelope.over(perQuery, ledger)
     val envNote =
       if (ledger.isEmpty) ""
       else s""","over_envelope":[${
         overEnv.map("\"" + _ + "\"").mkString(",")}]"""
-    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_ENVELOPE").contains("1"))
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_ENVELOPE").contains("1") &&
+        sfMatches)
       try java.nio.file.Files.write(java.nio.file.Paths.get(envPath),
-        BenchEnvelope.render(BenchEnvelope.merged(ledger, perQuery))
+        BenchEnvelope.render(BenchEnvelope.merged(
+          rawLedger ++ curSf.map("_sf" -> _), perQuery))
           .getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not refresh $envPath: $e") }

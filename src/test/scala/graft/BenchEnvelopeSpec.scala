@@ -45,8 +45,10 @@ class BenchEnvelopeSpec extends AnyFunSuite {
       s"ledger covers only ${m.size} queries — expected the full suite")
     assert(m.values.forall(v => v > 0 && v < 600),
       "ledger carries a non-positive or absurd entry")
-    assert(m.keys.forall(_.startsWith("q")),
+    assert(m.keys.forall(k => k.startsWith("q") || k == "_sf"),
       "ledger carries a non-query key")
+    assert(m.get("_sf").contains(0.1),
+      "committed ledger must be stamped with its scale factor")
   }
 
   test("merged only ever tightens, admits new queries at first " +
