@@ -54,9 +54,13 @@ class S3HttpConditionalPutClient(
   // full-suite load, observed as a suite-only flake)
   private def http = S3HttpConditionalPutClient.sharedHttp
 
+  // RFC 3986 path encoding ('/' preserved, space → %20 — form
+  // encoding's '+' would store the object under a LITERAL '+' name
+  // on real S3, invisible to any external tooling addressing the
+  // logical key), which is also exactly SigV4's canonical-URI rule
+  // for S3: the signer can sign the raw path verbatim
   private def uriFor(key: String) = URI.create(
-    baseUri.stripSuffix("/") + "/" +
-      java.net.URLEncoder.encode(key, "UTF-8"))
+    baseUri.stripSuffix("/") + "/" + SigV4.encodePath(key))
 
   private def md5Hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b)

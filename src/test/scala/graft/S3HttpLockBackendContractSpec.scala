@@ -42,6 +42,11 @@ import graft.streaming.{HttpRequestSigner, LockBackend,
   * server-side — so 16 racing acquirers genuinely contend here the
   * way they would against the real store. */
 object S3HttpStubStore {
+  /** Credentials the `sigv4/` prefix verifies against (the doc-style
+    * example key ids AWS uses in its published samples). */
+  val SigV4AccessKey = "AKIDEXAMPLE"
+  val SigV4Secret = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+
   private val objects = new java.util.concurrent
     .ConcurrentHashMap[String, (Array[Byte], String, Long)]()
 
@@ -80,7 +85,44 @@ object S3HttpStubStore {
         }
         ex.close()
       }
+      // FULL server-side SigV4 verification for keys under `sigv4/`:
+      // parse the Authorization header, recompute the signature over
+      // the RECEIVED method/raw-path/query/headers with the known
+      // secret, 403 on any mismatch — so the shipped SigV4Signer is
+      // proven to predict the wire exactly (host header, RFC 3986 raw
+      // path, canonical query), not just to produce a plausible
+      // header shape. Algorithm CONFORMANCE is pinned separately by
+      // SigV4Spec's published AWS worked-example vectors; this check
+      // pins the wire binding.
+      def sigV4Ok: Boolean = header("Authorization").exists { auth =>
+        auth.startsWith("AWS4-HMAC-SHA256 ") && (for {
+          c <- ("Credential=([^/]+)/([0-9]{8})/([^/]+)/([^/]+)/" +
+            "aws4_request").r.findFirstMatchIn(auth)
+          s <- "SignedHeaders=([^,]+)".r.findFirstMatchIn(auth)
+          g <- "Signature=([0-9a-f]{64})".r.findFirstMatchIn(auth)
+        } yield {
+          val names = s.group(1).split(";").toSeq
+          val hdrs = names.map(n => n -> header(n).getOrElse(""))
+          val (_, expect) = graft.streaming.SigV4.signature(
+            S3HttpStubStore.SigV4Secret,
+            header("x-amz-date").getOrElse(""),
+            c.group(3), c.group(4),
+            ex.getRequestMethod, ex.getRequestURI.getRawPath,
+            graft.streaming.SigV4.canonicalQuery(
+              ex.getRequestURI.getRawQuery),
+            hdrs,
+            header("x-amz-content-sha256").getOrElse(""))
+          c.group(1) == S3HttpStubStore.SigV4AccessKey &&
+            names.contains("host") && names.contains("x-amz-date") &&
+            g.group(1) == expect
+        }).getOrElse(false)
+      }
       try {
+        if (key.startsWith("sigv4/") && !sigV4Ok) {
+          if (ex.getRequestMethod == "PUT")
+            ex.getRequestBody.readAllBytes()
+          respond(403, Array.emptyByteArray, None)
+        } else
         // an auth-demanding prefix: the signer seam must be able to
         // make the difference between 403 and 200
         if (key.startsWith("signed/") &&
@@ -231,6 +273,77 @@ class S3HttpLockBackendContractSpec extends LockBackendContractSpec {
     assert(signed.putIfMatches(key, v1, v2))
     assert(signed.deleteIfMatches(key, v2))
     assert(signed.get(key).isEmpty)
+  }
+
+  private def withSigV4Props[A](body: => A): A = {
+    sys.props("graft.lease.s3.accessKey") = S3HttpStubStore.SigV4AccessKey
+    sys.props("graft.lease.s3.secretKey") = S3HttpStubStore.SigV4Secret
+    try body
+    finally {
+      sys.props -= "graft.lease.s3.accessKey"
+      sys.props -= "graft.lease.s3.secretKey"
+    }
+  }
+
+  test("the shipped SigV4Signer passes FULL server-side signature " +
+      "verification on the wire: all four verbs run end to end " +
+      "against the sigv4/ prefix (which recomputes the signature " +
+      "from the received request), while an unsigned client answers " +
+      "403 and a WRONG-secret signer is rejected, not just any " +
+      "well-shaped Authorization header") {
+    val key = s"sigv4/${java.util.UUID.randomUUID()} with space+plus"
+    val v1 = "token-v4\n0".getBytes(StandardCharsets.UTF_8)
+    val v2 = "token-v4\n1".getBytes(StandardCharsets.UTF_8)
+    val unsigned = new S3HttpConditionalPutClient(S3HttpStubStore.baseUri)
+    val e = intercept[java.io.IOException] { unsigned.putIfAbsent(key, v1) }
+    assert(e.getMessage.contains("403"))
+    withSigV4Props {
+      val signed = new S3HttpConditionalPutClient(S3HttpStubStore.baseUri,
+        new graft.streaming.SigV4Signer)
+      assert(signed.putIfAbsent(key, v1),
+        "SigV4-signed conditional create rejected by server-side " +
+          "signature verification")
+      assert(!signed.putIfAbsent(key, v2),
+        "the conditional verb must still answer 412 through the signer")
+      assert(signed.get(key).map(_._1.toSeq) === Some(v1.toSeq))
+      assert(signed.putIfMatches(key, v1, v2))
+      assert(signed.deleteIfMatches(key, v2))
+      assert(signed.get(key).isEmpty)
+      // a signer with the WRONG secret must be rejected — proves the
+      // stub verifies the signature value, not the header's shape
+      sys.props("graft.lease.s3.secretKey") = "not-the-secret"
+      val wrong = new S3HttpConditionalPutClient(S3HttpStubStore.baseUri,
+        new graft.streaming.SigV4Signer)
+      val w = intercept[java.io.IOException] { wrong.putIfAbsent(key, v1) }
+      assert(w.getMessage.contains("403"),
+        s"wrong-secret signature must answer 403, got: $w")
+    }
+  }
+
+  test("SigV4Signer is nameable in graft.lease.s3.signer and fails " +
+      "at construction, naming the property, when credentials are " +
+      "absent") {
+    withSigV4Props {
+      sys.props("graft.lease.s3.endpoint") = S3HttpStubStore.baseUri
+      sys.props("graft.lease.s3.signer") =
+        classOf[graft.streaming.SigV4Signer].getName
+      try {
+        val client = S3HttpConditionalPutClient.fromSystemConfig()
+        val key = s"sigv4/${java.util.UUID.randomUUID()}"
+        val v = "token-cfg\n0".getBytes(StandardCharsets.UTF_8)
+        assert(client.putIfAbsent(key, v),
+          "config-resolved SigV4 client could not write through the " +
+            "verifying prefix")
+        assert(client.deleteIfMatches(key, v))
+      } finally {
+        sys.props -= "graft.lease.s3.endpoint"
+        sys.props -= "graft.lease.s3.signer"
+      }
+    }
+    val bare = intercept[IllegalStateException] {
+      new graft.streaming.SigV4Signer
+    }
+    assert(bare.getMessage.contains("graft.lease.s3.accessKey"))
   }
 
   test("graft.lease.backend can name the shipped S3HttpLockBackend: " +
