@@ -22,6 +22,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * by the watermark, so executors hold O(active keys), not O(history);
   * sink files partition by day exactly like the batch K1 path.
   */
+/** Per-EPISODE swap-wait bookkeeping for the schema gate's
+  * absent-root-with-backup state: one deadline + exponential backoff
+  * per episode, where an episode ends the moment the root (or the
+  * backup) is observed again — `reset()` there, so a LATER episode in
+  * the same read (footer-read retries can interleave one) waits its
+  * own full window instead of inheriting a spent deadline and
+  * rejecting immediately while the error claims "the whole swap-wait
+  * window". Clock and sleep are injected parameters of `tick` so the
+  * per-episode contract is spec-pinned without racing a filesystem
+  * (SwapWaitSpec). */
+private[graft] final class SwapWait(waitMs: Long) {
+  private var deadline = -1L
+  private var sleepMs = 100L
+
+  /** The episode ended (root or backup observed): the next
+    * absent-with-backup observation starts a fresh window. */
+  def reset(): Unit = { deadline = -1L; sleepMs = 100L }
+
+  /** One absent-with-backup observation at `nowMs`: true = still
+    * inside this episode's window (one backoff sleep taken); false =
+    * the window is spent — give up. */
+  def tick(nowMs: Long,
+      doSleep: Long => Unit = Thread.sleep): Boolean = {
+    if (deadline < 0L) deadline = nowMs + waitMs
+    if (nowMs >= deadline) false
+    else {
+      doSleep(sleepMs)
+      sleepMs = math.min(sleepMs * 2L, 5000L)
+      true
+    }
+  }
+}
+
 object Streaming {
 
   /** File-based streaming source over an events-shaped parquet directory:
@@ -1199,8 +1232,9 @@ object Streaming {
         Option[(org.apache.spark.sql.types.StructType, String, Long)] = {
       var tries = 0
       var bothAbsent = 0
-      var swapDeadline = -1L
-      var swapSleep = 100L
+      val swapWait = new SwapWait(batch.sparkSession.conf
+        .getOption("graft.schemaGate.swapWaitMs")
+        .map(_.toLong).getOrElse(60000L))
       while (true) {
         if (!fs.exists(root)) {
           // a live compaction's atomicSwap renames the WHOLE corpus
@@ -1225,6 +1259,13 @@ object Streaming {
           if (!fs.exists(compactBackupPath(root))) {
             bothAbsent += 1
             if (bothAbsent >= 2) return None
+            // leaving the absent-with-backup state ends the swap
+            // EPISODE: a later episode in this same call (footer-read
+            // retries can interleave one) must get its own full
+            // swap-wait window, not the first episode's possibly
+            // spent deadline — else the error's "whole swap-wait
+            // window" claim would be false on the second episode
+            swapWait.reset()
           } else {
           bothAbsent = 0
           // root-absent-with-backup is EITHER a live compaction's
@@ -1239,13 +1280,7 @@ object Streaming {
           // specs shrink it) before giving up; the give-up is still
           // a REJECTION, never a waiver, and the message names both
           // possibilities
-          if (swapDeadline < 0L) {
-            val waitMs = batch.sparkSession.conf
-              .getOption("graft.schemaGate.swapWaitMs")
-              .map(_.toLong).getOrElse(60000L)
-            swapDeadline = System.currentTimeMillis() + waitMs
-          }
-          if (System.currentTimeMillis() >= swapDeadline)
+          if (!swapWait.tick(System.currentTimeMillis()))
             throw new IllegalStateException(
               s"corpus root $root stayed absent with its compaction " +
                 s"backup ${compactBackupPath(root)} standing for the " +
@@ -1255,11 +1290,13 @@ object Streaming {
                 "renames (any maintenance write, or fsckCurationStore " +
                 "with heal = true, restores the tree). The batch is " +
                 "rejected rather than admitted unchecked.")
-          Thread.sleep(swapSleep)
-          swapSleep = math.min(swapSleep * 2L, 5000L)
           }
         } else {
           bothAbsent = 0
+          // the root is visible again: this swap episode is over (see
+          // the both-absent branch) — reset so any NEXT episode waits
+          // its own full window
+          swapWait.reset()
           val ids = committedBatchDirIds(fs, root)
           if (ids.isEmpty) return None
           val dir = s"$root/batch=${ids.max}"
@@ -2530,7 +2567,7 @@ object Streaming {
     * case; a caller-pinned explicit count is respected untouched
     * (`derived = false`). Deterministic across re-exports — same
     * data ⇒ same actual bytes ⇒ same final count. */
-  private def writeJsonlShardsSized(spark: SparkSession,
+  private[graft] def writeJsonlShardsSized(spark: SparkSession,
       payload: DataFrame, idCol: String, outPath: String, shards: Int,
       codec: Option[String], derived: Boolean): (Long, Int) = {
     val nDocs = graft.ops.Warehouse.writeJsonlShards(
@@ -2540,29 +2577,53 @@ object Streaming {
     val hp = new HPath(outPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var actual = 0L
+    // mean over the files that EXIST, not the requested count: the
+    // writer shards by hash(id) mod n, so n near (or above) the doc
+    // count leaves some shard values empty — dividing by the request
+    // would understate the real per-file size and let a genuine
+    // breach of the actual files escape the trigger
+    var nFiles = 0
     val it = fs.listFiles(hp, true)
     while (it.hasNext) {
       val st = it.next()
       val nm = st.getPath.getName
-      if (!nm.startsWith("_") && !nm.startsWith(".")) actual += st.getLen
+      if (!nm.startsWith("_") && !nm.startsWith(".")) {
+        actual += st.getLen
+        nFiles += 1
+      }
     }
-    val mean = actual.toDouble / shards
+    val mean = actual.toDouble / math.max(1, nFiles)
     val ideal = math.max(1, math.ceil(actual.toDouble / target).toInt)
     if (ideal != shards &&
-        (mean > 2.0 * target || (shards > 1 && mean < 0.25 * target))) {
+        (mean > 2.0 * target || (nFiles > 1 && mean < 0.25 * target))) {
       System.err.println("[export] calibrated count " + shards +
-        f" landed a mean shard of ${mean / 1e6}%.0f MB against the " +
-        f"${target / 1e6}%.0f MB target (compressibility-skewed " +
-        "corpus vs its one calibration file) — re-encoding once at " +
-        s"the now-exact count $ideal")
-      // remove the first attempt explicitly: under
-      // spark.sql.sources.partitionOverwriteMode=dynamic an overwrite
-      // only replaces the shard= values it writes, and a DOWN-sized
-      // re-encode (117→8) would leave shards 8..116 standing beside
-      // the new ones — a silently duplicated corpus
+        f" landed a mean shard of ${mean / 1e6}%.0f MB over $nFiles " +
+        f"files against the ${target / 1e6}%.0f MB target " +
+        "(compressibility-skewed corpus vs its one calibration " +
+        "file) — re-encoding once at the now-exact count " + ideal)
+      // re-encode to a SIBLING temp dir first: the first attempt is
+      // merely mis-sized, not wrong, and deleting it before the
+      // corrective pass succeeds would leave the caller with NOTHING
+      // if that pass dies (executor loss, disk full). Only after the
+      // re-encode lands is the original removed and the temp renamed
+      // in — the non-atomic window shrinks from a whole encode pass
+      // to two metadata ops, and a death inside it leaves the full
+      // re-encode recoverable at the named temp path.
+      val tp = new HPath(outPath.stripSuffix("/") + ".heal.tmp")
+      if (fs.exists(tp)) fs.delete(tp, true) // a dead heal's leavings
+      val n2 = graft.ops.Warehouse.writeJsonlShards(
+        payload, idCol, tp.toString, ideal, codec)
+      // the explicit delete (not an overwrite) still matters: under
+      // partitionOverwriteMode=dynamic a DOWN-sized overwrite
+      // (117→8) would leave shards 8..116 standing beside the new
+      // ones — a silently duplicated corpus
       fs.delete(hp, true)
-      (graft.ops.Warehouse.writeJsonlShards(
-        payload, idCol, outPath, ideal, codec), ideal)
+      if (!fs.rename(tp, hp))
+        throw new java.io.IOException(
+          s"export heal could not swap $tp into place at $outPath — " +
+            "the re-encoded export is complete at the temp path; " +
+            "rename it in manually or re-run the export")
+      (n2, ideal)
     } else (nDocs, shards)
   }
 

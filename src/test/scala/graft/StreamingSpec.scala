@@ -5165,6 +5165,11 @@ class StreamingSpec extends SparkSpec {
       s"mean shard ${actual / n} still exceeds 2x the $target target")
     // the healed export still round-trips the exact snapshot view
     assert(spark.read.json(out).count() === 9000L + 330L + 330L)
+    // the heal stages its re-encode in a sibling temp dir (so a death
+    // mid-heal cannot leave the caller with nothing) and swaps it in:
+    // a successful heal must leave no staging dir behind
+    assert(!new java.io.File(s"$out.heal.tmp").exists(),
+      "the heal's staging dir survived a successful swap")
     // an EXPLICIT count is a caller contract: no audit, no rewrite
     val bos2 = new java.io.ByteArrayOutputStream()
     System.setErr(new java.io.PrintStream(bos2, true, "UTF-8"))
@@ -5177,6 +5182,40 @@ class StreamingSpec extends SparkSpec {
     val mfx = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$tmp/outx/_MANIFEST")), "UTF-8")
     assert(mfx.contains(""""n_shards":1"""), mfx)
+  }
+
+  test("the export size audit prices the files that EXIST, not the " +
+      "requested count: a derived shard count far above the doc count " +
+      "leaves most hash buckets empty, and the oversize breach of the " +
+      "actual files must still trigger the re-encode") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-auditcount").toString
+    // 5 docs of ~3 MB against a 1 MB target with 30 REQUESTED shards:
+    // at most 5 data files exist (hash(id) mod 30 over 5 ids), each
+    // ~3x the target — mean over the request (15 MB / 30 = 0.5 MB)
+    // reads as in-envelope and the breach escapes; mean over the
+    // actual files (3 MB) names it
+    val payload = spark.range(5).selectExpr("id as doc_id",
+      "repeat(md5(cast(id as string)), 93750) as text")
+    val target = 1048576L
+    val bos = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
+    val (n, shards) =
+      try withSqlConf("graft.export.shardTargetBytes" -> target.toString) {
+        Streaming.writeJsonlShardsSized(spark, payload, "doc_id",
+          s"$tmp/out", 30, None, derived = true)
+      } finally System.setErr(oldErr)
+    assert(bos.toString("UTF-8").contains("re-encoding once at"),
+      "a >2x-target mean over the ACTUAL files escaped the audit " +
+        s"(requested-count mean would): $bos")
+    assert(n === 5L)
+    // the corrective count is exact from the actual bytes (~15 MB /
+    // 1 MB), not the doc-starved request
+    assert(shards >= 13 && shards <= 17,
+      s"corrective count $shards is not ceil(actual/target) ~ 15")
+    assert(spark.read.json(s"$tmp/out").count() === 5L)
+    assert(!new java.io.File(s"$tmp/out.heal.tmp").exists())
   }
 
   test("forceRetroSweep on a torn registry (_batch mark but no meta/) " +
