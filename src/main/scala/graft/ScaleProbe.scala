@@ -13,12 +13,23 @@ import graft.ops._
   * routes through the join path instead.
   *
   * Usage: runMain graft.ScaleProbe [replicas] [degenerateDocs] [sfDir]
+  *
+  * `runMain graft.ScaleProbe lifecycle [replicas] [degenerateDocs]
+  * [sfDir]` runs ONLY the standing-store evidence path — the
+  * exact-Jaccard octile admission merges (per-batch wall + standing
+  * prefix-read fraction), the bimodal banded-vs-global read counts,
+  * and the ingest/sweep/snapshot/export lifecycle — so the
+  * sublinearity claims can be re-measured a decade up (e.g.
+  * replicas=200 ≈ 1M docs vs the standing 105k table) without paying
+  * for the whole-family sweep at that scale.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val replicas = if (args.length > 0) args(0).toInt else 20
-    val degenerate = if (args.length > 1) args(1).toInt else 5000
-    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val lifecycleOnly = args.headOption.contains("lifecycle")
+    val a = if (lifecycleOnly) args.drop(1) else args
+    val replicas = if (a.length > 0) a(0).toInt else 20
+    val degenerate = if (a.length > 1) a(1).toInt else 5000
+    val sfDir = if (a.length > 2) a(2) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,6 +68,7 @@ object ScaleProbe {
       println(f"[probe] $label%-28s $rows%10d rows  $s%7.1f s  ${denom / s}%9.0f $unit")
     }
 
+    if (!lifecycleOnly) {
     // row-local text family first: these must scale at scan speed (zero
     // exchanges), so docs/s here is the per-core ceiling for the text path
     time("text profile (row-local)", total, "docs/s") {
@@ -157,6 +169,7 @@ object ScaleProbe {
         minQuality = 0.0, lenLo = 0.0, lenHi = 5000.0,
         numHashes = 8, bands = 4, shingleSize = 3)
     }
+    } // !lifecycleOnly
     // EXACT-Jaccard streaming admission (the q204 machinery as a
     // sink): frozen order pinned once over the full corpus, then
     // LENGTH-OCTILE batches merge against the growing two-tree store.
@@ -266,7 +279,7 @@ object ScaleProbe {
       // exact dedup admission -> payload -> stats, one exactly-once
       // pass per batch): the curationIngestSinkExact cost figure, same
       // octile slicing so the szb= prune is exercised in-store
-      locally {
+      if (!lifecycleOnly) locally {
         val tmpE = java.nio.file.Files
           .createTempDirectory("graft-ingestprobe-exact").toString
         (0 until nb).foreach { i =>
@@ -287,7 +300,7 @@ object ScaleProbe {
     }
     // decontamination: 1% of docs stand in for the benchmark set;
     // broadcast-semi-join inside the scan, so docs/s ~ text family
-    time("decontaminate (1% bench)", total, "docs/s")(
+    if (!lifecycleOnly) time("decontaminate (1% bench)", total, "docs/s")(
       Dedup.ngramContamination(
         corpus.where(pmod(col("doc_id"), lit(100)) =!= 0),
         corpus.where(pmod(col("doc_id"), lit(100)) === 0),
@@ -332,7 +345,7 @@ object ScaleProbe {
       // against the brute-force two-anti-join it falls back to
       t0 = System.nanoTime()
       graft.streaming.Streaming.snapshotCorpus(spark, tmpR, "t0")
-      println(f"[probe] snapshot create (105k corpus) " +
+      println(f"[probe] snapshot create (standing)    " +
         f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
       // second epoch: 1/8 of the corpus re-idd into batch=1, one more
       // benchmark registered and swept, then snapshot t1
@@ -409,6 +422,7 @@ object ScaleProbe {
       println(f"[probe] fsck 128-batch root           $nFsckM%10d find " +
         f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
     }
+    if (!lifecycleOnly) {
     // greedy subword segmentation: fold (O(|V|) per position) vs the
     // trie expression (O(piece length)) on the same curated vocab, plus
     // the trie at a 10k-piece production-scale vocab the fold can't touch
@@ -574,6 +588,7 @@ object ScaleProbe {
       m = 4, dim = 64, k = 10))
     cbCached.unpersist()
     vecs.unpersist()
+    } // !lifecycleOnly
     spark.stop()
   }
 }

@@ -43,12 +43,48 @@ class BenchEnvelopeSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
     assert(m.size >= 200,
       s"ledger covers only ${m.size} queries — expected the full suite")
-    assert(m.values.forall(v => v > 0 && v < 600),
-      "ledger carries a non-positive or absurd entry")
-    assert(m.keys.forall(k => k.startsWith("q") || k == "_sf"),
-      "ledger carries a non-query key")
+    assert((m -- BenchEnvelope.MetaKeys).values
+      .forall(v => v > 0 && v < 600),
+      "ledger carries a non-positive or absurd query entry")
+    assert(m.keys.forall(k => k.startsWith("q") ||
+      BenchEnvelope.MetaKeys.contains(k)),
+      "ledger carries a non-query, non-stamp key")
     assert(m.get("_sf").contains(0.1),
       "committed ledger must be stamped with its scale factor")
+    assert(m.contains("_host_cpus") && m.contains("_host_mem_gb"),
+      "committed ledger must be stamped with its host fingerprint — " +
+        "an unstamped ledger silently rewrites itself on a faster " +
+        "host and cries wolf on a slower one")
+  }
+
+  test("hostStamp + hostMatches: same host (exact cpus/mem, membw " +
+      "bucket within the ±1 contention tolerance) matches; a " +
+      "different machine shape or a >2x membw class does not; an " +
+      "UNSTAMPED ledger is trusted for back-compat") {
+    val here = BenchEnvelope.hostStamp(32, 125L, 0.28)
+    assert(here("_host_cpus") === 32.0 && here("_host_mem_gb") === 125.0)
+    assert(here("_host_membw_bucket") === -2.0) // floor(log2 0.28)
+    // same host, probe drifted under contention (0.28 -> 0.9 s): one
+    // bucket over, still within tolerance — a degraded run must not
+    // misread as a foreign machine
+    assert(BenchEnvelope.hostMatches(here,
+      BenchEnvelope.hostStamp(32, 125L, 0.9)))
+    // different core count or memory = foreign, however close the probe
+    assert(!BenchEnvelope.hostMatches(here,
+      BenchEnvelope.hostStamp(64, 125L, 0.28)))
+    assert(!BenchEnvelope.hostMatches(here,
+      BenchEnvelope.hostStamp(32, 256L, 0.28)))
+    // same shape but a 8x membw class (0.28 -> 2.4 s, bucket -2 -> 1):
+    // a genuinely different machine speed reads foreign
+    assert(!BenchEnvelope.hostMatches(here,
+      BenchEnvelope.hostStamp(32, 125L, 2.4)))
+    // a probe that could not run (-1) omits the bucket and the bucket
+    // is then not compared; an unstamped prior ledger always matches
+    assert(!BenchEnvelope.hostStamp(32, 125L, -1.0)
+      .contains("_host_membw_bucket"))
+    assert(BenchEnvelope.hostMatches(here,
+      BenchEnvelope.hostStamp(32, 125L, -1.0)))
+    assert(BenchEnvelope.hostMatches(Map("qa" -> 1.0), here))
   }
 
   test("merged only ever tightens, admits new queries at first " +
