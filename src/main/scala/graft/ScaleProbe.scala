@@ -25,7 +25,11 @@ import graft.ops._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val lifecycleOnly = args.headOption.contains("lifecycle")
+    // `retro` = the lifecycle mode minus the octile admission phase
+    // (re-measure sweeps/snapshots/exports without re-paying the
+    // index merges)
+    val retroOnly = args.headOption.contains("retro")
+    val lifecycleOnly = args.headOption.contains("lifecycle") || retroOnly
     val a = if (lifecycleOnly) args.drop(1) else args
     val replicas = if (a.length > 0) a(0).toInt else 20
     val degenerate = if (a.length > 1) a(1).toInt else 5000
@@ -47,8 +51,23 @@ object ScaleProbe {
     // the base id distribution looks like
     val maxId = base.agg(max("doc_id")).head().getLong(0)
     // replicate with distinct ids; tag each replica's text so replicas are
-    // near-dups of each other (same prefix, one marker token appended)
-    val replicated = base.crossJoin(
+    // near-dups of each other (same prefix, one marker token appended).
+    // In lifecycle mode the clique size is CAPPED at 20 regardless of
+    // replicas: each group of 20 shares a 12-token salt that pushes
+    // inter-group Jaccard below the 0.8 admission threshold, so a 10x
+    // corpus carries 10x MORE near-dup cliques of the same size — the
+    // production growth shape (more dup clusters, not bigger ones) —
+    // instead of quadratically more verify pairs per clique, which
+    // would measure the data's pair count, not the store's scaling
+    val replicated = if (lifecycleOnly)
+      base.crossJoin(spark.range(replicas).toDF("rep"))
+        .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), pmod(col("rep"), lit(20)),
+            lit(" "), concat_ws(" ", (1 to 12).map(i =>
+              substring(md5(concat_ws("-", col("doc_id"),
+                floor(col("rep") / 20), lit(i))), 1, 8)): _*))
+            .as("text"))
+    else base.crossJoin(
         spark.range(replicas).toDF("rep"))
       .select((col("doc_id") * replicas + col("rep")).as("doc_id"),
         concat(col("text"), lit(" rep"), col("rep")).as("text"))
@@ -182,7 +201,7 @@ object ScaleProbe {
     // back to the jb= prune.) Mid-run compaction folds the per-batch
     // dirs like the dedup-index probe, the production maintenance
     // posture.
-    locally {
+    if (!retroOnly) locally {
       val frozen = Dedup.shingleDfTable(corpus, "text", 3)
       frozen.count() // materialize the pin outside the timed loop
       val nb = 8
@@ -316,6 +335,23 @@ object ScaleProbe {
     locally {
       val tmpR = java.nio.file.Files
         .createTempDirectory("graft-retroprobe").toString
+      // benchmark selection: contamination spreads to a hit doc's
+      // whole near-dup clique (shared base 8-grams). In standard mode
+      // pmod(id, 100) residues pick ~1% of DOCS (≈25% of the corpus
+      // once cliques amplify, the r10 booking). In lifecycle mode the
+      // id space is base*replicas + rep with 20-doc salt-capped
+      // cliques, and a %100 residue would hit ~2 replicas of EVERY
+      // base — a sweep that tombstones 100% of the corpus measures
+      // only itself. Select whole BASE residues instead (rep == 0 of
+      // every 20th base): ~5% of cliques per benchmark, disjoint
+      // across the three residues by construction.
+      def benchSlice(r: Int) =
+        if (lifecycleOnly)
+          corpus.where(pmod(col("doc_id"), lit(20L * replicas)) ===
+            r.toLong * replicas)
+        else
+          corpus.where(pmod(col("doc_id"), lit(100)) ===
+            (if (r == 3) 37 else r))
       // payload + stats through the ingest's own tail, so the sweeps
       // pin stats deltas and the repair pair below can be booked
       var t0i = System.nanoTime()
@@ -324,16 +360,14 @@ object ScaleProbe {
       println(f"[probe] ingest tail (payload+stats)   $total%10d docs " +
         f"${(System.nanoTime() - t0i) / 1e9}%7.1f s")
       graft.streaming.Streaming.mergeBenchmarkNgramBatch(
-        corpus.where(pmod(col("doc_id"), lit(100)) === 0),
-        "text", s"$tmpR/bench", 0L, n = 8)
+        benchSlice(0), "text", s"$tmpR/bench", 0L, n = 8)
       var t0 = System.nanoTime()
       val s1 = graft.streaming.Streaming.retroDecontaminate(
         spark, tmpR, "text", "doc_id", s"$tmpR/bench")
       println(f"[probe] retro sweep 1 (1%% bench)      $s1%10d dead " +
         f"${(System.nanoTime() - t0) / 1e9}%7.1f s")
       graft.streaming.Streaming.mergeBenchmarkNgramBatch(
-        corpus.where(pmod(col("doc_id"), lit(100)) === 1),
-        "text", s"$tmpR/bench", 1L, n = 8)
+        benchSlice(1), "text", s"$tmpR/bench", 1L, n = 8)
       t0 = System.nanoTime()
       val s2 = graft.streaming.Streaming.retroDecontaminate(
         spark, tmpR, "text", "doc_id", s"$tmpR/bench")
@@ -360,8 +394,7 @@ object ScaleProbe {
       // between the snapshots tombstones fresh docs and the diff's
       // removed leg is non-trivial
       graft.streaming.Streaming.mergeBenchmarkNgramBatch(
-        corpus.where(pmod(col("doc_id"), lit(100)) === 37),
-        "text", s"$tmpR/bench", 2L, n = 8)
+        benchSlice(3), "text", s"$tmpR/bench", 2L, n = 8)
       graft.streaming.Streaming.retroDecontaminate(
         spark, tmpR, "text", "doc_id", s"$tmpR/bench")
       graft.streaming.Streaming.snapshotCorpus(spark, tmpR, "t1")

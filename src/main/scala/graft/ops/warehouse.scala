@@ -112,7 +112,11 @@ object Warehouse {
       .repartition(col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
     codec.fold(w)(c => w.option("compression", c)).json(path)
-    obs.get("n_docs").asInstanceOf[Long]
+    // an EMPTY df (a fully-tombstoned snapshot is a legitimate state
+    // after a whole-corpus decontamination) optimizes to an empty
+    // relation whose CollectMetrics node is pruned away — the
+    // observation then reports NO keys at all, not n_docs = 0
+    obs.get.get("n_docs").fold(0L)(_.asInstanceOf[Long])
   }
 
   /** Build SCD Type-2 validity intervals from a change log: one row per

@@ -5218,6 +5218,35 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/out.heal.tmp").exists())
   }
 
+  test("exporting a FULLY-tombstoned snapshot (a legitimate state " +
+      "after a whole-corpus decontamination) writes an empty but " +
+      "valid export — manifest n_docs 0 with the schema still " +
+      "carried — instead of crashing on the pruned write observation") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-emptyexport").toString
+    val prose = "the cartographer traced every shoreline twice before " +
+      "inking the final chart of the archipelago"
+    val prose2 = "a winter caravan crossed the dry salt basin carrying " +
+      "lanterns spices and twelve sealed letters north"
+    Streaming.curationIngestBatch(
+      Seq((1L, prose), (2L, prose2)).toDF("doc_id", "text"),
+      "text", "doc_id", tmp, 0L, 0.0, 0.0, 1000.0, 8, 4, 3)
+    // the benchmark IS the corpus prose: the sweep tombstones every doc
+    Streaming.mergeBenchmarkNgramBatch(
+      Seq((9L, prose), (10L, prose2)).toDF("bid", "text"), "text",
+      s"$tmp/bench", 0L, n = 8)
+    assert(Streaming.retroDecontaminate(spark, tmp, "text", "doc_id",
+      s"$tmp/bench") === 2L)
+    Streaming.snapshotCorpus(spark, tmp, "empty")
+    assert(Streaming.readSnapshot(spark, tmp, "empty").count() === 0L)
+    Streaming.exportSnapshot(spark, tmp, "empty", s"$tmp/out", "doc_id")
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/out/_MANIFEST")), "UTF-8")
+    assert(mf.contains(""""n_docs":0"""), mf)
+    assert(mf.contains("doc_id"),
+      s"even an empty export must carry the view schema: $mf")
+  }
+
   test("forceRetroSweep on a torn registry (_batch mark but no meta/) " +
       "throws a NAMED error pointing at fsckStore, not a bare " +
       "NoSuchElementException") {
