@@ -136,7 +136,18 @@ object Pipelines {
     * whatever action consumes the frame runs — at 100 TB, a separate
     * `df.filter(bad).count()` gate would re-scan the input; this one is
     * free. Read the `Observation` after the action completes and fire the
-    * alert from the metric (see PipelinesSpec). */
+    * alert from the metric (see PipelinesSpec).
+    *
+    * CAVEAT (pinned in PipelinesSpec): an EMPTY input breaks naive
+    * metric reads two ways — `sum` metrics over zero rows report
+    * NULL (count still reports 0), and a plan Catalyst fully
+    * replaces with an empty relation prunes the CollectMetrics node
+    * so the Observation reports NO keys at all (the shape
+    * `writeJsonlShards` hit on a fully-tombstoned snapshot). Read
+    * metrics null-safely with a default —
+    * `obs.get.get(key).flatMap(Option(_)).getOrElse(0L)` — a bare
+    * `obs.get(key)` throws or NPEs exactly on the empty drop a gate
+    * most needs to survive. */
   def observedGate(df: DataFrame, badPredicate: Column)
       : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation()

@@ -199,4 +199,25 @@ class PipelinesSpec extends SparkSpec {
     // the write itself was complete — gating happened without re-scanning
     assert(spark.read.parquet(s"$tmp/out").count() === 100)
   }
+
+  test("observedGate on an EMPTY input: zero-row sum metrics read " +
+      "NULL (count reads 0) — the documented null-safe read contract, " +
+      "pinned so an upgrade changing the shape is heard") {
+    import spark.implicits._
+    val df = Seq((1L, 200)).toDF("id", "status").where(lit(false))
+    val (observed, obs) = Pipelines.observedGate(df, col("status") =!= 200)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-obs0").toString
+    observed.write.mode("overwrite").parquet(s"$tmp/out")
+    val m = obs.get
+    assert(m("n_rows") === 0L, "count over zero rows is still 0")
+    assert(m("n_bad") == null,
+      "sum over zero rows reads NULL — if this starts reading 0 the " +
+        "null-safe caveat on observedGate can be simplified away")
+    // the safe read shape every caller must use — covers BOTH empty
+    // shapes: this one (node present, sum NULL) and the fully-pruned
+    // plan writeJsonlShards hit (no keys at all)
+    def metric(k: String): Long =
+      m.get(k).flatMap(Option(_)).fold(0L)(_.asInstanceOf[Long])
+    assert(metric("n_rows") === 0L && metric("n_bad") === 0L)
+  }
 }
