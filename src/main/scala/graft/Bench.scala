@@ -393,12 +393,19 @@ object Bench {
         System.err.println(s"[bench] could not refresh $envPath: $e") }
     }
     // the session-keeper ledger: per-query minima across QUIET
-    // readings only, so one committed artifact names the round's
-    // keeper — a driver snapshot taken on a degraded host then
-    // carries `keeper_total` (the quiet face number) in-band instead
-    // of leaving it to PERF.md prose. Quiet = no load_warning and
-    // nothing over envelope; foreign sf/host skip both merge and
-    // booking (another machine's keeper is not this artifact's).
+    // READINGS, so one committed artifact names the round's keeper —
+    // a driver snapshot taken on a degraded host then carries
+    // `keeper_total` (the best-demonstrated face number) in-band
+    // instead of leaving it to PERF.md prose. Quietness is judged
+    // PER QUERY (the reading is not over its envelope), not per run:
+    // mid-run contention hits specific queries, and requiring a
+    // fully-quiet run would leave a session on a drifting host — the
+    // exact session that needs the keeper — with no keeper at all.
+    // A uniform sub-1.5× slowdown can slip a reading in unflagged,
+    // but the elementwise MIN across the session's runs keeps
+    // tightening toward the quiet figure. Foreign sf/host skip both
+    // merge and booking (another machine's keeper is not this
+    // artifact's).
     val bestPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST",
       "bench_best.json")
     val rawBest =
@@ -409,12 +416,14 @@ object Bench {
     val bestUsable = sfCompatible(rawBest) &&
       BenchEnvelope.hostMatches(rawBest, stamp)
     val quietRun = loadWarn.isEmpty && overEnv.isEmpty
+    val quietReadings = perQuery.filterNot { case (k, _) =>
+      overEnv.contains(k) }
     val mergedBest =
-      if (bestUsable && quietRun)
-        BenchEnvelope.merged(rawBest, perQuery) ++
+      if (bestUsable)
+        BenchEnvelope.merged(rawBest, quietReadings) ++
           curSf.map("_sf" -> _) ++ stamp
       else rawBest
-    if (bestUsable && quietRun)
+    if (bestUsable && quietReadings.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(bestPath),
         BenchEnvelope.render(mergedBest).getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
@@ -423,7 +432,8 @@ object Bench {
       if (!bestUsable || (mergedBest -- BenchEnvelope.MetaKeys).isEmpty) ""
       else {
         val kt = perQuery.map { case (k, t) =>
-          mergedBest.get(k).filter(_ > 0).getOrElse(t) }.sum
+          mergedBest.get(k).filter(_ > 0).map(math.min(_, t))
+            .getOrElse(t) }.sum
         s""","keeper_total":${BigDecimal(kt).setScale(3,
           BigDecimal.RoundingMode.HALF_UP)},"keeper_is_this_run":${
           quietRun && kt >= total - 1e-9}"""
