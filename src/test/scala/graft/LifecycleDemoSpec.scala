@@ -71,10 +71,16 @@ class LifecycleDemoSpec extends SparkSpec {
 
   test("the lifecycle walk also runs UNCHANGED on the SHIPPED " +
       "S3HttpLockBackend, config-resolved by FQCN, with every lease " +
-      "verb a real conditional HTTP request against the S3-shaped " +
-      "endpoint") {
+      "verb a real conditional HTTP request — SigV4-SIGNED and " +
+      "server-verified — against the S3-shaped endpoint") {
     val conf = spark.sparkContext.hadoopConfiguration
     sys.props("graft.lease.s3.endpoint") = S3HttpStubStore.baseUri
+    // the full production config shape: backend + signer by FQCN,
+    // creds from properties; the stub RECOMPUTES every signature
+    sys.props("graft.lease.s3.signer") =
+      classOf[graft.streaming.SigV4Signer].getName
+    sys.props("graft.lease.s3.accessKey") = S3HttpStubStore.SigV4AccessKey
+    sys.props("graft.lease.s3.secretKey") = S3HttpStubStore.SigV4Secret
     conf.set("graft.lease.backend",
       classOf[graft.streaming.S3HttpLockBackend].getName)
     try {
@@ -90,6 +96,9 @@ class LifecycleDemoSpec extends SparkSpec {
     } finally {
       conf.unset("graft.lease.backend")
       sys.props -= "graft.lease.s3.endpoint"
+      sys.props -= "graft.lease.s3.signer"
+      sys.props -= "graft.lease.s3.accessKey"
+      sys.props -= "graft.lease.s3.secretKey"
     }
   }
 }

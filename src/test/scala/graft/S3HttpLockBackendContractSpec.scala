@@ -117,8 +117,17 @@ object S3HttpStubStore {
             g.group(1) == expect
         }).getOrElse(false)
       }
+      // verification is PRESENCE-TRIGGERED outside the sigv4/ prefix:
+      // any request carrying an AWS4 Authorization header is verified
+      // (403 on a bad signature) wherever its key lives, so whole
+      // suites — the full lock contract, the lifecycle walk, the
+      // serializability fuzz — can run with every lease verb signed
+      // AND server-checked, while unsigned traffic from other suites
+      // sharing this stub is untouched
+      def sigV4Demanded: Boolean = key.startsWith("sigv4/") ||
+        header("Authorization").exists(_.startsWith("AWS4-HMAC-SHA256 "))
       try {
-        if (key.startsWith("sigv4/") && !sigV4Ok) {
+        if (sigV4Demanded && !sigV4Ok) {
           if (ex.getRequestMethod == "PUT")
             ex.getRequestBody.readAllBytes()
           respond(403, Array.emptyByteArray, None)
@@ -207,10 +216,16 @@ class S3HttpLockBackendContractSpec extends LockBackendContractSpec {
   // by the contract tests, and a fresh HttpClient per call spawns a
   // selector thread each — under full-suite load that thread/fd
   // pressure starved the churn test past its deadline (observed as a
-  // suite-only flake; a real holder reuses one client too)
+  // suite-only flake; a real holder reuses one client too).
+  // The client is SigV4-SIGNED: the stub verifies any AWS4-bearing
+  // request server-side, so the whole 16-way contract — races,
+  // fences, heartbeats, stale breaks, churn — runs with every verb's
+  // signature recomputed and checked on the wire, not just the
+  // four-verb smoke below.
   private lazy val be: LockBackend =
     new ObjectStoreLockBackend(
-      new S3HttpConditionalPutClient(S3HttpStubStore.baseUri))
+      new S3HttpConditionalPutClient(S3HttpStubStore.baseUri,
+        withSigV4Props(new graft.streaming.SigV4Signer)))
   def backend: LockBackend = be
 
   def freshLock(): (FileSystem, HPath) = {

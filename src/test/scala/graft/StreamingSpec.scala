@@ -2402,16 +2402,23 @@ class StreamingSpec extends SparkSpec {
 
   test("the SAME serializability fuzz runs green with every lease " +
       "held through the SHIPPED S3HttpLockBackend — four racing " +
-      "threads' store leases contending as real conditional HTTP " +
-      "requests against the S3-shaped endpoint") {
+      "threads' store leases contending as SigV4-SIGNED conditional " +
+      "HTTP requests, every signature recomputed server-side") {
     val conf = spark.sparkContext.hadoopConfiguration
     sys.props("graft.lease.s3.endpoint") = S3HttpStubStore.baseUri
+    sys.props("graft.lease.s3.signer") =
+      classOf[graft.streaming.SigV4Signer].getName
+    sys.props("graft.lease.s3.accessKey") = S3HttpStubStore.SigV4AccessKey
+    sys.props("graft.lease.s3.secretKey") = S3HttpStubStore.SigV4Secret
     conf.set("graft.lease.backend",
       classOf[graft.streaming.S3HttpLockBackend].getName)
     try runLifecycleFuzz()
     finally {
       conf.unset("graft.lease.backend")
       sys.props -= "graft.lease.s3.endpoint"
+      sys.props -= "graft.lease.s3.signer"
+      sys.props -= "graft.lease.s3.accessKey"
+      sys.props -= "graft.lease.s3.secretKey"
     }
   }
 
