@@ -35,9 +35,12 @@ trait HttpRequestSigner {
   *    ample for the lease's minutes-scale staleness windows).
   *
   * Precondition failures (412, and 404 where the precondition
-  * implies existence) return `false` per the trait contract; any
-  * other non-2xx throws, which the lease layer treats as transient
-  * contention. The full lease contract over this client against a
+  * implies existence) return `false` per the trait contract.
+  * Throttle/transient answers (429, 500, 502, 503, 504 — S3's
+  * `SlowDown` family) and connection-level IO errors retry in-place
+  * with bounded full-jitter exponential backoff (see `send`); any
+  * other non-2xx, or an exhausted retry budget, throws, which the
+  * lease layer treats as transient contention. The full lease contract over this client against a
   * real conditional-HTTP endpoint is pinned by
   * `S3HttpLockBackendContractSpec` (the in-process stub store lives
   * in test sources — a deployment keeps THIS class and swaps only
@@ -66,9 +69,75 @@ class S3HttpConditionalPutClient(
     MessageDigest.getInstance("MD5").digest(b)
       .map(x => f"$x%02x").mkString
 
-  private def send(b: HttpRequest.Builder): HttpResponse[Array[Byte]] =
-    http.send(signer.sign(b).build(),
-      HttpResponse.BodyHandlers.ofByteArray())
+  // Throttle/transient retry — real S3 answers `503 SlowDown` (and
+  // the occasional 500) under load and documents exponential backoff
+  // as the required client response; a lease client without it fails
+  // spuriously exactly when the store is busiest. Bounded full-jitter
+  // backoff, re-SIGNING each attempt (fresh `x-amz-date`), honoring
+  // `Retry-After` when the store names a wait. Retrying a conditional
+  // verb whose first attempt died AFTER the server applied it is
+  // ambiguous by nature; every such ambiguity here resolves fail-SAFE:
+  // the retry sees its own write as a failed precondition and reports
+  // `false`, so a lease is at worst orphaned into the stale-break path
+  // (a bounded wedge), never granted to two holders. Config:
+  // `graft.lease.s3.retries` (extra attempts, default 4),
+  // `graft.lease.s3.retryBaseMs` (first backoff, default 100),
+  // `graft.lease.s3.retryCapMs` (per-sleep cap, default 2000).
+  private def intProp(name: String, dflt: Long): Long =
+    sys.props.get(name).map(_.trim.toLong).getOrElse(dflt)
+  protected def maxRetries: Int =
+    intProp("graft.lease.s3.retries", 4L).toInt
+  protected def retryBaseMs: Long =
+    intProp("graft.lease.s3.retryBaseMs", 100L)
+  protected def retryCapMs: Long =
+    intProp("graft.lease.s3.retryCapMs", 2000L)
+
+  /** Overridable for deterministic spec clocks. */
+  protected def sleep(ms: Long): Unit = Thread.sleep(ms)
+
+  /** Full-jitter backoff for `attempt` (0-based): uniform in
+    * [expo/2, expo] where expo = min(cap, base·2^attempt); a
+    * server-named `Retry-After` overrides the exponent (still
+    * capped — a store asking for minutes must not stall a lease
+    * poll loop that long). */
+  protected def backoffMs(attempt: Int, retryAfterS: Option[Long]): Long = {
+    val expo = retryAfterS match {
+      case Some(s) => math.min(retryCapMs, s * 1000L)
+      case None =>
+        math.min(retryCapMs, retryBaseMs << math.min(attempt, 20))
+    }
+    val lo = expo / 2
+    lo + java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(expo - lo + 1)
+  }
+
+  private val retryableStatus = Set(429, 500, 502, 503, 504)
+
+  private def send(b: HttpRequest.Builder): HttpResponse[Array[Byte]] = {
+    var attempt = 0
+    while (true) {
+      val outcome =
+        try Right(http.send(signer.sign(b).build(),
+          HttpResponse.BodyHandlers.ofByteArray()))
+        catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        case Right(r) if !retryableStatus(r.statusCode()) => return r
+        case Right(r) if attempt >= maxRetries =>
+          throw new java.io.IOException(
+            s"object store answered HTTP ${r.statusCode()} after " +
+              s"${attempt + 1} attempts")
+        case Left(e) if attempt >= maxRetries => throw e
+        case _ =>
+          val retryAfterS = outcome.toOption.flatMap { r =>
+            val h = r.headers().firstValue("Retry-After")
+            if (h.isPresent) h.get.trim.toLongOption else None
+          }
+          sleep(backoffMs(attempt, retryAfterS))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def condOutcome(status: Int): Boolean = status match {
     case s if s >= 200 && s < 300 => true

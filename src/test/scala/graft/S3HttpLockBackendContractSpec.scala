@@ -30,12 +30,15 @@ import graft.streaming.{HttpRequestSigner, LockBackend,
   *    window, so a production binding can parse plain
   *    `Last-Modified`.
   *
-  * Two key-prefix behaviors exercise the production client's edges:
-  * keys under `stripmtime/` answer with NO time headers at all (a
-  * store that omits `Last-Modified` — the client must not read such
-  * a lease as epoch-old), and keys under `signed/` demand an
+  * Three key-prefix behaviors exercise the production client's
+  * edges: keys under `stripmtime/` answer with NO time headers at
+  * all (a store that omits `Last-Modified` — the client must not
+  * read such a lease as epoch-old), keys under `signed/` demand an
   * `x-graft-signature` header (403 otherwise) so the
-  * [[HttpRequestSigner]] seam is proven live, not decorative.
+  * [[HttpRequestSigner]] seam is proven live, not decorative, and
+  * keys under `flaky/<n>/` (`flakyra/<n>/` with `Retry-After`)
+  * throttle their first n requests with 503 so the client's
+  * SlowDown backoff loop is driven over real HTTP (S3RetrySpec).
   *
   * Every mutation runs inside one `ConcurrentHashMap.compute` on the
   * key — the per-key arbitration S3/GCS conditional requests provide
@@ -49,6 +52,14 @@ object S3HttpStubStore {
 
   private val objects = new java.util.concurrent
     .ConcurrentHashMap[String, (Array[Byte], String, Long)]()
+
+  // `flaky/<n>/…` keys answer `503 SlowDown`-style to their first n
+  // requests, then behave normally (`flakyra/<n>/…` additionally
+  // serves `Retry-After: 2`) — the store-side half of the client's
+  // throttle-retry contract.
+  private val flakyCount = new java.util.concurrent
+    .ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val flakyKey = """^flaky(ra)?/(\d+)/""".r
 
   private def md5Hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b)
@@ -127,6 +138,18 @@ object S3HttpStubStore {
       def sigV4Demanded: Boolean = key.startsWith("sigv4/") ||
         header("Authorization").exists(_.startsWith("AWS4-HMAC-SHA256 "))
       try {
+        val throttled = flakyKey.findFirstMatchIn(key).exists { m =>
+          flakyCount.computeIfAbsent(key,
+              _ => new java.util.concurrent.atomic.AtomicInteger())
+            .incrementAndGet() <= m.group(2).toInt
+        }
+        if (throttled) {
+          if (ex.getRequestMethod == "PUT")
+            ex.getRequestBody.readAllBytes()
+          if (key.startsWith("flakyra/"))
+            ex.getResponseHeaders.set("Retry-After", "2")
+          respond(503, Array.emptyByteArray, None)
+        } else
         if (sigV4Demanded && !sigV4Ok) {
           if (ex.getRequestMethod == "PUT")
             ex.getRequestBody.readAllBytes()
