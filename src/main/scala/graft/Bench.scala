@@ -76,9 +76,14 @@ object BenchEnvelope {
     * misread same-host contention drift as a foreign machine, hence
     * the coarse factor-2 bucket (compared with ±1 tolerance: ~4× probe
     * movement before it reads foreign) rather than the raw reading.
-    * No probe reading (bucket absent) ⇒ the bucket is not compared. */
+    * No probe reading (bucket absent) — or no memory reading (the
+    * platform bean is not com.sun.management) — ⇒ that field is
+    * OMITTED, not stamped 0: a 0 stamp would read the same physical
+    * host as permanently foreign under a different JVM flavor. */
   def hostStamp(cpus: Int, memGb: Long, membwS: Double): Map[String, Double] =
-    Map("_host_cpus" -> cpus.toDouble, "_host_mem_gb" -> memGb.toDouble) ++
+    Map("_host_cpus" -> cpus.toDouble) ++
+      (if (memGb > 0) Map("_host_mem_gb" -> memGb.toDouble)
+      else Map.empty) ++
       (if (membwS > 0)
         Map("_host_membw_bucket" ->
           math.floor(math.log(membwS) / math.log(2.0)))
@@ -416,14 +421,25 @@ object Bench {
     val bestUsable = sfCompatible(rawBest) &&
       BenchEnvelope.hostMatches(rawBest, stamp)
     val quietRun = loadWarn.isEmpty && overEnv.isEmpty
-    val quietReadings = perQuery.filterNot { case (k, _) =>
-      overEnv.contains(k) }
+    // with NO per-query envelope (ledger absent/corrupt/foreign-sf)
+    // the quietness judgment doesn't exist — fall back to the run-
+    // level signal: a load_warning run must not seed the keeper with
+    // contended readings it would then report as the quiet face
+    val quietReadings =
+      if (ledger.isEmpty) { if (loadWarn.isEmpty) perQuery else Nil }
+      else perQuery.filterNot { case (k, _) => overEnv.contains(k) }
     val mergedBest =
       if (bestUsable)
         BenchEnvelope.merged(rawBest, quietReadings) ++
           curSf.map("_sf" -> _) ++ stamp
       else rawBest
-    if (bestUsable && quietReadings.nonEmpty)
+    // SPARK_GRAFT_BENCH_WRITE_BEST=0 makes the run read-only on the
+    // keeper ledger (a CI smoke run or experiment branch must be able
+    // to bench without dirtying a committed artifact); the default
+    // stays on — accumulating the session keeper is the feature
+    val writeBest =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WRITE_BEST", "1") != "0"
+    if (writeBest && bestUsable && quietReadings.nonEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get(bestPath),
         BenchEnvelope.render(mergedBest).getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>

@@ -101,11 +101,15 @@ class S3HttpConditionalPutClient(
     * capped — a store asking for minutes must not stall a lease
     * poll loop that long). */
   protected def backoffMs(attempt: Int, retryAfterS: Option[Long]): Long = {
-    val expo = retryAfterS match {
-      case Some(s) => math.min(retryCapMs, s * 1000L)
-      case None =>
-        math.min(retryCapMs, retryBaseMs << math.min(attempt, 20))
-    }
+    // a misbehaving store is exactly what this layer exists for, so
+    // the header it serves is sanitized too: non-positive or
+    // overflow-large Retry-After values fall back to the schedule
+    val expo = math.max(1L, retryAfterS match {
+      case Some(s) if s > 0 =>
+        math.min(retryCapMs, math.min(s, 86_400L) * 1000L)
+      case _ =>
+        math.min(retryCapMs, math.max(1L, retryBaseMs) << math.min(attempt, 20))
+    })
     val lo = expo / 2
     lo + java.util.concurrent.ThreadLocalRandom.current()
       .nextLong(expo - lo + 1)

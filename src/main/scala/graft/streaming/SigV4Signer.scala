@@ -177,21 +177,57 @@ object SigV4 {
   * `-Dgraft.lease.backend=graft.streaming.S3HttpLockBackend
   *  -Dgraft.lease.s3.endpoint=https://bucket.s3.region.amazonaws.com
   *  -Dgraft.lease.s3.signer=graft.streaming.SigV4Signer` with the
-  * usual `AWS_*` env. */
+  * usual `AWS_*` env.
+  *
+  * Credentials are re-resolved on EVERY sign (see the field notes):
+  * an STS refresher that rotates the `graft.lease.s3.*` properties
+  * mid-job takes effect on the next request, so a long-lived lease
+  * client survives token expiry instead of 403-ing forever. */
 class SigV4Signer extends HttpRequestSigner {
   private def conf(prop: String, env: String): Option[String] =
     sys.props.get(prop).orElse(sys.env.get(env)).filter(_.nonEmpty)
 
-  private val accessKey = conf("graft.lease.s3.accessKey",
-    "AWS_ACCESS_KEY_ID").getOrElse(throw new IllegalStateException(
-    "SigV4Signer needs credentials: set the graft.lease.s3.accessKey " +
-      "system property (or the AWS_ACCESS_KEY_ID env var)"))
-  private val secretKey = conf("graft.lease.s3.secretKey",
-    "AWS_SECRET_ACCESS_KEY").getOrElse(throw new IllegalStateException(
-    "SigV4Signer needs credentials: set the graft.lease.s3.secretKey " +
-      "system property (or the AWS_SECRET_ACCESS_KEY env var)"))
-  private val sessionToken = conf("graft.lease.s3.sessionToken",
-    "AWS_SESSION_TOKEN")
+  // Credentials are re-RESOLVED on every sign, not cached at
+  // construction: STS session tokens expire (1-12 h TTL), and a
+  // streamed ingest's lease client outlives them — a refresher that
+  // rotates the `graft.lease.s3.*` system properties mid-job takes
+  // effect on the next signed request, instead of every lease verb
+  // 403-ing forever with nothing naming the expired token. (Env vars
+  // are process-immutable on the JVM, so rotation happens through
+  // the properties; the env remains the static-credential path.)
+  // Resolution is ATOMIC over the triple: a sign uses the current
+  // access+secret+token together when both keys are present —
+  // rotation can never pair a new secret with a stale token — and
+  // falls back to the construction-time snapshot when the live
+  // config has been cleared rather than rotated, so a scope that
+  // configured, constructed, and moved on keeps working.
+  // Construction still fail-fasts when NO credentials are configured
+  // — a signer with nothing to sign with must not surface as 403s at
+  // the first acquire.
+  private case class Creds(access: String, secret: String,
+      token: Option[String])
+
+  private val creds0 = Creds(
+    conf("graft.lease.s3.accessKey", "AWS_ACCESS_KEY_ID")
+      .getOrElse(throw new IllegalStateException(
+        "SigV4Signer needs credentials: set the " +
+          "graft.lease.s3.accessKey system property (or the " +
+          "AWS_ACCESS_KEY_ID env var)")),
+    conf("graft.lease.s3.secretKey", "AWS_SECRET_ACCESS_KEY")
+      .getOrElse(throw new IllegalStateException(
+        "SigV4Signer needs credentials: set the " +
+          "graft.lease.s3.secretKey system property (or the " +
+          "AWS_SECRET_ACCESS_KEY env var)")),
+    conf("graft.lease.s3.sessionToken", "AWS_SESSION_TOKEN"))
+
+  private def currentCreds: Creds =
+    (conf("graft.lease.s3.accessKey", "AWS_ACCESS_KEY_ID"),
+      conf("graft.lease.s3.secretKey", "AWS_SECRET_ACCESS_KEY")) match {
+      case (Some(a), Some(s)) =>
+        Creds(a, s, conf("graft.lease.s3.sessionToken",
+          "AWS_SESSION_TOKEN"))
+      case _ => creds0
+    }
   private val region = conf("graft.lease.s3.region", "AWS_REGION")
     .orElse(sys.env.get("AWS_DEFAULT_REGION").filter(_.nonEmpty))
     .getOrElse("us-east-1")
@@ -213,22 +249,25 @@ class SigV4Signer extends HttpRequestSigner {
     val uri = probe.uri()
     val amzDate = amzFmt.format(now())
     val payloadHash = "UNSIGNED-PAYLOAD"
+    // ONE atomic resolution per sign: a rotation landing mid-call
+    // must not split the signed triple from the sent one
+    val c = currentCreds
     val headers = Seq(
       "host" -> SigV4.hostFor(uri),
       "x-amz-content-sha256" -> payloadHash,
       "x-amz-date" -> amzDate) ++
-      sessionToken.map("x-amz-security-token" -> _)
+      c.token.map("x-amz-security-token" -> _)
     val rawPath = Option(uri.getRawPath).filter(_.nonEmpty)
       .getOrElse("/")
-    val (signedHeaders, sig) = SigV4.signature(secretKey, amzDate,
+    val (signedHeaders, sig) = SigV4.signature(c.secret, amzDate,
       region, service, probe.method(), rawPath,
       SigV4.canonicalQuery(uri.getRawQuery), headers, payloadHash)
     val signed = b
       .setHeader("x-amz-date", amzDate)
       .setHeader("x-amz-content-sha256", payloadHash)
-      .setHeader("Authorization", SigV4.authorization(accessKey,
+      .setHeader("Authorization", SigV4.authorization(c.access,
         amzDate, region, service, signedHeaders, sig))
-    sessionToken.fold(signed)(t =>
+    c.token.fold(signed)(t =>
       signed.setHeader("x-amz-security-token", t))
   }
 }

@@ -2570,12 +2570,25 @@ object Streaming {
   private[graft] def writeJsonlShardsSized(spark: SparkSession,
       payload: DataFrame, idCol: String, outPath: String, shards: Int,
       codec: Option[String], derived: Boolean): (Long, Int) = {
+    val hp = new HPath(outPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // EVERY export call sweeps a prior heal's leavings, not just the
+    // heal branch: a heal that died between its delete and rename
+    // leaves a complete duplicate export at the temp path, and the
+    // next run — whose calibration is now right — would otherwise
+    // never visit the branch that cleans it, leaving the duplicate
+    // standing silently forever
+    val tp = new HPath(outPath.stripSuffix("/") + ".heal.tmp")
+    if (fs.exists(tp)) {
+      System.err.println(s"[export] removing stale heal leavings at " +
+        s"$tp (a prior heal died mid-swap; this run rewrites the " +
+        "export from scratch)")
+      fs.delete(tp, true)
+    }
     val nDocs = graft.ops.Warehouse.writeJsonlShards(
       payload, idCol, outPath, shards, codec)
     if (!derived) return (nDocs, shards)
     val target = shardTargetBytes(spark)
-    val hp = new HPath(outPath)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     var actual = 0L
     // mean over the files that EXIST, not the requested count: the
     // writer shards by hash(id) mod n, so n near (or above) the doc
@@ -2609,8 +2622,6 @@ object Streaming {
       // in — the non-atomic window shrinks from a whole encode pass
       // to two metadata ops, and a death inside it leaves the full
       // re-encode recoverable at the named temp path.
-      val tp = new HPath(outPath.stripSuffix("/") + ".heal.tmp")
-      if (fs.exists(tp)) fs.delete(tp, true) // a dead heal's leavings
       val n2 = graft.ops.Warehouse.writeJsonlShards(
         payload, idCol, tp.toString, ideal, codec)
       // the explicit delete (not an overwrite) still matters: under

@@ -85,6 +85,14 @@ class BenchEnvelopeSpec extends AnyFunSuite {
     assert(BenchEnvelope.hostMatches(here,
       BenchEnvelope.hostStamp(32, 125L, -1.0)))
     assert(BenchEnvelope.hostMatches(Map("qa" -> 1.0), here))
+    // an unreadable memory size (the platform bean is not
+    // com.sun.management → 0) is OMITTED, not stamped 0 — a 0 stamp
+    // would read the same physical host as permanently foreign under
+    // a different JVM flavor, silently blocking every tighten-merge
+    val noMem = BenchEnvelope.hostStamp(32, 0L, 0.28)
+    assert(!noMem.contains("_host_mem_gb"))
+    assert(BenchEnvelope.hostMatches(here, noMem))
+    assert(BenchEnvelope.hostMatches(noMem, here))
   }
 
   test("merged only ever tightens, admits new queries at first " +

@@ -378,10 +378,39 @@ class S3HttpLockBackendContractSpec extends LockBackendContractSpec {
         sys.props -= "graft.lease.s3.signer"
       }
     }
-    val bare = intercept[IllegalStateException] {
-      new graft.streaming.SigV4Signer
+    // the bare-construction failure is only observable where the
+    // environment carries no ambient AWS credentials (the signer
+    // legitimately falls back to AWS_* env vars, which a credentialed
+    // dev box or CI runner may export) — skip the assertion there
+    // rather than fail on a correct fallback
+    if (sys.env.get("AWS_ACCESS_KEY_ID").forall(_.isEmpty) &&
+        sys.env.get("AWS_SECRET_ACCESS_KEY").forall(_.isEmpty)) {
+      val bare = intercept[IllegalStateException] {
+        new graft.streaming.SigV4Signer
+      }
+      assert(bare.getMessage.contains("graft.lease.s3."))
     }
-    assert(bare.getMessage.contains("graft.lease.s3.accessKey"))
+  }
+
+  test("credentials are re-resolved per SIGN, not cached at " +
+      "construction: rotating the secret property mid-job takes " +
+      "effect on the next request — an expired-then-refreshed STS " +
+      "session cannot wedge a long-lived lease client") {
+    withSigV4Props {
+      val client = new S3HttpConditionalPutClient(S3HttpStubStore.baseUri,
+        new graft.streaming.SigV4Signer)
+      val key = s"sigv4/${java.util.UUID.randomUUID()}"
+      val v = "token-rot\n0".getBytes(StandardCharsets.UTF_8)
+      assert(client.putIfAbsent(key, v))
+      sys.props("graft.lease.s3.secretKey") = "rotated-to-garbage"
+      val e = intercept[java.io.IOException] { client.get(key) }
+      assert(e.getMessage.contains("403"),
+        "a bad rotated secret must sign (and fail) with the NEW value")
+      sys.props("graft.lease.s3.secretKey") = S3HttpStubStore.SigV4Secret
+      assert(client.get(key).map(_._1.toSeq) === Some(v.toSeq),
+        "restoring the secret must heal the same client instance")
+      assert(client.deleteIfMatches(key, v))
+    }
   }
 
   test("graft.lease.backend can name the shipped S3HttpLockBackend: " +

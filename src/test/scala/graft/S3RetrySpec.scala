@@ -23,6 +23,11 @@ class S3RetrySpec extends AnyFunSuite {
     override protected def sleep(ms: Long): Unit = sleeps += ms
   }
 
+  private class BackoffProbe
+      extends S3HttpConditionalPutClient(S3HttpStubStore.baseUri) {
+    def backoff(a: Int, ra: Option[Long]): Long = backoffMs(a, ra)
+  }
+
   test("putIfAbsent rides out three 503s and lands: one sleep per " +
       "retry, each inside the full-jitter envelope [expo/2, expo] " +
       "with expo = min(cap, base<<attempt)") {
@@ -76,6 +81,22 @@ class S3RetrySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("403"))
     assert(c.sleeps.isEmpty, "no backoff on a non-retryable status")
+  }
+
+  test("backoffMs sanitizes a misbehaving store's Retry-After: " +
+      "non-positive values fall back to the schedule and " +
+      "overflow-large ones clamp to the cap — the retry layer exists " +
+      "for misbehaving stores, so the header they serve must not be " +
+      "able to crash the loop with an unexpected exception type") {
+    val c = new BackoffProbe
+    val neg = c.backoff(0, Some(-1L))
+    assert(neg >= 50L && neg <= 100L,
+      s"negative Retry-After must use the base schedule, got $neg")
+    val huge = c.backoff(0, Some(Long.MaxValue / 100L))
+    assert(huge >= 1000L && huge <= 2000L,
+      s"overflow-large Retry-After must clamp to the cap, got $huge")
+    val zero = c.backoff(0, Some(0L))
+    assert(zero >= 50L && zero <= 100L)
   }
 
   test("a 412 precondition failure is NOT retried — it is the " +

@@ -5225,6 +5225,41 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/out.heal.tmp").exists())
   }
 
+  test("EVERY export sweeps a dead heal's leavings: a stale " +
+      ".heal.tmp (a prior heal that died between its delete and " +
+      "rename) is removed even by a run whose own sizing is right " +
+      "and never visits the heal branch — without this the complete " +
+      "duplicate export would stand beside the real one forever") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-healstale").toString
+    val out = s"$tmp/out"
+    // the stale staging dir a crashed heal leaves: a real (complete)
+    // prior re-encode, not just an empty marker
+    val staleDir = new java.io.File(s"$out.heal.tmp")
+    assert(staleDir.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out.heal.tmp/part-00000"),
+      "{\"doc_id\":999}\n".getBytes("UTF-8"))
+    val payload = spark.range(20).selectExpr("id as doc_id",
+      "md5(cast(id as string)) as text")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(bos, true, "UTF-8"))
+    val (n, shards) =
+      try Streaming.writeJsonlShardsSized(spark, payload, "doc_id",
+        out, 1, None, derived = true)
+      finally System.setErr(oldErr)
+    assert(n === 20L && shards === 1)
+    assert(!bos.toString("UTF-8").contains("re-encoding once at"),
+      "a correctly-sized export must not heal")
+    assert(bos.toString("UTF-8").contains("stale heal leavings"),
+      s"the sweep must name what it removed: $bos")
+    assert(!staleDir.exists(),
+      "the dead heal's staging dir survived a clean export run")
+    // the swept export itself is intact — exactly the 20 docs
+    assert(spark.read.json(out).count() === 20L)
+  }
+
   test("exporting a FULLY-tombstoned snapshot (a legitimate state " +
       "after a whole-corpus decontamination) writes an empty but " +
       "valid export — manifest n_docs 0 with the schema still " +
