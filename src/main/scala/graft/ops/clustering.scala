@@ -92,13 +92,20 @@ object Clustering {
   def semDedup(emb: DataFrame, embCol: String, idCol: String,
                k: Int, iters: Int, tau: Double,
                maxCluster: Int = 1024): DataFrame = {
-    val asg = kmeansAssign(emb, embCol, idCol, k, iters)
-      .join(emb.select(col(idCol).cast("long").as(idCol),
-        col(embCol).as("__v")), Seq(idCol))
+    // the assignment feeds BOTH the pair expansion and the final
+    // kept-flag join — cache the NARROW (id, cluster_id, cos) frame so
+    // the whole k-means chain (iters broadcast-assign passes) runs
+    // once, not once per consumer; vectors are re-attached only where
+    // the pairwise pass needs them (fixed-width cached rows, corpus-
+    // linear, spill-safe — the same discipline as resolveClusters)
+    val asg = kmeansAssign(emb, embCol, idCol, k, iters).cache()
     // entry struct leads with the id so the pair expansion's ordering
     // (and the id_a < id_b orientation) is by id, matching keep-first
-    val entries = asg.select(col("cluster_id").as("__bucket"),
-      struct(col(idCol).as("id"), col("__v").as("v")).as("__e"))
+    val entries = asg
+      .join(emb.select(col(idCol).cast("long").as(idCol),
+        col(embCol).as("__v")), Seq(idCol))
+      .select(col("cluster_id").as("__bucket"),
+        struct(col(idCol).as("id"), col("__v").as("v")).as("__e"))
     val drops = Dedup.boundedBucketPairs(entries, "__bucket", "__e",
         maxCluster, (x, y) => struct(
           x.getField("id").as("id_a"), y.getField("id").as("id_b"),

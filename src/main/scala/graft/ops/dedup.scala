@@ -994,28 +994,40 @@ object Dedup {
     require(windowChars > 0 && sampleMod > 0,
       s"windowChars and sampleMod must be > 0, got $windowChars/$sampleMod")
     // md5 mode: first 3 hex digits of the digest as an int in [0, 4096)
-    // — the engine-portable selector (DuckDB replays the arithmetic)
+    // — the engine-portable selector (DuckDB replays the arithmetic);
+    // both modes run as ONE fused expression (the md5 HOF chain was the
+    // suite's single hottest expression, and the old three-branch plan
+    // below evaluated it three times)
     val fingerprints =
       if (rollingHash)
         graft.functions.GraftFunctions.rollingFingerprints(
           col(textCol), windowChars, sampleMod)
       else
-        expr(s"filter(transform(sequence(1, greatest(char_length($textCol)" +
-          s" - ${windowChars - 1}, 1), 1), p -> md5(substr($textCol, p, " +
-          s"$windowChars))), h -> cast(conv(substr(h, 1, 3), 16, 10) " +
-          s"as int) % $sampleMod = 0)")
+        graft.functions.GraftFunctions.md5Fingerprints(
+          col(textCol), windowChars, sampleMod)
+    // single evaluation of the fingerprint expression: pre-aggregate to
+    // (window hash, doc, occurrence count), count the docs sharing each
+    // hash with a window over the hash partition (count of (h, doc)
+    // rows = count of DISTINCT docs), then roll both per-doc totals up
+    // in one doc-grain aggregate. Identical output to the previous
+    // dupHashes/left-semi/two-join formulation — n_windows counts every
+    // occurrence, n_dup_windows every occurrence whose hash appears in
+    // ≥ 2 docs — but the scan+fingerprint subtree runs once instead of
+    // three times (the three branches shuffled on different keys, so
+    // nothing was reusable), and two joins + a distinct drop out.
     val wins = df.select(col(idCol), fingerprints.as("__hs"))
       .select(col(idCol), explode(col("__hs")).as("__h"))
-    val dupHashes = wins.select(col(idCol), col("__h")).distinct()
-      .groupBy("__h").agg(count(lit(1)).as("__docs"))
-      .where(col("__docs") >= 2)
-      .select("__h")
-    val flagged = wins.join(dupHashes, Seq("__h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+    val perDocHash = wins.groupBy(col("__h"), col(idCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val wDocs = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val perDoc = perDocHash
+      .withColumn("__docs", count(lit(1)).over(wDocs))
+      .groupBy(idCol)
+      .agg(sum(col("__cnt")).as("n_windows"),
+        sum(when(col("__docs") >= 2, col("__cnt")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
     df.select(col(idCol))
-      .join(wins.groupBy(idCol).agg(count(lit(1)).as("n_windows")),
-        Seq(idCol), "left")
-      .join(flagged, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),

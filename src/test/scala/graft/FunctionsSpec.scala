@@ -466,6 +466,39 @@ class FunctionsSpec extends SparkSpec {
     assert(n(0) === 1) // empty window
   }
 
+  test("md5Fingerprints: bit-identical to the md5 HOF chain it replaced") {
+    import graft.functions.GraftFunctions.md5Fingerprints
+    // the exact expression substringDupWindows used before the fusion —
+    // the q136 oracle replays this arithmetic, so the fused expression
+    // must match it cell-for-cell (incl. empty, short, multi-byte and
+    // supplementary-plane inputs, where substr counts CODE POINTS)
+    def hofChain(w: Int, mod: Int) =
+      expr(s"filter(transform(sequence(1, greatest(char_length(s)" +
+        s" - ${w - 1}, 1), 1), p -> md5(substr(s, p, " +
+        s"$w))), h -> cast(conv(substr(h, 1, 3), 16, 10) " +
+        s"as int) % $mod = 0)")
+    val docs = Seq("", "a", "tiny", "äöü ümlauts héllo wörld",
+      "emoji 😀 beyond the bmp 🤖 and back",
+      "the quick brown fox jumps over the lazy dog again and again") ++
+      (0 until 40).map(i => s"doc $i shares this exact boilerplate " +
+        "sentence that is comfortably longer than one window")
+    val df = docs.toDF("s")
+    for ((w, mod) <- Seq((40, 20), (10, 3), (5, 1))) {
+      val fused = df.select(md5Fingerprints(col("s"), w, mod).as("f"))
+        .collect().map(_.getSeq[String](0))
+      val hof = df.select(hofChain(w, mod).as("f"))
+        .collect().map(_.getSeq[String](0))
+      fused.zip(hof).foreach { case (a, b) => assert(a === b) }
+    }
+    // the chain's null contract is an EMPTY array, not null (greatest
+    // floors the sequence bound at 1 and the null md5 is filter-dropped)
+    // — the fused column matches it exactly
+    val nulls = strDf("s", Seq(None))
+    assert(rows(nulls.select(md5Fingerprints(col("s"), 40, 20))).head.head
+      === Seq.empty)
+    assert(rows(nulls.select(hofChain(40, 20))).head.head === Seq.empty)
+  }
+
   test("rollingFingerprints: shared runs fingerprint identically at any offset") {
     import graft.functions.GraftFunctions.rollingFingerprints
     val shared = "0123456789abcdefghijklmnopqrstuvwxyz"
