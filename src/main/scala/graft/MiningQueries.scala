@@ -181,8 +181,12 @@ object MiningQueries {
     // (query, id) partial sum.
     "q170_pq_adc" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
+      // the codebook feeds BOTH the corpus encode and the query
+      // distance table — pin the m×k-row frame so the k-means training
+      // chain runs once, not once per consumer (the two broadcasts
+      // project it differently, so exchange reuse never fires)
       val cb = Quantize.pqCodebook(emb, "embedding", "vec_id",
-        m = PqM, k = PqK, iters = Iters, dim = Dim)
+        m = PqM, k = PqK, iters = Iters, dim = Dim).cache()
       val qs = emb.orderBy("vec_id").limit(3)
       Quantize.pqAdcTopK(emb, qs, cb, "embedding", "vec_id", "vec_id",
           m = PqM, dim = Dim, k = AdcK)
@@ -267,11 +271,14 @@ object MiningQueries {
       // same self-join-hazard avoidance as Similarity.ivfTopK
       val probed = Similarity.probedCentroids(cents,
         NorthStar.queryVecCol, nprobe = 2).collect().map(_.get(0))
+      // cand feeds the ADC scoring AND the final cluster re-attach;
+      // cb feeds the encode and the distance table — pin both so the
+      // assignment and training chains run once (q170 note)
       val cand = emb.join(
         assigned.where(col("cluster").isin(probed.toSeq: _*))
-          .select(col("vec_id"), col("cluster")), "vec_id")
+          .select(col("vec_id"), col("cluster")), "vec_id").cache()
       val cb = Quantize.pqCodebook(emb, "embedding", "vec_id",
-        m = PqM, k = PqK, iters = Iters, dim = Dim)
+        m = PqM, k = PqK, iters = Iters, dim = Dim).cache()
       val qdf = s.range(1).select(lit(-1L).as("qid"),
         NorthStar.queryVecCol.as("embedding"))
       Quantize.pqAdcTopK(cand, qdf, cb, "embedding", "vec_id", "qid",
@@ -298,13 +305,18 @@ object MiningQueries {
         "vec_id", cents)
       def toD(c: org.apache.spark.sql.Column) =
         transform(c, x => x.cast("double"))
+      // the residual frame feeds the codebook training, the encode and
+      // the cluster re-attach — pin it (the scaladoc's "persist res
+      // once" materialized form), and pin the codebook for its two
+      // consumers (q170 note)
       val res = assigned
         .join(broadcast(cents), col("cluster") === col("cid"))
         .select(col("vec_id"), col("cluster"),
           zip_with(toD(col("embedding")), toD(col("cvec")),
             (x, c) => x - c).as("res"))
+        .cache()
       val cb = Quantize.pqCodebook(res, "res", "vec_id",
-        m = PqM, k = PqK, iters = Iters, dim = Dim)
+        m = PqM, k = PqK, iters = Iters, dim = Dim).cache()
       val codes = Quantize.pqEncode(res, cb, "res", "vec_id", PqM, Dim)
         .join(res.select(col("vec_id"), col("cluster")), "vec_id")
         .select(col("vec_id"), col("cluster"), col("codes"))
@@ -335,7 +347,7 @@ object MiningQueries {
       val assigned = Similarity.assignToCentroids(emb, "embedding",
         "vec_id", cents)
       val cb = Quantize.pqCodebook(emb, "embedding", "vec_id",
-        m = PqM, k = PqK, iters = Iters, dim = Dim)
+        m = PqM, k = PqK, iters = Iters, dim = Dim).cache() // q170 note
       val codes = Quantize.pqEncode(emb, cb, "embedding", "vec_id",
           PqM, Dim)
         .join(assigned.select("vec_id", "cluster"), "vec_id")

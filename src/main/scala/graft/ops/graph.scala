@@ -36,7 +36,11 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1,10], got $iterations")
-    val edges = edges0.select("src", "dst").distinct()
+    // the distinct edge set feeds nodes (twice, via the union) and
+    // contribEdges (twice, via the out-degree self-join): pin it so
+    // the caller's edge-derivation pipeline runs ONCE, not once per
+    // reference — edge-cardinality, fixed-width, spills to disk
+    val edges = edges0.select("src", "dst").distinct().cache()
     // nodes is referenced by every iteration (left join + N scalar);
     // node-cardinality, so pin it rather than re-shuffling edges
     val nodes = edges.select(col("src").as("node"))
@@ -73,6 +77,7 @@ object Graph {
     // helper tables only served the iterations
     nodes.unpersist()
     contribEdges.unpersist()
+    edges.unpersist()
     ranks
   }
 
@@ -84,13 +89,21 @@ object Graph {
     * degree 0. */
   def degrees(edges0: DataFrame): DataFrame = {
     val edges = edges0.select("src", "dst").distinct()
-    val out = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col("dst").as("node"))
-      .agg(count(lit(1)).as("in_deg"))
-    out.join(in, Seq("node"), "full_outer")
-      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    // one endpoint-tagged explode + one keyed sum instead of two keyed
+    // counts merged by a full-outer join: same (node, out_deg, in_deg)
+    // rows (a node missing a side sums 0 exactly where coalesce put
+    // its 0), but the caller's edge-derivation pipeline is evaluated
+    // once, one shuffle instead of three, and no join
+    edges
+      .select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i"))))
+        .as("__e"))
+      .groupBy(col("__e.node").as("node"))
+      // coalesce keeps the columns non-nullable exactly as the old
+      // full-outer + coalesce projection typed them (sum() is nullable)
+      .agg(coalesce(sum("__e.o"), lit(0L)).as("out_deg"),
+        coalesce(sum("__e.i"), lit(0L)).as("in_deg"))
   }
 
   /** Undirected, de-duplicated, self-loop-free edge set with `a < b`
@@ -117,7 +130,11 @@ object Graph {
     * the wedge).
     */
   def triangleStats(edges0: DataFrame): DataFrame = {
-    val und = undirected(edges0)
+    // the canonical edge set closes wedges, feeds the degree count
+    // (twice, via the union) and orients edges — pinned so the
+    // caller's edge derivation runs once, not once per reference
+    // (edge-cardinality, fixed-width; same trade as pageRank's edges)
+    val und = undirected(edges0).cache()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -132,6 +149,9 @@ object Graph {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("b"))
           .otherwise(col("a")).as("v"))
+      // both sides of the wedge self-join read this frame — pin it so
+      // the degree joins above run once, not once per side
+      .cache()
     val wedges = dirEdges.select(col("u"), col("v").as("w1"))
       .join(dirEdges.select(col("u"), col("v").as("w2")),
         Seq("u"))
@@ -170,8 +190,14 @@ object Graph {
     require(iterations >= 1 && iterations <= 10,
       s"iterations must be in [1,10], got $iterations")
     val und = undirected(edges0)
-    val adj = und.select(col("a").as("node"), col("b").as("nb"))
-      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+    // explode instead of a two-select union: the same (node, nb) rows
+    // in both directions, but the caller's edge derivation (and the
+    // dedup behind `undirected`) is evaluated once when the cache
+    // fills, not once per union branch
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("__e"))
+      .select(col("__e.node").as("node"), col("__e.nb").as("nb"))
       .cache()
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
@@ -217,9 +243,15 @@ object Graph {
   def neighborJaccard(edges0: DataFrame,
                       maxHubDegree: Option[Int] = None): DataFrame = {
     val und = undirected(edges0)
-    // adjacency in both directions: (node, neighbor)
-    val adj = und.select(col("a").as("node"), col("b").as("nb"))
-      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+    // adjacency in both directions: (node, neighbor) — explode form
+    // (one evaluation of the edge derivation, see labelPropagation),
+    // and PINNED: the degree count, candidate generation and both
+    // sides of the shared-neighbor self-join all read this frame
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("__e"))
+      .select(col("__e.node").as("node"), col("__e.nb").as("nb"))
+      .cache()
     val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
     val gen = maxHubDegree match {
       case Some(cap) =>

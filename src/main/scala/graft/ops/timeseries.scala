@@ -63,17 +63,23 @@ object TimeSeries {
     val wNext = Window.partitionBy(keyCol).orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def evOnly(c: Column): Column = when(col("__is_grid") === 0, c)
+    // the carried (time, value) pair travels as ONE struct per frame
+    // direction — two window aggregates instead of four over the same
+    // sort. Value-identical: both fields are non-null on every event
+    // row (half-null events were dropped above) and jointly null on
+    // grid rows, so last/first ignoreNulls skips exactly the rows the
+    // per-column form skipped.
     val union = events.unionByName(grid)
-      .withColumn("__pt", last(evOnly(col("__t")), ignoreNulls = true).over(wPrev))
-      .withColumn("__pv", last(evOnly(col("__v")), ignoreNulls = true).over(wPrev))
-      .withColumn("__nt", first(evOnly(col("__t")), ignoreNulls = true).over(wNext))
-      .withColumn("__nv", first(evOnly(col("__v")), ignoreNulls = true).over(wNext))
+      .withColumn("__p", last(evOnly(struct(col("__t").as("t"),
+        col("__v").as("v"))), ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(evOnly(struct(col("__t").as("t"),
+        col("__v").as("v"))), ignoreNulls = true).over(wNext))
     union.filter(col("__is_grid") === 1)
       .select(col(keyCol), timestamp_micros(col("__t")).as("grid_ts"),
-        when(col("__pt") === col("__t"), col("__pv"))
-          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
-            ((col("__t") - col("__pt")).cast("double") /
-              (col("__nt") - col("__pt")).cast("double")))
+        when(col("__p.t") === col("__t"), col("__p.v"))
+          .otherwise(col("__p.v") + (col("__n.v") - col("__p.v")) *
+            ((col("__t") - col("__p.t")).cast("double") /
+              (col("__n.t") - col("__p.t")).cast("double")))
           .as("interp"))
   }
 
