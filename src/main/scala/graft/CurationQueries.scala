@@ -414,8 +414,11 @@ object CurationQueries {
     // (broadcast at this scale, hash-join at web scale).
     "q100_unigram_nll" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
+      // the token stream feeds the unigram count AND the scoring join —
+      // pin it so the corpus is tokenized once
       val toks = docs.select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("w"))
+        .cache()
       val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
       val tot = uni.agg(sum("cw").cast("double").as("tot"))
       toks.join(broadcast(uni), Seq("w"))
@@ -485,11 +488,14 @@ object CurationQueries {
     "q108_bigram_nll" -> ((s, dir) => {
       val toks = rd(s, dir, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      // the bigram stream feeds both count tables and the scoring join
+      // — pin it so the corpus is tokenized once, not once per consumer
       val big = toks.where(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .cache()
       val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
       big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
@@ -510,12 +516,17 @@ object CurationQueries {
     "q172_kn_bigram_nll" -> ((s, dir) => {
       val toks = rd(s, dir, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      // big feeds cu + the scoring join; cb feeds ITS OWN three derived
+      // tables (fanout, continuation, type count) plus the join — pin
+      // both so the corpus tokenize/explode and the (w1, w2) count run
+      // once each, not once per derived table
       val big = toks.where(size(col("t")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .cache()
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb")).cache()
       val cu = big.groupBy("w1").agg(count(lit(1)).as("cu"))
       val fan = cb.groupBy("w1").agg(count(lit(1)).as("fan"))
       val pc = cb.groupBy("w2").agg(count(lit(1)).as("nprec"))

@@ -47,7 +47,10 @@ object UnigramLm {
          |  e -> transform(sequence(1, least($maxPieceLen, e)),
          |    l -> substring(word, e - l + 1, l))))""".stripMargin))
       .as("piece"))
-    val freq = occ.groupBy("piece").agg(sum("cnt").as("freq"))
+    // the frequency table feeds the top-k branch AND the single-char
+    // branch — pin it (vocabulary-sized) so the substring explode over
+    // the head words (and everything upstream of `words`) runs once
+    val freq = occ.groupBy("piece").agg(sum("cnt").as("freq")).cache()
     freq.orderBy(col("freq").desc, col("piece")).limit(topPieces)
       .unionByName(freq.where(length(col("piece")) === 1))
       .distinct()
@@ -55,10 +58,15 @@ object UnigramLm {
 
   /** Piece log-probabilities from the candidate table: lp =
     * ln(freq / Σ freq). */
-  private[ops] def pieceLogProbs(pieces: DataFrame): DataFrame =
+  private[ops] def pieceLogProbs(pieces0: DataFrame): DataFrame = {
+    // the piece table normalizes against its own sum — pin it
+    // (vocabulary-sized) so the candidate-selection chain isn't
+    // evaluated once for the rows and again for the total
+    val pieces = pieces0.cache()
     pieces.crossJoin(broadcast(pieces.agg(sum("freq").as("totf"))))
       .select(col("piece"),
         log(col("freq").cast("double") / col("totf")).as("lp"))
+  }
 
   /** Viterbi segmentation of every row of `words` (one `word` column)
     * against a (piece, lp) table: returns (word, path) where path is
@@ -129,7 +137,10 @@ object UnigramLm {
   def trainUnigram(hist: DataFrame, vocabWords: Int = 500,
                    maxWordLen: Int = 12, maxPieceLen: Int = 4,
                    topPieces: Int = 64): DataFrame = {
-    val words = headWords(hist, vocabWords, maxWordLen)
+    // the head-word table feeds candidate selection, the Viterbi pass
+    // and the usage join; usage normalizes against its own sum — pin
+    // both (vocabulary-sized) so each upstream chain runs once
+    val words = headWords(hist, vocabWords, maxWordLen).cache()
     val plog = pieceLogProbs(
       candidatePieces(words, maxPieceLen, topPieces))
     val seg = words
@@ -138,6 +149,7 @@ object UnigramLm {
     val usage = seg
       .select(col("cnt"), explode(split(col("path"), " ")).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("usage"))
+      .cache()
     val totU = usage.agg(sum("usage").as("tu"))
     usage.crossJoin(broadcast(totU))
       .select(col("piece"), col("usage"),
@@ -167,10 +179,16 @@ object UnigramLm {
   def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
                  plog: DataFrame, maxWordLen: Int = 12,
                  maxPieceLen: Int = 4): DataFrame = {
+    // the token stream feeds the distinct-word DP AND the re-join —
+    // pin the narrow (id, pos, word) rows so the corpus is tokenized
+    // once, not once per consumer (fixed-width, corpus-token-linear;
+    // spills to disk — one materialization beats two full re-tokenize
+    // passes at any scale)
     val toks = docs.select(col(idCol),
         posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos"),
         substring(col("tok"), 1, maxWordLen).as("word"))
+      .cache()
     val paths = viterbiPaths(toks.select("word").distinct(), plog,
         maxPieceLen)
       .select(col("word"), coalesce(col("path"), lit("<unk>")).as("path"))
