@@ -200,13 +200,17 @@ object AnalyticsQueries {
     // weights). Vocabulary-scale joins only; the corpus is tokenized
     // once.
     "q184_source_kl" -> ((s, dir) => {
+      // the token stream feeds the global top-k AND the per-source
+      // counts; the 200-row top table feeds three consumers and perSrc
+      // two — pin each so its upstream chain runs once
       val toks = rd(s, dir, "documents")
         .select(col("source"), explode(graft.ops.Text.tokens(col("text"))).as("tok"))
+        .cache()
       val top = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
-        .orderBy(col("cg").desc, col("tok")).limit(200)
+        .orderBy(col("cg").desc, col("tok")).limit(200).cache()
       val ng = top.agg(sum("cg").as("ng"))
       val perSrc = toks.join(broadcast(top.select("tok")), "tok")
-        .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cs")).cache()
       val ns = perSrc.groupBy("source").agg(sum("cs").as("ns"))
       // every (source, top-token) cell, absent counts as 0
       val grid = ns.crossJoin(broadcast(top))
@@ -251,9 +255,12 @@ object AnalyticsQueries {
     // vocabulary — the tokenizer-coverage signal (vocab is a 1000-row
     // broadcast; the token stream aggregates once, keyed by doc).
     "q141_oov_rate" -> ((s, dir) => {
+      // the token stream feeds the vocabulary AND the scoring join —
+      // pin it so the corpus is tokenized once
       val toks = rd(s, dir, "documents")
         .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text")))
           .as("tok"))
+        .cache()
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok").asc).limit(1000)
         .select(col("tok"), lit(true).as("in_vocab"))

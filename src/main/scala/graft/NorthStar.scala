@@ -410,10 +410,13 @@ object NorthStar {
     // Distinct-reduce BOTH sides before the join: the join is over the
     // shingle vocabulary, not the shingle stream.
     "q83_ngram_novelty" -> ((s, dir) => {
+      // the shingle stream feeds the train AND test branches — pin it
+      // so the corpus is shingled once, not once per split
       val sh = rd(s, dir, "documents")
         .withColumn("split", Sampling.splitLabel(col("doc_id")))
         .select(col("lang"), col("split"),
           explode(Text.shingles(col("text"), 3)).as("sh"))
+        .cache()
       val train = sh.filter(col("split") === "train")
         .select("lang", "sh").distinct().withColumn("seen", lit(1))
       sh.filter(col("split") === "test")

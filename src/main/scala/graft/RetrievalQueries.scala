@@ -321,6 +321,9 @@ object RetrievalQueries {
     // back out of it — n_cms >= n_exact by construction, equality
     // whenever no heavier token collides in all 4 rows.
     "q171_cms_top_tokens" -> ((s, dir) => {
+      // NOT cached: caching the exploded token stream measured slower
+      // than the two tokenize passes it saves (1M short strings in the
+      // memory store vs a cheap re-explode of the memoized base table)
       val toks = rd(s, dir, "documents")
         .select(explode(Text.tokens(col("text"))).as("tok"))
       val cms = Sketch.cmsBuild(toks, "tok", d = CmsD)

@@ -184,7 +184,9 @@ object SearchQueries {
             .otherwise(col("o_totalprice")))
         .unionByName(v1.where(col("o_orderkey") % 101 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
-      val d = Warehouse.snapshotDiff(v1, v2, Seq("o_orderkey"))
+      // the diff feeds the status rollup AND the per-column explode —
+      // pin it so the v1⋈v2 full-outer compare runs once
+      val d = Warehouse.snapshotDiff(v1, v2, Seq("o_orderkey")).cache()
       val statusCounts = d.groupBy("status")
         .agg(count(lit(1)).as("n")).withColumn("detail", lit("*"))
       val colCounts = d
