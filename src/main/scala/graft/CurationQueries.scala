@@ -386,7 +386,8 @@ object CurationQueries {
       val pairs = Dedup.minhashCandidatePairs(rd(s, dir, "documents"),
         "text", "doc_id", numHashes = 8, bands = 4, shingleSize = 3,
         factorExactGroups = Some(false)) // NorthStar q23 hint note
-      Dedup.resolveClusters(pairs).orderBy("id")
+      // pairsDistinct: LSH candidate pairs are distinct + id_a < id_b
+      Dedup.resolveClusters(pairs, pairsDistinct = true).orderBy("id")
     }),
 
     // Bad-data quarantine: malformed JSON payloads (injected corruption)

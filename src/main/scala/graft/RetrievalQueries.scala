@@ -269,7 +269,8 @@ object RetrievalQueries {
       val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
         numHashes = 8, bands = 4, shingleSize = 3,
         factorExactGroups = Some(false)) // NorthStar q23 hint note
-      val clusters = Dedup.resolveClusters(pairs)
+      // pairsDistinct: LSH candidate pairs are distinct + id_a < id_b
+      val clusters = Dedup.resolveClusters(pairs, pairsDistinct = true)
       val members = clusters.join(docs.select(col("doc_id").as("id"),
         col("n_chars")), "id")
       val w = Window.partitionBy("cluster_id")

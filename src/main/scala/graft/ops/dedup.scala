@@ -240,8 +240,16 @@ object Dedup {
     *
     * Scale: each round is one join + one agg on the (small) pair set, not
     * the corpus; rounds needed = graph diameter, which for near-dup
-    * clusters is tiny (dup clusters are cliques or short chains). */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * clusters is tiny (dup clusters are cliques or short chains).
+    *
+    * `pairsDistinct = true` skips the edge-dedup exchange: safe exactly
+    * when the caller's pairs are distinct AND oriented (id_a < id_b, the
+    * [[minhashCandidatePairs]] contract) — the two union branches can
+    * then never collide, so the distinct was pure cost. Duplicate edges
+    * would not change the fixpoint anyway (min is idempotent), only the
+    * per-round join fan-out. */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10,
+                      pairsDistinct: Boolean = false): DataFrame = {
     // localCheckpoint, not cache: the candidate-pair pipeline upstream
     // (LSH banding, group factoring) is a BIG plan, and caching only
     // short-circuits execution — every propagation round would still
@@ -249,9 +257,10 @@ object Dedup {
     // driver time that grows as rounds × plan size. Checkpointing makes
     // the edge set a leaf (same trick as Graph.pageRank), so per-round
     // plans stay constant-size no matter how pairs were produced.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val both = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = (if (pairsDistinct) both else both.distinct())
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).cache()
     var backing = labels // the cached frame `labels` projects from

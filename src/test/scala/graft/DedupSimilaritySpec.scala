@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     assert(factored.contains((1L, 2L))) // the exact-dup pair survives both
   }
 
+  test("resolveClusters: pairsDistinct skip-dedup path = default path " +
+      "on oriented distinct pairs") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      numHashes = 8, bands = 4, shingleSize = 3,
+      factorExactGroups = Some(false))
+    def clusters(skip: Boolean) =
+      Dedup.resolveClusters(pairs, pairsDistinct = skip)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSkip = clusters(true)
+    val viaDedup = clusters(false)
+    assert(viaSkip === viaDedup)
+    assert(viaSkip.nonEmpty)
+  }
+
   test("hashBandPairs: pigeonhole recall — every pair within " +
       "maxHamming < bands is found, including prefix-bit flips") {
     // h2 differs from h1 only in the TOP bit — a single-prefix
