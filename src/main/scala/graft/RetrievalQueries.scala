@@ -224,15 +224,41 @@ object RetrievalQueries {
     // recomputes Spark's exact formulas (√n·m₃/m₂^1.5, n·m₄/m₂²−3)
     // from central-moment sums.
     "q138_moments" -> ((s, dir) => {
+      // Covariances from EXACT integer sums with integer half-up
+      // rounding, not covar_pop/covar_samp over doubles: both inputs
+      // are integer-valued, and the fixture holds a group whose exact
+      // cov_pop·10⁴ is a half-integer (lang=es at sf0.001:
+      // 40053287.5) — double partial-aggregation ORDER then decides
+      // which side of the rounding boundary each engine lands on (a
+      // live flake: green at 4/32 cores, red at 8). The integer form
+      // is partitioning- and engine-independent: sums are exact,
+      // round-half-away-from-zero is done in integer arithmetic
+      // (sign·((2·|num| + den) DIV (2·den))), and the final /10⁴ of a
+      // ≤2^53 integer is the same IEEE double everywhere. Away from
+      // ties the values are identical to the old rounded covar_*.
+      def covHalfUp(denSql: String): org.apache.spark.sql.Column = expr(
+        "CAST((CASE WHEN __num < 0 THEN -1L ELSE 1L END) * " +
+          s"((2 * abs(__num) + $denSql) DIV (2 * ($denSql))) AS DOUBLE)" +
+          " / 10000.0")
+      val nDec = "CAST(n AS DECIMAL(38,0))"
       rd(s, dir, "documents")
-        .select(col("lang"), col("n_chars").cast("double").as("x"),
-          graft.ops.Text.tokenCount(col("text")).cast("double").as("y"))
+        .select(col("lang"), col("n_chars").cast("long").as("xl"),
+          graft.ops.Text.tokenCount(col("text")).cast("long").as("yl"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),
-          round(skewness(col("x")), 6).as("skew"),
-          round(kurtosis(col("x")), 6).as("kurt"),
-          round(covar_pop(col("x"), col("y")), 4).as("cov_pop"),
-          round(covar_samp(col("x"), col("y")), 4).as("cov_samp"))
+          round(skewness(col("xl").cast("double")), 6).as("skew"),
+          round(kurtosis(col("xl").cast("double")), 6).as("kurt"),
+          sum(col("xl")).as("__sx"), sum(col("yl")).as("__sy"),
+          sum(col("xl") * col("yl")).as("__sxy"))
+        .withColumn("__num", expr(
+          "(CAST(__sxy AS DECIMAL(38,0)) * " + nDec +
+            " - CAST(__sx AS DECIMAL(38,0)) * CAST(__sy AS DECIMAL(38,0)))" +
+            " * CAST(10000 AS DECIMAL(38,0))"))
+        .select(col("lang"), col("n"), col("skew"), col("kurt"),
+          covHalfUp(s"$nDec * $nDec").as("cov_pop"),
+          when(col("n") > 1,
+            covHalfUp(s"$nDec * CAST(n - 1 AS DECIMAL(38,0))"))
+            .as("cov_samp"))
         .orderBy("lang")
     }),
 
@@ -642,23 +668,37 @@ object RetrievalQueries {
     "q138_moments" ->
       s"""WITH s AS (
         |  SELECT lang, CAST(n_chars AS DOUBLE) AS x,
-        |    CAST(len(${toksSql("text")}) AS DOUBLE) AS y
+        |    CAST(n_chars AS HUGEINT) AS xl,
+        |    CAST(len(${toksSql("text")}) AS HUGEINT) AS yl
         |  FROM documents),
-        |m AS (SELECT lang, avg(x) AS mx, avg(y) AS my,
-        |             CAST(count(*) AS BIGINT) AS n
+        |m AS (SELECT lang, avg(x) AS mx,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(*) AS HUGEINT) AS nh,
+        |             sum(xl) AS sx, sum(yl) AS sy, sum(xl * yl) AS sxy
         |      FROM s GROUP BY lang),
         |cent AS (
         |  SELECT s.lang, n,
         |    sum((x - mx) * (x - mx)) AS m2,
         |    sum((x - mx) * (x - mx) * (x - mx)) AS m3,
         |    sum((x - mx) * (x - mx) * (x - mx) * (x - mx)) AS m4,
-        |    sum((x - mx) * (y - my)) AS cxy
+        |    -- covariance numerator in EXACT integer arithmetic, scaled
+        |    -- to the 4-dp rounding grid (mirrors the Spark side: the
+        |    -- fixture's es group sits exactly on a half-way boundary,
+        |    -- so double summation order must not decide the rounding)
+        |    (max(sxy) * max(nh) - max(sx) * max(sy))
+        |      * CAST(10000 AS HUGEINT) AS num,
+        |    max(nh) AS nhh
         |  FROM s JOIN m USING (lang) GROUP BY s.lang, n)
         |SELECT lang, n,
         |  round(sqrt(CAST(n AS DOUBLE)) * m3 / power(m2, 1.5), 6) AS skew,
         |  round(CAST(n AS DOUBLE) * m4 / (m2 * m2) - 3.0, 6) AS kurt,
-        |  round(cxy / CAST(n AS DOUBLE), 4) AS cov_pop,
-        |  round(cxy / CAST(n - 1 AS DOUBLE), 4) AS cov_samp
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |    ((2 * abs(num) + nhh * nhh) // (2 * nhh * nhh))
+        |    AS DOUBLE) / 10000.0 AS cov_pop,
+        |  CASE WHEN n > 1 THEN
+        |    CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |      ((2 * abs(num) + nhh * (nhh - 1)) // (2 * nhh * (nhh - 1)))
+        |      AS DOUBLE) / 10000.0 END AS cov_samp
         |FROM cent ORDER BY lang""".stripMargin,
 
     "q139_temperature_mix" ->
